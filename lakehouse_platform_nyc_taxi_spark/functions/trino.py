@@ -1,0 +1,104 @@
+"""Expression shims where Trino semantics diverge from Spark defaults.
+
+These are the only "custom functions" reference parity needs (SURVEY.md
+§2.8, §7.3); everything else is a direct ``pyspark.sql.functions`` call.
+All of them compile to built-in Catalyst expressions (JVM-side, inside
+whole-stage codegen) — no Python UDFs, so they cost nothing at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# The null sentinel dbt_utils.generate_surrogate_key() 1.1.1 substitutes
+# for NULL key components before hashing.
+SURROGATE_KEY_NULL_SENTINEL = "_dbt_utils_surrogate_key_null_"
+
+
+def surrogate_key(*cols: Column | str) -> Column:
+    """dbt_utils.generate_surrogate_key: md5 over '-'-joined varchar casts.
+
+    Reference expansion (dbt_utils 1.1.1, used at
+    stg_nyc_taxi__yellow_trips.sql:22-26):
+    ``md5(cast(concat(coalesce(cast(c1 as varchar), '<sentinel>'), '-',
+    ...) as varchar))``. Byte parity holds because Spark's and Trino's
+    (and DuckDB's) varchar renderings of bigint/timestamp agree — both
+    render timestamps as ``YYYY-MM-DD HH:MM:SS[.ffffff]`` with trailing
+    fractional zeros trimmed (verified empirically in tests).
+    """
+    rendered = [
+        F.coalesce(F.col(c).cast("string") if isinstance(c, str) else c.cast("string"),
+                   F.lit(SURROGATE_KEY_NULL_SENTINEL))
+        for c in cols
+    ]
+    return F.md5(F.concat_ws("-", *rendered))
+
+
+def day_of_week_iso(ts: Column | str) -> Column:
+    """Trino ``day_of_week``: ISO numbering, Monday=1 … Sunday=7.
+
+    Spark's ``dayofweek`` is Sunday=1 — the reference's weekend logic
+    (`fct_trips_monthly.sql:46`: dow IN (6,7) = Sat/Sun) silently breaks
+    with it. ``weekday`` (Monday=0) + 1 is the faithful mapping.
+    """
+    return F.weekday(ts) + F.lit(1)
+
+
+_DAY_NAMES = {
+    1: "Monday",
+    2: "Tuesday",
+    3: "Wednesday",
+    4: "Thursday",
+    5: "Friday",
+    6: "Saturday",
+    7: "Sunday",
+}
+
+
+def day_name(ts: Column | str) -> Column:
+    """Simple-CASE day-name mapping (int_trips_enriched.sql:51-59)."""
+    dow = day_of_week_iso(ts)
+    expr = F.lit(None).cast("string")
+    for num in sorted(_DAY_NAMES, reverse=True):
+        expr = F.when(dow == num, F.lit(_DAY_NAMES[num])).otherwise(expr)
+    return expr
+
+
+def time_of_day(ts: Column | str) -> Column:
+    """Bucketing from int_trips_enriched.sql:61-66.
+
+    Morning 6-11, Afternoon 12-17, Evening 18-22, Night otherwise.
+    """
+    h = F.hour(ts)
+    return (
+        F.when(h.between(6, 11), "Morning")
+        .when(h.between(12, 17), "Afternoon")
+        .when(h.between(18, 22), "Evening")
+        .otherwise("Night")
+    )
+
+
+_UNIT_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def date_diff(unit: str, start: Column | str, end: Column | str) -> Column:
+    """Trino ``date_diff(unit, t1, t2)``: *whole* elapsed units, truncating.
+
+    Distinct from DuckDB's boundary-crossing ``date_diff``; Spark's
+    ``timestampdiff`` matches Trino for these units (whole units from
+    start to end). Implemented with timestampdiff(SECOND) + integer
+    division so sub-unit remainders truncate toward zero for the
+    non-negative intervals the pipeline computes
+    (int_trips_enriched.sql:19-21).
+    """
+    unit = unit.lower()
+    if unit not in _UNIT_SECONDS:
+        raise ValueError(f"unsupported date_diff unit: {unit}")
+    start_c = F.col(start) if isinstance(start, str) else start
+    end_c = F.col(end) if isinstance(end, str) else end
+    seconds = F.timestamp_diff("SECOND", start_c, end_c)
+    divisor = _UNIT_SECONDS[unit]
+    if divisor == 1:
+        return seconds
+    return (seconds / F.lit(divisor)).cast("long")

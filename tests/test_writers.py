@@ -1,0 +1,76 @@
+"""Sink semantics: partitioned append, partition delete/probe, and the
+delete+insert incremental materializer (SURVEY.md S6/S9/S11/S12)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_platform_nyc_taxi_spark.sources.writers import (
+    append_partitioned,
+    delete_partition,
+    incremental_delete_insert,
+    overwrite_table,
+    partition_exists,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "id string, v long, year int, month int")
+
+
+def test_append_and_partition_ops(spark, tmp_path):
+    path = str(tmp_path / "t")
+    append_partitioned(_mk(spark, [("a", 1, 2023, 1), ("b", 2, 2023, 2)]), path)
+    append_partitioned(_mk(spark, [("c", 3, 2023, 2)]), path)
+    assert spark.read.parquet(path).count() == 3
+    assert partition_exists(spark, path, {"year": 2023, "month": 2})
+    assert not partition_exists(spark, path, {"year": 2024, "month": 1})
+
+    delete_partition(spark, path, {"year": 2023, "month": 2})
+    left = spark.read.parquet(path)
+    assert left.count() == 1
+    assert left.first().id == "a"
+
+
+def test_incremental_delete_insert(spark, tmp_path):
+    path = str(tmp_path / "inc")
+    # First run = CTAS.
+    incremental_delete_insert(
+        spark, _mk(spark, [("k1", 1, 2023, 1), ("k2", 1, 2023, 2)]), path, ["id"]
+    )
+    # Second run: replaces k2, adds k3; k1's partition untouched.
+    incremental_delete_insert(
+        spark, _mk(spark, [("k2", 99, 2023, 2), ("k3", 1, 2023, 2)]), path, ["id"]
+    )
+    got = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {("k1", 1), ("k2", 99), ("k3", 1)}
+
+
+def test_incremental_keeps_within_batch_duplicates(spark, tmp_path):
+    """Faithful quirk: delete+insert does not dedup the incoming batch."""
+    path = str(tmp_path / "dup")
+    incremental_delete_insert(spark, _mk(spark, [("k", 1, 2023, 1)]), path, ["id"])
+    incremental_delete_insert(
+        spark, _mk(spark, [("k", 2, 2023, 1), ("k", 3, 2023, 1)]), path, ["id"]
+    )
+    df = spark.read.parquet(path)
+    assert df.count() == 2
+    assert {r.v for r in df.collect()} == {2, 3}
+
+
+def test_overwrite_table(spark, tmp_path):
+    path = str(tmp_path / "ctas")
+    overwrite_table(_mk(spark, [("a", 1, 2023, 1)]), path)
+    overwrite_table(_mk(spark, [("b", 2, 2023, 1)]), path)
+    df = spark.read.parquet(path)
+    assert df.count() == 1 and df.first().id == "b"
+
+
+def test_events_nanos_loader(spark):
+    from lakehouse_platform_nyc_taxi_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert dict(ev.dtypes)["ts"].startswith("timestamp")
+    assert ev.count() > 0
+    # truncation (not rounding) to µs: max fraction survives
+    assert ev.filter(F.col("ts").isNull()).count() == 0
