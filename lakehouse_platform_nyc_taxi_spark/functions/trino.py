@@ -79,6 +79,21 @@ def time_of_day(ts: Column | str) -> Column:
     )
 
 
+def trino_round(col: Column, n: int = 0) -> Column:
+    """Trino/Presto ``round(double, n)``: sign·floor(|x|·10ⁿ + 0.5)/10ⁿ.
+
+    NOT Spark's ``F.round``: Spark rounds the *exact binary* value
+    (BigDecimal HALF_UP), so e.g. x = 12.95/14 ≈ 0.92499999999999993
+    rounds to 0.92; Trino (and DuckDB, empirically identical on doubles)
+    scales first — x·100 rounds to 92.5 exactly, +0.5 → 93 → 0.93.
+    Composing the same IEEE ops here makes results bit-identical to the
+    oracle engines. All built-ins, codegen-friendly.
+    """
+    factor = F.lit(float(10**n))
+    scaled = F.floor(F.abs(col) * factor + F.lit(0.5)).cast("double")
+    return (scaled / factor) * F.signum(col)
+
+
 _UNIT_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
 
 

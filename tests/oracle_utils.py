@@ -59,8 +59,14 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str = 
 
 def _coerce(v):
     # pandas may hand back numpy scalars / Timestamps; normalize to python.
+    # DATE columns come back as datetime.date from Spark but midnight
+    # Timestamps from DuckDB's .df() — normalize both to datetime.
+    import datetime
+
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime()
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        return datetime.datetime(v.year, v.month, v.day)
     if hasattr(v, "item"):
         return v.item()
     return v

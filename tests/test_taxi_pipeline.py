@@ -1,0 +1,149 @@
+"""End-to-end parity of the taxi pipeline vs a DuckDB oracle of the
+reference's SQL chain, plus the 37-assertion quality suite and
+incremental semantics."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_platform_nyc_taxi_spark.fixtures import write_raw_tables
+from lakehouse_platform_nyc_taxi_spark.models import (
+    fct_trips,
+    fct_trips_daily,
+    fct_trips_monthly,
+    int_trips_cleaned,
+    int_trips_enriched,
+    int_trips_unified,
+)
+from lakehouse_platform_nyc_taxi_spark.models.intermediate import UNIFIED_COLUMNS
+from lakehouse_platform_nyc_taxi_spark.models.staging import STAGING_MODELS
+from lakehouse_platform_nyc_taxi_spark.pipeline import run_pipeline, taxi_models
+from lakehouse_platform_nyc_taxi_spark.quality import run_assertions, taxi_assertion_suite
+from lakehouse_platform_nyc_taxi_spark.quality.assertions import (
+    positive_fare_threshold,
+    valid_speed,
+)
+
+from . import taxi_oracle
+from .oracle_utils import compare_frames
+
+
+@pytest.fixture(scope="module")
+def raw_paths(tmp_path_factory):
+    out = tmp_path_factory.mktemp("taxi_raw")
+    return write_raw_tables(str(out), n=800)
+
+
+@pytest.fixture(scope="module")
+def spark_marts(spark, raw_paths):
+    """The unmaterialized model chain (loaded_at dropped for determinism)."""
+    stg = {}
+    for name, (raw_table, fn) in STAGING_MODELS.items():
+        stg[name] = fn(spark.read.parquet(raw_paths[raw_table])).drop("loaded_at")
+    unified = int_trips_unified(
+        stg["stg_nyc_taxi__yellow_trips"],
+        stg["stg_nyc_taxi__green_trips"],
+        stg["stg_nyc_taxi__fhv_trips"],
+        stg["stg_nyc_taxi__fhvhv_trips"],
+    )
+    enriched = int_trips_enriched(unified)
+    cleaned = int_trips_cleaned(enriched)
+    trips = fct_trips(cleaned.withColumn("loaded_at", F.lit(None).cast("timestamp")))
+    return {
+        "staging": stg,
+        "unified": unified,
+        "enriched": enriched,
+        "cleaned": cleaned,
+        "fct_trips": trips.drop("loaded_at"),
+        "fct_trips_daily": fct_trips_daily(trips, with_created_at=False),
+        "fct_trips_monthly": fct_trips_monthly(trips, with_created_at=False),
+    }
+
+
+def test_unified_schema_contract(spark_marts):
+    df = spark_marts["unified"]
+    assert tuple(c for c in df.columns if c != "loaded_at") == tuple(
+        c for c in UNIFIED_COLUMNS if c != "loaded_at"
+    )
+
+
+def test_fct_trips_matches_oracle(spark_marts, raw_paths):
+    duck = duckdb.connect()
+    spark_pdf = spark_marts["fct_trips"].toPandas()
+    duck_pdf = duck.sql(taxi_oracle.fct_trips_sql(raw_paths)).df()
+    compare_frames(spark_pdf, duck_pdf, name="fct_trips")
+
+
+def test_fct_trips_daily_matches_oracle(spark_marts, raw_paths):
+    duck = duckdb.connect()
+    spark_pdf = spark_marts["fct_trips_daily"].toPandas()
+    duck_pdf = duck.sql(taxi_oracle.fct_trips_daily_sql(raw_paths)).df()
+    compare_frames(spark_pdf, duck_pdf, name="fct_trips_daily")
+
+
+def test_fct_trips_monthly_matches_oracle(spark_marts, raw_paths):
+    duck = duckdb.connect()
+    spark_pdf = spark_marts["fct_trips_monthly"].toPandas()
+    duck_pdf = duck.sql(taxi_oracle.fct_trips_monthly_sql(raw_paths)).df()
+    compare_frames(spark_pdf, duck_pdf, name="fct_trips_monthly")
+
+
+def test_cleaned_precedence_quirk(spark_marts):
+    """NULL-speed rows pass the cleaned filter even when low-quality
+    (int_trips_cleaned.sql:17-19) — e.g. fhv rows with NULL locations."""
+    cleaned = spark_marts["cleaned"]
+    null_speed_low_quality = cleaned.filter(
+        F.col("avg_speed_mph").isNull() & (F.col("is_high_quality_trip") == False)  # noqa: E712
+    ).count()
+    assert null_speed_low_quality > 0, "fixtures must exercise the quirk"
+    # and no non-null-speed row >= 80 mph survives
+    assert cleaned.filter(F.col("avg_speed_mph") >= 80).count() == 0
+
+
+def test_assertion_suite_passes(spark_marts):
+    suite = taxi_assertion_suite()
+    assert len(suite) == 35
+    models = {
+        "stg_nyc_taxi__yellow_trips": spark_marts["staging"]["stg_nyc_taxi__yellow_trips"],
+        "int_trips_unified": spark_marts["unified"],
+        "int_trips_enriched": spark_marts["enriched"],
+        "int_trips_cleaned": spark_marts["cleaned"],
+        "fct_trips": spark_marts["fct_trips"],
+        "fct_trips_daily": spark_marts["fct_trips_daily"],
+        "fct_trips_monthly": spark_marts["fct_trips_monthly"],
+    }
+    results = run_assertions(models, suite)
+    failed = [r for r in results if not r.passed]
+    assert not failed, f"failing assertions: {[(r.name, r.failures) for r in failed]}"
+    # singular tests (36 and 37)
+    assert positive_fare_threshold(spark_marts["fct_trips"]).passed
+    assert valid_speed(spark_marts["fct_trips"]).passed
+
+
+def test_surrogate_key_duplicates_survive_staging(spark_marts):
+    """Key collisions are kept by the models (dedup only happens at the
+    incremental delete+insert boundary)."""
+    stg = spark_marts["staging"]["stg_nyc_taxi__yellow_trips"]
+    dups = stg.groupBy("trip_id").count().filter(F.col("count") > 1).count()
+    assert dups > 0
+
+
+def test_full_pipeline_runner(spark, raw_paths, tmp_path):
+    wh = str(tmp_path / "warehouse")
+    result = run_pipeline(spark, raw_paths, wh)
+    assert result.ok, result.errors
+    assert set(result.built) == {m.name for m in taxi_models()}
+    total = spark.read.parquet(f"{wh}/fct_trips").count()
+    assert total > 0
+    # idempotent re-run: incremental delete+insert of the max partition
+    # must not duplicate rows
+    result2 = run_pipeline(spark, raw_paths, wh)
+    assert result2.ok, result2.errors
+    assert spark.read.parquet(f"{wh}/fct_trips").count() == total
+    # ad-hoc SQL over the registered marts (the Trino-endpoint equivalent)
+    flagship = spark.sql(
+        "SELECT taxi_type, count(*) AS total_trips FROM fct_trips GROUP BY taxi_type"
+    )
+    assert flagship.count() == 4
