@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced through its full physical plan with a noop sink
+(count() would let Catalyst prune the projected columns and undercount
+the work). The session is warmed with one tiny job so JVM/codegen
+startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from lakehouse_platform_nyc_taxi_spark import harness
+from lakehouse_platform_nyc_taxi_spark.session import get_spark
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    # warm the JVM / codegen path outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(harness.registry().items()):
+        df = spec.fn(spark, sf_dir)
+        start = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_runtime_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+                "n_queries": len(timings),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
