@@ -1,0 +1,428 @@
+"""LLM-training-data pipeline queries: dedup, similarity search, text
+analysis, multimodal — each as a driver-contract query with a DuckDB
+oracle (except the Pandas-UDF feature extractor, which is genuinely
+non-SQL-expressible and gets the rows-only check).
+
+Oracle construction notes:
+- all content hashing is md5-based (operators.hashing), rendered in
+  DuckDB as ``('0x' || substr(md5(x),1,15))::BIGINT``;
+- cosine scores are rounded to 6 decimals on both sides (the decimal-sum
+  trick does not apply to sqrt/division chains; rounding absorbs
+  fold-order last-bit noise);
+- thresshold filters compare unrounded values in both engines so the
+  kept-pair set is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, text
+from ..sources.testdata import load_table
+from . import register
+
+MD5L = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_duplicates
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup: hash-groupBy on the normalized-content digest; the "
+    "shuffle carries 32-byte digests, never the text.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_sig_sql(num_hashes: int = 8) -> str:
+    mins = ",\n           ".join(
+        "list_min(list_transform(shingles, s -> "
+        + MD5L.format(x=f"s || '#{j}'")
+        + f")) AS sig{j}"
+        for j in range(num_hashes)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id,
+               CASE WHEN len(text) >= 5
+                    THEN list_transform(generate_series(1, len(text) - 4),
+                                        i -> substr(text, i, 5))
+                    ELSE CAST([] AS VARCHAR[]) END AS shingles
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+           {mins}
+        FROM sh
+    )
+    """
+
+
+@register(
+    "dedup_minhash_signatures",
+    _minhash_sig_sql()
+    + """
+    SELECT doc_id, sig0, sig1, sig2, sig3, sig4, sig5, sig6, sig7 FROM sig
+    """,
+    doc="MinHash signatures: per-doc min over 8 seeded hashes of 5-char "
+    "shingles — array higher-order functions, no explode, no shuffle.",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+_BANDS_SQL = """
+    banded AS (
+        SELECT doc_id, 0 AS band,
+               md5(CAST(sig0 AS VARCHAR) || '-' || CAST(sig1 AS VARCHAR)) AS band_digest,
+               sig0, sig1, sig2, sig3, sig4, sig5, sig6, sig7 FROM sig
+        UNION ALL
+        SELECT doc_id, 1, md5(CAST(sig2 AS VARCHAR) || '-' || CAST(sig3 AS VARCHAR)),
+               sig0, sig1, sig2, sig3, sig4, sig5, sig6, sig7 FROM sig
+        UNION ALL
+        SELECT doc_id, 2, md5(CAST(sig4 AS VARCHAR) || '-' || CAST(sig5 AS VARCHAR)),
+               sig0, sig1, sig2, sig3, sig4, sig5, sig6, sig7 FROM sig
+        UNION ALL
+        SELECT doc_id, 3, md5(CAST(sig6 AS VARCHAR) || '-' || CAST(sig7 AS VARCHAR)),
+               sig0, sig1, sig2, sig3, sig4, sig5, sig6, sig7 FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sig0 AS a0, a.sig1 AS a1, a.sig2 AS a2, a.sig3 AS a3,
+               a.sig4 AS a4, a.sig5 AS a5, a.sig6 AS a6, a.sig7 AS a7,
+               b.sig0 AS b0, b.sig1 AS b1, b.sig2 AS b2, b.sig3 AS b3,
+               b.sig4 AS b4, b.sig5 AS b5, b.sig6 AS b6, b.sig7 AS b7
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.band_digest = b.band_digest
+                      AND a.doc_id < b.doc_id
+    )
+"""
+
+_AGREE_SQL = " + ".join(f"(CASE WHEN a{j} = b{j} THEN 1 ELSE 0 END)" for j in range(8))
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    _minhash_sig_sql().rstrip()
+    + ",\n"
+    + _BANDS_SQL
+    + f"""
+    SELECT doc_a, doc_b, ({_AGREE_SQL}) / 8.0 AS jaccard_est
+    FROM pairs
+    WHERE ({_AGREE_SQL}) / 8.0 >= 0.5
+    """,
+    doc="MinHash+LSH near-dup pairs: shingle -> minhash -> band digest -> "
+    "equi-join on (band, digest) -> signature-agreement estimate. The "
+    "band join is what keeps 100 TB sub-quadratic.",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    sums = ",\n               ".join(
+        f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    pack = " + ".join(f"(CASE WHEN s{i} >= 0 THEN {2**i} ELSE 0 END)" for i in range(bits))
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({TOKS}) AS token FROM documents
+    ),
+    h AS (SELECT doc_id, {MD5L.format(x='token')} AS th FROM tok),
+    s AS (
+        SELECT doc_id,
+               {sums}
+        FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM s
+    """
+
+
+@register(
+    "dedup_simhash",
+    _simhash_sql(),
+    doc="16-bit token SimHash: one explode + one map-side-combinable "
+    "hash-groupBy; near-dups share digests within small Hamming distance.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, {TOKS} AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id, source,
+               CASE WHEN len(toks) >= 3
+                    THEN list_distinct(list_transform(
+                        generate_series(0, len(toks) - 3),
+                        i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))
+                    ELSE CAST([] AS VARCHAR[]) END AS grams
+        FROM t
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.grams, b.grams))
+                 / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE),
+                 6) AS jaccard
+    FROM g a
+    JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams))
+          / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.2
+    """,
+    doc="Exact word-3-gram Jaccard within source blocks — candidate "
+    "generation by blocking, exact set arithmetic on the survivors.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), block_col="source"
+    )
+
+
+_VEC_CTE = """
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, e,
+               list_sum(list_transform(e, x -> x * x)) AS nrm
+        FROM v
+    )
+"""
+
+_DOT = "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
+
+
+@register(
+    "dedup_embedding_cosine",
+    _VEC_CTE
+    + f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_DOT.format(a='a.e', b='b.e')} / (sqrt(a.nrm) * sqrt(b.nrm)), 6) AS cosine
+    FROM n a
+    JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DOT.format(a='a.e', b='b.e')} / (sqrt(a.nrm) * sqrt(b.nrm)) >= 0.9
+    """,
+    doc="Embedding near-dup pairs: exact cosine within label blocks (the "
+    "coarse-cluster/IVF pattern: block first, exact-verify inside).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"), block_col="label"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+
+
+@register(
+    "similarity_topk_bruteforce",
+    _VEC_CTE
+    + f"""
+    , q AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = 0)
+    SELECT vec_id,
+           round({_DOT.format(a='e', b='qe')} / (sqrt(nrm) * sqrt(qn)), 6) AS score
+    FROM n, q
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+    """,
+    doc="Brute-force cosine top-10 against vec_id=0: broadcast 1-row query, "
+    "linear scan, TakeOrdered top-k — the exact ANN baseline.",
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+_BUCKET = " + ".join(f"(CASE WHEN {{e}}[{i + 1}] > 0 THEN {2**i} ELSE 0 END)" for i in range(8))
+
+
+@register(
+    "similarity_topk_lsh",
+    _VEC_CTE
+    + f"""
+    , b AS (
+        SELECT vec_id, e, nrm, CAST({_BUCKET.format(e='e')} AS BIGINT) AS bucket FROM n
+    ),
+    q AS (SELECT e AS qe, nrm AS qn, bucket AS qbucket FROM b WHERE vec_id = 0)
+    SELECT vec_id,
+           round({_DOT.format(a='e', b='qe')} / (sqrt(nrm) * sqrt(qn)), 6) AS score
+    FROM b, q
+    WHERE bucket = qbucket
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+    """,
+    doc="Sign-LSH bucketed top-10: probe only the query's 8-bit sign bucket "
+    "then exact re-score — the ~2^8-fold-pruned scale path.",
+)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_lsh(emb, _query_vec(spark, sf_dir), k=10)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_EN = ", ".join(f"'{w}'" for w in text.LANG_LEXICONS["en"])
+
+
+@register(
+    "text_stats",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, {TOKS} AS toks, len(text) AS nc FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_tokens_bpe,
+           CAST(nc AS INTEGER) AS n_chars_measured,
+           round(CAST(nc - (len(toks) - 1) AS DOUBLE) / len(toks), 4) AS avg_token_len,
+           round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / nc, 4) AS punct_ratio,
+           round(CAST(len(list_filter(toks, w -> lower(w) IN ({_EN}))) AS DOUBLE) / len(toks), 4)
+               AS stopword_ratio,
+           round(
+               (CASE WHEN len(toks) >= 10 AND len(toks) <= 100000 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN CAST(nc - (len(toks) - 1) AS DOUBLE) / len(toks) >= 3
+                        AND CAST(nc - (len(toks) - 1) AS DOUBLE) / len(toks) <= 12
+                       THEN 0.2 ELSE 0.0 END)
+               + (CASE WHEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / nc <= 0.2
+                       THEN 0.2 ELSE 0.0 END)
+               + (CASE WHEN CAST(len(list_filter(toks, w -> lower(w) IN ({_EN}))) AS DOUBLE) / len(toks) >= 0.01
+                       THEN 0.2 ELSE 0.0 END),
+               1) AS quality_score,
+           ((CASE WHEN len(toks) >= 10 AND len(toks) <= 100000 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN CAST(nc - (len(toks) - 1) AS DOUBLE) / len(toks) >= 3
+                        AND CAST(nc - (len(toks) - 1) AS DOUBLE) / len(toks) <= 12
+                       THEN 0.2 ELSE 0.0 END)
+               + (CASE WHEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / nc <= 0.2
+                       THEN 0.2 ELSE 0.0 END)
+               + (CASE WHEN CAST(len(list_filter(toks, w -> lower(w) IN ({_EN}))) AS DOUBLE) / len(toks) >= 0.01
+                       THEN 0.2 ELSE 0.0 END)) >= 0.8 AS is_high_quality
+    FROM t
+    """,
+    doc="Text quality scoring: token/char counts, BPE-ish token estimate, "
+    "punctuation/stopword ratios, composite quality score — one "
+    "codegen'd projection, no shuffle.",
+)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_hits_sql() -> str:
+    cols = []
+    for lang, lex in text.LANG_LEXICONS.items():
+        words = ", ".join(f"'{w}'" for w in lex)
+        cols.append(
+            f"CAST(len(list_filter(toks, w -> lower(w) IN ({words}))) AS INTEGER) AS hits_{lang}"
+        )
+    return ",\n           ".join(cols)
+
+
+def _lang_pred_sql() -> str:
+    langs = list(text.LANG_LEXICONS)
+    clauses = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"hits_{lang} >= hits_{other}" for other in langs[i + 1:])
+        clauses.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{langs[-1]}' END"
+
+
+@register(
+    "text_language_id",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    h AS (
+        SELECT doc_id,
+           {_lang_hits_sql()}
+        FROM t
+    )
+    SELECT doc_id, hits_en, hits_es, hits_fr, hits_de, hits_zh,
+           {_lang_pred_sql()} AS predicted_lang
+    FROM h
+    """,
+    doc="Lexicon-hit language ID with deterministic argmax tiebreak — the "
+    "n-gram-heuristic family expressed as one projection.",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprints",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS content_fp,
+           md5(array_to_string(
+               list_sort(list_transform(toks, t -> {MD5L.format(x='t')}))[1:4], '-'))
+               AS winnow_fp
+    FROM t
+    """,
+    doc="Document fingerprints: canonical bag-of-words md5 + min-4 token-"
+    "hash sketch (winnowing family) for dedup bucketing.",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_metadata",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS asset_id,
+           'text/plain' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_length,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    doc="Typed metadata over an opaque binary column (payload derived from "
+    "text for the harness): byte length + digest, pure projection — the "
+    "binary never leaves the executors.",
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = multimodal.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.binary_metadata(assets).select(
+        "asset_id", "media_type", "byte_length", "content_md5"
+    )
+
+
+@register(
+    "multimodal_features",
+    None,  # mapInPandas (Arrow-batched Python) — non-SQL-expressible
+    doc="Pandas-UDF feature extraction over binary payloads via mapInPandas "
+    "(deterministic fake decoder; real image decode stubbed behind an "
+    "import-try). Rows-only driver check.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = multimodal.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.fake_feature_extractor(assets)

@@ -1,0 +1,278 @@
+"""Deduplication operators for training-data pipelines, at five levels of
+fuzziness: exact, canonical-form, MinHash+LSH, SimHash, n-gram Jaccard,
+and embedding-cosine near-dup.
+
+Scale design (the point of each implementation):
+- Exact/canonical: one hash-groupBy — map-side combine, a single shuffle
+  on a short digest, never on the document text.
+- MinHash+LSH: signatures are per-row projections (array higher-order
+  functions over shingles — no explode, no shuffle); banding turns the
+  O(n²) pair problem into an equi-join on band keys, which Spark executes
+  as a shuffle on 16-byte digests. At 100 TB the only all-to-all traffic
+  is (band_key, doc_id) pairs.
+- SimHash: one explode + one hash-groupBy (map-side combinable sums).
+- n-gram Jaccard / cosine near-dup: exact verification *within blocks*
+  (source / coarse cluster) — the pattern is candidate-generation-first,
+  exact-check-second; the block key keeps the join from going quadratic.
+
+All hashing is md5-based (operators.hashing) so every step is
+reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.trino import trino_round
+from .hashing import md5_long, seeded_md5_long
+from .text import tokens
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via content digest: one row per distinct normalized
+    text, keeping the smallest id as canonical.
+
+    Normalization: lowercase + whitespace collapse. Grouping happens on
+    the md5 digest, so the shuffle carries 32 bytes per doc, not the text.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        df.select(F.col(id_col), F.md5(norm).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_duplicates"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingles(col: Column | str, n: int = 5) -> Column:
+    """Character n-gram shingle array (empty when the text is shorter
+    than one shingle)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        F.length(c) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - (n - 1)),
+            lambda i: c.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Per-document MinHash signature: sig_j = min over shingles of
+    hash_j(shingle), one column per hash.
+
+    A per-row projection — array_min over transformed shingle arrays, no
+    explode and no shuffle; at scale this is pure mapper work fused into
+    the document scan.
+    """
+    sh = shingles(text_col, shingle_size)
+
+    def _seeded(j):
+        # closure (not default-arg capture): PySpark counts the lambda's
+        # parameters to build the higher-order function
+        return lambda s: seeded_md5_long(s, j)
+
+    sig_cols = [
+        F.array_min(F.transform(sh, _seeded(j))).alias(f"sig{j}")
+        for j in range(num_hashes)
+    ]
+    return df.select(F.col(id_col), *sig_cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_size: int = 5,
+    bands: int = 4,
+    min_jaccard_est: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs with estimated Jaccard.
+
+    shingle -> minhash -> band digest -> equi-join on (band, digest) ->
+    distinct candidate pairs -> signature-agreement estimate, keeping
+    pairs with est >= ``min_jaccard_est``. The band join is the scale
+    path: candidates only ever meet inside a band bucket.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+
+    band_entries = []
+    for b in range(bands):
+        members = [
+            F.col(f"sig{j}").cast("string")
+            for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        band_entries.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("-", *members)).alias("band_digest"),
+                *[F.col(f"sig{j}") for j in range(num_hashes)],
+            )
+        )
+    banded = band_entries[0]
+    for e in band_entries[1:]:
+        banded = banded.unionByName(e)
+
+    left = banded.select(
+        F.col(id_col).alias("doc_a"),
+        "band",
+        "band_digest",
+        *[F.col(f"sig{j}").alias(f"a_sig{j}") for j in range(num_hashes)],
+    )
+    right = banded.select(
+        F.col(id_col).alias("doc_b"),
+        "band",
+        "band_digest",
+        *[F.col(f"sig{j}").alias(f"b_sig{j}") for j in range(num_hashes)],
+    )
+    pairs = (
+        left.join(right, ["band", "band_digest"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            *[F.col(f"a_sig{j}") for j in range(num_hashes)],
+            *[F.col(f"b_sig{j}") for j in range(num_hashes)],
+        )
+        .distinct()
+    )
+    agreement = sum(
+        F.when(F.col(f"a_sig{j}") == F.col(f"b_sig{j}"), 1).otherwise(0)
+        for j in range(num_hashes)
+    )
+    return (
+        pairs.withColumn(
+            "jaccard_est", agreement.cast("double") / F.lit(float(num_hashes))
+        )
+        .filter(F.col("jaccard_est") >= min_jaccard_est)
+        .select("doc_a", "doc_b", "jaccard_est")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """Token-level SimHash: bit i of the digest is the sign of the sum of
+    (2·bit_i(hash(token)) − 1) over all tokens (multiset semantics).
+
+    Explode + hash-groupBy with ``bits`` conditional sums — fully
+    map-side-combinable, one shuffle keyed by doc id.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    h = md5_long(F.col("token"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*sums)
+    digest = sum(
+        F.when(F.col(f"s{i}") >= 0, F.lit(2**i)).otherwise(0) for i in range(bits)
+    )
+    return agg.select(F.col(id_col), digest.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Blocked exact-verification dedup (n-gram Jaccard, embedding cosine)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard within blocks: |A∩B| / |A∪B| over the
+    distinct n-gram sets of each pair sharing ``block_col``."""
+    toks = tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= ngram,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - ngram),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, ngram)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col), F.col(block_col).alias("block"), grams.alias("grams"))
+    a = base.select(
+        F.col(id_col).alias("doc_a"), F.col("block"), F.col("grams").alias("grams_a")
+    )
+    b = base.select(
+        F.col(id_col).alias("doc_b"), F.col("block"), F.col("grams").alias("grams_b")
+    )
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+    union = F.size(F.array_union(F.col("grams_a"), F.col("grams_b")))
+    return (
+        a.join(b, "block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", trino_round(F.col("jaccard"), 6).alias("jaccard"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float vectors, accumulated in double via a
+    sequential fold (deterministic, engine-reproducible)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    nb = F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    block_col: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float = 0.9,
+) -> DataFrame:
+    """Embedding near-dup pairs: exact cosine within blocks (e.g. a coarse
+    IVF cluster id) — candidate-generation via blocking, exact check on
+    the survivors."""
+    base = df.select(F.col(id_col), F.col(block_col).alias("block"), F.col(vec_col).alias("v"))
+    a = base.select(F.col(id_col).alias("id_a"), "block", F.col("v").alias("va"))
+    b = base.select(F.col(id_col).alias("id_b"), "block", F.col("v").alias("vb"))
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", trino_round(F.col("cosine"), 6).alias("cosine"))
+    )

@@ -1,0 +1,130 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Catalyst expressions (split/regexp/array higher-order functions)
+— JVM-side, whole-stage-codegen, no Python in the hot path. Each operator
+scales linearly per-row with no shuffle; at 100 TB they run as a single
+mapper pass over the document scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.trino import trino_round
+from .hashing import md5_long
+
+#: Tiny function-word lexicons for the language-ID heuristic.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "y", "en", "es", "que", "los", "un", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "zhe4", "bu4"),
+}
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (the count basis BPE-ish estimators refine)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), TOKEN_SPLIT_RE)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """A BPE-style upper estimate: word-ish chunks + digits + punctuation
+    each count as a token (regex segmentation, no model needed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality-scoring features: lengths, ratios, and a composite score.
+
+    The quality score mirrors common pretraining-data filters (length
+    window, punctuation density, stopword presence, mean word length).
+    """
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(c)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
+    en_hits = F.size(F.filter(toks, lambda w: F.lower(w).isin(*LANG_LEXICONS["en"])))
+    avg_token_len = (n_chars - (n_tokens - 1)).cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / n_chars
+    stopword_ratio = en_hits.cast("double") / n_tokens
+    quality = (
+        F.when((n_tokens >= 10) & (n_tokens <= 100000), F.lit(0.4)).otherwise(0.0)
+        + F.when((avg_token_len >= 3) & (avg_token_len <= 12), F.lit(0.2)).otherwise(0.0)
+        + F.when(punct_ratio <= 0.2, F.lit(0.2)).otherwise(0.0)
+        + F.when(stopword_ratio >= 0.01, F.lit(0.2)).otherwise(0.0)
+    )
+    return df.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_tokens_bpe"),
+        n_chars.alias("n_chars_measured"),
+        trino_round(avg_token_len, 4).alias("avg_token_len"),
+        trino_round(punct_ratio, 4).alias("punct_ratio"),
+        trino_round(stopword_ratio, 4).alias("stopword_ratio"),
+        trino_round(quality, 1).alias("quality_score"),
+        (quality >= 0.8).alias("is_high_quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Lexicon-hit language ID (n-gram-heuristic family).
+
+    Scores = function-word hits per language over whitespace tokens;
+    prediction = argmax with deterministic tiebreak (lexicon order).
+    A real deployment swaps the lexicons for char-n-gram profiles; the
+    dataflow (one projection, no shuffle) is identical.
+    """
+    toks = tokens(text_col)
+
+    def _hit_counter(lex):
+        # NB: a default-arg capture (lambda w, _lx=lex: ...) breaks here —
+        # PySpark's higher-order-function wrapper derives the number of
+        # lambda variables from the Python signature.
+        return F.size(F.filter(toks, lambda w: F.lower(w).isin(*lex)))
+
+    hit_cols = {f"hits_{lang}": _hit_counter(lex) for lang, lex in LANG_LEXICONS.items()}
+    out = df.select(id_col, *[c.alias(name) for name, c in hit_cols.items()])
+    # argmax with stable tiebreak: fold over languages in declared order
+    pred = F.lit(None).cast("string")
+    best = F.lit(-1)
+    for lang in LANG_LEXICONS:
+        is_better = F.col(f"hits_{lang}") > best
+        pred = F.when(is_better, F.lit(lang)).otherwise(pred)
+        best = F.when(is_better, F.col(f"hits_{lang}")).otherwise(best)
+    return out.select(
+        id_col,
+        *hit_cols.keys(),
+        pred.alias("predicted_lang"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints for dedup/bucketing:
+
+    - ``content_fp``: md5 over the sorted distinct token set (canonical
+      bag-of-words identity — robust to word order).
+    - ``winnow_fp``: md5 over the 4 smallest token hashes (a min-k sketch,
+      the winnowing family) — robust to small edits.
+    """
+    toks = tokens(text_col)
+    distinct_sorted = F.array_sort(F.array_distinct(toks))
+    tok_hashes = F.transform(toks, md5_long)
+    min_k = F.slice(F.array_sort(tok_hashes), 1, 4)
+    return df.select(
+        id_col,
+        F.md5(F.array_join(distinct_sorted, " ")).alias("content_fp"),
+        F.md5(F.array_join(F.transform(min_k, lambda h: h.cast("string")), "-")).alias(
+            "winnow_fp"
+        ),
+    )
