@@ -48,25 +48,29 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_sql(num_hashes: int = 8) -> str:
+    from ..operators.hashing import affine_long_sql
+
     mins = ",\n           ".join(
-        "list_min(list_transform(shingles, s -> "
-        + MD5L.format(x=f"s || '#{j}'")
-        + f")) AS sig{j}"
+        f"list_min(list_transform(bh, h -> {affine_long_sql('h', j)})) AS sig{j}"
         for j in range(num_hashes)
     )
     return f"""
     WITH sh AS (
         SELECT doc_id,
                CASE WHEN len(text) >= 5
-                    THEN list_transform(generate_series(1, len(text) - 4),
-                                        i -> substr(text, i, 5))
+                    THEN list_distinct(list_transform(generate_series(1, len(text) - 4),
+                                                      i -> substr(text, i, 5)))
                     ELSE CAST([] AS VARCHAR[]) END AS shingles
         FROM documents
+    ),
+    bh AS (
+        SELECT doc_id, list_transform(shingles, s -> {MD5L.format(x='s')}) AS bh
+        FROM sh
     ),
     sig AS (
         SELECT doc_id,
            {mins}
-        FROM sh
+        FROM bh
     )
     """
 
@@ -77,8 +81,9 @@ def _minhash_sig_sql(num_hashes: int = 8) -> str:
     + """
     SELECT doc_id, sig0, sig1, sig2, sig3, sig4, sig5, sig6, sig7 FROM sig
     """,
-    doc="MinHash signatures: per-doc min over 8 seeded hashes of 5-char "
-    "shingles — array higher-order functions, no explode, no shuffle.",
+    doc="MinHash signatures: one md5 per distinct 5-char shingle + 8 affine "
+    "rehashes, per-doc min — array higher-order functions, no explode, "
+    "no shuffle.",
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
@@ -186,8 +191,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE len(list_intersect(a.grams, b.grams))
           / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.2
     """,
-    doc="Exact word-3-gram Jaccard within source blocks — candidate "
-    "generation by blocking, exact set arithmetic on the survivors.",
+    doc="Exact word-3-gram Jaccard within source blocks via an inverted-"
+    "index join on (block, gram) + length-ratio prune — never quadratic "
+    "in the block size.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.trino import trino_round
-from .hashing import md5_long, seeded_md5_long
+from .hashing import affine_long, md5_long
 from .text import tokens
 
 
@@ -79,20 +79,27 @@ def minhash_signatures(
 
     A per-row projection — array_min over transformed shingle arrays, no
     explode and no shuffle; at scale this is pure mapper work fused into
-    the document scan.
+    the document scan. Cost control: ONE md5 per distinct shingle, then
+    num_hashes cheap affine rehashes (the classic one-base-hash MinHash
+    family) — not num_hashes md5s. Base hashes are materialized in an
+    intermediate projection so the shingle/md5 work isn't re-evaluated
+    per signature column.
     """
-    sh = shingles(text_col, shingle_size)
+    sh = F.array_distinct(shingles(text_col, shingle_size))
 
     def _seeded(j):
         # closure (not default-arg capture): PySpark counts the lambda's
         # parameters to build the higher-order function
-        return lambda s: seeded_md5_long(s, j)
+        return lambda h: affine_long(h, j)
 
+    base = df.select(
+        F.col(id_col), F.transform(sh, md5_long).alias("_base_hashes")
+    )
     sig_cols = [
-        F.array_min(F.transform(sh, _seeded(j))).alias(f"sig{j}")
+        F.array_min(F.transform(F.col("_base_hashes"), _seeded(j))).alias(f"sig{j}")
         for j in range(num_hashes)
     ]
-    return df.select(F.col(id_col), *sig_cols)
+    return base.select(F.col(id_col), *sig_cols)
 
 
 def minhash_lsh_pairs(
@@ -114,23 +121,26 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
 
-    band_entries = []
-    for b in range(bands):
-        members = [
-            F.col(f"sig{j}").cast("string")
-            for j in range(b * rows_per_band, (b + 1) * rows_per_band)
-        ]
-        band_entries.append(
-            sigs.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("-", *members)).alias("band_digest"),
-                *[F.col(f"sig{j}") for j in range(num_hashes)],
+    # Single-pass banding: posexplode over the array of band digests, so the
+    # (expensive) signature computation is evaluated once per document, not
+    # once per band as a union of branches would.
+    digests = [
+        F.md5(
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"sig{j}").cast("string")
+                    for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ],
             )
         )
-    banded = band_entries[0]
-    for e in band_entries[1:]:
-        banded = banded.unionByName(e)
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col),
+        *[F.col(f"sig{j}") for j in range(num_hashes)],
+        F.posexplode(F.array(*digests)).alias("band", "band_digest"),
+    )
 
     left = banded.select(
         F.col(id_col).alias("doc_a"),
@@ -214,32 +224,84 @@ def ngram_jaccard_pairs(
     min_jaccard: float = 0.2,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard within blocks: |A∩B| / |A∪B| over the
-    distinct n-gram sets of each pair sharing ``block_col``."""
-    toks = tokens(text_col)
+    distinct n-gram sets of each pair sharing ``block_col``.
+
+    Executed as an inverted-index set-similarity join, not a quadratic
+    within-block cross join: explode the distinct grams, equi-join on
+    (block, gram) so only pairs sharing at least one gram ever meet,
+    count shared grams per pair (|A∩B|), and derive the union from the
+    set sizes (|A∪B| = |A| + |B| − |A∩B|). A length-ratio prune
+    (J ≤ min(|A|,|B|)/max(|A|,|B|)) discards hopeless pairs before the
+    aggregation. Results are identical to the naive cross-join form for
+    any ``min_jaccard > 0`` because J ≥ t > 0 implies a shared gram; at
+    ``min_jaccard == 0`` pairs with an empty intersection (J = 0) are
+    omitted rather than emitted with a 0.0 score.
+    """
+    toks = F.col("_toks")
     grams = F.when(
         F.size(toks) >= ngram,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.size(toks) - ngram),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, ngram)),
+                # element_at is O(1) per gram on the materialized token
+                # array; slice() would copy O(n) per position (O(L²)/doc)
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + k + 1) for k in range(ngram)]
+                ),
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = df.select(F.col(id_col), F.col(block_col).alias("block"), grams.alias("grams"))
+    # Materialize tokens and the gram array in their own projections before
+    # exploding. Collapsing size(grams)+explode(grams) into one select makes
+    # Catalyst place the size() in a Project *above* the Generate,
+    # re-deriving the whole array from `text` once per exploded row (~50x
+    # blowup measured); likewise the regex split must stay out of the
+    # per-gram lambda or it re-runs once per sequence element.
+    # explode_outer (not explode): InferFiltersFromGenerate would add
+    # size(grams)>0 under an inner explode, and predicate pushdown inlines
+    # the whole gram pipeline into a per-row scan filter (~6x measured);
+    # the rule skips outer generates, and the inner equi-join on `gram`
+    # drops the null rows an empty array produces.
+    base = (
+        df.select(
+            F.col(id_col),
+            F.col(block_col).alias("block"),
+            tokens(text_col).alias("_toks"),
+        )
+        .select(F.col(id_col), "block", grams.alias("grams"))
+        .select(
+            F.col(id_col),
+            "block",
+            # coalesce makes sz statically non-nullable: otherwise the
+            # null-intolerant prune predicate lets constraint propagation
+            # infer isnotnull(sz) and push it to the scan with the whole
+            # gram pipeline inlined (same blowup as above via another rule)
+            F.coalesce(F.size("grams"), F.lit(-1)).alias("sz"),
+            F.explode_outer("grams").alias("gram"),
+        )
+    )
     a = base.select(
-        F.col(id_col).alias("doc_a"), F.col("block"), F.col("grams").alias("grams_a")
+        F.col(id_col).alias("doc_a"), "block", F.col("sz").alias("sz_a"), "gram"
     )
     b = base.select(
-        F.col(id_col).alias("doc_b"), F.col("block"), F.col("grams").alias("grams_b")
+        F.col(id_col).alias("doc_b"), "block", F.col("sz").alias("sz_b"), "gram"
     )
-    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
-    union = F.size(F.array_union(F.col("grams_a"), F.col("grams_b")))
-    return (
-        a.join(b, "block")
+    inter = (
+        a.join(b, ["block", "gram"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("jaccard", inter.cast("double") / union)
-        .filter(F.col("jaccard") >= min_jaccard)
-        .select("doc_a", "doc_b", trino_round(F.col("jaccard"), 6).alias("jaccard"))
+        .filter(
+            F.least("sz_a", "sz_b").cast("double")
+            >= F.lit(min_jaccard) * F.greatest("sz_a", "sz_b")
+        )
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    jaccard = F.col("n_shared").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_shared")
+    )
+    return (
+        inter.filter(jaccard >= min_jaccard)
+        .select("doc_a", "doc_b", trino_round(jaccard, 6).alias("jaccard"))
     )
 
 

@@ -63,7 +63,8 @@ def test_ngram_jaccard_ordering(docs):
         for r in dedup.ngram_jaccard_pairs(docs, block_col="source", min_jaccard=0.0).collect()
     }
     assert pairs[(1, 2)] == 1.0
-    assert pairs[(1, 3)] > pairs[(1, 4)]
+    # disjoint pairs are omitted (J=0), not emitted with a 0.0 score
+    assert pairs[(1, 3)] > pairs.get((1, 4), 0.0)
 
 
 def test_embedding_cosine_pairs_and_topk(spark):
