@@ -40,12 +40,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 def registry() -> dict[str, QuerySpec]:
     # Import for side effects (registration) on first use.
-    from . import core  # noqa: F401
+    from . import analytics, core, llm  # noqa: F401
 
-    try:
-        from . import llm  # noqa: F401
-    except ImportError:
-        pass
     return _REGISTRY
 
 

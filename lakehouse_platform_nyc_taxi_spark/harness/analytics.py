@@ -1,0 +1,414 @@
+"""Advanced ad-hoc analytics surface (SURVEY.md §2.3-§2.7 extensions).
+
+The reference's Trino endpoint advertises arbitrary interactive SQL over
+the marts (README.md:163-167); these queries demonstrate the analytics
+capabilities beyond what the dbt models themselves exercise: multi-level
+aggregation (ROLLUP / CUBE / GROUPING SETS), exact percentiles, window
+frames and offsets, pivot, lateral explode, union-distinct, and the two
+time-join operators Spark lacks as builtins — as-of join and range join
+— expressed as compositions of native DataFrame ops.
+
+Determinism: double sums/averages go through decimal(28,8) (see
+harness.core.dsum); every computed column is aliased identically on both
+faces; window orderings always carry a unique tiebreak column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from . import register
+from .core import DAVG, DSUM, davg, dsum
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+# --------------------------------------------------------------------------
+# Multi-level aggregation: ROLLUP / CUBE / GROUPING SETS (A-extensions)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_rollup",
+    f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+           CAST(month(o_orderdate) AS INTEGER) AS month,
+           CAST(GROUPING(year(o_orderdate)) AS INTEGER) AS g_year,
+           CAST(GROUPING(month(o_orderdate)) AS INTEGER) AS g_month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {DSUM('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+    """,
+    doc="ROLLUP (year, month) with GROUPING markers: hierarchical subtotals "
+    "+ grand total in one pass — Spark plans a single Expand+HashAggregate, "
+    "no per-level rescan.",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("year"),
+        F.month("o_orderdate").cast("int").alias("month"),
+        "o_totalprice",
+    )
+    return (
+        o.rollup("year", "month")
+        .agg(
+            F.grouping("year").cast("int").alias("g_year"),
+            F.grouping("month").cast("int").alias("g_month"),
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .select("year", "month", "g_year", "g_month", "n_orders", "revenue")
+    )
+
+
+@register(
+    "agg_cube",
+    f"""
+    SELECT o_orderstatus AS status,
+           o_orderpriority AS priority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {DAVG('o_totalprice')} AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE (status, priority): all 2^2 grouping combinations in one "
+    "Expand+HashAggregate pass.",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice",
+    )
+    return (
+        o.cube("status", "priority")
+        .agg(
+            F.grouping("status").cast("int").alias("g_status"),
+            F.grouping("priority").cast("int").alias("g_priority"),
+            F.count("*").alias("n_orders"),
+            davg("o_totalprice").alias("avg_price"),
+        )
+        .select("status", "priority", "g_status", "g_priority", "n_orders", "avg_price")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    f"""
+    SELECT l_returnflag AS returnflag,
+           l_linestatus AS linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {DSUM('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS ((rf), (ls), ()): disjoint grouping "
+    "combinations without the full cube.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.count("*").alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+        .select(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+            "g_rf",
+            "g_ls",
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag AS returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact continuous percentiles (sort-based exact, matching "
+    "quantile_cont interpolation); approx_percentile is the documented "
+    "100 TB escape hatch (sketch-based, engine-specific values).",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    None,  # HLL sketch values are engine-specific -> rows-only check
+    doc="approx_count_distinct (HyperLogLog++) per event_type — the "
+    "cardinality-estimation scale path; exact countDistinct is the "
+    "oracle-paired variant (agg_daily_rollup).",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Window frames / offsets (§2.5 extensions)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_moving_avg",
+    f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               {DSUM('value')} AS daily_value
+        FROM events
+        GROUP BY 1
+    )
+    SELECT d, daily_value,
+           CAST(sum(CAST(daily_value AS DECIMAL(28,8)))
+                    OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / count(*) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS mov_avg_7d
+    FROM daily
+    """,
+    doc="7-row moving average over a daily rollup: ROWS BETWEEN frame on an "
+    "ordered window — one shuffle for the rollup, one sort for the window.",
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(dsum("value").alias("daily_value"))
+    w = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "d",
+        "daily_value",
+        (
+            F.sum(F.col("daily_value").cast("decimal(28,8)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("mov_avg_7d"),
+    )
+
+
+@register(
+    "window_lead_lag",
+    """
+    SELECT o_custkey AS customer_id,
+           o_orderkey AS order_id,
+           o_totalprice AS total_price,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           o_totalprice - coalesce(lag(o_totalprice) OVER w, o_totalprice) AS delta_vs_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="lag/lead offsets per customer order sequence (unique "
+    "(orderdate, orderkey) tiebreak makes the frame deterministic).",
+)
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (
+            F.col("o_totalprice")
+            - F.coalesce(F.lag("o_totalprice").over(w), F.col("o_totalprice"))
+        ).alias("delta_vs_prev"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot / lateral explode / union-distinct
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pivot_event_values",
+    f"""
+    SELECT user_id,
+           {', '.join(f"{DSUM(f'CASE WHEN event_type = {t!r} THEN value END')} AS {t}_value" for t in EVENT_TYPES)}
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Pivot on event_type with an explicit value list (one "
+    "Expand-free hash aggregation; the oracle face is the equivalent "
+    "sum-of-case — what pivot compiles to).",
+)
+def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(dsum("value"))
+    )
+    return pivoted.select(
+        "user_id", *[F.col(t).alias(f"{t}_value") for t in EVENT_TYPES]
+    )
+
+
+@register(
+    "lateral_explode_tokens",
+    r"""
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    doc="Lateral explode (UNNEST): one row per whitespace token — Generate "
+    "is pipelined into the scan, no shuffle.",
+)
+def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+
+
+@register(
+    "union_distinct",
+    """
+    SELECT o_custkey AS customer_id FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+    """,
+    doc="UNION (distinct): union + dedup in one hash-aggregate shuffle "
+    "(complements the positional UNION ALL in union_all_typed_nulls).",
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f_side = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("customer_id")
+    )
+    big_side = o.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("customer_id")
+    )
+    return f_side.union(big_side).distinct()
+
+
+# --------------------------------------------------------------------------
+# Time joins: as-of and range (§2.3 extensions — operators Spark lacks
+# as builtins, composed from native ops)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_asof",
+    """
+    WITH j AS (
+        SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id,
+           o_orderkey AS asof_orderkey,
+           CAST(o_orderdate AS DATE) AS asof_orderdate
+    FROM j WHERE rn = 1
+    """,
+    doc="As-of join (latest order at-or-before each event, per customer) "
+    "via the union+sort+last_value(ignorenulls) trick: ONE shuffle on the "
+    "customer key and a per-partition ordered window — never a pairwise "
+    "time-range join, which is what keeps it linear at 100 TB.",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    orders_side = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("is_order"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderdate").alias("odate"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    events_side = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_order"),
+        F.lit(None).cast("long").alias("okey"),
+        F.lit(None).cast("timestamp").alias("odate"),
+        "event_id",
+    )
+    # Orders sort before events at equal timestamps (is_order DESC) so an
+    # order on the event's own day matches; okey ASC makes the carried
+    # value the max orderkey among same-date orders (mirrors the oracle's
+    # DESC row_number tiebreak).
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t"), F.col("is_order").desc(), F.col("okey").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = orders_side.unionByName(events_side).select(
+        "event_id",
+        "is_order",
+        F.last("okey", ignorenulls=True).over(w).alias("asof_orderkey"),
+        F.last("odate", ignorenulls=True).over(w).alias("asof_odate"),
+    )
+    return (
+        carried.filter((F.col("is_order") == 0) & F.col("asof_orderkey").isNotNull())
+        .select(
+            "event_id",
+            "asof_orderkey",
+            F.to_date("asof_odate").alias("asof_orderdate"),
+        )
+    )
+
+
+@register(
+    "join_range",
+    f"""
+    SELECT o.o_orderkey AS order_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {DSUM('e.value')} AS total_value
+    FROM orders o
+    JOIN events e
+      ON e.user_id = o.o_custkey
+     AND e.ts >= o.o_orderdate
+     AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+    GROUP BY o.o_orderkey
+    """,
+    doc="Range join (events within 7 days after each order, same customer): "
+    "equi-key on the customer hash-partitions the work; the time-range "
+    "predicate is evaluated inside the hash match, so no cartesian blowup.",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (
+        (F.col("e.user_id") == F.col("o.o_custkey"))
+        & (F.col("e.ts") >= F.col("o.o_orderdate"))
+        & (F.col("e.ts") < F.col("o.o_orderdate") + F.expr("INTERVAL 7 DAY"))
+    )
+    return (
+        o.alias("o")
+        .join(ev.alias("e"), cond)
+        .groupBy(F.col("o.o_orderkey").alias("order_id"))
+        .agg(F.count("*").alias("n_events"), dsum("e.value").alias("total_value"))
+    )
