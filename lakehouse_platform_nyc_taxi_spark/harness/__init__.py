@@ -40,7 +40,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 def registry() -> dict[str, QuerySpec]:
     # Import for side effects (registration) on first use.
-    from . import analytics, core, llm  # noqa: F401
+    from . import analytics, core, llm, streaming  # noqa: F401
 
     return _REGISTRY
 

@@ -1,0 +1,134 @@
+"""Streaming queries for the driver contract.
+
+Each entry drains a real Structured Streaming query with
+trigger(availableNow) into a memory sink and returns the sink as a batch
+DataFrame. The oracle SQL mirrors *finalized append-mode semantics*: in
+append mode only windows/sessions whose end ≤ final watermark
+(max event time − delay) are emitted, so the oracle filters on the same
+cutoff computed from the data. Stateful/update-mode results whose values
+depend on float accumulation order are registered rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import streaming as S
+from . import register
+
+_WM = "max(ts) - INTERVAL 1 HOUR"
+
+
+@register(
+    "streaming_windowed_rollup",
+    f"""
+    WITH wm AS (SELECT {_WM} AS cutoff FROM events),
+    agg AS (
+        SELECT date_trunc('day', ts) AS window_start,
+               date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+    )
+    SELECT window_start, window_end, event_type, n_events, total_value
+    FROM agg, wm
+    WHERE window_end <= wm.cutoff
+    """,
+    doc="Watermarked tumbling-window rollup (fct_trips_daily as a stream), "
+    "append mode: only windows finalized by the watermark emit — the "
+    "oracle applies the identical max(ts)-delay cutoff.",
+)
+def streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = S.read_events_stream(spark, sf_dir)
+    out = S.windowed_rollup(ev, window="1 day", watermark="1 hour").select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+    return S.run_available_now(out, "append")
+
+
+@register(
+    "streaming_dedup_counts",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value
+    FROM (SELECT DISTINCT ON (event_id) * FROM events ORDER BY event_id)
+    GROUP BY event_type
+    """,
+    doc="dropDuplicates on the event key within the watermark, then "
+    "per-type totals in complete mode (the staging delete+insert dedup "
+    "as a stream; event_id is unique in the testdata, so first-wins "
+    "dedup is deterministic).",
+)
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = S.read_events_stream(spark, sf_dir)
+    return S.run_available_now(S.dedup_counts(ev, watermark="1 hour"), "complete")
+
+
+@register(
+    "streaming_session_windows",
+    f"""
+    WITH wm AS (SELECT {_WM} AS cutoff FROM events),
+    marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    ),
+    sessions AS (
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS session_value
+        FROM numbered
+        GROUP BY user_id, session_no
+    )
+    SELECT user_id, session_start, session_end, n_events, session_value
+    FROM sessions, wm
+    WHERE session_end <= wm.cutoff
+    """,
+    doc="Per-user session windows (30-min gap) via F.session_window, append "
+    "mode; the oracle is the gaps-and-islands rewrite with the same "
+    "inclusive gap rule (an event exactly gap-after still merges) and "
+    "watermark finalization cutoff.",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = S.read_events_stream(spark, sf_dir)
+    out = S.session_windows(ev, gap="30 minutes", watermark="1 hour").select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        "session_value",
+    )
+    return S.run_available_now(out, "append")
+
+
+@register(
+    "streaming_stateful_user_stats",
+    None,  # update-mode state op; float accumulation order is batch-dependent
+    doc="Custom stateful operator via applyInPandasWithState: per-user "
+    "running stats carried in explicit GroupState across triggers "
+    "(update mode). Rows-only driver check.",
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = S.read_events_stream(spark, sf_dir)
+    return S.run_available_now(S.stateful_user_stats(ev), "update")

@@ -1,0 +1,36 @@
+"""Structured Streaming surface.
+
+The reference has no streaming operators (SURVEY.md §2.9) — its
+incremental pattern is orchestrated batch. This module is the
+extension mirror of that pipeline as real Structured Streaming:
+
+- file stream source over the testdata events table,
+- watermark + tumbling-window rollups (the fct_trips_daily analogue),
+- dropDuplicates within the watermark (the staging-dedup analogue),
+- native session windows (``F.session_window``),
+- a custom stateful operator via ``applyInPandasWithState``.
+
+Every transform is written against a plain DataFrame so it runs
+identically on a batch frame (for unit-testing the logic) and on a
+streaming frame; ``run_available_now`` drains a stream to a memory sink
+and hands back the batch result, which is how the driver-contract
+harness grades finalized-append semantics against a SQL oracle.
+"""
+
+from .ops import (
+    dedup_counts,
+    read_events_stream,
+    run_available_now,
+    session_windows,
+    stateful_user_stats,
+    windowed_rollup,
+)
+
+__all__ = [
+    "read_events_stream",
+    "run_available_now",
+    "windowed_rollup",
+    "dedup_counts",
+    "session_windows",
+    "stateful_user_stats",
+]

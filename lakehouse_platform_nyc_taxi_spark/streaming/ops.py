@@ -1,0 +1,194 @@
+"""Streaming operators over the events table.
+
+Scale notes: every stateful operator keys its state by a high-cardinality
+column (window start / user_id / event_id), so state is hash-partitioned
+across executors and bounded by the watermark — nothing accumulates
+unboundedly. The file source is only the test harness's transport; in
+production the same transforms sit behind a Kafka/queue source.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..harness.core import dsum
+from ..sources.testdata import load_table
+
+_SINK_IDS = itertools.count()
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-stream source over the events parquet.
+
+    The schema is taken from a batch read (file streams require an
+    explicit schema), including the same nanos->µs timestamp fix-up as
+    the batch loader. ``pathGlobFilter`` scopes the directory listing to
+    the events file.
+    """
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    reader = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        # plain TIMESTAMP (not NTZ): watermarks require an event-time zone;
+        # the session is pinned to UTC so the wall-clock value is identical
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # keep streaming/batch column order identical
+    return df.select([F.col(f.name) for f in batch.schema.fields])
+
+
+def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drain a streaming DataFrame with trigger(availableNow) into a
+    memory sink and return the sink contents as a batch DataFrame.
+
+    availableNow processes everything currently in the source and stops;
+    in append mode the final watermark (max event time − delay) decides
+    which windows/sessions are finalized — exactly the semantics the
+    oracle SQL mirrors.
+    """
+    name = f"_stream_sink_{next(_SINK_IDS)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def windowed_rollup(
+    events: DataFrame, window: str = "1 day", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window rollup with a watermark (fct_trips_daily as a
+    stream): per (window, event_type) counts, distinct users, and an
+    order-independent decimal sum.
+
+    In append mode only windows whose end ≤ final watermark emit —
+    late data inside the watermark is still merged into its window.
+    approx_count_distinct (not countDistinct): exact distinct is
+    unsupported in streaming aggs; the batch/oracle twin uses the
+    deterministic exact count, so this column is compared rows-only.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "approx_users",
+            "total_value",
+        )
+    )
+
+
+def dedup_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once style ingest dedup: dropDuplicates on the event key
+    within the watermark, then per-type counts (the staging
+    delete+insert analogue — S9 — as a stream)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap
+    (``F.session_window`` — merging state windows; the gap boundary is
+    inclusive: an event exactly ``gap`` after the last one still merges
+    into the session)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("session_value"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState
+# --------------------------------------------------------------------------
+
+_STATE_SCHEMA = "n long, total double, max_value double"
+_OUT_SCHEMA = (
+    "user_id long, n_events long, total_value double, max_value double"
+)
+
+
+def _user_stats_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Running per-user stats carried in explicit state across triggers.
+
+    Emits one row per user per trigger with the lifetime running
+    aggregate — the pattern for custom accumulators (rate limiting,
+    anomaly scoring, CDC folding) that windowed aggs can't express.
+    """
+    n, total, max_v = state.get if state.exists else (0, 0.0, float("-inf"))
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            max_v = max(max_v, float(pdf["value"].max()))
+    state.update((n, total, max_v))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "max_value": [max_v],
+        }
+    )
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful processing: per-user running stats via
+    ``applyInPandasWithState`` (update mode, no timeout — state lives for
+    the life of the stream; a production deployment sets a TTL timeout).
+
+    Arrow-batched: each trigger ships a user's rows to Python as pandas,
+    state is a 3-field tuple per user — O(users) state, hash-partitioned.
+    """
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_stats_fn,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

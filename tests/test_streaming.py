@@ -1,0 +1,91 @@
+"""Streaming module: transform logic on crafted data + end-to-end drain.
+
+The oracle harness (test_harness_oracle) already value-checks the three
+append-mode queries against DuckDB at sf0.01; these tests pin the
+fine-grained semantics on micro-data where the expected values are
+hand-computable.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_platform_nyc_taxi_spark import streaming as S
+
+from .conftest import SF_SMOKE
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, T0 + dt.timedelta(minutes=m), u, "click", v, None)
+            for i, (m, u, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_session_window_gap_semantics(spark):
+    # user 1: events at +0, +29, +59 -> ONE session (each gap <= 30 min);
+    # user 2: events at +0, +31 -> TWO sessions (gap boundary is inclusive,
+    # so a 30-min gap would merge; 31 min splits)
+    ev = _events(
+        spark,
+        [(0, 1, 1.0), (29, 1, 1.0), (59, 1, 1.0), (0, 2, 1.0), (31, 2, 1.0)],
+    )
+    # batch frame: session_window works identically without a stream
+    out = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", "s.start", "s.end", "n")
+        .collect()
+    )
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user[1]) == 1 and by_user[1][0].n == 3
+    assert len(by_user[2]) == 2
+    # session end = last event + gap
+    assert by_user[1][0].end == T0 + dt.timedelta(minutes=59 + 30)
+
+
+def test_stateful_user_stats_matches_batch_agg(spark):
+    ev_stream = S.read_events_stream(spark, SF_SMOKE)
+    got = {
+        r.user_id: r
+        for r in S.run_available_now(S.stateful_user_stats(ev_stream), "update").collect()
+    }
+    from lakehouse_platform_nyc_taxi_spark.sources.testdata import load_table
+
+    exp = {
+        r.user_id: r
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.max("value").alias("max_value"))
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for uid, e in exp.items():
+        assert got[uid].n_events == e.n_events
+        assert got[uid].max_value == pytest.approx(e.max_value)
+
+
+def test_windowed_rollup_append_drops_unfinalized_tail(spark):
+    ev = S.read_events_stream(spark, SF_SMOKE)
+    out = S.run_available_now(
+        S.windowed_rollup(ev, window="1 day", watermark="1 hour"), "append"
+    )
+    from lakehouse_platform_nyc_taxi_spark.sources.testdata import load_table
+
+    batch = load_table(spark, SF_SMOKE, "events")
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - dt.timedelta(hours=1)
+    ends = [r.window_end for r in out.select("window_end").distinct().collect()]
+    assert ends, "append mode emitted no finalized windows"
+    assert all(e.replace(tzinfo=None) <= cutoff for e in ends)
