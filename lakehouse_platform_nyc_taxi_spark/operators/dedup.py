@@ -305,17 +305,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def dot_product(a: Column, b: Column) -> Column:
+    """Dot product of two double vectors via a sequential fold
+    (deterministic accumulation order, engine-reproducible)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def vec_norms(df: DataFrame, vec_col: str, keep: list[str]) -> DataFrame:
+    """Project ``keep`` + the vector as doubles (column ``v``) + its squared
+    norm (column ``nrm``, non-nullable).
+
+    Norms are per-vector, so computing them *before* a pairwise join means
+    each pair pays only the dot product — the norm fold would otherwise
+    run twice per pair. Two-step select so the double-cast array is
+    materialized once, not re-derived by each downstream expression;
+    coalesce makes nrm statically non-nullable so null-intolerant
+    predicates on it can't be constraint-pushed to the scan with the fold
+    inlined.
+    """
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.select(*keep, vd.alias("v")).select(
+        *keep,
+        "v",
+        F.coalesce(
+            F.aggregate(
+                F.transform(F.col("v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(-1.0),
+        ).alias("nrm"),
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two float vectors, accumulated in double via a
-    sequential fold (deterministic, engine-reproducible)."""
+    sequential fold (deterministic, engine-reproducible).
+
+    Per-pair form (recomputes both norms); pairwise operators should use
+    ``vec_norms`` + ``dot_product`` so norms are computed once per vector.
+    """
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
-    dot = F.aggregate(
-        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
     na = F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     nb = F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    return dot / (F.sqrt(na) * F.sqrt(nb))
+    return dot_product(ad, bd) / (F.sqrt(na) * F.sqrt(nb))
 
 
 def embedding_cosine_pairs(
@@ -327,14 +363,22 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs: exact cosine within blocks (e.g. a coarse
     IVF cluster id) — candidate-generation via blocking, exact check on
-    the survivors."""
-    base = df.select(F.col(id_col), F.col(block_col).alias("block"), F.col(vec_col).alias("v"))
-    a = base.select(F.col(id_col).alias("id_a"), "block", F.col("v").alias("va"))
-    b = base.select(F.col(id_col).alias("id_b"), "block", F.col("v").alias("vb"))
+    the survivors. Norms are precomputed per vector (see ``vec_norms``);
+    each candidate pair costs one zip_with fold."""
+    base = vec_norms(
+        df.withColumnRenamed(block_col, "block"), vec_col, [id_col, "block"]
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), "block", F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), "block", F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))
     return (
         a.join(b, "block")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cosine") >= min_cosine)
-        .select("id_a", "id_b", trino_round(F.col("cosine"), 6).alias("cosine"))
+        .withColumn("dot", dot_product(F.col("va"), F.col("vb")))
+        .filter(cos >= min_cosine)
+        .select("id_a", "id_b", trino_round(cos, 6).alias("cosine"))
     )

@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.trino import trino_round
-from .dedup import cosine
+from .dedup import dot_product, vec_norms
 
 
 def sign_lsh_bucket(vec: Column, bits: int = 8) -> Column:
@@ -36,11 +36,18 @@ def cosine_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact brute-force top-k by cosine against a 1-row query DataFrame
-    (column ``qv``). Deterministic tiebreak on id."""
+    (column ``qv``). Deterministic tiebreak on id. Row norms are computed
+    once per row and the query norm once (inside the broadcast), so the
+    scan pays one zip_with fold per row."""
+    base = vec_norms(df, vec_col, [id_col])
+    q = vec_norms(query, "qv", []).select(
+        F.col("v").alias("qv_d"), F.col("nrm").alias("qnrm")
+    )
+    cos = F.col("dot") / (F.sqrt("nrm") * F.sqrt("qnrm"))
     scored = (
-        df.join(F.broadcast(query))
-        .withColumn("score", trino_round(cosine(F.col(vec_col), F.col("qv")), 6))
-        .select(id_col, "score")
+        base.join(F.broadcast(q))
+        .withColumn("dot", dot_product(F.col("v"), F.col("qv_d")))
+        .select(id_col, trino_round(cos, 6).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
@@ -55,11 +62,18 @@ def cosine_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: probe only the query's sign-LSH bucket, then
     exact cosine re-scoring inside it."""
-    bucketed = df.withColumn("bucket", sign_lsh_bucket(F.col(vec_col), bits))
-    q = query.withColumn("qbucket", sign_lsh_bucket(F.col("qv"), bits))
+    base = vec_norms(df, vec_col, [id_col]).withColumn(
+        "bucket", sign_lsh_bucket(F.col("v"), bits)
+    )
+    q = (
+        vec_norms(query, "qv", [])
+        .select(F.col("v").alias("qv_d"), F.col("nrm").alias("qnrm"))
+        .withColumn("qbucket", sign_lsh_bucket(F.col("qv_d"), bits))
+    )
+    cos = F.col("dot") / (F.sqrt("nrm") * F.sqrt("qnrm"))
     scored = (
-        bucketed.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
-        .withColumn("score", trino_round(cosine(F.col(vec_col), F.col("qv")), 6))
-        .select(id_col, "score")
+        base.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .withColumn("dot", dot_product(F.col("v"), F.col("qv_d")))
+        .select(id_col, trino_round(cos, 6).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
