@@ -1,0 +1,122 @@
+"""Physical-plan shape assertions: the scale contract.
+
+Correctness tests prove the operators compute the right answer at small
+scale; these prove the *plans* are the ones that survive a 100 TB /
+1000-executor scale-up: filters and projections reach the parquet
+reader, small dimensions broadcast, order-by+limit plans as top-k (no
+global sort), aggregations have a map-side partial step, pairwise
+operators never plan a cartesian product, and the known Catalyst
+expression-duplication traps (expensive expressions inlined into
+per-row scan filters) stay fixed.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from lakehouse_platform_nyc_taxi_spark import harness
+
+from .conftest import SF_ORACLE
+
+
+def plan_of(spark, name: str) -> str:
+    """Formatted physical plan (same text as df.explain('formatted'))."""
+    df = harness.registry()[name].fn(spark, SF_ORACLE)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def optimized_of(spark, name: str) -> str:
+    spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
+    df = harness.registry()[name].fn(spark, SF_ORACLE)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_and_projection_push_to_parquet(spark):
+    plan = plan_of(spark, "scan_projection_filter")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull" in plan or "GreaterThan" in plan
+    # only the 4 referenced columns are read, not the 11-column lineitem
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert set(cols) <= {"l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate", "l_discount"}
+    assert "l_comment" not in m.group(1)
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = plan_of(spark, "join_broadcast_dims")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_orderby_limit_is_topk_not_global_sort(spark):
+    plan = plan_of(spark, "orderby_limit_topk")
+    assert "TakeOrderedAndProject" in plan
+    # a global Sort exchange would be the non-scalable plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_similarity_topk_is_topk_with_broadcast_query(spark):
+    plan = plan_of(spark, "similarity_topk_bruteforce")
+    assert "TakeOrderedAndProject" in plan
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan  # 1-row side is broadcast, not cartesian
+
+
+def test_aggregations_have_partial_step(spark):
+    for name in ("agg_pricing_summary", "agg_daily_rollup", "dedup_exact"):
+        plan = plan_of(spark, name)
+        assert "partial" in plan.lower(), f"{name}: no map-side partial aggregation"
+
+
+def test_pairwise_operators_never_cartesian(spark):
+    for name in (
+        "dedup_minhash_lsh_pairs",
+        "dedup_ngram_jaccard",
+        "dedup_embedding_cosine",
+        "join_asof",
+        "join_range",
+    ):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} planned a cartesian product"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} planned a nested-loop join"
+
+
+def test_no_expensive_expression_inlined_into_scan_filters(spark):
+    """Regression for the two measured Catalyst traps (6-50x slowdowns):
+    InferFiltersFromGenerate and constraint propagation inlining
+    array-transform pipelines into per-row Filter/Scan nodes."""
+    for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh_pairs", "dedup_embedding_cosine"):
+        plan = optimized_of(spark, name)
+        for line in plan.split("\n"):
+            if "Filter" in line and "Generate" not in line:
+                assert "transform(" not in line, (
+                    f"{name}: HOF pipeline inlined into a filter:\n{line[:300]}"
+                )
+
+
+def test_whole_stage_codegen_covers_scan_queries(spark):
+    for name in ("cast_rename_projection", "datetime_features", "text_stats"):
+        plan = plan_of(spark, name)
+        # formatted mode marks codegen'd nodes with a leading '*'
+        assert re.search(r"^\s*[+:]?-?\s*\* ", plan, re.M), f"{name}: no codegen span"
+
+
+def test_incremental_watermark_stays_distributed(spark):
+    # the watermark is a 1-row max aggregate broadcast-joined back into the
+    # scan — in-plan, lazy, no collected python-side literal; a driver
+    # collect would show up as a literal predicate and no join at all
+    plan = plan_of(spark, "incremental_watermark")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Location: InMemoryFileIndex") == 2  # events scanned twice, max + probe
+
+
+@pytest.mark.parametrize("name", ["agg_rollup", "agg_cube", "agg_grouping_sets"])
+def test_multilevel_aggs_use_single_expand(spark, name):
+    plan = plan_of(spark, name)
+    assert "Expand" in plan, f"{name}: no Expand node"
+    # one Expand pass over one scan, not one scan per grouping level
+    assert plan.count("Location: InMemoryFileIndex") == 1
