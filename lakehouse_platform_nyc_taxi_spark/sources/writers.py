@@ -138,3 +138,29 @@ def incremental_delete_insert(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    n_buckets: int,
+    bucket_cols: Sequence[str],
+    sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed (optionally sorted) managed/external table.
+
+    The co-located-join lever: two tables bucketed on the same key with
+    the same bucket count join with ZERO exchange — at 100 TB that
+    removes the dominant all-to-all shuffle from every fact-to-fact join
+    on the bucket key (tests assert the Exchange-free plan). ``sortBy``
+    additionally pre-sorts each bucket file so sort-merge joins skip the
+    per-task sort.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

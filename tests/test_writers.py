@@ -74,3 +74,38 @@ def test_events_nanos_loader(spark):
     assert ev.count() > 0
     # truncation (not rounding) to µs: max fraction survives
     assert ev.filter(F.col("ts").isNull()).count() == 0
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key + count join with zero shuffle:
+    the scale story for repeated fact-to-fact joins."""
+    from lakehouse_platform_nyc_taxi_spark.sources.testdata import load_table
+    from lakehouse_platform_nyc_taxi_spark.sources.writers import write_bucketed
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    write_bucketed(
+        o, "b_orders", 4, ["o_orderkey"], sort_cols=["o_orderkey"],
+        path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed(
+        li, "b_lineitem", 4, ["l_orderkey"], sort_cols=["l_orderkey"],
+        path=str(tmp_path / "b_lineitem"),
+    )
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("b_orders").join(
+                spark.table("b_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            assert joined.count() == li.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
