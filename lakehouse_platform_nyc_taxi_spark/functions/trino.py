@@ -88,6 +88,11 @@ def trino_round(col: Column, n: int = 0) -> Column:
     scales first — x·100 rounds to 92.5 exactly, +0.5 → 93 → 0.93.
     Composing the same IEEE ops here makes results bit-identical to the
     oracle engines. All built-ins, codegen-friendly.
+
+    Exact domain: |x|·10ⁿ < 2⁵³ (≈9e15). Beyond that the scaled product
+    exceeds double integer precision and engines diverge in the last
+    bits (property-tested in tests/test_trino_properties.py); every
+    value the harness rounds — prices, ratios, scores — is far inside.
     """
     factor = F.lit(float(10**n))
     scaled = F.floor(F.abs(col) * factor + F.lit(0.5)).cast("double")

@@ -312,6 +312,78 @@ def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Outer joins (§2.3: completing the Trino-endpoint join surface)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_full_outer",
+    f"""
+    WITH co AS (
+        SELECT o_custkey AS cid, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    ce AS (
+        SELECT user_id AS cid, CAST(count(*) AS BIGINT) AS n_events,
+               {DSUM('value')} AS event_value
+        FROM events GROUP BY 1
+    )
+    SELECT coalesce(co.cid, ce.cid) AS customer_id,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(n_events, 0) AS n_events,
+           event_value
+    FROM co FULL OUTER JOIN ce ON co.cid = ce.cid
+    """,
+    doc="Full-outer join of two pre-aggregated sides with coalesced keys — "
+    "aggregate-then-join keeps the shuffled sides minimal.",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    co = o.groupBy(F.col("o_custkey").alias("cid")).agg(F.count("*").alias("n_orders"))
+    ce = ev.groupBy(F.col("user_id").alias("cid")).agg(
+        F.count("*").alias("n_events"), dsum("value").alias("event_value")
+    )
+    return (
+        co.alias("co")
+        .join(ce.alias("ce"), F.col("co.cid") == F.col("ce.cid"), "full_outer")
+        .select(
+            F.coalesce(F.col("co.cid"), F.col("ce.cid")).alias("customer_id"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            "event_value",
+        )
+    )
+
+
+@register(
+    "join_right_outer",
+    """
+    SELECT c.c_custkey AS customer_id,
+           c.c_name AS customer_name,
+           o.o_orderkey AS order_id
+    FROM orders o
+    RIGHT OUTER JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey < 200
+    """,
+    doc="Right-outer join preserving customers without orders (the mirror "
+    "of join_left_outer; Spark plans it as the same hash join build-side "
+    "swapped).",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "right_outer")
+        .select(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("o_orderkey").alias("order_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Time joins: as-of and range (§2.3 extensions — operators Spark lacks
 # as builtins, composed from native ops)
 # --------------------------------------------------------------------------
