@@ -121,3 +121,77 @@ def decode_image_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("asset_id", "content").mapInPandas(extract, FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Resize / frame-sample plumbing
+# --------------------------------------------------------------------------
+
+RESIZED_SCHEMA = "asset_id long, media_type string, width int, height int, content binary"
+
+
+def fake_resize(df: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Deterministic stand-in for image resize: maps each payload to a
+    fixed-size (width*height)-byte thumbnail by striding over the source
+    bytes — the exact mapInPandas signature/batch shape of a real
+    ``PIL.Image.resize``, with output payload size bounded the way a real
+    thumbnail pipeline bounds it (decode cost stays on the executors,
+    output shuffles at thumbnail size, never source size)."""
+    n_out = width * height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def thumb(b: bytes) -> bytes:
+                if not len(b):
+                    return bytes(n_out)
+                step = max(len(b) // n_out, 1)
+                return bytes(b[min(i * step, len(b) - 1)] for i in range(n_out))
+
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                    "content": pdf["content"].map(thumb),
+                }
+            )
+
+    return df.select("asset_id", "media_type", "content").mapInPandas(
+        resize, RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = "asset_id long, frame_no int, frame_offset long, frame md5 string".replace(
+    "frame md5", "frame_md5"
+)
+
+
+def fake_frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Deterministic stand-in for video frame sampling: treat the payload
+    as ``n_frames`` equal-length segments ("frames"), emit one row per
+    sampled frame with its byte offset and digest. Output is LONGER than
+    input (explode-shaped mapInPandas) — the real pattern for
+    video -> frame-table expansion, where per-frame rows feed the image
+    pipeline above."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                if not len(content):
+                    continue
+                seg = max(len(content) // n_frames, 1)
+                for i in range(min(n_frames, len(content))):
+                    off = i * seg
+                    frame = content[off : off + seg]
+                    rows.append(
+                        (asset_id, i, off, hashlib.md5(frame).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_no", "frame_offset", "frame_md5"]
+            )
+
+    return df.select("asset_id", "content").mapInPandas(sample, FRAME_SCHEMA)

@@ -144,3 +144,31 @@ def test_multimodal_real_decode_is_stubbed(spark):
         pass
     with pytest.raises(NotImplementedError, match="image codec"):
         multimodal.decode_image_features(assets)
+
+
+def test_fake_resize_bounds_output(spark, docs):
+    from lakehouse_platform_nyc_taxi_spark.operators import multimodal
+
+    assets = multimodal.attach_binary_payload(docs)
+    out = multimodal.fake_resize(assets, width=4, height=4).collect()
+    assert len(out) == docs.count()
+    assert all(len(r.content) == 16 for r in out)
+    assert all(r.width == 4 and r.height == 4 for r in out)
+    # deterministic: same input -> same thumbnail
+    again = multimodal.fake_resize(assets, width=4, height=4).collect()
+    assert {r.asset_id: bytes(r.content) for r in out} == {
+        r.asset_id: bytes(r.content) for r in again
+    }
+
+
+def test_fake_frame_sample_explodes(spark, docs):
+    from lakehouse_platform_nyc_taxi_spark.operators import multimodal
+
+    assets = multimodal.attach_binary_payload(docs)
+    out = multimodal.fake_frame_sample(assets, n_frames=3)
+    rows = out.collect()
+    assert len(rows) == 3 * docs.count()  # every doc has >=3 bytes of text
+    per_asset = {}
+    for r in rows:
+        per_asset.setdefault(r.asset_id, []).append(r.frame_no)
+    assert all(sorted(v) == [0, 1, 2] for v in per_asset.values())
