@@ -25,6 +25,7 @@ from .ops import (
     stateful_user_stats,
     windowed_rollup,
 )
+from .sinks import stream_append_parquet, stream_upsert_parquet
 
 __all__ = [
     "read_events_stream",
@@ -33,4 +34,6 @@ __all__ = [
     "dedup_counts",
     "session_windows",
     "stateful_user_stats",
+    "stream_append_parquet",
+    "stream_upsert_parquet",
 ]

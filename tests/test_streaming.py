@@ -89,3 +89,44 @@ def test_windowed_rollup_append_drops_unfinalized_tail(spark):
     ends = [r.window_end for r in out.select("window_end").distinct().collect()]
     assert ends, "append mode emitted no finalized windows"
     assert all(e.replace(tzinfo=None) <= cutoff for e in ends)
+
+
+def test_stream_upsert_foreachbatch(spark, tmp_path):
+    """foreachBatch + incremental delete+insert: re-delivered keys update
+    in place instead of duplicating."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_platform_nyc_taxi_spark.streaming.sinks import stream_upsert_parquet
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    target = str(tmp_path / "table")
+    schema = "id long, v double, year int, month int"
+
+    def write_src(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src_dir / name))
+
+    write_src("f1", [(1, 1.0, 2024, 1), (2, 2.0, 2024, 1)])
+    stream = spark.readStream.schema(schema).parquet(str(src_dir) + "/*")
+    q = stream_upsert_parquet(
+        stream, target, str(tmp_path / "ckpt"), unique_key=["id"]
+    )
+    q.awaitTermination()
+    assert {(r.id, r.v) for r in spark.read.parquet(target).collect()} == {
+        (1, 1.0),
+        (2, 2.0),
+    }
+
+    # second delivery: id=2 updated, id=3 new — same key replaced, no dupes
+    write_src("f2", [(2, 20.0, 2024, 1), (3, 3.0, 2024, 1)])
+    q = stream_upsert_parquet(
+        stream, target, str(tmp_path / "ckpt"), unique_key=["id"]
+    )
+    q.awaitTermination()
+    got = {(r.id, r.v) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, 1.0), (2, 20.0), (3, 3.0)}
+    assert spark.read.parquet(target).groupBy("id").count().filter(
+        F.col("count") > 1
+    ).count() == 0
