@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.trino import trino_round
 from ..sources.testdata import load_table
 from . import register
 from .core import DAVG, DSUM, davg, dsum
@@ -154,9 +155,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+        trino_round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        trino_round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        trino_round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
     )
 
 
