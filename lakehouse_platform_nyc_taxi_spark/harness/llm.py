@@ -397,6 +397,39 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "text_winnowing",
+    f"""
+    WITH ph AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, greatest(len(text) - 4, 0)),
+                              i -> {MD5L.format(x="substr(text, i, 5)")}) AS bh
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, bh,
+               CASE WHEN len(bh) >= 4
+                    THEN list_transform(generate_series(1, len(bh) - 3),
+                                        j -> list_min(bh[j:j+3]))
+                    WHEN len(bh) > 0 THEN [list_min(bh)]
+                    ELSE CAST([] AS BIGINT[]) END AS minima
+        FROM ph
+    )
+    SELECT doc_id,
+           CAST(len(bh) AS INTEGER) AS n_kgrams,
+           CAST(len(list_distinct(minima)) AS INTEGER) AS n_selected,
+           md5(array_to_string(list_sort(list_distinct(minima)), '-')) AS winnow_fingerprint
+    FROM m
+    """,
+    doc="Winnowing fingerprint (rolling k-gram hashes, window-min "
+    "selection): any shared substring of length >= k+w-1 yields a shared "
+    "fingerprint hash — the plagiarism/dedup primitive, one projection, "
+    "no shuffle.",
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.winnowing_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------

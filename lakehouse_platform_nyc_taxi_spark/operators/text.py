@@ -128,3 +128,57 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
             "winnow_fp"
         ),
     )
+
+
+def winnowing_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (Schleimer et al.): hash every character k-gram, slide a
+    w-window over the position-hash sequence, keep each window's minimum;
+    the distinct selected hashes are the document's fingerprint set.
+    Guarantees any shared substring of length >= k+w-1 contributes a
+    shared fingerprint — the local-similarity property plain min-k
+    sketches lack.
+
+    Expression-level notes: position hashes are materialized in their own
+    projection (the CollapseProject fence — see operators.dedup) so the
+    md5 pipeline is computed once per row, not once per window; the
+    window min is a w-element slice over the materialized array (O(w)
+    per position, w is small).
+    """
+    c = F.col(text_col)
+    # explicit guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of
+    # returning empty like generate_series, so short texts need a branch
+    pos_hashes = F.when(
+        F.length(c) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - (k - 1)),
+            lambda i: md5_long(c.substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    bh = F.col("_ph")
+    p = F.size(bh)
+    minima = (
+        F.when(
+            p >= window,
+            F.transform(
+                F.sequence(F.lit(1), p - (window - 1)),
+                lambda j: F.array_min(F.slice(bh, j, window)),
+            ),
+        )
+        .when(p > 0, F.array(F.array_min(bh)))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    selected = F.array_sort(F.array_distinct(minima))
+    return df.select(F.col(id_col), pos_hashes.alias("_ph")).select(
+        F.col(id_col),
+        F.size("_ph").alias("n_kgrams"),
+        F.size(selected).alias("n_selected"),
+        F.md5(
+            F.array_join(F.transform(selected, lambda h: h.cast("string")), "-")
+        ).alias("winnow_fingerprint"),
+    )
