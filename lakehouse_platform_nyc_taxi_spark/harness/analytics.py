@@ -313,6 +313,48 @@ def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Interactive SQL surface (§3.3: the Trino-endpoint ad-hoc entry point)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sql_adhoc_interactive",
+    f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+           o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {DSUM('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    HAVING count(*) > 100
+    ORDER BY year, status
+    LIMIT 20
+    """,
+    doc="The §3.3 interactive entry point: raw SQL over registered views "
+    "via spark.sql — ordinal GROUP BY, HAVING, ORDER BY + LIMIT, exactly "
+    "the ad-hoc shape the reference's Trino endpoint serves "
+    "(reference: README.md:163-167).",
+)
+def sql_adhoc_interactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.testdata import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT CAST(year(o_orderdate) AS INT) AS year,
+               o_orderstatus AS status,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY 1, 2
+        HAVING count(*) > 100
+        ORDER BY year, status
+        LIMIT 20
+        """
+    )
+
+
+# --------------------------------------------------------------------------
 # Outer joins (§2.3: completing the Trino-endpoint join surface)
 # --------------------------------------------------------------------------
 
