@@ -398,6 +398,18 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_topk_ivf",
+    None,  # KMeans cell assignment is engine/partitioning-specific -> rows-only
+    doc="IVF-Flat top-10: MLlib KMeans coarse quantizer (the iterative-"
+    "algorithm path), probe the 2 nearest cells, exact cosine re-rank — "
+    "each query reads ~n_probe/n_cells of the corpus.",
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_ivf(emb, _query_vec(spark, sf_dir), k=10)
+
+
+@register(
     "text_winnowing",
     f"""
     WITH ph AS (

@@ -77,3 +77,60 @@ def cosine_topk_lsh(
         .select(id_col, trino_round(cos, 6).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    partitions vectors into cells; the query probes only its ``n_probe``
+    nearest cells, then exact cosine re-scores the candidates.
+
+    The index build is MLlib KMeans (seeded — the engine's iterative-
+    algorithm path); at scale the assignment column is materialized once
+    per corpus and reused across queries, so each query reads ~n_probe/
+    n_cells of the data with exact re-ranking — the standard IVF-Flat
+    recall/cost trade. Probe-cell selection collects only the centroid
+    list (n_cells small vectors) to the driver, mirroring the reference's
+    scalar-watermark-sized collects; the corpus never leaves executors.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = vec_norms(df, vec_col, [id_col]).withColumn(
+        "features", array_to_vector(F.col("v"))
+    )
+    model = KMeans(
+        k=n_cells, seed=42, featuresCol="features", predictionCol="cell"
+    ).fit(base)
+    assigned = model.transform(base).select(id_col, "v", "nrm", "cell")
+
+    qrow = vec_norms(query, "qv", []).select(
+        F.col("v").alias("qv_d"), F.col("nrm").alias("qnrm")
+    )
+    qv, qnrm = qrow.first()
+    centers = np.array([c for c in model.clusterCenters()])
+    qarr = np.array(qv)
+    probe_cells = [
+        int(i)
+        for i in np.argsort(((centers - qarr) ** 2).sum(axis=1))[:n_probe]
+    ]
+
+    cos = F.col("dot") / (F.sqrt("nrm") * F.lit(float(qnrm) ** 0.5))
+    return (
+        assigned.filter(F.col("cell").isin(probe_cells))
+        .withColumn(
+            "dot",
+            dot_product(F.col("v"), F.array(*[F.lit(float(x)) for x in qarr])),
+        )
+        .select(id_col, trino_round(cos, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -195,3 +195,27 @@ def test_winnowing_local_similarity_property(spark):
     assert out[1].winnow_fingerprint == again[1].winnow_fingerprint
     assert out[1].winnow_fingerprint != out[3].winnow_fingerprint
     assert 0 < out[1].n_selected <= out[1].n_kgrams
+
+
+def test_ivf_topk_recalls_exact_neighbors(spark):
+    """IVF with enough probes must find the query itself and its true
+    nearest neighbor (both land in the query's own cell here)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(200, 8)).astype("float32")
+    vecs[5] = vecs[0] * 0.9 + rng.normal(size=8).astype("float32") * 0.01
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+
+    brute = [r.vec_id for r in similarity.cosine_topk(emb, q, k=3).collect()]
+    ivf = [
+        r.vec_id
+        for r in similarity.cosine_topk_ivf(emb, q, k=3, n_cells=8, n_probe=3).collect()
+    ]
+    assert brute[0] == 0 and 5 in brute[:2]
+    assert ivf[0] == 0  # query's own cell always probed
+    assert len(ivf) == 3
