@@ -173,12 +173,20 @@ def winnowing_fingerprint(
         .when(p > 0, F.array(F.array_min(bh)))
         .otherwise(F.array().cast("array<long>"))
     )
+    # materialize `selected` in its own projection: it feeds both
+    # n_selected and the digest, and a non-cheap expression referenced
+    # twice in one select is evaluated twice (CollapseProject only fences
+    # across selects, not within one)
     selected = F.array_sort(F.array_distinct(minima))
-    return df.select(F.col(id_col), pos_hashes.alias("_ph")).select(
-        F.col(id_col),
-        F.size("_ph").alias("n_kgrams"),
-        F.size(selected).alias("n_selected"),
-        F.md5(
-            F.array_join(F.transform(selected, lambda h: h.cast("string")), "-")
-        ).alias("winnow_fingerprint"),
+    return (
+        df.select(F.col(id_col), pos_hashes.alias("_ph"))
+        .select(F.col(id_col), F.size("_ph").alias("n_kgrams"), selected.alias("_sel"))
+        .select(
+            F.col(id_col),
+            "n_kgrams",
+            F.size("_sel").alias("n_selected"),
+            F.md5(
+                F.array_join(F.transform(F.col("_sel"), lambda h: h.cast("string")), "-")
+            ).alias("winnow_fingerprint"),
+        )
     )
