@@ -236,6 +236,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_clusters",
+    None,  # iterative min-label propagation -> rows-only check
+    doc="Near-dup pair graph -> connected components (iterative min-label "
+    "propagation, localCheckpoint-fenced lineage): the canonical-document "
+    "assignment that turns pairwise dedup output into keep/drop decisions.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), block_col="source"
+    )
+    return dedup.connected_components(pairs)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

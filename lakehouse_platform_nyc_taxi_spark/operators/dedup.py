@@ -382,3 +382,69 @@ def embedding_cosine_pairs(
         .filter(cos >= min_cosine)
         .select("id_a", "id_b", trino_round(cos, 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Pair graph -> duplicate clusters (iterative)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph by iterative
+    min-label propagation: every node repeatedly adopts the smallest label
+    among itself and its neighbors until fixpoint. Output: (id, cluster),
+    cluster = min id in the component — the canonical-document assignment
+    that turns pairwise dedup output into keep/drop decisions.
+
+    Scale notes: each iteration is one shuffle join + aggregation on the
+    node key; convergence takes O(diameter) iterations (near-dup clusters
+    are dense, so usually 2-4). localCheckpoint() per iteration truncates
+    the lineage — without it the plan doubles every pass. The only driver
+    traffic is the one-row convergence count.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("dl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dl").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                F.col("id"),
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster"))

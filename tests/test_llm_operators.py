@@ -219,3 +219,14 @@ def test_ivf_topk_recalls_exact_neighbors(spark):
     assert brute[0] == 0 and 5 in brute[:2]
     assert ivf[0] == 0  # query's own cell always probed
     assert len(ivf) == 3
+
+
+def test_connected_components_clusters_chains(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    out = {r.id: r.cluster for r in dedup.connected_components(pairs).collect()}
+    assert {out[1], out[2], out[3], out[4]} == {1}   # chain collapses to min id
+    assert {out[10], out[11]} == {10}
+    assert {out[20], out[21], out[22]} == {20}
