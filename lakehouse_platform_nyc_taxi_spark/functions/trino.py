@@ -25,7 +25,13 @@ def surrogate_key(*cols: Column | str) -> Column:
     ...) as varchar))``. Byte parity holds because Spark's and Trino's
     (and DuckDB's) varchar renderings of bigint/timestamp agree — both
     render timestamps as ``YYYY-MM-DD HH:MM:SS[.ffffff]`` with trailing
-    fractional zeros trimmed (verified empirically in tests).
+    fractional zeros trimmed (property-tested against DuckDB in
+    tests/test_trino_properties.py).
+
+    Caveat: do NOT hash double components. Scientific-notation rendering
+    diverges across engines (Spark ``1.2E-38`` vs DuckDB ``1.2e-38`` —
+    found by the property test); the reference only ever hashes
+    timestamp + bigint keys.
     """
     rendered = [
         F.coalesce(F.col(c).cast("string") if isinstance(c, str) else c.cast("string"),
