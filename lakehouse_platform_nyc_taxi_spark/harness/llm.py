@@ -236,6 +236,58 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HB = MD5L.format(x="CAST(doc_id AS VARCHAR) || '|{salt}'")
+
+
+@register(
+    "sampling_hash_split",
+    f"""
+    WITH b AS (
+        SELECT doc_id, source,
+               ({_HB.format(salt='split')}) % 10000 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN bucket < 500 THEN 'val'
+                WHEN bucket < 1000 THEN 'test'
+                ELSE 'train' END AS split
+    FROM b
+    """,
+    doc="Deterministic hash-based train/val/test split: one md5 bucket per "
+    "key decides membership — identical on every run/engine/parallelism, "
+    "leak-proof by construction, zero-shuffle projection.",
+)
+def sampling_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return train_val_test_split(docs, "doc_id", val_rate=0.05, test_rate=0.05)
+
+
+@register(
+    "sampling_per_group_cap",
+    f"""
+    WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ({_HB.format(salt='cap')}) % 10000, doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source FROM r WHERE rk <= 10
+    """,
+    doc="Per-source cap (deterministic reservoir): rank by hash within "
+    "each source, keep 10 — the domain-balancing primitive; one shuffle "
+    "on the group key.",
+)
+def sampling_per_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import per_group_cap
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return per_group_cap(docs, "source", 10, "doc_id")
+
+
 @register(
     "dedup_clusters",
     None,  # iterative min-label propagation -> rows-only check

@@ -1,0 +1,82 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Everything here is hash-based, not RNG-based: ``rand()`` sampling gives a
+different corpus every run and can't be reproduced by another engine,
+which breaks dataset versioning and oracle checks. Hashing a stable key
+gives the same sample on every run, on every engine, at any parallelism —
+and membership is decided row-locally (a pure projection, no shuffle),
+so it costs nothing at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import md5_long
+
+#: Denominator for hash-rate bucketing (4 decimal digits of rate).
+_RATE_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Stable bucket in [0, 10000) from the md5 of the key (+ salt).
+
+    Different salts give independent samples from the same keys — e.g.
+    one salt for the eval holdout, another for a 1% metrics sample.
+    """
+    return md5_long(F.concat(key.cast("string"), F.lit(f"|{salt}"))) % _RATE_BUCKETS
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic sample: keep rows whose key hashes below ``rate``.
+
+    Same key -> same decision everywhere, so (a) reruns are identical,
+    (b) a document's duplicates (same key) land in the same split, and
+    (c) disjoint salts give disjoint-by-construction train/eval splits.
+    """
+    bucket = int(rate * _RATE_BUCKETS)
+    return df.filter(hash_bucket(F.col(key_col), salt) < bucket)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    val_rate: float = 0.05,
+    test_rate: float = 0.05,
+    salt: str = "split",
+) -> DataFrame:
+    """Leak-proof three-way split: one hash decides membership, so a key
+    can never appear in two splits (randomSplit cannot promise that
+    across reruns or engines). Adds a ``split`` column."""
+    b = hash_bucket(F.col(key_col), salt)
+    val_hi = int(val_rate * _RATE_BUCKETS)
+    test_hi = val_hi + int(test_rate * _RATE_BUCKETS)
+    return df.withColumn(
+        "split",
+        F.when(b < val_hi, "val").when(b < test_hi, "test").otherwise("train"),
+    )
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    key_col: str,
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen by hash order (a
+    deterministic reservoir): rank rows within the group by
+    (hash(key), key) and keep rank <= n. Source-balancing for corpora
+    where one domain would otherwise dominate. One shuffle on the group
+    key; the hot-group state is a single counter per reducer."""
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )

@@ -230,3 +230,34 @@ def test_connected_components_clusters_chains(spark):
     assert {out[1], out[2], out[3], out[4]} == {1}   # chain collapses to min id
     assert {out[10], out[11]} == {10}
     assert {out[20], out[21], out[22]} == {20}
+
+
+def test_hash_sampling_deterministic_and_leak_proof(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators.sampling import (
+        hash_sample,
+        per_group_cap,
+        train_val_test_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(1000)], "doc_id long, source string"
+    )
+    s1 = {r.doc_id for r in hash_sample(df, "doc_id", 0.1).collect()}
+    s2 = {r.doc_id for r in hash_sample(df, "doc_id", 0.1).collect()}
+    assert s1 == s2 and 40 < len(s1) < 200  # deterministic, ~10%
+    # growing the rate only ADDS keys (nested samples)
+    s_big = {r.doc_id for r in hash_sample(df, "doc_id", 0.2).collect()}
+    assert s1 <= s_big
+
+    split = train_val_test_split(df, "doc_id")
+    counts = {r.split: r.n for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] + counts["test"]
+    # a key appears in exactly one split
+    assert split.select("doc_id").distinct().count() == 1000
+
+    capped = per_group_cap(df, "source", 5, "doc_id")
+    per_src = {r.source: r.n for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 5 for n in per_src.values())
+    again = {r.doc_id for r in per_group_cap(df, "source", 5, "doc_id").collect()}
+    assert again == {r.doc_id for r in capped.collect()}
