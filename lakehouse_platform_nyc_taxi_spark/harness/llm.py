@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.trino import trino_round
 from ..operators import dedup, multimodal, similarity, text
 from ..sources.testdata import load_table
 from . import register
@@ -461,6 +462,54 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_corpus_rollup",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, text, {TOKS} AS toks, len(text) AS nc FROM documents
+    ),
+    s AS (
+        SELECT source,
+               len(toks) AS n_tokens,
+               (CASE WHEN len(toks) >= 10 AND len(toks) <= 100000 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN CAST(nc - (len(toks) - 1) AS DOUBLE) / len(toks) >= 3
+                        AND CAST(nc - (len(toks) - 1) AS DOUBLE) / len(toks) <= 12
+                       THEN 0.2 ELSE 0.0 END)
+               + (CASE WHEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / nc <= 0.2
+                       THEN 0.2 ELSE 0.0 END)
+               + (CASE WHEN CAST(len(list_filter(toks, w -> lower(w) IN ({_EN}))) AS DOUBLE) / len(toks) >= 0.01
+                       THEN 0.2 ELSE 0.0 END) AS q
+        FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality,
+           round(CAST(sum(CASE WHEN q >= 0.8 THEN 1.0 ELSE 0.0 END) AS DOUBLE) / count(*), 4)
+               AS high_quality_share
+    FROM s
+    GROUP BY source
+    """,
+    doc="Corpus curation rollup: per-row text_stats composed into per-source "
+    "doc/token totals and high-quality share — the operator-composition "
+    "pattern (projection feeds aggregate in one job, stats never "
+    "materialized).",
+)
+def text_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text.text_stats(docs).join(docs.select("doc_id", "source"), "doc_id")
+    hq = F.when(F.col("is_high_quality"), 1).otherwise(0)
+    return stats.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(hq).cast("long").alias("n_high_quality"),
+        trino_round(
+            F.sum(hq.cast("double")) / F.count("*"), 4
+        ).alias("high_quality_share"),
+    )
+
 
 
 @register(
