@@ -46,6 +46,10 @@ def main() -> int:
         df = spec.fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - start, 4)
+        # untimed: collect garbage between queries so accumulated state
+        # (checkpoint RDDs, codegen classes) from earlier queries doesn't
+        # bill GC pauses to whichever query runs late in the session
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
     print(
