@@ -52,16 +52,33 @@ def main() -> int:
         spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
+    detail = {
+        "metric": "total_runtime_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+        "n_queries": len(timings),
+        "cpus": cpus,
+    }
+    # Per-query map goes to a file (and stderr): the driver captures a
+    # bounded tail of stdout, and a single multi-KB line gets truncated
+    # mid-JSON (BENCH_r01 "parsed": null). stdout carries exactly ONE
+    # short JSON line so any head- or tail-window capture parses it.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    print(json.dumps(detail), file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "total_runtime_all_queries",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": _sf_from_dir(sf_dir),
                 "n_queries": len(timings),
                 "cpus": cpus,
+                "queries_file": "BENCH_DETAIL.json",
             }
         )
     )

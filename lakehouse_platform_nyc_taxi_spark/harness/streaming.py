@@ -24,7 +24,7 @@ _WM = "max(ts) - INTERVAL 1 HOUR"
     f"""
     WITH wm AS (SELECT {_WM} AS cutoff FROM events),
     agg AS (
-        SELECT date_trunc('day', ts) AS window_start,
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
                date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
                event_type,
                CAST(count(*) AS BIGINT) AS n_events,

@@ -126,6 +126,12 @@ def minhash_lsh_pairs(
     eager; pass False for a fully lazy plan. In production the signature
     table is typically written out once and reused across runs anyway.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands ({bands}); "
+            "a remainder would silently drop trailing signature columns from "
+            "banding and reduce candidate recall"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
     if materialize_signatures:
@@ -232,6 +238,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     ngram: int = 3,
     min_jaccard: float = 0.2,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard within blocks: |A∩B| / |A∪B| over the
     distinct n-gram sets of each pair sharing ``block_col``.
@@ -246,6 +253,18 @@ def ngram_jaccard_pairs(
     any ``min_jaccard > 0`` because J ≥ t > 0 implies a shared gram; at
     ``min_jaccard == 0`` pairs with an empty intersection (J = 0) are
     omitted rather than emitted with a 0.0 score.
+
+    ``max_gram_df`` is the skew valve for the posting-list join: each
+    (block, gram) posting list joins with itself, which is O(df²) per
+    gram — one boilerplate gram shared by 10⁵ docs in a block would emit
+    10¹⁰ candidate rows. Setting a document-frequency cap drops grams
+    with df > cap from the *join* (set sizes stay exact), the standard
+    move in set-similarity joins. The trade is explicit: intersection
+    counts can only shrink, so reported Jaccard becomes a lower bound
+    and pairs whose overlap lives mostly in ultra-common grams may fall
+    below the threshold. Pairs of near-duplicates keep most of their
+    (by definition rarer) distinctive grams, so high-Jaccard recall
+    degrades last. ``None`` (default) = exact.
     """
     toks = F.col("_toks")
     grams = F.when(
@@ -290,6 +309,18 @@ def ngram_jaccard_pairs(
             F.explode_outer("grams").alias("gram"),
         )
     )
+    if max_gram_df is not None:
+        # Drop hot grams before the self-join. The df computation groups
+        # on the same (block, gram) key the join shuffles on, so AQE can
+        # reuse the exchange; the semi-join side is only the surviving
+        # key set.
+        rare = (
+            base.groupBy("block", "gram")
+            .count()
+            .filter(F.col("count") <= max_gram_df)
+            .select("block", "gram")
+        )
+        base = base.join(rare, ["block", "gram"], "left_semi")
     a = base.select(
         F.col(id_col).alias("doc_a"), "block", F.col("sz").alias("sz_a"), "gram"
     )
@@ -416,6 +447,10 @@ def connected_components(
     are dense, so usually 2-4). localCheckpoint() per iteration truncates
     the lineage — without it the plan doubles every pass. The only driver
     traffic is the one-row convergence count.
+
+    Raises ``RuntimeError`` if ``max_iter`` is exhausted before fixpoint
+    (a silent partial result would split long-diameter clusters with no
+    signal to the caller); raise ``max_iter`` for path-like graphs.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -457,4 +492,10 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            f"iterations ({changed} labels still changing); the graph has a "
+            "longer diameter than expected — raise max_iter"
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster"))

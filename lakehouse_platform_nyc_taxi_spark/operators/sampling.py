@@ -34,8 +34,11 @@ def hash_sample(
     """Deterministic sample: keep rows whose key hashes below ``rate``.
 
     Same key -> same decision everywhere, so (a) reruns are identical,
-    (b) a document's duplicates (same key) land in the same split, and
-    (c) disjoint salts give disjoint-by-construction train/eval splits.
+    and (b) a document's duplicates (same key) get the same decision.
+    NB: different salts give *independent* samples whose kept sets
+    overlap (~rate1·rate2 of keys) — NOT disjoint sets. For disjoint
+    (leak-proof) train/eval splits use ``train_val_test_split``, which
+    carves non-overlapping bucket ranges out of a single hash.
     """
     bucket = int(rate * _RATE_BUCKETS)
     return df.filter(hash_bucket(F.col(key_col), salt) < bucket)

@@ -1,6 +1,6 @@
 """Similarity search over an embedding column (array<float>).
 
-Two paths, same result contract (vec_id + rounded cosine score):
+Three paths, same result contract (vec_id + rounded cosine score):
 - ``cosine_topk``: brute-force scan — the exact baseline. One pass over
   the table, a 1-row broadcast of the query vector, TakeOrdered top-k.
   At 100 TB this is the "small query set × full scan" pattern — linear,
@@ -9,15 +9,22 @@ Two paths, same result contract (vec_id + rounded cosine score):
   vector gets a b-bit bucket from the signs of its leading components;
   the query probes only its own bucket (candidates shrink ~2^b) before
   exact re-scoring. Recall trades off with b; re-rank is exact.
+- ``build_ivf_index`` + ``ivf_probe``: IVF-Flat split into its offline
+  half (coarse quantizer + cell assignment, built once per corpus) and
+  its online half (probe the n_probe nearest cells, exact re-rank) —
+  the standard recall/cost dial for repeated ANN queries.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.trino import trino_round
 from .dedup import dot_product, vec_norms
+from .hashing import md5_long
 
 
 def sign_lsh_bucket(vec: Column, bits: int = 8) -> Column:
@@ -79,6 +86,137 @@ def cosine_topk_lsh(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+@dataclass
+class IvfIndex:
+    """A built IVF-Flat index: the cell-assigned corpus plus the (tiny)
+    centroid table. Build once per corpus (in production: write
+    ``assigned`` to a table partitioned/bucketed by ``cell``), probe many
+    times — probes read ~n_probe/n_cells of the data."""
+
+    assigned: DataFrame  # (id_col, v, nrm, cell)
+    centroids: DataFrame  # (cell, cv, cnrm) — n_cells rows
+    id_col: str
+    n_cells: int
+
+
+def build_ivf_index(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    method: str = "hash",
+    materialize: bool = True,
+) -> IvfIndex:
+    """Build the IVF coarse quantizer + cell assignment (the offline half
+    of IVF-Flat, split from the probe so queries never pay it).
+
+    ``method="hash"`` (default): centroids are the ``n_cells`` corpus
+    vectors with the smallest salted key hash — a deterministic sample,
+    reproducible in any engine (so the oracle can re-derive it in SQL).
+    Assignment is then a pure zero-shuffle projection: per row, an array
+    of ``n_cells`` cosine scores against literal centroids, argmax via
+    array_position (first-max -> lowest cell wins ties). Only the
+    n_cells centroid rows ever reach the driver.
+
+    ``method="kmeans"``: MLlib KMeans (seeded) — better-shaped cells,
+    engine-specific assignment (rows-only checkable), iterative cost at
+    build time.
+
+    ``materialize`` localCheckpoints the assignment (the "write the index
+    once" step); pass False to keep the plan lazy.
+    """
+    import math
+
+    base = vec_norms(df, vec_col, [id_col])
+    if method == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = base.withColumn("features", array_to_vector(F.col("v")))
+        model = KMeans(
+            k=n_cells, seed=42, featuresCol="features", predictionCol="cell"
+        ).fit(feat)
+        assigned = model.transform(feat).select(id_col, "v", "nrm", "cell")
+        centroid_rows = [
+            (i, [float(x) for x in c], float(sum(x * x for x in c)))
+            for i, c in enumerate(model.clusterCenters())
+        ]
+    elif method == "hash":
+        salted = F.concat(F.col(id_col).cast("string"), F.lit("|ivf"))
+        seeds = (
+            base.select(F.col(id_col), "v", "nrm", md5_long(salted).alias("_hr"))
+            .orderBy("_hr", id_col)  # TakeOrdered top-n_cells: no full sort
+            .limit(n_cells)
+            .collect()
+        )
+        centroid_rows = [
+            (cell, list(r["v"]), float(r["nrm"])) for cell, r in enumerate(seeds)
+        ]
+        # Zero-shuffle assignment: materialize the score array in its own
+        # projection (CollapseProject fences the n_cells dot-product folds
+        # from being re-inlined per consumer), then first-index-of-max.
+        scores = F.array(
+            *[
+                dot_product(F.col("v"), F.array(*[F.lit(x) for x in cv]))
+                / (F.sqrt("nrm") * F.lit(math.sqrt(cnrm)))
+                for _, cv, cnrm in centroid_rows
+            ]
+        )
+        assigned = base.select(F.col(id_col), "v", "nrm", scores.alias("_cs")).select(
+            F.col(id_col),
+            "v",
+            "nrm",
+            (F.array_position(F.col("_cs"), F.array_max(F.col("_cs"))) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
+    else:
+        raise ValueError(f"method must be 'hash' or 'kmeans', got {method!r}")
+
+    if materialize:
+        assigned = assigned.localCheckpoint()
+    spark = df.sparkSession
+    centroids = spark.createDataFrame(
+        centroid_rows, "cell int, cv array<double>, cnrm double"
+    )
+    return IvfIndex(assigned=assigned, centroids=centroids, id_col=id_col, n_cells=n_cells)
+
+
+def ivf_probe(
+    index: IvfIndex,
+    query: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """The online half of IVF-Flat: rank centroids by cosine to the query
+    (n_cells rows — negligible), probe the best ``n_probe`` cells via a
+    broadcast semi-join on the assignment, exact cosine re-rank inside.
+    One lazy plan, no driver collect; candidate volume is
+    ~n_probe/n_cells of the corpus."""
+    q = vec_norms(query, "qv", []).select(
+        F.col("v").alias("qv_d"), F.col("nrm").alias("qnrm")
+    )
+    probe_cells = (
+        index.centroids.join(F.broadcast(q))
+        .withColumn("_cscore", dot_product(F.col("cv"), F.col("qv_d")))
+        .select(
+            "cell", (F.col("_cscore") / (F.sqrt("cnrm") * F.sqrt("qnrm"))).alias("cscore")
+        )
+        .orderBy(F.desc("cscore"), F.asc("cell"))
+        .limit(n_probe)
+        .select("cell")
+    )
+    cos = F.col("dot") / (F.sqrt("nrm") * F.sqrt("qnrm"))
+    return (
+        index.assigned.join(F.broadcast(probe_cells), "cell")
+        .join(F.broadcast(q))
+        .withColumn("dot", dot_product(F.col("v"), F.col("qv_d")))
+        .select(index.id_col, trino_round(cos, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(index.id_col))
+        .limit(k)
+    )
+
+
 def cosine_topk_ivf(
     df: DataFrame,
     query: DataFrame,
@@ -87,50 +225,13 @@ def cosine_topk_ivf(
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    method: str = "hash",
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
-    partitions vectors into cells; the query probes only its ``n_probe``
-    nearest cells, then exact cosine re-scores the candidates.
-
-    The index build is MLlib KMeans (seeded — the engine's iterative-
-    algorithm path); at scale the assignment column is materialized once
-    per corpus and reused across queries, so each query reads ~n_probe/
-    n_cells of the data with exact re-ranking — the standard IVF-Flat
-    recall/cost trade. Probe-cell selection collects only the centroid
-    list (n_cells small vectors) to the driver, mirroring the reference's
-    scalar-watermark-sized collects; the corpus never leaves executors.
-    """
-    import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    base = vec_norms(df, vec_col, [id_col]).withColumn(
-        "features", array_to_vector(F.col("v"))
+    """IVF (inverted-file) approximate top-k: build + probe in one call —
+    convenience form; incremental/repeated querying should call
+    ``build_ivf_index`` once and ``ivf_probe`` per query."""
+    index = build_ivf_index(
+        df, n_cells=n_cells, vec_col=vec_col, id_col=id_col, method=method,
+        materialize=False,
     )
-    model = KMeans(
-        k=n_cells, seed=42, featuresCol="features", predictionCol="cell"
-    ).fit(base)
-    assigned = model.transform(base).select(id_col, "v", "nrm", "cell")
-
-    qrow = vec_norms(query, "qv", []).select(
-        F.col("v").alias("qv_d"), F.col("nrm").alias("qnrm")
-    )
-    qv, qnrm = qrow.first()
-    centers = np.array([c for c in model.clusterCenters()])
-    qarr = np.array(qv)
-    probe_cells = [
-        int(i)
-        for i in np.argsort(((centers - qarr) ** 2).sum(axis=1))[:n_probe]
-    ]
-
-    cos = F.col("dot") / (F.sqrt("nrm") * F.lit(float(qnrm) ** 0.5))
-    return (
-        assigned.filter(F.col("cell").isin(probe_cells))
-        .withColumn(
-            "dot",
-            dot_product(F.col("v"), F.array(*[F.lit(float(x)) for x in qarr])),
-        )
-        .select(id_col, trino_round(cos, 6).alias("score"))
-        .orderBy(F.desc("score"), F.asc(id_col))
-        .limit(k)
-    )
+    return ivf_probe(index, query, k=k, n_probe=n_probe)

@@ -59,12 +59,22 @@ def salted_join(
     """Salted shuffle join: salt the skewed side, replicate the small side
     once per salt value (explode of a salt array), and join on
     (keys + salt). Each hot key's rows land on ``n_salts`` reducers
-    instead of one. Result equals ``skewed.join(small, on, how)``.
+    instead of one. Result equals ``skewed.join(small, on, how)`` for
+    ``how`` in ('inner', 'left') — the only joins where replicating the
+    small side is transparent. For right/full outer, every unmatched
+    small-side replica would surface (n_salts duplicate rows); for
+    semi/anti the replicas change match semantics — so those are
+    rejected.
 
     Use when the small side is too big to broadcast but small enough to
     replicate ``n_salts``× through the shuffle; otherwise prefer
     ``F.broadcast`` (no shuffle at all) or AQE skew splitting.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            "salted_join supports how='inner'/'left' only: the replicated "
+            f"small side breaks right/full-outer and semi/anti semantics (got {how!r})"
+        )
     salted_left = with_salt(skewed, n_salts)
     replicated = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -130,6 +130,13 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+#: Base for the polynomial k-gram hash: any value above the max Unicode
+#: code point keeps the polynomial injective per k-gram; 257 trades a
+#: little injectivity on astral-plane text for headroom (5 base-257
+#: digits of code points stay < 2^63 with no intermediate mod).
+_POLY_BASE = 257
+
+
 def winnowing_fingerprint(
     df: DataFrame,
     text_col: str = "text",
@@ -144,20 +151,44 @@ def winnowing_fingerprint(
     shared fingerprint — the local-similarity property plain min-k
     sketches lack.
 
-    Expression-level notes: position hashes are materialized in their own
-    projection (the CollapseProject fence — see operators.dedup) so the
-    md5 pipeline is computed once per row, not once per window; the
-    window min is a w-element slice over the materialized array (O(w)
-    per position, w is small).
+    The k-gram hash is a polynomial over code points mixed through the
+    affine family (integer ops on a pre-materialized code-point array),
+    not md5-per-k-gram: the md5 version spent its whole budget on
+    per-position string allocation + digest (11% of the round-1 bench
+    on its own); the polynomial form is the same O(L·k) with a ~5x
+    smaller constant and stays engine-reproducible (DuckDB computes the
+    identical arithmetic).
+
+    Expression-level notes: the code-point array and position hashes are
+    materialized in their own projections (the CollapseProject fence —
+    see operators.dedup) so each pipeline stage is computed once per
+    row; the window min is a w-element slice over the materialized array
+    (O(w) per position, w is small).
     """
+    from .hashing import affine_long
+
     c = F.col(text_col)
     # explicit guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of
     # returning empty like generate_series, so short texts need a branch
-    pos_hashes = F.when(
-        F.length(c) >= k,
+    codes = F.when(
+        F.length(c) >= 1,
         F.transform(
-            F.sequence(F.lit(1), F.length(c) - (k - 1)),
-            lambda i: md5_long(c.substr(i, F.lit(k))),
+            F.sequence(F.lit(1), F.length(c)),
+            lambda i: F.ascii(c.substr(i, F.lit(1))).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+    def _kgram_hash(i: Column) -> Column:
+        poly = F.element_at(F.col("_codes"), i)
+        for j in range(1, k):
+            poly = poly * _POLY_BASE + F.element_at(F.col("_codes"), i + j)
+        return affine_long(poly, 0)
+
+    pos_hashes = F.when(
+        F.size("_codes") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_codes") - (k - 1)),
+            _kgram_hash,
         ),
     ).otherwise(F.array().cast("array<long>"))
     bh = F.col("_ph")
@@ -179,7 +210,8 @@ def winnowing_fingerprint(
     # across selects, not within one)
     selected = F.array_sort(F.array_distinct(minima))
     return (
-        df.select(F.col(id_col), pos_hashes.alias("_ph"))
+        df.select(F.col(id_col), codes.alias("_codes"))
+        .select(F.col(id_col), pos_hashes.alias("_ph"))
         .select(F.col(id_col), F.size("_ph").alias("n_kgrams"), selected.alias("_sel"))
         .select(
             F.col(id_col),

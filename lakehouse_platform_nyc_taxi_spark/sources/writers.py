@@ -97,6 +97,7 @@ def incremental_delete_insert(
     path: str,
     unique_key: Sequence[str],
     partition_by: Sequence[str] = ("year", "month"),
+    delete_scope: str = "partition",
 ) -> None:
     """S9: dbt ``incremental_strategy='delete+insert'`` on parquet.
 
@@ -108,11 +109,35 @@ def incremental_delete_insert(
 
     Faithful quirk: the incoming batch is NOT deduplicated — delete+insert
     keeps within-batch duplicates (SURVEY.md §7.4).
+
+    Known divergence from dbt (``delete_scope="partition"``, the default):
+    dbt deletes by key across the WHOLE table, this deletes only within
+    the batch's ``(year, month)`` partitions — a re-delivered key whose
+    corrected timestamp moves it to a different month leaves the stale row
+    behind in the old partition. When cross-partition key moves are
+    possible, pass ``delete_scope="table"``: the full table is anti-joined
+    against the batch keys and rewritten (dbt-equivalent result, at
+    full-table-rewrite cost — the honest price of cross-partition DELETE
+    without a snapshotting table format).
     """
+    if delete_scope not in ("partition", "table"):
+        raise ValueError(f"delete_scope must be 'partition' or 'table', got {delete_scope!r}")
     if not _path_exists(spark, path):
         overwrite_table(batch, path, partition_by)
         return
     existing = spark.read.parquet(path)
+
+    if delete_scope == "table":
+        keys = batch.select(*unique_key)
+        survivors = existing.join(keys, on=list(unique_key), how="left_anti")
+        result = survivors.select(*batch.columns).unionByName(batch)
+        # Materialize before overwriting the path being read (lineage to
+        # the source files must be cut or the overwrite corrupts its own
+        # input). Full-table rewrite is inherent to table-wide DELETE on
+        # plain parquet.
+        result = result.localCheckpoint()
+        overwrite_table(result, path, partition_by)
+        return
 
     # Restrict the rewrite to the batch's partitions. The distinct list
     # of (year, month) pairs is tiny (one per ingested month) — a safe

@@ -261,3 +261,75 @@ def test_hash_sampling_deterministic_and_leak_proof(spark):
     assert all(n == 5 for n in per_src.values())
     again = {r.doc_id for r in per_group_cap(df, "source", 5, "doc_id").collect()}
     assert again == {r.doc_id for r in capped.collect()}
+
+
+def test_minhash_lsh_rejects_indivisible_bands(docs):
+    import pytest
+
+    with pytest.raises(ValueError, match="divide evenly"):
+        dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=3)
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=1)
+
+
+def test_ngram_jaccard_df_cap_skew_valve(spark):
+    """A boilerplate gram shared by every doc in the block is O(df²) in
+    the posting-list join; the df cap drops it from the join while set
+    sizes stay exact, so true near-dups (whose overlap is mostly rare
+    grams) survive with a lower-bound jaccard."""
+    boiler = "legal disclaimer boilerplate header common to all documents"
+    tail = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"{boiler} unique filler {i} {i} {i}", "s") for i in range(20)]
+    rows.append((100, f"{boiler} {tail}", "s"))
+    rows.append((101, f"{boiler} {tail} extra", "s"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, "source", min_jaccard=0.3).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "source", min_jaccard=0.3, max_gram_df=5
+        ).collect()
+    }
+    assert (100, 101) in exact and (100, 101) in capped
+    # capped jaccard is a lower bound (hot grams removed from |A∩B| only)
+    assert capped[(100, 101)] <= exact[(100, 101)]
+    # the boilerplate-only pairs never meet after the cap
+    assert all(p == (100, 101) for p in capped)
+
+
+def test_ivf_build_probe_split_and_full_probe_equals_brute(spark):
+    """build once / probe many; probing ALL cells must equal brute force
+    (IVF with n_probe = n_cells is exact); kmeans method still works."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rng.normal(size=(150, 8)))],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") == 3).select(F.col("embedding").alias("qv"))
+
+    index = similarity.build_ivf_index(emb, n_cells=8, method="hash")
+    assert index.assigned.count() == 150
+    cells = [r.cell for r in index.assigned.select("cell").distinct().collect()]
+    assert all(0 <= c < 8 for c in cells)
+
+    brute = [(r.vec_id, r.score) for r in similarity.cosine_topk(emb, q, k=5).collect()]
+    full = [(r.vec_id, r.score) for r in similarity.ivf_probe(index, q, k=5, n_probe=8).collect()]
+    assert brute == full
+    # two probes reuse one build; each returns k rows
+    assert similarity.ivf_probe(index, q, k=3, n_probe=2).count() == 3
+    km = similarity.cosine_topk_ivf(emb, q, k=3, n_cells=4, n_probe=4, method="kmeans")
+    assert km.count() == 3

@@ -53,3 +53,13 @@ def test_salted_join_matches_plain_join(spark):
     assert plain.count() == salted.count()
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_join_rejects_outer_and_semi(spark):
+    import pytest
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id")
+    users = ev.select("user_id").distinct()
+    for how in ("right", "full_outer", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(ev, users, ["user_id"], n_salts=4, how=how)

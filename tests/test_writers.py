@@ -58,6 +58,31 @@ def test_incremental_keeps_within_batch_duplicates(spark, tmp_path):
     assert {r.v for r in df.collect()} == {2, 3}
 
 
+def test_incremental_table_scope_deletes_cross_partition(spark, tmp_path):
+    """delete_scope='table' removes a re-delivered key from its OLD
+    partition when the corrected row lands in a different month
+    (partition scope — the default — would leave the stale row)."""
+    path = str(tmp_path / "xpart")
+    incremental_delete_insert(
+        spark, _mk(spark, [("k1", 1, 2023, 1), ("k2", 1, 2023, 1)]), path, ["id"]
+    )
+    # k1's corrected timestamp moves it to month 2.
+    moved = _mk(spark, [("k1", 99, 2023, 2)])
+
+    incremental_delete_insert(spark, moved, path, ["id"], delete_scope="table")
+    got = {(r.id, r.v, r.month) for r in spark.read.parquet(path).collect()}
+    assert got == {("k1", 99, 2), ("k2", 1, 1)}
+
+    # Default partition scope documents the divergence: stale k1 stays.
+    path2 = str(tmp_path / "xpart2")
+    incremental_delete_insert(
+        spark, _mk(spark, [("k1", 1, 2023, 1), ("k2", 1, 2023, 1)]), path2, ["id"]
+    )
+    incremental_delete_insert(spark, moved, path2, ["id"])
+    ids = sorted(r.id for r in spark.read.parquet(path2).collect())
+    assert ids == ["k1", "k1", "k2"]
+
+
 def test_overwrite_table(spark, tmp_path):
     path = str(tmp_path / "ctas")
     overwrite_table(_mk(spark, [("a", 1, 2023, 1)]), path)
