@@ -97,12 +97,20 @@ def run_pipeline(
     retries: int = 2,
     retry_delay_s: float = 0.0,
     full_refresh: bool = False,
+    register_catalog: bool = False,
 ) -> PipelineResult:
     """Execute the model DAG (registration order is already topological).
 
     ``raw_paths`` maps raw table name -> parquet path. Materialized models
     land under ``warehouse_dir/<model>``; view models pass their DataFrame
     lineage downstream unmaterialized.
+
+    With ``register_catalog=True`` every materialized output (plus the raw
+    sources) is registered as an external table in per-layer databases
+    (raw/staging/intermediate/marts — dbt_project.yml:14-27), so a session
+    backed by a persistent metastore (see ``catalog.hive_catalog_session``)
+    lets a *fresh* session ``SELECT ... FROM marts.fct_trips_daily`` with
+    no Python setup, mirroring ingest_spark_bulk.py:220.
     """
     models = list(models) if models is not None else taxi_models()
     result = PipelineResult()
@@ -156,4 +164,14 @@ def run_pipeline(
                 if retry_delay_s:
                     time.sleep(retry_delay_s)
         result.timings[model.name] = time.monotonic() - start
+
+    if register_catalog:
+        from .catalog import register_pipeline_outputs
+
+        materialized = {
+            m.name: (f"{warehouse_dir}/{m.name}", bool(m.partition_by))
+            for m in models
+            if m.materialized in ("table", "incremental")
+        }
+        register_pipeline_outputs(spark, raw_paths, materialized)
     return result
