@@ -77,6 +77,12 @@ _PRIORITY = [
     "streaming_session_windows",
     "streaming_stateful_user_stats",
     "dedup_clusters",  # oracle upgraded rows-only -> recursive-CTE hash-match in r2
+    # new in r2 (no correctness row yet):
+    "similarity_topk_batch",
+    "similarity_topk_ivf_batch",
+    "embedding_dim_stats",
+    "corpus_curation",
+    "streaming_stream_static_join",
 ]
 _KEEP = [
     "dedup_exact",

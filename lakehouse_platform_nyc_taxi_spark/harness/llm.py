@@ -580,8 +580,11 @@ _IVF_DOT = "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * 
 _IVF_HR = MD5L.format(x="CAST(vec_id AS VARCHAR) || '|ivf'")
 
 
-@register(
-    "similarity_topk_ivf",
+# Shared IVF oracle CTEs: deterministic hash-sampled centroids (c),
+# first-max cell assignment (asg) — the SQL re-derivation of
+# build_ivf_index(method="hash"). Single- and batch-probe oracles append
+# their own q/probe/select on top.
+_IVF_CTES = (
     _VEC_CTE
     + f"""
     , c AS (
@@ -599,8 +602,16 @@ _IVF_HR = MD5L.format(x="CAST(vec_id AS VARCHAR) || '|ivf'")
                ) AS rk
         FROM n, c
     ),
-    asg AS (SELECT vec_id, e, nrm, cell FROM scored_cells WHERE rk = 1),
-    q AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = 0),
+    asg AS (SELECT vec_id, e, nrm, cell FROM scored_cells WHERE rk = 1)
+"""
+)
+
+
+@register(
+    "similarity_topk_ivf",
+    _IVF_CTES
+    + f"""
+    , q AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = 0),
     probe AS (
         SELECT c.cell
         FROM c, q
@@ -714,3 +725,209 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = multimodal.attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return multimodal.fake_feature_extractor(assets)
+
+
+# ---------------------------------------------------------------------------
+# Batch similarity search (B queries per call — the production ANN shape)
+# ---------------------------------------------------------------------------
+
+
+def _query_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+
+
+_BATCH_Q = ", q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n WHERE vec_id < 3)"
+
+
+@register(
+    "similarity_topk_batch",
+    _VEC_CTE
+    + _BATCH_Q
+    + f"""
+    , scored AS (
+        SELECT q.qid, n.vec_id,
+               round({_DOT.format(a='n.e', b='q.qe')} / (sqrt(n.nrm) * sqrt(q.qn)), 6) AS score
+        FROM n, q
+    ),
+    r AS (
+        SELECT qid, vec_id, score,
+               row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rk
+        FROM scored
+    )
+    SELECT qid, vec_id, score FROM r WHERE rk <= 10
+    """,
+    doc="Exact brute-force top-10 for a 3-query batch: broadcast the "
+    "query batch, score every corpus row against all queries in one "
+    "pass, rank per query with a window over slim (qid, id, score) "
+    "rows.",
+)
+def similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_batch(emb, _query_batch(spark, sf_dir), k=10)
+
+
+@register(
+    "similarity_topk_ivf_batch",
+    _IVF_CTES
+    + _BATCH_Q
+    + f"""
+    , cprobe AS (
+        SELECT qid, cell FROM (
+            SELECT q.qid, c.cell,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {_IVF_DOT.format(a='c.ce', b='q.qe')} / (sqrt(c.cnrm) * sqrt(q.qn)) DESC,
+                                c.cell
+                   ) AS crk
+            FROM c, q
+        ) WHERE crk <= 2
+    ),
+    scored AS (
+        SELECT q.qid, asg.vec_id,
+               round({_IVF_DOT.format(a='asg.e', b='q.qe')} / (sqrt(asg.nrm) * sqrt(q.qn)), 6) AS score
+        FROM asg
+        JOIN cprobe ON asg.cell = cprobe.cell
+        JOIN q ON q.qid = cprobe.qid
+    ),
+    r AS (
+        SELECT qid, vec_id, score,
+               row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rk
+        FROM scored
+    )
+    SELECT qid, vec_id, score FROM r WHERE rk <= 10
+    """,
+    doc="Batch IVF probe against the offline index: per query rank "
+    "centroids, keep the best 2 cells, join the (qid, cell) probe list "
+    "to the assignment, exact re-rank per qid — candidates shrink "
+    "~n_probe/n_cells before any shuffle (the batch-ANN scale path).",
+    prepare=_ivf_index,
+)
+def similarity_topk_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_probe_batch(
+        _ivf_index(spark, sf_dir), _query_batch(spark, sf_dir), k=10, n_probe=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding column analytics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    WITH v AS (
+        SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    x AS (
+        SELECT label,
+               unnest(list_transform(generate_series(1, len(e)),
+                                     i -> {'dim': i - 1, 'val': e[i]}),
+                      recursive := true)
+        FROM v
+    )
+    SELECT label, dim,
+           round(CAST(sum(CAST(val AS DECIMAL(28,8))) AS DOUBLE) / count(val), 6) AS mean_val,
+           round(min(val), 6) AS min_val,
+           round(max(val), 6) AS max_val
+    FROM x
+    GROUP BY label, dim
+    """,
+    doc="Per-(label, dimension) embedding distribution stats via "
+    "posexplode + grouped agg with order-independent decimal means — "
+    "the feature-drift / normalization-statistics pass over an "
+    "array<float> column. One explode (rows x dims slim triples), one "
+    "shuffle on the (label, dim) key.",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .core import davg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    # materialize the cast array in its own projection before exploding
+    # (expression-duplication fence), posexplode_outer so the generate
+    # isn't rewritten with an inferred size()>0 filter inlining vd
+    ex = emb.select("label", vd.alias("e")).select(
+        "label", F.posexplode_outer("e").alias("dim", "val")
+    )
+    return ex.groupBy("label", "dim").agg(
+        trino_round(davg("val"), 6).alias("mean_val"),
+        trino_round(F.min("val"), 6).alias("min_val"),
+        trino_round(F.max("val"), 6).alias("max_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation (quality -> dedup -> cap -> split)
+# ---------------------------------------------------------------------------
+
+_QEXPR = f"""(CASE WHEN len(toks) >= 10 AND len(toks) <= 100000 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN CAST(nc - (len(toks) - 1) AS DOUBLE) / len(toks) >= 3
+                        AND CAST(nc - (len(toks) - 1) AS DOUBLE) / len(toks) <= 12
+                       THEN 0.2 ELSE 0.0 END)
+               + (CASE WHEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / nc <= 0.2
+                       THEN 0.2 ELSE 0.0 END)
+               + (CASE WHEN CAST(len(list_filter(toks, w -> lower(w) IN ({_EN}))) AS DOUBLE) / len(toks) >= 0.01
+                       THEN 0.2 ELSE 0.0 END)"""
+
+
+@register(
+    "corpus_curation",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, text, {TOKS} AS toks, len(text) AS nc FROM documents
+    ),
+    s AS (
+        SELECT doc_id, source, text, CAST(len(toks) AS INTEGER) AS n_tokens,
+               {_QEXPR} AS q
+        FROM t
+    ),
+    hq AS (SELECT * FROM s WHERE q >= 0.8),
+    canon AS (
+        SELECT min(doc_id) AS cid
+        FROM (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+            FROM hq
+        )
+        GROUP BY h
+    ),
+    kept AS (
+        SELECT hq.doc_id, hq.source, hq.n_tokens
+        FROM hq JOIN canon ON hq.doc_id = canon.cid
+    ),
+    capped AS (
+        SELECT doc_id, source, n_tokens,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ({_HB.format(salt='cap')}) % 10000, doc_id
+               ) AS rk
+        FROM kept
+    ),
+    spl AS (
+        SELECT source, n_tokens,
+               CASE WHEN ({_HB.format(salt='split')}) % 10000 < 500 THEN 'val'
+                    WHEN ({_HB.format(salt='split')}) % 10000 < 1000 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM capped WHERE rk <= 200
+    )
+    SELECT source, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM spl
+    GROUP BY source, split
+    """,
+    doc="The flagship curation pipeline: quality filter -> exact dedup "
+    "(canonical = min doc_id) -> per-source cap (hash reservoir) -> "
+    "leak-proof split, rolled up to (source, split) doc/token totals. "
+    "One corpus scan, two slim shuffles (digest groupBy + cap window); "
+    "operators/curation.py fixes the stage order.",
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import curate_corpus, curation_summary
+
+    return curation_summary(curate_corpus(load_table(spark, sf_dir, "documents")))

@@ -123,6 +123,49 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_stream_static_join",
+    f"""
+    WITH wm AS (SELECT {_WM} AS cutoff FROM events),
+    j AS (
+        SELECT e.ts, e.value, c.c_nationkey
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    ),
+    agg AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+               date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+               c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value
+        FROM j GROUP BY 1, 2, 3
+    )
+    SELECT window_start, window_end, c_nationkey, n_events, total_value
+    FROM agg, wm
+    WHERE window_end <= wm.cutoff
+    """,
+    doc="Stream-static join: enrich the event stream with a broadcast "
+    "customer dimension (stateless — each micro-batch joins the static "
+    "snapshot), then a watermarked per-nation windowed rollup in append "
+    "mode; the oracle is the batch join with the same finalization "
+    "cutoff.",
+)
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..sources.testdata import load_table
+
+    ev = S.read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer")
+    out = S.stream_static_enrich(ev, dim).select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+        "c_nationkey",
+        "n_events",
+        "total_value",
+    )
+    return S.run_available_now(out, "append")
+
+
+@register(
     "streaming_stateful_user_stats",
     None,  # update-mode state op; float accumulation order is batch-dependent
     doc="Custom stateful operator via applyInPandasWithState: per-user "

@@ -235,3 +235,87 @@ def cosine_topk_ivf(
         materialize=False,
     )
     return ivf_probe(index, query, k=k, n_probe=n_probe)
+
+
+def cosine_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+) -> DataFrame:
+    """Exact top-k per query for a *batch* of query vectors — the shape
+    real ANN workloads take (dedup a candidate set, retrieve neighbors
+    for a training batch).
+
+    The query batch is broadcast (B rows, B small); every corpus row is
+    scored against all B queries in one pass, then ranked per query with
+    a window. The ranking shuffle carries (qid, id, score) triples —
+    B×N slim rows. That is the honest brute-force cost; when B×N makes
+    it the bottleneck, route through ``ivf_probe_batch`` (candidates
+    shrink ~n_probe/n_cells before any shuffle)."""
+    from pyspark.sql import Window
+
+    base = vec_norms(df, vec_col, [id_col])
+    q = vec_norms(queries, qvec_col, [qid_col]).select(
+        qid_col, F.col("v").alias("qv_d"), F.col("nrm").alias("qnrm")
+    )
+    cos = F.col("dot") / (F.sqrt("nrm") * F.sqrt("qnrm"))
+    scored = (
+        base.join(F.broadcast(q))
+        .withColumn("dot", dot_product(F.col("v"), F.col("qv_d")))
+        .select(qid_col, id_col, trino_round(cos, 6).alias("score"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def ivf_probe_batch(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+) -> DataFrame:
+    """Batch IVF probe: per query, rank centroids, keep the best
+    ``n_probe`` cells, join the (qid, cell) probe list to the assignment
+    on cell, exact re-rank per qid. Candidate volume per query is
+    ~n_probe/n_cells of the corpus, so the ranking shuffle is
+    B×N×(n_probe/n_cells) slim rows — the scale path for batch ANN."""
+    from pyspark.sql import Window
+
+    q = vec_norms(queries, qvec_col, [qid_col]).select(
+        qid_col, F.col("v").alias("qv_d"), F.col("nrm").alias("qnrm")
+    )
+    cw = Window.partitionBy(qid_col).orderBy(F.desc("cscore"), F.asc("cell"))
+    probe_cells = (
+        index.centroids.join(F.broadcast(q))
+        .withColumn("_cdot", dot_product(F.col("cv"), F.col("qv_d")))
+        .select(
+            qid_col,
+            "cell",
+            (F.col("_cdot") / (F.sqrt("cnrm") * F.sqrt("qnrm"))).alias("cscore"),
+        )
+        .withColumn("_crk", F.row_number().over(cw))
+        .filter(F.col("_crk") <= n_probe)
+        .select(qid_col, "cell")
+    )
+    cos = F.col("dot") / (F.sqrt("nrm") * F.sqrt("qnrm"))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(index.id_col))
+    return (
+        index.assigned.join(F.broadcast(probe_cells), "cell")
+        .join(F.broadcast(q.withColumnRenamed(qid_col, "_q2")),
+              F.col(qid_col) == F.col("_q2"))
+        .withColumn("dot", dot_product(F.col("v"), F.col("qv_d")))
+        .select(qid_col, index.id_col, trino_round(cos, 6).alias("score"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -43,11 +43,20 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
 
 
-def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def text_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Quality-scoring features: lengths, ratios, and a composite score.
 
     The quality score mirrors common pretraining-data filters (length
     window, punctuation density, stopword presence, mean word length).
+    ``keep`` carries extra input columns through the projection so
+    downstream consumers never need to join the stats back to the source
+    (stats are a pure projection — a self-join on id would add a shuffle
+    for nothing).
     """
     c = F.col(text_col)
     toks = tokens(text_col)
@@ -66,6 +75,7 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
     return df.select(
         id_col,
+        *keep,
         n_tokens.alias("n_tokens"),
         bpe_ish_token_count(text_col).alias("n_tokens_bpe"),
         n_chars.alias("n_chars_measured"),

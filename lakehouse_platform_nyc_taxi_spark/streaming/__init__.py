@@ -23,6 +23,7 @@ from .ops import (
     run_available_now,
     session_windows,
     stateful_user_stats,
+    stream_static_enrich,
     windowed_rollup,
 )
 from .sinks import stream_append_parquet, stream_upsert_parquet
@@ -33,6 +34,7 @@ __all__ = [
     "windowed_rollup",
     "dedup_counts",
     "session_windows",
+    "stream_static_enrich",
     "stateful_user_stats",
     "stream_append_parquet",
     "stream_upsert_parquet",

@@ -137,6 +137,43 @@ def session_windows(
     )
 
 
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_attr: str = "c_nationkey",
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-static join + windowed rollup: enrich each event with a
+    dimension attribute, then aggregate per (window, attribute).
+
+    Stream-static joins are stateless — every micro-batch equi-joins
+    against the static side's current snapshot, no watermark needed on
+    the join itself (the watermark governs the downstream windowed agg).
+    The static side is broadcast: at 100 TB of stream the dim table is
+    the small side by construction, so no shuffle touches the stream
+    until the windowed aggregation."""
+    enriched = events.join(
+        F.broadcast(dim.select(F.col(dim_key).alias(stream_key), dim_attr)),
+        stream_key,
+        "inner",
+    )
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), dim_attr)
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            dim_attr,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Custom stateful operator: applyInPandasWithState
 # --------------------------------------------------------------------------

@@ -130,3 +130,16 @@ def test_stream_upsert_foreachbatch(spark, tmp_path):
     assert spark.read.parquet(target).groupBy("id").count().filter(
         F.col("count") > 1
     ).count() == 0
+
+
+def test_stream_static_enrich_batch_equivalence(spark):
+    """The transform gives identical results on a batch frame (stream-static
+    joins are stateless, so batch equivalence is exact), inner-join drops
+    events with no dim row."""
+    ev = _events(spark, [(0, 1, 1.0), (10, 1, 2.0), (20, 2, 4.0), (30, 99, 8.0)])
+    dim = spark.createDataFrame(
+        [(1, 10), (2, 20)], "c_custkey long, c_nationkey int"
+    )
+    out = S.stream_static_enrich(ev, dim, window="1 hour", watermark="10 minutes")
+    rows = {(r.c_nationkey): (r.n_events, r.total_value) for r in out.collect()}
+    assert rows == {10: (2, 3.0), 20: (1, 4.0)}  # user 99 dropped (no dim)
