@@ -189,3 +189,69 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def _dir_bytes(spark: SparkSession, path: str) -> int:
+    """Recursive on-disk size of a table path (metadata-only FS listing)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(jpath).getLength())
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    partition_by: Sequence[str] | None = None,
+) -> int:
+    """Small-file compaction (the OPTIMIZE maintenance op): rewrite a
+    parquet table into ~``target_file_mb`` files. Returns the file count
+    written.
+
+    Streaming sinks and incremental ingests accumulate many small files;
+    at scale the scan's task-scheduling and footer-reading overhead
+    becomes O(files), so periodic compaction is part of operating a
+    parquet lakehouse. Sizing comes from one FS content summary
+    (metadata-only); the rewrite is one job. For partitioned tables the
+    repartition is on the partition columns + a uniform salt, so each
+    output partition gets ~equal file counts and dynamic overwrite
+    rewrites every partition in place.
+    """
+    total = _dir_bytes(spark, path)
+    n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if partition_by:
+        # shuffle on (partition cols, salt): co-locates each table
+        # partition's rows into ~n_files reducers so every partition
+        # directory gets few, evenly sized files
+        salt = (F.rand(seed=42) * n_files).cast("int")
+        out = df.repartition(*[F.col(c) for c in partition_by], salt)
+    else:
+        out = df.repartition(n_files)
+    # localCheckpoint cuts lineage to the files being overwritten —
+    # without it the rewrite would read and replace its own input
+    out = out.localCheckpoint()
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return n_files
+
+
+def sorted_write(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    n_files: int | None = None,
+) -> None:
+    """Range-partitioned, sorted parquet write — the data-skipping layout
+    (single-dimension ZORDER analogue).
+
+    ``repartitionByRange`` gives globally disjoint value ranges per file;
+    ``sortWithinPartitions`` orders rows inside each, so parquet row-group
+    min/max stats let a point/range predicate prune all but ~one file.
+    The range exchange samples the sort key to build balanced bounds —
+    skew-tolerant without manual tuning."""
+    cols = [F.col(c) for c in sort_cols]
+    out = df.repartitionByRange(*([n_files] if n_files else []), *cols)
+    out.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)

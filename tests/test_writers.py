@@ -134,3 +134,63 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_compact_table_reduces_files(spark, tmp_path):
+    from lakehouse_platform_nyc_taxi_spark.sources.writers import compact_table
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(path)
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 40
+    compact_table(spark, path, target_file_mb=128)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert after < before
+    got = spark.read.parquet(path)
+    assert got.count() == 10000
+    assert got.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+
+
+def test_compact_table_partitioned_keeps_layout(spark, tmp_path):
+    from lakehouse_platform_nyc_taxi_spark.sources.writers import compact_table
+
+    path = str(tmp_path / "fragp")
+    df = spark.range(4000).withColumn("year", (F.col("id") % 2 + 2023).cast("int"))
+    df.repartition(20).write.partitionBy("year").parquet(path)
+    import glob
+
+    before = len(glob.glob(f"{path}/year=*/*.parquet"))
+    compact_table(spark, path, target_file_mb=128, partition_by=["year"])
+    after = len(glob.glob(f"{path}/year=*/*.parquet"))
+    assert after < before
+    assert sorted(glob.glob(f"{path}/year=*")) == [f"{path}/year=2023", f"{path}/year=2024"]
+    assert spark.read.parquet(path).count() == 4000
+
+
+def test_sorted_write_produces_disjoint_file_ranges(spark, tmp_path):
+    from lakehouse_platform_nyc_taxi_spark.sources.writers import sorted_write
+
+    path = str(tmp_path / "sorted")
+    df = spark.range(20000).withColumn("key", (F.col("id") * 7919) % 10007)
+    sorted_write(df, path, ["key"], n_files=4)
+
+    import glob
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue
+        stats = [md.row_group(i).column(1).statistics for i in range(md.num_row_groups)]
+        assert md.schema.column(1).name == "key"
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # globally disjoint ranges -> predicate prunes files
+    assert spark.read.parquet(path).count() == 20000
