@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions.trino import trino_round
 from ..operators import dedup, multimodal, similarity, text
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, load_table_parallel
 from . import register
 
 MD5L = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
@@ -45,28 +45,33 @@ TOKS = "string_split_regex(trim(text), '\\s+')"
     "shuffle carries 32-byte digests, never the text.",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+    return dedup.exact_dedup(load_table_parallel(spark, sf_dir, "documents"))
 
 
 def _minhash_sig_sql(num_hashes: int = 8) -> str:
     from ..operators.hashing import affine_long_sql
+    from ..operators.text import _POLY_BASE
 
+    poly = "CAST(codes[i] AS BIGINT)"
+    for j in range(1, 5):
+        poly = f"({poly} * {_POLY_BASE} + codes[i + {j}])"
+    base = affine_long_sql(poly, 0)
     mins = ",\n           ".join(
         f"list_min(list_transform(bh, h -> {affine_long_sql('h', j)})) AS sig{j}"
         for j in range(num_hashes)
     )
     return f"""
-    WITH sh AS (
+    WITH cp AS (
         SELECT doc_id,
-               CASE WHEN len(text) >= 5
-                    THEN list_distinct(list_transform(generate_series(1, len(text) - 4),
-                                                      i -> substr(text, i, 5)))
-                    ELSE CAST([] AS VARCHAR[]) END AS shingles
+               list_transform(generate_series(1, len(text)),
+                              i -> ascii(substr(text, i, 1))) AS codes
         FROM documents
     ),
     bh AS (
-        SELECT doc_id, list_transform(shingles, s -> {MD5L.format(x='s')}) AS bh
-        FROM sh
+        SELECT doc_id,
+               list_transform(generate_series(1, greatest(len(codes) - 4, 0)),
+                              i -> {base}) AS bh
+        FROM cp
     ),
     sig AS (
         SELECT doc_id,
@@ -82,12 +87,13 @@ def _minhash_sig_sql(num_hashes: int = 8) -> str:
     + """
     SELECT doc_id, sig0, sig1, sig2, sig3, sig4, sig5, sig6, sig7 FROM sig
     """,
-    doc="MinHash signatures: one md5 per distinct 5-char shingle + 8 affine "
-    "rehashes, per-doc min — array higher-order functions, no explode, "
-    "no shuffle.",
+    doc="MinHash signatures: rolling polynomial hash per 5-char shingle "
+    "position + 8 affine rehashes, per-doc min — array higher-order "
+    "functions, no explode, no shuffle (min over positions == min over "
+    "the distinct shingle set).",
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return dedup.minhash_signatures(load_table_parallel(spark, sf_dir, "documents"))
 
 
 _BANDS_SQL = """
@@ -135,7 +141,7 @@ _AGREE_SQL = " + ".join(f"(CASE WHEN a{j} = b{j} THEN 1 ELSE 0 END)" for j in ra
     "band join is what keeps 100 TB sub-quadratic.",
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    return dedup.minhash_lsh_pairs(load_table_parallel(spark, sf_dir, "documents"))
 
 
 def _simhash_sql(bits: int = 16) -> str:
@@ -165,7 +171,7 @@ def _simhash_sql(bits: int = 16) -> str:
     "hash-groupBy; near-dups share digests within small Hamming distance.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+    return dedup.simhash(load_table_parallel(spark, sf_dir, "documents"))
 
 
 # Shared gram CTE + pair predicate for the ngram-Jaccard family. The
@@ -210,7 +216,7 @@ _NGRAM_JACCARD = (
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), block_col="source", max_gram_df=100
+        load_table_parallel(spark, sf_dir, "documents"), block_col="source", max_gram_df=100
     )
 
 
@@ -245,7 +251,7 @@ _DOT = "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_cosine_pairs(
-        load_table(spark, sf_dir, "embeddings"), block_col="label"
+        load_table_parallel(spark, sf_dir, "embeddings"), block_col="label"
     )
 
 
@@ -312,7 +318,7 @@ def _cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark.sparkContext), sf_dir)
     if key not in _PAIRS_CACHE:
         pairs = dedup.ngram_jaccard_pairs(
-            load_table(spark, sf_dir, "documents"), block_col="source", max_gram_df=100
+            load_table_parallel(spark, sf_dir, "documents"), block_col="source", max_gram_df=100
         )
         _PAIRS_CACHE[key] = pairs.localCheckpoint()
     return _PAIRS_CACHE[key]
@@ -378,7 +384,7 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     "linear scan, TakeOrdered top-k — the exact ANN baseline.",
 )
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
@@ -404,7 +410,7 @@ _BUCKET = " + ".join(f"(CASE WHEN {{e}}[{i + 1}] > 0 THEN {2**i} ELSE 0 END)" fo
     "then exact re-score — the ~2^8-fold-pruned scale path.",
 )
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     return similarity.cosine_topk_lsh(emb, _query_vec(spark, sf_dir), k=10)
 
 
@@ -454,7 +460,7 @@ _EN = ", ".join(f"'{w}'" for w in text.LANG_LEXICONS["en"])
     "codegen'd projection, no shuffle.",
 )
 def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.text_stats(load_table(spark, sf_dir, "documents"))
+    return text.text_stats(load_table_parallel(spark, sf_dir, "documents"))
 
 
 def _lang_hits_sql() -> str:
@@ -493,7 +499,7 @@ def _lang_pred_sql() -> str:
     "n-gram-heuristic family expressed as one projection.",
 )
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.language_id(load_table(spark, sf_dir, "documents"))
+    return text.language_id(load_table_parallel(spark, sf_dir, "documents"))
 
 
 @register(
@@ -511,7 +517,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash sketch (winnowing family) for dedup bucketing.",
 )
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.fingerprints(load_table(spark, sf_dir, "documents"))
+    return text.fingerprints(load_table_parallel(spark, sf_dir, "documents"))
 
 
 @register(
@@ -548,7 +554,7 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "materialized).",
 )
 def text_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     stats = text.text_stats(docs).join(docs.select("doc_id", "source"), "doc_id")
     hq = F.when(F.col("is_high_quality"), 1).otherwise(0)
     return stats.groupBy("source").agg(
@@ -571,7 +577,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> similarity.IvfIndex:
     key = (id(spark.sparkContext), sf_dir)
     if key not in _IVF_CACHE:
         _IVF_CACHE[key] = similarity.build_ivf_index(
-            load_table(spark, sf_dir, "embeddings"), n_cells=16, method="hash"
+            load_table_parallel(spark, sf_dir, "embeddings"), n_cells=16, method="hash"
         )
     return _IVF_CACHE[key]
 
@@ -687,7 +693,7 @@ def _winnow_poly_sql() -> str:
     "no shuffle.",
 )
 def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.winnowing_fingerprint(load_table(spark, sf_dir, "documents"))
+    return text.winnowing_fingerprint(load_table_parallel(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -723,7 +729,7 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "import-try). Rows-only driver check.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assets = multimodal.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    assets = multimodal.attach_binary_payload(load_table_parallel(spark, sf_dir, "documents"))
     return multimodal.fake_feature_extractor(assets)
 
 
@@ -765,7 +771,7 @@ _BATCH_Q = ", q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n WHERE vec_id
     "rows.",
 )
 def similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     return similarity.cosine_topk_batch(emb, _query_batch(spark, sf_dir), k=10)
 
 
@@ -846,7 +852,7 @@ def similarity_topk_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .core import davg
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     vd = F.transform("embedding", lambda x: x.cast("double"))
     # materialize the cast array in its own projection before exploding
     # (expression-duplication fence), posexplode_outer so the generate
@@ -930,4 +936,4 @@ _QEXPR = f"""(CASE WHEN len(toks) >= 10 AND len(toks) <= 100000 THEN 0.4 ELSE 0.
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import curate_corpus, curation_summary
 
-    return curation_summary(curate_corpus(load_table(spark, sf_dir, "documents")))
+    return curation_summary(curate_corpus(load_table_parallel(spark, sf_dir, "documents")))

@@ -79,21 +79,47 @@ def minhash_signatures(
 
     A per-row projection — array_min over transformed shingle arrays, no
     explode and no shuffle; at scale this is pure mapper work fused into
-    the document scan. Cost control: ONE md5 per distinct shingle, then
-    num_hashes cheap affine rehashes (the classic one-base-hash MinHash
-    family) — not num_hashes md5s. Base hashes are materialized in an
-    intermediate projection so the shingle/md5 work isn't re-evaluated
+    the document scan. Cost control: the base hash is a rolling
+    polynomial over code points (the winnowing k-gram hash — integer
+    ops, no per-shingle string allocation or digest; ~2x vs the md5
+    form), then num_hashes cheap affine rehashes (the classic
+    one-base-hash MinHash family). Distinctness is free: min over all
+    positions equals min over the distinct shingle set, so duplicate
+    shingles never need removing. Base hashes are materialized in an
+    intermediate projection so the per-position work isn't re-evaluated
     per signature column.
     """
-    sh = F.array_distinct(shingles(text_col, shingle_size))
+    from .text import _POLY_BASE
+
+    c = F.col(text_col)
+    codes = F.when(
+        F.length(c) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c)),
+            lambda i: F.ascii(c.substr(i, F.lit(1))).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+    def _kgram(i):
+        poly = F.element_at(F.col("_codes"), i)
+        for j in range(1, shingle_size):
+            poly = poly * _POLY_BASE + F.element_at(F.col("_codes"), i + j)
+        return affine_long(poly, 0)
+
+    pos_hashes = F.when(
+        F.size("_codes") >= shingle_size,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_codes") - (shingle_size - 1)), _kgram
+        ),
+    ).otherwise(F.array().cast("array<long>"))
 
     def _seeded(j):
         # closure (not default-arg capture): PySpark counts the lambda's
         # parameters to build the higher-order function
         return lambda h: affine_long(h, j)
 
-    base = df.select(
-        F.col(id_col), F.transform(sh, md5_long).alias("_base_hashes")
+    base = df.select(F.col(id_col), codes.alias("_codes")).select(
+        F.col(id_col), pos_hashes.alias("_base_hashes")
     )
     sig_cols = [
         F.array_min(F.transform(F.col("_base_hashes"), _seeded(j))).alias(f"sig{j}")

@@ -52,6 +52,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table_parallel(
+    spark: SparkSession, sf_dir: str, name: str, partitions: int | None = None
+) -> DataFrame:
+    """``load_table`` + round-robin repartition to the core count.
+
+    The testdata ships ONE row group per table, and parquet cannot split
+    a row group — so every scan is a single task no matter how many
+    cores or what ``spark.sql.files.maxPartitionBytes`` says. That is a
+    bench-scale artifact: the same table at production scale has
+    thousands of files/row groups and parallelizes naturally. For
+    CPU-bound per-row operators (shingling, hashing, higher-order array
+    pipelines, Arrow-batched Python) the explicit repartition recreates
+    the production parallelism; the shuffled payload is the raw table —
+    a few MB here, measured 5-6x end-to-end on the fingerprint/MinHash
+    family. Scan-bound or pushdown-sensitive queries should keep plain
+    ``load_table`` (the extra exchange would only add cost)."""
+    df = load_table(spark, sf_dir, name)
+    return df.repartition(partitions or spark.sparkContext.defaultParallelism)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
 ) -> dict[str, DataFrame]:
