@@ -51,7 +51,7 @@ def streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
-    return S.run_available_now(out, "append")
+    return S.run_available_now(out, "append", state_partitions=8)
 
 
 @register(
@@ -70,7 +70,7 @@ def streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = S.read_events_stream(spark, sf_dir)
-    return S.run_available_now(S.dedup_counts(ev, watermark="1 hour"), "complete")
+    return S.run_available_now(S.dedup_counts(ev, watermark="1 hour"), "complete", state_partitions=8)
 
 
 @register(
@@ -119,7 +119,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "session_value",
     )
-    return S.run_available_now(out, "append")
+    return S.run_available_now(out, "append", state_partitions=8)
 
 
 @register(
@@ -162,7 +162,7 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
-    return S.run_available_now(out, "append")
+    return S.run_available_now(out, "append", state_partitions=8)
 
 
 @register(
@@ -174,4 +174,4 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = S.read_events_stream(spark, sf_dir)
-    return S.run_available_now(S.stateful_user_stats(ev), "update")
+    return S.run_available_now(S.stateful_user_stats(ev), "update", state_partitions=8)

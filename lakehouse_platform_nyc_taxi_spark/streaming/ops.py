@@ -51,7 +51,9 @@ def read_events_stream(
     return df.select([F.col(f.name) for f in batch.schema.fields])
 
 
-def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, output_mode: str, state_partitions: int | None = None
+) -> DataFrame:
     """Drain a streaming DataFrame with trigger(availableNow) into a
     memory sink and return the sink contents as a batch DataFrame.
 
@@ -59,17 +61,36 @@ def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
     in append mode the final watermark (max event time − delay) decides
     which windows/sessions are finalized — exactly the semantics the
     oracle SQL mirrors.
+
+    ``state_partitions`` sizes the stateful-operator shuffle for THIS
+    query (captured at stream start; the session conf is restored
+    afterwards). Streaming state partitioning is a deliberate choice,
+    not a default: each partition carries its own state-store files and
+    per-batch commit overhead, and production streams cannot cheaply
+    repartition state later — so size it to key cardinality/throughput.
+    For these drains (a few hundred keys) 32 partitions costs ~2x the
+    whole query in state-store bookkeeping; results are identical for
+    any value because state is key-partitioned.
     """
-    name = f"_stream_sink_{next(_SINK_IDS)}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    spark = stream_df.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key)
+    if state_partitions is not None:
+        spark.conf.set(conf_key, str(state_partitions))
+    try:
+        name = f"_stream_sink_{next(_SINK_IDS)}"
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set(conf_key, prev)
+    return spark.table(name)
 
 
 def windowed_rollup(
