@@ -49,6 +49,53 @@ def exact_dedup(
     )
 
 
+def content_digest(df: DataFrame, text_col: str = "text") -> Column:
+    """The engine-wide exact-dedup digest: md5 of lowercased,
+    whitespace-collapsed text (what ``exact_dedup`` groups on)."""
+    return F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    )
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    seen_digests: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup an incoming batch against an existing corpus — the steady-state
+    shape of a training-data pipeline (the full corpus was deduped once;
+    every new crawl/delivery dedups against the accumulated digest store,
+    never against the full text).
+
+    Returns ``(fresh, digests)``: ``fresh`` is the batch minus
+    within-batch duplicates (smallest id canonical) minus anything whose
+    digest is already in ``seen_digests`` (a 1-column ``content_hash``
+    table); ``digests`` is the batch's new digests to append to the
+    store. Two shuffles, both carrying 32-byte digests: the within-batch
+    groupBy and the anti-join against the store (which at scale is a
+    bucketed/partitioned table on content_hash, making the anti-join
+    zero-exchange on the store side). Pass ``seen_digests=None`` for the
+    bootstrap run.
+    """
+    from pyspark.sql import Window
+
+    hashed = batch.withColumn("content_hash", content_digest(batch, text_col))
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    w_batch = (
+        hashed.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    if seen_digests is not None:
+        w_batch = w_batch.join(
+            seen_digests.select("content_hash"), "content_hash", "left_anti"
+        )
+    fresh = w_batch.select(*batch.columns)
+    digests = w_batch.select("content_hash")
+    return fresh, digests
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -416,3 +416,21 @@ def test_curate_corpus_stages(spark):
         per_src[r.source] = per_src.get(r.source, 0) + 1
     assert per_src == {"srcA": 5, "srcB": 5}
     assert 100 not in {r.doc_id for r in capped}
+
+
+def test_incremental_exact_dedup_against_store(spark):
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string, source string")
+    b1 = mk([(1, "alpha beta", "s"), (2, "ALPHA  beta", "s"), (3, "gamma", "s")])
+    fresh1, dig1 = dedup.incremental_exact_dedup(b1, None)
+    assert sorted(r.doc_id for r in fresh1.collect()) == [1, 3]  # 2 normalizes to 1
+
+    store = dig1.localCheckpoint()
+    b2 = mk([(10, "alpha beta", "s"), (11, "delta", "s"), (12, "delta", "s")])
+    fresh2, dig2 = dedup.incremental_exact_dedup(b2, store)
+    assert sorted(r.doc_id for r in fresh2.collect()) == [11]  # 10 seen, 12 in-batch dup
+    assert dig2.count() == 1
+
+    # idempotent redelivery: union the store, re-run the same batch
+    store2 = store.union(dig2).localCheckpoint()
+    fresh3, _ = dedup.incremental_exact_dedup(b2, store2)
+    assert fresh3.count() == 0
