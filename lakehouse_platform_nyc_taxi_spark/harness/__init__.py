@@ -83,6 +83,13 @@ _PRIORITY = [
     "embedding_dim_stats",
     "corpus_curation",
     "streaming_stream_static_join",
+    # new in r2 batch 2 (no correctness row yet):
+    "text_repetition",
+    "text_decontamination",
+    "text_tfidf_topk",
+    "text_heavy_hitters",
+    "sessionize_events",
+    "sampling_stratified_resample",
 ]
 _KEEP = [
     "dedup_exact",
@@ -141,7 +148,7 @@ _ROTATE_OUT = [
 
 def registry() -> dict[str, QuerySpec]:
     # Import for side effects (registration) on first use.
-    from . import analytics, core, llm, streaming  # noqa: F401
+    from . import analytics, core, llm, streaming, textops  # noqa: F401
 
     listed = set(_PRIORITY) | set(_KEEP) | set(_ROTATE_OUT)
     new = [n for n in _REGISTRY if n not in listed]

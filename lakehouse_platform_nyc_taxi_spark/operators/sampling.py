@@ -63,6 +63,33 @@ def train_val_test_split(
     )
 
 
+def stratified_resample(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Domain-mixture resampling: keep a different deterministic fraction
+    of each group (e.g. downsample 'web' to 20%, keep 'books' whole) —
+    the rate-based twin of ``per_group_cap`` for hitting a target corpus
+    mixture when group sizes are known.
+
+    One hash decides membership against a per-group threshold looked up
+    from a literal map, so the whole operator is a row-local filter: no
+    shuffle, no join, reproducible across engines and reruns. Rates are
+    quantized to 1/10000.
+    """
+    b = hash_bucket(F.col(key_col), salt)
+    threshold = F.lit(int(default_rate * _RATE_BUCKETS))
+    for g, r in sorted(rates.items()):
+        threshold = F.when(
+            F.col(group_col) == g, F.lit(int(r * _RATE_BUCKETS))
+        ).otherwise(threshold)
+    return df.filter(b < threshold)
+
+
 def per_group_cap(
     df: DataFrame,
     group_col: str,

@@ -1,0 +1,88 @@
+"""Batch sessionization (gaps-and-islands) over an event stream.
+
+The batch twin of ``streaming/ops.py`` session windows: given events with
+a user key and timestamp, assign each event to a session that closes when
+the gap to the previous event exceeds ``gap``; emit one row per session.
+
+Scale notes: one shuffle on the user key (the window partition); every
+window function here shares that single partitioning, so Catalyst plans
+exactly one Exchange and the session flag/index/rollup all run inside it.
+Per-user event counts are bounded in practice (a user's history fits a
+partition); a pathological hot key is a salting candidate but cannot be
+salted here without breaking session continuity — the standard answer is
+a per-(user, day) pre-split when a key's history exceeds partition
+memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """One row per (user, session): start/end, event count, value total.
+
+    A new session starts when the gap since the previous event is
+    STRICTLY greater than ``gap_minutes`` (an event landing exactly on
+    the boundary extends the session — the inclusive-gap convention of
+    ``streaming/ops.py`` session windows). Ordering ties on ``ts`` are
+    broken by ``order_tiebreak`` so the running flag-sum is
+    deterministic; the session rollup itself is tiebreak-insensitive.
+
+    The value total goes through the decimal fence (order-independent
+    double sum) so results are stable across partitionings/engines.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    prev_ts = F.lag(ts_col).over(w)
+    # microsecond arithmetic throughout: unix_timestamp() truncates each
+    # endpoint to seconds, which both misjudges gaps that straddle a
+    # second boundary and off-by-ones the session duration.
+    # timestamp_diff (not unix_micros) so TIMESTAMP_NTZ inputs work.
+    gap_us = F.timestamp_diff("MICROSECOND", prev_ts, F.col(ts_col))
+    new_session = F.when(
+        prev_ts.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    flagged = df.select(
+        user_col,
+        ts_col,
+        order_tiebreak,
+        value_col,
+        new_session.alias("_new"),
+    )
+    # running sum of the new-session flags = 1-based session index
+    sess_idx = F.sum("_new").over(
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # NB: _new references lag() — compute it in its own select, then the
+    # running sum in the next, so the window functions chain instead of
+    # nesting (nested window expressions are rejected by the analyzer).
+    with_idx = flagged.select(
+        user_col, ts_col, value_col, sess_idx.alias("session_idx")
+    )
+    return (
+        with_idx.groupBy(user_col, "session_idx")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(28,8)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .withColumn(
+            "duration_s",
+            F.expr(
+                "timestampdiff(MICROSECOND, session_start, session_end) div 1000000"
+            ),
+        )
+    )

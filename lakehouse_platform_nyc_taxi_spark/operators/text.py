@@ -8,7 +8,7 @@ mapper pass over the document scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.trino import trino_round
@@ -137,6 +137,220 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.md5(F.array_join(F.transform(min_k, lambda h: h.cast("string")), "-")).alias(
             "winnow_fp"
         ),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, one codegen projection:
+
+    - ``distinct_token_ratio``: |distinct tokens| / |tokens| (low = loopy)
+    - ``top_bigram_count`` / ``top_bigram_share``: occurrences of the most
+      frequent bigram and the fraction of all bigrams it covers (high =
+      boilerplate / degenerate repetition)
+
+    The per-doc bigram mode is computed WITHOUT a shuffle: sort the
+    bigram array, then a single ``aggregate`` fold finds the longest run
+    of equal adjacent elements (run length in a sorted array == bigram
+    frequency). O(n log n) per row, zero exchanges — at 100 TB this is
+    pure mapper work riding the document scan, where the
+    explode+groupBy formulation would shuffle one row per token.
+
+    Ratios are exact IEEE divisions of integer-valued operands, so they
+    are bit-identical across engines with no rounding needed.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # longest run of equal adjacent elements in the sorted bigram array
+    run_state = F.aggregate(
+        F.array_sort(F.col("_bigrams")),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            n.alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+            bigrams.alias("_bigrams"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct_tokens",
+            F.size("_bigrams").alias("n_bigrams"),
+            run_state.alias("top_bigram_count"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct_tokens",
+            (F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")).alias(
+                "distinct_token_ratio"
+            ),
+            "top_bigram_count",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.col("top_bigram_count").cast("double") / F.col("n_bigrams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_share"),
+        )
+    )
+
+
+def shingles(col: Column | str, n: int = 8) -> Column:
+    """Distinct token n-gram strings of a document (order preserved then
+    deduplicated) — the unit of overlap for decontamination."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Benchmark-contamination check: for every training document, the
+    fraction of its token ``n``-grams that appear anywhere in the eval
+    set. The standard pretraining hygiene pass (eval n-gram overlap).
+
+    Dataflow: explode the train side's distinct shingles (one row per
+    doc-shingle), broadcast the eval side's distinct shingle set (eval
+    benchmarks are small by construction — thousands of docs, not
+    billions), left-join, re-aggregate per doc. One shuffle on the doc
+    id; the join itself is broadcast, so no shuffle scales with the
+    corpus. At extreme eval sizes swap the broadcast for a shuffle join
+    on a shingle HASH (32-byte digests, not strings) — the string join
+    here keeps the oracle byte-exact.
+    """
+    t = train.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("_g"))
+    e = (
+        eval_df.select(F.explode(shingles(text_col, n)).alias("_g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = t.join(F.broadcast(e), "_g", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_contaminated",
+            (F.col("n_contaminated").cast("double") / F.col("n_shingles")).alias(
+                "contamination_rate"
+            ),
+            (
+                F.col("n_contaminated").cast("double") / F.col("n_shingles")
+                >= threshold
+            ).alias("is_contaminated"),
+        )
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf.
+
+    score = (tf / doc_len) * ln(N / df). Ranking runs over the ROUNDED
+    score (6 decimals, both engines) with a token-ascending tiebreak, so
+    the kept set is deterministic across engines/partitionings even when
+    distinct (tf, df) pairs produce near-equal doubles.
+
+    Dataflow: explode tokens -> per-(doc, token) counts (one shuffle,
+    map-side combined) -> document-frequency table from the same counts
+    (second agg on token) -> join back on token -> per-doc ranking
+    window. The df table is vocabulary-sized — orders smaller than the
+    corpus — so the token join broadcast-qualifies for real vocabularies;
+    AQE handles the hot-token skew otherwise. N (corpus size) rides a
+    1-row broadcast cross join, never a driver collect.
+    """
+    toks_tbl = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
+    tf = toks_tbl.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    doc_len = tf.groupBy(id_col).agg(F.sum("tf").alias("doc_len"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = tf.select(id_col).distinct().agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(doc_len, id_col)
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "token",
+            "tf",
+            "df_docs",
+            trino_round(
+                (F.col("tf").cast("double") / F.col("doc_len"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df_docs")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "rk", "token", "tf", "df_docs", "tfidf")
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, text_col: str = "text", top: int = 20
+) -> DataFrame:
+    """Corpus-wide most frequent tokens (exact heavy hitters).
+
+    explode -> groupBy(token) with map-side partial aggregation (the
+    shuffle carries one row per distinct token per task, not per token
+    occurrence) -> TakeOrderedAndProject for the top slice. Deterministic
+    tiebreak on the token itself.
+    """
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(top)
     )
 
 

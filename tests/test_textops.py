@@ -1,0 +1,154 @@
+"""Unit tests for the round-2 text/session/sampling extension operators,
+on crafted fixtures where the expected answer is computable by hand."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from lakehouse_platform_nyc_taxi_spark.operators.sampling import (
+    hash_bucket,
+    stratified_resample,
+)
+from lakehouse_platform_nyc_taxi_spark.operators.sessionize import sessionize
+from lakehouse_platform_nyc_taxi_spark.operators.text import (
+    decontaminate,
+    heavy_hitters,
+    repetition_stats,
+    shingles,
+    tfidf_topk,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_degenerate_vs_diverse(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b a b a b a b"),  # bigram 'a b' occurs 4x of 7 bigrams
+            (2, "one two three four five six seven eight"),  # all unique
+            (3, "solo"),  # no bigrams
+        ],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["n_tokens"] == 8
+    assert out[1]["n_distinct_tokens"] == 2
+    assert out[1]["top_bigram_count"] == 4  # 'a b' at positions 1,3,5,7
+    assert out[1]["top_bigram_share"] == 4 / 7
+    assert out[2]["top_bigram_count"] == 1
+    assert out[2]["distinct_token_ratio"] == 1.0
+    assert out[3]["top_bigram_count"] == 0
+    assert out[3]["top_bigram_share"] == 0.0
+
+
+def test_shingles_distinct_and_short_doc_guard(spark):
+    df = _docs(spark, [(1, "a b c d e"), (2, "x y")])
+    out = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", shingles("text", 3).alias("g")).collect()
+    }
+    assert out[1] == ["a b c", "b c d", "c d e"]
+    assert out[2] == []  # shorter than n -> empty, not [1, 0]-style garbage
+
+
+def test_decontaminate_flags_overlap(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # contains eval gram
+            (2, "completely different words with zero overlap here now"),
+        ],
+    )
+    eval_df = _docs(spark, [(100, "quick brown fox jumps")])
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(train, eval_df, n=4, threshold=0.1).collect()
+    }
+    assert out[1]["n_contaminated"] == 1  # 'quick brown fox jumps'
+    assert out[1]["is_contaminated"]
+    assert out[2]["n_contaminated"] == 0
+    assert not out[2]["is_contaminated"]
+
+
+def test_tfidf_ranks_rare_terms_above_ubiquitous(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "common common rare1"),
+            (2, "common common rare2"),
+            (3, "common common rare3"),
+        ],
+    )
+    out = tfidf_topk(df, k=1).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    # 'common' appears in every doc -> idf 0; the rare term must win
+    assert by_doc[1]["token"] == "rare1"
+    assert by_doc[2]["token"] == "rare2"
+    assert by_doc[3]["token"] == "rare3"
+    assert all(r["rk"] == 1 for r in out)
+
+
+def test_heavy_hitters_order_and_tiebreak(spark):
+    df = _docs(spark, [(1, "b b b a a c"), (2, "a c")])
+    out = [(r["token"], r["n_occurrences"]) for r in heavy_hitters(df, top=3).collect()]
+    assert out == [("a", 3), ("b", 3), ("c", 2)]  # count desc, token asc
+
+
+def test_sessionize_gap_boundary_and_rollup(spark):
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes, micros=0):
+        return t0 + datetime.timedelta(minutes=minutes, microseconds=micros)
+
+    rows = [
+        # user 7: events at 0, 30min (exactly gap -> same session), then
+        # 30min + 1us past the gap -> new session
+        (1, ts(0), 7, 1.0),
+        (2, ts(30), 7, 2.0),
+        (3, ts(90, 1), 7, 4.0),
+        # user 8: single event
+        (4, ts(5), 8, 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, value double"
+    )
+    out = {
+        (r["user_id"], r["session_idx"]): r
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    s1 = out[(7, 1)]
+    assert s1["n_events"] == 2  # the exactly-30min event extends the session
+    assert s1["total_value"] == 3.0
+    assert s1["duration_s"] == 30 * 60
+    s2 = out[(7, 2)]
+    assert s2["n_events"] == 1
+    assert s2["duration_s"] == 0
+    assert out[(8, 1)]["n_events"] == 1
+
+
+def test_stratified_resample_deterministic_and_thresholded(spark):
+    rows = [(i, "keep" if i % 2 else "down") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = stratified_resample(df, "source", {"down": 0.1}, "doc_id")
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in kept.collect())
+    assert a == b  # deterministic
+    by_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src["keep"] == 100  # default rate 1.0 keeps everything
+    assert 0 < by_src.get("down", 0) < 35  # ~10% of 100, hash noise allowed
+    # membership matches the hash threshold exactly
+    expected = {
+        r["doc_id"]
+        for r in df.select(
+            "doc_id", "source", hash_bucket(F.col("doc_id"), "mix").alias("b")
+        ).collect()
+        if r["source"] == "keep" or r["b"] < 1000
+    }
+    assert set(a) == expected
