@@ -303,11 +303,21 @@ def tfidf_topk(
     corpus — so the token join broadcast-qualifies for real vocabularies;
     AQE handles the hot-token skew otherwise. N (corpus size) rides a
     1-row broadcast cross join, never a driver collect.
+
+    The tf table feeds FOUR consumers (scores, doc lengths, document
+    frequencies, corpus size); Spark replays common subplans rather than
+    sharing them, so without a fence the corpus would be scanned and
+    token-shuffled four times. localCheckpoint materializes tf once —
+    everything downstream aggregates the materialized counts.
     """
     toks_tbl = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("token")
     )
-    tf = toks_tbl.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        toks_tbl.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     doc_len = tf.groupBy(id_col).agg(F.sum("tf").alias("doc_len"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
     n_docs = tf.select(id_col).distinct().agg(F.count(F.lit(1)).alias("n_docs"))

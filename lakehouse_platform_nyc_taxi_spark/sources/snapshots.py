@@ -1,0 +1,257 @@
+"""Snapshot-versioned parquet tables: ACID-ish DML without table-format
+jars.
+
+The reference registers its layers as Iceberg tables and leans on
+Iceberg DML — ``DELETE FROM t WHERE year=Y AND month=M`` plus snapshot
+reads (scripts/nyc_taxi/ingest_spark_bulk.py:73-76). This container
+ships no Iceberg/Delta jars, so this module rebuilds the metadata layer
+those formats provide, on plain parquet:
+
+- a table is a directory of immutable data files plus ``_snapshots/``
+  manifest JSONs; each manifest lists exactly the files belonging to one
+  table version (the Iceberg/Delta design: data immutable, state =
+  manifest);
+- writers never mutate data files — append adds files, delete rewrites
+  only the files that contain matching rows (copy-on-write) — and
+  commit a new manifest via write-temp + atomic ``os.replace``, so a
+  concurrent reader sees the old version or the new one, never a
+  half-state (snapshot isolation for readers; writers are single-process
+  serialized, the same atomic-rename contract Delta uses on HDFS);
+- old manifests stay, so any historical version remains readable
+  (time travel) and ``rollback`` is just re-committing an old file list.
+
+Scale notes: delete prunes files by parquet footer min/max stats BEFORE
+touching data (only candidate files are read or rewritten — on a
+partitioned/sorted layout a point delete rewrites one file, not the
+table), and the rewrite of all candidate files is ONE distributed job,
+not a per-file loop. Manifests carry relative paths, so tables relocate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+_SNAP_DIR = "_snapshots"
+_DATA_DIR = "data"
+
+
+def _table_dirs(path: str) -> tuple[str, str]:
+    return os.path.join(path, _SNAP_DIR), os.path.join(path, _DATA_DIR)
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, _SNAP_DIR, f"v{version:08d}.json")
+
+
+def _versions(path: str) -> list[int]:
+    snap_dir, _ = _table_dirs(path)
+    if not os.path.isdir(snap_dir):
+        return []
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(snap_dir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as fh:
+        return json.load(fh)
+
+
+def _commit(path: str, files: list[str], op: str, parent: int | None) -> int:
+    """Atomically publish a new version: temp file + os.replace (atomic
+    on POSIX), so readers never observe a torn manifest."""
+    version = (parent or 0) + 1
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "op": op,
+        "committed_at": time.time(),
+        "files": sorted(files),
+    }
+    target = _manifest_path(path, version)
+    if os.path.exists(target):
+        raise RuntimeError(
+            f"version {version} already committed at {path} — concurrent "
+            "writer? snapshot tables are single-writer"
+        )
+    tmp = target + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, target)
+    return version
+
+
+def _write_data_files(df: DataFrame, path: str) -> list[str]:
+    """Write df as new immutable data files; return their table-relative
+    paths. Files land in a fresh uuid-named subdir of data/, so no write
+    ever collides with an existing file (immutability invariant)."""
+    batch = uuid.uuid4().hex
+    out_dir = os.path.join(path, _DATA_DIR, batch)
+    df.write.mode("error").parquet(out_dir)
+    rel = []
+    for root, _dirs, names in os.walk(out_dir):
+        for n in names:
+            if n.endswith(".parquet"):
+                rel.append(
+                    os.path.relpath(os.path.join(root, n), path)
+                )
+    return rel
+
+
+def current_version(path: str) -> int | None:
+    vs = _versions(path)
+    return vs[-1] if vs else None
+
+
+def create_table(df: DataFrame, path: str) -> int:
+    """CTAS: v1 of a new snapshot table."""
+    if _versions(path):
+        raise ValueError(f"snapshot table already exists at {path}")
+    os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
+    files = _write_data_files(df, path)
+    return _commit(path, files, "create", parent=None)
+
+
+def append(df: DataFrame, path: str) -> int:
+    """Append-only commit: new files + previous version's files."""
+    parent = current_version(path)
+    if parent is None:
+        raise ValueError(f"no snapshot table at {path}")
+    files = _read_manifest(path, parent)["files"] + _write_data_files(df, path)
+    return _commit(path, files, "append", parent=parent)
+
+
+def read_table(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a pinned version (time travel) or the latest. The returned
+    DataFrame stays valid even if later commits change the table — its
+    file list is frozen (immutable data files are never rewritten)."""
+    v = version if version is not None else current_version(path)
+    if v is None:
+        raise ValueError(f"no snapshot table at {path}")
+    manifest = _read_manifest(path, v)
+    if not manifest["files"]:
+        raise ValueError(f"version {v} of {path} is empty")
+    return spark.read.parquet(*[os.path.join(path, f) for f in manifest["files"]])
+
+
+def _stats_may_match(
+    file_path: str, column: str, lo, hi
+) -> bool:
+    """Footer min/max pruning: can this file contain rows with
+    column in [lo, hi]? Unknown stats -> conservatively True."""
+    import pyarrow.parquet as pq
+
+    try:
+        meta = pq.ParquetFile(file_path).metadata
+    except Exception:
+        return True
+    idx = None
+    for i in range(len(meta.schema)):
+        if meta.schema.column(i).name == column:
+            idx = i
+            break
+    if idx is None:
+        return True
+    for rg in range(meta.num_row_groups):
+        st = meta.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return True
+        if not (hi < st.min or lo > st.max):
+            return True
+    return False
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate: Column,
+    prune: tuple[str, object, object] | None = None,
+) -> int:
+    """Copy-on-write DELETE: rewrite only the files that may contain
+    matching rows, keep every other file untouched in the new manifest.
+
+    ``prune`` = (column, lo, hi) narrows the candidate set by parquet
+    footer stats before any data is read — the file-skipping Iceberg
+    gets from manifest stats. Candidates are rewritten in ONE
+    distributed job (read together, filter NOT predicate, write new
+    files); rewritten inputs and now-empty files drop out of the new
+    version. Readers pinned to older versions are unaffected.
+    """
+    parent = current_version(path)
+    if parent is None:
+        raise ValueError(f"no snapshot table at {path}")
+    old_files = _read_manifest(path, parent)["files"]
+    if prune is not None:
+        col, lo, hi = prune
+        candidates = [
+            f for f in old_files if _stats_may_match(os.path.join(path, f), col, lo, hi)
+        ]
+    else:
+        candidates = list(old_files)
+    cand_set = set(candidates)
+    kept = [f for f in old_files if f not in cand_set]
+    new_files = kept
+    if candidates:
+        survivors = spark.read.parquet(
+            *[os.path.join(path, f) for f in candidates]
+        ).filter(~predicate)
+        new_files = kept + _write_data_files(survivors, path)
+    return _commit(path, new_files, "delete", parent=parent)
+
+
+def rollback(path: str, version: int) -> int:
+    """Restore an old version's file list as a NEW commit (history is
+    append-only, like Iceberg rollback — nothing is erased)."""
+    if version not in _versions(path):
+        raise ValueError(f"version {version} does not exist at {path}")
+    parent = current_version(path)
+    files = _read_manifest(path, version)["files"]
+    return _commit(path, files, f"rollback-to-{version}", parent=parent)
+
+
+def history(path: str) -> list[dict]:
+    """Commit log, oldest first: version, op, parent, file count."""
+    out = []
+    for v in _versions(path):
+        m = _read_manifest(path, v)
+        out.append(
+            {
+                "version": m["version"],
+                "op": m["op"],
+                "parent": m["parent"],
+                "n_files": len(m["files"]),
+                "committed_at": m["committed_at"],
+            }
+        )
+    return out
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> list[int]:
+    """Vacuum: drop all but the newest ``keep_last`` manifests and
+    delete data files no surviving version references. Time travel to
+    expired versions is gone afterwards — the storage-reclaim tradeoff
+    Iceberg's expire_snapshots makes explicit."""
+    vs = _versions(path)
+    if len(vs) <= keep_last:
+        return []
+    expired, kept_versions = vs[:-keep_last], vs[-keep_last:]
+    live = {
+        f for v in kept_versions for f in _read_manifest(path, v)["files"]
+    }
+    for v in expired:
+        for f in _read_manifest(path, v)["files"]:
+            if f not in live:
+                full = os.path.join(path, f)
+                if os.path.exists(full):
+                    os.remove(full)
+        os.remove(_manifest_path(path, v))
+    return expired
