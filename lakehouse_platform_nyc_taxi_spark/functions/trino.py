@@ -99,6 +99,17 @@ def trino_round(col: Column, n: int = 0) -> Column:
     exceeds double integer precision and engines diverge in the last
     bits (property-tested in tests/test_trino_properties.py); every
     value the harness rounds — prices, ratios, scores — is far inside.
+
+    Round-2 false alarm, kept for the record: a property-test "failure"
+    at x=900719925.9005065, nd=6 was NOT a tie-rule divergence — DuckDB
+    is half-away-from-zero on doubles exactly like this shim (verified
+    with bound parameters across tie magnitudes up to 2⁵²). The test had
+    spliced x into SQL as a numeric literal, which DuckDB types as
+    DECIMAL(16,7); its decimal→double conversion is 1 ulp off the
+    correctly-rounded parse when the unscaled integer exceeds 2⁵³, so
+    the two engines were rounding *different inputs*. The test now binds
+    parameters (identical doubles both sides, same as the parquet-fed
+    driver oracle).
     """
     factor = F.lit(float(10**n))
     scaled = F.floor(F.abs(col) * factor + F.lit(0.5)).cast("double")
