@@ -42,11 +42,11 @@ MD5L = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
            b.n_tokens,
            b.n_distinct_tokens,
            CAST(b.n_distinct_tokens AS DOUBLE) / b.n_tokens AS distinct_token_ratio,
-           m.top_bigram_count,
+           CAST(COALESCE(m.top_bigram_count, 0) AS INTEGER) AS top_bigram_count,
            CASE WHEN len(b.bigrams) > 0
-                THEN CAST(m.top_bigram_count AS DOUBLE) / len(b.bigrams)
+                THEN CAST(COALESCE(m.top_bigram_count, 0) AS DOUBLE) / len(b.bigrams)
                 ELSE 0.0 END AS top_bigram_share
-    FROM b JOIN m USING (doc_id)
+    FROM b LEFT JOIN m USING (doc_id)
     """,
     doc="Gopher-style repetition quality: distinct-token ratio + top-bigram "
     "share, computed per-row with a sorted-array run-length fold — zero "

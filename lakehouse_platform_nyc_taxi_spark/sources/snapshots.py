@@ -65,8 +65,18 @@ def _read_manifest(path: str, version: int) -> dict:
 
 
 def _commit(path: str, files: list[str], op: str, parent: int | None) -> int:
-    """Atomically publish a new version: temp file + os.replace (atomic
-    on POSIX), so readers never observe a torn manifest."""
+    """Atomically publish a new version.
+
+    The manifest is written to a temp file, then *claimed* with
+    ``os.link(tmp, target)`` — a true compare-and-swap on the version
+    number: link fails with EEXIST if any other writer already committed
+    this version, so two racing writers cannot both win (the loser gets
+    RuntimeError and must re-read the table and retry on the new parent).
+    Readers still never observe a torn manifest: the link makes the fully
+    written file appear at the target name in one atomic step. This is
+    the optimistic-concurrency commit protocol Delta/Iceberg use on
+    stores with atomic put-if-absent.
+    """
     version = (parent or 0) + 1
     manifest = {
         "version": version,
@@ -76,15 +86,19 @@ def _commit(path: str, files: list[str], op: str, parent: int | None) -> int:
         "files": sorted(files),
     }
     target = _manifest_path(path, version)
-    if os.path.exists(target):
-        raise RuntimeError(
-            f"version {version} already committed at {path} — concurrent "
-            "writer? snapshot tables are single-writer"
-        )
     tmp = target + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
-    os.replace(tmp, target)
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        raise RuntimeError(
+            f"version {version} already committed at {path} — lost the "
+            "commit race to a concurrent writer; re-read the table and "
+            "retry the operation against the new current version"
+        ) from None
+    finally:
+        os.unlink(tmp)
     return version
 
 
@@ -165,9 +179,33 @@ def _stats_may_match(
         st = meta.row_group(rg).column(idx).statistics
         if st is None or not st.has_min_max:
             return True
-        if not (hi < st.min or lo > st.max):
+        try:
+            if not (hi < st.min or lo > st.max):
+                return True
+        except TypeError:
+            # Bounds incomparable with the footer-stat type (e.g. str
+            # bounds on an int column): keep the documented contract —
+            # unknown answers are conservatively True, never an error.
             return True
     return False
+
+
+def delete_range(
+    spark: SparkSession, path: str, column: str, lo, hi
+) -> int:
+    """Copy-on-write ``DELETE WHERE column BETWEEN lo AND hi``.
+
+    Safe-by-construction variant of :func:`delete_where`: the row filter
+    and the footer-stats file prune are built from the SAME (column, lo,
+    hi), so they cannot diverge. Prefer this whenever the delete
+    predicate is a range — it is the shape Iceberg's partition-scoped
+    ``DELETE FROM t WHERE year=Y AND month=M`` takes
+    (scripts/nyc_taxi/ingest_spark_bulk.py:73-76).
+    """
+    from pyspark.sql import functions as F
+
+    pred = F.col(column).between(F.lit(lo), F.lit(hi))
+    return delete_where(spark, path, pred, prune=(column, lo, hi))
 
 
 def delete_where(
@@ -185,6 +223,15 @@ def delete_where(
     distributed job (read together, filter NOT predicate, write new
     files); rewritten inputs and now-empty files drop out of the new
     version. Readers pinned to older versions are unaffected.
+
+    **CORRECTNESS REQUIREMENT on ``prune``**: every row matching
+    ``predicate`` must satisfy ``lo <= column <= hi`` (the range must
+    OVER-approximate the predicate). Files wholly outside the range are
+    carried into the new version UNSCANNED — if the range is narrower
+    than the predicate, matching rows in skipped files silently survive
+    the delete. When the predicate *is* a range, use
+    :func:`delete_range`, which derives both from one spec and cannot
+    diverge.
     """
     parent = current_version(path)
     if parent is None:
