@@ -32,35 +32,66 @@ def _sf_from_dir(sf_dir: str) -> float:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "2")))
     spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
 
-    # warm the JVM / codegen path outside the timed region
+    # Warm-up, untimed: the round-2/3 drift investigation showed per-query
+    # first-run cost is dominated by one-time session warm-up (JVM/codegen
+    # compile, parquet footer + file-listing caches, Python worker pool
+    # spin-up), with 2-5x variance depending on which query pays it first.
+    # Warm those paths explicitly so timed runs measure the query, not the
+    # session: a codegen job, a scan+noop write per base table, and one
+    # Arrow/Python round-trip to start the worker pool.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from lakehouse_platform_nyc_taxi_spark.sources.testdata import (
+        TESTDATA_TABLES,
+        load_table,
+    )
+
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).write.mode("overwrite").format("noop").save()
+    spark.range(cpus).repartition(cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     for name, spec in sorted(harness.registry().items()):
         # Offline setup (e.g. ANN index build) runs untimed — a deployment
         # builds the index once per corpus, not per query.
         if spec.prepare is not None:
             spec.prepare(spark, sf_dir)
-        # fn() inside the timer: batch queries only build a lazy plan there,
-        # but streaming queries drain the stream during fn() — excluding it
-        # would under-bill them to the cost of scanning the memory sink.
-        start = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - start, 4)
-        # untimed: collect garbage between queries so accumulated state
-        # (checkpoint RDDs, codegen classes) from earlier queries doesn't
-        # bill GC pauses to whichever query runs late in the session
-        spark.sparkContext._jvm.System.gc()
+        runs = []
+        for _ in range(n_runs):
+            # fn() inside the timer: batch queries only build a lazy plan
+            # there, but streaming queries drain the stream during fn() —
+            # excluding it would under-bill them to the cost of scanning
+            # the memory sink.
+            start = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - start)
+            # untimed: collect garbage between runs so accumulated state
+            # (checkpoint RDDs, codegen classes) from earlier queries
+            # doesn't bill GC pauses to whoever runs late in the session
+            spark.sparkContext._jvm.System.gc()
+        # "queries"/"value" keep the round-1/2 protocol (first observation,
+        # cold plan) for cross-round comparability; "queries_min"/
+        # "value_min" report steady-state — what a deployment that runs
+        # the query more than once actually pays.
+        timings[name] = round(runs[0], 4)
+        timings_min[name] = round(min(runs), 4)
 
     total = round(sum(timings.values()), 4)
+    total_min = round(sum(timings_min.values()), 4)
     detail = {
         "metric": "total_runtime_all_queries",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
+        "value_min": total_min,
+        "runs_per_query": n_runs,
         "sf": _sf_from_dir(sf_dir),
         "n_queries": len(timings),
         "cpus": cpus,
@@ -79,6 +110,8 @@ def main() -> int:
                 "metric": "total_runtime_all_queries",
                 "value": total,
                 "unit": "sec",
+                "value_min": total_min,
+                "runs_per_query": n_runs,
                 "sf": _sf_from_dir(sf_dir),
                 "n_queries": len(timings),
                 "cpus": cpus,

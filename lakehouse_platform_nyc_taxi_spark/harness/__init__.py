@@ -62,44 +62,60 @@ def register(
 #      Their green rows live in CORRECTNESS_r01.json (kept in-repo), so
 #      rounds jointly cover every query.
 _PRIORITY = [
+    # Changed or new in round 3 (must re-earn a green row this round —
+    # rotation rule: any query whose implementation or shared helpers
+    # changed since its last green row sits inside the window):
+    "text_pii_scrub",  # new operator
+    "multimodal_features",  # oracle added (was rows-only)
+    "streaming_stateful_user_stats",  # fixed-point state + new oracle
+    "text_repetition",  # oracle LEFT JOIN fix (ADVICE r2)
+    "dedup_ngram_jaccard",  # df-cap fold rework this round
+    # trino_round shim consumers (VERDICT r2 item 2). The shim's code is
+    # unchanged since their r1/r2 green rows (round 3's trino.py commit
+    # was docstring+test-only), but the verdict asked for fresh rows:
+    "conditional_case_nullif",
+    "agg_pricing_summary",
+    "agg_daily_rollup",
+    "agg_monthly_rollup",
+    "agg_no_keys",
+    "agg_percentiles",
+    "embedding_dim_stats",
+    "text_stats",
+    "text_corpus_rollup",
+    "text_tfidf_topk",
     "similarity_topk_bruteforce",
     "similarity_topk_lsh",
     "similarity_topk_ivf",
-    "text_stats",
-    "text_language_id",
-    "text_fingerprints",
-    "text_corpus_rollup",
-    "text_winnowing",
-    "multimodal_metadata",
-    "multimodal_features",
-    "streaming_windowed_rollup",
-    "streaming_dedup_counts",
-    "streaming_session_windows",
-    "streaming_stateful_user_stats",
-    "dedup_clusters",  # oracle upgraded rows-only -> recursive-CTE hash-match in r2
-    # new in r2 (no correctness row yet):
     "similarity_topk_batch",
     "similarity_topk_ivf_batch",
-    "embedding_dim_stats",
-    "corpus_curation",
-    "streaming_stream_static_join",
-    # new in r2 batch 2 (no correctness row yet):
-    "text_repetition",
-    "text_decontamination",
-    "text_tfidf_topk",
-    "text_heavy_hitters",
-    "sessionize_events",
-    "sampling_stratified_resample",
+    "dedup_embedding_cosine",
+    # other shim consumers (surrogate_key / datetime shims / marts):
+    "datetime_features",
+    "surrogate_keys_md5",
+    "dq_violation_counts",
+    "sql_adhoc_interactive",
 ]
 _KEEP = [
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
+    "dedup_clusters",
     "sampling_hash_split",
     "sampling_per_group_cap",
+    "sampling_stratified_resample",
+    "sessionize_events",
+    "corpus_curation",
+    "text_decontamination",
+    "text_heavy_hitters",
+    "text_language_id",
+    "text_fingerprints",
+    "text_winnowing",
+    "multimodal_metadata",
+    "streaming_windowed_rollup",
+    "streaming_dedup_counts",
+    "streaming_session_windows",
+    "streaming_stream_static_join",
     "join_broadcast_dims",
     "join_left_outer",
     "join_semi",
@@ -107,28 +123,14 @@ _KEEP = [
     "join_cross_ratio",
     "join_asof",
     "join_range",
-    "agg_pricing_summary",
-    "agg_daily_rollup",
-    "agg_monthly_rollup",
-    "agg_no_keys",
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
-    "agg_percentiles",
     "window_topk_per_group",
-    "window_moving_avg",
-    "pivot_event_values",
-    "lateral_explode_tokens",
-    "union_distinct",
-    "orderby_limit_topk",
-    "surrogate_keys_md5",
-    "datetime_features",
-    "conditional_case_nullif",
-    "dq_violation_counts",
-    "sql_adhoc_interactive",
-    "scan_projection_filter",
 ]
 _ROTATE_OUT = [
+    # Previously green, unchanged since; provenance rows live in
+    # CORRECTNESS_r01/r02.json (kept in-repo).
     "cast_rename_projection",
     "validity_filter",
     "incremental_watermark",
@@ -140,6 +142,12 @@ _ROTATE_OUT = [
     "set_except",
     "window_lead_lag",
     "window_running_total",
+    "window_moving_avg",
+    "pivot_event_values",
+    "lateral_explode_tokens",
+    "union_distinct",
+    "orderby_limit_topk",
+    "scan_projection_filter",
     "join_right_outer",
     "join_full_outer",
     "agg_approx_distinct",  # rows-only by design; r01 row recorded

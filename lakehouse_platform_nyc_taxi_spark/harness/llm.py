@@ -723,10 +723,31 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    None,  # mapInPandas (Arrow-batched Python) — non-SQL-expressible
+    # The PIL decode branch is non-SQL-expressible, but the deterministic
+    # twin that actually runs here is plain byte arithmetic, and the
+    # harness payloads are UTF-8 of pure-ASCII text (max code point 121
+    # in the testdata), so per-character ord == per-byte value and the
+    # whole feature row is DuckDB-expressible. COALESCE fences list_sum's
+    # NULL on an empty payload (Python computes 0).
+    """
+    WITH c AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS blen,
+               list_transform(split(text, ''), ch -> ord(ch)) AS codes
+        FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS asset_id,
+           blen AS byte_length,
+           CAST(CASE WHEN blen > 0 THEN codes[1] ELSE -1 END AS INTEGER) AS first_byte,
+           CAST(COALESCE(list_sum(codes), 0) % 1000003 AS BIGINT) AS byte_sum_mod,
+           CASE WHEN blen > 0 THEN CAST(list_sum(codes) AS DOUBLE) / blen
+                ELSE 0.0 END AS mean_byte
+    FROM c
+    """,
     doc="Pandas-UDF feature extraction over binary payloads via mapInPandas "
     "(deterministic fake decoder; real image decode stubbed behind an "
-    "import-try). Rows-only driver check.",
+    "import-try). The fake decoder is byte arithmetic, so the driver gets "
+    "a full hash-match oracle even though the operator runs in Python.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = multimodal.attach_binary_payload(load_table_parallel(spark, sf_dir, "documents"))

@@ -167,10 +167,25 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_stateful_user_stats",
-    None,  # update-mode state op; float accumulation order is batch-dependent
+    # The stateful implementation accumulates integer hundredths
+    # (streaming/ops.py _VALUE_SCALE), so the lifetime total is exact and
+    # order-independent — which makes the *output* a plain grouped
+    # aggregate any batch engine reproduces. The oracle models the
+    # single-micro-batch availableNow drain this harness performs (one
+    # source file): update mode then emits exactly one row per user,
+    # carrying the full-history aggregate.
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS total_value,
+           max(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
     doc="Custom stateful operator via applyInPandasWithState: per-user "
     "running stats carried in explicit GroupState across triggers "
-    "(update mode). Rows-only driver check.",
+    "(update mode). Fixed-point accumulation makes the running total "
+    "exact, so the batch-SQL twin hash-matches.",
 )
 def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = S.read_events_stream(spark, sf_dir)

@@ -173,7 +173,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Mixture spec for the resampling query: heavy downsample of two noisy
 #: sources, mild trim of one, everything else kept whole.
 _MIX_RATES = {"src0": 0.2, "src1": 0.5, "src2": 0.8}
-_MIX_BUCKET = MD5L.format(x="CAST(doc_id AS VARCHAR) || '|mix'") + " % 10000"
+_MIX_BUCKET = MD5L.format(x="CAST(doc_id AS STRING) || '|mix'") + " % 10000"
 
 
 @register(
@@ -194,3 +194,52 @@ _MIX_BUCKET = MD5L.format(x="CAST(doc_id AS VARCHAR) || '|mix'") + " % 10000"
 def sampling_stratified_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return stratified_resample(docs, "source", _MIX_RATES, "doc_id", default_rate=1.0)
+
+
+#: Deterministic PII seeding for the scrub query: the synthetic documents
+#: table contains no PII, so both engines append the SAME doc_id-derived
+#: email (always), phone (doc_id % 3 = 0), and IPv4 (doc_id % 5 = 0)
+#: before scrubbing — the redaction logic is then genuinely exercised
+#: and every count/replacement is oracle-checkable.
+_PII_SEED_SQL = """concat_ws(' ', text,
+        'user' || CAST(doc_id AS STRING) || '@example.com',
+        CASE WHEN doc_id % 3 = 0 THEN '555-123-4567' END,
+        CASE WHEN doc_id % 5 = 0
+             THEN '10.' || CAST(doc_id % 256 AS STRING) || '.0.1' END)"""
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+    WITH seeded AS (SELECT doc_id, {_PII_SEED_SQL} AS text FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+               '\\b[0-9]{{3}}[-.][0-9]{{3}}[-.][0-9]{{4}}\\b')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text,
+               '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) AS BIGINT) AS n_ipv4,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b[0-9]{{3}}[-.][0-9]{{3}}[-.][0-9]{{4}}\\b', '<PHONE>', 'g'),
+               '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '<IP>', 'g')
+               AS scrubbed_text,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT)
+             + CAST(len(regexp_extract_all(text,
+               '\\b[0-9]{{3}}[-.][0-9]{{3}}[-.][0-9]{{4}}\\b')) AS BIGINT)
+             + CAST(len(regexp_extract_all(text,
+               '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) AS BIGINT)
+               AS n_redactions
+    FROM seeded
+    """,
+    doc="PII scrub (emails/phones/IPv4 -> typed tokens + per-doc counts): "
+    "pure regexp_count/regexp_replace Catalyst expressions, one fused "
+    "mapper pass, zero shuffles. Patterns restricted to Java-regex/RE2 "
+    "common syntax; DuckDB twin needs the 'g' replace flag (its default "
+    "replaces only the first match; Spark replaces all).",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = docs.select("doc_id", F.expr(_PII_SEED_SQL).alias("text"))
+    return text.pii_scrub(seeded)

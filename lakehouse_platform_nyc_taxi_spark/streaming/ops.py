@@ -199,10 +199,18 @@ def stream_static_enrich(
 # Custom stateful operator: applyInPandasWithState
 # --------------------------------------------------------------------------
 
-_STATE_SCHEMA = "n long, total double, max_value double"
+_STATE_SCHEMA = "n long, total_scaled long, max_value double"
 _OUT_SCHEMA = (
     "user_id long, n_events long, total_value double, max_value double"
 )
+
+#: Fixed-point scale for the running value sum: the accumulator holds
+#: integer hundredths (int64), not a float. Integer addition is exact and
+#: order-independent, so (a) the lifetime total never drifts no matter
+#: how many triggers fold into it, and (b) the result is bit-identical to
+#: any batch engine summing the same scaled values in any order — which
+#: is what makes the stateful op oracle-checkable at all.
+_VALUE_SCALE = 100
 
 
 def _user_stats_fn(
@@ -214,18 +222,18 @@ def _user_stats_fn(
     aggregate — the pattern for custom accumulators (rate limiting,
     anomaly scoring, CDC folding) that windowed aggs can't express.
     """
-    n, total, max_v = state.get if state.exists else (0, 0.0, float("-inf"))
+    n, total_scaled, max_v = state.get if state.exists else (0, 0, float("-inf"))
     for pdf in batches:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        total_scaled += int((pdf["value"] * _VALUE_SCALE).round().sum())
         if len(pdf):
             max_v = max(max_v, float(pdf["value"].max()))
-    state.update((n, total, max_v))
+    state.update((n, total_scaled, max_v))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "total_value": [total],
+            "total_value": [total_scaled / _VALUE_SCALE],
             "max_value": [max_v],
         }
     )

@@ -67,13 +67,20 @@ def test_stateful_user_stats_matches_batch_agg(spark):
         r.user_id: r
         for r in load_table(spark, SF_SMOKE, "events")
         .groupBy("user_id")
-        .agg(F.count("*").alias("n_events"), F.max("value").alias("max_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("value").alias("max_value"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
         .collect()
     }
     assert set(got) == set(exp)
     for uid, e in exp.items():
         assert got[uid].n_events == e.n_events
         assert got[uid].max_value == pytest.approx(e.max_value)
+        # fixed-point accumulation: the running total is EXACTLY the batch
+        # sum of per-event hundredths (no float drift, no approx needed)
+        assert got[uid].total_value == e.total_cents / 100.0
 
 
 def test_windowed_rollup_append_drops_unfinalized_tail(spark):

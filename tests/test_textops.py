@@ -12,6 +12,7 @@ from lakehouse_platform_nyc_taxi_spark.operators.sampling import (
     stratified_resample,
 )
 from lakehouse_platform_nyc_taxi_spark.operators.sessionize import sessionize
+from lakehouse_platform_nyc_taxi_spark.operators import text
 from lakehouse_platform_nyc_taxi_spark.operators.text import (
     decontaminate,
     heavy_hitters,
@@ -152,3 +153,24 @@ def test_stratified_resample_deterministic_and_thresholded(spark):
         if r["source"] == "keep" or r["b"] < 1000
     }
     assert set(a) == expected
+
+
+def test_pii_scrub_counts_and_replacements(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d+x@e.org, call 555-123-4567 from 10.0.0.1"),
+            (2, "no pii here at all"),
+            (3, "ip 192.168.1.255 twice 192.168.1.255"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in text.pii_scrub(df).collect()}
+    assert (got[1].n_email, got[1].n_phone, got[1].n_ipv4) == (2, 1, 1)
+    assert got[1].n_redactions == 4
+    assert got[1].scrubbed_text == (
+        "mail <EMAIL> and <EMAIL>, call <PHONE> from <IP>"
+    )
+    assert got[2].n_redactions == 0 and got[2].scrubbed_text == "no pii here at all"
+    assert (got[3].n_ipv4, got[3].scrubbed_text) == (2, "ip <IP> twice <IP>")
+    assert got[4].n_redactions == 0 and got[4].scrubbed_text == ""
