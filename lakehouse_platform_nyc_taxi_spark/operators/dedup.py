@@ -21,7 +21,7 @@ reproducible in the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.trino import trino_round
@@ -78,8 +78,6 @@ def incremental_exact_dedup(
     zero-exchange on the store side). Pass ``seen_digests=None`` for the
     bootstrap run.
     """
-    from pyspark.sql import Window
-
     hashed = batch.withColumn("content_hash", content_digest(batch, text_col))
     w = Window.partitionBy("content_hash").orderBy(id_col)
     w_batch = (
@@ -383,17 +381,18 @@ def ngram_jaccard_pairs(
         )
     )
     if max_gram_df is not None:
-        # Drop hot grams before the self-join. The df computation groups
-        # on the same (block, gram) key the join shuffles on, so AQE can
-        # reuse the exchange; the semi-join side is only the surviving
-        # key set.
-        rare = (
-            base.groupBy("block", "gram")
-            .count()
-            .filter(F.col("count") <= max_gram_df)
-            .select("block", "gram")
-        )
-        base = base.join(rare, ["block", "gram"], "left_semi")
+        # Drop hot grams before the self-join — WITHOUT a second pass over
+        # the gram pipeline. A count() over a (block, gram) window rides
+        # the exact exchange the self-join needs anyway: the expensive
+        # tokenize+explode feeds ONE shuffle on (block, gram), both join
+        # sides reuse it (ReusedExchange), and the df filter is a cheap
+        # post-shuffle projection. The previous groupBy+left_semi form
+        # re-derived the explode for the df aggregate and added a second
+        # join (1.6x slower end-to-end at sf0.1).
+        gram_df = Window.partitionBy("block", "gram")
+        base = base.withColumn("_df", F.count("*").over(gram_df)).filter(
+            F.col("_df") <= max_gram_df
+        ).drop("_df")
     a = base.select(
         F.col(id_col).alias("doc_a"), "block", F.col("sz").alias("sz_a"), "gram"
     )
