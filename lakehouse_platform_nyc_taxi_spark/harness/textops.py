@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import text
+from ..operators import packing, text
 from ..operators.sampling import stratified_resample
 from ..operators.sessionize import sessionize
 from ..sources.testdata import load_table, load_table_parallel
@@ -243,3 +243,81 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     seeded = docs.select("doc_id", F.expr(_PII_SEED_SQL).alias("text"))
     return text.pii_scrub(seeded)
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH t AS (
+        SELECT source AS shard, doc_id, len({TOKS}) AS n_tokens
+        FROM documents WHERE trim(text) <> ''
+    ),
+    f AS (SELECT * FROM t WHERE n_tokens > 0),
+    c AS (
+        SELECT shard, doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS off_end
+        FROM f
+    ),
+    o AS (SELECT *, off_end - n_tokens AS off_start FROM c),
+    e AS (
+        SELECT shard, doc_id, n_tokens, off_start,
+               unnest(generate_series(off_start // 512, (off_end - 1) // 512))
+                   AS seq_id
+        FROM o
+    )
+    SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(greatest(0, seq_id * 512 - off_start) AS BIGINT) AS doc_tok_start,
+           CAST(least(n_tokens, (seq_id + 1) * 512 - off_start) AS BIGINT)
+               AS doc_tok_end,
+           CAST(greatest(off_start, seq_id * 512) - seq_id * 512 AS BIGINT)
+               AS seq_offset
+    FROM e
+    """,
+    doc="GPT-style concat-and-split sequence packing (budget 512, shard = "
+    "source): one window cumsum per shard — shards pack independently, no "
+    "global order — then a bounded explode maps each doc onto the "
+    "sequences it straddles. The straddle IS the causal-LM packing "
+    "semantic; fully SQL-expressible via running sums.",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing.pack_sequences(
+        load_table(spark, sf_dir, "documents"), budget=512, shard_col="source"
+    )
+
+
+@register(
+    "doc_chunking",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents
+               WHERE trim(text) <> ''),
+    f AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    c AS (
+        SELECT doc_id, toks, n,
+               CASE WHEN n <= 128 THEN 1
+                    ELSE CAST(ceil((n - 128) / CAST(96 AS DOUBLE)) AS BIGINT) + 1
+               END AS n_chunks
+        FROM f
+    ),
+    e AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+        FROM c
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * 96 AS BIGINT) AS chunk_tok_start,
+           CAST(len(toks[chunk_idx * 96 + 1 : chunk_idx * 96 + 128]) AS BIGINT)
+               AS chunk_n_tokens,
+           array_to_string(toks[chunk_idx * 96 + 1 : chunk_idx * 96 + 128], ' ')
+               AS chunk_text
+    FROM e
+    """,
+    doc="Overlapping chunk split (max 128 tokens, 32-token overlap): each "
+    "over-long doc becomes ceil-many chunks on a 96-token stride — pure "
+    "per-row array slice + posexplode, zero shuffles, the RAG/embedding "
+    "unit shape.",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing.chunk_documents(
+        load_table(spark, sf_dir, "documents"), max_tokens=128, overlap=32
+    )
