@@ -16,11 +16,12 @@ Glue on a cluster).
 
 Layer mapping mirrors dbt_project.yml: ``stg_*`` -> staging, ``int_*``
 -> intermediate, ``fct_*``/``dim_*`` -> marts, raw inputs -> raw.
-Divergence, documented: dbt materializes the intermediate layer as
-catalog *views* over SQL text; this engine's intermediate models are
-DataFrame lineage (deliberately unmaterialized so Catalyst fuses the
-whole chain into the mart jobs), which a metastore cannot store. They
-remain session-scoped temp views; everything materialized is cataloged.
+The intermediate layer is cataloged the way dbt materializes it — as
+*views* with stored SQL text (``models.intermediate_views``), chained
+view-on-view over the cataloged staging tables — while the in-pipeline
+models stay unmaterialized DataFrame lineage so Catalyst keeps fusing
+the whole chain into the mart jobs. Both access paths are pinned equal
+by tests/test_catalog.py.
 """
 
 from __future__ import annotations

@@ -53,6 +53,23 @@ def test_register_pipeline_outputs_same_session(spark, tmp_path):
     assert spark.sql("SELECT count(*) c FROM marts.fct_trips_daily").first().c == n_mart
 
 
+def test_intermediate_views_match_dataframe_models(spark, tmp_path):
+    """The stored-SQL intermediate views (dbt parity) must produce exactly
+    the rows of their DataFrame twins — any one-sided edit fails here."""
+    raw = write_raw_tables(str(tmp_path / "raw"), n=150)
+    wh = str(tmp_path / "wh")
+    res = run_pipeline(spark, raw, wh, register_catalog=True)
+    assert res.ok, res.errors
+
+    for model in ("int_trips_unified", "int_trips_enriched", "int_trips_cleaned"):
+        view_df = spark.table(f"intermediate.{model}")
+        twin = res.built[model]
+        assert view_df.columns == twin.columns, model
+        v = sorted(map(tuple, view_df.collect()))
+        t = sorted(map(tuple, twin.collect()))
+        assert v == t, f"{model}: view/DataFrame divergence"
+
+
 _PHASE_A = """
 from lakehouse_platform_nyc_taxi_spark.catalog import hive_catalog_session
 from lakehouse_platform_nyc_taxi_spark.fixtures import write_raw_tables
@@ -76,6 +93,12 @@ print("ROWS", spark.sql("SELECT count(*) c FROM marts.fct_trips_daily").first().
 # partitioned staging table survives too (MSCK-synced partitions)
 assert spark.sql(
     "SELECT count(*) c FROM staging.stg_nyc_taxi__yellow_trips WHERE year IS NOT NULL"
+).first().c > 0
+# intermediate layer is stored-SQL views (dbt parity): a fresh session
+# resolves the chained views down to the staging tables, data-free
+assert spark.sql("SHOW VIEWS IN intermediate").count() >= 3
+assert spark.sql(
+    "SELECT count(*) c FROM intermediate.int_trips_cleaned"
 ).first().c > 0
 spark.stop()
 """
