@@ -151,3 +151,51 @@ def test_embedding_dim_stats_partial_agg(spark):
     plan = plan_of(spark, "embedding_dim_stats")
     assert "partial" in plan.lower()
     assert "Generate" in plan  # posexplode, not a Python UDF
+
+
+def _exec_plan(spark, name: str) -> str:
+    df = harness.registry()[name].fn(spark, SF_ORACLE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pii_scrub_is_shuffle_free_single_pass(spark):
+    """PII scrub must stay a pure mapper fused into the scan: any
+    Exchange means someone added a shuffle to a per-row operator."""
+    plan = _exec_plan(spark, "text_pii_scrub")
+    assert "Exchange" not in plan
+    # executedPlan marks whole-stage-codegen'd nodes as "*(n)"
+    assert re.search(r"\*\(\d+\)", plan), "no codegen span"
+
+
+def test_doc_chunking_is_shuffle_free(spark):
+    plan = _exec_plan(spark, "doc_chunking")
+    assert "Exchange" not in plan
+
+
+def test_sequence_packing_single_shard_exchange(spark):
+    """Packing's only shuffle is the per-shard window cumsum — shards
+    pack independently; a global (empty-key) window or extra exchange
+    would serialize the 100 TB run."""
+    plan = _exec_plan(spark, "sequence_packing")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_ngram_jaccard_df_cap_reuses_posting_exchange(spark):
+    """The df cap must ride the posting-list exchange, not re-derive the
+    gram pipeline: one posting exchange below the window, the second
+    join side reusing it — never two gram-pipeline derivations."""
+    plan = _exec_plan(spark, "dedup_ngram_jaccard")
+    assert "Window" in plan
+    # <= 3: a+b posting exchanges (or one + ReusedExchange) + the final
+    # pair-count aggregate; the pre-round-3 df-cap shape added a 4th
+    # (separate groupBy over postings) plus a semi join
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    # At scale both sides sort-merge over ONE posting exchange
+    # (ReusedExchange); at oracle scale the build side may broadcast
+    # instead, which is also a single-derivation plan. Either is fine —
+    # what must never appear is a second groupBy-over-postings pipeline
+    # (the pre-round-3 shape: an extra aggregate exchange + semi join).
+    assert ("ReusedExchange" in plan) or ("BroadcastHashJoin" in plan), plan
+    assert "LeftSemi" not in plan
