@@ -162,6 +162,46 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_percentiles_approx",
+    """
+    SELECT l_returnflag AS returnflag,
+           quantile_disc(l_quantity, 0.25) AS p25,
+           quantile_disc(l_quantity, 0.5) AS p50,
+           quantile_disc(l_quantity, 0.9) AS p90,
+           quantile_disc(l_quantity, 0.99) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Sketch percentiles — the 100 TB twin of agg_percentiles: "
+    "approx_percentile (Greenwald-Khanna, accuracy 10000) is a one-pass "
+    "mergeable sketch (map-side partial, no sort), vs the exact "
+    "variant's per-group sort. Oracle-matchable on the LOW-CARDINALITY "
+    "quantity column: with ~50 distinct values each covering thousands "
+    "of ranks, the sketch's <=eps*n rank error never crosses a value "
+    "boundary, so the discrete quantile equals DuckDB's quantile_disc "
+    "(verified at sf0.001/0.01/0.1; the high-cardinality price column "
+    "is the genuinely-approximate case, bounded by a pytest tolerance "
+    "check instead).",
+)
+def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ap = F.expr(
+        "approx_percentile(l_quantity, array(0.25, 0.5, 0.9, 0.99), 10000)"
+    )
+    return (
+        li.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(ap.alias("_ap"))
+        .select(
+            "returnflag",
+            F.col("_ap")[0].alias("p25"),
+            F.col("_ap")[1].alias("p50"),
+            F.col("_ap")[2].alias("p90"),
+            F.col("_ap")[3].alias("p99"),
+        )
+    )
+
+
+@register(
     "agg_approx_distinct",
     None,  # HLL sketch values are engine-specific -> rows-only check
     doc="approx_count_distinct (HyperLogLog++) per event_type — the "

@@ -33,8 +33,10 @@ import json
 import os
 import time
 import uuid
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
@@ -64,7 +66,13 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _commit(path: str, files: list[str], op: str, parent: int | None) -> int:
+def _commit(
+    path: str,
+    files: list[str],
+    op: str,
+    parent: int | None,
+    extra: dict | None = None,
+) -> int:
     """Atomically publish a new version.
 
     The manifest is written to a temp file, then *claimed* with
@@ -84,6 +92,7 @@ def _commit(path: str, files: list[str], op: str, parent: int | None) -> int:
         "op": op,
         "committed_at": time.time(),
         "files": sorted(files),
+        **(extra or {}),
     }
     target = _manifest_path(path, version)
     tmp = target + f".tmp-{uuid.uuid4().hex}"
@@ -202,8 +211,6 @@ def delete_range(
     ``DELETE FROM t WHERE year=Y AND month=M`` takes
     (scripts/nyc_taxi/ingest_spark_bulk.py:73-76).
     """
-    from pyspark.sql import functions as F
-
     pred = F.col(column).between(F.lit(lo), F.lit(hi))
     return delete_where(spark, path, pred, prune=(column, lo, hi))
 
@@ -302,3 +309,107 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[int]:
                     os.remove(full)
         os.remove(_manifest_path(path, v))
     return expired
+
+
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    cluster_by: Sequence[str] = (),
+    target_files: int | None = None,
+) -> int:
+    """Compaction + clustering rewrite (Iceberg ``rewrite_data_files`` /
+    Delta ``OPTIMIZE ... ZORDER BY``'s role): rewrite the current version
+    into ``target_files`` files, range-clustered on ``cluster_by``.
+
+    Why it matters at 100 TB: ``delete_where``/reader pruning skips files
+    by footer min/max stats, which only bite when each file covers a
+    NARROW value range. Appends produce arrival-ordered files whose
+    ranges all overlap (every file "may match" everything); clustering
+    makes ranges disjoint, so point/range operations touch O(1) files
+    instead of O(all). Small-file compaction is the same rewrite with an
+    empty ``cluster_by``.
+
+    One distributed job (repartitionByRange + sortWithinPartitions +
+    write); readers pinned to older versions are untouched, and the
+    commit CAS protects against concurrent writers like any other op.
+    """
+    parent = current_version(path)
+    if parent is None:
+        raise ValueError(f"no snapshot table at {path}")
+    df = read_table(spark, path, parent)
+    if target_files is None:
+        target_files = max(1, spark.sparkContext.defaultParallelism)
+    if cluster_by:
+        cols = [F.col(c) for c in cluster_by]
+        df = df.repartitionByRange(target_files, *cols).sortWithinPartitions(*cols)
+    else:
+        df = df.coalesce(target_files)
+    files = _write_data_files(df, path)
+    return _commit(path, files, "optimize", parent=parent)
+
+
+def committed_stream_batches(path: str) -> set[int]:
+    """Stream batch ids already durably committed to this table."""
+    out = set()
+    for v in _versions(path):
+        m = _read_manifest(path, v)
+        if "stream_batch_id" in m:
+            out.add(int(m["stream_batch_id"]))
+    return out
+
+
+def append_stream(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Exactly-once streaming append into a snapshot table — the Delta/
+    Iceberg streaming-sink pattern on plain parquet.
+
+    ``foreachBatch`` turns each micro-batch into one snapshot commit that
+    records its ``stream_batch_id`` in the manifest. Structured
+    Streaming replays a batch if the sink fails before the checkpoint
+    advances; the replay sees its id in ``committed_stream_batches`` and
+    skips — so every batch lands EXACTLY once no matter where a crash
+    falls:
+
+    - crash before data files finish: no manifest references them
+      (orphans; ``expire_snapshots`` reclaims), replay rewrites;
+    - crash after commit, before checkpoint: replay is a no-op;
+    - two concurrent drains of the same stream: the manifest CAS makes
+      one commit win, the loser errors instead of double-appending.
+
+    Drains with ``trigger(availableNow)`` and blocks until done. The
+    first batch bootstraps the table if ``path`` has no version yet.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in committed_stream_batches(path):
+            return
+        if current_version(path) is None:
+            # bootstrap must be ONE tagged commit: create-then-tag would
+            # leave an untagged v1 if the tag commit is lost, and the
+            # replay would append the same batch again
+            os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
+            files = _write_data_files(batch_df, path)
+            _commit(
+                path, files, "stream-append", parent=None,
+                extra={"stream_batch_id": int(batch_id)},
+            )
+            return
+        parent = current_version(path)
+        files = _read_manifest(path, parent)["files"] + _write_data_files(
+            batch_df, path
+        )
+        _commit(
+            path, files, "stream-append", parent=parent,
+            extra={"stream_batch_id": int(batch_id)},
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

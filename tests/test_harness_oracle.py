@@ -46,3 +46,43 @@ def test_approx_distinct_within_error_bound(spark):
         assert r.exact_users > 0
         rel_err = abs(r.approx_users - r.exact_users) / r.exact_users
         assert rel_err <= 0.15, (r.event_type, r.approx_users, r.exact_users)
+
+
+def test_approx_percentile_high_cardinality_error_bound(spark, duck_oracle):
+    """The genuinely-approximate sketch case (high-cardinality price):
+    GK with accuracy a guarantees rank error <= n/a; check the returned
+    value sits within the exact value's neighborhood (0.5% relative —
+    far looser than the rank bound implies on this data)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_platform_nyc_taxi_spark.sources.testdata import load_table
+
+    from .conftest import SF_ORACLE
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    got = {
+        r.l_returnflag: list(r.ap)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("ap")
+        )
+        .collect()
+    }
+    exact = {
+        flag: [p50, p90, p99]
+        for flag, p50, p90, p99 in duck_oracle.execute(
+            """
+            SELECT l_returnflag,
+                   quantile_disc(l_extendedprice, 0.5),
+                   quantile_disc(l_extendedprice, 0.9),
+                   quantile_disc(l_extendedprice, 0.99)
+            FROM lineitem GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert set(got) == set(exact)
+    for flag in got:
+        for a, e in zip(got[flag], exact[flag]):
+            assert abs(a - e) / e < 0.005, (flag, a, e)

@@ -94,3 +94,77 @@ def test_commit_refuses_version_collision(spark, table):
     snap._commit(table, [], "append", parent=1)
     with pytest.raises(RuntimeError, match="concurrent"):
         snap._commit(table, [], "append", parent=1)
+
+
+def test_optimize_clusters_files_for_pruning(spark, tmp_path):
+    """Arrival-ordered appends give overlapping per-file ranges (pruning
+    is useless); optimize(cluster_by=id) makes them disjoint so a range
+    delete rewrites one file instead of all of them."""
+    path = str(tmp_path / "opt")
+    # 4 interleaved appends: every file spans nearly the full id range
+    snap.create_table(
+        spark.range(0, 1000, 4).select(F.col("id")).coalesce(1), path
+    )
+    for start in (1, 2, 3):
+        snap.append(
+            spark.range(start, 1000, 4).select(F.col("id")).coalesce(1), path
+        )
+    n0 = len(snap._read_manifest(path, snap.current_version(path))["files"])
+    v_before = snap.current_version(path)
+    before = snap._read_manifest(path, v_before)["files"]
+    # unclustered: a narrow range delete must rewrite EVERY file
+    snap.delete_where(spark, path, F.col("id") < 0, prune=("id", 0, 9))
+    after_noop = snap._read_manifest(path, snap.current_version(path))["files"]
+    assert not (set(before) & set(after_noop)) or len(
+        set(before) & set(after_noop)
+    ) < len(before), "interleaved files should all be candidates"
+
+    v = snap.optimize_table(spark, path, cluster_by=("id",), target_files=4)
+    files = snap._read_manifest(path, v)["files"]
+    assert len(files) == 4
+    # clustered: the same narrow delete touches exactly one file
+    snap.delete_where(spark, path, F.col("id") < 10, prune=("id", 0, 9))
+    final = snap._read_manifest(path, snap.current_version(path))["files"]
+    assert len(set(files) & set(final)) == 3
+    assert snap.read_table(spark, path).count() == 990
+    # history preserved: pre-optimize version still time-travels
+    assert snap.read_table(spark, path, version=v_before).count() == 1000
+    assert n0 == 4
+
+
+def test_optimize_compacts_small_files(spark, tmp_path):
+    path = str(tmp_path / "compact")
+    snap.create_table(spark.range(0, 50).repartition(8), path)
+    v = snap.optimize_table(spark, path, target_files=1)
+    assert len(snap._read_manifest(path, v)["files"]) == 1
+    assert snap.read_table(spark, path).count() == 50
+
+
+def test_append_stream_exactly_once(spark, tmp_path):
+    """foreachBatch sink: batches commit with their id; a replayed batch
+    (crash between commit and checkpoint) is a no-op."""
+    src = str(tmp_path / "src")
+    spark.range(0, 40).selectExpr("id", "id % 4 AS k").write.parquet(src)
+    table = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("id long, k long").parquet(src)
+    snap.append_stream(stream, table, ckpt)
+    assert snap.read_table(spark, table).count() == 40
+    assert snap.committed_stream_batches(table) == {0}
+
+    v_before = snap.current_version(table)
+    # re-drain the same (unchanged) source with the same checkpoint:
+    # no new batch, table unchanged
+    stream2 = spark.readStream.schema("id long, k long").parquet(src)
+    snap.append_stream(stream2, table, ckpt)
+    assert snap.current_version(table) == v_before
+    assert snap.read_table(spark, table).count() == 40
+
+    # new data arrives -> new batch appends once
+    spark.range(100, 120).selectExpr("id", "id % 4 AS k").write.mode(
+        "append"
+    ).parquet(src)
+    stream3 = spark.readStream.schema("id long, k long").parquet(src)
+    snap.append_stream(stream3, table, ckpt)
+    assert snap.read_table(spark, table).count() == 60
+    assert snap.committed_stream_batches(table) == {0, 1}
