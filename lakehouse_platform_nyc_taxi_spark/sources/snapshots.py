@@ -13,10 +13,11 @@ those formats provide, on plain parquet:
   manifest);
 - writers never mutate data files — append adds files, delete rewrites
   only the files that contain matching rows (copy-on-write) — and
-  commit a new manifest via write-temp + atomic ``os.replace``, so a
-  concurrent reader sees the old version or the new one, never a
-  half-state (snapshot isolation for readers; writers are single-process
-  serialized, the same atomic-rename contract Delta uses on HDFS);
+  commit a new manifest via write-temp + atomic ``os.link`` claim
+  (put-if-absent CAS on the version number), so a concurrent reader
+  sees the old version or the new one, never a half-state, and of two
+  racing writers exactly one wins the commit (the optimistic-concurrency
+  protocol Delta/Iceberg use);
 - old manifests stay, so any historical version remains readable
   (time travel) and ``rollback`` is just re-committing an old file list.
 
@@ -373,8 +374,8 @@ def append_stream(
     skips — so every batch lands EXACTLY once no matter where a crash
     falls:
 
-    - crash before data files finish: no manifest references them
-      (orphans; ``expire_snapshots`` reclaims), replay rewrites;
+    - crash before the commit: no manifest references the batch's data
+      files (orphans; ``vacuum_orphans`` reclaims), replay rewrites;
     - crash after commit, before checkpoint: replay is a no-op;
     - two concurrent drains of the same stream: the manifest CAS makes
       one commit win, the loser errors instead of double-appending.
@@ -413,3 +414,35 @@ def append_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def vacuum_orphans(path: str, min_age_seconds: float = 3600.0) -> list[str]:
+    """Delete data files no manifest (any version) references — the
+    debris of writers that crashed after writing files but before
+    committing (e.g. a failed micro-batch of :func:`append_stream`).
+
+    ``min_age_seconds`` is the same safety valve Delta's VACUUM has: a
+    writer may have finished its files but not yet committed, so only
+    files older than the grace period are touched. Age is mtime-based.
+    Complements :func:`expire_snapshots`, which removes files referenced
+    only by *expired versions*; this removes files referenced by *no*
+    version at all.
+    """
+    _, data_dir = _table_dirs(path)
+    if not os.path.isdir(data_dir):
+        return []
+    referenced = {
+        f for v in _versions(path) for f in _read_manifest(path, v)["files"]
+    }
+    now = time.time()
+    removed = []
+    for root, _dirs, names in os.walk(data_dir):
+        for n in names:
+            full = os.path.join(root, n)
+            rel = os.path.relpath(full, path)
+            if rel in referenced or not n.endswith(".parquet"):
+                continue
+            if now - os.path.getmtime(full) >= min_age_seconds:
+                os.remove(full)
+                removed.append(rel)
+    return removed

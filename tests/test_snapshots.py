@@ -168,3 +168,16 @@ def test_append_stream_exactly_once(spark, tmp_path):
     snap.append_stream(stream3, table, ckpt)
     assert snap.read_table(spark, table).count() == 60
     assert snap.committed_stream_batches(table) == {0, 1}
+
+
+def test_vacuum_orphans_removes_only_unreferenced(spark, table):
+    # manufacture an orphan: write files without committing a manifest
+    orphan_df = spark.range(5).select(F.col("id"), (F.col("id")).alias("bucket"))
+    orphans = snap._write_data_files(orphan_df, table)
+    assert orphans
+    # grace period: young orphans survive
+    assert snap.vacuum_orphans(table, min_age_seconds=3600) == []
+    removed = snap.vacuum_orphans(table, min_age_seconds=0)
+    assert sorted(removed) == sorted(orphans)
+    # referenced files untouched, table still reads
+    assert snap.read_table(spark, table).count() == 100
