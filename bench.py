@@ -75,10 +75,13 @@ def main() -> int:
             # (checkpoint RDDs, codegen classes) from earlier queries
             # doesn't bill GC pauses to whoever runs late in the session
             spark.sparkContext._jvm.System.gc()
-        # "queries"/"value" keep the round-1/2 protocol (first observation,
-        # cold plan) for cross-round comparability; "queries_min"/
-        # "value_min" report steady-state — what a deployment that runs
-        # the query more than once actually pays.
+        # "queries"/"value" record the FIRST observation (cold plan).
+        # Protocol v2 (r3+): the session warm-up above (noop table scans,
+        # Python worker-pool spin-up) runs before any timer starts, so
+        # first observations are NOT comparable with r01/r02 numbers,
+        # which paid that cost inside the first queries' timers. Compare
+        # r03+ against r03+ via "queries"; use "queries_min" only for
+        # steady-state claims.
         timings[name] = round(runs[0], 4)
         timings_min[name] = round(min(runs), 4)
 
@@ -95,6 +98,9 @@ def main() -> int:
         "sf": _sf_from_dir(sf_dir),
         "n_queries": len(timings),
         "cpus": cpus,
+        # v2: untimed warm-up before the first observation (r3+);
+        # v1 (r1/r2) billed warm-up to the first queries' timers
+        "protocol_version": 2,
     }
     # Per-query map goes to a file (and stderr): the driver captures a
     # bounded tail of stdout, and a single multi-KB line gets truncated

@@ -199,7 +199,10 @@ def repetition_stats(
             "n_tokens",
             "n_distinct_tokens",
             F.size("_bigrams").alias("n_bigrams"),
-            run_state.alias("top_bigram_count"),
+            # coalesce guards the <2-token edge: the oracle emits 0 there
+            # (LEFT JOIN + COALESCE), and this must match even if the
+            # bigram array were ever NULL instead of empty
+            F.coalesce(run_state, F.lit(0)).alias("top_bigram_count"),
         )
         .select(
             id_col,

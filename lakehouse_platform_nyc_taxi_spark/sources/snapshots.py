@@ -30,6 +30,7 @@ not a per-file loop. Manifests carry relative paths, so tables relocate.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -312,11 +313,45 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[int]:
     return expired
 
 
+def _zorder_value(
+    cols: Sequence[str], stats: dict[str, tuple[float, float]], bits: int = 16
+) -> Column:
+    """Morton (Z-order) interleave: each column is min/max-scaled to a
+    ``bits``-bit integer, then the columns' bits are interleaved into one
+    long. Rows close in EVERY dimension get close z-values, so a range
+    sort on z gives multi-column file locality — the property Delta's
+    ``OPTIMIZE ... ZORDER BY`` exploits, built here from pure Catalyst
+    bit arithmetic (shift/and/or — whole-stage-codegen'd, no UDF)."""
+    scaled = []
+    top = (1 << bits) - 1
+    for c in cols:
+        lo, hi = stats[c]
+        span = (hi - lo) or 1.0
+        s = F.least(
+            F.lit(top),
+            F.greatest(
+                F.lit(0),
+                ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * top).cast(
+                    "long"
+                ),
+            ),
+        )
+        scaled.append(s)
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            bit = F.shiftright(s, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
 def optimize_table(
     spark: SparkSession,
     path: str,
     cluster_by: Sequence[str] = (),
     target_files: int | None = None,
+    zorder_by: Sequence[str] = (),
 ) -> int:
     """Compaction + clustering rewrite (Iceberg ``rewrite_data_files`` /
     Delta ``OPTIMIZE ... ZORDER BY``'s role): rewrite the current version
@@ -330,10 +365,20 @@ def optimize_table(
     instead of O(all). Small-file compaction is the same rewrite with an
     empty ``cluster_by``.
 
+    ``cluster_by`` is a lexicographic range-cluster: perfect pruning on
+    the FIRST column, none on later ones. ``zorder_by`` (mutually
+    exclusive) Morton-interleaves the columns' scaled bits so every
+    listed column gets partial locality — the right choice when queries
+    filter on different columns of the same table (Delta's ZORDER BY).
+    Z-order columns must be numeric/date-castable; the min/max scaling
+    stats come from one distributed agg.
+
     One distributed job (repartitionByRange + sortWithinPartitions +
     write); readers pinned to older versions are untouched, and the
     commit CAS protects against concurrent writers like any other op.
     """
+    if cluster_by and zorder_by:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
     parent = current_version(path)
     if parent is None:
         raise ValueError(f"no snapshot table at {path}")
@@ -343,18 +388,49 @@ def optimize_table(
     if cluster_by:
         cols = [F.col(c) for c in cluster_by]
         df = df.repartitionByRange(target_files, *cols).sortWithinPartitions(*cols)
+    elif zorder_by:
+        row = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in zorder_by],
+            *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in zorder_by],
+        ).collect()[0]
+        stats = {c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in zorder_by}
+        for c, (lo, hi) in stats.items():
+            if lo is None or hi is None:
+                raise ValueError(
+                    f"zorder column {c!r} is all-NULL or non-numeric"
+                )
+        z = _zorder_value(zorder_by, stats)
+        df = (
+            df.withColumn("__z", z)
+            .repartitionByRange(target_files, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
     else:
         df = df.coalesce(target_files)
     files = _write_data_files(df, path)
     return _commit(path, files, "optimize", parent=parent)
 
 
-def committed_stream_batches(path: str) -> set[int]:
-    """Stream batch ids already durably committed to this table."""
+def committed_stream_batches(
+    path: str, stream_id: str | None = None
+) -> set[int]:
+    """Stream batch ids already durably committed to this table.
+
+    Batch ids are only unique *within* one streaming query's checkpoint
+    (every query numbers from 0), so idempotence must be scoped to the
+    stream identity — the same reason Delta's idempotent sink keys on
+    ``(txnAppId, txnVersion)``. With ``stream_id`` given, only batches
+    committed by that stream count; ``None`` returns ids from every
+    stream (diagnostics only — never use the unscoped set to skip a
+    batch, two different streams legitimately share batch id 0).
+    """
     out = set()
     for v in _versions(path):
         m = _read_manifest(path, v)
-        if "stream_batch_id" in m:
+        if "stream_batch_id" in m and (
+            stream_id is None or m.get("stream_id") == stream_id
+        ):
             out.add(int(m["stream_batch_id"]))
     return out
 
@@ -363,6 +439,7 @@ def append_stream(
     stream_df: DataFrame,
     path: str,
     checkpoint_dir: str,
+    app_id: str | None = None,
 ) -> None:
     """Exactly-once streaming append into a snapshot table — the Delta/
     Iceberg streaming-sink pattern on plain parquet.
@@ -380,12 +457,22 @@ def append_stream(
     - two concurrent drains of the same stream: the manifest CAS makes
       one commit win, the loser errors instead of double-appending.
 
+    Batch ids restart at 0 for every checkpoint, so the skip check is
+    scoped to a *stream identity* — ``app_id`` if given (the Delta
+    ``txnAppId`` pattern), else a digest of the checkpoint path — and the
+    manifest records ``(stream_id, stream_batch_id)``. Two different
+    streams appending to one table therefore never swallow each other's
+    batch 0; only a true replay of the SAME stream's batch is skipped.
+
     Drains with ``trigger(availableNow)`` and blocks until done. The
     first batch bootstraps the table if ``path`` has no version yet.
     """
+    stream_id = app_id or hashlib.sha256(
+        os.path.abspath(checkpoint_dir).encode("utf-8")
+    ).hexdigest()[:16]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in committed_stream_batches(path):
+        if batch_id in committed_stream_batches(path, stream_id):
             return
         if current_version(path) is None:
             # bootstrap must be ONE tagged commit: create-then-tag would
@@ -395,7 +482,10 @@ def append_stream(
             files = _write_data_files(batch_df, path)
             _commit(
                 path, files, "stream-append", parent=None,
-                extra={"stream_batch_id": int(batch_id)},
+                extra={
+                    "stream_batch_id": int(batch_id),
+                    "stream_id": stream_id,
+                },
             )
             return
         parent = current_version(path)
@@ -404,7 +494,10 @@ def append_stream(
         )
         _commit(
             path, files, "stream-append", parent=parent,
-            extra={"stream_batch_id": int(batch_id)},
+            extra={
+                "stream_batch_id": int(batch_id),
+                "stream_id": stream_id,
+            },
         )
 
     q = (
@@ -446,3 +539,136 @@ def vacuum_orphans(path: str, min_age_seconds: float = 3600.0) -> list[str]:
                 os.remove(full)
                 removed.append(rel)
     return removed
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: Sequence[str],
+    when_matched: str = "update",
+    validate_source_keys: bool = True,
+) -> int:
+    """Keyed MERGE (Delta ``MERGE INTO`` / dbt ``delete+insert`` upsert's
+    modern form), copy-on-write:
+
+    - ``when_matched="update"``: target rows whose key appears in
+      ``source`` are replaced by the source row; unmatched source rows
+      are inserted (upsert).
+    - ``when_matched="delete"``: matched target rows are deleted and
+      NOTHING is inserted (the CDC-retract shape).
+
+    Scale design — the merge never rewrites the whole table:
+
+    1. the source's first-key min/max (one distributed agg, a 2-value
+       collect) prunes candidate files by parquet footer stats, the same
+       manifest-stats skip Iceberg's MERGE does — an upsert touching one
+       day of a date-keyed table rewrites that day's files only;
+    2. surviving target rows come from ONE ``left_anti`` join of the
+       candidate files against the source keys (AQE broadcasts the key
+       side when small);
+    3. kept files move into the new manifest untouched; the rewrite +
+       append is one distributed job, committed via the manifest CAS.
+
+    Like Delta, a source with duplicate keys would make "replace the
+    matched row" ambiguous — ``validate_source_keys`` fails fast on that
+    (one cheap agg on the source; disable if the source is known-unique).
+    """
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+    if not key_cols:
+        raise ValueError("merge_into requires at least one key column")
+    parent = current_version(path)
+    if parent is None:
+        raise ValueError(f"no snapshot table at {path}")
+    if validate_source_keys and when_matched == "update":
+        dup = (
+            source.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1)
+        )
+        if dup.count() > 0:
+            raise ValueError(
+                "merge source has duplicate keys — replacing one target "
+                "row with several source rows is ambiguous (Delta raises "
+                "the same way); dedup the source first"
+            )
+    old_files = _read_manifest(path, parent)["files"]
+    k0 = key_cols[0]
+    lo, hi = source.agg(F.min(k0), F.max(k0)).collect()[0]
+    if lo is None:
+        candidates: list[str] = []
+    else:
+        candidates = [
+            f
+            for f in old_files
+            if _stats_may_match(os.path.join(path, f), k0, lo, hi)
+        ]
+    cand_set = set(candidates)
+    kept = [f for f in old_files if f not in cand_set]
+    keys = source.select(*key_cols).dropDuplicates(list(key_cols))
+    new_files = list(kept)
+    rewrite = None
+    if candidates:
+        target = spark.read.parquet(*[os.path.join(path, f) for f in candidates])
+        rewrite = target.join(keys, on=list(key_cols), how="left_anti")
+    if when_matched == "update":
+        # column order pinned to the table schema so parquet files stay
+        # homogeneous across versions
+        if rewrite is not None:
+            src = source.select([F.col(c.name) for c in rewrite.schema.fields])
+            rewrite = rewrite.unionByName(src)
+        else:
+            rewrite = source
+    if rewrite is not None:
+        new_files += _write_data_files(rewrite, path)
+    return _commit(path, new_files, f"merge-{when_matched}", parent=parent)
+
+
+def table_changes(
+    spark: SparkSession, path: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Change data feed between two versions: every row with a
+    ``_change_type`` of ``insert`` or ``delete`` (an update under
+    copy-on-write is a delete + an insert of the new image) — Delta CDF /
+    Iceberg changelog semantics recovered from immutable snapshots.
+
+    Scale design: data files are immutable, so any file present in both
+    manifests is byte-identical and contributes no changes — only files
+    ADDED or REMOVED between the versions are read. Row-level changes are
+    the multiset differences between those two sides (``exceptAll`` both
+    ways: a COW rewrite's surviving rows appear on both sides and cancel
+    out). A merge that touched 3 files of a 10k-file table diffs 3 files'
+    worth of rows, not the table.
+    """
+    vs = _versions(path)
+    if from_version not in vs or to_version not in vs:
+        raise ValueError(
+            f"versions {from_version}..{to_version} not both present at {path}"
+        )
+    old = set(_read_manifest(path, from_version)["files"])
+    new = set(_read_manifest(path, to_version)["files"])
+    added = sorted(new - old)
+    removed = sorted(old - new)
+
+    def _read(files: list[str]) -> DataFrame | None:
+        if not files:
+            return None
+        return spark.read.parquet(*[os.path.join(path, f) for f in files])
+
+    a, r = _read(added), _read(removed)
+    if a is None and r is None:
+        # no file churn between the versions -> empty feed with the
+        # table's schema
+        cur = read_table(spark, path, to_version)
+        empty = cur.limit(0)
+        return empty.withColumn("_change_type", F.lit("insert"))
+    inserted = a.exceptAll(r) if (a is not None and r is not None) else a
+    deleted = r.exceptAll(a) if (a is not None and r is not None) else r
+    parts = []
+    if inserted is not None:
+        parts.append(inserted.withColumn("_change_type", F.lit("insert")))
+    if deleted is not None:
+        parts.append(deleted.withColumn("_change_type", F.lit("delete")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

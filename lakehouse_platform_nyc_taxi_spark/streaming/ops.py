@@ -13,6 +13,7 @@ import itertools
 import os
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,10 +44,17 @@ def read_events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(sf_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         # plain TIMESTAMP (not NTZ): watermarks require an event-time zone;
         # the session is pinned to UTC so the wall-clock value is identical
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # parquet TIMESTAMP(isAdjustedToUTC=false) reads as NTZ, which
+        # EventTimeWatermark rejects; the NTZ->LTZ cast interprets the
+        # naive value in the session zone (pinned UTC), so the wall-clock
+        # value — and every downstream window boundary — is unchanged
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     # keep streaming/batch column order identical
     return df.select([F.col(f.name) for f in batch.schema.fields])
 
@@ -225,7 +233,14 @@ def _user_stats_fn(
     n, total_scaled, max_v = state.get if state.exists else (0, 0, float("-inf"))
     for pdf in batches:
         n += len(pdf)
-        total_scaled += int((pdf["value"] * _VALUE_SCALE).round().sum())
+        # Sign-aware half-AWAY-from-zero, matching DuckDB/Spark round()
+        # in the oracle. pandas Series.round() is half-to-even, which
+        # agrees only while value*100 never lands on an exact .5 — an
+        # unstated data property this must not depend on.
+        scaled = pdf["value"].to_numpy() * _VALUE_SCALE
+        total_scaled += int(
+            np.copysign(np.floor(np.abs(scaled) + 0.5), scaled).sum()
+        )
         if len(pdf):
             max_v = max(max_v, float(pdf["value"].max()))
     state.update((n, total_scaled, max_v))

@@ -434,3 +434,24 @@ def test_incremental_exact_dedup_against_store(spark):
     store2 = store.union(dig2).localCheckpoint()
     fresh3, _ = dedup.incremental_exact_dedup(b2, store2)
     assert fresh3.count() == 0
+
+
+def test_documents_corpus_is_pure_ascii():
+    """Pin the invariant the multimodal_features oracle depends on: that
+    oracle equates per-character ord(ch) with per-byte values
+    (harness/llm.py), which holds ONLY for pure-ASCII text. If testdata
+    ever grows non-ASCII documents, this fails loudly instead of the
+    oracle silently diverging on byte_length/byte_sum_mod/mean_byte."""
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        con = duckdb.connect()
+        (max_cp,) = con.sql(
+            "SELECT max(list_max(list_transform(split(text, ''), "
+            f"ch -> ord(ch)))) FROM '/root/testdata/sf{sf}/documents.parquet'"
+        ).fetchone()
+        con.close()
+        assert max_cp is not None and max_cp < 128, (
+            f"sf{sf} documents contain non-ASCII (max code point {max_cp}); "
+            "the multimodal_features oracle's ord==byte assumption is broken"
+        )

@@ -181,3 +181,150 @@ def test_vacuum_orphans_removes_only_unreferenced(spark, table):
     assert sorted(removed) == sorted(orphans)
     # referenced files untouched, table still reads
     assert snap.read_table(spark, table).count() == 100
+
+
+def test_append_stream_two_streams_one_table(spark, tmp_path):
+    """Idempotence is scoped per stream identity: two different streaming
+    queries (different checkpoints) both start at batch 0, and BOTH must
+    land — keying the skip on the bare batch id would silently drop the
+    second stream's first batches (the Delta (txnAppId, version) lesson)."""
+    src_a = str(tmp_path / "src_a")
+    src_b = str(tmp_path / "src_b")
+    spark.range(0, 30).selectExpr("id", "id % 3 AS k").write.parquet(src_a)
+    spark.range(100, 150).selectExpr("id", "id % 3 AS k").write.parquet(src_b)
+    table = str(tmp_path / "sink")
+
+    stream_a = spark.readStream.schema("id long, k long").parquet(src_a)
+    snap.append_stream(stream_a, table, str(tmp_path / "ckpt_a"))
+    assert snap.read_table(spark, table).count() == 30
+
+    # second stream, fresh checkpoint -> its batch 0 must NOT be skipped
+    stream_b = spark.readStream.schema("id long, k long").parquet(src_b)
+    snap.append_stream(stream_b, table, str(tmp_path / "ckpt_b"))
+    assert snap.read_table(spark, table).count() == 80
+
+    # replay of stream A (same checkpoint, unchanged source) stays a no-op
+    v = snap.current_version(table)
+    stream_a2 = spark.readStream.schema("id long, k long").parquet(src_a)
+    snap.append_stream(stream_a2, table, str(tmp_path / "ckpt_a"))
+    assert snap.current_version(table) == v
+
+    # explicit app_id overrides the checkpoint digest as the identity
+    src_c = str(tmp_path / "src_c")
+    spark.range(200, 210).selectExpr("id", "id % 3 AS k").write.parquet(src_c)
+    stream_c = spark.readStream.schema("id long, k long").parquet(src_c)
+    snap.append_stream(stream_c, table, str(tmp_path / "ckpt_c"), app_id="etl-c")
+    assert snap.read_table(spark, table).count() == 90
+    assert snap.committed_stream_batches(table, "etl-c") == {0}
+    # unscoped view unions every stream's ids — all three streams used
+    # batch id 0, which is exactly why the skip check must be scoped
+    assert snap.committed_stream_batches(table) == {0}
+
+
+def test_merge_into_upsert(spark, tmp_path):
+    path = str(tmp_path / "m")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, v double",
+    )
+    snap.create_table(base.repartition(2), path)
+
+    src = spark.createDataFrame(
+        [(2, "B2", 22.0), (4, "d", 40.0)], "id long, name string, v double"
+    )
+    v = snap.merge_into(spark, path, src, ["id"])
+    got = {r.id: (r.name, r.v) for r in snap.read_table(spark, path, v).collect()}
+    # matched row replaced, unmatched inserted, untouched rows survive
+    assert got == {1: ("a", 10.0), 2: ("B2", 22.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+    # time travel still sees the pre-merge image
+    assert {r.id for r in snap.read_table(spark, path, 1).collect()} == {1, 2, 3}
+
+
+def test_merge_into_delete_mode_and_dup_guard(spark, tmp_path):
+    path = str(tmp_path / "md")
+    snap.create_table(
+        spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, v double"),
+        path,
+    )
+    # delete mode: matched rows removed, nothing inserted
+    src = spark.createDataFrame([(3, 0.0), (7, 0.0), (99, 0.0)], "id long, v double")
+    v = snap.merge_into(spark, path, src, ["id"], when_matched="delete")
+    assert sorted(r.id for r in snap.read_table(spark, path, v).collect()) == [
+        0, 1, 2, 4, 5, 6, 8, 9,
+    ]
+    # duplicate source keys are ambiguous for update -> fail fast
+    dup = spark.createDataFrame([(1, 1.0), (1, 2.0)], "id long, v double")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        snap.merge_into(spark, path, dup, ["id"])
+
+
+def test_merge_prunes_untouched_files(spark, tmp_path):
+    """A narrow-key merge must leave out-of-range files untouched in the
+    new manifest (footer-stats pruning — the 100 TB property)."""
+    path = str(tmp_path / "mp")
+    df = spark.range(0, 1000).select(F.col("id"), (F.col("id") * 2.0).alias("v"))
+    snap.create_table(df.repartitionByRange(4, "id").sortWithinPartitions("id"), path)
+    files_before = set(snap._read_manifest(path, 1)["files"])
+    assert len(files_before) == 4
+
+    src = spark.createDataFrame([(5, -1.0), (17, -2.0)], "id long, v double")
+    v = snap.merge_into(spark, path, src, ["id"])
+    files_after = set(snap._read_manifest(path, v)["files"])
+    # the three files covering id>=250 survive byte-identical
+    assert len(files_before & files_after) == 3
+    got = {r.id: r.v for r in snap.read_table(spark, path, v).collect()}
+    assert got[5] == -1.0 and got[17] == -2.0 and len(got) == 1000
+
+
+def test_table_changes_reads_only_churned_files(spark, tmp_path):
+    path = str(tmp_path / "cdf")
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 10).alias("bucket"))
+    snap.create_table(df.repartitionByRange(4, "id").sortWithinPartitions("id"), path)
+
+    src = spark.createDataFrame([(3, 777), (200, 5)], "id long, bucket long")
+    v2 = snap.merge_into(spark, path, src, ["id"])
+    ch = snap.table_changes(spark, path, 1, v2).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r._change_type, set()).add((r.id, r.bucket))
+    # update = delete of the old image + insert of the new; plus the pure insert
+    assert by_type["delete"] == {(3, 3)}
+    assert by_type["insert"] == {(3, 777), (200, 5)}
+
+    # a no-churn pair yields an empty feed with the right schema
+    empty = snap.table_changes(spark, path, v2, v2)
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns
+
+
+def test_optimize_zorder_multi_column_pruning(spark, tmp_path):
+    """Z-order gives BOTH columns file locality: after zordering on
+    (x, y), a point-range delete on either column prunes files. A
+    lexicographic cluster on (x, y) would only prune on x."""
+    path = str(tmp_path / "z")
+    n = 4096
+    df = spark.range(0, n).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    snap.create_table(df.repartition(8), path)
+    v = snap.optimize_table(spark, path, zorder_by=("x", "y"), target_files=16)
+    files = snap._read_manifest(path, v)["files"]
+    assert len(files) == 16
+
+    def touched(col, lo, hi):
+        return sum(
+            1
+            for f in files
+            if snap._stats_may_match(os.path.join(path, f), col, lo, hi)
+        )
+
+    # arrival order (random in x AND y after repartition) -> every file
+    # matches everything; z-order must prune a narrow range on EITHER axis
+    assert touched("x", 10, 13) < 16
+    assert touched("y", 10, 13) < 16
+    # content unchanged
+    assert snap.read_table(spark, path, v).count() == n
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        snap.optimize_table(spark, path, cluster_by=("x",), zorder_by=("y",))
