@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators import packing, text
 from ..operators.sampling import stratified_resample
+from ..operators.scd2 import scd2_history
 from ..operators.sessionize import sessionize
 from ..sources.testdata import load_table, load_table_parallel
 from . import register
@@ -168,6 +169,53 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@register(
+    "scd2_event_history",
+    """
+    WITH f AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    i AS (
+        SELECT *, sum(chg) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS island
+        FROM f
+    ),
+    runs AS (
+        SELECT user_id,
+               min(event_type) AS event_type,
+               min(ts) AS valid_from,
+               min(event_id) AS first_tb,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM i GROUP BY user_id, island
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER s AS valid_to,
+           lead(valid_from) OVER s IS NULL AS is_current,
+           n_events
+    FROM runs
+    WINDOW s AS (PARTITION BY user_id ORDER BY valid_from, first_tb)
+    """,
+    doc="SCD type-2 backfill: collapse the event log into versioned "
+    "attribute history (valid_from/valid_to/is_current) via gaps-and-"
+    "islands — one Exchange on user_id shared by the change flag, the "
+    "island sum, the run rollup, and the lead() sequencing.",
+)
+def scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd2_history(
+        load_table(spark, sf_dir, "events"),
+        key_col="user_id",
+        attr_col="event_type",
+        ts_col="ts",
+        order_tiebreak="event_id",
+    )
 
 
 #: Mixture spec for the resampling query: heavy downsample of two noisy

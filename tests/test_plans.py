@@ -199,3 +199,11 @@ def test_ngram_jaccard_df_cap_reuses_posting_exchange(spark):
     # (the pre-round-3 shape: an extra aggregate exchange + semi join).
     assert ("ReusedExchange" in plan) or ("BroadcastHashJoin" in plan), plan
     assert "LeftSemi" not in plan
+
+
+def test_scd2_history_single_key_exchange(spark):
+    """All four window passes + the island rollup must share ONE
+    hash-partitioning on the dimension key (the sessionize plan family);
+    a second data exchange means a window stopped reusing the sort."""
+    plan = _exec_plan(spark, "scd2_event_history")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
