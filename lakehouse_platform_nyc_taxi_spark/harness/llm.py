@@ -838,6 +838,74 @@ def similarity_topk_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shared CTEs for the int8 quantization pair: widen float32->double
+#: (exact), per-vector symmetric scale, half-away-from-zero quantize.
+_Q8_CTES = """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, e,
+               list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id, e, scale,
+               CASE WHEN scale > 0 THEN list_transform(e, x ->
+                        CAST(CASE WHEN x >= 0 THEN floor(x / scale + 0.5)
+                                  ELSE -floor(-x / scale + 0.5)
+                             END AS INTEGER))
+                    ELSE list_transform(e, x -> 0)
+               END AS q_int8
+        FROM s
+    )
+"""
+
+
+@register(
+    "embedding_quantize_int8",
+    _Q8_CTES
+    + """
+    SELECT vec_id, scale, q_int8,
+           list_max(list_transform(generate_series(1, len(e)),
+                    i -> abs(CAST(q_int8[i] AS DOUBLE) * scale - e[i])))
+               AS max_abs_err
+    FROM q
+    """,
+    doc="Row-local symmetric int8 quantization (scale = max|v|/127, half-"
+    "away rounding) with per-vector reconstruction error: the 4x "
+    "compression step for billion-vector ANN, pure mapper — no shuffle, "
+    "fuses into the scan; all math in double so it is bit-reproducible.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantize_int8(load_table_parallel(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "similarity_topk_int8",
+    _Q8_CTES
+    + """
+    , qv AS (SELECT scale AS qscale, q_int8 AS qq FROM q WHERE vec_id = 0)
+    SELECT vec_id,
+           round(scale * qscale * CAST(list_sum(
+               list_transform(generate_series(1, len(q_int8)),
+                              i -> CAST(q_int8[i] AS BIGINT) * qq[i])) AS DOUBLE),
+               6) AS score
+    FROM q, qv
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+    """,
+    doc="Quantized brute-force top-10: INTEGER dot product over int8 codes "
+    "(exact, order-independent accumulation — no float-sum drift), one "
+    "double multiply by the two scales at the end. The serving shape: "
+    "4x less memory bandwidth than float32 scan, same TakeOrdered plan.",
+)
+def similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    return similarity.int8_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
 # ---------------------------------------------------------------------------
 # Embedding column analytics
 # ---------------------------------------------------------------------------

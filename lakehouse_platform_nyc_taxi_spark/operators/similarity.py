@@ -319,3 +319,93 @@ def ivf_probe_batch(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization — the memory/bandwidth scale dial for ANN
+# ---------------------------------------------------------------------------
+
+
+def _half_away(x: Column) -> Column:
+    """Sign-aware round-half-away-from-zero on doubles (the convention
+    this repo standardizes on for cross-engine reproducibility — see
+    functions/trino.py notes on pandas/DuckDB tie behavior)."""
+    return F.when(x >= 0, F.floor(x + F.lit(0.5))).otherwise(
+        -F.floor(-x + F.lit(0.5))
+    )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Row-local symmetric int8 quantization of an embedding column.
+
+    Per vector: ``scale = max|v| / 127``, ``q_i = round(v_i / scale)``
+    (half away from zero), so values land in [-127, 127] and the vector
+    shrinks 4x (float32 -> int8) — the standard first compression step
+    for billion-vector ANN serving. Everything is row-local arithmetic:
+    no shuffle, no state, fuses into the scan. All math runs in double
+    (float32 widening is exact), so results are bit-reproducible across
+    engines; an all-zero vector quantizes to zeros with scale 0.
+
+    Output: ``id_col, scale, q_int8 (array<int>), max_abs_err`` — the
+    reconstruction-error column makes quantization loss observable.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = (amax / F.lit(127.0)).alias("scale")
+    staged = df.select(F.col(id_col), v.alias("_v"), scale)
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            F.col("_v"), lambda x: _half_away(x / F.col("scale")).cast("int")
+        ),
+    ).otherwise(F.transform(F.col("_v"), lambda x: F.lit(0)))
+    with_q = staged.withColumn("q_int8", q)
+    err = F.array_max(
+        F.zip_with(
+            F.col("q_int8"),
+            F.col("_v"),
+            lambda a, b: F.abs(a.cast("double") * F.col("scale") - b),
+        )
+    )
+    return with_q.select(id_col, "scale", "q_int8", err.alias("max_abs_err"))
+
+
+def int8_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qvec_col: str = "qv",
+) -> DataFrame:
+    """Approximate dot-product top-k over int8-quantized vectors.
+
+    Both sides quantize row-locally; the accumulation is an INTEGER dot
+    product (exact, order-independent — no float-summation drift), then
+    one double multiply by the two scales recovers the approximate
+    score: ``score ~= (sq * sd) * sum(qq_i * qd_i)``. This is the
+    serving shape: int8 SIMD dot products over 4x-smaller vectors, with
+    the fp reconstruction only on the scalar result. Broadcast 1-row
+    query, linear scan, TakeOrdered top-k — same plan as the exact
+    brute force, cheaper arithmetic.
+    """
+    qd = quantize_int8(query.select(F.col(qvec_col).alias("embedding")
+                                    ).withColumn("_qid", F.lit(0)),
+                       vec_col="embedding", id_col="_qid").select(
+        F.col("scale").alias("qscale"), F.col("q_int8").alias("qq")
+    )
+    dd = quantize_int8(df, vec_col=vec_col, id_col=id_col)
+    idot = F.aggregate(
+        F.zip_with(F.col("q_int8"), F.col("qq"), lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    score = F.col("scale") * F.col("qscale") * idot.cast("double")
+    return (
+        dd.join(F.broadcast(qd))
+        .select(id_col, trino_round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -455,3 +455,29 @@ def test_documents_corpus_is_pure_ascii():
             f"sf{sf} documents contain non-ASCII (max code point {max_cp}); "
             "the multimodal_features oracle's ord==byte assumption is broken"
         )
+
+
+def test_int8_quantization_error_bound_and_recall(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators import similarity
+    from lakehouse_platform_nyc_taxi_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    q = similarity.quantize_int8(emb)
+    rows = q.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert all(-127 <= x <= 127 for x in r.q_int8)
+        # half-away rounding keeps reconstruction within half a step
+        assert r.max_abs_err <= r.scale / 2 + 1e-12
+
+    # quantized top-10 must broadly agree with the exact brute force
+    query = emb.filter("vec_id = 0").selectExpr("embedding AS qv")
+    exact = [r.vec_id for r in similarity.cosine_topk(emb, query, k=10).collect()]
+    approx = [r.vec_id for r in similarity.int8_topk(emb, query, k=10).collect()]
+    assert len(set(exact) & set(approx)) >= 7
+    assert approx[0] == 0  # the query vector itself still ranks first
+
+    # operator is a pure mapper: no Exchange in its own plan
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
