@@ -539,6 +539,38 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_ntile_cume",
+    """
+    SELECT o_orderpriority, o_orderkey,
+           round(percent_rank() OVER w, 9) AS pct_rank,
+           round(cume_dist() OVER w, 9) AS cume,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+    )
+    """,
+    doc="Distribution window functions: percent_rank / cume_dist / "
+    "ntile(4) per order priority. The orderBy carries a unique tiebreak "
+    "(o_orderkey) because ntile assigns tied rows by position — without "
+    "it the quartile of equal-priced rows is nondeterministic. One "
+    "Exchange on the partition key serves all three functions.",
+)
+def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
     "window_running_total",
     """
     SELECT o_custkey, o_orderkey, o_orderdate,

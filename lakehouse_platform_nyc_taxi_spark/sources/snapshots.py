@@ -548,6 +548,8 @@ def merge_into(
     key_cols: Sequence[str],
     when_matched: str = "update",
     validate_source_keys: bool = True,
+    commit_extra: dict | None = None,
+    allow_bootstrap: bool = False,
 ) -> int:
     """Keyed MERGE (Delta ``MERGE INTO`` / dbt ``delete+insert`` upsert's
     modern form), copy-on-write:
@@ -573,6 +575,11 @@ def merge_into(
     Like Delta, a source with duplicate keys would make "replace the
     matched row" ambiguous — ``validate_source_keys`` fails fast on that
     (one cheap agg on the source; disable if the source is known-unique).
+
+    ``commit_extra`` rides into the manifest (streaming sinks tag their
+    ``(stream_id, batch_id)`` here); ``allow_bootstrap`` lets an upsert
+    against a not-yet-existing table create it from the source in the
+    same single commit (the streaming first-batch case).
     """
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
@@ -580,7 +587,11 @@ def merge_into(
         raise ValueError("merge_into requires at least one key column")
     parent = current_version(path)
     if parent is None:
-        raise ValueError(f"no snapshot table at {path}")
+        if not (allow_bootstrap and when_matched == "update"):
+            raise ValueError(f"no snapshot table at {path}")
+        os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
+        files = _write_data_files(source, path)
+        return _commit(path, files, "merge-update", parent=None, extra=commit_extra)
     if validate_source_keys and when_matched == "update":
         dup = (
             source.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1)
@@ -620,7 +631,9 @@ def merge_into(
             rewrite = source
     if rewrite is not None:
         new_files += _write_data_files(rewrite, path)
-    return _commit(path, new_files, f"merge-{when_matched}", parent=parent)
+    return _commit(
+        path, new_files, f"merge-{when_matched}", parent=parent, extra=commit_extra
+    )
 
 
 def table_changes(

@@ -70,3 +70,60 @@ def stream_upsert_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_merge_snapshot(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: Sequence[str],
+    app_id: str | None = None,
+) -> None:
+    """Streaming CDC apply: MERGE each micro-batch into a snapshot table,
+    exactly once — the Delta "streaming upsert" pattern
+    (``foreachBatch`` + ``MERGE INTO``) on this repo's snapshot tables.
+
+    Idempotence composes from the two layers: the batch dedups on
+    ``key_cols`` within itself (replay order across crashes is not
+    deterministic, so callers needing a specific winner among same-key
+    rows should pre-aggregate), then commits through ``merge_into`` with
+    the same ``(stream_id, batch_id)`` manifest tag ``append_stream``
+    uses — a replayed batch after a crash-between-commit-and-checkpoint
+    is skipped instead of merged twice. The merge rewrites only files
+    whose key range intersects the batch (footer-stats pruning), so a
+    narrow CDC batch against a clustered 100 TB table touches O(1)
+    files. The first batch bootstraps the table.
+    """
+    import hashlib
+    import os as _os
+
+    from ..sources import snapshots as snap
+
+    stream_id = app_id or hashlib.sha256(
+        _os.path.abspath(checkpoint).encode("utf-8")
+    ).hexdigest()[:16]
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in snap.committed_stream_batches(path, stream_id):
+            return
+        deduped = batch_df.dropDuplicates(list(key_cols))
+        snap.merge_into(
+            batch_df.sparkSession,
+            path,
+            deduped,
+            list(key_cols),
+            validate_source_keys=False,  # just deduped
+            commit_extra={
+                "stream_batch_id": int(batch_id),
+                "stream_id": stream_id,
+            },
+            allow_bootstrap=True,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -150,3 +150,47 @@ def test_stream_static_enrich_batch_equivalence(spark):
     out = S.stream_static_enrich(ev, dim, window="1 hour", watermark="10 minutes")
     rows = {(r.c_nationkey): (r.n_events, r.total_value) for r in out.collect()}
     assert rows == {10: (2, 3.0), 20: (1, 4.0)}  # user 99 dropped (no dim)
+
+
+def test_stream_merge_snapshot_upsert_exactly_once(spark, tmp_path):
+    """foreachBatch MERGE into a snapshot table: re-delivered keys update
+    in place, replays are no-ops, history time-travels."""
+    from lakehouse_platform_nyc_taxi_spark.sources import snapshots as snap
+    from lakehouse_platform_nyc_taxi_spark.streaming.sinks import (
+        stream_merge_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    schema = "id long, v double"
+
+    spark.createDataFrame([(1, 1.0), (2, 2.0), (2, 2.0)], schema).coalesce(
+        1
+    ).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_merge_snapshot(stream, table, ckpt, ["id"])
+    got = {r.id: r.v for r in snap.read_table(spark, table).collect()}
+    assert got == {1: 1.0, 2: 2.0}  # in-batch dup collapsed
+
+    # second drain: key 2 updated, key 3 inserted
+    spark.createDataFrame([(2, 20.0), (3, 3.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    stream_merge_snapshot(stream2, table, ckpt, ["id"])
+    got = {r.id: r.v for r in snap.read_table(spark, table).collect()}
+    assert got == {1: 1.0, 2: 20.0, 3: 3.0}
+
+    # replay with same checkpoint and unchanged source: no new version
+    v = snap.current_version(table)
+    stream3 = spark.readStream.schema(schema).parquet(src)
+    stream_merge_snapshot(stream3, table, ckpt, ["id"])
+    assert snap.current_version(table) == v
+
+    # pre-merge image still time-travels
+    assert {r.id for r in snap.read_table(spark, table, 1).collect()} == {1, 2}
+    assert [h["op"] for h in snap.history(table)] == [
+        "merge-update",
+        "merge-update",
+    ]
