@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import packing, text
-from ..operators.sampling import stratified_resample
+from ..operators.sampling import stratified_resample, temperature_resample
 from ..operators.scd2 import scd2_history
 from ..operators.sessionize import sessionize
 from ..sources.testdata import load_table, load_table_parallel
@@ -242,6 +242,33 @@ _MIX_BUCKET = MD5L.format(x="CAST(doc_id AS STRING) || '|mix'") + " % 10000"
 def sampling_stratified_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return stratified_resample(docs, "source", _MIX_RATES, "doc_id", default_rate=1.0)
+
+
+@register(
+    "sampling_temperature_mix",
+    f"""
+    WITH counts AS (
+        SELECT source, CAST(count(*) AS DOUBLE) AS n
+        FROM documents GROUP BY source
+    ),
+    m AS (SELECT min(n) AS n_min FROM counts),
+    r AS (
+        SELECT source,
+               CAST(floor(power(n_min / n, 0.5) * 10000) AS INTEGER) AS thr
+        FROM counts, m
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE ({_MIX_BUCKET}) < r.thr
+    """,
+    doc="Temperature-based mixture resampling (alpha=0.5): per-source "
+    "keep rate (n_min/n)^0.5 flattens the source distribution toward "
+    "uniform without upsampling — rates from one column-pruned count "
+    "agg, membership a row-local hash filter (no data-path shuffle).",
+)
+def sampling_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_resample(docs, "source", "doc_id", alpha=0.5)
 
 
 #: Deterministic PII seeding for the scrub query: the synthetic documents

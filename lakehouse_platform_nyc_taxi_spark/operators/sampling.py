@@ -110,3 +110,41 @@ def per_group_cap(
         .filter(F.col("_rk") <= n)
         .drop("_rk")
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-based mixture resampling: flatten the group size
+    distribution toward uniform with temperature ``alpha`` — the
+    standard multilingual/domain-balancing scheme (sample groups with
+    probability proportional to ``n^alpha``).
+
+    Realized as per-group keep rates with NO upsampling, at the largest
+    corpus size that respects the target mixture: ``r_g =
+    (n_min / n_g) ** (1 - alpha)``. ``alpha=1`` keeps everything
+    (natural mixture), ``alpha=0`` equalizes group counts, ``0.5`` is
+    the common sqrt flattening. Rates derive from one column-pruned
+    count aggregation (a bounded per-group collect — group cardinality
+    is small by construction); membership is then the same row-local
+    deterministic hash filter ``stratified_resample`` uses — no shuffle
+    or join in the data path, reproducible across engines and reruns.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = {
+        r[0]: r[1] for r in df.groupBy(group_col).count().collect()
+    }
+    if not counts:
+        return df
+    n_min = float(min(counts.values()))
+    rates = {
+        g: (n_min / float(n)) ** (1.0 - alpha) for g, n in counts.items()
+    }
+    return stratified_resample(
+        df, group_col, rates, key_col, default_rate=1.0, salt=salt
+    )

@@ -481,3 +481,32 @@ def test_int8_quantization_error_bound_and_recall(spark):
     # operator is a pure mapper: no Exchange in its own plan
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_temperature_resample_flattens_mixture(spark):
+    import pytest as _pytest
+
+    from lakehouse_platform_nyc_taxi_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(i + 1000, "mid") for i in range(400)]
+        + [(i + 2000, "small") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    kept = temperature_resample(df, "source", "doc_id", alpha=0.5)
+    by_src = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # smallest source kept whole; larger sources downsampled toward
+    # rate (n_min/n)^0.5 -> expected ~300 of 900, ~200 of 400
+    assert by_src["small"] == 100
+    assert 200 <= by_src["big"] <= 400
+    assert 130 <= by_src["mid"] <= 270
+    # natural mixture at alpha=1: everything kept
+    assert temperature_resample(df, "source", "doc_id", alpha=1.0).count() == 1400
+    # deterministic across reruns
+    assert kept.count() == temperature_resample(df, "source", "doc_id", alpha=0.5).count()
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_resample(df, "source", "doc_id", alpha=1.5)
