@@ -62,23 +62,74 @@ def register(
 #      Their green rows live in CORRECTNESS_r01.json (kept in-repo), so
 #      rounds jointly cover every query.
 _PRIORITY = [
-    # Changed or new in round 3 (must re-earn a green row this round —
-    # rotation rule: any query whose implementation or shared helpers
-    # changed since its last green row sits inside the window):
-    "text_pii_scrub",  # new operator
-    "multimodal_features",  # oracle added (was rows-only)
-    "streaming_stateful_user_stats",  # fixed-point state + new oracle
-    "text_repetition",  # oracle LEFT JOIN fix (ADVICE r2)
-    "dedup_ngram_jaccard",  # df-cap fold rework this round
-    # trino_round shim consumers (VERDICT r2 item 2). The shim's code is
-    # unchanged since their r1/r2 green rows (round 3's trino.py commit
-    # was docstring+test-only), but the verdict asked for fresh rows:
-    "conditional_case_nullif",
-    "agg_pricing_summary",
+    # --- Round-4 window (driver checks the FIRST 50 registered) ---
+    # New this round (no driver row yet):
+    "scd2_event_history",
+    "embedding_quantize_int8",
+    "similarity_topk_int8",
+    "window_ntile_cume",
+    "sampling_temperature_mix",
+    # Changed implementation/shared helpers this round (rotation rule —
+    # must re-earn a green row): the streaming family (read_events_stream
+    # gained the TIMESTAMP_NTZ event-time cast; the stateful op's
+    # fixed-point rounding became explicitly half-away) and
+    # text_repetition (top_bigram_count coalesce):
+    "streaming_windowed_rollup",
+    "streaming_dedup_counts",
+    "streaming_session_windows",
+    "streaming_stream_static_join",
+    "streaming_stateful_user_stats",
+    "text_repetition",
+    # Oldest green rows (last verified r1 — unchanged since, but their
+    # rows are 3 rounds old; rotate back in so provenance stays fresh):
+    "cast_rename_projection",
+    "filter_precedence_quirk",
+    "in_list_between",
+    "incremental_watermark",
+    "join_full_outer",
+    "join_right_outer",
+    "lateral_explode_tokens",
+    "orderby_limit_topk",
+    "pivot_event_values",
+    "scan_projection_filter",
+    "set_except",
+    "set_intersect",
+    "star_extend_projection",
+    "union_all_typed_nulls",
+    "union_distinct",
+    "validity_filter",
+    "window_lead_lag",
+    "window_moving_avg",
+    "window_running_total",
+    # Last verified r2:
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "join_anti",
+    "join_asof",
+    "join_cross_ratio",
+    "join_range",
+    "join_semi",
+    "window_topk_per_group",
+    # Load-bearing r3-green queries filling the window to 50:
     "agg_daily_rollup",
+    "agg_pricing_summary",
+    "conditional_case_nullif",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_clusters",
+    "corpus_curation",
+    "sequence_packing",
+    "doc_chunking",
+    "text_pii_scrub",
+    "multimodal_features",
+]
+_KEEP = [
+    # r3-green, unchanged this round; fall just past the 50-row window.
     "agg_monthly_rollup",
     "agg_no_keys",
     "agg_percentiles",
+    "agg_percentiles_approx",
     "embedding_dim_stats",
     "text_stats",
     "text_corpus_rollup",
@@ -89,67 +140,27 @@ _PRIORITY = [
     "similarity_topk_batch",
     "similarity_topk_ivf_batch",
     "dedup_embedding_cosine",
-    # other shim consumers (surrogate_key / datetime shims / marts):
     "datetime_features",
     "surrogate_keys_md5",
     "dq_violation_counts",
     "sql_adhoc_interactive",
-]
-_KEEP = [
-    "dedup_exact",
     "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
     "dedup_simhash",
-    "dedup_clusters",
+    "dedup_ngram_jaccard",
     "sampling_hash_split",
     "sampling_per_group_cap",
     "sampling_stratified_resample",
     "sessionize_events",
-    "corpus_curation",
     "text_decontamination",
     "text_heavy_hitters",
     "text_language_id",
     "text_fingerprints",
     "text_winnowing",
     "multimodal_metadata",
-    "streaming_windowed_rollup",
-    "streaming_dedup_counts",
-    "streaming_session_windows",
-    "streaming_stream_static_join",
     "join_broadcast_dims",
     "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross_ratio",
-    "join_asof",
-    "join_range",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "window_topk_per_group",
 ]
 _ROTATE_OUT = [
-    # Previously green, unchanged since; provenance rows live in
-    # CORRECTNESS_r01/r02.json (kept in-repo).
-    "cast_rename_projection",
-    "validity_filter",
-    "incremental_watermark",
-    "filter_precedence_quirk",
-    "in_list_between",
-    "star_extend_projection",
-    "union_all_typed_nulls",
-    "set_intersect",
-    "set_except",
-    "window_lead_lag",
-    "window_running_total",
-    "window_moving_avg",
-    "pivot_event_values",
-    "lateral_explode_tokens",
-    "union_distinct",
-    "orderby_limit_topk",
-    "scan_projection_filter",
-    "join_right_outer",
-    "join_full_outer",
     "agg_approx_distinct",  # rows-only by design; r01 row recorded
 ]
 
