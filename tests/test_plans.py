@@ -207,3 +207,40 @@ def test_scd2_history_single_key_exchange(spark):
     a second data exchange means a window stopped reusing the sort."""
     plan = _exec_plan(spark, "scd2_event_history")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Spark's runtime bloom-filter injection — the 100 TB lever for
+    selective dim->fact joins that cannot broadcast: the filtered dim
+    side builds a bloom filter at runtime and the fact scan drops
+    non-matching rows BEFORE the join shuffle. Production defaults gate
+    on a 10 GB application-side scan, so the test lowers the threshold;
+    the assertion is that the engine's queries run with the feature ON
+    and the plan shape (might_contain on the fact key) appears."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), plan
+        assert j.collect()[0]["count"] > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
