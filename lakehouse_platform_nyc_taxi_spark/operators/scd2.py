@@ -132,8 +132,11 @@ def scd2_apply(
         F.lit(None).cast(ts_type).alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
+    # every live key has exactly one current row (the operator's
+    # invariant), so anti-joining against CURRENT keys — a fraction of
+    # the full history — is sufficient and cheaper at scale
     inserted = (
-        upd.join(dim.select(key_col).distinct(), on=key_col, how="left_anti")
+        upd.join(current.select(key_col), on=key_col, how="left_anti")
         .select(
             F.col(key_col),
             *[F.col(f"_new_{c}").alias(c) for c in attr_cols],
