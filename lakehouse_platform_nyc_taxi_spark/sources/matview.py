@@ -1,0 +1,182 @@
+"""Incrementally-maintained materialized aggregates over snapshot tables.
+
+The lakehouse pattern Delta/Snowflake call an incremental materialized
+view: a grouped aggregate (count / sum per key) stored as its own
+snapshot table, refreshed from the BASE TABLE'S CHANGE FEED instead of
+recomputed. Because copy-on-write changes are (insert, delete) row
+multisets (``snapshots.table_changes``), any distributive aggregate
+refreshes by folding SIGNED deltas: +1/+x for inserts, -1/-x for
+deletes, then merging the delta rows into the view by group key.
+
+Scale: a refresh reads only the files churned since the last refresh
+(the change feed's guarantee), aggregates them (map-side combine on the
+group key), and folds them into the view in ONE merge-shaped commit with
+footer-stats file pruning — cost proportional to the CHANGE volume plus
+the touched view files, not the base table or the whole view. The
+commit is atomic and tags the base version it reflects, so a crashed
+refresh reruns from the same state (all-or-nothing, never half-applied).
+
+Only distributive aggregates (count, sum) — and averages derived from
+them at read time — can be maintained this way; min/max need the base
+table on deletes (a delete may remove the current extremum), so they are
+deliberately not offered here: recompute those, or layer them on the
+exact percentile path.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import snapshots as snap
+
+
+def _view_state(mv_path: str) -> tuple[int, dict]:
+    """(current mv version, newest manifest carrying the MV tags).
+
+    Maintenance commits on the view itself (``optimize_table``
+    compaction/clustering) are data-preserving but carry no MV tags, so
+    the state walk takes the newest manifest that HAS ``base_version`` —
+    clustering a view must not break refresh."""
+    v = snap.current_version(mv_path)
+    if v is None:
+        raise ValueError(f"no materialized view at {mv_path}")
+    for cand in reversed(snap._versions(mv_path)):
+        m = snap._read_manifest(mv_path, cand)
+        if "base_version" in m:
+            return v, m
+    raise ValueError(f"{mv_path} is not a materialized view (no base_version)")
+
+
+def create_grouped_mv(
+    spark: SparkSession,
+    base_path: str,
+    mv_path: str,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str] = (),
+) -> int:
+    """Materialize ``SELECT group_cols, count(*) AS n_rows,
+    sum(c) AS sum_<c>... FROM base GROUP BY group_cols`` as a snapshot
+    table tagged with the base version it reflects."""
+    base_v = snap.current_version(base_path)
+    if base_v is None:
+        raise ValueError(f"no snapshot table at {base_path}")
+    df = snap.read_table(spark, base_path, base_v)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum(F.col(c)).alias(f"sum_{c}") for c in sum_cols],
+    )
+    if snap._versions(mv_path):
+        raise ValueError(f"materialized view already exists at {mv_path}")
+    os.makedirs(os.path.join(mv_path, snap._SNAP_DIR), exist_ok=True)
+    files = snap._write_data_files(agg, mv_path)
+    snap._commit(
+        mv_path, files, "mv-create", parent=None,
+        extra={"base_version": base_v,
+               "mv_group_cols": list(group_cols),
+               "mv_sum_cols": list(sum_cols)},
+    )
+    return base_v
+
+
+def refresh_mv(
+    spark: SparkSession, base_path: str, mv_path: str
+) -> tuple[int, int]:
+    """Fold the base table's changes since the last refresh into the
+    view. Returns ``(base_version_before, base_version_after)``; a no-op
+    (base unchanged) returns equal versions and commits nothing.
+
+    The delta aggregation carries a sign column (+1 insert, -1 delete),
+    so one map-side-combined ``groupBy`` produces per-key adjustments;
+    groups whose count drops to zero leave the view. The merge into the
+    view rewrites only key-range-intersecting files.
+    """
+    mv_v, m = _view_state(mv_path)
+    reflected = int(m["base_version"])
+    group_cols = list(m["mv_group_cols"])
+    sum_cols = list(m["mv_sum_cols"])
+    base_now = snap.current_version(base_path)
+    if base_now == reflected:
+        return reflected, reflected
+    changes = snap.table_changes(spark, base_path, reflected, base_now)
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    deltas = (
+        changes.withColumn("_sign", sign)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("_sign").alias("_d_n"),
+            *[
+                F.sum(F.col(c) * F.col("_sign")).alias(f"_d_sum_{c}")
+                for c in sum_cols
+            ],
+        )
+        # fence: deltas feed three consumers (range probe, anti-join,
+        # right join); without the checkpoint each would re-read and
+        # re-aggregate the churned base files
+        .localCheckpoint(eager=True)
+    )
+    # One atomic merge-shaped commit (refresh must be all-or-nothing so
+    # a crashed refresh can simply rerun): prune view files by the delta
+    # key range, carry untouched files, rewrite candidates as
+    # (survivors without delta keys) UNION (adjusted groups with n > 0)
+    # — removals are just groups that don't come back.
+    old_files = snap._read_manifest(mv_path, mv_v)["files"]
+    k0 = group_cols[0]
+    lo, hi = deltas.agg(F.min(k0), F.max(k0)).collect()[0]
+    if lo is None:
+        candidates: list[str] = []
+    else:
+        candidates = [
+            f
+            for f in old_files
+            if snap._stats_may_match(os.path.join(mv_path, f), k0, lo, hi)
+        ]
+    kept = [f for f in old_files if f not in set(candidates)]
+    if candidates:
+        cand = spark.read.parquet(*[os.path.join(mv_path, f) for f in candidates])
+        survivors = cand.join(
+            deltas.select(*group_cols), on=group_cols, how="left_anti"
+        )
+        touched = cand.join(deltas, on=group_cols, how="right")
+    else:
+        survivors = None
+        touched = deltas.select(
+            *group_cols,
+            F.lit(None).cast("long").alias("n_rows"),
+            *[F.lit(None).cast("double").alias(f"sum_{c}") for c in sum_cols],
+            F.col("_d_n"),
+            *[F.col(f"_d_sum_{c}") for c in sum_cols],
+        )
+    adjusted = touched.select(
+        *group_cols,
+        (
+            F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("_d_n")
+        ).alias("n_rows"),
+        *[
+            (
+                F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+                + F.coalesce(F.col(f"_d_sum_{c}"), F.lit(0))
+            ).alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+    ).filter(F.col("n_rows") > 0)
+    rewrite = (
+        adjusted if survivors is None else survivors.unionByName(adjusted)
+    )
+    files = kept + snap._write_data_files(rewrite, mv_path)
+    snap._commit(
+        mv_path, files, "mv-refresh", parent=mv_v,
+        extra={"base_version": base_now,
+               "mv_group_cols": group_cols,
+               "mv_sum_cols": sum_cols},
+    )
+    return reflected, base_now
+
+
+def read_mv(spark: SparkSession, mv_path: str) -> DataFrame:
+    """Current view contents (plain snapshot read; time travel works via
+    ``snapshots.read_table`` directly)."""
+    return snap.read_table(spark, mv_path)

@@ -1,0 +1,84 @@
+"""Incremental materialized-view maintenance over snapshot tables:
+refresh equals recompute, reads only churned files, idempotent no-op."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_platform_nyc_taxi_spark.sources import matview as mv
+from lakehouse_platform_nyc_taxi_spark.sources import snapshots as snap
+
+
+def _expected(spark, base):
+    return {
+        r.bucket: (r.n_rows, r.sum_v)
+        for r in snap.read_table(spark, base)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+
+
+def _got(spark, view):
+    return {
+        r.bucket: (r.n_rows, r.sum_v) for r in mv.read_mv(spark, view).collect()
+    }
+
+
+def test_mv_refresh_tracks_base_changes(spark, tmp_path):
+    base = str(tmp_path / "base")
+    view = str(tmp_path / "mv")
+    df = spark.range(0, 200).select(
+        F.col("id"), (F.col("id") % 7).alias("bucket"), (F.col("id") * 1.0).alias("v")
+    )
+    snap.create_table(df.repartitionByRange(4, "id"), base)
+    mv.create_grouped_mv(spark, base, view, ["bucket"], ["v"])
+    assert _got(spark, view) == _expected(spark, base)
+
+    # refresh with no base change: no-op, no new version
+    v = snap.current_version(view)
+    assert mv.refresh_mv(spark, base, view) == (1, 1)
+    assert snap.current_version(view) == v
+
+    # append + COW delete + merge, then one refresh folds all of it
+    snap.append(
+        spark.range(200, 260).select(
+            F.col("id"), (F.col("id") % 7).alias("bucket"), (F.col("id") * 1.0).alias("v")
+        ),
+        base,
+    )
+    snap.delete_range(spark, base, "id", 0, 24)
+    src = spark.createDataFrame([(30, 3, 999.0), (500, 3, 1.0)], "id long, bucket long, v double")
+    snap.merge_into(spark, base, src, ["id"])
+    before, after = mv.refresh_mv(spark, base, view)
+    assert before == 1 and after == snap.current_version(base)
+    assert _got(spark, view) == _expected(spark, base)
+
+    # idempotent: rerun is a no-op at the new base version
+    assert mv.refresh_mv(spark, base, view) == (after, after)
+    assert _got(spark, view) == _expected(spark, base)
+
+
+def test_mv_refresh_drops_emptied_groups_and_prunes_files(spark, tmp_path):
+    base = str(tmp_path / "b2")
+    view = str(tmp_path / "m2")
+    # bucket == id: group 5 will be fully deleted
+    df = spark.range(0, 100).select(
+        F.col("id"), F.col("id").alias("bucket"), F.lit(1.0).alias("v")
+    )
+    snap.create_table(df.repartitionByRange(4, "id"), base)
+    mv.create_grouped_mv(spark, base, view, ["bucket"], ["v"])
+    # cluster the view so refresh can prune its files by bucket range
+    snap.optimize_table(spark, view, cluster_by=("bucket",), target_files=4)
+    files_before = set(snap._read_manifest(view, snap.current_version(view))["files"])
+
+    snap.delete_range(spark, base, "id", 5, 5)
+    mv.refresh_mv(spark, base, view)
+    got = _got(spark, view)
+    assert 5 not in got and len(got) == 99
+
+    # narrow delta -> most clustered view files carried untouched
+    files_after = set(
+        snap._read_manifest(view, snap.current_version(view))["files"]
+    )
+    assert len(files_before & files_after) >= 3
