@@ -121,14 +121,15 @@ _PRIORITY = [
     "corpus_curation",
     "sequence_packing",
     "doc_chunking",
-    "text_pii_scrub",
-    "multimodal_features",
-]
-_KEEP = [
-    # r3-green, unchanged this round; fall just past the 50-row window.
-    "agg_monthly_rollup",
+    # changed this round (parallel loader for CPU-bound aggs):
     "agg_no_keys",
     "agg_percentiles",
+]
+_KEEP = [
+    "text_pii_scrub",
+    "multimodal_features",
+    # r3-green, unchanged this round; fall just past the 50-row window.
+    "agg_monthly_rollup",
     "agg_percentiles_approx",
     "embedding_dim_stats",
     "text_stats",

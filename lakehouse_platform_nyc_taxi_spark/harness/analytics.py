@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.trino import trino_round
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, load_table_parallel
 from . import register
 from .core import DAVG, DSUM, davg, dsum
 
@@ -153,7 +153,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 TB escape hatch (sketch-based, engine-specific values).",
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # parallel loader: exact percentiles sort within groups — CPU-bound
+    li = load_table_parallel(spark, sf_dir, "lineitem")
     return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
         trino_round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
         trino_round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),

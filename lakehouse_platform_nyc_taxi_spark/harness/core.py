@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.trino import day_name, day_of_week_iso, surrogate_key, time_of_day, trino_round
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, load_table_parallel
 from . import register
 
 
@@ -358,7 +358,9 @@ def join_cross_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinct count, conditional count (reference: fct_trips_daily.sql:20-46).",
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # parallel loader: decimal-fenced sums over the single-row-group
+    # testdata are CPU-bound (see load_table_parallel scale note)
+    li = load_table_parallel(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
@@ -486,7 +488,9 @@ def agg_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="A12: keyless single-row aggregate (reference: assert_positive_fare.sql:5-13).",
 )
 def agg_no_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # parallel loader: count-distinct expansion + decimal sums are the
+    # CPU cost; a single-task scan serializes the partial aggregate
+    li = load_table_parallel(spark, sf_dir, "lineitem")
     return li.agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
