@@ -74,6 +74,7 @@ def _commit(
     op: str,
     parent: int | None,
     extra: dict | None = None,
+    schema_json: str | None = None,
 ) -> int:
     """Atomically publish a new version.
 
@@ -88,12 +89,17 @@ def _commit(
     stores with atomic put-if-absent.
     """
     version = (parent or 0) + 1
+    if schema_json is None and parent is not None:
+        # schema rides the manifest chain (the Delta-log pattern): ops
+        # that don't change it (delete/optimize/merge/stream) inherit
+        schema_json = _read_manifest(path, parent).get("schema")
     manifest = {
         "version": version,
         "parent": parent,
         "op": op,
         "committed_at": time.time(),
         "files": sorted(files),
+        **({"schema": schema_json} if schema_json else {}),
         **(extra or {}),
     }
     target = _manifest_path(path, version)
@@ -136,21 +142,64 @@ def current_version(path: str) -> int | None:
 
 
 def create_table(df: DataFrame, path: str) -> int:
-    """CTAS: v1 of a new snapshot table."""
+    """CTAS: v1 of a new snapshot table. The schema is recorded in the
+    manifest (the Delta-log pattern) so reads never depend on which data
+    file the reader happens to open first."""
     if _versions(path):
         raise ValueError(f"snapshot table already exists at {path}")
     os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
     files = _write_data_files(df, path)
-    return _commit(path, files, "create", parent=None)
+    return _commit(path, files, "create", parent=None, schema_json=df.schema.json())
 
 
-def append(df: DataFrame, path: str) -> int:
-    """Append-only commit: new files + previous version's files."""
+def _table_schema(path: str, version: int):
+    from pyspark.sql.types import StructType
+
+    sj = _read_manifest(path, version).get("schema")
+    return StructType.fromJson(json.loads(sj)) if sj else None
+
+
+def append(df: DataFrame, path: str, merge_schema: bool = False) -> int:
+    """Append-only commit: new files + previous version's files.
+
+    Schema is enforced against the manifest: a drifted batch fails fast
+    unless ``merge_schema`` is set, in which case NEW columns extend the
+    table schema (Delta ``mergeSchema`` / the reference's
+    ``accept-any-schema`` + ``append_new_columns`` contract,
+    ingest_spark_bulk.py:150) — old files simply read the added columns
+    as NULL. Type changes on existing columns are never merged.
+    """
     parent = current_version(path)
     if parent is None:
         raise ValueError(f"no snapshot table at {path}")
+    schema_json = None
+    table_schema = _table_schema(path, parent)
+    if table_schema is not None:
+        existing = {f.name: f.dataType for f in table_schema.fields}
+        incoming = {f.name: f.dataType for f in df.schema.fields}
+        clashes = [
+            n for n, t in incoming.items()
+            if n in existing and existing[n] != t
+        ]
+        if clashes:
+            raise ValueError(
+                f"append schema changes types of existing columns {clashes}; "
+                "snapshot tables never merge type changes"
+            )
+        new_cols = [f for f in df.schema.fields if f.name not in existing]
+        if new_cols and not merge_schema:
+            raise ValueError(
+                f"append adds columns {[f.name for f in new_cols]}; pass "
+                "merge_schema=True to evolve the table schema"
+            )
+        if new_cols:
+            from pyspark.sql.types import StructType
+
+            schema_json = StructType(
+                list(table_schema.fields) + new_cols
+            ).json()
     files = _read_manifest(path, parent)["files"] + _write_data_files(df, path)
-    return _commit(path, files, "append", parent=parent)
+    return _commit(path, files, "append", parent=parent, schema_json=schema_json)
 
 
 def read_table(
@@ -158,14 +207,21 @@ def read_table(
 ) -> DataFrame:
     """Read a pinned version (time travel) or the latest. The returned
     DataFrame stays valid even if later commits change the table — its
-    file list is frozen (immutable data files are never rewritten)."""
+    file list is frozen (immutable data files are never rewritten).
+    When the manifest carries a schema, the scan is pinned to it —
+    evolved tables read pre-evolution files with NULL new columns, and
+    time travel sees each version's own schema."""
     v = version if version is not None else current_version(path)
     if v is None:
         raise ValueError(f"no snapshot table at {path}")
     manifest = _read_manifest(path, v)
     if not manifest["files"]:
         raise ValueError(f"version {v} of {path} is empty")
-    return spark.read.parquet(*[os.path.join(path, f) for f in manifest["files"]])
+    paths = [os.path.join(path, f) for f in manifest["files"]]
+    schema = _table_schema(path, v)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(*paths)
+    return spark.read.parquet(*paths)
 
 
 def _stats_may_match(
@@ -270,8 +326,13 @@ def rollback(path: str, version: int) -> int:
     if version not in _versions(path):
         raise ValueError(f"version {version} does not exist at {path}")
     parent = current_version(path)
-    files = _read_manifest(path, version)["files"]
-    return _commit(path, files, f"rollback-to-{version}", parent=parent)
+    m = _read_manifest(path, version)
+    # restore that version's schema too — rolling back past a schema
+    # evolution must not leave new-column ghosts
+    return _commit(
+        path, m["files"], f"rollback-to-{version}", parent=parent,
+        schema_json=m.get("schema"),
+    )
 
 
 def history(path: str) -> list[dict]:

@@ -28,7 +28,12 @@ def test_create_read_roundtrip(spark, table):
 
 
 def test_append_and_time_travel(spark, table):
-    snap.append(spark.range(100, 150).select(F.col("id"), F.lit(99).alias("bucket")), table)
+    snap.append(
+        spark.range(100, 150).select(
+            F.col("id"), F.lit(99).cast("long").alias("bucket")
+        ),
+        table,
+    )
     assert snap.current_version(table) == 2
     assert snap.read_table(spark, table).count() == 150
     assert snap.read_table(spark, table, version=1).count() == 100  # time travel
@@ -328,3 +333,41 @@ def test_optimize_zorder_multi_column_pruning(spark, tmp_path):
     assert snap.read_table(spark, path, v).count() == n
     with pytest.raises(ValueError, match="mutually exclusive"):
         snap.optimize_table(spark, path, cluster_by=("x",), zorder_by=("y",))
+
+
+def test_append_schema_evolution(spark, tmp_path):
+    path = str(tmp_path / "evo")
+    snap.create_table(
+        spark.createDataFrame([(1, "a")], "id long, name string"), path
+    )
+    # drifted batch without the flag: fail fast (no silent corruption)
+    drifted = spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double")
+    with pytest.raises(ValueError, match="merge_schema"):
+        snap.append(drifted, path)
+    # type change is never mergeable
+    retyped = spark.createDataFrame([(3, 7)], "id long, name long")
+    with pytest.raises(ValueError, match="types"):
+        snap.append(retyped, path, merge_schema=True)
+
+    v2 = snap.append(drifted, path, merge_schema=True)
+    cur = snap.read_table(spark, path, v2)
+    assert [f.name for f in cur.schema.fields] == ["id", "name", "score"]
+    got = {r.id: (r.name, r.score) for r in cur.collect()}
+    # pre-evolution rows read the new column as NULL
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+    # time travel shows each version's own schema
+    assert [f.name for f in snap.read_table(spark, path, 1).schema.fields] == [
+        "id", "name",
+    ]
+    # same-schema appends still work, inherit the evolved schema
+    v3 = snap.append(
+        spark.createDataFrame([(4, "d", 1.0)], "id long, name string, score double"),
+        path,
+    )
+    assert snap.read_table(spark, path, v3).count() == 3
+    # rollback past the evolution restores the old schema
+    v4 = snap.rollback(path, 1)
+    assert [f.name for f in snap.read_table(spark, path, v4).schema.fields] == [
+        "id", "name",
+    ]
