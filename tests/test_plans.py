@@ -244,3 +244,44 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling — the other 100 TB skew valve beside the
+    explicit salting in operators/skew.py: a hot join key whose shuffle
+    partition dwarfs the median is split into subpartitions at runtime
+    (SortMergeJoin(skew=true) in the FINAL adaptive plan). Thresholds
+    are lowered to trigger at test scale; production defaults (256 MB
+    advisory, factor 5) do the same on real skew."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 180_100
+        # the same QueryExecution that ran carries the final plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
