@@ -120,12 +120,14 @@ _PRIORITY = [
     "dedup_clusters",
     "corpus_curation",
     "sequence_packing",
-    "doc_chunking",
+    # new this round:
+    "agg_arg_extremes",
     # changed this round (parallel loader for CPU-bound aggs):
     "agg_no_keys",
     "agg_percentiles",
 ]
 _KEEP = [
+    "doc_chunking",
     "text_pii_scrub",
     "multimodal_features",
     # r3-green, unchanged this round; fall just past the 50-row window.

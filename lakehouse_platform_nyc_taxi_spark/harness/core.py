@@ -543,6 +543,34 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_arg_extremes",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           arg_min(event_type, event_id) AS first_type,
+           arg_max(event_type, event_id) AS last_type,
+           arg_max(value, event_id) AS last_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="arg-extreme aggregates (max_by/min_by): first/last event "
+    "attributes per user WITHOUT a sort or window — one partial-agg "
+    "shuffle carrying a single (value, ordering-key) pair per group, "
+    "where the row_number formulation would sort every group. The "
+    "ordering key (event_id) is a unique sequence, so results are "
+    "deterministic with no float-tie hazard.",
+)
+def agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.min_by("event_type", "event_id").alias("first_type"),
+        F.max_by("event_type", "event_id").alias("last_type"),
+        F.max_by("value", "event_id").alias("last_value"),
+    )
+
+
+@register(
     "window_ntile_cume",
     """
     SELECT o_orderpriority, o_orderkey,
