@@ -89,17 +89,23 @@ def _commit(
     stores with atomic put-if-absent.
     """
     version = (parent or 0) + 1
-    if schema_json is None and parent is not None:
-        # schema rides the manifest chain (the Delta-log pattern): ops
-        # that don't change it (delete/optimize/merge/stream) inherit
-        schema_json = _read_manifest(path, parent).get("schema")
+    inherited: dict = {}
+    if parent is not None:
+        # table metadata rides the manifest chain (the Delta-log
+        # pattern): ops that don't change it inherit schema/constraints
+        pm = _read_manifest(path, parent)
+        for key in ("schema", "constraints"):
+            if pm.get(key) is not None:
+                inherited[key] = pm[key]
+    if schema_json is not None:
+        inherited["schema"] = schema_json
     manifest = {
         "version": version,
         "parent": parent,
         "op": op,
         "committed_at": time.time(),
         "files": sorted(files),
-        **({"schema": schema_json} if schema_json else {}),
+        **inherited,
         **(extra or {}),
     }
     target = _manifest_path(path, version)
@@ -198,6 +204,7 @@ def append(df: DataFrame, path: str, merge_schema: bool = False) -> int:
             schema_json = StructType(
                 list(table_schema.fields) + new_cols
             ).json()
+    _enforce_constraints(df, path)
     files = _read_manifest(path, parent)["files"] + _write_data_files(df, path)
     return _commit(path, files, "append", parent=parent, schema_json=schema_json)
 
@@ -535,6 +542,7 @@ def append_stream(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in committed_stream_batches(path, stream_id):
             return
+        _enforce_constraints(batch_df, path)
         if current_version(path) is None:
             # bootstrap must be ONE tagged commit: create-then-tag would
             # leave an untagged v1 if the tag commit is lost, and the
@@ -663,6 +671,8 @@ def merge_into(
                 "row with several source rows is ambiguous (Delta raises "
                 "the same way); dedup the source first"
             )
+    if when_matched == "update":
+        _enforce_constraints(source, path)
     old_files = _read_manifest(path, parent)["files"]
     k0 = key_cols[0]
     lo, hi = source.agg(F.min(k0), F.max(k0)).collect()[0]
@@ -746,3 +756,82 @@ def table_changes(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints — Delta's table-level data contracts
+# ---------------------------------------------------------------------------
+
+
+def table_constraints(path: str) -> dict[str, str]:
+    """Active CHECK constraints: name -> SQL boolean expression."""
+    v = current_version(path)
+    if v is None:
+        raise ValueError(f"no snapshot table at {path}")
+    return dict(_read_manifest(path, v).get("constraints") or {})
+
+
+def add_constraint(
+    spark: SparkSession, path: str, name: str, expression: str
+) -> int:
+    """ADD CONSTRAINT name CHECK (expression).
+
+    Like Delta, the EXISTING data must already satisfy the constraint —
+    one distributed scan validates it before the metadata commit (the
+    commit itself moves no data; the file list is unchanged). Writers
+    then validate every incoming batch against all active constraints
+    (see :func:`_enforce_constraints`), so the contract holds by
+    construction from this version forward.
+    """
+    parent = current_version(path)
+    if parent is None:
+        raise ValueError(f"no snapshot table at {path}")
+    cons = table_constraints(path)
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists")
+    bad = read_table(spark, path, parent).filter(f"NOT ({expression})").limit(1)
+    if bad.count() > 0:
+        raise ValueError(
+            f"existing rows violate CHECK ({expression}); constraint "
+            f"{name!r} not added"
+        )
+    cons[name] = expression
+    files = _read_manifest(path, parent)["files"]
+    return _commit(
+        path, files, f"add-constraint-{name}", parent=parent,
+        extra={"constraints": cons},
+    )
+
+
+def drop_constraint(path: str, name: str) -> int:
+    """DROP CONSTRAINT: metadata-only commit."""
+    parent = current_version(path)
+    if parent is None:
+        raise ValueError(f"no snapshot table at {path}")
+    cons = table_constraints(path)
+    if name not in cons:
+        raise ValueError(f"constraint {name!r} does not exist")
+    del cons[name]
+    files = _read_manifest(path, parent)["files"]
+    return _commit(
+        path, files, f"drop-constraint-{name}", parent=parent,
+        extra={"constraints": cons},
+    )
+
+
+def _enforce_constraints(df: DataFrame, path: str) -> None:
+    """Raise if any incoming row violates an active constraint. Cost is
+    one pass over the BATCH (never the table); NULL evaluations violate,
+    matching Delta (a CHECK must evaluate to true)."""
+    v = current_version(path)
+    if v is None:
+        return
+    cons = _read_manifest(path, v).get("constraints") or {}
+    for name, expr in cons.items():
+        bad = df.filter(
+            ~F.coalesce(F.expr(expr), F.lit(False))
+        ).limit(1)
+        if bad.count() > 0:
+            raise ValueError(
+                f"batch violates CHECK constraint {name!r} ({expr})"
+            )

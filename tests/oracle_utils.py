@@ -19,8 +19,20 @@ from pyspark.sql import DataFrame
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     # Sort columns by name (driver sorts columns before hashing), then
-    # rows by every column for an order-insensitive compare.
+    # rows by every column for an order-insensitive compare. Array cells
+    # (Spark arrays / DuckDB lists land as numpy arrays or lists) become
+    # tuples first — sortable and comparable, matching the driver's
+    # list->tuple normalization.
     df = df.reindex(sorted(df.columns), axis=1)
+    for col in df.columns:
+        if df[col].dtype == object and df[col].map(
+            lambda v: isinstance(v, (list, tuple)) or hasattr(v, "tolist")
+        ).any():
+            df[col] = df[col].map(
+                lambda v: tuple(v.tolist() if hasattr(v, "tolist") else v)
+                if isinstance(v, (list, tuple)) or hasattr(v, "tolist")
+                else v
+            )
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df

@@ -371,3 +371,43 @@ def test_append_schema_evolution(spark, tmp_path):
     assert [f.name for f in snap.read_table(spark, path, v4).schema.fields] == [
         "id", "name",
     ]
+
+
+def test_check_constraints(spark, tmp_path):
+    path = str(tmp_path / "chk")
+    snap.create_table(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double"), path
+    )
+    # existing data must satisfy the constraint
+    with pytest.raises(ValueError, match="existing rows violate"):
+        snap.add_constraint(spark, path, "v_big", "v > 15")
+    snap.add_constraint(spark, path, "v_pos", "v > 0")
+    assert snap.table_constraints(path) == {"v_pos": "v > 0"}
+
+    # appends validate the batch; NULL evaluations violate (Delta rule)
+    with pytest.raises(ValueError, match="v_pos"):
+        snap.append(spark.createDataFrame([(3, -1.0)], "id long, v double"), path)
+    with pytest.raises(ValueError, match="v_pos"):
+        snap.append(spark.createDataFrame([(3, None)], "id long, v double"), path)
+    snap.append(spark.createDataFrame([(3, 3.0)], "id long, v double"), path)
+
+    # merges validate the source too
+    with pytest.raises(ValueError, match="v_pos"):
+        snap.merge_into(
+            spark, path,
+            spark.createDataFrame([(1, -5.0)], "id long, v double"), ["id"],
+        )
+    v = snap.merge_into(
+        spark, path, spark.createDataFrame([(1, 5.0)], "id long, v double"), ["id"]
+    )
+    # constraints survive data commits (manifest-chain inheritance)
+    assert snap.table_constraints(path) == {"v_pos": "v > 0"}
+    assert {r.id: r.v for r in snap.read_table(spark, path, v).collect()} == {
+        1: 5.0, 2: 20.0, 3: 3.0,
+    }
+
+    snap.drop_constraint(path, "v_pos")
+    assert snap.table_constraints(path) == {}
+    snap.append(spark.createDataFrame([(4, -4.0)], "id long, v double"), path)
+    with pytest.raises(ValueError, match="does not exist"):
+        snap.drop_constraint(path, "v_pos")
