@@ -165,7 +165,9 @@ def _table_schema(path: str, version: int):
     return StructType.fromJson(json.loads(sj)) if sj else None
 
 
-def append(df: DataFrame, path: str, merge_schema: bool = False) -> int:
+def append(
+    df: DataFrame, path: str, merge_schema: bool = False, retries: int = 5
+) -> int:
     """Append-only commit: new files + previous version's files.
 
     Schema is enforced against the manifest: a drifted batch fails fast
@@ -174,39 +176,64 @@ def append(df: DataFrame, path: str, merge_schema: bool = False) -> int:
     ``accept-any-schema`` + ``append_new_columns`` contract,
     ingest_spark_bulk.py:150) — old files simply read the added columns
     as NULL. Type changes on existing columns are never merged.
+
+    Concurrency: appends COMMUTE, so a lost commit race is retried
+    automatically (the Iceberg fast-append path) — the already-written
+    data files are re-linked onto the new current version without
+    rewriting anything; only the manifest attempt repeats. Non-commuting
+    ops (delete/merge/optimize) do NOT auto-retry: their rewrite read a
+    snapshot that the winning commit may have invalidated, so the caller
+    must re-run them against the new state.
     """
+
+    def _validate(parent: int) -> str | None:
+        schema_json = None
+        table_schema = _table_schema(path, parent)
+        if table_schema is not None:
+            existing = {f.name: f.dataType for f in table_schema.fields}
+            incoming = {f.name: f.dataType for f in df.schema.fields}
+            clashes = [
+                n for n, t in incoming.items()
+                if n in existing and existing[n] != t
+            ]
+            if clashes:
+                raise ValueError(
+                    f"append schema changes types of existing columns "
+                    f"{clashes}; snapshot tables never merge type changes"
+                )
+            new_cols = [f for f in df.schema.fields if f.name not in existing]
+            if new_cols and not merge_schema:
+                raise ValueError(
+                    f"append adds columns {[f.name for f in new_cols]}; pass "
+                    "merge_schema=True to evolve the table schema"
+                )
+            if new_cols:
+                from pyspark.sql.types import StructType
+
+                schema_json = StructType(
+                    list(table_schema.fields) + new_cols
+                ).json()
+        return schema_json
+
     parent = current_version(path)
     if parent is None:
         raise ValueError(f"no snapshot table at {path}")
-    schema_json = None
-    table_schema = _table_schema(path, parent)
-    if table_schema is not None:
-        existing = {f.name: f.dataType for f in table_schema.fields}
-        incoming = {f.name: f.dataType for f in df.schema.fields}
-        clashes = [
-            n for n, t in incoming.items()
-            if n in existing and existing[n] != t
-        ]
-        if clashes:
-            raise ValueError(
-                f"append schema changes types of existing columns {clashes}; "
-                "snapshot tables never merge type changes"
-            )
-        new_cols = [f for f in df.schema.fields if f.name not in existing]
-        if new_cols and not merge_schema:
-            raise ValueError(
-                f"append adds columns {[f.name for f in new_cols]}; pass "
-                "merge_schema=True to evolve the table schema"
-            )
-        if new_cols:
-            from pyspark.sql.types import StructType
-
-            schema_json = StructType(
-                list(table_schema.fields) + new_cols
-            ).json()
+    schema_json = _validate(parent)
     _enforce_constraints(df, path)
-    files = _read_manifest(path, parent)["files"] + _write_data_files(df, path)
-    return _commit(path, files, "append", parent=parent, schema_json=schema_json)
+    new_files = _write_data_files(df, path)
+    for attempt in range(retries + 1):
+        files = _read_manifest(path, parent)["files"] + new_files
+        try:
+            return _commit(
+                path, files, "append", parent=parent, schema_json=schema_json
+            )
+        except RuntimeError:
+            if attempt == retries:
+                raise
+            # lost the race: revalidate against the winner's state and
+            # re-link the same data files onto the new parent
+            parent = current_version(path)
+            schema_json = _validate(parent)
 
 
 def read_table(

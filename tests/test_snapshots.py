@@ -411,3 +411,36 @@ def test_check_constraints(spark, tmp_path):
     snap.append(spark.createDataFrame([(4, -4.0)], "id long, v double"), path)
     with pytest.raises(ValueError, match="does not exist"):
         snap.drop_constraint(path, "v_pos")
+
+
+def test_concurrent_appends_both_land_via_retry(spark, table):
+    """Appends commute: two racing appenders must BOTH land (one wins
+    the CAS, the loser re-links its already-written files onto the new
+    version) — the Iceberg fast-append retry."""
+    import threading
+
+    errs = []
+
+    def add(lo, hi):
+        try:
+            snap.append(
+                spark.range(lo, hi).select(
+                    F.col("id"), (F.col("id") % 10).alias("bucket")
+                ),
+                table,
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=add, args=(1000, 1050)),
+        threading.Thread(target=add, args=(2000, 2080)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert snap.read_table(spark, table).count() == 100 + 50 + 80
+    ops = [h["op"] for h in snap.history(table)]
+    assert ops.count("append") == 2
