@@ -82,3 +82,54 @@ def test_mv_refresh_drops_emptied_groups_and_prunes_files(spark, tmp_path):
         snap._read_manifest(view, snap.current_version(view))["files"]
     )
     assert len(files_before & files_after) >= 3
+
+
+def test_streaming_cdc_into_mv_pipeline(spark, tmp_path):
+    """The full continuous pipeline: stream -> CDC merge into a snapshot
+    table -> incremental MV refresh from its change feed. The view ends
+    equal to a fresh recompute after every drain."""
+    from lakehouse_platform_nyc_taxi_spark.streaming.sinks import (
+        stream_merge_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "base")
+    view = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ck")
+    schema = "id long, bucket long, v double"
+
+    spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], schema
+    ).coalesce(1).write.parquet(src)
+    stream_merge_snapshot(
+        spark.readStream.schema(schema).parquet(src), base, ckpt, ["id"]
+    )
+    mv.create_grouped_mv(spark, base, view, ["bucket"], ["v"])
+    assert _got_bv(spark, view) == _expected_bv(spark, base)
+
+    # second micro-batch: updates + inserts, then refresh
+    spark.createDataFrame(
+        [(5, 2, 500.0), (100, 0, 1.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream_merge_snapshot(
+        spark.readStream.schema(schema).parquet(src), base, ckpt, ["id"]
+    )
+    mv.refresh_mv(spark, base, view)
+    assert _got_bv(spark, view) == _expected_bv(spark, base)
+
+
+def _expected_bv(spark, base):
+    return {
+        r.bucket: (r.n_rows, round(r.sum_v, 6))
+        for r in snap.read_table(spark, base)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+
+
+def _got_bv(spark, view):
+    return {
+        r.bucket: (r.n_rows, round(r.sum_v, 6))
+        for r in mv.read_mv(spark, view).collect()
+    }
