@@ -119,14 +119,15 @@ _PRIORITY = [
     "dedup_minhash_lsh_pairs",
     "dedup_clusters",
     "corpus_curation",
-    "sequence_packing",
     # new this round:
     "agg_arg_extremes",
+    "text_rarity_stats",
     # changed this round (parallel loader for CPU-bound aggs):
     "agg_no_keys",
     "agg_percentiles",
 ]
 _KEEP = [
+    "sequence_packing",
     "doc_chunking",
     "text_pii_scrub",
     "multimodal_features",

@@ -139,6 +139,29 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_rarity_stats",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+    c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           CAST(sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+               AS rare_ratio,
+           CAST(sum(cnt) AS DOUBLE) / count(*) AS mean_token_df
+    FROM t JOIN c USING (token)
+    GROUP BY doc_id
+    """,
+    doc="Corpus-relative token rarity per doc (gibberish/OCR-noise "
+    "signal): map-side-combined vocabulary counts joined back to the "
+    "token stream, per-doc rollup. Ratios of integer aggregates only — "
+    "bit-exact across engines, no float-summation drift.",
+)
+def text_rarity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.rarity_stats(load_table_parallel(spark, sf_dir, "documents"))
+
+
+@register(
     "sessionize_events",
     """
     WITH f AS (

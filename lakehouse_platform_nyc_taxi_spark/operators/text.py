@@ -513,3 +513,42 @@ def pii_scrub(
     return df.select(*passthrough, *counts, scrubbed.alias("scrubbed_text")).withColumn(
         "n_redactions", total
     )
+
+
+def rarity_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_max_count: int = 2,
+) -> DataFrame:
+    """Corpus-relative token rarity per document — the gibberish /
+    OCR-noise signal: a high share of tokens that are globally rare
+    (corpus count <= ``rare_max_count``) marks low-quality text.
+
+    Same plan family as tf-idf: one map-side-combined token count, the
+    vocabulary joined back to the exploded tokens (shuffles on token —
+    nothing scales with docs x vocab), one rollup per doc. Every score
+    is a ratio of INTEGER aggregates, so results are bit-exact across
+    engines and partitionings — no log/float-summation drift.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    rare = F.when(F.col("cnt") <= rare_max_count, F.lit(1)).otherwise(F.lit(0))
+    return (
+        toks.join(counts, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(rare).alias("n_rare"),
+            F.sum("cnt").alias("_total_cnt"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_rare",
+            (F.col("n_rare").cast("double") / F.col("n_tokens")).alias("rare_ratio"),
+            (F.col("_total_cnt").cast("double") / F.col("n_tokens")).alias(
+                "mean_token_df"
+            ),
+        )
+    )
