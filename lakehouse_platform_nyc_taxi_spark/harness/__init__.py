@@ -118,15 +118,16 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_clusters",
-    "corpus_curation",
     # new this round:
     "agg_arg_extremes",
     "text_rarity_stats",
+    "timeseries_gapfill",
     # changed this round (parallel loader for CPU-bound aggs):
     "agg_no_keys",
     "agg_percentiles",
 ]
 _KEEP = [
+    "corpus_curation",
     "sequence_packing",
     "doc_chunking",
     "text_pii_scrub",

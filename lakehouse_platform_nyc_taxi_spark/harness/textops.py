@@ -17,6 +17,7 @@ from ..operators import packing, text
 from ..operators.sampling import stratified_resample, temperature_resample
 from ..operators.scd2 import scd2_history
 from ..operators.sessionize import sessionize
+from ..operators.timeseries import gapfill_forward
 from ..sources.testdata import load_table, load_table_parallel
 from . import register
 
@@ -192,6 +193,40 @@ def text_rarity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@register(
+    "timeseries_gapfill",
+    """
+    WITH per_slot AS (
+        SELECT user_id, date_trunc('hour', ts) AS slot,
+               arg_max(value, event_id) AS obs
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM events GROUP BY 1
+    ),
+    spine AS (
+        SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot
+        FROM bounds
+    )
+    SELECT s.user_id, s.slot,
+           last_value(p.obs IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.slot
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           p.obs IS NULL AS is_gap
+    FROM spine s LEFT JOIN per_slot p USING (user_id, slot)
+    """,
+    doc="Time-series regularization: per-user hourly spine from each "
+    "user's own activity bounds (sequence+explode), last-event-per-slot "
+    "via arg-extreme (unique event_id order, no tie hazard), forward "
+    "fill with last(ignorenulls) — resample+ffill entirely in Catalyst, "
+    "slot reduction and fill sharing one entity-key Exchange.",
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gapfill_forward(load_table(spark, sf_dir, "events"))
 
 
 @register(

@@ -1,0 +1,39 @@
+"""Gap filling + forward fill semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from lakehouse_platform_nyc_taxi_spark.operators.timeseries import gapfill_forward
+
+T = dt.datetime
+
+
+def test_gapfill_forward_fills_and_marks_gaps(spark):
+    rows = [
+        # user 1: events in hours 0 and 3; hour 1-2 are gaps carrying 10.0
+        (1, 1, T(2024, 1, 1, 0, 15), 10.0),
+        (2, 1, T(2024, 1, 1, 3, 5), 40.0),
+        # two events in one slot: the later event_id wins
+        (3, 1, T(2024, 1, 1, 3, 50), 41.0),
+        # user 2: single event -> single slot, no gaps
+        (4, 2, T(2024, 1, 2, 7, 0), 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        (r.user_id, r.slot): (r.value, r.is_gap)
+        for r in gapfill_forward(df).collect()
+    }
+    assert got == {
+        (1, T(2024, 1, 1, 0)): (10.0, False),
+        (1, T(2024, 1, 1, 1)): (10.0, True),
+        (1, T(2024, 1, 1, 2)): (10.0, True),
+        (1, T(2024, 1, 1, 3)): (41.0, False),
+        (2, T(2024, 1, 2, 7)): (7.0, False),
+    }
+    # bounded exchange budget: (user,slot) slot-reduce, user bounds,
+    # spine join, fill window — nothing scales beyond the entity key
+    plan = gapfill_forward(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 4
