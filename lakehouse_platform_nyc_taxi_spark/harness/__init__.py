@@ -117,16 +117,17 @@ _PRIORITY = [
     "conditional_case_nullif",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
-    "dedup_clusters",
     # new this round:
     "agg_arg_extremes",
     "text_rarity_stats",
     "timeseries_gapfill",
+    "window_time_range_sum",
     # changed this round (parallel loader for CPU-bound aggs):
     "agg_no_keys",
     "agg_percentiles",
 ]
 _KEEP = [
+    "dedup_clusters",
     "corpus_curation",
     "sequence_packing",
     "doc_chunking",

@@ -230,6 +230,43 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_time_range_sum",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(sum(CAST(value AS DECIMAL(28,8))) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_1h_value
+    FROM events
+    """,
+    doc="Time-RANGE window frame (not ROWS): per event, the decimal-"
+    "fenced value sum over the trailing hour BY EVENT TIME — frame "
+    "membership follows the ordering value, so same-timestamp peers "
+    "share a frame in both engines. The Spark side orders by "
+    "unix_micros(ts) with an equivalent microsecond range.",
+)
+def window_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    order_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(order_us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(28,8)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_1h_value"),
+    )
+
+
+@register(
     "scd2_event_history",
     """
     WITH f AS (
