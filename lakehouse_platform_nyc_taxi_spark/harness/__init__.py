@@ -115,18 +115,20 @@ _PRIORITY = [
     "agg_daily_rollup",
     "agg_pricing_summary",
     "conditional_case_nullif",
-    "dedup_exact",
-    "dedup_minhash_lsh_pairs",
     # new this round:
     "agg_arg_extremes",
     "text_rarity_stats",
     "timeseries_gapfill",
     "window_time_range_sum",
+    "join_null_safe",
+    "unpivot_charges",
     # changed this round (parallel loader for CPU-bound aggs):
     "agg_no_keys",
     "agg_percentiles",
 ]
 _KEEP = [
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
     "dedup_clusters",
     "corpus_curation",
     "sequence_packing",

@@ -301,6 +301,66 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_null_safe",
+    """
+    WITH l AS (
+        SELECT o_orderkey, nullif(o_orderstatus, 'O') AS status_key
+        FROM orders
+    ),
+    r AS (
+        SELECT nullif(o_orderstatus, 'O') AS status_key,
+               CAST(count(*) AS BIGINT) AS n_side
+        FROM orders GROUP BY 1
+    )
+    SELECT l.o_orderkey, l.status_key, r.n_side
+    FROM l JOIN r ON l.status_key IS NOT DISTINCT FROM r.status_key
+    """,
+    doc="Null-safe equi-join (IS NOT DISTINCT FROM / eqNullSafe): NULL "
+    "keys MATCH each other instead of silently dropping — the semantics "
+    "a plain equi-join gets wrong for nullable business keys. Still a "
+    "hash join in both engines (null-safe equality is hashable).",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    key = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    left = o.select("o_orderkey", key.alias("status_key"))
+    right = o.select(key.alias("status_key")).groupBy("status_key").agg(
+        F.count(F.lit(1)).alias("n_side")
+    ).withColumnRenamed("status_key", "r_key")
+    return left.join(
+        right, left.status_key.eqNullSafe(F.col("r_key")), "inner"
+    ).select("o_orderkey", "status_key", "n_side")
+
+
+@register(
+    "unpivot_charges",
+    """
+    SELECT l_orderkey, l_linenumber, measure, amount
+    FROM lineitem
+    UNPIVOT (amount FOR measure IN (
+        l_extendedprice AS 'extendedprice',
+        l_discount AS 'discount',
+        l_tax AS 'tax'))
+    """,
+    doc="UNPIVOT (melt): wide charge columns to (measure, amount) rows — "
+    "the inverse of the pivot query, a zero-shuffle Expand projection "
+    "(3 output rows per input row, no exchange).",
+)
+def unpivot_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "amount",
+    ).withColumn(
+        "measure", F.expr("substring(measure, 3)")
+    )
+
+
+@register(
     "join_cross_ratio",
     """
     WITH problematic AS (
