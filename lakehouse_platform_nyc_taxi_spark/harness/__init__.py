@@ -114,7 +114,6 @@ _PRIORITY = [
     # Load-bearing r3-green queries filling the window to 50:
     "agg_daily_rollup",
     "agg_pricing_summary",
-    "conditional_case_nullif",
     # new this round:
     "agg_arg_extremes",
     "text_rarity_stats",
@@ -122,11 +121,13 @@ _PRIORITY = [
     "window_time_range_sum",
     "join_null_safe",
     "unpivot_charges",
+    "agg_collect_sorted",
     # changed this round (parallel loader for CPU-bound aggs):
     "agg_no_keys",
     "agg_percentiles",
 ]
 _KEEP = [
+    "conditional_case_nullif",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_clusters",
