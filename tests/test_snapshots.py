@@ -444,3 +444,21 @@ def test_concurrent_appends_both_land_via_retry(spark, table):
     assert snap.read_table(spark, table).count() == 100 + 50 + 80
     ops = [h["op"] for h in snap.history(table)]
     assert ops.count("append") == 2
+
+
+def test_non_commuting_ops_surface_commit_conflict(spark, table):
+    """Delete/merge/optimize read a snapshot their rewrite depends on, so
+    a racing commit must surface as RuntimeError (no auto-retry) — the
+    caller re-runs against the new state. Appends auto-retry instead
+    (test_concurrent_appends_both_land_via_retry)."""
+    parent = snap.current_version(table)
+    # a racing writer publishes the next version between our read and commit
+    racing = snap._read_manifest(table, parent)["files"]
+    snap._commit(table, racing, "append", parent=parent)
+    with pytest.raises(RuntimeError, match="concurrent"):
+        snap._commit(table, racing, "delete", parent=parent)
+    # and the public non-commuting op against the stale parent: delete
+    # re-reads current_version itself, so simulate by racing mid-flight
+    # is covered above at the commit layer; a fresh delete now succeeds
+    v = snap.delete_where(spark, table, F.col("id") < 5)
+    assert v == parent + 2
