@@ -1,0 +1,45 @@
+"""Partitioning-determinism: the oracle-hash contract only holds if
+results are bit-identical under ANY partitioning. Re-run representative
+queries with a radically different shuffle layout and repartitioned
+inputs, and require exact equality with the default session's results —
+this pins the decimal-fence / rounded-ranking / unique-tiebreak claims."""
+
+from __future__ import annotations
+
+import pytest
+
+from lakehouse_platform_nyc_taxi_spark import harness
+
+SF = "/root/testdata/sf0.001"
+
+QUERIES = [
+    "agg_pricing_summary",     # decimal-fenced sums + trino_round
+    "agg_no_keys",             # keyless agg, count-distinct
+    "sessionize_events",       # window + decimal total
+    "window_time_range_sum",   # RANGE frame decimal sum
+    "text_tfidf_topk",         # rounded-score ranking
+    "agg_collect_sorted",      # sorted DISTINCT arrays
+    "agg_arg_extremes",        # max_by/min_by on unique sequence
+    "scd2_event_history",      # gaps-and-islands versioning
+]
+
+
+def _rows(df):
+    def key(r):
+        return tuple(
+            (str(type(v)), str(v)) for v in r
+        )
+    return sorted([tuple(r) for r in df.collect()], key=key)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_invariant_under_partitioning(spark, name):
+    spec = harness.registry()[name]
+    base = _rows(spec.fn(spark, SF))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        again = _rows(spec.fn(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == again, f"{name}: result depends on shuffle partitioning"
