@@ -54,6 +54,20 @@ def main() -> int:
         lambda it: it, "id long"
     ).write.mode("overwrite").format("noop").save()
 
+    # Machine-speed calibration: a fixed CPU-bound workload timed on the
+    # warmed session. Two identical-code runs 40 min apart once measured
+    # 75 s vs 95 s totals (uniform per-query scaling — ambient host load,
+    # not plans). calibration_sec lets any cross-run comparison normalize
+    # for that: divide query times by (calibration_sec of their run).
+    cal_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "avg(xxhash64(id) % 1000000007)", "avg(id * 1.0001)"
+        ).collect()
+        cal_runs.append(time.perf_counter() - t0)
+    calibration_sec = round(min(cal_runs), 4)
+
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     for name, spec in sorted(harness.registry().items()):
@@ -99,8 +113,12 @@ def main() -> int:
         "n_queries": len(timings),
         "cpus": cpus,
         # v2: untimed warm-up before the first observation (r3+);
-        # v1 (r1/r2) billed warm-up to the first queries' timers
+        # v1 (r1/r2) billed warm-up to the first queries' timers.
+        # calibration_sec (r4+): fixed CPU workload on the warmed session
+        # — normalize cross-run comparisons by it (ambient host load has
+        # produced uniform 1.25x swings between identical-code runs).
         "protocol_version": 2,
+        "calibration_sec": calibration_sec,
     }
     # Per-query map goes to a file (and stderr): the driver captures a
     # bounded tail of stdout, and a single multi-KB line gets truncated
@@ -121,6 +139,7 @@ def main() -> int:
                 "sf": _sf_from_dir(sf_dir),
                 "n_queries": len(timings),
                 "cpus": cpus,
+                "calibration_sec": calibration_sec,
                 "queries_file": "BENCH_DETAIL.json",
             }
         )
