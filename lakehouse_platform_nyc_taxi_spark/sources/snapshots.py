@@ -258,6 +258,21 @@ def read_table(
     return spark.read.parquet(*paths)
 
 
+def _read_files_pinned(
+    spark: SparkSession, path: str, files: list[str], version: int
+) -> DataFrame:
+    """Read a subset of a version's data files with the scan pinned to
+    that version's manifest schema — rewrite paths (delete/merge/CDF)
+    MUST use this, or a rewrite that touches pre-evolution files would
+    silently drop evolved columns (mixed-schema parquet reads take one
+    file's schema)."""
+    paths = [os.path.join(path, f) for f in files]
+    schema = _table_schema(path, version)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(*paths)
+    return spark.read.parquet(*paths)
+
+
 def _stats_may_match(
     file_path: str, column: str, lo, hi
 ) -> bool:
@@ -347,9 +362,9 @@ def delete_where(
     kept = [f for f in old_files if f not in cand_set]
     new_files = kept
     if candidates:
-        survivors = spark.read.parquet(
-            *[os.path.join(path, f) for f in candidates]
-        ).filter(~predicate)
+        survivors = _read_files_pinned(spark, path, candidates, parent).filter(
+            ~predicate
+        )
         new_files = kept + _write_data_files(survivors, path)
     return _commit(path, new_files, "delete", parent=parent)
 
@@ -717,7 +732,7 @@ def merge_into(
     new_files = list(kept)
     rewrite = None
     if candidates:
-        target = spark.read.parquet(*[os.path.join(path, f) for f in candidates])
+        target = _read_files_pinned(spark, path, candidates, parent)
         rewrite = target.join(keys, on=list(key_cols), how="left_anti")
     if when_matched == "update":
         # column order pinned to the table schema so parquet files stay
@@ -760,10 +775,19 @@ def table_changes(
     added = sorted(new - old)
     removed = sorted(old - new)
 
+    # Pin both sides to the TO-version schema (a superset after any
+    # mergeSchema evolution): pre-evolution files read added columns as
+    # NULL, and exceptAll sees one consistent schema even when the feed
+    # spans the evolution commit.
+    schema = _table_schema(path, to_version)
+
     def _read(files: list[str]) -> DataFrame | None:
         if not files:
             return None
-        return spark.read.parquet(*[os.path.join(path, f) for f in files])
+        paths = [os.path.join(path, f) for f in files]
+        if schema is not None:
+            return spark.read.schema(schema).parquet(*paths)
+        return spark.read.parquet(*paths)
 
     a, r = _read(added), _read(removed)
     if a is None and r is None:

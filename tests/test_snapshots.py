@@ -462,3 +462,28 @@ def test_non_commuting_ops_surface_commit_conflict(spark, table):
     # is covered above at the commit layer; a fresh delete now succeeds
     v = snap.delete_where(spark, table, F.col("id") < 5)
     assert v == parent + 2
+
+
+def test_table_changes_across_schema_evolution(spark, tmp_path):
+    """A change feed spanning a mergeSchema evolution commit must read
+    pre-evolution files with NULL new columns instead of failing on a
+    schema mismatch between the added/removed sides."""
+    path = str(tmp_path / "cdfevo")
+    snap.create_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"), path
+    )
+    v2 = snap.append(
+        spark.createDataFrame([(3, "c", 9.0)], "id long, name string, score double"),
+        path,
+        merge_schema=True,
+    )
+    # COW delete rewrites pre-evolution files AFTER the evolution — the
+    # pinned rewrite must KEEP the evolved column for surviving rows
+    v3 = snap.delete_where(spark, path, F.col("id") == 1)
+    cur = {r.id: r.score for r in snap.read_table(spark, path, v3).collect()}
+    assert cur == {2: None, 3: 9.0}
+    ch = snap.table_changes(spark, path, 1, v3)
+    got = {(r._change_type, r.id): r.score for r in ch.collect()}
+    # v1->v3: row 3 arrived (score kept through the rewrite), row 1 left;
+    # row 2 appears identically on both sides and cancels out
+    assert got == {("insert", 3): 9.0, ("delete", 1): None}
