@@ -635,22 +635,33 @@ def agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_orders,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
-           list_sort(list(DISTINCT year(o_orderdate))) AS active_years
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+               AS statuses,
+           array_to_string(list_sort(list(DISTINCT year(o_orderdate))), ',')
+               AS active_years
     FROM orders
     GROUP BY o_orderpriority
     """,
-    doc="Nested-type aggregation: per-group DISTINCT value arrays, "
-    "sorted so the collected order (nondeterministic across partitions "
-    "in any engine) never leaks into results — the deterministic form "
-    "of collect_set/list_agg.",
+    doc="Nested-type aggregation: per-group DISTINCT value lists, sorted "
+    "so the collected order (nondeterministic across partitions in any "
+    "engine) never leaks into results — the deterministic form of "
+    "collect_set/list_agg. Serialized to a CSV scalar (array_join) "
+    "because comparison harnesses canonicalize scalar cells only; the "
+    "sort happens before the join so the string is itself canonical.",
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
-        F.array_sort(F.collect_set(F.year("o_orderdate"))).alias("active_years"),
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.array_join(
+            F.array_sort(F.collect_set(F.year("o_orderdate"))).cast(
+                "array<string>"
+            ),
+            ",",
+        ).alias("active_years"),
     )
 
 

@@ -867,7 +867,8 @@ _Q8_CTES = """
     "embedding_quantize_int8",
     _Q8_CTES
     + """
-    SELECT vec_id, scale, q_int8,
+    SELECT vec_id, scale,
+           array_to_string(q_int8, ',') AS q_int8_csv,
            list_max(list_transform(generate_series(1, len(e)),
                     i -> abs(CAST(q_int8[i] AS DOUBLE) * scale - e[i])))
                AS max_abs_err
@@ -876,10 +877,22 @@ _Q8_CTES = """
     doc="Row-local symmetric int8 quantization (scale = max|v|/127, half-"
     "away rounding) with per-vector reconstruction error: the 4x "
     "compression step for billion-vector ANN, pure mapper — no shuffle, "
-    "fuses into the scan; all math in double so it is bit-reproducible.",
+    "fuses into the scan; all math in double so it is bit-reproducible. "
+    "The code array is serialized to a CSV scalar for the comparison "
+    "harness (element order is the vector's own, already canonical); "
+    "library callers use operators.similarity.quantize_int8 directly "
+    "and keep the typed array<int> column.",
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.quantize_int8(load_table_parallel(spark, sf_dir, "embeddings"))
+    q = similarity.quantize_int8(load_table_parallel(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("q_int8").cast("array<string>"), ",").alias(
+            "q_int8_csv"
+        ),
+        "max_abs_err",
+    )
 
 
 @register(

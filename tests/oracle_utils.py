@@ -19,20 +19,25 @@ from pyspark.sql import DataFrame
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     # Sort columns by name (driver sorts columns before hashing), then
-    # rows by every column for an order-insensitive compare. Array cells
-    # (Spark arrays / DuckDB lists land as numpy arrays or lists) become
-    # tuples first — sortable and comparable, matching the driver's
-    # list->tuple normalization.
+    # rows by every column for an order-insensitive compare. The DRIVER's
+    # canonicalizer cannot sort/hash array cells (TypeError: unhashable
+    # numpy.ndarray) — so this mirror must REJECT them, not tuple-ize
+    # them: a query that passes locally but crashes the driver is the
+    # exact failure mode this module exists to prevent.
     df = df.reindex(sorted(df.columns), axis=1)
     for col in df.columns:
-        if df[col].dtype == object and df[col].map(
-            lambda v: isinstance(v, (list, tuple)) or hasattr(v, "tolist")
-        ).any():
-            df[col] = df[col].map(
-                lambda v: tuple(v.tolist() if hasattr(v, "tolist") else v)
-                if isinstance(v, (list, tuple)) or hasattr(v, "tolist")
-                else v
+        if df[col].dtype == object:
+            bad = df[col].map(
+                lambda v: isinstance(v, (list, tuple, dict))
+                or hasattr(v, "tolist")
             )
+            if bad.any():
+                raise AssertionError(
+                    f"column {col!r} contains array/struct cells the "
+                    "driver's canonicalizer cannot hash — oracle-paired "
+                    "queries must emit scalar columns only (serialize "
+                    "with array_join / array_to_string)"
+                )
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
@@ -84,12 +89,34 @@ def _coerce(v):
     return v
 
 
+def assert_driver_canonicalizable(spark_df: DataFrame, name: str = "") -> None:
+    """Every oracle-paired query must emit ONLY scalar top-level columns.
+
+    The driver's pandas-based canonicalizer crashes on array/map/struct
+    cells (``TypeError: unhashable type: 'numpy.ndarray'``); this pins
+    the schema contract so the failure is caught locally, pre-collect.
+    """
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, (
+        f"{name}: driver-uncanonicalizable top-level column(s) {bad} — "
+        "serialize arrays with F.array_join (Spark) / array_to_string "
+        "(DuckDB) or explode to long form"
+    )
+
+
 def assert_matches_oracle(
     spark_df: DataFrame,
     duck: duckdb.DuckDBPyConnection,
     oracle_sql: str,
     name: str = "",
 ) -> None:
+    assert_driver_canonicalizable(spark_df, name=name)
     spark_pdf = spark_df.toPandas()
     duck_pdf = duck.sql(oracle_sql).df()
     compare_frames(spark_pdf, duck_pdf, name=name)

@@ -27,6 +27,16 @@ TABLES = (
 )
 
 
+class UncanonicalizableCell(TypeError):
+    """Raised for cell types the DRIVER's canonicalizer cannot hash.
+
+    The driver sorts/hashes result cells with pandas; top-level array /
+    map / struct cells crash it (``TypeError: unhashable type:
+    'numpy.ndarray'``). This mirror must fail the same queries the
+    driver fails — never paper over nested cells locally.
+    """
+
+
 def _norm(v):
     if v is None:
         return None
@@ -34,8 +44,12 @@ def _norm(v):
         if math.isnan(v):
             return "NaN"
         return round(v, 9)
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
+    if isinstance(v, (list, tuple, dict)) or hasattr(v, "tolist"):
+        raise UncanonicalizableCell(
+            f"driver-uncanonicalizable cell type {type(v).__name__}: "
+            "oracle-paired queries must emit scalar columns only "
+            "(serialize arrays with array_join / array_to_string)"
+        )
     return v
 
 
@@ -96,10 +110,14 @@ def main() -> int:
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
         if not problems:
-            sc, oc = _canon(srows, scols), _canon(orows, ocols)
-            if sc != oc:
-                diffs = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
-                problems.append(f"values differ, first diffs: {diffs}")
+            try:
+                sc, oc = _canon(srows, scols), _canon(orows, ocols)
+            except UncanonicalizableCell as e:
+                problems.append(f"DRIVER-INCOMPATIBLE: {e}")
+            else:
+                if sc != oc:
+                    diffs = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
+                    problems.append(f"values differ, first diffs: {diffs}")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}"[:800])
             n_fail += 1
