@@ -11,7 +11,7 @@ deletes, then merging the delta rows into the view by group key.
 Scale: a refresh reads only the files churned since the last refresh
 (the change feed's guarantee), aggregates them (map-side combine on the
 group key), and folds them into the view in ONE merge-shaped commit with
-footer-stats file pruning — cost proportional to the CHANGE volume plus
+manifest-stats file pruning — cost proportional to the CHANGE volume plus
 the touched view files, not the base table or the whole view. The
 commit is atomic and tags the base version it reflects, so a crashed
 refresh reruns from the same state (all-or-nothing, never half-applied).
@@ -72,9 +72,13 @@ def create_grouped_mv(
     if snap._versions(mv_path):
         raise ValueError(f"materialized view already exists at {mv_path}")
     os.makedirs(os.path.join(mv_path, snap._SNAP_DIR), exist_ok=True)
-    files = snap._write_data_files(agg, mv_path)
+    files, stats = snap._write_data_files(agg, mv_path)
+    # record the view schema like create_table does: refreshes pin their
+    # reads AND their null-literal types to it, so kept and rewritten
+    # files never diverge in column types
     snap._commit(
         mv_path, files, "mv-create", parent=None,
+        schema_json=agg.schema.json(), new_stats=stats,
         extra={"base_version": base_v,
                "mv_group_cols": list(group_cols),
                "mv_sum_cols": list(sum_cols)},
@@ -123,20 +127,24 @@ def refresh_mv(
     # key range, carry untouched files, rewrite candidates as
     # (survivors without delta keys) UNION (adjusted groups with n > 0)
     # — removals are just groups that don't come back.
-    old_files = snap._read_manifest(mv_path, mv_v)["files"]
+    mv_manifest = snap._read_manifest(mv_path, mv_v)
+    old_files = mv_manifest["files"]
     k0 = group_cols[0]
     lo, hi = deltas.agg(F.min(k0), F.max(k0)).collect()[0]
     if lo is None:
         candidates: list[str] = []
     else:
-        candidates = [
-            f
-            for f in old_files
-            if snap._stats_may_match(os.path.join(mv_path, f), k0, lo, hi)
-        ]
+        candidates = snap._candidate_files(mv_path, mv_manifest, k0, lo, hi)
     kept = [f for f in old_files if f not in set(candidates)]
+    # the view's column types are the contract every refresh must keep
+    # writing (kept files and rewritten files read as ONE parquet set):
+    # take them from the manifest schema, falling back to the stored
+    # files for views created before schemas were recorded
+    view_schema = snap._table_schema(mv_path, mv_v)
+    if view_schema is None:
+        view_schema = snap.read_table(spark, mv_path, mv_v).schema
     if candidates:
-        cand = spark.read.parquet(*[os.path.join(mv_path, f) for f in candidates])
+        cand = snap._read_files_pinned(spark, mv_path, candidates, mv_v)
         survivors = cand.join(
             deltas.select(*group_cols), on=group_cols, how="left_anti"
         )
@@ -145,30 +153,38 @@ def refresh_mv(
         survivors = None
         touched = deltas.select(
             *group_cols,
-            F.lit(None).cast("long").alias("n_rows"),
-            *[F.lit(None).cast("double").alias(f"sum_{c}") for c in sum_cols],
+            F.lit(None).cast(view_schema["n_rows"].dataType).alias("n_rows"),
+            *[
+                F.lit(None)
+                .cast(view_schema[f"sum_{c}"].dataType)
+                .alias(f"sum_{c}")
+                for c in sum_cols
+            ],
             F.col("_d_n"),
             *[F.col(f"_d_sum_{c}") for c in sum_cols],
         )
     adjusted = touched.select(
         *group_cols,
-        (
-            F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("_d_n")
-        ).alias("n_rows"),
+        (F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("_d_n"))
+        .cast(view_schema["n_rows"].dataType)
+        .alias("n_rows"),
         *[
             (
                 F.coalesce(F.col(f"sum_{c}"), F.lit(0))
                 + F.coalesce(F.col(f"_d_sum_{c}"), F.lit(0))
-            ).alias(f"sum_{c}")
+            )
+            .cast(view_schema[f"sum_{c}"].dataType)
+            .alias(f"sum_{c}")
             for c in sum_cols
         ],
     ).filter(F.col("n_rows") > 0)
     rewrite = (
         adjusted if survivors is None else survivors.unionByName(adjusted)
     )
-    files = kept + snap._write_data_files(rewrite, mv_path)
+    written, new_stats = snap._write_data_files(rewrite, mv_path)
+    files = kept + written
     snap._commit(
-        mv_path, files, "mv-refresh", parent=mv_v,
+        mv_path, files, "mv-refresh", parent=mv_v, new_stats=new_stats,
         extra={"base_version": base_now,
                "mv_group_cols": group_cols,
                "mv_sum_cols": sum_cols},

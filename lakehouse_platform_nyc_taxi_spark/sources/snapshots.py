@@ -21,11 +21,17 @@ those formats provide, on plain parquet:
 - old manifests stay, so any historical version remains readable
   (time travel) and ``rollback`` is just re-committing an old file list.
 
-Scale notes: delete prunes files by parquet footer min/max stats BEFORE
-touching data (only candidate files are read or rewritten — on a
-partitioned/sorted layout a point delete rewrites one file, not the
-table), and the rewrite of all candidate files is ONE distributed job,
-not a per-file loop. Manifests carry relative paths, so tables relocate.
+Scale notes: delete/merge prune files by per-file min/max column stats
+recorded IN THE MANIFEST at write time (the Iceberg manifest-stats /
+Delta Add-stats design) — candidate selection is a pure metadata
+operation over one already-open JSON, never an O(files) footer-probe
+loop against the filesystem. Only candidate files are read or rewritten
+(on a clustered layout a point delete rewrites one file, not the
+table), and the rewrite of all candidates is ONE distributed job, not a
+per-file loop. Files committed by pre-stats versions of this module
+fall back to a footer read, once, and re-enter the manifest with stats
+on their next rewrite. Manifests carry relative paths, so tables
+relocate.
 """
 
 from __future__ import annotations
@@ -75,6 +81,7 @@ def _commit(
     parent: int | None,
     extra: dict | None = None,
     schema_json: str | None = None,
+    new_stats: dict[str, dict] | None = None,
 ) -> int:
     """Atomically publish a new version.
 
@@ -90,6 +97,7 @@ def _commit(
     """
     version = (parent or 0) + 1
     inherited: dict = {}
+    parent_stats: dict = {}
     if parent is not None:
         # table metadata rides the manifest chain (the Delta-log
         # pattern): ops that don't change it inherit schema/constraints
@@ -97,8 +105,19 @@ def _commit(
         for key in ("schema", "constraints"):
             if pm.get(key) is not None:
                 inherited[key] = pm[key]
+        parent_stats = pm.get("stats") or {}
     if schema_json is not None:
         inherited["schema"] = schema_json
+    # per-file column stats ride the manifest chain too: surviving files
+    # keep their parent-recorded stats, freshly written files bring
+    # their own — so pruning never touches the filesystem again
+    file_set = set(files)
+    stats = {f: s for f, s in parent_stats.items() if f in file_set}
+    for f, s in (new_stats or {}).items():
+        if f in file_set:
+            stats[f] = s
+    if stats:
+        inherited["stats"] = stats
     manifest = {
         "version": version,
         "parent": parent,
@@ -125,21 +144,92 @@ def _commit(
     return version
 
 
-def _write_data_files(df: DataFrame, path: str) -> list[str]:
+def _enc_stat(v):
+    """JSON-encode one min/max footer value; None = not encodable (the
+    column is then simply absent from manifest stats -> conservative)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return {"t": "dec", "v": str(v)}
+    if isinstance(v, datetime.datetime):
+        return {"t": "ts", "v": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"t": "date", "v": v.isoformat()}
+    return None
+
+
+def _dec_stat(v):
+    if isinstance(v, dict):
+        import datetime
+        import decimal
+
+        if v["t"] == "ts":
+            return datetime.datetime.fromisoformat(v["v"])
+        if v["t"] == "date":
+            return datetime.date.fromisoformat(v["v"])
+        if v["t"] == "dec":
+            return decimal.Decimal(v["v"])
+    return v
+
+
+def _collect_file_stats(full_path: str) -> dict[str, list]:
+    """Per-column [min, max] of one freshly WRITTEN parquet file, for the
+    manifest (Iceberg records the same stats in its manifests at commit
+    time). Cost is one footer read per NEW file at write time — O(batch),
+    never O(table) — after which every future prune is metadata-only.
+    Columns with absent/partial/unencodable stats are omitted."""
+    import pyarrow.parquet as pq
+
+    try:
+        meta = pq.ParquetFile(full_path).metadata
+    except Exception:
+        return {}
+    out: dict[str, list] = {}
+    for i in range(len(meta.schema)):
+        col = meta.schema.column(i)
+        if "." in col.path:  # nested leaf — skip
+            continue
+        mn = mx = None
+        ok = True
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn = st.min if mn is None or st.min < mn else mn
+            mx = st.max if mx is None or st.max > mx else mx
+        if not ok:
+            continue
+        emn, emx = _enc_stat(mn), _enc_stat(mx)
+        if emn is not None and emx is not None:
+            out[col.path] = [emn, emx]
+    return out
+
+
+def _write_data_files(
+    df: DataFrame, path: str
+) -> tuple[list[str], dict[str, dict]]:
     """Write df as new immutable data files; return their table-relative
-    paths. Files land in a fresh uuid-named subdir of data/, so no write
-    ever collides with an existing file (immutability invariant)."""
+    paths plus per-file manifest stats. Files land in a fresh uuid-named
+    subdir of data/, so no write ever collides with an existing file
+    (immutability invariant)."""
     batch = uuid.uuid4().hex
     out_dir = os.path.join(path, _DATA_DIR, batch)
     df.write.mode("error").parquet(out_dir)
-    rel = []
+    rel, stats = [], {}
     for root, _dirs, names in os.walk(out_dir):
         for n in names:
             if n.endswith(".parquet"):
-                rel.append(
-                    os.path.relpath(os.path.join(root, n), path)
-                )
-    return rel
+                full = os.path.join(root, n)
+                r = os.path.relpath(full, path)
+                rel.append(r)
+                stats[r] = _collect_file_stats(full)
+    return rel, stats
 
 
 def current_version(path: str) -> int | None:
@@ -154,8 +244,11 @@ def create_table(df: DataFrame, path: str) -> int:
     if _versions(path):
         raise ValueError(f"snapshot table already exists at {path}")
     os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
-    files = _write_data_files(df, path)
-    return _commit(path, files, "create", parent=None, schema_json=df.schema.json())
+    files, stats = _write_data_files(df, path)
+    return _commit(
+        path, files, "create", parent=None,
+        schema_json=df.schema.json(), new_stats=stats,
+    )
 
 
 def _table_schema(path: str, version: int):
@@ -220,12 +313,13 @@ def append(
         raise ValueError(f"no snapshot table at {path}")
     schema_json = _validate(parent)
     _enforce_constraints(df, path)
-    new_files = _write_data_files(df, path)
+    new_files, new_stats = _write_data_files(df, path)
     for attempt in range(retries + 1):
         files = _read_manifest(path, parent)["files"] + new_files
         try:
             return _commit(
-                path, files, "append", parent=parent, schema_json=schema_json
+                path, files, "append", parent=parent,
+                schema_json=schema_json, new_stats=new_stats,
             )
         except RuntimeError:
             if attempt == retries:
@@ -273,11 +367,45 @@ def _read_files_pinned(
     return spark.read.parquet(*paths)
 
 
+def _candidate_files(
+    path: str, manifest: dict, column: str, lo, hi
+) -> list[str]:
+    """Files of ``manifest`` that MAY contain rows with column in
+    [lo, hi], decided from the manifest's own per-file stats — a pure
+    metadata operation, no filesystem access (the Iceberg manifest-stats
+    design; at 100 TB / 10^6 files a footer-probe loop would be an
+    O(files) sequential driver scan with a storage round-trip each).
+    Files without manifest stats (committed by a pre-stats version of
+    this module) fall back to one footer read; unknown -> True."""
+    stats = manifest.get("stats") or {}
+    out = []
+    for f in manifest["files"]:
+        fs = stats.get(f)
+        if fs is None:
+            if _stats_may_match(os.path.join(path, f), column, lo, hi):
+                out.append(f)
+            continue
+        if column not in fs:
+            out.append(f)
+            continue
+        mn, mx = _dec_stat(fs[column][0]), _dec_stat(fs[column][1])
+        try:
+            if not (hi < mn or lo > mx):
+                out.append(f)
+        except TypeError:
+            # bounds incomparable with the recorded stat type: keep the
+            # contract — unknown answers are conservatively True
+            out.append(f)
+    return out
+
+
 def _stats_may_match(
     file_path: str, column: str, lo, hi
 ) -> bool:
     """Footer min/max pruning: can this file contain rows with
-    column in [lo, hi]? Unknown stats -> conservatively True."""
+    column in [lo, hi]? Unknown stats -> conservatively True.
+    Legacy fallback only — new commits carry stats in the manifest and
+    are pruned by :func:`_candidate_files` without touching footers."""
     import pyarrow.parquet as pq
 
     try:
@@ -331,9 +459,10 @@ def delete_where(
     """Copy-on-write DELETE: rewrite only the files that may contain
     matching rows, keep every other file untouched in the new manifest.
 
-    ``prune`` = (column, lo, hi) narrows the candidate set by parquet
-    footer stats before any data is read — the file-skipping Iceberg
-    gets from manifest stats. Candidates are rewritten in ONE
+    ``prune`` = (column, lo, hi) narrows the candidate set by the
+    manifest's per-file min/max stats before any data is read — the
+    file-skipping Iceberg gets from manifest stats, metadata-only on
+    the driver. Candidates are rewritten in ONE
     distributed job (read together, filter NOT predicate, write new
     files); rewritten inputs and now-empty files drop out of the new
     version. Readers pinned to older versions are unaffected.
@@ -350,23 +479,23 @@ def delete_where(
     parent = current_version(path)
     if parent is None:
         raise ValueError(f"no snapshot table at {path}")
-    old_files = _read_manifest(path, parent)["files"]
+    manifest = _read_manifest(path, parent)
+    old_files = manifest["files"]
     if prune is not None:
         col, lo, hi = prune
-        candidates = [
-            f for f in old_files if _stats_may_match(os.path.join(path, f), col, lo, hi)
-        ]
+        candidates = _candidate_files(path, manifest, col, lo, hi)
     else:
         candidates = list(old_files)
     cand_set = set(candidates)
     kept = [f for f in old_files if f not in cand_set]
-    new_files = kept
+    new_files, new_stats = kept, {}
     if candidates:
         survivors = _read_files_pinned(spark, path, candidates, parent).filter(
             ~predicate
         )
-        new_files = kept + _write_data_files(survivors, path)
-    return _commit(path, new_files, "delete", parent=parent)
+        written, new_stats = _write_data_files(survivors, path)
+        new_files = kept + written
+    return _commit(path, new_files, "delete", parent=parent, new_stats=new_stats)
 
 
 def rollback(path: str, version: int) -> int:
@@ -377,10 +506,11 @@ def rollback(path: str, version: int) -> int:
     parent = current_version(path)
     m = _read_manifest(path, version)
     # restore that version's schema too — rolling back past a schema
-    # evolution must not leave new-column ghosts
+    # evolution must not leave new-column ghosts; its file stats come
+    # along as well (the parent may not reference these files anymore)
     return _commit(
         path, m["files"], f"rollback-to-{version}", parent=parent,
-        schema_json=m.get("schema"),
+        schema_json=m.get("schema"), new_stats=m.get("stats"),
     )
 
 
@@ -432,6 +562,12 @@ def _zorder_value(
     sort on z gives multi-column file locality — the property Delta's
     ``OPTIMIZE ... ZORDER BY`` exploits, built here from pure Catalyst
     bit arithmetic (shift/and/or — whole-stage-codegen'd, no UDF)."""
+    # the interleave must fit a 64-bit signed long: bit position goes up
+    # to bits*len(cols)-1, and Spark's shiftleft masks shift amounts
+    # mod 64, so overflowing bits would silently WRAP and corrupt the
+    # ordering — clamp per-column resolution instead (5+ columns get
+    # coarser locality, never wrong clustering)
+    bits = min(bits, 63 // len(cols))
     scaled = []
     top = (1 << bits) - 1
     for c in cols:
@@ -518,8 +654,8 @@ def optimize_table(
         )
     else:
         df = df.coalesce(target_files)
-    files = _write_data_files(df, path)
-    return _commit(path, files, "optimize", parent=parent)
+    files, stats = _write_data_files(df, path)
+    return _commit(path, files, "optimize", parent=parent, new_stats=stats)
 
 
 def committed_stream_batches(
@@ -588,11 +724,15 @@ def append_stream(
         if current_version(path) is None:
             # bootstrap must be ONE tagged commit: create-then-tag would
             # leave an untagged v1 if the tag commit is lost, and the
-            # replay would append the same batch again
+            # replay would append the same batch again; it records the
+            # batch schema like create_table does, so schema-drift
+            # enforcement / pinned reads / CDF work on stream-created
+            # tables exactly as on CTAS tables
             os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
-            files = _write_data_files(batch_df, path)
+            files, stats = _write_data_files(batch_df, path)
             _commit(
                 path, files, "stream-append", parent=None,
+                schema_json=batch_df.schema.json(), new_stats=stats,
                 extra={
                     "stream_batch_id": int(batch_id),
                     "stream_id": stream_id,
@@ -600,11 +740,10 @@ def append_stream(
             )
             return
         parent = current_version(path)
-        files = _read_manifest(path, parent)["files"] + _write_data_files(
-            batch_df, path
-        )
+        new_files, stats = _write_data_files(batch_df, path)
+        files = _read_manifest(path, parent)["files"] + new_files
         _commit(
-            path, files, "stream-append", parent=parent,
+            path, files, "stream-append", parent=parent, new_stats=stats,
             extra={
                 "stream_batch_id": int(batch_id),
                 "stream_id": stream_id,
@@ -674,9 +813,10 @@ def merge_into(
     Scale design — the merge never rewrites the whole table:
 
     1. the source's first-key min/max (one distributed agg, a 2-value
-       collect) prunes candidate files by parquet footer stats, the same
-       manifest-stats skip Iceberg's MERGE does — an upsert touching one
-       day of a date-keyed table rewrites that day's files only;
+       collect) prunes candidate files by the manifest's per-file stats,
+       the same manifest-stats skip Iceberg's MERGE does — an upsert
+       touching one day of a date-keyed table rewrites that day's files
+       only, and the prune itself reads no data files;
     2. surviving target rows come from ONE ``left_anti`` join of the
        candidate files against the source keys (AQE broadcasts the key
        side when small);
@@ -701,8 +841,12 @@ def merge_into(
         if not (allow_bootstrap and when_matched == "update"):
             raise ValueError(f"no snapshot table at {path}")
         os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
-        files = _write_data_files(source, path)
-        return _commit(path, files, "merge-update", parent=None, extra=commit_extra)
+        files, stats = _write_data_files(source, path)
+        return _commit(
+            path, files, "merge-update", parent=None,
+            schema_json=source.schema.json(), new_stats=stats,
+            extra=commit_extra,
+        )
     if validate_source_keys and when_matched == "update":
         dup = (
             source.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1)
@@ -715,21 +859,19 @@ def merge_into(
             )
     if when_matched == "update":
         _enforce_constraints(source, path)
-    old_files = _read_manifest(path, parent)["files"]
+    manifest = _read_manifest(path, parent)
+    old_files = manifest["files"]
     k0 = key_cols[0]
     lo, hi = source.agg(F.min(k0), F.max(k0)).collect()[0]
     if lo is None:
         candidates: list[str] = []
     else:
-        candidates = [
-            f
-            for f in old_files
-            if _stats_may_match(os.path.join(path, f), k0, lo, hi)
-        ]
+        candidates = _candidate_files(path, manifest, k0, lo, hi)
     cand_set = set(candidates)
     kept = [f for f in old_files if f not in cand_set]
     keys = source.select(*key_cols).dropDuplicates(list(key_cols))
     new_files = list(kept)
+    new_stats: dict[str, dict] = {}
     rewrite = None
     if candidates:
         target = _read_files_pinned(spark, path, candidates, parent)
@@ -743,9 +885,11 @@ def merge_into(
         else:
             rewrite = source
     if rewrite is not None:
-        new_files += _write_data_files(rewrite, path)
+        written, new_stats = _write_data_files(rewrite, path)
+        new_files += written
     return _commit(
-        path, new_files, f"merge-{when_matched}", parent=parent, extra=commit_extra
+        path, new_files, f"merge-{when_matched}", parent=parent,
+        extra=commit_extra, new_stats=new_stats,
     )
 
 
@@ -840,7 +984,15 @@ def add_constraint(
     cons = table_constraints(path)
     if name in cons:
         raise ValueError(f"constraint {name!r} already exists")
-    bad = read_table(spark, path, parent).filter(f"NOT ({expression})").limit(1)
+    # SAME predicate as _enforce_constraints: a CHECK must evaluate to
+    # true, so NULL evaluations are violations here too — otherwise a
+    # constraint could be added over NULL-evaluating rows that every
+    # later re-append of the same rows would then reject
+    bad = (
+        read_table(spark, path, parent)
+        .filter(~F.coalesce(F.expr(expression), F.lit(False)))
+        .limit(1)
+    )
     if bad.count() > 0:
         raise ValueError(
             f"existing rows violate CHECK ({expression}); constraint "

@@ -133,3 +133,34 @@ def _got_bv(spark, view):
         r.bucket: (r.n_rows, round(r.sum_v, 6))
         for r in mv.read_mv(spark, view).collect()
     }
+
+
+def test_mv_new_group_refresh_keeps_column_types(spark, tmp_path):
+    """A refresh whose delta hits ONLY new groups (no candidate files)
+    must write sum columns in the view's own type (e.g. bigint for an
+    integer base column), not a hardcoded double — otherwise the view's
+    parquet files diverge in type and the mixed read errors/coerces."""
+    base = str(tmp_path / "base")
+    view = str(tmp_path / "mv")
+    df = spark.range(0, 100).select(
+        (F.col("id") % 4).alias("bucket"), F.col("id").alias("v")
+    )
+    snap.create_table(df.repartitionByRange(2, "bucket"), base)
+    mv.create_grouped_mv(spark, base, view, group_cols=["bucket"], sum_cols=["v"])
+    created_type = dict(mv.read_mv(spark, view).dtypes)
+    assert created_type["sum_v"] == "bigint"
+
+    # append rows in entirely NEW groups far outside existing bucket range
+    snap.append(
+        spark.range(100, 120).select(
+            (F.col("id") % 4 + 1000).alias("bucket"), F.col("id").alias("v")
+        ),
+        base,
+    )
+    mv.refresh_mv(spark, base, view)
+    got = mv.read_mv(spark, view)
+    assert dict(got.dtypes)["sum_v"] == "bigint"
+    assert dict(got.dtypes)["n_rows"] == "bigint"
+    assert _got(spark, view) == _expected(spark, base)
+    # the view carries a manifest schema, so reads are pinned
+    assert snap._table_schema(view, snap.current_version(view)) is not None

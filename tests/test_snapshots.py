@@ -178,7 +178,7 @@ def test_append_stream_exactly_once(spark, tmp_path):
 def test_vacuum_orphans_removes_only_unreferenced(spark, table):
     # manufacture an orphan: write files without committing a manifest
     orphan_df = spark.range(5).select(F.col("id"), (F.col("id")).alias("bucket"))
-    orphans = snap._write_data_files(orphan_df, table)
+    orphans, _stats = snap._write_data_files(orphan_df, table)
     assert orphans
     # grace period: young orphans survive
     assert snap.vacuum_orphans(table, min_age_seconds=3600) == []
@@ -487,3 +487,144 @@ def test_table_changes_across_schema_evolution(spark, tmp_path):
     # v1->v3: row 3 arrived (score kept through the rewrite), row 1 left;
     # row 2 appears identically on both sides and cancels out
     assert got == {("insert", 3): 9.0, ("delete", 1): None}
+
+
+def test_pruning_is_metadata_only_no_footer_reads(spark, tmp_path, monkeypatch):
+    """Candidate selection must come from manifest stats alone: the
+    legacy footer probe is patched to explode, and pq.ParquetFile is
+    counted — pruning opens ZERO existing files (write-time stats
+    collection on the freshly written rewrite output is the only
+    allowed footer access)."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "meta_only")
+    df = spark.range(0, 1000).select(F.col("id"))
+    snap.create_table(df.repartitionByRange(4, "id"), path)
+    existing = {os.path.join(path, f) for f in snap._read_manifest(path, 1)["files"]}
+
+    def _boom(*a, **k):
+        raise AssertionError("footer probe used despite manifest stats")
+
+    monkeypatch.setattr(snap, "_stats_may_match", _boom)
+
+    opened: list[str] = []
+    real_pf = pq.ParquetFile
+
+    def _counting(p, *a, **k):
+        opened.append(str(p))
+        return real_pf(p, *a, **k)
+
+    monkeypatch.setattr(pq, "ParquetFile", _counting)
+    snap.delete_range(spark, path, "id", 0, 49)
+    # only the one candidate file is rewritten; pruning itself touched
+    # no footers of pre-existing files
+    assert not [p for p in opened if p in existing]
+    assert snap.read_table(spark, path).count() == 950
+    after = snap._read_manifest(path, 2)
+    carried = set(snap._read_manifest(path, 1)["files"]) & set(after["files"])
+    assert len(carried) == 3
+    # every file of the new version carries manifest stats for id
+    assert all("id" in after["stats"][f] for f in after["files"])
+
+
+def test_merge_pruning_metadata_only(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "merge_meta")
+    df = spark.range(0, 1000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    snap.create_table(df.repartitionByRange(4, "id"), path)
+    monkeypatch.setattr(
+        snap, "_stats_may_match",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("footer probe")),
+    )
+    src = spark.range(0, 10).select(F.col("id"), F.lit(-1).cast("long").alias("v"))
+    snap.merge_into(spark, path, src, key_cols=["id"])
+    got = snap.read_table(spark, path)
+    assert got.count() == 1000
+    assert got.filter("v = -1").count() == 10
+
+
+def test_manifest_stats_survive_date_and_string_columns(spark, tmp_path):
+    """Stats encoding roundtrip for non-numeric types: date + string
+    bounds prune correctly from the manifest."""
+    import datetime
+
+    path = str(tmp_path / "typed")
+    df = spark.range(0, 365).select(
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+        F.concat(F.lit("k"), F.lpad(F.col("id").cast("string"), 3, "0")).alias("s"),
+    )
+    snap.create_table(df.repartitionByRange(4, "d"), path)
+    m = snap._read_manifest(path, 1)
+    assert all("d" in m["stats"][f] and "s" in m["stats"][f] for f in m["files"])
+    cands = snap._candidate_files(
+        path, m, "d", datetime.date(2024, 1, 1), datetime.date(2024, 1, 10)
+    )
+    assert 1 <= len(cands) < len(m["files"])
+    v2 = snap.delete_range(
+        spark, path, "d", datetime.date(2024, 1, 1), datetime.date(2024, 1, 10)
+    )
+    assert snap.read_table(spark, path, v2).count() == 355
+
+
+def test_stream_and_merge_bootstrap_record_schema(spark, tmp_path):
+    """Tables bootstrapped by append_stream / merge_into carry a manifest
+    schema exactly like create_table — drift enforcement and pinned reads
+    work on them."""
+    # merge bootstrap
+    mpath = str(tmp_path / "mb")
+    src = spark.range(0, 10).select(F.col("id"), F.lit(1).cast("long").alias("v"))
+    snap.merge_into(spark, mpath, src, key_cols=["id"], allow_bootstrap=True)
+    assert snap._table_schema(mpath, 1) is not None
+    with pytest.raises(ValueError, match="adds columns"):
+        snap.append(
+            spark.range(10, 12).select(
+                F.col("id"), F.lit(1).cast("long").alias("v"), F.lit("x").alias("extra")
+            ),
+            mpath,
+        )
+
+    # stream bootstrap
+    spath = str(tmp_path / "sb")
+    ck = str(tmp_path / "ck")
+    mem = spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+    stream = mem.select(F.col("value").alias("id"), F.lit(1).cast("long").alias("v"))
+    snap.append_stream(stream, spath, checkpoint_dir=ck, app_id="t1")
+    assert snap._table_schema(spath, snap.current_version(spath)) is not None
+
+
+def test_add_constraint_null_semantics_match_enforcement(spark, tmp_path):
+    """NULL-evaluating rows violate a CHECK both at add time and at
+    append time — add_constraint must reject a table whose existing rows
+    it would later refuse to re-append."""
+    path = str(tmp_path / "nullcheck")
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None)], "id INT, fare DOUBLE"
+    )
+    snap.create_table(df, path)
+    with pytest.raises(ValueError, match="existing rows violate"):
+        snap.add_constraint(spark, path, "fare_pos", "fare > 0")
+    # after cleaning the NULLs the constraint lands, and the NULL row is
+    # rejected on append — consistent in both directions
+    snap.delete_where(spark, path, F.col("fare").isNull())
+    snap.add_constraint(spark, path, "fare_pos", "fare > 0")
+    with pytest.raises(ValueError, match="violates CHECK"):
+        snap.append(
+            spark.createDataFrame([(3, None)], "id INT, fare DOUBLE"), path
+        )
+
+
+def test_zorder_many_columns_clamps_bits(spark, tmp_path):
+    """5+ z-order columns must not overflow the 64-bit interleave (Spark
+    masks shift amounts mod 64, which would silently wrap bits): the
+    per-column resolution clamps so ordering stays correct."""
+    path = str(tmp_path / "z5")
+    df = spark.range(0, 500).select(
+        F.col("id"),
+        *[(F.col("id") * (i + 1) % 97).alias(f"c{i}") for i in range(5)],
+    )
+    snap.create_table(df, path)
+    snap.optimize_table(
+        spark, path, zorder_by=[f"c{i}" for i in range(5)], target_files=4
+    )
+    got = snap.read_table(spark, path)
+    assert got.count() == 500
+    assert got.select(F.sum("id")).first()[0] == 499 * 500 // 2
