@@ -230,6 +230,64 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "timeseries_gapfill_15min",
+    """
+    WITH per_slot AS (
+        SELECT user_id,
+               date_trunc('hour', ts)
+                   + INTERVAL 15 MINUTE * (minute(ts) // 15) AS slot,
+               arg_max(value, event_id) AS obs
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id,
+               date_trunc('hour', min(ts))
+                   + INTERVAL 15 MINUTE * (minute(min(ts)) // 15) AS lo,
+               date_trunc('hour', max(ts))
+                   + INTERVAL 15 MINUTE * (minute(max(ts)) // 15) AS hi
+        FROM events GROUP BY 1
+    ),
+    spine AS (
+        SELECT user_id,
+               unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS slot
+        FROM bounds
+    ),
+    filled AS (
+        SELECT s.user_id, s.slot,
+               last_value(p.obs IGNORE NULLS) OVER (
+                   PARTITION BY s.user_id ORDER BY s.slot
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+               p.obs IS NULL AS is_gap
+        FROM spine s LEFT JOIN per_slot p USING (user_id, slot)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_slots,
+           CAST(sum(CASE WHEN is_gap THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+           CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS filled_total
+    FROM filled GROUP BY user_id
+    """,
+    doc="Gap fill at a NON-hour grid ('15 minute' — the multi-unit "
+    "slot_of path: date_trunc to the hour + cycle-aligned snap, "
+    "timestampadd keeps the NTZ type). The dense resample runs in "
+    "full (~4x hourly slot count); the query emits a per-user rollup "
+    "(slot/gap counts + decimal-fenced sum of every filled value) so "
+    "the comparison stays O(users) while still pinning every slot's "
+    "forward-filled value through the sum.",
+)
+def timeseries_gapfill_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    filled = gapfill_forward(
+        load_table(spark, sf_dir, "events"), step="15 minute"
+    )
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_slots"),
+        F.sum(F.when(F.col("is_gap"), 1).otherwise(0)).alias("n_gaps"),
+        F.sum(F.col("value").cast("decimal(28,8)"))
+        .cast("double")
+        .alias("filled_total"),
+    )
+
+
+@register(
     "window_time_range_sum",
     """
     SELECT event_id, user_id, ts,

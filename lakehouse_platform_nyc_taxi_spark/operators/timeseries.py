@@ -2,10 +2,10 @@
 
 The missing-operator family between event logs and ML feature frames: a
 model wants one row per (entity, time slot), but events arrive
-irregularly. ``gapfill_forward`` builds the dense per-entity hourly (or
-any fixed-step) spine and carries the last observation forward into the
-gaps — the standard "resample + ffill" stage, expressed entirely in
-Catalyst (sequence/explode + windows), no UDFs.
+irregularly. ``gapfill_forward`` builds the dense per-entity fixed-step
+spine and carries the last observation forward into the gaps — the
+standard "resample + ffill" stage, expressed entirely in Catalyst
+(sequence/explode + windows), no UDFs.
 
 Scale notes: the spine generates from each entity's OWN min/max bounds
 (one partial-agg pass), so short-lived entities don't explode into the
@@ -18,8 +18,64 @@ to coarsen ``step``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_TRUNC_UNITS = ("second", "minute", "hour", "day", "week", "month", "year")
+
+#: units that support N>1 steps: (parent trunc unit, slots per parent)
+_CYCLES = {
+    "second": ("minute", 60, F.second),
+    "minute": ("hour", 60, F.minute),
+    "hour": ("day", 24, F.hour),
+}
+
+
+def _parse_step(step: str) -> tuple[int, str]:
+    try:
+        n_s, unit = step.split()
+        n = int(n_s)
+    except ValueError:
+        raise ValueError(
+            f"step must look like '15 minute' / '1 hour', got {step!r}"
+        ) from None
+    unit = unit.lower().rstrip("s")
+    if n < 1 or unit not in _TRUNC_UNITS:
+        raise ValueError(
+            f"step unit must be one of {_TRUNC_UNITS} with n >= 1, got {step!r}"
+        )
+    return n, unit
+
+
+def slot_of(ts: Column, step: str) -> Column:
+    """Floor a timestamp to its ``step`` grid slot, in pure Catalyst.
+
+    ``n == 1``: plain ``date_trunc`` for any calendar unit. ``n > 1``
+    (sub-day units only): truncate to the parent unit, then snap forward
+    by ``floor(component / n) * n`` via ``timestampadd`` — which keeps
+    the input's timestamp type (NTZ stays NTZ), unlike epoch arithmetic.
+    ``n`` must divide the parent cycle (15/20/30 minutes, 2/3/6/12
+    hours...) so slots tile the day identically for every entity; an
+    unaligned step like '7 minute' would drift across hour boundaries
+    and is rejected.
+    """
+    n, unit = _parse_step(step)
+    if n == 1:
+        return F.date_trunc(unit, ts)
+    if unit not in _CYCLES:
+        raise ValueError(
+            f"multi-unit steps are supported for {sorted(_CYCLES)} only "
+            f"(got {step!r}); use n=1 with a coarser unit instead"
+        )
+    parent, cycle, component = _CYCLES[unit]
+    if cycle % n:
+        raise ValueError(
+            f"step {step!r} does not divide the {parent} cycle ({cycle} "
+            f"{unit}s) — slots would drift across {parent} boundaries"
+        )
+    base = F.date_trunc(parent, ts)
+    offset = (F.floor(component(ts) / n) * n).cast("int")
+    return F.timestamp_add(unit.upper(), offset, base)
 
 
 def gapfill_forward(
@@ -32,21 +88,21 @@ def gapfill_forward(
 ) -> DataFrame:
     """One row per (entity, slot) from first to last activity.
 
+    ``step`` is any ``'N unit'`` grid: calendar units at ``N == 1``
+    (minute/hour/day/week/month/year via ``date_trunc``) or cycle-aligned
+    sub-day multiples ('15 minute', '6 hour' — see :func:`slot_of`).
     Within a slot the LAST event wins, ordered by the unique
     ``order_col`` sequence (no float/timestamp tie hazard); empty slots
     carry the previous slot's value forward (``is_gap`` marks them).
     The first slot of every entity is an observation by construction,
     so forward fill never reads across entities and never yields NULL.
     """
-    slot = F.date_trunc("hour", F.col(ts_col)) if step == "1 hour" else None
-    if slot is None:
-        raise ValueError("only '1 hour' step is wired for the harness; "
-                         "generalize via date_trunc unit if needed")
+    n, unit = _parse_step(step)  # validate before building the plan
     # last observation per occupied slot (arg-extreme, no sort)
     per_slot = (
         df.select(
             F.col(user_col),
-            slot.alias("slot"),
+            slot_of(F.col(ts_col), step).alias("slot"),
             F.col(value_col),
             F.col(order_col),
         )
@@ -55,13 +111,13 @@ def gapfill_forward(
     )
     # per-entity dense spine from its own bounds
     bounds = df.groupBy(user_col).agg(
-        F.date_trunc("hour", F.min(ts_col)).alias("_lo"),
-        F.date_trunc("hour", F.max(ts_col)).alias("_hi"),
+        slot_of(F.min(ts_col), step).alias("_lo"),
+        slot_of(F.max(ts_col), step).alias("_hi"),
     )
     spine = bounds.select(
         user_col,
         F.explode(
-            F.sequence("_lo", "_hi", F.expr(f"INTERVAL {step}"))
+            F.sequence("_lo", "_hi", F.expr(f"INTERVAL {n} {unit}"))
         ).alias("slot"),
     )
     joined = spine.join(per_slot, on=[user_col, "slot"], how="left")

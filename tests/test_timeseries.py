@@ -37,3 +37,63 @@ def test_gapfill_forward_fills_and_marks_gaps(spark):
     # spine join, fill window — nothing scales beyond the entity key
     plan = gapfill_forward(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_gapfill_15min_step(spark):
+    rows = [
+        # user 1: 00:07 then 00:52 — slots 00:00..00:45, gaps between
+        (1, 1, T(2024, 1, 1, 0, 7), 10.0),
+        (2, 1, T(2024, 1, 1, 0, 52), 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r.slot: (r.value, r.is_gap)
+        for r in gapfill_forward(df, step="15 minute").collect()
+    }
+    assert got == {
+        T(2024, 1, 1, 0, 0): (10.0, False),
+        T(2024, 1, 1, 0, 15): (10.0, True),
+        T(2024, 1, 1, 0, 30): (10.0, True),
+        T(2024, 1, 1, 0, 45): (40.0, False),
+    }
+
+
+def test_gapfill_day_step(spark):
+    rows = [
+        (1, 1, T(2024, 1, 1, 5), 1.0),
+        (2, 1, T(2024, 1, 3, 9), 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r.slot.date().isoformat(): (r.value, r.is_gap)
+        for r in gapfill_forward(df, step="1 day").collect()
+    }
+    assert got == {
+        "2024-01-01": (1.0, False),
+        "2024-01-02": (1.0, True),
+        "2024-01-03": (3.0, False),
+    }
+
+
+def test_gapfill_rejects_unaligned_or_unknown_steps(spark):
+    import pytest
+
+    from lakehouse_platform_nyc_taxi_spark.operators.timeseries import slot_of
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 1, T(2024, 1, 1), 1.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    with pytest.raises(ValueError, match="does not divide"):
+        gapfill_forward(df, step="7 minute")
+    with pytest.raises(ValueError, match="multi-unit"):
+        gapfill_forward(df, step="2 day")
+    with pytest.raises(ValueError, match="step unit"):
+        gapfill_forward(df, step="3 fortnight")
+    with pytest.raises(ValueError, match="step must look like"):
+        slot_of(F.col("ts"), "hourly")
