@@ -20,6 +20,7 @@ from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .models import (
     STAGING_MODELS,
@@ -38,9 +39,12 @@ class Model:
     name: str
     deps: Sequence[str]
     fn: Callable[..., DataFrame]  # (ctx_dataframes...) -> DataFrame
-    materialized: str = "view"  # view | table | incremental
+    materialized: str = "view"  # view | table | incremental | snapshot
     unique_key: Sequence[str] = ()
     partition_by: Sequence[str] = ()
+    #: CHECK constraints installed when a ``snapshot`` model first
+    #: materializes; every later increment is validated against them
+    constraints: dict[str, str] | None = None
 
 
 @dataclass
@@ -54,19 +58,37 @@ class PipelineResult:
         return not self.errors
 
 
-def taxi_models() -> list[Model]:
+def taxi_models(snapshot_staging: Sequence[str] = ()) -> list[Model]:
     """The reference's 10-model DAG (sources -> 4 staging -> 3 intermediate
-    -> 3 marts), SURVEY.md §1.1."""
+    -> 3 marts), SURVEY.md §1.1.
+
+    ``snapshot_staging`` names staging models to materialize as
+    snapshot TABLES instead of plain incremental parquet: same
+    delete+insert increment semantics, but with ACID commits, time
+    travel, CDF, a CHECK constraint mirroring the model's validity
+    filter, and dbt ``on_schema_change='append_new_columns'`` drift
+    handling (stg_nyc_taxi__yellow_trips.sql:5) enforced by the table
+    itself rather than by convention.
+    """
     models: list[Model] = []
     for name, (raw_table, fn) in STAGING_MODELS.items():
+        as_snapshot = name in snapshot_staging
         models.append(
             Model(
                 name=name,
                 deps=[f"raw.{raw_table}"],
                 fn=fn,
-                materialized="incremental",
+                materialized="snapshot" if as_snapshot else "incremental",
                 unique_key=("trip_id",),
                 partition_by=("year", "month"),
+                # the staging validity filter guarantees these; the
+                # constraint makes the table reject any future writer
+                # that skips the model (fhv models have no amount cols)
+                constraints=(
+                    {"non_negative_total": "total_amount >= 0"}
+                    if as_snapshot and "fhv" not in name
+                    else None
+                ),
             )
         )
     models += [
@@ -148,6 +170,36 @@ def run_pipeline(
                             spark, df, path, model.unique_key, model.partition_by
                         )
                     ctx[model.name] = spark.read.parquet(path)
+                elif model.materialized == "snapshot":
+                    from .models.staging import incremental_watermark_filter
+                    from .sources import snapshots as snap
+
+                    if snap.current_version(path) is None:
+                        snap.create_table(df, path)
+                        for cname, expr in (model.constraints or {}).items():
+                            snap.add_constraint(spark, path, cname, expr)
+                    else:
+                        if full_refresh:
+                            snap.delete_where(spark, path, F.lit(True))
+                        else:
+                            raw_df = inputs[0]
+                            target = snap.read_table(spark, path)
+                            df = model.fn(
+                                incremental_watermark_filter(raw_df, target)
+                            )
+                        # delete+insert increment as ONE ACID commit:
+                        # keys are replaced wholesale and within-batch
+                        # duplicate keys are kept, matching the dbt
+                        # delete+insert contract (hence no source-key
+                        # validation); constraints and schema drift are
+                        # enforced by the table itself
+                        snap.merge_into(
+                            spark, path, df,
+                            key_cols=list(model.unique_key),
+                            validate_source_keys=False,
+                            merge_schema=True,
+                        )
+                    ctx[model.name] = snap.read_table(spark, path)
                 elif model.materialized == "table":
                     overwrite_table(df, path, model.partition_by or None)
                     ctx[model.name] = spark.read.parquet(path)

@@ -800,6 +800,7 @@ def merge_into(
     validate_source_keys: bool = True,
     commit_extra: dict | None = None,
     allow_bootstrap: bool = False,
+    merge_schema: bool = False,
 ) -> int:
     """Keyed MERGE (Delta ``MERGE INTO`` / dbt ``delete+insert`` upsert's
     modern form), copy-on-write:
@@ -831,6 +832,14 @@ def merge_into(
     ``(stream_id, batch_id)`` here); ``allow_bootstrap`` lets an upsert
     against a not-yet-existing table create it from the source in the
     same single commit (the streaming first-batch case).
+
+    ``merge_schema`` gives the merge the same evolution contract as
+    :func:`append` (Delta's ``schema.autoMerge`` / dbt
+    ``on_schema_change='append_new_columns'``): NEW source columns
+    extend the table schema in one commit with the data, old files read
+    them as NULL, and source batches missing some table columns insert
+    NULL there. Type changes on existing columns are never merged.
+    Without it, a drifted source fails fast, like ``append``.
     """
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
@@ -860,6 +869,31 @@ def merge_into(
     if when_matched == "update":
         _enforce_constraints(source, path)
     manifest = _read_manifest(path, parent)
+    schema_json = None
+    table_schema = _table_schema(path, parent)
+    if table_schema is not None and when_matched == "update":
+        existing = {f.name: f.dataType for f in table_schema.fields}
+        clashes = [
+            f.name for f in source.schema.fields
+            if f.name in existing and existing[f.name] != f.dataType
+        ]
+        if clashes:
+            raise ValueError(
+                f"merge source changes types of existing columns {clashes}; "
+                "snapshot tables never merge type changes"
+            )
+        new_cols = [f for f in source.schema.fields if f.name not in existing]
+        if new_cols and not merge_schema:
+            raise ValueError(
+                f"merge source adds columns {[f.name for f in new_cols]}; "
+                "pass merge_schema=True to evolve the table schema"
+            )
+        if new_cols:
+            from pyspark.sql.types import StructType
+
+            schema_json = StructType(
+                list(table_schema.fields) + new_cols
+            ).json()
     old_files = manifest["files"]
     k0 = key_cols[0]
     lo, hi = source.agg(F.min(k0), F.max(k0)).collect()[0]
@@ -877,9 +911,14 @@ def merge_into(
         target = _read_files_pinned(spark, path, candidates, parent)
         rewrite = target.join(keys, on=list(key_cols), how="left_anti")
     if when_matched == "update":
-        # column order pinned to the table schema so parquet files stay
-        # homogeneous across versions
-        if rewrite is not None:
+        if rewrite is not None and merge_schema:
+            # evolved union: new source columns extend, missing source
+            # columns read NULL; the pinned manifest schema (committed
+            # below) resolves parquet columns by name, so order is free
+            rewrite = rewrite.unionByName(source, allowMissingColumns=True)
+        elif rewrite is not None:
+            # column order pinned to the table schema so parquet files
+            # stay homogeneous across versions
             src = source.select([F.col(c.name) for c in rewrite.schema.fields])
             rewrite = rewrite.unionByName(src)
         else:
@@ -889,7 +928,7 @@ def merge_into(
         new_files += written
     return _commit(
         path, new_files, f"merge-{when_matched}", parent=parent,
-        extra=commit_extra, new_stats=new_stats,
+        extra=commit_extra, new_stats=new_stats, schema_json=schema_json,
     )
 
 

@@ -19,7 +19,7 @@ from lakehouse_platform_nyc_taxi_spark.models import (
 )
 from lakehouse_platform_nyc_taxi_spark.models.intermediate import UNIFIED_COLUMNS
 from lakehouse_platform_nyc_taxi_spark.models.staging import STAGING_MODELS
-from lakehouse_platform_nyc_taxi_spark.pipeline import run_pipeline, taxi_models
+from lakehouse_platform_nyc_taxi_spark.pipeline import Model, run_pipeline, taxi_models
 from lakehouse_platform_nyc_taxi_spark.quality import run_assertions, taxi_assertion_suite
 from lakehouse_platform_nyc_taxi_spark.quality.assertions import (
     positive_fare_threshold,
@@ -147,3 +147,81 @@ def test_full_pipeline_runner(spark, raw_paths, tmp_path):
         "SELECT taxi_type, count(*) AS total_trips FROM fct_trips GROUP BY taxi_type"
     )
     assert flagship.count() == 4
+
+
+def test_snapshot_staging_model_constraint_and_schema_drift(spark, raw_paths, tmp_path):
+    """One staging model materialized through snapshot tables: the CHECK
+    constraint mirrors the validity filter, an idempotent re-run is a
+    single ACID merge commit, and a model revision that adds a column
+    evolves the table schema in place — dbt
+    on_schema_change='append_new_columns' (stg_nyc_taxi__yellow_trips.sql:5)
+    enforced by the table, not by convention."""
+    from lakehouse_platform_nyc_taxi_spark.sources import snapshots as snap
+
+    wh = str(tmp_path / "warehouse")
+    models = taxi_models(snapshot_staging=["stg_nyc_taxi__yellow_trips"])
+    result = run_pipeline(spark, raw_paths, wh, models=models)
+    assert result.ok, result.errors
+
+    path = f"{wh}/stg_nyc_taxi__yellow_trips"
+    assert snap.table_constraints(path) == {
+        "non_negative_total": "total_amount >= 0"
+    }
+    n = snap.read_table(spark, path).count()
+    assert n > 0
+    # pipeline downstream marts agree with the plain-incremental run
+    plain_wh = str(tmp_path / "plain")
+    plain = run_pipeline(spark, raw_paths, plain_wh)
+    assert plain.ok
+    assert (
+        spark.read.parquet(f"{wh}/fct_trips").count()
+        == spark.read.parquet(f"{plain_wh}/fct_trips").count()
+    )
+
+    # idempotent re-run: the watermark increment replaces the max
+    # partition's keys via ONE merge commit — no duplication
+    result2 = run_pipeline(spark, raw_paths, wh, models=models)
+    assert result2.ok, result2.errors
+    assert snap.read_table(spark, path).count() == n
+    assert snap.history(path)[-1]["op"] == "merge-update"
+
+    # model revision adds a column -> schema drift flows through the
+    # merge as an in-place evolution; old rows read NULL
+    from lakehouse_platform_nyc_taxi_spark.models.staging import (
+        STAGING_MODELS,
+        stg_yellow_trips,
+    )
+
+    def stg_yellow_v2(raw):
+        return stg_yellow_trips(raw).withColumn(
+            "airport_fee", F.lit(1.25).cast("double")
+        )
+
+    drifted = [
+        Model(
+            name=m.name,
+            deps=m.deps,
+            fn=stg_yellow_v2 if m.name == "stg_nyc_taxi__yellow_trips" else m.fn,
+            materialized=m.materialized,
+            unique_key=m.unique_key,
+            partition_by=m.partition_by,
+            constraints=m.constraints,
+        )
+        for m in models
+        if m.name in STAGING_MODELS
+    ]
+    result3 = run_pipeline(spark, raw_paths, wh, models=drifted)
+    assert result3.ok, result3.errors
+    evolved = snap.read_table(spark, path)
+    assert "airport_fee" in evolved.columns
+    assert evolved.count() == n
+    # untouched (pre-drift, non-max-partition) rows read NULL for the
+    # new column; re-merged max-partition rows carry the value
+    assert evolved.filter(F.col("airport_fee").isNull()).count() > 0
+    assert evolved.filter(F.col("airport_fee") == 1.25).count() > 0
+
+    # the constraint still guards the table: a raw writer bypassing the
+    # model cannot land violating rows
+    bad = evolved.limit(1).withColumn("total_amount", F.lit(-5.0))
+    with pytest.raises(ValueError, match="violates CHECK"):
+        snap.append(bad, path)
