@@ -62,71 +62,18 @@ def register(
 #      Their green rows live in CORRECTNESS_r01.json (kept in-repo), so
 #      rounds jointly cover every query.
 _PRIORITY = [
-    # --- Round-4 window (driver checks the FIRST 50 registered) ---
-    # New this round (no driver row yet):
-    "scd2_event_history",
+    # --- Round-5 window (driver checks the FIRST 50 registered) ---
+    # Changed or new this round (must earn/re-earn a green row): the two
+    # r4 driver ERRs reshaped to scalar CSV outputs, the new 15-minute
+    # gapfill, timeseries_gapfill (shared gapfill_forward generalized),
+    # and sampling_temperature_mix (temperature_resample gained the
+    # max-groups guard on its count collect):
     "embedding_quantize_int8",
-    "similarity_topk_int8",
-    "window_ntile_cume",
-    "sampling_temperature_mix",
-    # Changed implementation/shared helpers this round (rotation rule —
-    # must re-earn a green row): the streaming family (read_events_stream
-    # gained the TIMESTAMP_NTZ event-time cast; the stateful op's
-    # fixed-point rounding became explicitly half-away) and
-    # text_repetition (top_bigram_count coalesce):
-    "streaming_windowed_rollup",
-    "streaming_dedup_counts",
-    "streaming_session_windows",
-    "streaming_stream_static_join",
-    "streaming_stateful_user_stats",
-    "text_repetition",
-    # Oldest green rows (last verified r1 — unchanged since, but their
-    # rows are 3 rounds old; rotate back in so provenance stays fresh):
-    "cast_rename_projection",
-    "filter_precedence_quirk",
-    "in_list_between",
-    "incremental_watermark",
-    "join_full_outer",
-    "join_right_outer",
-    "lateral_explode_tokens",
-    "orderby_limit_topk",
-    "pivot_event_values",
-    "scan_projection_filter",
-    "set_except",
-    "set_intersect",
-    "star_extend_projection",
-    "union_all_typed_nulls",
-    "union_distinct",
-    "validity_filter",
-    "window_lead_lag",
-    "window_moving_avg",
-    "window_running_total",
-    # Last verified r2:
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_rollup",
-    "join_anti",
-    "join_asof",
-    "join_cross_ratio",
-    "join_range",
-    "join_semi",
-    "window_topk_per_group",
-    # Load-bearing r3-green queries filling the window to 50:
-    "agg_daily_rollup",
-    "agg_pricing_summary",
-    # new this round:
-    "agg_arg_extremes",
-    "text_rarity_stats",
-    "timeseries_gapfill",
-    "window_time_range_sum",
-    "join_null_safe",
-    "unpivot_charges",
     "agg_collect_sorted",
-    # changed this round (parallel loader for CPU-bound aggs):
-    "agg_no_keys",
-    "agg_percentiles",
-]
-_KEEP = [
+    "timeseries_gapfill_15min",
+    "timeseries_gapfill",
+    "sampling_temperature_mix",
+    # Oldest green rows (r3 — every other registered query is r4-green):
     "conditional_case_nullif",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
@@ -136,7 +83,6 @@ _KEEP = [
     "doc_chunking",
     "text_pii_scrub",
     "multimodal_features",
-    # r3-green, unchanged this round; fall just past the 50-row window.
     "agg_monthly_rollup",
     "agg_percentiles_approx",
     "embedding_dim_stats",
@@ -168,6 +114,58 @@ _KEEP = [
     "multimodal_metadata",
     "join_broadcast_dims",
     "join_left_outer",
+    # Load-bearing r4-green fillers to 50 (flagship rollups, the int8
+    # twin sharing _Q8_CTES, SCD2, distribution windows):
+    "agg_daily_rollup",
+    "agg_pricing_summary",
+    "scd2_event_history",
+    "similarity_topk_int8",
+    "window_ntile_cume",
+]
+_KEEP = [
+    # r4-green, unchanged this round; fall just past the 50-row window
+    # (their rows in CORRECTNESS_r04.json stay ≤2 rounds old through r6).
+    "streaming_windowed_rollup",
+    "streaming_dedup_counts",
+    "streaming_session_windows",
+    "streaming_stream_static_join",
+    "streaming_stateful_user_stats",
+    "text_repetition",
+    "text_rarity_stats",
+    "cast_rename_projection",
+    "filter_precedence_quirk",
+    "in_list_between",
+    "incremental_watermark",
+    "join_full_outer",
+    "join_right_outer",
+    "lateral_explode_tokens",
+    "orderby_limit_topk",
+    "pivot_event_values",
+    "scan_projection_filter",
+    "set_except",
+    "set_intersect",
+    "star_extend_projection",
+    "union_all_typed_nulls",
+    "union_distinct",
+    "validity_filter",
+    "window_lead_lag",
+    "window_moving_avg",
+    "window_running_total",
+    "window_time_range_sum",
+    "window_topk_per_group",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "agg_arg_extremes",
+    "agg_no_keys",
+    "agg_percentiles",
+    "join_anti",
+    "join_asof",
+    "join_cross_ratio",
+    "join_range",
+    "join_semi",
+    "join_null_safe",
+    "unpivot_charges",
 ]
 _ROTATE_OUT = [
     "agg_approx_distinct",  # rows-only by design; r01 row recorded

@@ -118,6 +118,7 @@ def temperature_resample(
     key_col: str,
     alpha: float = 0.5,
     salt: str = "mix",
+    max_groups: int = 100_000,
 ) -> DataFrame:
     """Temperature-based mixture resampling: flatten the group size
     distribution toward uniform with temperature ``alpha`` — the
@@ -136,9 +137,22 @@ def temperature_resample(
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
-    counts = {
-        r[0]: r[1] for r in df.groupBy(group_col).count().collect()
-    }
+    # the per-group collect is the operator's one driver-side step; it
+    # is only valid for corpus-mixture cardinalities (languages,
+    # domains, sources). Enforce that contract instead of assuming it —
+    # a high-cardinality group column would silently turn this into an
+    # O(groups) driver materialization at 100 TB — by fetching at most
+    # max_groups+1 aggregated rows (the limit caps the collect itself).
+    rows = df.groupBy(group_col).count().limit(max_groups + 1).collect()
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"temperature_resample saw more than max_groups={max_groups} "
+            f"distinct {group_col!r} values — the per-group rate table "
+            "is collected driver-side and is meant for corpus-mixture "
+            "cardinalities; aggregate the group column first or raise "
+            "max_groups explicitly"
+        )
+    counts = {r[0]: r[1] for r in rows}
     if not counts:
         return df
     n_min = float(min(counts.values()))

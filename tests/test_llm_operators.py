@@ -510,3 +510,19 @@ def test_temperature_resample_flattens_mixture(spark):
     assert kept.count() == temperature_resample(df, "source", "doc_id", alpha=0.5).count()
     with _pytest.raises(ValueError, match="alpha"):
         temperature_resample(df, "source", "doc_id", alpha=1.5)
+
+
+def test_temperature_resample_guards_group_cardinality(spark):
+    import pytest as _pytest
+
+    from lakehouse_platform_nyc_taxi_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    df = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("source")
+    )
+    with _pytest.raises(ValueError, match="max_groups"):
+        temperature_resample(df, "source", "doc_id", max_groups=10)
+    # at-or-under the cap works
+    assert temperature_resample(df, "source", "doc_id", max_groups=50).count() == 50
