@@ -7,13 +7,15 @@ spine and carries the last observation forward into the gaps — the
 standard "resample + ffill" stage, expressed entirely in Catalyst
 (sequence/explode + windows), no UDFs.
 
-Scale notes: the spine generates from each entity's OWN min/max bounds
-(one partial-agg pass), so short-lived entities don't explode into the
-global time range; the per-slot reduction and the forward fill share one
-hash partitioning on the entity key (single Exchange for the windowed
-stages). Slot count per entity is bounded by its activity span — a
-pathological years-long entity at minute granularity is the caller's cue
-to coarsen ``step``.
+Scale notes: the fill is GENERATIVE — each observation explodes across
+its own gap range (its slot up to the next observation's slot − step),
+so the dense output rows are produced pre-filled. Every shuffle (the
+per-slot reduce and the lead window) carries only OCCUPIED slots, at
+most one row per event; the dense spine is never joined or window-sorted.
+Entities never explode into the global time range (ranges derive from
+each entity's own observations), and slot count per entity is bounded by
+its activity span — a pathological years-long entity at minute
+granularity is the caller's cue to coarsen ``step``.
 """
 
 from __future__ import annotations
@@ -98,6 +100,7 @@ def gapfill_forward(
     so forward fill never reads across entities and never yields NULL.
     """
     n, unit = _parse_step(step)  # validate before building the plan
+    step_iv = F.expr(f"INTERVAL {n} {unit}")
     # last observation per occupied slot (arg-extreme, no sort)
     per_slot = (
         df.select(
@@ -109,26 +112,29 @@ def gapfill_forward(
         .groupBy(user_col, "slot")
         .agg(F.max_by(value_col, order_col).alias("_obs"))
     )
-    # per-entity dense spine from its own bounds
-    bounds = df.groupBy(user_col).agg(
-        slot_of(F.min(ts_col), step).alias("_lo"),
-        slot_of(F.max(ts_col), step).alias("_hi"),
+    # Generative fill: each observation explodes across its OWN gap
+    # range — its slot up to the slot before the entity's next
+    # observation (the last observation covers only itself, which is
+    # exactly the old dense-spine upper bound slot_of(max ts)). The
+    # dense rows come out of the explode already filled, so there is
+    # no dense-spine join and no window sort over the FILLED rows:
+    # both exchanges (slot reduce, lead window) carry only OCCUPIED
+    # slots, <= one row per event — at a 100 TB scale with sparse
+    # entities that is orders of magnitude less shuffle than the
+    # join-then-ffill formulation.
+    w = Window.partitionBy(user_col).orderBy("slot")
+    ranged = per_slot.withColumn(
+        "_end", F.coalesce(F.lead("slot").over(w) - step_iv, F.col("slot"))
     )
-    spine = bounds.select(
+    exploded = ranged.select(
         user_col,
-        F.explode(
-            F.sequence("_lo", "_hi", F.expr(f"INTERVAL {n} {unit}"))
-        ).alias("slot"),
+        F.col("slot").alias("_obs_slot"),
+        "_obs",
+        F.explode(F.sequence("slot", "_end", step_iv)).alias("slot"),
     )
-    joined = spine.join(per_slot, on=[user_col, "slot"], how="left")
-    w = (
-        Window.partitionBy(user_col)
-        .orderBy("slot")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return joined.select(
+    return exploded.select(
         user_col,
         "slot",
-        F.last("_obs", ignorenulls=True).over(w).alias(value_col),
-        F.col("_obs").isNull().alias("is_gap"),
+        F.col("_obs").alias(value_col),
+        (F.col("slot") != F.col("_obs_slot")).alias("is_gap"),
     )

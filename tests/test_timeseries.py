@@ -33,10 +33,10 @@ def test_gapfill_forward_fills_and_marks_gaps(spark):
         (1, T(2024, 1, 1, 3)): (41.0, False),
         (2, T(2024, 1, 2, 7)): (7.0, False),
     }
-    # bounded exchange budget: (user,slot) slot-reduce, user bounds,
-    # spine join, fill window — nothing scales beyond the entity key
+    # bounded exchange budget: (user,slot) slot-reduce + lead window on
+    # OCCUPIED slots only — the generated dense rows are never shuffled
     plan = gapfill_forward(df)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") <= 4
+    assert plan.count("Exchange hashpartitioning") <= 2
 
 
 def test_gapfill_15min_step(spark):
