@@ -114,17 +114,19 @@ _PRIORITY = [
     "multimodal_metadata",
     "join_broadcast_dims",
     "join_left_outer",
-    # Load-bearing r4-green fillers to 50 (flagship rollups, the int8
-    # twin sharing _Q8_CTES, SCD2, distribution windows):
+    # New this round (no driver row yet):
+    "embedding_covariance",
+    "text_collocations",
+    # Load-bearing r4-green fillers to 50 (flagship rollups, SCD2):
     "agg_daily_rollup",
     "agg_pricing_summary",
     "scd2_event_history",
-    "similarity_topk_int8",
-    "window_ntile_cume",
 ]
 _KEEP = [
     # r4-green, unchanged this round; fall just past the 50-row window
     # (their rows in CORRECTNESS_r04.json stay ≤2 rounds old through r6).
+    "similarity_topk_int8",
+    "window_ntile_cume",
     "streaming_windowed_rollup",
     "streaming_dedup_counts",
     "streaming_session_windows",

@@ -969,6 +969,47 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_covariance",
+    """
+    WITH v AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    x AS (
+        SELECT unnest(flatten(list_transform(generate_series(1, len(e)), i ->
+                   list_transform(generate_series(1, len(e)), j ->
+                       {'di': i - 1, 'dj': j - 1, 'p': e[i] * e[j],
+                        'xi': e[i], 'xj': e[j]}))),
+               recursive := true)
+        FROM v
+    ),
+    s AS (
+        SELECT di AS dim_i, dj AS dim_j, CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(p AS DECIMAL(38,12))) AS sp,
+               sum(CAST(xi AS DECIMAL(38,12))) AS si,
+               sum(CAST(xj AS DECIMAL(38,12))) AS sj
+        FROM x GROUP BY 1, 2
+    )
+    SELECT dim_i, dim_j, n,
+           round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(si AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(sj AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS cov
+    FROM s
+    """,
+    doc="Exact d x d covariance of the embedding column (the PCA/"
+    "whitening/feature-drift statistics pass): row-local outer products "
+    "(pure higher-order functions) posexploded to (i, j) triples, ONE "
+    "map-side-combined reduce to d^2 cells whose shuffle volume is "
+    "O(tasks * d^2) — independent of row count. Decimal-fenced sums make "
+    "the E[xy] - E[x]E[y] arithmetic bit-reproducible across engines.",
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.dimension_covariance(
+        load_table_parallel(spark, sf_dir, "embeddings")
+    )
+
+
 # ---------------------------------------------------------------------------
 # End-to-end corpus curation (quality -> dedup -> cap -> split)
 # ---------------------------------------------------------------------------

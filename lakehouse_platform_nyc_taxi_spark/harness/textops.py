@@ -549,3 +549,47 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.chunk_documents(
         load_table(spark, sf_dir, "documents"), max_tokens=128, overlap=32
     )
+
+
+@register(
+    "text_collocations",
+    r"""
+    WITH t AS (
+        SELECT string_split_regex(trim(text), '\s+') AS tk FROM documents
+        WHERE len(string_split_regex(trim(text), '\s+')) >= 2
+    ),
+    big AS (
+        SELECT unnest(list_transform(generate_series(1, len(tk) - 1), i ->
+                   {'w1': tk[i], 'w2': tk[i + 1]}), recursive := true)
+        FROM t
+    ),
+    uni AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents
+    ),
+    bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_big
+           FROM big GROUP BY 1, 2),
+    uc AS (SELECT w, count(*) AS c_w FROM uni GROUP BY 1),
+    nb AS (SELECT count(*) AS n_big FROM big),
+    nu AS (SELECT count(*) AS n_uni FROM uni)
+    SELECT w1, w2, c_big,
+           round((CAST(c_big AS DOUBLE) / CAST(n_big AS DOUBLE)) /
+                 ((CAST(c1.c_w AS DOUBLE) / CAST(n_uni AS DOUBLE)) *
+                  (CAST(c2.c_w AS DOUBLE) / CAST(n_uni AS DOUBLE))), 6)
+               AS lift
+    FROM bc JOIN uc c1 ON bc.w1 = c1.w JOIN uc c2 ON bc.w2 = c2.w, nb, nu
+    WHERE c_big >= 5
+    ORDER BY lift DESC, w1, w2
+    LIMIT 20
+    """,
+    doc="Top-20 collocations by association lift (PMI's exact-arithmetic "
+    "monotone twin — no engine-specific log in the comparable output): "
+    "bigrams from a row-local slice/zip of the token array, unigram and "
+    "bigram counts map-side combined, corpus totals broadcast back as "
+    "1-row cross joins, vocabulary-sized count joins — the corpus never "
+    "shuffles twice. Phrase-mining / tokenizer-merge-candidate pass.",
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.collocations(
+        load_table(spark, sf_dir, "documents"), min_count=5, k=20
+    )

@@ -552,3 +552,70 @@ def rarity_stats(
             ),
         )
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k collocations (adjacent word pairs that co-occur far more
+    than chance) ranked by association lift — the corpus-analysis pass
+    behind phrase mining / tokenizer-merge candidates / boilerplate
+    discovery. ``lift = P(w1,w2) / (P(w1) * P(w2))``; PMI is
+    ``log2(lift)``, and ranking by lift IS ranking by PMI (log is
+    monotone) while staying in exact-integer-count arithmetic — no
+    engine-specific ``log`` in the comparable output.
+
+    Shape: one token explode feeds BOTH count tables (bigrams via a
+    slice/zip of the same token array, unigrams via explode), each a
+    map-side-combined groupBy; corpus totals are two scalar aggregates
+    broadcast back in (1-row cross joins); the bigram->unigram joins
+    shuffle vocabulary-sized tables, never the corpus. The lift
+    arithmetic is a fixed double expression over exact counts, so it is
+    bit-reproducible across engines. Deterministic ``(lift desc, w1,
+    w2)`` top-k via TakeOrdered.
+    """
+    toks = tokens(F.col(text_col))
+    t = df.select(toks.alias("_t")).filter(F.size("_t") >= 2)
+    big = t.select(
+        F.explode(
+            F.zip_with(
+                F.slice("_t", 1, F.size("_t") - 1),
+                F.slice("_t", 2, F.size("_t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_b")
+    ).select("_b.w1", "_b.w2")
+    uni = df.select(F.explode(toks).alias("w"))
+    big_counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
+    uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    n_big = big.agg(F.count(F.lit(1)).alias("n_big"))
+    n_uni = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    lift = (
+        F.col("c_big").cast("double") / F.col("n_big").cast("double")
+    ) / (
+        (F.col("c_w1").cast("double") / F.col("n_uni").cast("double"))
+        * (F.col("c_w2").cast("double") / F.col("n_uni").cast("double"))
+    )
+    scored = (
+        big_counts.filter(F.col("c_big") >= min_count)
+        .join(
+            uni_counts.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1")),
+            on="w1",
+        )
+        .join(
+            uni_counts.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2")),
+            on="w2",
+        )
+        .join(F.broadcast(n_big))
+        .join(F.broadcast(n_uni))
+        .select(
+            "w1",
+            "w2",
+            "c_big",
+            F.round(lift, 6).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "w1", "w2").limit(k)
