@@ -285,3 +285,34 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_covariance_shuffle_is_cell_bounded(spark):
+    """The n*d^2 triple stream must partial-aggregate map-side: the plan
+    has a partial HashAggregate below the (i, j) exchange, so shuffle
+    volume is O(tasks * d^2), never the exploded stream; the marginal
+    joins broadcast (d-row side)."""
+    plan = plan_of(spark, "embedding_covariance")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # partial-then-final aggregate pairs around the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_collocations_corpus_never_shuffles_twice(spark):
+    """Bigram/unigram counts partial-aggregate before their exchanges;
+    corpus totals enter as 1-row broadcasts, not shuffles; the count
+    joins are vocabulary-sized."""
+    df = harness.registry()["text_collocations"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # the two 1-row totals
+    assert "TakeOrderedAndProject" in plan  # top-k, no global sort
+
+
+def test_gapfill_no_dense_side_shuffle(spark):
+    """Generative gapfill: the only exchanges carry occupied slots
+    (<= one per event); the exploded dense rows flow straight to the
+    sink with no join or further exchange above the Generate."""
+    plan = plan_of(spark, "timeseries_gapfill_15min")
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

@@ -97,3 +97,50 @@ def test_gapfill_rejects_unaligned_or_unknown_steps(spark):
         gapfill_forward(df, step="3 fortnight")
     with pytest.raises(ValueError, match="step must look like"):
         slot_of(F.col("ts"), "hourly")
+
+
+def test_slot_of_grid_properties(spark):
+    """Property check over adversarial timestamps and every supported
+    step: the slot floors its timestamp (slot <= ts < slot + step) and
+    slots tile a fixed grid (distance from the parent truncation is a
+    multiple of the step). One batched Spark job per step."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_platform_nyc_taxi_spark.operators.timeseries import slot_of
+
+    rows = [
+        (i, T(2024, m, d, h, mi, s, us))
+        for i, (m, d, h, mi, s, us) in enumerate(
+            [
+                (1, 1, 0, 0, 0, 0),
+                (2, 29, 23, 59, 59, 999999),  # leap day, end of day
+                (12, 31, 23, 59, 59, 0),
+                (6, 15, 11, 44, 59, 1),
+                (6, 15, 11, 45, 0, 0),  # exact boundary
+                (6, 15, 12, 0, 0, 0),
+                (3, 10, 2, 30, 0, 500000),
+                (7, 4, 17, 59, 59, 999999),
+            ]
+        )
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    for step, unit_seconds in [
+        ("1 minute", 60),
+        ("15 minute", 900),
+        ("30 minute", 1800),
+        ("1 hour", 3600),
+        ("2 hour", 7200),
+        ("6 hour", 21600),
+        ("1 day", 86400),
+    ]:
+        got = df.select(
+            "ts",
+            slot_of(F.col("ts"), step).alias("slot"),
+            F.date_trunc("day", "ts").alias("day0"),
+        ).collect()
+        for r in got:
+            delta = (r.ts - r.slot).total_seconds()
+            assert 0 <= delta < unit_seconds, (step, r.ts, r.slot)
+            # grid alignment: offset from midnight is a step multiple
+            off = (r.slot - r.day0).total_seconds()
+            assert off % unit_seconds == 0, (step, r.slot)
