@@ -117,14 +117,15 @@ _PRIORITY = [
     # New this round (no driver row yet):
     "embedding_covariance",
     "text_collocations",
-    # Load-bearing r4-green fillers to 50 (flagship rollups, SCD2):
+    "sampling_weighted",
+    # Load-bearing r4-green fillers to 50 (flagship rollups):
     "agg_daily_rollup",
     "agg_pricing_summary",
-    "scd2_event_history",
 ]
 _KEEP = [
     # r4-green, unchanged this round; fall just past the 50-row window
     # (their rows in CORRECTNESS_r04.json stay ≤2 rounds old through r6).
+    "scd2_event_history",
     "similarity_topk_int8",
     "window_ntile_cume",
     "streaming_windowed_rollup",

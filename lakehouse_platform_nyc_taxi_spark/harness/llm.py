@@ -284,6 +284,36 @@ def sampling_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sampling_weighted",
+    f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               least(1.0, greatest(0.0,
+                   CAST(length(text) AS DOUBLE) / 2000.0)) AS keep_w
+        FROM documents
+    )
+    SELECT doc_id, source
+    FROM w
+    WHERE ({_HB.format(salt='wsample')}) % 10000
+          < CAST(floor(keep_w * 10000) AS BIGINT)
+    """,
+    doc="Per-row weighted sampling: each document is kept with "
+    "probability equal to its own quality weight (here a length proxy, "
+    "clamped to [0,1]) via the deterministic md5 bucket grid — the "
+    "quality-proportional corpus-selection pass; row-local filter, no "
+    "shuffle, no RNG, reproducible across engines/reruns/duplicates.",
+)
+def sampling_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = weighted_sample(
+        docs, "doc_id", F.length("text") / F.lit(2000.0), salt="wsample"
+    )
+    return kept.select("doc_id", "source")
+
+
+@register(
     "sampling_per_group_cap",
     f"""
     WITH r AS (

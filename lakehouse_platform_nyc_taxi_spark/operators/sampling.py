@@ -162,3 +162,25 @@ def temperature_resample(
     return stratified_resample(
         df, group_col, rates, key_col, default_rate=1.0, salt=salt
     )
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight: Column, salt: str = "wsample"
+) -> DataFrame:
+    """Per-row weighted sampling: keep a row with probability equal to
+    its own ``weight`` expression (clamped to [0, 1]) — quality-score-
+    proportional corpus selection (keep high-quality docs always, noisy
+    docs occasionally), the row-level generalization of the per-group
+    rates in :func:`stratified_resample`.
+
+    Membership stays hash-deterministic and row-local: keep iff
+    ``hash_bucket(key) < floor(weight * 10000)``, so reruns, engines,
+    and a key's duplicates all agree; no shuffle, no RNG, fuses into the
+    scan. Weight resolution is 1/10000 (same bucket grid as every other
+    sampler here).
+    """
+    w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), weight.cast("double")))
+    return df.filter(
+        hash_bucket(F.col(key_col), salt)
+        < F.floor(w * F.lit(_RATE_BUCKETS)).cast("long")
+    )

@@ -352,6 +352,38 @@ def read_table(
     return spark.read.parquet(*paths)
 
 
+def read_table_where(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Scan-planned read: open only the files whose manifest stats say
+    they MAY hold rows with ``column`` in [lo, hi] — the read-side half
+    of the manifest-stats design (Iceberg scan planning / Delta data
+    skipping). The row-level filter is still applied on top, so results
+    equal ``read_table(...).filter(column BETWEEN lo AND hi)`` exactly;
+    what changes is that a point/range read of a clustered table opens
+    O(matching) files instead of listing the whole table into the scan.
+    On a pruned-to-empty range the result is an empty DataFrame with the
+    table schema (no files opened at all).
+    """
+    v = version if version is not None else current_version(path)
+    if v is None:
+        raise ValueError(f"no snapshot table at {path}")
+    manifest = _read_manifest(path, v)
+    pred = F.col(column).between(F.lit(lo), F.lit(hi))
+    files = _candidate_files(path, manifest, column, lo, hi)
+    if not files:
+        schema = _table_schema(path, v)
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        return read_table(spark, path, v).filter(pred).limit(0)
+    return _read_files_pinned(spark, path, files, v).filter(pred)
+
+
 def _read_files_pinned(
     spark: SparkSession, path: str, files: list[str], version: int
 ) -> DataFrame:

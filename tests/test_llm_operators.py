@@ -581,3 +581,29 @@ def test_collocations_counts_and_lift(spark):
     # deterministic: rerun equal
     again = {(r.w1, r.w2): (r.c_big, r.lift) for r in collocations(docs, min_count=5).collect()}
     assert got == again
+
+
+def test_weighted_sample_is_deterministic_and_weight_proportional(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        # half the corpus at weight 0.9, half at 0.1
+        F.when(F.col("id") % 2 == 0, F.lit(0.9)).otherwise(F.lit(0.1)).alias("w"),
+    )
+    kept = weighted_sample(df, "doc_id", F.col("w"))
+    heavy = kept.filter("w > 0.5").count()
+    light = kept.filter("w < 0.5").count()
+    assert 1600 <= heavy <= 2000   # ~0.9 * 2000
+    assert 100 <= light <= 320     # ~0.1 * 2000
+    # deterministic reruns; clamping never keeps w<=0 nor drops w>=1
+    assert kept.count() == weighted_sample(df, "doc_id", F.col("w")).count()
+    allw = df.withColumn("w", F.lit(1.5))
+    assert weighted_sample(allw, "doc_id", F.col("w")).count() == 4000
+    now = df.withColumn("w", F.lit(-0.2))
+    assert weighted_sample(now, "doc_id", F.col("w")).count() == 0
+    # zero-shuffle plan
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -628,3 +628,27 @@ def test_zorder_many_columns_clamps_bits(spark, tmp_path):
     got = snap.read_table(spark, path)
     assert got.count() == 500
     assert got.select(F.sum("id")).first()[0] == 499 * 500 // 2
+
+
+def test_read_table_where_opens_only_matching_files(spark, tmp_path, monkeypatch):
+    """Scan planning from manifest stats: a range read of a clustered
+    table reads only intersecting files (asserted via inputFiles), never
+    probes footers, and equals the unplanned filter exactly; a
+    pruned-to-empty range opens nothing and keeps the schema."""
+    path = str(tmp_path / "scanplan")
+    df = spark.range(0, 1000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    snap.create_table(df.repartitionByRange(4, "id"), path)
+    monkeypatch.setattr(
+        snap, "_stats_may_match",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("footer probe")),
+    )
+    got = snap.read_table_where(spark, path, "id", 100, 120)
+    assert len(got.inputFiles()) == 1
+    full = snap.read_table(spark, path).filter(F.col("id").between(100, 120))
+    assert sorted(r.id for r in got.collect()) == sorted(
+        r.id for r in full.collect()
+    )
+    empty = snap.read_table_where(spark, path, "id", 5000, 6000)
+    assert empty.count() == 0
+    assert empty.columns == ["id", "v"]
+    assert not empty.inputFiles()
