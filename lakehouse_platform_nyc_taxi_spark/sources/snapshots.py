@@ -530,6 +530,62 @@ def delete_where(
     return _commit(path, new_files, "delete", parent=parent, new_stats=new_stats)
 
 
+def update_where(
+    spark: SparkSession,
+    path: str,
+    condition: Column,
+    assignments: dict[str, Column],
+    prune: tuple[str, object, object] | None = None,
+) -> int:
+    """Copy-on-write ``UPDATE ... SET col = expr WHERE condition`` — the
+    third DML verb next to :func:`delete_where` and :func:`merge_into`.
+
+    Candidate files come from the manifest stats (``prune`` must
+    OVER-approximate ``condition``, same contract as ``delete_where``);
+    they are rewritten in ONE distributed job that applies each
+    assignment under ``F.when(condition, expr).otherwise(col)`` — rows
+    not matching the condition pass through byte-identical. Untouched
+    files carry into the new version unscanned. Assignments cannot
+    change column types (snapshot tables never merge type changes), and
+    the rewritten rows are validated against the table's CHECK
+    constraints before the commit.
+    """
+    parent = current_version(path)
+    if parent is None:
+        raise ValueError(f"no snapshot table at {path}")
+    manifest = _read_manifest(path, parent)
+    old_files = manifest["files"]
+    if prune is not None:
+        col, lo, hi = prune
+        candidates = _candidate_files(path, manifest, col, lo, hi)
+    else:
+        candidates = list(old_files)
+    cand_set = set(candidates)
+    kept = [f for f in old_files if f not in cand_set]
+    new_files, new_stats = kept, {}
+    if candidates:
+        target = _read_files_pinned(spark, path, candidates, parent)
+        unknown = [c for c in assignments if c not in target.columns]
+        if unknown:
+            raise ValueError(
+                f"UPDATE assigns to columns not in the table: {unknown}"
+            )
+        rewritten = target.select(
+            *[
+                F.when(condition, assignments[c].cast(target.schema[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in target.columns
+            ]
+        )
+        _enforce_constraints(rewritten, path)
+        written, new_stats = _write_data_files(rewritten, path)
+        new_files = kept + written
+    return _commit(path, new_files, "update", parent=parent, new_stats=new_stats)
+
+
 def rollback(path: str, version: int) -> int:
     """Restore an old version's file list as a NEW commit (history is
     append-only, like Iceberg rollback — nothing is erased)."""

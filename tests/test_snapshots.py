@@ -652,3 +652,41 @@ def test_read_table_where_opens_only_matching_files(spark, tmp_path, monkeypatch
     assert empty.count() == 0
     assert empty.columns == ["id", "v"]
     assert not empty.inputFiles()
+
+
+def test_update_where_cow_with_pruning_and_constraints(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "upd")
+    df = spark.range(0, 1000).select(F.col("id"), (F.col("id") * 1.0).alias("fare"))
+    snap.create_table(df.repartitionByRange(4, "id"), path)
+    snap.add_constraint(spark, path, "fare_nonneg", "fare >= 0")
+    before = snap._read_manifest(path, snap.current_version(path))["files"]
+
+    monkeypatch.setattr(
+        snap, "_stats_may_match",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("footer probe")),
+    )
+    v = snap.update_where(
+        spark, path,
+        F.col("id").between(10, 19),
+        {"fare": F.col("fare") + 1000},
+        prune=("id", 10, 19),
+    )
+    after = snap._read_manifest(path, v)["files"]
+    # one candidate file rewritten, three carried untouched
+    assert len(set(before) & set(after)) == 3
+    got = snap.read_table(spark, path)
+    assert got.filter("fare >= 1000").count() == 10
+    assert got.filter("id = 10").first().fare == 1010.0
+    assert got.filter("id = 500").first().fare == 500.0  # untouched row
+    assert got.count() == 1000
+    # time travel unaffected
+    assert snap.read_table(spark, path, version=1).filter("fare >= 1000").count() == 0
+
+    # an UPDATE that would violate a CHECK constraint is rejected
+    with pytest.raises(ValueError, match="violates CHECK"):
+        snap.update_where(
+            spark, path, F.col("id") < 5, {"fare": F.lit(-1.0)},
+            prune=("id", 0, 4),
+        )
+    with pytest.raises(ValueError, match="not in the table"):
+        snap.update_where(spark, path, F.col("id") < 5, {"nope": F.lit(1)})
