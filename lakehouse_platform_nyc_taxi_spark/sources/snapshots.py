@@ -472,8 +472,8 @@ def delete_range(
     """Copy-on-write ``DELETE WHERE column BETWEEN lo AND hi``.
 
     Safe-by-construction variant of :func:`delete_where`: the row filter
-    and the footer-stats file prune are built from the SAME (column, lo,
-    hi), so they cannot diverge. Prefer this whenever the delete
+    and the manifest-stats file prune are built from the SAME (column,
+    lo, hi), so they cannot diverge. Prefer this whenever the delete
     predicate is a range — it is the shape Iceberg's partition-scoped
     ``DELETE FROM t WHERE year=Y AND month=M`` takes
     (scripts/nyc_taxi/ingest_spark_bulk.py:73-76).
@@ -691,9 +691,9 @@ def optimize_table(
     Delta ``OPTIMIZE ... ZORDER BY``'s role): rewrite the current version
     into ``target_files`` files, range-clustered on ``cluster_by``.
 
-    Why it matters at 100 TB: ``delete_where``/reader pruning skips files
-    by footer min/max stats, which only bite when each file covers a
-    NARROW value range. Appends produce arrival-ordered files whose
+    Why it matters at 100 TB: DML and ``read_table_where`` pruning skip
+    files by the manifest's min/max stats, which only bite when each
+    file covers a NARROW value range. Appends produce arrival-ordered files whose
     ranges all overlap (every file "may match" everything); clustering
     makes ranges disjoint, so point/range operations touch O(1) files
     instead of O(all). Small-file compaction is the same rewrite with an
