@@ -92,8 +92,6 @@ _PRIORITY = [
     "similarity_topk_bruteforce",
     "similarity_topk_lsh",
     "similarity_topk_ivf",
-    "similarity_topk_batch",
-    "similarity_topk_ivf_batch",
     "dedup_embedding_cosine",
     "datetime_features",
     "surrogate_keys_md5",
@@ -118,13 +116,22 @@ _PRIORITY = [
     "embedding_covariance",
     "text_collocations",
     "sampling_weighted",
-    # Load-bearing r4-green fillers to 50 (flagship rollups):
-    "agg_daily_rollup",
-    "agg_pricing_summary",
+    "text_bm25_topk",
+    "text_lm_surprisal",
+    "embedding_random_projection",
+    "hybrid_search_rrf",
 ]
 _KEEP = [
+    # Batch variants of the checked bruteforce/IVF base queries: r3-green,
+    # code untouched since (additive-only diffs to operators/similarity.py
+    # keep the rows valid); rotated out to make room for the four new r5
+    # queries — first in line for the r6 window.
+    "similarity_topk_batch",
+    "similarity_topk_ivf_batch",
     # r4-green, unchanged this round; fall just past the 50-row window
     # (their rows in CORRECTNESS_r04.json stay ≤2 rounds old through r6).
+    "agg_daily_rollup",
+    "agg_pricing_summary",
     "scd2_event_history",
     "similarity_topk_int8",
     "window_ntile_cume",

@@ -1110,3 +1110,145 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import curate_corpus, curation_summary
 
     return curation_summary(curate_corpus(load_table_parallel(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# Random projection + hybrid retrieval (RRF)
+# ---------------------------------------------------------------------------
+
+_RP_OUT, _RP_IN = 8, 64
+_RP_SCALE = 1.0 / (float(_RP_OUT) ** 0.5)
+
+
+def _rp_sql() -> str:
+    signs = similarity._rp_signs(_RP_OUT, _RP_IN)
+    sign_cols = ",\n".join(
+        "[" + ", ".join(str(s) for s in signs[j]) + "] AS s{j}".format(j=j)
+        for j in range(_RP_OUT)
+    )
+    projs = ",\n".join(
+        f"((CAST(list_sum(list_transform(generate_series(1, {_RP_IN}),"
+        f" i -> CAST(floor((e[i] * CAST(s{j}[i] AS DOUBLE)) * 1099511627776.0)"
+        f" AS BIGINT))) AS DOUBLE) / 1099511627776.0) * {_RP_SCALE!r}) AS p{j}"
+        for j in range(_RP_OUT)
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    s AS (SELECT {sign_cols})
+    SELECT vec_id,
+    {projs}
+    FROM v CROSS JOIN s
+    """
+
+
+@register(
+    "embedding_random_projection",
+    _rp_sql(),
+    doc="Johnson-Lindenstrauss ±1 projection 64d -> 8 wide columns: the "
+    "dimensionality-reduction front end for ANN/clustering. The sign "
+    "matrix is driver-built md5 parity shipped as literals (no runtime "
+    "hashing); each output dim is a row-local zip_with + exact 2^40 "
+    "fixed-point integer fold (power-of-two scaling is FP-exact, so "
+    "both engines floor identical values) — zero shuffle, fuses into "
+    "the scan. Identical literal matrix rides into the oracle SQL.",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.random_projection(
+        load_table_parallel(spark, sf_dir, "embeddings"),
+        out_dim=_RP_OUT,
+        in_dim=_RP_IN,
+    )
+
+
+_RRF_JAC = (
+    "CAST(len(list_filter(toks, x -> list_contains(qt, x))) AS DOUBLE)"
+    " / CAST(((len(toks) + len(qt))"
+    " - len(list_filter(toks, x -> list_contains(qt, x)))) AS DOUBLE)"
+)
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""
+    WITH dt AS (
+        SELECT doc_id, list_distinct({TOKS}) AS toks FROM documents
+    ),
+    q AS (SELECT toks AS qt FROM dt WHERE doc_id = 0),
+    j AS (
+        SELECT doc_id, round({_RRF_JAC}, 6) AS jac
+        FROM dt CROSS JOIN q
+    ),
+    lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY jac DESC, doc_id) AS BIGINT) AS r0
+        FROM j ORDER BY jac DESC, doc_id LIMIT 100
+    ),
+    v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, e, list_sum(list_transform(e, x -> x * x)) AS nrm FROM v
+    ),
+    qv AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = 0),
+    cos AS (
+        SELECT vec_id AS doc_id,
+               round({{dot}} / (sqrt(nrm) * sqrt(qn)), 6) AS score
+        FROM n CROSS JOIN qv
+    ),
+    emb AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r1
+        FROM cos ORDER BY score DESC, doc_id LIMIT 100
+    )
+    SELECT doc_id, r0 AS rank_0, r1 AS rank_1,
+           round(COALESCE(1.0 / CAST((60 + r0) AS DOUBLE), 0.0)
+                 + COALESCE(1.0 / CAST((60 + r1) AS DOUBLE), 0.0), 6) AS rrf
+    FROM lex FULL OUTER JOIN emb USING (doc_id)
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """.format(dot="list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * qe[i]))"),
+    doc="Hybrid search via reciprocal-rank fusion: top-100 lexical "
+    "candidates (distinct-token Jaccard vs the query doc — row-local "
+    "array ops against a 1-row broadcast) fused with top-100 embedding "
+    "candidates (exact cosine) by 1/(60+rank). Fusion joins are "
+    "candidate-sized — independent of corpus size; ranks come from "
+    "TakeOrdered'd 100-row sets, never a global window.",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.array_distinct(text.tokens(F.col("text"))).alias("toks")
+    )
+    q = dt.filter(F.col("doc_id") == 0).select(F.col("toks").alias("qt"))
+    overlap = F.size(
+        F.filter(F.col("toks"), lambda x: F.array_contains(F.col("qt"), x))
+    )
+    union = (F.size("toks") + F.size("qt")) - overlap
+    jac = trino_round(
+        overlap.cast("double") / union.cast("double"), 6
+    )
+    lex100 = (
+        dt.join(F.broadcast(q))
+        .select("doc_id", jac.alias("jac"))
+        .orderBy(F.desc("jac"), F.asc("doc_id"))
+        .limit(100)
+    )
+    w_lex = Window.orderBy(F.desc("jac"), F.asc("doc_id"))
+    lex = lex100.select(
+        "doc_id", F.row_number().over(w_lex).cast("long").alias("rank")
+    )
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cos100 = similarity.cosine_topk(emb, qv, k=100)
+    w_cos = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    embr = cos100.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_cos).cast("long").alias("rank"),
+    )
+    return similarity.rrf_fuse([lex, embr], id_col="doc_id", k=10, c=60)

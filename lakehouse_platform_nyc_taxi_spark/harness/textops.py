@@ -593,3 +593,88 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.collocations(
         load_table(spark, sf_dir, "documents"), min_count=5, k=20
     )
+
+
+_BM25_TERMS = ("spark", "join", "vector")
+_BM25_TF = "\n".join(
+    f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i},"
+    for i, t in enumerate(_BM25_TERMS)
+).rstrip(",")
+_BM25_DF = ",\n".join(
+    f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+    for i in range(len(_BM25_TERMS))
+)
+_BM25_CONTRIB = " + ".join(
+    "CAST(round(((ln((CAST(n_docs - df_{i} AS DOUBLE) + 0.5) / (CAST(df_{i} AS DOUBLE) + 0.5) + 1.0)"
+    " * CAST(tf_{i} AS DOUBLE)) * (1.2 + 1.0))"
+    " / (CAST(tf_{i} AS DOUBLE) + (1.2 * ((1.0 - 0.75) + ((0.75 * CAST(dl AS DOUBLE)) / "
+    "(CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))), 8) AS DECIMAL(28,8))".format(i=i)
+    for i in range(len(_BM25_TERMS))
+)
+_BM25_MATCH = " + ".join(
+    f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(_BM25_TERMS))
+)
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    d AS (
+        SELECT doc_id, len(toks) AS dl,
+        {_BM25_TF}
+        FROM t
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs, sum(dl) AS total_len,
+        {_BM25_DF}
+        FROM d
+    )
+    SELECT doc_id, dl AS doc_len,
+           CAST({_BM25_MATCH} AS BIGINT) AS n_match,
+           round(CAST({_BM25_CONTRIB} AS DOUBLE), 6) AS bm25
+    FROM d CROSS JOIN s
+    WHERE {_BM25_MATCH} > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+    doc="BM25 keyword retrieval (top-10 for a fixed 3-term query): per-doc "
+    "term frequencies are ROW-LOCAL array filters (no explode, no corpus "
+    "shuffle, no inverted index); corpus stats (N, avgdl, per-term df) are "
+    "one 1-row broadcast; top-k is TakeOrdered. Per-term contributions are "
+    "round8+decimal-fenced and summed in fixed order — bit-stable across "
+    "engines and partitionings.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bm25_topk(
+        load_table_parallel(spark, sf_dir, "documents"), list(_BM25_TERMS), k=10
+    )
+
+
+@register(
+    "text_lm_surprisal",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+    c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+    n AS (SELECT sum(cnt) AS total_tokens FROM c),
+    s AS (
+        SELECT doc_id,
+               round(-ln(CAST(cnt AS DOUBLE) / CAST(total_tokens AS DOUBLE)), 8)
+                   AS nll
+        FROM t JOIN c USING (token) CROSS JOIN n
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(CAST(sum(CAST(nll AS DECIMAL(28,8))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS avg_nll,
+           max(nll) AS max_nll
+    FROM s GROUP BY doc_id
+    """,
+    doc="Unigram-LM surprisal quality scores per doc (mean + max nats "
+    "under the corpus MLE distribution — the LM-filtering pass): one "
+    "vocabulary-sized map-side-combined count shuffle, corpus total as a "
+    "1-row broadcast, per-token round8 surprisal decimal-summed per doc "
+    "(associative => partition-order-proof).",
+)
+def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lm_surprisal_stats(load_table_parallel(spark, sf_dir, "documents"))

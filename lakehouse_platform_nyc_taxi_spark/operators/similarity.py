@@ -531,3 +531,167 @@ def dimension_covariance_fast(
     n = F.col("n").cast("double")
     cov = F.col("_sp") / n - (F.col("_si") / n) * (F.col("_sj") / n)
     return agg.select("dim_i", "dim_j", "n", cov.alias("cov"))
+
+
+def _rp_signs(out_dim: int, in_dim: int, seed: str = "rp") -> list[list[int]]:
+    """Deterministic ±1 Achlioptas/JL projection matrix from md5 parity.
+
+    Data-independent, so it is generated ONCE driver-side (hashlib) and
+    shipped as literals — no per-element hashing in the query plan, and
+    the oracle SQL can embed the exact same constants.
+    """
+    import hashlib
+
+    def sign(j: int, i: int) -> int:
+        h = hashlib.md5(f"{seed}|{j}|{i}".encode()).hexdigest()
+        return 1 if int(h[:15], 16) % 2 == 0 else -1
+
+    return [[sign(j, i) for i in range(in_dim)] for j in range(out_dim)]
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 8,
+    in_dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection to ``out_dim`` wide
+    columns ``p0..p{out_dim-1}`` — the dimensionality-reduction front
+    end for ANN indexing / clustering at 100 TB (distances are preserved
+    within (1±eps) while the per-vector footprint shrinks 8x here).
+
+    Entirely row-local Catalyst: for each output dim a zip_with of the
+    vector against a LITERAL ±1 row, each signed term floor-quantized at
+    2^40 fixed point (power-of-two scaling is FP-exact, so every engine
+    floors the same true value), then an exact integer fold (associative
+    — partition- and engine-order-proof) scaled back by 1/sqrt(out_dim).
+    No shuffle at all — it fuses into whatever scan feeds it.
+    """
+    signs = _rp_signs(out_dim, in_dim)
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = 1.0 / (float(out_dim) ** 0.5)
+    # 2^40 fixed-point: float->double is exact, the ±1 flip is exact, and
+    # a power-of-two scale shifts the exponent with ZERO FP error, so
+    # floor() sees the exact product in every engine (decimal casts and
+    # round() helpers both proved engine-divergent at the 8th decimal).
+    # Totals stay under 2^48 — exactly representable back in double.
+    fp = 2.0**40
+
+    def proj(j: int) -> Column:
+        srow = F.array(*[F.lit(s) for s in signs[j]])
+        terms = F.zip_with(
+            F.col("_e"),
+            srow,
+            lambda x, s: F.floor(x * s.cast("double") * F.lit(fp)),
+        )
+        total = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
+        return ((total.cast("double") / F.lit(fp)) * F.lit(scale)).alias(f"p{j}")
+
+    return df.select(F.col(id_col), e.alias("_e")).select(
+        id_col, *[proj(j) for j in range(out_dim)]
+    )
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    id_col: str = "vec_id",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of candidate lists from heterogeneous
+    retrievers (e.g. BM25 lexical + embedding cosine): standard hybrid
+    search. ``score(d) = sum over lists of 1/(c + rank_l(d))``, absent
+    docs contribute 0 (fusion over the RETRIEVED lists, the serving
+    pattern — no global ranking of the full corpus).
+
+    Each input must carry ``(id_col, rank)`` with rank 1-based. Inputs
+    are candidate-sized (top-N per retriever), so the outer joins are
+    broadcast-small regardless of corpus size. The reciprocal terms are
+    summed in fixed list order, rounded to 6 — deterministic; ties break
+    on id.
+    """
+    fused = None
+    for li, r in enumerate(ranked_lists):
+        cur = r.select(F.col(id_col), F.col("rank").alias(f"_r{li}"))
+        fused = cur if fused is None else fused.join(cur, id_col, "full_outer")
+    score = None
+    for li in range(len(ranked_lists)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(c) + F.col(f"_r{li}")).cast("double"), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    out = fused.select(
+        id_col,
+        *[F.col(f"_r{li}").alias(f"rank_{li}") for li in range(len(ranked_lists))],
+        trino_round(score, 6).alias("rrf"),
+    )
+    return out.orderBy(F.desc("rrf"), F.asc(id_col)).limit(k)
+
+
+def pca_components(
+    df: DataFrame, vec_col: str = "embedding", n_components: int = 8
+) -> tuple[list[list[float]], list[float], list[float]]:
+    """Principal components from the exact distributed covariance.
+
+    The heavy pass is :func:`dimension_covariance` (shuffle volume
+    O(tasks * d^2), independent of row count); only the d x d covariance
+    grid — a few KB for any real embedding width — ever reaches the
+    driver, where numpy's symmetric eigensolver factors it. Returns
+    (components [n_components x d, descending eigenvalue order],
+    eigenvalues, dimension means) for :func:`pca_project` to broadcast.
+    """
+    import numpy as np
+
+    grid = dimension_covariance(df, vec_col)
+    rows = grid.collect()  # O(d^2) scalars — bounded by design
+    d = max(r["dim_i"] for r in rows) + 1
+    cov = np.zeros((d, d))
+    for r in rows:
+        cov[r["dim_i"], r["dim_j"]] = r["cov"]
+    means_df = (
+        df.select(F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.avg("x").alias("mu"))
+        .collect()
+    )
+    mu = np.zeros(d)
+    for r in means_df:
+        mu[r["dim"]] = r["mu"]
+    w, v = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1][:n_components]
+    comps = v[:, order].T  # n_components x d
+    return comps.tolist(), w[order].tolist(), mu.tolist()
+
+
+def pca_project(
+    df: DataFrame,
+    components: list[list[float]],
+    means: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project vectors onto precomputed principal components (centered).
+
+    The components ride into the plan as literal arrays (driver-built,
+    broadcast by Catalyst constant-folding) — the projection itself is a
+    row-local zip_with fold per output dim, shuffle-free, fusing into
+    the scan like :func:`random_projection`.
+    """
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mu = F.array(*[F.lit(float(m)) for m in means])
+    centered = F.zip_with(F.col("_e"), mu, lambda x, m: x - m)
+
+    def proj(j: int) -> Column:
+        crow = F.array(*[F.lit(float(c)) for c in components[j]])
+        return F.aggregate(
+            F.zip_with(F.col("_c"), crow, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ).alias(f"pc{j}")
+
+    return (
+        df.select(F.col(id_col), e.alias("_e"))
+        .select(id_col, centered.alias("_c"))
+        .select(id_col, *[proj(j) for j in range(len(components))])
+    )

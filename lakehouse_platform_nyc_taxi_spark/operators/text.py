@@ -619,3 +619,129 @@ def collocations(
         )
     )
     return scored.orderBy(F.desc("lift"), "w1", "w2").limit(k)
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword retrieval: top-``k`` documents for a fixed bag of
+    query terms (Robertson/Sparck-Jones idf, Lucene's +1 shift so idf
+    stays positive).
+
+    Scale shape: because the query is a handful of terms, per-doc term
+    frequencies are computed ROW-LOCALLY with array ``filter``/``size``
+    over the token array — no token explode, no corpus-wide shuffle, no
+    inverted index. The only aggregates are one corpus-stats row
+    (n_docs, total_len, per-term document frequencies) broadcast back
+    via a 1-row cross join, then a TakeOrdered top-k. At 100 TB this is
+    a single mapper pass + O(|query|) scalars on the driver-free path.
+
+    Determinism: each term's contribution is rounded to 8 decimals and
+    decimal-fenced before the (fixed-order) sum across query terms, so
+    the score is bit-identical across engines and partitionings; final
+    ordering breaks ties on doc_id.
+    """
+    toks = tokens(F.col(text_col))
+    def _is_term(term: str):
+        # NB: keep the lambda unary — F.filter treats a 2-arg lambda as
+        # (element, index), which would silently compare against positions.
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(F.col("_t"), _is_term(t))).alias(f"tf_{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    per_doc = df.select(F.col(id_col), toks.alias("_t")).select(
+        id_col, F.size("_t").alias("dl"), *tf_cols
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    norm = F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl)
+
+    def contrib(i: int) -> Column:
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        return trino_round(idf * tf * F.lit(k1 + 1.0) / (tf + norm), 8).cast(
+            "decimal(28,8)"
+        )
+
+    score_dec = contrib(0)
+    for i in range(1, len(query_terms)):
+        score_dec = score_dec + contrib(i)
+    matched = (F.col("tf_0") > 0).cast("long")
+    for i in range(1, len(query_terms)):
+        matched = matched + (F.col(f"tf_{i}") > 0).cast("long")
+    scored = per_doc.join(F.broadcast(stats)).select(
+        id_col,
+        F.col("dl").cast("long").alias("doc_len"),
+        matched.alias("n_match"),
+        trino_round(score_dec.cast("double"), 6).alias("bm25"),
+    )
+    return (
+        scored.filter(F.col("n_match") > 0)
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def lm_surprisal_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document unigram language-model surprisal — the classic
+    LM-based quality filter (docs whose tokens are improbable under the
+    corpus distribution are OCR noise / gibberish; docs that are too
+    probable are boilerplate).
+
+    ``nll(t) = -ln(count(t) / total_tokens)`` under the corpus MLE
+    unigram model; emits per-doc token count, mean and max surprisal
+    (nats). Dataflow mirrors ``rarity_stats``: one token explode into a
+    map-side-combined vocabulary count (the only corpus-wide shuffle,
+    vocabulary-sized output), corpus total as a 1-row broadcast, then a
+    broadcast join back onto the token stream and a per-doc rollup.
+
+    Per-token surprisals are rounded to 8 decimals and summed as exact
+    decimals (associative — partition-order-proof); the mean divides at
+    the end and rounds to 6.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    vocab = (
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
+    )
+    total = vocab.agg(F.sum("cnt").alias("total_tokens"))
+    nll = trino_round(
+        -F.log(F.col("cnt").cast("double") / F.col("total_tokens").cast("double")), 8
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token")
+        .join(F.broadcast(total))
+        .select(F.col(id_col), nll.alias("nll"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            trino_round(
+                F.sum(F.col("nll").cast("decimal(28,8)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_nll"),
+            F.max("nll").alias("max_nll"),
+        )
+    )

@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from lakehouse_platform_nyc_taxi_spark.operators import dedup, multimodal, similarity, text
+from lakehouse_platform_nyc_taxi_spark.sources.testdata import load_table
 
 
 @pytest.fixture(scope="module")
@@ -607,3 +608,103 @@ def test_weighted_sample_is_deterministic_and_weight_proportional(spark):
     # zero-shuffle plan
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bm25_ranks_query_term_docs(spark):
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = text.bm25_topk(docs, ["spark", "join", "vector"], k=10).collect()
+    assert len(out) == 10
+    # Every returned doc matched at least one query term; scores descend
+    # with doc_id tiebreak, and are strictly positive.
+    scores = [(r["bm25"], r["doc_id"]) for r in out]
+    assert all(r["n_match"] >= 1 for r in out)
+    assert all(s > 0 for s, _ in scores)
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+    # A doc containing none of the terms scores 0 and is excluded.
+    from pyspark.sql import functions as SF
+
+    nomatch = docs.filter(
+        ~SF.col("text").rlike(r"\b(spark|join|vector)\b")
+    ).select("doc_id").limit(1).collect()
+    if nomatch:
+        assert all(r["doc_id"] != nomatch[0]["doc_id"] for r in out)
+
+
+def test_lm_surprisal_flags_rare_token_docs(spark):
+    from pyspark.sql import functions as SF
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = text.lm_surprisal_stats(docs)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == docs.count()
+    # Token counts agree with the row-local token counter.
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", SF.size(text.tokens(SF.col("text"))).alias("n")
+        ).collect()
+    }
+    for did, r in rows.items():
+        assert r["n_tokens"] == counts[did]
+        assert 0 < r["avg_nll"] <= r["max_nll"]
+
+
+def test_random_projection_preserves_cosine_roughly(spark):
+    import math
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    proj = similarity.random_projection(emb, out_dim=8, in_dim=64)
+    rows = {r["vec_id"]: [r[f"p{j}"] for j in range(8)] for r in proj.collect()}
+    base = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    assert rows.keys() == base.keys()
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return num / den
+
+    ids = sorted(rows)[:40]
+    errs = []
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        errs.append(abs(cos(base[a], base[b]) - cos(rows[a], rows[b])))
+    # JL with 8 dims is coarse; the *average* distortion stays bounded.
+    assert sum(errs) / len(errs) < 0.45
+
+
+def test_rrf_fuse_combines_ranked_lists(spark):
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "id long, rank long")
+    b = spark.createDataFrame([(3, 1), (4, 2)], "id long, rank long")
+    out = {r["id"]: r for r in similarity.rrf_fuse([a, b], id_col="id", k=10).collect()}
+    # Doc 3 appears in both lists -> highest fused score.
+    assert max(out, key=lambda i: out[i]["rrf"]) == 3
+    expected = round(1.0 / 61 + 1.0 / 63, 6)
+    assert abs(out[3]["rrf"] - expected) < 1e-9
+    # Doc 4 only in list b: rank_0 is NULL, still scored.
+    assert out[4]["rank_0"] is None and out[4]["rrf"] > 0
+
+
+def test_pca_project_matches_numpy(spark):
+    import numpy as np
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    comps, eigvals, mu = similarity.pca_components(emb, n_components=4)
+    assert len(comps) == 4 and len(comps[0]) == 64
+    # Eigenvalues descend and are non-negative for a covariance matrix.
+    assert all(
+        eigvals[i] >= eigvals[i + 1] - 1e-12 for i in range(len(eigvals) - 1)
+    )
+    assert eigvals[-1] > -1e-9
+    proj = similarity.pca_project(emb, comps, mu)
+    got = {r["vec_id"]: [r[f"pc{j}"] for j in range(4)] for r in proj.collect()}
+    X = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    ids = [r["vec_id"] for r in emb.orderBy("vec_id").collect()]
+    C = np.array(comps)
+    want = (X - np.array(mu)) @ C.T
+    for i, vid in enumerate(ids[:50]):
+        np.testing.assert_allclose(got[vid], want[i], rtol=1e-6, atol=1e-6)
+    # Projected variance along the top component ~= its eigenvalue.
+    var0 = np.var((X - np.array(mu)) @ C[0])
+    assert abs(var0 - eigvals[0]) / max(eigvals[0], 1e-9) < 0.05
