@@ -109,7 +109,6 @@ _PRIORITY = [
     "text_language_id",
     "text_fingerprints",
     "text_winnowing",
-    "multimodal_metadata",
     "join_broadcast_dims",
     "join_left_outer",
     # New this round (no driver row yet):
@@ -120,6 +119,7 @@ _PRIORITY = [
     "text_lm_surprisal",
     "embedding_random_projection",
     "hybrid_search_rrf",
+    "streaming_stream_stream_join",
 ]
 _KEEP = [
     # Batch variants of the checked bruteforce/IVF base queries: r3-green,
@@ -128,6 +128,9 @@ _KEEP = [
     # queries — first in line for the r6 window.
     "similarity_topk_batch",
     "similarity_topk_ivf_batch",
+    # r3-green, unchanged, pytest-covered (test_llm_operators metadata
+    # tests); rotated out for the stream-stream join — r6 window head.
+    "multimodal_metadata",
     # r4-green, unchanged this round; fall just past the 50-row window
     # (their rows in CORRECTNESS_r04.json stay ≤2 rounds old through r6).
     "agg_daily_rollup",

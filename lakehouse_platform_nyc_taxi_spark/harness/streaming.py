@@ -190,3 +190,32 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = S.read_events_stream(spark, sf_dir)
     return S.run_available_now(S.stateful_user_stats(ev), "update", state_partitions=8)
+
+
+@register(
+    "streaming_stream_stream_join",
+    """
+    SELECT a.user_id,
+           a.event_id AS view_id,
+           b.event_id AS purchase_id,
+           (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS secs_to_purchase,
+           b.value AS purchase_value
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 2 HOUR
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+    doc="Stream-stream interval self-join (funnel attribution): "
+    "purchases matched to same-user views in the prior 2 hours. "
+    "Watermarks + the two-sided time-range condition bound both join "
+    "buffers to watermark+horizon of state per side; inner matches emit "
+    "immediately, so the availableNow drain equals the batch interval "
+    "join the oracle runs. Integer-exact output (epoch-microsecond "
+    "arithmetic + raw double passthrough, no aggregation).",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = S.read_events_stream(spark, sf_dir)
+    out = S.stream_stream_attribution(ev)
+    return S.run_available_now(out, "append", state_partitions=8)

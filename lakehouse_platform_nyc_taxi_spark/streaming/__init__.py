@@ -24,6 +24,7 @@ from .ops import (
     session_windows,
     stateful_user_stats,
     stream_static_enrich,
+    stream_stream_attribution,
     windowed_rollup,
 )
 from .sinks import stream_append_parquet, stream_upsert_parquet
@@ -35,6 +36,7 @@ __all__ = [
     "dedup_counts",
     "session_windows",
     "stream_static_enrich",
+    "stream_stream_attribution",
     "stateful_user_stats",
     "stream_append_parquet",
     "stream_upsert_parquet",

@@ -273,3 +273,58 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_stream_attribution(
+    events: DataFrame,
+    view_type: str = "view",
+    purchase_type: str = "purchase",
+    horizon: str = "2 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval self-join: attribute each ``purchase_type``
+    event to the ``view_type`` events of the same user in the preceding
+    ``horizon`` — the canonical funnel/attribution join.
+
+    Both sides carry watermarks and the join condition bounds
+    ``purchase_ts`` to (view_ts, view_ts + horizon], so Spark derives
+    state-eviction constraints for BOTH buffers: each side keeps at most
+    watermark+horizon of events, keyed by user — state is bounded and
+    hash-partitioned no matter how long the stream runs. Inner-join
+    matches emit as soon as both rows have arrived (no finalization
+    wait), so the availableNow drain equals the batch interval join the
+    oracle runs.
+    """
+    v = (
+        events.filter(F.col("event_type") == view_type)
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    p = (
+        events.filter(F.col("event_type") == purchase_type)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("_p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("_p_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return v.join(p, cond, "inner").select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, view_ts, purchase_ts) div 1000000"
+        ).alias("secs_to_purchase"),
+        "purchase_value",
+    )

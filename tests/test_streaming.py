@@ -194,3 +194,44 @@ def test_stream_merge_snapshot_upsert_exactly_once(spark, tmp_path):
         "merge-update",
         "merge-update",
     ]
+
+
+def test_stream_stream_attribution_interval_semantics(spark):
+    rows = [
+        # (event_id, minutes, user, type, value)
+        (0, 0, 1, "view", 1.0),
+        (1, 30, 1, "purchase", 5.0),   # within 2h of view 0 -> match
+        (2, 130, 1, "purchase", 7.0),  # 10 min past horizon -> no match
+        (3, 0, 2, "purchase", 9.0),    # same instant as nothing; no view
+        (4, 10, 2, "view", 1.0),       # view AFTER purchase -> no match
+        (5, 40, 2, "purchase", 3.0),   # 30 min after view 4 -> match
+    ]
+    df = spark.createDataFrame(
+        [
+            (i, T0 + dt.timedelta(minutes=m), u, t, v, None)
+            for i, m, u, t, v in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r["view_id"], r["purchase_id"]): r
+        for r in S.stream_stream_attribution(df).collect()
+    }
+    assert set(got) == {(0, 1), (4, 5)}
+    assert got[(0, 1)]["secs_to_purchase"] == 1800
+    assert got[(4, 5)]["purchase_value"] == 3.0
+
+
+def test_stream_stream_attribution_streaming_drain_matches_batch(spark):
+    ev_stream = S.read_events_stream(spark, SF_SMOKE)
+    from lakehouse_platform_nyc_taxi_spark.sources.testdata import load_table
+
+    ev_batch = load_table(spark, SF_SMOKE, "events")
+    streamed = S.run_available_now(
+        S.stream_stream_attribution(ev_stream), "append", state_partitions=4
+    )
+    batch = S.stream_stream_attribution(ev_batch)
+    s_rows = sorted(tuple(r) for r in streamed.collect())
+    b_rows = sorted(tuple(r) for r in batch.collect())
+    assert s_rows == b_rows and len(s_rows) > 0
