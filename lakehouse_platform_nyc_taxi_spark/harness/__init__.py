@@ -93,8 +93,6 @@ _PRIORITY = [
     "similarity_topk_lsh",
     "similarity_topk_ivf",
     "dedup_embedding_cosine",
-    "datetime_features",
-    "surrogate_keys_md5",
     "dq_violation_counts",
     "sql_adhoc_interactive",
     "dedup_minhash_signatures",
@@ -120,6 +118,8 @@ _PRIORITY = [
     "embedding_random_projection",
     "hybrid_search_rrf",
     "streaming_stream_stream_join",
+    "streaming_stream_stream_left",
+    "sql_recursive_chain",
 ]
 _KEEP = [
     # Batch variants of the checked bruteforce/IVF base queries: r3-green,
@@ -131,6 +131,11 @@ _KEEP = [
     # r3-green, unchanged, pytest-covered (test_llm_operators metadata
     # tests); rotated out for the stream-stream join — r6 window head.
     "multimodal_metadata",
+    # r3-green, unchanged; byte-parity pinned by the trino-functions
+    # property suite — rotated out for the left-outer stream-stream join
+    # and the recursive-CTE query.
+    "surrogate_keys_md5",
+    "datetime_features",
     # r4-green, unchanged this round; fall just past the 50-row window
     # (their rows in CORRECTNESS_r04.json stay ≤2 rounds old through r6).
     "agg_daily_rollup",

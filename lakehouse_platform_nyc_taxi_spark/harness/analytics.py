@@ -568,3 +568,53 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o.o_orderkey").alias("order_id"))
         .agg(F.count("*").alias("n_events"), dsum("e.value").alias("total_value"))
     )
+
+
+_RECURSIVE_CHAIN_SQL = """
+    WITH RECURSIVE seq AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+        FROM orders
+        WHERE o_custkey % 10 = 7
+    ),
+    chain AS (
+        SELECT o_custkey, o_orderkey, rn,
+               CAST(o_totalprice AS DECIMAL(28,8)) AS cum
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.o_custkey, s.o_orderkey, s.rn,
+               CAST(c.cum + CAST(s.o_totalprice AS DECIMAL(28,8))
+                    AS DECIMAL(28,8))
+        FROM chain c
+        JOIN seq s ON s.o_custkey = c.o_custkey AND s.rn = c.rn + 1
+        WHERE c.rn < 6
+    )
+    SELECT o_custkey, o_orderkey, rn AS seq,
+           CAST(cum AS DOUBLE) AS cum_spend
+    FROM chain
+"""
+
+
+@register(
+    "sql_recursive_chain",
+    _RECURSIVE_CHAIN_SQL,
+    doc="WITH RECURSIVE (Spark 4 recursive CTE execution): walks each "
+    "customer's order chain in order-date sequence, accumulating spend "
+    "in exact decimal per step (the early-customer spend ramp: each "
+    "customer's first six orders) — anchor = first order per customer, "
+    "one recursive join per depth level (depth capped at 6: recursion "
+    "cost is per-LEVEL scheduling, "
+    "and the engine re-evaluates the "
+    "prep CTE per level, so the query scopes to a deterministic 10% "
+    "customer cohort — the drill-down shape recursion serves). "
+    "IDENTICAL SQL text runs on "
+    "the DuckDB oracle — the ad-hoc Trino-endpoint parity point "
+    "(reference README.md:163-167 advertises full SQL, incl. recursion).",
+)
+def sql_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.testdata import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_RECURSIVE_CHAIN_SQL)

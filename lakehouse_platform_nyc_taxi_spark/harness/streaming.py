@@ -219,3 +219,52 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = S.read_events_stream(spark, sf_dir)
     out = S.stream_stream_attribution(ev)
     return S.run_available_now(out, "append", state_partitions=8)
+
+
+@register(
+    "streaming_stream_stream_left",
+    """
+    WITH wm AS (
+        SELECT least(
+            (SELECT max(ts) FROM events WHERE event_type = 'view'),
+            (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+        ) - INTERVAL 1 HOUR AS cutoff
+    ),
+    v AS (
+        SELECT event_id AS view_id, user_id, ts AS view_ts
+        FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+        SELECT v.user_id, v.view_id, p.purchase_id,
+               (epoch_us(p.purchase_ts) - epoch_us(v.view_ts)) // 1000000
+                   AS secs_to_purchase,
+               p.value AS purchase_value
+        FROM v JOIN p
+          ON v.user_id = p.user_id
+         AND p.purchase_ts > v.view_ts
+         AND p.purchase_ts <= v.view_ts + INTERVAL 2 HOUR
+    )
+    SELECT user_id, view_id, purchase_id, secs_to_purchase, purchase_value
+    FROM m
+    UNION ALL
+    SELECT v.user_id, v.view_id, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM v, wm
+    WHERE v.view_id NOT IN (SELECT view_id FROM m)
+      AND v.view_ts + INTERVAL 2 HOUR < wm.cutoff
+    """,
+    doc="LEFT OUTER stream-stream interval join: matches emit eagerly; "
+    "a view with no purchase emits NULL purchase columns only once the "
+    "global watermark (min of both sides' max event time, minus delay) "
+    "proves its 2-hour horizon closed — views still open at drain time "
+    "are withheld. The oracle reproduces exactly that finalization "
+    "cutoff; emission counts pinned empirically at sf0.001 and sf0.01.",
+)
+def streaming_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = S.read_events_stream(spark, sf_dir)
+    out = S.stream_stream_attribution(ev, how="left_outer")
+    return S.run_available_now(out, "append", state_partitions=8)

@@ -281,6 +281,7 @@ def stream_stream_attribution(
     purchase_type: str = "purchase",
     horizon: str = "2 hours",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval self-join: attribute each ``purchase_type``
     event to the ``view_type`` events of the same user in the preceding
@@ -294,6 +295,14 @@ def stream_stream_attribution(
     matches emit as soon as both rows have arrived (no finalization
     wait), so the availableNow drain equals the batch interval join the
     oracle runs.
+
+    ``how="left_outer"`` adds watermark-finalized NULL emission: a view
+    with no purchase emits (with NULL purchase columns) only once the
+    global watermark proves its horizon closed — i.e. when
+    ``view_ts + horizon`` falls below the final watermark (min of both
+    sides' max event time, minus the delay). Views whose horizon is
+    still open when the stream drains are NOT emitted — late-data
+    semantics the batch twin reproduces with the same cutoff predicate.
     """
     v = (
         events.filter(F.col("event_type") == view_type)
@@ -319,7 +328,7 @@ def stream_stream_attribution(
         & (F.col("purchase_ts") > F.col("view_ts"))
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}"))
     )
-    return v.join(p, cond, "inner").select(
+    return v.join(p, cond, how).select(
         "user_id",
         "view_id",
         "purchase_id",

@@ -55,7 +55,11 @@ def _norm(v):
 
 def _canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    normed = [tuple(_norm(r[i]) for i in order) for r in rows]
+    # NULL cells are driver-canonicalizable (pandas sorts them; e.g.
+    # join_full_outer is driver-green), but Python's plain sort crashes
+    # on None < int — order None after values per cell instead.
+    return sorted(normed, key=lambda t: tuple((c is None, c) for c in t))
 
 
 def main() -> int:
