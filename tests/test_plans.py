@@ -316,3 +316,47 @@ def test_gapfill_no_dense_side_shuffle(spark):
     sink with no join or further exchange above the Generate."""
     plan = plan_of(spark, "timeseries_gapfill_15min")
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_random_projection_is_shuffle_free(spark):
+    """The JL projection must fuse into the scan: literal sign matrix,
+    row-local folds — a data-key Exchange means someone broke the
+    mapper. (load_table_parallel's roundrobin repartition is the
+    documented bench-scale single-row-group artifact, not a shuffle the
+    operator asked for.)"""
+    plan = _exec_plan(spark, "embedding_random_projection")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Generate" not in plan  # no explode — per-dim folds only
+
+
+def test_bm25_no_token_explode_no_corpus_shuffle(spark):
+    """BM25 computes tf row-locally (array filter) and broadcasts one
+    corpus-stats row: no Generate (explode) of the token stream, and the
+    only exchanges feed the 1-row stats aggregate / final top-k — never
+    a hashpartitioning of the corpus on a data key."""
+    plan = _exec_plan(spark, "text_bm25_topk")
+    assert "Generate" not in plan, "token explode leaked into BM25"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lm_surprisal_vocab_side_broadcast(spark):
+    """The surprisal join must broadcast the vocabulary-sized count
+    table back onto the token stream, not shuffle the corpus twice: one
+    hashpartitioning for the vocab count + one for the per-doc rollup."""
+    plan = _exec_plan(spark, "text_lm_surprisal")
+    assert "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_hybrid_rrf_windows_only_over_candidate_sets(spark):
+    """Ranks must come from TakeOrdered'd 100-row candidate sets — a
+    global Window over the corpus (Exchange SinglePartition feeding a
+    Sort over the full scan) would not survive 100 TB. The plan's
+    single-partition exchanges must sit above LocalLimit'd subtrees."""
+    plan = _exec_plan(spark, "hybrid_search_rrf")
+    assert "TakeOrderedAndProject" in plan
+    # final top-10 + two candidate generations
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
