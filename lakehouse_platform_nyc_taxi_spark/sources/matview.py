@@ -17,10 +17,19 @@ commit is atomic and tags the base version it reflects, so a crashed
 refresh reruns from the same state (all-or-nothing, never half-applied).
 
 Only distributive aggregates (count, sum) — and averages derived from
-them at read time — can be maintained this way; min/max need the base
+them at read time — fold by signed deltas alone; min/max need the base
 table on deletes (a delete may remove the current extremum), so they are
 deliberately not offered here: recompute those, or layer them on the
 exact percentile path.
+
+``approx_distinct_cols`` maintains per-group Apache DataSketches HLL
+sketches (binary, mergeable): inserts fold by ``hll_union`` — sketch
+union is the distributive path, no base read — while a delete taints
+only ITS groups, which recompute from the current base scoped by a
+semi-join on the tainted keys (manifest-stats pruning keeps that scan
+proportional to the churned key range, not the table). Estimates come
+from ``read_mv_estimates`` at read time; the stored sketch stays
+mergeable for further refreshes and cross-view rollups.
 """
 
 from __future__ import annotations
@@ -57,10 +66,12 @@ def create_grouped_mv(
     mv_path: str,
     group_cols: Sequence[str],
     sum_cols: Sequence[str] = (),
+    approx_distinct_cols: Sequence[str] = (),
 ) -> int:
     """Materialize ``SELECT group_cols, count(*) AS n_rows,
-    sum(c) AS sum_<c>... FROM base GROUP BY group_cols`` as a snapshot
-    table tagged with the base version it reflects."""
+    sum(c) AS sum_<c>..., hll_sketch_agg(c) AS hll_<c>... FROM base
+    GROUP BY group_cols`` as a snapshot table tagged with the base
+    version it reflects."""
     base_v = snap.current_version(base_path)
     if base_v is None:
         raise ValueError(f"no snapshot table at {base_path}")
@@ -68,6 +79,10 @@ def create_grouped_mv(
     agg = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_rows"),
         *[F.sum(F.col(c)).alias(f"sum_{c}") for c in sum_cols],
+        *[
+            F.hll_sketch_agg(F.col(c)).alias(f"hll_{c}")
+            for c in approx_distinct_cols
+        ],
     )
     if snap._versions(mv_path):
         raise ValueError(f"materialized view already exists at {mv_path}")
@@ -81,7 +96,8 @@ def create_grouped_mv(
         schema_json=agg.schema.json(), new_stats=stats,
         extra={"base_version": base_v,
                "mv_group_cols": list(group_cols),
-               "mv_sum_cols": list(sum_cols)},
+               "mv_sum_cols": list(sum_cols),
+               "mv_hll_cols": list(approx_distinct_cols)},
     )
     return base_v
 
@@ -102,6 +118,7 @@ def refresh_mv(
     reflected = int(m["base_version"])
     group_cols = list(m["mv_group_cols"])
     sum_cols = list(m["mv_sum_cols"])
+    hll_cols = list(m.get("mv_hll_cols", []))
     base_now = snap.current_version(base_path)
     if base_now == reflected:
         return reflected, reflected
@@ -116,12 +133,45 @@ def refresh_mv(
                 F.sum(F.col(c) * F.col("_sign")).alias(f"_d_sum_{c}")
                 for c in sum_cols
             ],
+            # insert-only sketches union into the view; a delete taints
+            # the group (sketches can't subtract) -> base recompute below
+            *[
+                F.hll_sketch_agg(
+                    F.when(F.col("_sign") == 1, F.col(c))
+                ).alias(f"_d_hll_{c}")
+                for c in hll_cols
+            ],
+            *(
+                [
+                    F.max(
+                        F.when(F.col("_sign") == -1, F.lit(1)).otherwise(F.lit(0))
+                    ).alias("_d_del")
+                ]
+                if hll_cols
+                else []
+            ),
         )
         # fence: deltas feed three consumers (range probe, anti-join,
         # right join); without the checkpoint each would re-read and
         # re-aggregate the churned base files
         .localCheckpoint(eager=True)
     )
+    rec = None
+    if hll_cols:
+        tainted = deltas.filter(F.col("_d_del") == 1).select(*group_cols)
+        # recompute sketches ONLY for delete-tainted groups: churn-sized
+        # semi-join key set; the base read prunes files via manifest stats
+        rec = (
+            snap.read_table(spark, base_path, base_now)
+            .join(F.broadcast(tainted), on=group_cols, how="left_semi")
+            .groupBy(*group_cols)
+            .agg(
+                *[
+                    F.hll_sketch_agg(F.col(c)).alias(f"_r_hll_{c}")
+                    for c in hll_cols
+                ]
+            )
+        )
     # One atomic merge-shaped commit (refresh must be all-or-nothing so
     # a crashed refresh can simply rerun): prune view files by the delta
     # key range, carry untouched files, rewrite candidates as
@@ -160,9 +210,31 @@ def refresh_mv(
                 .alias(f"sum_{c}")
                 for c in sum_cols
             ],
+            *[
+                F.lit(None).cast("binary").alias(f"hll_{c}")
+                for c in hll_cols
+            ],
             F.col("_d_n"),
             *[F.col(f"_d_sum_{c}") for c in sum_cols],
+            *[F.col(f"_d_hll_{c}") for c in hll_cols],
+            *([F.col("_d_del")] if hll_cols else []),
         )
+    if rec is not None:
+        touched = touched.join(rec, on=group_cols, how="left")
+
+    def _hll_next(c: str):
+        old, d = F.col(f"hll_{c}"), F.col(f"_d_hll_{c}")
+        merged = (
+            F.when(old.isNull(), d)
+            .when(d.isNull(), old)
+            .otherwise(F.hll_union(old, d))
+        )
+        return (
+            F.when(F.col("_d_del") == 1, F.col(f"_r_hll_{c}")).otherwise(merged)
+            if rec is not None
+            else merged
+        ).alias(f"hll_{c}")
+
     adjusted = touched.select(
         *group_cols,
         (F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("_d_n"))
@@ -177,6 +249,7 @@ def refresh_mv(
             .alias(f"sum_{c}")
             for c in sum_cols
         ],
+        *[_hll_next(c) for c in hll_cols],
     ).filter(F.col("n_rows") > 0)
     rewrite = (
         adjusted if survivors is None else survivors.unionByName(adjusted)
@@ -187,7 +260,8 @@ def refresh_mv(
         mv_path, files, "mv-refresh", parent=mv_v, new_stats=new_stats,
         extra={"base_version": base_now,
                "mv_group_cols": group_cols,
-               "mv_sum_cols": sum_cols},
+               "mv_sum_cols": sum_cols,
+               "mv_hll_cols": hll_cols},
     )
     return reflected, base_now
 
@@ -196,3 +270,18 @@ def read_mv(spark: SparkSession, mv_path: str) -> DataFrame:
     """Current view contents (plain snapshot read; time travel works via
     ``snapshots.read_table`` directly)."""
     return snap.read_table(spark, mv_path)
+
+
+def read_mv_estimates(spark: SparkSession, mv_path: str) -> DataFrame:
+    """View contents with each stored HLL sketch rendered as
+    ``approx_distinct_<c>`` (the sketch column itself is dropped — it
+    stays in the table for mergeability, estimates are a read-time
+    projection)."""
+    _, m = _view_state(mv_path)
+    hll_cols = list(m.get("mv_hll_cols", []))
+    df = snap.read_table(spark, mv_path)
+    for c in hll_cols:
+        df = df.withColumn(
+            f"approx_distinct_{c}", F.hll_sketch_estimate(F.col(f"hll_{c}"))
+        ).drop(f"hll_{c}")
+    return df

@@ -164,3 +164,75 @@ def test_mv_new_group_refresh_keeps_column_types(spark, tmp_path):
     assert _got(spark, view) == _expected(spark, base)
     # the view carries a manifest schema, so reads are pinned
     assert snap._table_schema(view, snap.current_version(view)) is not None
+
+
+def test_mv_hll_sketches_refresh_equals_recompute(spark, tmp_path):
+    """HLL approx-distinct sketches: insert-only refreshes fold by
+    sketch union; delete-tainted groups recompute from the base — in
+    both cases the stored sketch must be bit-equivalent in ESTIMATE to a
+    from-scratch sketch over the same rows (HLL registers are max-merged
+    from value hashes, so identical multisets give identical sketches
+    regardless of fold order)."""
+    base = str(tmp_path / "base_hll")
+    view = str(tmp_path / "mv_hll")
+    df = spark.range(0, 300).select(
+        F.col("id"),
+        (F.col("id") % 5).alias("bucket"),
+        (F.col("id") * 1.0).alias("v"),
+        (F.col("id") % 37).cast("string").alias("u"),
+    )
+    snap.create_table(df.repartitionByRange(4, "id"), base)
+    mv.create_grouped_mv(
+        spark, base, view, ["bucket"], ["v"], approx_distinct_cols=["u"]
+    )
+
+    def expected_estimates():
+        return {
+            r.bucket: r.nd
+            for r in snap.read_table(spark, base)
+            .groupBy("bucket")
+            .agg(
+                F.hll_sketch_estimate(F.hll_sketch_agg("u")).alias("nd")
+            )
+            .collect()
+        }
+
+    def got_estimates():
+        return {
+            r.bucket: r.approx_distinct_u
+            for r in mv.read_mv_estimates(spark, view).collect()
+        }
+
+    assert got_estimates() == expected_estimates()
+
+    # insert-only churn: pure union fold, no base recompute needed
+    snap.append(
+        spark.range(300, 400).select(
+            F.col("id"),
+            (F.col("id") % 5).alias("bucket"),
+            (F.col("id") * 1.0).alias("v"),
+            (F.col("id") % 53).cast("string").alias("u"),
+        ),
+        base,
+    )
+    mv.refresh_mv(spark, base, view)
+    assert got_estimates() == expected_estimates()
+
+    # deletes taint two buckets -> those recompute, others keep sketches
+    snap.delete_range(spark, base, "id", 0, 61)
+    mv.refresh_mv(spark, base, view)
+    assert got_estimates() == expected_estimates()
+
+    # counts/sums stay correct alongside the sketches
+    want = {
+        r.bucket: (r.n_rows, r.sum_v)
+        for r in snap.read_table(spark, base)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    got = {
+        r.bucket: (r.n_rows, r.sum_v)
+        for r in mv.read_mv(spark, view).collect()
+    }
+    assert got == want
