@@ -1165,3 +1165,46 @@ def _enforce_constraints(df: DataFrame, path: str) -> None:
             raise ValueError(
                 f"batch violates CHECK constraint {name!r} ({expr})"
             )
+
+
+def shallow_clone(
+    src_path: str, dst_path: str, version: int | None = None
+) -> int:
+    """Zero-copy clone (Delta ``CLONE``): the new table's v1 manifest
+    references the SOURCE's immutable data files by relative path — no
+    data moves, clone cost is one manifest write regardless of table
+    size. Schema, CHECK constraints, and per-file pruning stats carry
+    over (stats re-keyed to the clone-relative paths, so scan planning
+    works unchanged).
+
+    Writes to the clone land in the clone's own data dir; copy-on-write
+    rewrites migrate touched files out of the source as a side effect,
+    so the clone diverges without ever mutating the source. Caveats
+    (same as Delta shallow clones): the clone must stay on the same
+    filesystem as the source, and expiring/vacuuming the SOURCE can
+    remove files a clone still references — deep-copy (CTAS from
+    ``read_table``) when lifecycles must be independent.
+    """
+    v = version if version is not None else current_version(src_path)
+    if v is None:
+        raise ValueError(f"no snapshot table at {src_path}")
+    if _versions(dst_path):
+        raise ValueError(f"snapshot table already exists at {dst_path}")
+    m = _read_manifest(src_path, v)
+    os.makedirs(os.path.join(dst_path, _SNAP_DIR), exist_ok=True)
+    os.makedirs(os.path.join(dst_path, _DATA_DIR), exist_ok=True)
+    src_abs, dst_abs = os.path.abspath(src_path), os.path.abspath(dst_path)
+    rel = {
+        f: os.path.relpath(os.path.join(src_abs, f), dst_abs)
+        for f in m["files"]
+    }
+    stats = {
+        rel[f]: s for f, s in (m.get("stats") or {}).items() if f in rel
+    }
+    extra: dict = {"cloned_from": src_abs, "cloned_version": v}
+    if m.get("constraints"):
+        extra["constraints"] = m["constraints"]
+    return _commit(
+        dst_path, [rel[f] for f in m["files"]], "clone", parent=None,
+        extra=extra, schema_json=m.get("schema"), new_stats=stats,
+    )

@@ -690,3 +690,61 @@ def test_update_where_cow_with_pruning_and_constraints(spark, tmp_path, monkeypa
         )
     with pytest.raises(ValueError, match="not in the table"):
         snap.update_where(spark, path, F.col("id") < 5, {"nope": F.lit(1)})
+
+
+def test_shallow_clone_zero_copy_then_diverges(spark, tmp_path):
+    src = str(tmp_path / "clone_src")
+    dst = str(tmp_path / "clone_dst")
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 4).alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    snap.create_table(df.repartitionByRange(4, "id"), src)
+    snap.shallow_clone(src, dst)
+
+    # zero-copy: the clone's own data dir holds nothing yet
+    assert not any(
+        n.endswith(".parquet")
+        for _r, _d, ns in __import__("os").walk(str(tmp_path / "clone_dst" / "data"))
+        for n in ns
+    )
+    a = sorted(tuple(r) for r in snap.read_table(spark, src).collect())
+    b = sorted(tuple(r) for r in snap.read_table(spark, dst).collect())
+    assert a == b
+
+    # manifest stats carried over: range read on the clone prunes files
+    pruned = snap.read_table_where(spark, dst, "id", 10, 20)
+    assert pruned.count() == 11
+
+    # clone diverges via COW delete; the source never changes
+    snap.delete_range(spark, dst, "id", 0, 49)
+    assert snap.read_table(spark, dst).count() == 50
+    assert snap.read_table(spark, src).count() == 100
+
+    # appends land in the clone's own dir; source still untouched
+    snap.append(
+        spark.createDataFrame([(1000, 0, 1.0)], "id long, k long, v double"), dst
+    )
+    assert snap.read_table(spark, dst).count() == 51
+    assert snap.read_table(spark, src).count() == 100
+
+    # vacuum on the clone never deletes source-owned files
+    removed = snap.vacuum_orphans(dst, min_age_seconds=0.0)
+    assert removed == []
+    assert snap.read_table(spark, src).count() == 100
+
+
+def test_shallow_clone_carries_constraints(spark, tmp_path):
+    src = str(tmp_path / "ccs")
+    dst = str(tmp_path / "ccd")
+    snap.create_table(
+        spark.createDataFrame([(1, 5.0)], "id long, v double"), src
+    )
+    snap.add_constraint(spark, src, "v_pos", "v > 0")
+    snap.shallow_clone(src, dst)
+    assert "v_pos" in snap.table_constraints(dst)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="v_pos"):
+        snap.append(
+            spark.createDataFrame([(2, -1.0)], "id long, v double"), dst
+        )
