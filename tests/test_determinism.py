@@ -21,6 +21,11 @@ QUERIES = [
     "agg_collect_sorted",      # sorted DISTINCT arrays
     "agg_arg_extremes",        # max_by/min_by on unique sequence
     "scd2_event_history",      # gaps-and-islands versioning
+    "text_bm25_topk",          # decimal-fenced fixed-order term sum
+    "text_lm_surprisal",       # round8 surprisal decimal sums
+    "embedding_random_projection",  # 2^40 fixed-point integer folds
+    "hybrid_search_rrf",       # candidate-set ranks + fixed-order fusion
+    "sql_recursive_chain",     # recursive decimal accumulation
 ]
 
 
