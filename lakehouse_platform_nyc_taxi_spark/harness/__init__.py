@@ -93,7 +93,6 @@ _PRIORITY = [
     "similarity_topk_lsh",
     "similarity_topk_ivf",
     "dedup_embedding_cosine",
-    "dq_violation_counts",
     "sql_adhoc_interactive",
     "dedup_minhash_signatures",
     "dedup_simhash",
@@ -120,6 +119,7 @@ _PRIORITY = [
     "streaming_stream_stream_join",
     "streaming_stream_stream_left",
     "sql_recursive_chain",
+    "dedup_ngram_containment",
 ]
 _KEEP = [
     # Batch variants of the checked bruteforce/IVF base queries: r3-green,
@@ -136,6 +136,9 @@ _KEEP = [
     # and the recursive-CTE query.
     "surrogate_keys_md5",
     "datetime_features",
+    # r3-green, unchanged; the 37-check pytest suite covers T1-T6 —
+    # rotated out for the containment-dedup query.
+    "dq_violation_counts",
     # r4-green, unchanged this round; fall just past the 50-row window
     # (their rows in CORRECTNESS_r04.json stay ≤2 rounds old through r6).
     "agg_daily_rollup",

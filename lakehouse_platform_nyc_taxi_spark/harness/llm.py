@@ -1252,3 +1252,37 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_cos).cast("long").alias("rank"),
     )
     return similarity.rrf_fuse([lex, embr], id_col="doc_id", k=10, c=60)
+
+
+_CONTAIN = (
+    "len(list_intersect(a.grams, b.grams))"
+    " / CAST(least(len(a.grams), len(b.grams)) AS DOUBLE)"
+)
+
+
+@register(
+    "dedup_ngram_containment",
+    f"""
+    WITH {_NGRAM_GRAMS_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_shared,
+           round({_CONTAIN}, 6) AS containment
+    FROM g a
+    JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE least(len(a.grams), len(b.grams)) > 0
+      AND {_CONTAIN} >= 0.05
+    """,
+    doc="n-gram CONTAINMENT pairs (|A∩B| / min set size): the asymmetric "
+    "dedup scorer that catches doc-in-doc duplication Jaccard's size "
+    "penalty hides. Same inverted-index join core as dedup_ngram_jaccard "
+    "(shared _gram_intersections path incl. the df-cap skew valve); no "
+    "length-ratio prune — extreme size ratios ARE the signal. Threshold "
+    "0.05 exercises the tail at synthetic-corpus overlap levels; "
+    "production containment dedup runs ~0.8.",
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_containment_pairs(
+        load_table_parallel(spark, sf_dir, "documents"),
+        block_col="source",
+        min_containment=0.05,
+    )

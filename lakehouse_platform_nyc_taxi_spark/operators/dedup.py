@@ -337,6 +337,75 @@ def ngram_jaccard_pairs(
     (by definition rarer) distinctive grams, so high-Jaccard recall
     degrades last. ``None`` (default) = exact.
     """
+    inter = _gram_intersections(
+        df, block_col, text_col, id_col, ngram, max_gram_df,
+        # length-ratio prune before the aggregation: J ≥ t implies
+        # min(|A|,|B|)/max(|A|,|B|) ≥ t — valid for Jaccard only
+        prune=(
+            F.least("sz_a", "sz_b").cast("double")
+            >= F.lit(min_jaccard) * F.greatest("sz_a", "sz_b")
+        ),
+        id_col_out=("doc_a", "doc_b"),
+    )
+    jaccard = F.col("n_shared").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_shared")
+    )
+    return (
+        inter.filter(jaccard >= min_jaccard)
+        .select("doc_a", "doc_b", trino_round(jaccard, 6).alias("jaccard"))
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    block_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    min_containment: float = 0.6,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT within blocks:
+    ``|A∩B| / min(|A|, |B|)`` — the asymmetric twin of Jaccard that
+    catches doc-in-doc duplication (quotes, wholesale inclusion,
+    boilerplate wrappers around copied bodies), where the smaller doc's
+    grams live almost entirely inside the larger one but the size gap
+    crushes Jaccard below any usable threshold.
+
+    Same inverted-index set-similarity join as
+    :func:`ngram_jaccard_pairs` (shared code path, same ``max_gram_df``
+    skew valve); the length-ratio prune does NOT apply — high
+    containment is exactly the extreme-size-ratio regime — so the only
+    candidate cut is sharing ≥ 1 gram, which ``C ≥ t > 0`` guarantees.
+    """
+    inter = _gram_intersections(
+        df, block_col, text_col, id_col, ngram, max_gram_df,
+        prune=None, id_col_out=("doc_a", "doc_b"),
+    )
+    containment = F.col("n_shared").cast("double") / F.least(
+        "sz_a", "sz_b"
+    ).cast("double")
+    return (
+        inter.filter(containment >= min_containment)
+        .select(
+            "doc_a", "doc_b", "n_shared",
+            trino_round(containment, 6).alias("containment"),
+        )
+    )
+
+
+def _gram_intersections(
+    df: DataFrame,
+    block_col: str,
+    text_col: str,
+    id_col: str,
+    ngram: int,
+    max_gram_df: int | None,
+    prune,
+    id_col_out: tuple[str, str],
+):
+    """Shared inverted-index core: (doc_a, doc_b, sz_a, sz_b, n_shared)
+    for every within-block pair sharing ≥ 1 distinct word-n-gram."""
     toks = F.col("_toks")
     grams = F.when(
         F.size(toks) >= ngram,
@@ -393,28 +462,18 @@ def ngram_jaccard_pairs(
         base = base.withColumn("_df", F.count("*").over(gram_df)).filter(
             F.col("_df") <= max_gram_df
         ).drop("_df")
+    na, nb = id_col_out
     a = base.select(
-        F.col(id_col).alias("doc_a"), "block", F.col("sz").alias("sz_a"), "gram"
+        F.col(id_col).alias(na), "block", F.col("sz").alias("sz_a"), "gram"
     )
     b = base.select(
-        F.col(id_col).alias("doc_b"), "block", F.col("sz").alias("sz_b"), "gram"
+        F.col(id_col).alias(nb), "block", F.col("sz").alias("sz_b"), "gram"
     )
-    inter = (
-        a.join(b, ["block", "gram"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(
-            F.least("sz_a", "sz_b").cast("double")
-            >= F.lit(min_jaccard) * F.greatest("sz_a", "sz_b")
-        )
-        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-        .agg(F.count("*").alias("n_shared"))
-    )
-    jaccard = F.col("n_shared").cast("double") / (
-        F.col("sz_a") + F.col("sz_b") - F.col("n_shared")
-    )
-    return (
-        inter.filter(jaccard >= min_jaccard)
-        .select("doc_a", "doc_b", trino_round(jaccard, 6).alias("jaccard"))
+    joined = a.join(b, ["block", "gram"]).filter(F.col(na) < F.col(nb))
+    if prune is not None:
+        joined = joined.filter(prune)
+    return joined.groupBy(na, nb, "sz_a", "sz_b").agg(
+        F.count("*").alias("n_shared")
     )
 
 

@@ -708,3 +708,26 @@ def test_pca_project_matches_numpy(spark):
     # Projected variance along the top component ~= its eigenvalue.
     var0 = np.var((X - np.array(mu)) @ C[0])
     assert abs(var0 - eigvals[0]) / max(eigvals[0], 1e-9) < 0.05
+
+
+def test_ngram_containment_catches_doc_in_doc(spark):
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    small = "gamma delta epsilon zeta"  # 2 trigrams, both inside big
+    df = spark.createDataFrame(
+        [(0, big, "s"), (1, small, "s"), (2, "one two three four five", "s")],
+        "doc_id long, text string, source string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in dedup.ngram_containment_pairs(
+            df, block_col="source", min_containment=0.9
+        ).collect()
+    }
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)]["containment"] == 1.0
+    assert pairs[(0, 1)]["n_shared"] == 2
+    # Jaccard at the same pair is far below any dedup threshold
+    jac = dedup.ngram_jaccard_pairs(
+        df, block_col="source", min_jaccard=0.01
+    ).collect()
+    assert all(r["jaccard"] < 0.5 for r in jac)
