@@ -103,8 +103,6 @@ _PRIORITY = [
     "sessionize_events",
     "text_decontamination",
     "text_heavy_hitters",
-    "text_language_id",
-    "text_fingerprints",
     "text_winnowing",
     "join_broadcast_dims",
     "join_left_outer",
@@ -120,6 +118,8 @@ _PRIORITY = [
     "streaming_stream_stream_left",
     "sql_recursive_chain",
     "dedup_ngram_containment",
+    "text_zipf_fit",
+    "agg_histogram",
 ]
 _KEEP = [
     # Batch variants of the checked bruteforce/IVF base queries: r3-green,
@@ -139,6 +139,10 @@ _KEEP = [
     # r3-green, unchanged; the 37-check pytest suite covers T1-T6 —
     # rotated out for the containment-dedup query.
     "dq_violation_counts",
+    # r3-green, unchanged; reference-value unit tests in
+    # test_llm_operators — rotated out for zipf-fit and the histogram.
+    "text_language_id",
+    "text_fingerprints",
     # r4-green, unchanged this round; fall just past the 50-row window
     # (their rows in CORRECTNESS_r04.json stay ≤2 rounds old through r6).
     "agg_daily_rollup",

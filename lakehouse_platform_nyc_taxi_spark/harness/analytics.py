@@ -618,3 +618,33 @@ def sql_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_RECURSIVE_CHAIN_SQL)
+
+
+@register(
+    "agg_histogram",
+    f"""
+    SELECT event_type,
+           CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {DSUM('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Fixed-width value histogram per event type (the width_bucket "
+    "shape Trino's endpoint serves): bucket id from one deterministic "
+    "double division + floor, map-side-combined counts, decimal-fenced "
+    "sums. One shuffle carrying (type, bucket) cells.",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / F.lit(50.0)).cast("long").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select("event_type", "bucket", "n_events", "total_value")
+    )

@@ -678,3 +678,48 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lm_surprisal_stats(load_table_parallel(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_zipf_fit",
+    f"""
+    WITH t AS (SELECT unnest({TOKS}) AS token FROM documents),
+    c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+    r AS (
+        SELECT cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS BIGINT)
+                   AS rank
+        FROM c
+    ),
+    p AS (
+        SELECT cnt,
+               round(ln(CAST(rank AS DOUBLE)), 8) AS x,
+               round(ln(CAST(cnt AS DOUBLE)), 8) AS y
+        FROM r
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+               CAST(sum(cnt) AS BIGINT) AS total_tokens,
+               CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(round(x * y, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(round(x * x, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sx2
+        FROM p
+    )
+    SELECT n_vocab, total_tokens,
+           round((CAST(n_vocab AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n_vocab AS DOUBLE) * sx2 - sx * sx), 6) AS zipf_slope,
+           round((sy - ((CAST(n_vocab AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n_vocab AS DOUBLE) * sx2 - sx * sx)) * sx)
+                 / CAST(n_vocab AS DOUBLE), 6) AS zipf_intercept
+    FROM m
+    """,
+    doc="Corpus Zipf-law fit (ln freq ~ a + s*ln rank over the "
+    "vocabulary): corpus-health statistic — natural text ~ -1, OCR noise "
+    "flattens, template spam steepens. One vocabulary count shuffle + a "
+    "vocabulary-sized (not corpus-sized) rank sort; all five regression "
+    "moments accumulate round8+decimal (bit-stable), closed form at the "
+    "end.",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.zipf_fit(load_table_parallel(spark, sf_dir, "documents"))

@@ -745,3 +745,64 @@ def lm_surprisal_stats(
             F.max("nll").alias("max_nll"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus Zipf-law fit: least-squares slope/intercept of
+    ``ln(frequency) ~ intercept + slope * ln(rank)`` over the vocabulary
+    — the classic corpus-health statistic (natural text slopes ≈ −1;
+    OCR noise flattens the tail, template spam steepens the head).
+
+    One token explode into a map-side-combined vocabulary count (the
+    only corpus-sized shuffle), then a RANK over the vocabulary —
+    vocabulary-sized (≪ corpus; ~10⁷ even at 100 TB of text), the one
+    deliberate global sort, documented rather than hidden. Per-term
+    ``ln`` values are rounded to 8 decimals and all five moment sums
+    accumulate in exact decimal (associative), so the closed-form
+    regression arithmetic runs on bit-identical inputs in any engine.
+    Output: one row (n_vocab, total_tokens, slope, intercept).
+    """
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = vocab.select(
+        "cnt", F.row_number().over(w).cast("long").alias("rank")
+    )
+    x = trino_round(F.log(F.col("rank").cast("double")), 8)
+    y = trino_round(F.log(F.col("cnt").cast("double")), 8)
+    pts = ranked.select(
+        F.col("cnt"),
+        x.alias("x"),
+        y.alias("y"),
+        trino_round(x * y, 8).alias("xy"),
+        trino_round(x * x, 8).alias("x2"),
+    )
+
+    def dec(c: str) -> Column:
+        return F.sum(F.col(c).cast("decimal(28,8)")).cast("double")
+
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum("cnt").alias("total_tokens"),
+        dec("x").alias("sx"),
+        dec("y").alias("sy"),
+        dec("xy").alias("sxy"),
+        dec("x2").alias("sx2"),
+    )
+    n = F.col("n_vocab").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sx2") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "n_vocab",
+        "total_tokens",
+        trino_round(slope, 6).alias("zipf_slope"),
+        trino_round(
+            (F.col("sy") - slope * F.col("sx")) / n, 6
+        ).alias("zipf_intercept"),
+    )

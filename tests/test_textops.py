@@ -174,3 +174,28 @@ def test_pii_scrub_counts_and_replacements(spark):
     assert got[2].n_redactions == 0 and got[2].scrubbed_text == "no pii here at all"
     assert (got[3].n_ipv4, got[3].scrubbed_text) == (2, "ip <IP> twice <IP>")
     assert got[4].n_redactions == 0 and got[4].scrubbed_text == ""
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    """A corpus whose token frequencies follow freq(r) = C * r^s must
+    come back with slope ≈ s from the regression."""
+    import math
+
+    from lakehouse_platform_nyc_taxi_spark.operators.text import zipf_fit
+
+    s_true = -1.0
+    words = []
+    for r in range(1, 41):
+        freq = max(1, round(2000 * (r ** s_true)))
+        words += [f"w{r:03d}"] * freq
+    # one doc per 100 words keeps rows realistic
+    docs = [
+        (i, " ".join(words[i * 100 : (i + 1) * 100]))
+        for i in range((len(words) + 99) // 100)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    row = zipf_fit(df).first()
+    assert row.n_vocab == 40
+    assert abs(row.zipf_slope - s_true) < 0.12, row.zipf_slope
+    # intercept ~ ln(2000)
+    assert abs(row.zipf_intercept - math.log(2000)) < 0.35, row.zipf_intercept
