@@ -97,8 +97,6 @@ _PRIORITY = [
     "dedup_minhash_signatures",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "sampling_hash_split",
-    "sampling_per_group_cap",
     "sampling_stratified_resample",
     "sessionize_events",
     "text_decontamination",
@@ -120,6 +118,8 @@ _PRIORITY = [
     "dedup_ngram_containment",
     "text_zipf_fit",
     "agg_histogram",
+    "sql_correlated_subquery",
+    "cohort_retention",
 ]
 _KEEP = [
     # Batch variants of the checked bruteforce/IVF base queries: r3-green,
@@ -143,6 +143,10 @@ _KEEP = [
     # test_llm_operators — rotated out for zipf-fit and the histogram.
     "text_language_id",
     "text_fingerprints",
+    # r3-green, unchanged; deterministic-hash membership pinned by
+    # pytest — rotated out for the correlated subquery and cohorts.
+    "sampling_hash_split",
+    "sampling_per_group_cap",
     # r4-green, unchanged this round; fall just past the 50-row window
     # (their rows in CORRECTNESS_r04.json stay ≤2 rounds old through r6).
     "agg_daily_rollup",

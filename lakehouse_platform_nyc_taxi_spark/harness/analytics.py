@@ -648,3 +648,83 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "bucket", "n_events", "total_value")
     )
+
+
+_CORR_SUBQ_SQL = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 2.0 * (
+        SELECT avg(o2.o_totalprice)
+        FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+"""
+
+
+@register(
+    "sql_correlated_subquery",
+    _CORR_SUBQ_SQL,
+    doc="Correlated scalar subquery (orders beating 2x their customer's "
+    "average): Catalyst decorrelates it into one aggregate + one join — "
+    "no per-row re-execution, the plan any hand decorrelation would "
+    "write. Identical SQL text runs on the oracle. Exact-comparison "
+    "filter on the unrounded average in both engines (single avg "
+    "division is IEEE-deterministic).",
+)
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.testdata import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_CORR_SUBQ_SQL)
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, CAST(min(date_trunc('week', ts)) AS TIMESTAMP)
+                   AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST((epoch_us(CAST(date_trunc('week', e.ts) AS TIMESTAMP))
+                     - epoch_us(f.cohort_week))
+                    // CAST(604800000000 AS BIGINT) AS BIGINT) AS week_no
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_no, CAST(count(*) AS BIGINT) AS n_active
+    FROM activity
+    GROUP BY cohort_week, week_no
+    """,
+    doc="Cohort retention matrix (users by first-activity week x weeks "
+    "since): the standard product-analytics rollup. One shuffle derives "
+    "first-touch cohorts, the cohort table joins back user-keyed, "
+    "distinct (user, week) dedups before the cell counts — all integer "
+    "arithmetic on epoch microseconds, bit-exact.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("timestamp_ntz").alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.expr(
+                    "timestampdiff(MICROSECOND, cohort_week,"
+                    " cast(date_trunc('week', ts) as timestamp_ntz))"
+                )
+                / F.lit(7 * 86400 * 1000000)
+            )
+            .cast("long")
+            .alias("week_no"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_no").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
