@@ -101,7 +101,6 @@ _PRIORITY = [
     "sessionize_events",
     "text_decontamination",
     "text_heavy_hitters",
-    "text_winnowing",
     "join_broadcast_dims",
     "join_left_outer",
     # New this round (no driver row yet):
@@ -120,6 +119,7 @@ _PRIORITY = [
     "agg_histogram",
     "sql_correlated_subquery",
     "cohort_retention",
+    "timeseries_anomaly",
 ]
 _KEEP = [
     # Batch variants of the checked bruteforce/IVF base queries: r3-green,
@@ -147,6 +147,9 @@ _KEEP = [
     # pytest — rotated out for the correlated subquery and cohorts.
     "sampling_hash_split",
     "sampling_per_group_cap",
+    # r3-green, unchanged; local-similarity property pytest — rotated
+    # out for the rolling-zscore anomaly query.
+    "text_winnowing",
     # r4-green, unchanged this round; fall just past the 50-row window
     # (their rows in CORRECTNESS_r04.json stay ≤2 rounds old through r6).
     "agg_daily_rollup",

@@ -723,3 +723,48 @@ def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.zipf_fit(load_table_parallel(spark, sf_dir, "documents"))
+
+
+@register(
+    "timeseries_anomaly",
+    """
+    WITH series AS (
+        SELECT event_type AS entity,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS slot,
+               CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    roll AS (
+        SELECT entity, slot, x,
+               CAST(sum(CAST(x AS DECIMAL(28,8))) OVER w AS DOUBLE) AS sx,
+               CAST(sum(CAST(round(x * x, 8) AS DECIMAL(28,8))) OVER w
+                    AS DOUBLE) AS sx2,
+               CAST(count(*) OVER w AS DOUBLE) AS n
+        FROM series
+        WINDOW w AS (PARTITION BY entity ORDER BY slot
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT entity, slot, x AS slot_value,
+           CAST(n AS BIGINT) AS n_window,
+           round((x - sx / n) / sqrt((sx2 - (sx * sx) / n) / (n - 1.0)), 6)
+               AS zscore
+    FROM roll
+    WHERE n >= 12
+      AND abs((x - sx / n) / sqrt((sx2 - (sx * sx) / n) / (n - 1.0))) > 3.0
+    """,
+    doc="Rolling z-score anomaly detection (hourly volume per event "
+    "type vs its trailing 24-slot window): the ingest-monitoring / "
+    "drift-alerting pass. Decimal-fenced frame sums feed the textbook "
+    "two-pass-free variance formula in fixed-order double arithmetic, "
+    "so the kept-anomaly set is engine- and partitioning-exact; one "
+    "Exchange shared by rollup and frame.",
+)
+def timeseries_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import rolling_zscore
+
+    return rolling_zscore(
+        load_table(spark, sf_dir, "events"),
+        entity_col="event_type",
+        ts_col="ts",
+        value_col="value",
+    )

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.trino import trino_round
+
 _TRUNC_UNITS = ("second", "minute", "hour", "day", "week", "month", "year")
 
 #: units that support N>1 steps: (parent trunc unit, slots per parent)
@@ -137,4 +139,72 @@ def gapfill_forward(
         "slot",
         F.col("_obs").alias(value_col),
         (F.col("slot") != F.col("_obs_slot")).alias("is_gap"),
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    window_rows: int = 23,
+    z_threshold: float = 3.0,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Rolling z-score anomaly detection over a regularized series: roll
+    the raw events up to ``step`` slots per entity, then score each slot
+    against the trailing ``window_rows`` slots' mean/std and keep
+    |z| > threshold — the monitoring pass behind ingest-volume /
+    drift alerting.
+
+    Determinism: slot totals are decimal-fenced; the rolling mean and
+    variance come from exact decimal Σx and Σx² frame sums (x² rounded
+    to 8 before the fence), combined by the textbook
+    ``(Σx² − (Σx)²/n) / (n−1)`` formula in fixed-order double arithmetic
+    — so the kept-anomaly SET is identical across engines and
+    partitionings. One Exchange on the entity key shared by the rollup
+    and the window frame.
+    """
+    slot = slot_of(F.col(ts_col), step)
+    series = (
+        df.groupBy(F.col(entity_col).alias("entity"), slot.alias("slot"))
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(28,8)"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    w = (
+        Window.partitionBy("entity")
+        .orderBy("slot")
+        .rowsBetween(-window_rows, Window.currentRow)
+    )
+    sx = F.sum(F.col("x").cast("decimal(28,8)")).over(w).cast("double")
+    sx2 = (
+        F.sum(trino_round(F.col("x") * F.col("x"), 8).cast("decimal(28,8)"))
+        .over(w)
+        .cast("double")
+    )
+    n = F.count(F.lit(1)).over(w).cast("double")
+    mean = sx / n
+    var = (sx2 - (sx * sx) / n) / (n - F.lit(1.0))
+    z = (F.col("x") - mean) / F.sqrt(var)
+    scored = series.select(
+        "entity",
+        "slot",
+        "x",
+        n.alias("n_window"),
+        z.alias("_z"),
+    )
+    return (
+        scored.filter(
+            (F.col("n_window") >= 12) & (F.abs(F.col("_z")) > z_threshold)
+        )
+        .select(
+            "entity",
+            "slot",
+            F.col("x").alias("slot_value"),
+            F.col("n_window").cast("long").alias("n_window"),
+            trino_round(F.col("_z"), 6).alias("zscore"),
+        )
     )

@@ -144,3 +144,27 @@ def test_slot_of_grid_properties(spark):
             # grid alignment: offset from midnight is a step multiple
             off = (r.slot - r.day0).total_seconds()
             assert off % unit_seconds == 0, (step, r.slot)
+
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    import datetime as dt
+
+    from lakehouse_platform_nyc_taxi_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # 48 steady hourly slots of ~10.0, one 30x spike at hour 40
+    for h in range(48):
+        v = 300.0 if h == 40 else 10.0 + (h % 3) * 0.5
+        rows.append((h, t0 + dt.timedelta(hours=h, minutes=5), 1, "a", v, None))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = rolling_zscore(df, "event_type", "ts", "value").collect()
+    assert [r["slot"].hour for r in out] == [16]  # hour 40 = day2 16:00
+    assert out[0]["zscore"] > 4
+    assert out[0]["slot_value"] == 300.0
