@@ -1,0 +1,112 @@
+"""Inline data-quality observation — expectations evaluated DURING the
+write, not by a second scan.
+
+``run_assertions`` (assertions.py) is the post-hoc dbt-test pass: a
+separate job over the materialized model. At 100 TB a second full scan
+per model is real money; the production pattern (Delta Live Tables
+expectations, Spark's ``Dataset.observe``) rides the metrics on the
+SAME job that materializes the data: each expectation becomes a
+``sum(case when violated then 1 else 0 end)`` accumulator inside the
+write's plan, collected from the driver-side listener when the action
+finishes — zero extra scans, zero extra shuffles.
+
+Batch: ``observed_write`` returns the violation counts alongside the
+write. Streaming: ``observe`` metrics surface per micro-batch through
+``StreamingQueryProgress.observedMetrics``; ``drain_with_expectations``
+accumulates them across an availableNow drain.
+
+``on_violation`` policies mirror DLT: ``"track"`` records counts only,
+``"fail"`` raises after the write if any expectation was violated
+(write-audit-publish belongs on snapshot tables, where the commit is
+atomic anyway — see sources/snapshots.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+class ExpectationError(RuntimeError):
+    """Raised by on_violation='fail' with the per-expectation counts."""
+
+    def __init__(self, counts: dict[str, int]):
+        self.counts = counts
+        bad = {k: v for k, v in counts.items() if v}
+        super().__init__(f"expectations violated: {bad}")
+
+
+def _metric_cols(expectations: Mapping[str, Column]) -> list[Column]:
+    return [
+        F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).alias(name)
+        for name, cond in expectations.items()
+    ] + [F.count(F.lit(1)).alias("_rows_observed")]
+
+
+def observed_write(
+    df: DataFrame,
+    path: str,
+    expectations: Mapping[str, Column],
+    on_violation: str = "track",
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> dict[str, int]:
+    """Write ``df`` while counting expectation violations in the SAME
+    job (``Dataset.observe`` accumulators — no second scan). Each
+    expectation maps name -> boolean VIOLATION column (true == bad row,
+    the assertions.py convention). Returns the counts, including
+    ``_rows_observed``.
+
+    ``on_violation="fail"`` raises ``ExpectationError`` AFTER the write
+    completes — observe() cannot veto mid-job; pair with snapshot-table
+    commits (write-audit-publish) when failed data must never become
+    visible.
+    """
+    if on_violation not in ("track", "fail"):
+        raise ValueError(f"unknown on_violation policy: {on_violation!r}")
+    obs = Observation()
+    observed = df.observe(obs, *_metric_cols(expectations))
+    observed.write.format(fmt).mode(mode).save(path)
+    counts = {k: int(v) for k, v in obs.get.items()}
+    if on_violation == "fail" and any(
+        v for k, v in counts.items() if k != "_rows_observed"
+    ):
+        raise ExpectationError(counts)
+    return counts
+
+
+def drain_with_expectations(
+    stream_df: DataFrame,
+    expectations: Mapping[str, Column],
+    output_mode: str = "append",
+) -> tuple[DataFrame, dict[str, int]]:
+    """Drain a stream (availableNow, memory sink) with expectation
+    counters attached via ``observe``; per-micro-batch metrics surface
+    in ``StreamingQueryProgress.observedMetrics`` and are summed here.
+    Returns (sink contents, accumulated counts)."""
+    from ..streaming.ops import _SINK_IDS
+
+    name = f"_obs_sink_{next(_SINK_IDS)}"
+    observed = stream_df.observe(
+        "expectations", *_metric_cols(expectations)
+    )
+    q = (
+        observed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    totals: dict[str, int] = {}
+    for prog in q.recentProgress:
+        row = (prog.observedMetrics or {}).get("expectations")
+        if row is None:
+            continue
+        for k, v in row.asDict().items():
+            if v is not None:
+                totals[k] = totals.get(k, 0) + int(v)
+    spark = stream_df.sparkSession
+    return spark.table(name), totals

@@ -235,3 +235,45 @@ def test_stream_stream_attribution_streaming_drain_matches_batch(spark):
     s_rows = sorted(tuple(r) for r in streamed.collect())
     b_rows = sorted(tuple(r) for r in batch.collect())
     assert s_rows == b_rows and len(s_rows) > 0
+
+
+def test_observed_write_counts_violations_in_one_job(spark, tmp_path):
+    from lakehouse_platform_nyc_taxi_spark.quality.observers import (
+        ExpectationError,
+        observed_write,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 2.0)], "id long, v double"
+    )
+    exp = {
+        "v_negative": F.col("v") < 0,
+        "v_null": F.col("v").isNull(),
+    }
+    out = str(tmp_path / "obs_out")
+    counts = observed_write(df, out, exp)
+    assert counts == {"v_negative": 1, "v_null": 1, "_rows_observed": 4}
+    assert spark.read.parquet(out).count() == 4  # track mode keeps all rows
+
+    import pytest as _pt
+
+    with _pt.raises(ExpectationError, match="v_negative"):
+        observed_write(df, str(tmp_path / "obs_out2"), exp, on_violation="fail")
+    # fail policy raises AFTER the write (write-audit-publish caveat)
+    assert spark.read.parquet(str(tmp_path / "obs_out2")).count() == 4
+
+
+def test_streaming_drain_with_expectations(spark):
+    from lakehouse_platform_nyc_taxi_spark.quality.observers import (
+        drain_with_expectations,
+    )
+
+    ev = S.read_events_stream(spark, SF_SMOKE)
+    sink, totals = drain_with_expectations(
+        ev.select("event_id", "value"),
+        {"value_null": F.col("value").isNull(),
+         "value_huge": F.col("value") > 1e12},
+    )
+    n = sink.count()
+    assert n == totals["_rows_observed"] > 0
+    assert totals["value_huge"] == 0
