@@ -80,7 +80,6 @@ _PRIORITY = [
     "dedup_clusters",
     "corpus_curation",
     "sequence_packing",
-    "doc_chunking",
     "text_pii_scrub",
     "multimodal_features",
     "agg_monthly_rollup",
@@ -120,6 +119,7 @@ _PRIORITY = [
     "sql_correlated_subquery",
     "cohort_retention",
     "timeseries_anomaly",
+    "text_bigram_lm",
 ]
 _KEEP = [
     # Batch variants of the checked bruteforce/IVF base queries: r3-green,
@@ -150,6 +150,9 @@ _KEEP = [
     # r3-green, unchanged; local-similarity property pytest — rotated
     # out for the rolling-zscore anomaly query.
     "text_winnowing",
+    # r3-green, unchanged; overlap/boundary pytest (test_packing) and a
+    # shuffle-free plan test — rotated out for the bigram LM.
+    "doc_chunking",
     # r4-green, unchanged this round; fall just past the 50-row window
     # (their rows in CORRECTNESS_r04.json stay ≤2 rounds old through r6).
     "agg_daily_rollup",

@@ -768,3 +768,42 @@ def timeseries_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         value_col="value",
     )
+
+
+@register(
+    "text_bigram_lm",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {TOKS} AS toks FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(toks) - 1),
+                   i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+        FROM t WHERE len(toks) >= 2
+    ),
+    p AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM pairs),
+    bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_big FROM p GROUP BY 1, 2),
+    cc AS (SELECT w1, CAST(sum(c_big) AS BIGINT) AS c_ctx FROM bc GROUP BY 1),
+    s AS (
+        SELECT doc_id,
+               round(-ln(CAST(c_big AS DOUBLE) / CAST(c_ctx AS DOUBLE)), 8)
+                   AS nll
+        FROM p JOIN bc USING (w1, w2) JOIN cc USING (w1)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(CAST(nll AS DECIMAL(28,8))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS avg_nll_bigram
+    FROM s GROUP BY doc_id
+    """,
+    doc="Bigram-LM surprisal per doc, model trained on the corpus in the "
+    "same job (MLE conditionals, no smoothing needed — scored bigrams "
+    "exist by construction): mean conditional surprisal upgrades the "
+    "unigram quality filter. One bigram stream feeds both the count "
+    "model and scoring; joins shuffle bigram-vocabulary-sized tables, "
+    "round8 + decimal-fenced per-doc sums.",
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bigram_lm_scores(load_table_parallel(spark, sf_dir, "documents"))

@@ -806,3 +806,60 @@ def zipf_fit(
             (F.col("sy") - slope * F.col("sx")) / n, 6
         ).alias("zipf_intercept"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram-LM surprisal per document, with the LM trained on the
+    corpus itself in the same job: ``nll(w1 w2) = -ln(c(w1,w2)/c(w1))``
+    (MLE conditionals — every scored bigram exists in the corpus by
+    construction, so no smoothing mass is needed). The mean bigram
+    surprisal upgrades the unigram filter (:func:`lm_surprisal_stats`):
+    word-salad scores near the unigram entropy, natural text much
+    lower — the gap IS the model's information gain.
+
+    Dataflow: ONE bigram stream (row-local slice/zip of the token
+    array) feeds both the count model (map-side-combined groupBy —
+    bigram-vocabulary-sized, quadratic in vocab not corpus) and the
+    scoring pass; unigram context counts ride a second vocab-sized agg.
+    Scoring joins are on (w1, w2)/(w1) — shuffle joins sized by the
+    bigram stream, AQE handles hot-bigram skew (a broadcast would not
+    hold a 100 TB corpus's bigram table). Per-pair round8 surprisal,
+    exact decimal per-doc sums.
+    """
+    toks = tokens(F.col(text_col))
+    t = df.select(F.col(id_col), toks.alias("_t")).filter(F.size("_t") >= 2)
+    pairs = t.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice("_t", 1, F.size("_t") - 1),
+                F.slice("_t", 2, F.size("_t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_b"),
+    ).select(id_col, "_b.w1", "_b.w2")
+    big_counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_big"))
+        .localCheckpoint()
+    )
+    ctx_counts = big_counts.groupBy("w1").agg(F.sum("c_big").alias("c_ctx"))
+    nll = trino_round(
+        -F.log(F.col("c_big").cast("double") / F.col("c_ctx").cast("double")), 8
+    )
+    return (
+        pairs.join(big_counts, ["w1", "w2"])
+        .join(ctx_counts, "w1")
+        .select(F.col(id_col), nll.alias("nll"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            trino_round(
+                F.sum(F.col("nll").cast("decimal(28,8)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_nll_bigram"),
+        )
+    )
