@@ -279,41 +279,64 @@ def append(
     must re-run them against the new state.
     """
 
-    def _validate(parent: int) -> str | None:
-        schema_json = None
-        table_schema = _table_schema(path, parent)
-        if table_schema is not None:
-            existing = {f.name: f.dataType for f in table_schema.fields}
-            incoming = {f.name: f.dataType for f in df.schema.fields}
-            clashes = [
-                n for n, t in incoming.items()
-                if n in existing and existing[n] != t
-            ]
-            if clashes:
-                raise ValueError(
-                    f"append schema changes types of existing columns "
-                    f"{clashes}; snapshot tables never merge type changes"
-                )
-            new_cols = [f for f in df.schema.fields if f.name not in existing]
-            if new_cols and not merge_schema:
-                raise ValueError(
-                    f"append adds columns {[f.name for f in new_cols]}; pass "
-                    "merge_schema=True to evolve the table schema"
-                )
-            if new_cols:
-                from pyspark.sql.types import StructType
-
-                schema_json = StructType(
-                    list(table_schema.fields) + new_cols
-                ).json()
-        return schema_json
-
     parent = current_version(path)
     if parent is None:
         raise ValueError(f"no snapshot table at {path}")
-    schema_json = _validate(parent)
+    schema_json = _validate_append_schema(df, path, parent, merge_schema)
     _enforce_constraints(df, path)
     new_files, new_stats = _write_data_files(df, path)
+    return _commit_append_with_retry(
+        df, path, parent, schema_json, new_files, new_stats,
+        merge_schema, retries,
+    )
+
+
+def _validate_append_schema(
+    df: DataFrame, path: str, parent: int, merge_schema: bool
+) -> str | None:
+    """Append-time schema contract (see :func:`append`): type changes on
+    existing columns always fail; new columns evolve the manifest schema
+    only under ``merge_schema``. Returns the evolved schema JSON (or
+    None when unchanged)."""
+    schema_json = None
+    table_schema = _table_schema(path, parent)
+    if table_schema is not None:
+        existing = {f.name: f.dataType for f in table_schema.fields}
+        incoming = {f.name: f.dataType for f in df.schema.fields}
+        clashes = [
+            n for n, t in incoming.items()
+            if n in existing and existing[n] != t
+        ]
+        if clashes:
+            raise ValueError(
+                f"append schema changes types of existing columns "
+                f"{clashes}; snapshot tables never merge type changes"
+            )
+        new_cols = [f for f in df.schema.fields if f.name not in existing]
+        if new_cols and not merge_schema:
+            raise ValueError(
+                f"append adds columns {[f.name for f in new_cols]}; pass "
+                "merge_schema=True to evolve the table schema"
+            )
+        if new_cols:
+            from pyspark.sql.types import StructType
+
+            schema_json = StructType(
+                list(table_schema.fields) + new_cols
+            ).json()
+    return schema_json
+
+
+def _commit_append_with_retry(
+    df: DataFrame,
+    path: str,
+    parent: int,
+    schema_json: str | None,
+    new_files: list[str],
+    new_stats: dict[str, dict],
+    merge_schema: bool,
+    retries: int,
+) -> int:
     for attempt in range(retries + 1):
         files = _read_manifest(path, parent)["files"] + new_files
         try:
@@ -327,7 +350,9 @@ def append(
             # lost the race: revalidate against the winner's state and
             # re-link the same data files onto the new parent
             parent = current_version(path)
-            schema_json = _validate(parent)
+            schema_json = _validate_append_schema(
+                df, path, parent, merge_schema
+            )
 
 
 def read_table(
@@ -1208,3 +1233,57 @@ def shallow_clone(
         dst_path, [rel[f] for f in m["files"]], "clone", parent=None,
         extra=extra, schema_json=m.get("schema"), new_stats=stats,
     )
+
+
+class AuditFailed(RuntimeError):
+    """Write-audit-publish rejection: the staged files were NOT
+    committed; per-expectation violation counts attached."""
+
+    def __init__(self, counts: dict[str, int]):
+        self.counts = counts
+        bad = {k: v for k, v in counts.items() if v and k != "_rows_observed"}
+        super().__init__(f"audit failed, commit withheld: {bad}")
+
+
+def audited_append(
+    df: DataFrame,
+    path: str,
+    expectations,
+    merge_schema: bool = False,
+    retries: int = 5,
+) -> tuple[int, dict[str, int]]:
+    """Write-audit-publish append (Iceberg WAP / DLT fail-expectations
+    done atomically): stage the batch's data files with expectation
+    counters riding the SAME write job (``Dataset.observe`` — zero extra
+    scans), then commit the manifest ONLY if every expectation came back
+    clean. On violations the commit is withheld — readers never see the
+    batch, because visibility IS the manifest — and the staged files are
+    left as orphans for :func:`vacuum_orphans`; ``AuditFailed`` carries
+    the counts.
+
+    ``expectations`` maps name -> boolean VIOLATION column (true = bad
+    row, the quality/ convention). Returns ``(version, counts)`` on a
+    clean audit. Schema validation, CHECK constraints, and the
+    commuting-append CAS retry behave exactly like :func:`append`.
+    """
+    from pyspark.sql import Observation
+
+    parent = current_version(path)
+    if parent is None:
+        raise ValueError(f"no snapshot table at {path}")
+    schema_json = _validate_append_schema(df, path, parent, merge_schema)
+    _enforce_constraints(df, path)
+    metrics = [
+        F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).alias(name)
+        for name, cond in expectations.items()
+    ] + [F.count(F.lit(1)).alias("_rows_observed")]
+    obs = Observation()
+    new_files, new_stats = _write_data_files(df.observe(obs, *metrics), path)
+    counts = {k: int(v) for k, v in obs.get.items()}
+    if any(v for k, v in counts.items() if k != "_rows_observed"):
+        raise AuditFailed(counts)
+    version = _commit_append_with_retry(
+        df, path, parent, schema_json, new_files, new_stats,
+        merge_schema, retries,
+    )
+    return version, counts

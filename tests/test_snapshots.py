@@ -748,3 +748,39 @@ def test_shallow_clone_carries_constraints(spark, tmp_path):
         snap.append(
             spark.createDataFrame([(2, -1.0)], "id long, v double"), dst
         )
+
+
+def test_audited_append_write_audit_publish(spark, tmp_path):
+    path = str(tmp_path / "wap")
+    snap.create_table(
+        spark.createDataFrame([(1, 5.0)], "id long, v double"), path
+    )
+    exp = {"v_nonpositive": F.col("v") <= 0}
+
+    # clean batch: commits, counts returned
+    v, counts = snap.audited_append(
+        spark.createDataFrame([(2, 7.0), (3, 1.0)], "id long, v double"),
+        path,
+        exp,
+    )
+    assert v == 2 and counts == {"v_nonpositive": 0, "_rows_observed": 2}
+    assert snap.read_table(spark, path).count() == 3
+
+    # dirty batch: files staged but the manifest is NEVER advanced
+    import pytest as _pt
+
+    with _pt.raises(snap.AuditFailed, match="v_nonpositive"):
+        snap.audited_append(
+            spark.createDataFrame(
+                [(4, -1.0), (5, 2.0)], "id long, v double"
+            ),
+            path,
+            exp,
+        )
+    assert snap.current_version(path) == 2
+    assert snap.read_table(spark, path).count() == 3  # readers never saw it
+
+    # the staged orphans are reclaimable
+    removed = snap.vacuum_orphans(path, min_age_seconds=0.0)
+    assert len(removed) >= 1
+    assert snap.read_table(spark, path).count() == 3
