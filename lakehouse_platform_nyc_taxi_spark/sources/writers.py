@@ -255,3 +255,22 @@ def sorted_write(
     cols = [F.col(c) for c in sort_cols]
     out = df.repartitionByRange(*([n_files] if n_files else []), *cols)
     out.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
+
+
+def dynamic_partition_overwrite(
+    df: DataFrame, path: str, partition_cols: Sequence[str]
+) -> None:
+    """Overwrite ONLY the partitions present in ``df`` (Spark's dynamic
+    partitionOverwriteMode — the ``INSERT OVERWRITE`` the reference's
+    idempotent re-ingest wants, without the manual probe+delete dance of
+    S11/S12): untouched partitions keep their files, touched partitions
+    are atomically replaced per-directory. The mode is set per-write via
+    the DataFrameWriter option, not session-wide, so concurrent writers
+    with different expectations don't fight over a global conf.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

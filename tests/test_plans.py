@@ -360,3 +360,58 @@ def test_hybrid_rrf_windows_only_over_candidate_sets(spark):
     assert "TakeOrderedAndProject" in plan
     # final top-10 + two candidate generations
     assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
+def test_analyze_statistics_flip_join_to_broadcast(spark, tmp_path):
+    """Catalyst's cost-based optimizer consumes ANALYZE TABLE statistics:
+    a dimension just over the static autoBroadcast threshold stays
+    sort-merge without stats, and flips to broadcast-hash once ANALYZE
+    records its true (small) size. Pinning this proves the engine's
+    statistics surface is wired, not just configured."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS cbo_t")
+    try:
+        spark.sql("DROP TABLE IF EXISTS cbo_t.fact")
+        spark.sql("DROP TABLE IF EXISTS cbo_t.dim")
+        spark.range(0, 200000).selectExpr(
+            "id", "id % 1000 AS k"
+        ).write.saveAsTable("cbo_t.fact")
+        spark.range(0, 1000).selectExpr(
+            "id AS k", "repeat('x', 2000) AS pad"
+        ).write.saveAsTable("cbo_t.dim")
+        prev = {
+            "spark.sql.cbo.enabled": spark.conf.get("spark.sql.cbo.enabled"),
+            "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold"
+            ),
+            "spark.sql.adaptive.enabled": spark.conf.get(
+                "spark.sql.adaptive.enabled"
+            ),
+        }
+        try:
+            spark.conf.set("spark.sql.cbo.enabled", "true")
+            # threshold sits between the no-stats size estimate (file
+            # bytes, above) and the ANALYZEd estimate (below); AQE off so
+            # the STATIC planner decision is what the plan shows
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024)
+            )
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            q = "SELECT count(*) FROM cbo_t.fact f JOIN cbo_t.dim d ON f.k = d.k"
+            before = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in before, before
+            spark.sql("ANALYZE TABLE cbo_t.dim COMPUTE STATISTICS")
+            spark.sql("ANALYZE TABLE cbo_t.fact COMPUTE STATISTICS")
+            after = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" in after, after
+            assert "SortMergeJoin" not in after, after
+            # and the statistics are durable catalog state, not session
+            stats = spark.sql("DESC EXTENDED cbo_t.dim").collect()
+            rows = {r.col_name: r.data_type for r in stats}
+            assert "Statistics" in rows and "rows" in rows["Statistics"]
+        finally:
+            for k, v in prev.items():
+                spark.conf.set(k, v)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cbo_t.fact")
+        spark.sql("DROP TABLE IF EXISTS cbo_t.dim")
+        spark.sql("DROP DATABASE IF EXISTS cbo_t")

@@ -194,3 +194,26 @@ def test_sorted_write_produces_disjoint_file_ranges(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # globally disjoint ranges -> predicate prunes files
     assert spark.read.parquet(path).count() == 20000
+
+
+def test_dynamic_partition_overwrite_touches_only_present_partitions(
+    spark, tmp_path
+):
+    from lakehouse_platform_nyc_taxi_spark.sources.writers import (
+        dynamic_partition_overwrite,
+    )
+
+    path = str(tmp_path / "dpo")
+    base = spark.createDataFrame(
+        [(1, 2023, 1), (2, 2023, 2), (3, 2023, 3)], "id long, year int, month int"
+    )
+    dynamic_partition_overwrite(base, path, ["year", "month"])
+    # re-ingest month 2 with different rows; months 1 and 3 must survive
+    redo = spark.createDataFrame(
+        [(20, 2023, 2), (21, 2023, 2)], "id long, year int, month int"
+    )
+    dynamic_partition_overwrite(redo, path, ["year", "month"])
+    got = {
+        (r.year, r.month, r.id) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(2023, 1, 1), (2023, 2, 20), (2023, 2, 21), (2023, 3, 3)}
