@@ -695,3 +695,53 @@ def pca_project(
         .select(id_col, centered.alias("_c"))
         .select(id_col, *[proj(j) for j in range(len(components))])
     )
+
+
+def save_ivf_index(index: IvfIndex, path: str) -> tuple[int, int]:
+    """Persist the IVF index AS LAKEHOUSE TABLES: ``<path>/assigned``
+    (cell, id, vector, norm) and ``<path>/centroids`` become snapshot
+    tables, so an index rebuild is an atomic commit (readers keep the
+    old version mid-rebuild), history/rollback/time travel apply to the
+    index like any table, and probes can pin a version for
+    reproducible retrieval. Returns the committed (assigned_version,
+    centroids_version)."""
+    import os
+
+    from ..sources import snapshots as snap
+
+    def _put(df: DataFrame, p: str) -> int:
+        cur = snap.current_version(p)
+        if cur is None:
+            return snap.create_table(df, p)
+        files, stats = snap._write_data_files(df, p)
+        return snap._commit(
+            p, files, "rebuild", parent=cur,
+            schema_json=df.schema.json(), new_stats=stats,
+        )
+
+    va = _put(index.assigned, os.path.join(path, "assigned"))
+    vc = _put(index.centroids, os.path.join(path, "centroids"))
+    return va, vc
+
+
+def load_ivf_index(
+    spark,
+    path: str,
+    id_col: str = "vec_id",
+    version: tuple[int, int] | None = None,
+) -> IvfIndex:
+    """Open a persisted IVF index (optionally pinned to the
+    ``(assigned_version, centroids_version)`` pair returned by
+    :func:`save_ivf_index` — time-travel retrieval). The probe path is
+    unchanged: the loaded assignment is just a snapshot-table scan."""
+    import os
+
+    from ..sources import snapshots as snap
+
+    va, vc = version if version is not None else (None, None)
+    assigned = snap.read_table(spark, os.path.join(path, "assigned"), va)
+    centroids = snap.read_table(spark, os.path.join(path, "centroids"), vc)
+    n_cells = centroids.count()
+    return IvfIndex(
+        assigned=assigned, centroids=centroids, id_col=id_col, n_cells=n_cells
+    )

@@ -85,6 +85,10 @@ def drain_with_expectations(
     """Drain a stream (availableNow, memory sink) with expectation
     counters attached via ``observe``; per-micro-batch metrics surface
     in ``StreamingQueryProgress.observedMetrics`` and are summed here.
+    Late-data accounting rides along for free:
+    ``_rows_dropped_by_watermark`` accumulates every stateful operator's
+    ``numRowsDroppedByWatermark`` — the rows the pipeline silently
+    discarded as too late, which any production stream must alert on.
     Returns (sink contents, accumulated counts)."""
     from ..streaming.ops import _SINK_IDS
 
@@ -100,8 +104,12 @@ def drain_with_expectations(
         .start()
     )
     q.awaitTermination()
-    totals: dict[str, int] = {}
+    totals: dict[str, int] = {"_rows_dropped_by_watermark": 0}
     for prog in q.recentProgress:
+        for op in prog.stateOperators or []:
+            totals["_rows_dropped_by_watermark"] += int(
+                op.numRowsDroppedByWatermark or 0
+            )
         row = (prog.observedMetrics or {}).get("expectations")
         if row is None:
             continue

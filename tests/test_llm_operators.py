@@ -731,3 +731,30 @@ def test_ngram_containment_catches_doc_in_doc(spark):
         df, block_col="source", min_jaccard=0.01
     ).collect()
     assert all(r["jaccard"] < 0.5 for r in jac)
+
+
+def test_ivf_index_persists_as_snapshot_tables(spark, tmp_path):
+    from pyspark.sql import functions as SF
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(SF.col("vec_id") == 0).select(SF.col("embedding").alias("qv"))
+    idx = similarity.build_ivf_index(emb, n_cells=8)
+    want = [tuple(r) for r in similarity.ivf_probe(idx, q, k=5).collect()]
+
+    path = str(tmp_path / "ivf_index")
+    v1 = similarity.save_ivf_index(idx, path)
+    loaded = similarity.load_ivf_index(spark, path)
+    got = [tuple(r) for r in similarity.ivf_probe(loaded, q, k=5).collect()]
+    assert got == want and len(got) == 5
+
+    # atomic rebuild: new version, old version still probes identically
+    idx2 = similarity.build_ivf_index(emb, n_cells=4)
+    v2 = similarity.save_ivf_index(idx2, path)
+    assert v2[0] == v1[0] + 1
+    pinned = similarity.load_ivf_index(spark, path, version=v1)
+    got_pinned = [
+        tuple(r) for r in similarity.ivf_probe(pinned, q, k=5).collect()
+    ]
+    assert got_pinned == want
+    fresh = similarity.load_ivf_index(spark, path)
+    assert fresh.n_cells == 4
