@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Compare two BENCH_DETAIL.json files with calibration normalization.
+
+Usage:
+    python tools/bench_compare.py OLD.json NEW.json [--min] [--threshold 1.3]
+
+Each query's time is divided by its run's ``calibration_sec`` (the
+machine-speed probe bench.py measures at session start), so cross-run /
+cross-machine comparisons see plan changes, not host variance. Prints
+common-subset totals and per-query regressions above the threshold.
+NB: calibration itself has JIT/thermal noise (observed 0.97..1.7 on one
+box minutes apart) — treat <1.5x normalized deltas as noise unless they
+reproduce in a dedicated re-time (see memory: rotation-and-bench-
+discipline).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--min", action="store_true", help="compare queries_min")
+    ap.add_argument("--threshold", type=float, default=1.3)
+    args = ap.parse_args()
+    key = "queries_min" if args.min else "queries"
+    a = json.load(open(args.old))
+    b = json.load(open(args.new))
+    ca, cb = a.get("calibration_sec") or 1.0, b.get("calibration_sec") or 1.0
+    qa, qb = a[key], b[key]
+    common = sorted(set(qa) & set(qb))
+    sa = sum(qa[q] for q in common)
+    sb = sum(qb[q] for q in common)
+    print(
+        f"common {len(common)} queries | raw {sa:.1f}s -> {sb:.1f}s"
+        f" | cal {ca:.2f} -> {cb:.2f}"
+        f" | normalized {sa / ca:.1f} -> {sb / cb:.1f}"
+        f" ({(sb / cb) / (sa / ca):.2f}x)"
+    )
+    regs = []
+    for q in common:
+        na, nb = qa[q] / ca, qb[q] / cb
+        if nb > na * args.threshold and qb[q] > 0.3:
+            regs.append((nb / na, q, qa[q], qb[q]))
+    for ratio, q, va, vb in sorted(regs, reverse=True):
+        print(f"  REG {ratio:5.2f}x  {q}: {va:.2f}s -> {vb:.2f}s (raw)")
+    if not regs:
+        print("  no normalized regressions above threshold")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
