@@ -52,6 +52,7 @@ def observed_write(
     on_violation: str = "track",
     fmt: str = "parquet",
     mode: str = "overwrite",
+    partition_by: list[str] | None = None,
 ) -> dict[str, int]:
     """Write ``df`` while counting expectation violations in the SAME
     job (``Dataset.observe`` accumulators — no second scan). Each
@@ -68,7 +69,10 @@ def observed_write(
         raise ValueError(f"unknown on_violation policy: {on_violation!r}")
     obs = Observation()
     observed = df.observe(obs, *_metric_cols(expectations))
-    observed.write.format(fmt).mode(mode).save(path)
+    writer = observed.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
     counts = {k: int(v) for k, v in obs.get.items()}
     if on_violation == "fail" and any(
         v for k, v in counts.items() if k != "_rows_observed"

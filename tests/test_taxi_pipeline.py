@@ -137,6 +137,14 @@ def test_full_pipeline_runner(spark, raw_paths, tmp_path):
     assert set(result.built) == {m.name for m in taxi_models()}
     total = spark.read.parquet(f"{wh}/fct_trips").count()
     assert total > 0
+    # inline expectations rode the fct_trips write (observe-counted,
+    # zero extra scans): all three not_null counters clean, row count
+    # matches what landed on disk
+    dq = result.dq_counts["fct_trips"]
+    assert dq["_rows_observed"] == total
+    assert dq["trip_id_null"] == 0
+    assert dq["pickup_datetime_null"] == 0
+    assert dq["taxi_type_null"] == 0
     # idempotent re-run: incremental delete+insert of the max partition
     # must not duplicate rows
     result2 = run_pipeline(spark, raw_paths, wh)
