@@ -863,3 +863,73 @@ def bigram_lm_scores(
             ).alias("avg_nll_bigram"),
         )
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    boilerplate_min_docs: int | None = None,
+) -> DataFrame:
+    """C4-style line-level cleaning:
+
+    1. WITHIN each document, duplicate lines collapse to their first
+       occurrence (``array_distinct`` is order-preserving) — row-local,
+       rides the scan.
+    2. Optionally ACROSS the corpus: lines appearing in at least
+       ``boilerplate_min_docs`` distinct documents are removed entirely
+       (navigation chrome, cookie banners, license headers). One
+       line-digest explode + map-side-combined doc-frequency count;
+       only the boilerplate digest set (small by construction — high-df
+       lines are few) broadcasts back, the corpus never shuffles.
+
+    Output: (id, text) with lines rejoined in original order, plus
+    per-doc removal counters. Reassembly keeps each surviving line's
+    first-occurrence index and sorts the (index, line) structs —
+    order-exact without a window.
+    """
+    lines = F.split(F.col(text_col), F.lit(sep), -1)
+    deduped = F.array_distinct(lines)
+    base = df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines_raw"),
+        deduped.alias("_lines"),
+    )
+    if boilerplate_min_docs is None:
+        return base.select(
+            id_col,
+            F.array_join("_lines", sep).alias(text_col),
+            "n_lines_raw",
+            F.size("_lines").alias("n_lines_kept"),
+        )
+    digests = df.select(
+        F.col(id_col), F.explode(deduped).alias("_line")
+    ).select(md5_long(F.col("_line")).alias("_lh"))
+    boiler = (
+        digests.groupBy("_lh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= boilerplate_min_docs)
+        .select("_lh")
+    )
+    boiler_set = F.broadcast(
+        boiler.agg(F.collect_set("_lh").alias("_bset"))
+    )
+    kept = F.filter(
+        F.col("_lines"),
+        lambda x: ~F.array_contains(F.col("_bset"), md5_long(x)),
+    )
+    return (
+        base.join(boiler_set)
+        .select(
+            id_col,
+            "n_lines_raw",
+            kept.alias("_kept"),
+        )
+        .select(
+            id_col,
+            F.array_join("_kept", sep).alias(text_col),
+            "n_lines_raw",
+            F.size("_kept").alias("n_lines_kept"),
+        )
+    )

@@ -199,3 +199,27 @@ def test_zipf_fit_recovers_planted_power_law(spark):
     assert abs(row.zipf_slope - s_true) < 0.12, row.zipf_slope
     # intercept ~ ln(2000)
     assert abs(row.zipf_intercept - math.log(2000)) < 0.35, row.zipf_intercept
+
+
+def test_dedup_lines_within_and_boilerplate(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators.text import dedup_lines
+
+    rows = [
+        (1, "intro\ncookie banner\nbody one\nbody one\noutro"),
+        (2, "cookie banner\nbody two\noutro"),
+        (3, "cookie banner\nunique text\noutro"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    within = {r.doc_id: r for r in dedup_lines(df).collect()}
+    assert within[1].text == "intro\ncookie banner\nbody one\noutro"
+    assert within[1].n_lines_raw == 5 and within[1].n_lines_kept == 4
+    assert within[2].text == rows[1][1]  # nothing duplicated within
+
+    # cross-doc: lines in >= 3 docs are boilerplate ('cookie banner',
+    # 'outro'); per-doc unique bodies survive in original order
+    cleaned = {r.doc_id: r for r in dedup_lines(df, boilerplate_min_docs=3).collect()}
+    assert cleaned[1].text == "intro\nbody one"
+    assert cleaned[2].text == "body two"
+    assert cleaned[3].text == "unique text"
+    assert cleaned[3].n_lines_kept == 1
