@@ -61,3 +61,38 @@ def test_csv_corpus_schema_contract(spark, tmp_path):
     assert bad.count() == 0
     rows = {r.doc_id: r for r in normalize_documents(good).collect()}
     assert rows[2].n_chars == 5 and rows[2].lang == "und"
+
+
+def test_python_datasource_doc_corpus(spark):
+    from lakehouse_platform_nyc_taxi_spark.sources.python_datasource import (
+        DocCorpusDataSource,
+    )
+
+    spark.dataSource.register(DocCorpusDataSource)
+    df = (
+        spark.read.format("doc_corpus")
+        .option("numDocs", 500)
+        .option("numPartitions", 4)
+        .option("seed", "t")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 500
+    rows = {r.doc_id: r for r in df.collect()}
+    assert sorted(rows) == list(range(500))
+    # deterministic: a second read (different partitioning) is identical
+    df2 = (
+        spark.read.format("doc_corpus")
+        .option("numDocs", 500)
+        .option("numPartitions", 7)
+        .option("seed", "t")
+        .load()
+    )
+    rows2 = {r.doc_id: r for r in df2.collect()}
+    assert all(rows[i].text == rows2[i].text for i in range(500))
+    # generated docs flow straight into the text operators
+    from lakehouse_platform_nyc_taxi_spark.operators import text as T
+
+    stats = T.text_stats(df)
+    assert stats.count() == 500
+    assert rows[0].n_chars == len(rows[0].text)
