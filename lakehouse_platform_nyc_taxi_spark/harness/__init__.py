@@ -122,14 +122,20 @@ _PRIORITY = [
     "text_bigram_lm",
 ]
 _KEEP = [
-    # Batch variants of the checked bruteforce/IVF base queries: r3-green,
-    # code untouched since (additive-only diffs to operators/similarity.py
-    # keep the rows valid); rotated out to make room for the four new r5
-    # queries — first in line for the r6 window.
+    # r6-window head: the round-5 second wave (iterative PageRank,
+    # pigeonhole-blocked fuzzy join, sweep-line interval overlap, one-
+    # pass profiling) landed after the 50-slot window was already full
+    # of queries that must earn/refresh rows this round. No driver row
+    # yet — the local mirror (bit-exact, incl. the unrolled-CTE
+    # PageRank oracle) and pytest cover them until r6.
+    "graph_pagerank",
+    "fuzzy_join_suppliers",
+    "events_max_concurrency",
+    "table_profile_numeric",
+    # r3-green batch/metadata variants, code untouched since r3
+    # (additive-only diffs keep the rows valid) — next in the r6 window.
     "similarity_topk_batch",
     "similarity_topk_ivf_batch",
-    # r3-green, unchanged, pytest-covered (test_llm_operators metadata
-    # tests); rotated out for the stream-stream join — r6 window head.
     "multimodal_metadata",
     # r3-green, unchanged; byte-parity pinned by the trino-functions
     # property suite — rotated out for the left-outer stream-stream join

@@ -728,3 +728,260 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_no").agg(
         F.count(F.lit(1)).alias("n_active")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 wave 2: iterative graph analytics, blocked fuzzy join,
+# sweep-line interval overlap, one-pass table profiling
+# --------------------------------------------------------------------------
+
+
+def _pagerank_oracle(iters: int = 3, damping: str = "0.85") -> str:
+    """Unrolled fixed-iteration PageRank as DuckDB CTEs, mirroring
+    operators/graph.py term for term (all literals forced to DOUBLE so
+    DuckDB's decimal literal arithmetic can't diverge from IEEE)."""
+    d = f"CAST({damping} AS DOUBLE)"
+    sql = """
+    WITH edges AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION
+      SELECT DISTINCT dst AS node FROM edges
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outw AS (
+      SELECT src, CAST(sum(CAST(w AS DECIMAL(28,8))) AS DOUBLE) AS ow
+      FROM edges GROUP BY src
+    ),
+    r0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn
+    )"""
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        sql += f""",
+    c{i} AS (
+      SELECT e.dst AS node,
+             CAST(sum(CAST(r.rank * e.w / o.ow AS DECIMAL(28,8))) AS DOUBLE)
+               AS contrib
+      FROM edges e
+      JOIN {p} r ON e.src = r.node
+      JOIN outw o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    d{i} AS (
+      SELECT coalesce(CAST(sum(CAST(r.rank AS DECIMAL(28,8))) AS DOUBLE),
+                      CAST(0 AS DOUBLE)) AS dm
+      FROM {p} r WHERE r.node NOT IN (SELECT src FROM outw)
+    ),
+    r{i} AS (
+      SELECT nd.node,
+             (CAST(1.0 AS DOUBLE) - {d}) / nn.n
+               + {d} * (coalesce(c.contrib, CAST(0 AS DOUBLE)) + d.dm / nn.n)
+               AS rank
+      FROM nodes nd
+      CROSS JOIN nn
+      CROSS JOIN d{i} d
+      LEFT JOIN c{i} c ON nd.node = c.node
+    )"""
+    sql += f"""
+    SELECT n.n_name AS nation, r.rank AS rank
+    FROM r{iters} r JOIN nation n ON r.node = n.n_nationkey
+    """
+    return sql
+
+
+@register(
+    "graph_pagerank",
+    _pagerank_oracle(3),
+    doc="Weighted PageRank (3 fixed iterations, d=0.85) over the "
+    "supplier-nation -> customer-nation trade graph: the Spark-native "
+    "iterative-algorithm pattern — rank vector as a DataFrame, one "
+    "join+groupBy shuffle per iteration, 1-row dangling/normalization "
+    "aggregates broadcast via crossJoin, nothing collected. Per-edge "
+    "terms in IEEE double + decimal-fenced sums make the fixpoint "
+    "bit-identical to the unrolled-CTE oracle.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85, weight="w")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return ranks.join(
+        F.broadcast(nation), ranks.node == nation.n_nationkey
+    ).select(F.col("n_name").alias("nation"), "rank")
+
+
+@register(
+    "fuzzy_join_suppliers",
+    """
+    WITH base AS (
+      SELECT s_suppkey AS k, substring(s_name, 10, 9) AS t,
+             CAST(length(substring(s_name, 10, 9)) AS INT) AS len
+      FROM supplier
+    ),
+    segs AS (
+      SELECT k, t, len, 0 AS seg_i,
+             substring(t, CAST(floor(len * 0 / 2) AS INT) + 1,
+                       CAST(floor(len * 1 / 2) AS INT)
+                         - (CAST(floor(len * 0 / 2) AS INT) + 1) + 1) AS seg
+      FROM base
+      UNION ALL
+      SELECT k, t, len, 1 AS seg_i,
+             substring(t, CAST(floor(len * 1 / 2) AS INT) + 1,
+                       CAST(floor(len * 2 / 2) AS INT)
+                         - (CAST(floor(len * 1 / 2) AS INT) + 1) + 1) AS seg
+      FROM base
+    ),
+    cand AS (
+      SELECT DISTINCT a.k AS supp_a, b.k AS supp_b,
+                      a.t AS digits_a, b.t AS digits_b
+      FROM segs a
+      JOIN segs b
+        ON a.len = b.len AND a.seg_i = b.seg_i AND a.seg = b.seg
+       AND a.k < b.k
+    )
+    SELECT supp_a, supp_b, digits_a, digits_b,
+           CAST(levenshtein(digits_a, digits_b) AS INT) AS dist
+    FROM cand
+    WHERE levenshtein(digits_a, digits_b) <= 1
+    """,
+    doc="Pigeonhole-blocked fuzzy self-join (PassJoin-style): supplier id "
+    "digit strings within substitution distance 1, candidates from an "
+    "equi-join on (length, segment ordinal, segment) — no CartesianProduct "
+    "in the plan (pinned in test_plans) — then exact levenshtein verify.",
+)
+def fuzzy_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzy import fuzzy_self_join
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.substring("s_name", 10, 9).alias("digits")
+    )
+    pairs = fuzzy_self_join(s, key="s_suppkey", text="digits", max_dist=1)
+    return pairs.select(
+        F.col("key_a").alias("supp_a"),
+        F.col("key_b").alias("supp_b"),
+        F.col("text_a").alias("digits_a"),
+        F.col("text_b").alias("digits_b"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
+@register(
+    "events_max_concurrency",
+    """
+    WITH iv AS (
+      SELECT event_type, ts AS s,
+             ts + to_seconds(CAST(round(value * 60) AS BIGINT)) AS e
+      FROM events
+    ),
+    valid AS (
+      SELECT * FROM iv
+      WHERE s IS NOT NULL AND e IS NOT NULL AND e >= s
+    ),
+    pts AS (
+      SELECT event_type, s AS t, 1 AS delta FROM valid
+      UNION ALL
+      SELECT event_type, e AS t, -1 AS delta FROM valid
+    ),
+    curve AS (
+      SELECT event_type,
+             sum(delta) OVER (
+               PARTITION BY event_type ORDER BY t, delta
+               ROWS UNBOUNDED PRECEDING
+             ) AS concurrency
+      FROM pts
+    )
+    SELECT event_type,
+           CAST(max(concurrency) AS BIGINT) AS max_concurrent,
+           CAST(count(*) / 2 AS BIGINT) AS n_intervals
+    FROM curve
+    GROUP BY event_type
+    """,
+    doc="Sweep-line interval-overlap: treat each event as an interval "
+    "[ts, ts + value minutes] and find the peak concurrency per event "
+    "type — +1/-1 boundary points, per-group window running sum, max. "
+    "O(n log n) per group vs the naive O(n^2) self-join; closes sort "
+    "before opens so touching intervals don't overlap.",
+)
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import max_concurrency
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").alias("s"),
+        F.expr(
+            "timestampadd(SECOND, CAST(round(value * 60) AS INT), ts)"
+        ).alias("e"),
+    )
+    return max_concurrency(ev, start="s", end="e", keys=["event_type"])
+
+
+@register(
+    "table_profile_numeric",
+    f"""
+    WITH src AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS q,
+             CAST(l_extendedprice AS DOUBLE) AS ep,
+             CAST(l_discount AS DOUBLE) AS disc,
+             CAST(l_tax AS DOUBLE) AS tax
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT q) AS BIGINT) AS n_distinct,
+           min(q) AS min_val, max(q) AS max_val, {DAVG('q')} AS mean_val
+    FROM src
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN ep IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT ep) AS BIGINT),
+           min(ep), max(ep), {DAVG('ep')}
+    FROM src
+    UNION ALL
+    SELECT 'l_discount', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT disc) AS BIGINT),
+           min(disc), max(disc), {DAVG('disc')}
+    FROM src
+    UNION ALL
+    SELECT 'l_tax', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT tax) AS BIGINT),
+           min(tax), max(tax), {DAVG('tax')}
+    FROM src
+    """,
+    doc="One-pass numeric profiling (DuckDB SUMMARIZE analogue as a "
+    "DataFrame): row/null/distinct counts + min/max/decimal-fenced mean "
+    "for four lineitem measures in a single wide aggregate over one "
+    "scan, pivoted to rows via stack() on the 1-row aggregate.",
+)
+def table_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_numeric
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_numeric(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )

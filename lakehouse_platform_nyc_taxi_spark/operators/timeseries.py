@@ -20,6 +20,8 @@ granularity is the caller's cue to coarsen ``step``.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -207,4 +209,56 @@ def rolling_zscore(
             F.col("n_window").cast("long").alias("n_window"),
             trino_round(F.col("_z"), 6).alias("zscore"),
         )
+    )
+
+
+def max_concurrency(
+    df: DataFrame,
+    start: str,
+    end: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Sweep-line interval-overlap analysis: for each key group, the
+    peak number of simultaneously-open intervals and the interval count.
+
+    Classic capacity question ("max concurrent sessions / rentals /
+    connections") that a naive self-join answers in O(n^2); the sweep
+    line answers it with one union + one window sort per group:
+    each interval contributes a (+1 at start, -1 at end) boundary event,
+    the running sum of deltas ordered by time is the concurrency curve,
+    and its max is the answer.
+
+    Tie policy: at equal timestamps, closes sort before opens
+    (``delta`` ascending) — touching intervals do NOT overlap, and a
+    zero-length interval counts toward ``n_intervals`` but never raises
+    the curve (its close precedes its own open). Rows with NULL bounds
+    or end < start are ignored.
+
+    Scale: the window partitions by ``keys`` — per-group sort, no
+    global order. Unkeyed use (keys=()) funnels everything through one
+    partition; callers at scale should always pass keys (time-bucket
+    the sweep per day/shard and merge if a global curve is needed).
+    """
+    kcols = [F.col(k) for k in keys]
+    valid = df.filter(
+        F.col(start).isNotNull()
+        & F.col(end).isNotNull()
+        & (F.col(end) >= F.col(start))
+    )
+    opens = valid.select(
+        *kcols, F.col(start).alias("t"), F.lit(1).alias("delta")
+    )
+    closes = valid.select(
+        *kcols, F.col(end).alias("t"), F.lit(-1).alias("delta")
+    )
+    events = opens.union(closes)
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = events.withColumn("concurrency", F.sum("delta").over(w))
+    return curve.groupBy(*keys).agg(
+        F.max("concurrency").cast("bigint").alias("max_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),
     )

@@ -1,0 +1,181 @@
+"""Unit tests for the round-5 wave-2 operators: PageRank, pigeonhole
+fuzzy join, sweep-line max-concurrency, numeric profiling — known-value
+checks on crafted inputs (the registry oracle tests cover the sf0.01
+parity; these pin the semantics on inputs with edge cases the synthetic
+tables can't produce: dangling nodes, touching intervals, NULL bounds,
+unequal lengths)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_platform_nyc_taxi_spark.operators.fuzzy import fuzzy_self_join
+from lakehouse_platform_nyc_taxi_spark.operators.graph import pagerank
+from lakehouse_platform_nyc_taxi_spark.operators.profile import profile_numeric
+from lakehouse_platform_nyc_taxi_spark.operators.timeseries import max_concurrency
+
+
+# ----------------------------------------------------------------- pagerank
+def _reference_pagerank(edges, iterations, damping):
+    """Pure-python reference with dangling redistribution."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    out_w = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0.0) + w
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d, w in edges:
+            contrib[d] += rank[s] * w / out_w[s]
+        dm = sum(rank[v] for v in nodes if v not in out_w)
+        rank = {
+            v: (1.0 - damping) / n + damping * (contrib[v] + dm / n)
+            for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_matches_reference_with_dangling_node(spark):
+    # 1 -> 2 -> 3, 1 -> 3; node 3 is dangling (no out-edges)
+    edges = [(1, 2, 1.0), (2, 3, 2.0), (1, 3, 1.0)]
+    df = spark.createDataFrame(edges, "src int, dst int, w double")
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, iterations=4, damping=0.85, weight="w").collect()
+    }
+    want = _reference_pagerank(edges, 4, 0.85)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-7), v
+
+
+def test_pagerank_sums_to_one_and_is_deterministic(spark):
+    edges = spark.range(60).select(
+        (F.col("id") % 7).alias("src"),
+        ((F.col("id") * 3 + 1) % 7).alias("dst"),
+        (F.col("id") % 3 + 1).cast("double").alias("w"),
+    )
+    a = pagerank(edges, iterations=3, weight="w")
+    b = pagerank(edges, iterations=3, weight="w")
+    ra = sorted((r.node, r.rank) for r in a.collect())
+    rb = sorted((r.node, r.rank) for r in b.collect())
+    assert ra == rb  # bit-identical across runs (fenced sums)
+    assert sum(r for _, r in ra) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_unweighted_defaults_and_validation(spark):
+    df = spark.createDataFrame([(1, 2), (2, 1)], "src int, dst int")
+    out = {r.node: r.rank for r in pagerank(df, iterations=2).collect()}
+    # symmetric 2-cycle: uniform ranks
+    assert out[1] == pytest.approx(0.5, abs=1e-9)
+    assert out[2] == pytest.approx(0.5, abs=1e-9)
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)
+
+
+# --------------------------------------------------------------- fuzzy join
+def test_fuzzy_self_join_finds_substitution_pairs_only(spark):
+    rows = [
+        (1, "abcdef"),
+        (2, "abcdeX"),  # dist 1 to key 1
+        (3, "abXdef"),  # dist 1 to key 1, dist 2 to key 2
+        (4, "abcdefg"),  # longer: never matched (equal-length contract)
+        (5, "qrstuv"),  # dist > 1 to everything
+    ]
+    df = spark.createDataFrame(rows, "k int, t string")
+    got = {
+        (r.key_a, r.key_b, r.dist)
+        for r in fuzzy_self_join(df, "k", "t", max_dist=1).collect()
+    }
+    assert got == {(1, 2, 1), (1, 3, 1)}
+
+
+def test_fuzzy_self_join_emits_each_pair_once_and_zero_dist(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "saXe")], "k int, t string"
+    )
+    rows = fuzzy_self_join(df, "k", "t", max_dist=1).collect()
+    pairs = [(r.key_a, r.key_b) for r in rows]
+    assert len(pairs) == len(set(pairs))  # no duplicate candidates survive
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+    dist = {(r.key_a, r.key_b): r.dist for r in rows}
+    assert dist[(1, 2)] == 0
+
+    with pytest.raises(ValueError):
+        fuzzy_self_join(df, "k", "t", max_dist=0)
+
+
+def test_fuzzy_self_join_max_dist_two_uses_three_segments(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghi"), (2, "aXcdefgYi"), (3, "XXXdefghi")],
+        "k int, t string",
+    )
+    got = {
+        (r.key_a, r.key_b, r.dist)
+        for r in fuzzy_self_join(df, "k", "t", max_dist=2).collect()
+    }
+    # (1,2): 2 substitutions; (1,3): 3 -> excluded; (2,3): 4 -> excluded
+    assert got == {(1, 2, 2)}
+
+
+# ---------------------------------------------------------- max_concurrency
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_max_concurrency_counts_overlaps_not_touches(spark):
+    rows = [
+        # group a: [0,10], [5,15] overlap -> 2; [15,20] touches [5,15] -> not
+        ("a", _ts(0), _ts(10)),
+        ("a", _ts(5), _ts(15)),
+        ("a", _ts(15), _ts(20)),
+        # group b: three nested -> 3
+        ("b", _ts(0), _ts(30)),
+        ("b", _ts(5), _ts(25)),
+        ("b", _ts(10), _ts(20)),
+    ]
+    df = spark.createDataFrame(rows, "g string, s timestamp, e timestamp")
+    got = {
+        r.g: (r.max_concurrent, r.n_intervals)
+        for r in max_concurrency(df, "s", "e", keys=["g"]).collect()
+    }
+    assert got == {"a": (2, 3), "b": (3, 3)}
+
+
+def test_max_concurrency_ignores_null_and_inverted_bounds(spark):
+    rows = [
+        ("a", _ts(0), _ts(10)),
+        ("a", None, _ts(5)),
+        ("a", _ts(3), None),
+        ("a", _ts(9), _ts(1)),  # inverted
+        # zero-length: counted as an interval, but under closes-before-
+        # opens its -1 precedes its own +1, so it never raises the curve
+        ("a", _ts(2), _ts(2)),
+    ]
+    df = spark.createDataFrame(rows, "g string, s timestamp, e timestamp")
+    [r] = max_concurrency(df, "s", "e", keys=["g"]).collect()
+    assert (r.max_concurrent, r.n_intervals) == (1, 2)
+
+
+# ------------------------------------------------------------------ profile
+def test_profile_numeric_known_values(spark):
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, 5.0), (2.0, 5.0), (4.0, None)],
+        "x double, y double",
+    )
+    got = {r.col_name: r for r in profile_numeric(df, ["x", "y"]).collect()}
+    assert set(got) == {"x", "y"}
+    x, y = got["x"], got["y"]
+    assert (x.n_rows, x.n_nulls, x.n_distinct) == (4, 0, 3)
+    assert (x.min_val, x.max_val) == (1.0, 4.0)
+    assert x.mean_val == pytest.approx(2.25)
+    assert (y.n_rows, y.n_nulls, y.n_distinct) == (4, 2, 1)
+    assert (y.min_val, y.max_val) == (5.0, 5.0)
+    assert y.mean_val == pytest.approx(5.0)
+
+    with pytest.raises(ValueError):
+        profile_numeric(df, [])

@@ -415,3 +415,63 @@ def test_analyze_statistics_flip_join_to_broadcast(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS cbo_t.fact")
         spark.sql("DROP TABLE IF EXISTS cbo_t.dim")
         spark.sql("DROP DATABASE IF EXISTS cbo_t")
+
+
+def test_fuzzy_join_blocked_never_cartesian(spark):
+    """Pigeonhole blocking must reach the plan as a plain equi-join on
+    (len, seg_i, seg) — an all-pairs cartesian (or non-equi nested-loop
+    join) means the blocking keys were lost to a filter rewrite."""
+    plan = plan_of(spark, "fuzzy_join_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_lineage_is_truncated(spark):
+    """The returned plan must NOT re-embed the whole iterative tree:
+    without per-iteration localCheckpoint the plan re-reads the source
+    once per path through the loop (hundreds of scans by iteration 3).
+    After truncation the final plan reads the checkpointed rank vector
+    plus at most the nation dimension."""
+    plan = _exec_plan(spark, "graph_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan  # checkpointed rank vector
+    assert plan.count("FileScan parquet") <= 1  # the nation dim only
+
+
+def test_pagerank_iteration_shape_one_shuffle_one_scalar_broadcast(spark):
+    """One declarative iteration (checkpointing off): the edge/rank join
+    and per-dst fenced aggregation are hash joins/aggregates; the only
+    nested-loop join is the 1-row dangling-mass crossJoin (the
+    repo-standard scalar-broadcast pattern); never a data-sized
+    cartesian."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_platform_nyc_taxi_spark.operators.graph import pagerank
+
+    edges = spark.range(100).select(
+        (F.col("id") % 10).alias("src"),
+        ((F.col("id") + 3) % 10).alias("dst"),
+        F.lit(1.0).alias("w"),
+    )
+    out = pagerank(edges, iterations=1, weight="w", checkpoint_every=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_profile_is_single_scan(spark):
+    """The wide profile aggregate (counts, nulls, distincts, min/max,
+    mean for 4 columns) must read lineitem exactly once — per-column
+    rescans are the anti-pattern this operator exists to avoid. The
+    multi-column count-distinct plans via Expand over that one scan."""
+    plan = _exec_plan(spark, "table_profile_numeric")
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_max_concurrency_no_global_sort(spark):
+    """The sweep line sorts within event_type window partitions only: a
+    rangepartitioning exchange (global sort) would serialize the whole
+    boundary stream through one task order at 100 TB."""
+    plan = plan_of(spark, "events_max_concurrency")
+    assert "Exchange rangepartitioning" not in plan
