@@ -975,8 +975,8 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="One-pass numeric profiling (DuckDB SUMMARIZE analogue as a "
     "DataFrame): row/null/distinct counts + min/max/decimal-fenced mean "
-    "for four lineitem measures in a single wide aggregate over one "
-    "scan, pivoted to rows via stack() on the 1-row aggregate.",
+    "for four lineitem measures — melt to (col_name, val) at the scan, "
+    "one grouped aggregation, count-distinct deduped map-side.",
 )
 def table_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import profile_numeric
