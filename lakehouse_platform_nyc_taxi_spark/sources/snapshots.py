@@ -100,9 +100,12 @@ def _commit(
     parent_stats: dict = {}
     if parent is not None:
         # table metadata rides the manifest chain (the Delta-log
-        # pattern): ops that don't change it inherit schema/constraints
+        # pattern): ops that don't change it inherit schema/constraints/
+        # deletion vectors (extra={"dv": ...} overrides — tombstones for
+        # files that later leave the manifest are inert on read and are
+        # dropped at materialize_dvs time)
         pm = _read_manifest(path, parent)
-        for key in ("schema", "constraints"):
+        for key in ("schema", "constraints", "dv"):
             if pm.get(key) is not None:
                 inherited[key] = pm[key]
         parent_stats = pm.get("stats") or {}
@@ -370,11 +373,8 @@ def read_table(
     manifest = _read_manifest(path, v)
     if not manifest["files"]:
         raise ValueError(f"version {v} of {path} is empty")
-    paths = [os.path.join(path, f) for f in manifest["files"]]
-    schema = _table_schema(path, v)
-    if schema is not None:
-        return spark.read.schema(schema).parquet(*paths)
-    return spark.read.parquet(*paths)
+    df = _scan_files(spark, path, manifest["files"], v)
+    return _apply_dvs(spark, path, manifest, df)
 
 
 def read_table_where(
@@ -416,12 +416,200 @@ def _read_files_pinned(
     that version's manifest schema — rewrite paths (delete/merge/CDF)
     MUST use this, or a rewrite that touches pre-evolution files would
     silently drop evolved columns (mixed-schema parquet reads take one
-    file's schema)."""
+    file's schema). Deletion vectors of the version are applied, so
+    copy-on-write rewrites of MOR-deleted rows can never resurrect
+    them."""
+    df = _scan_files(spark, path, files, version)
+    return _apply_dvs(spark, path, _read_manifest(path, version), df)
+
+
+def _scan_files(
+    spark: SparkSession, path: str, files: list[str], version: int
+) -> DataFrame:
+    """Schema-pinned scan WITHOUT deletion-vector filtering."""
     paths = [os.path.join(path, f) for f in files]
     schema = _table_schema(path, version)
     if schema is not None:
         return spark.read.schema(schema).parquet(*paths)
     return spark.read.parquet(*paths)
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors — merge-on-read DELETE (Delta DV / Iceberg positional
+# deletes). A MOR delete writes only (file, position) tombstones; data
+# files are untouched, so delete cost is O(matching rows), not O(files
+# rewritten) — the difference between a sub-second and a multi-hour
+# DELETE on a 100 TB table. Readers anti-join the (tiny) DV set; the
+# debt is repaid by materialize_dvs (compaction).
+# ---------------------------------------------------------------------------
+
+_DV_DIR = "_dv"
+
+
+def _dv_key_expr() -> Column:
+    """Stable per-file key from the scan's ``_metadata.file_path``:
+    the last two path components (uuid batch dir + part file name) —
+    identical no matter how the file is referenced (directly or through
+    a shallow clone's ``../src/...`` relative path)."""
+    parts = F.split(F.col("_metadata.file_path"), "/")
+    return F.concat_ws(
+        "/", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+
+
+def _dv_key_of(rel_path: str) -> str:
+    """The same two-component key for a manifest-relative file entry."""
+    segs = rel_path.replace(os.sep, "/").split("/")
+    return "/".join(segs[-2:])
+
+
+def _read_dv(spark: SparkSession, path: str, manifest: dict) -> DataFrame | None:
+    """The version's deletion-vector rows (file key, pos), or None."""
+    dv_files = manifest.get("dv") or []
+    if not dv_files:
+        return None
+    return spark.read.schema("file string, pos long").parquet(
+        *[os.path.join(path, f) for f in dv_files]
+    )
+
+
+def _keyed_scan(
+    spark: SparkSession, path: str, files: list[str], version: int
+) -> DataFrame:
+    """Schema-pinned scan carrying the DV join key columns."""
+    df = _scan_files(spark, path, files, version)
+    return df.select(
+        "*",
+        _dv_key_expr().alias("__dv_file"),
+        F.col("_metadata.row_index").alias("__dv_pos"),
+    )
+
+
+def _apply_dvs_keyed(
+    spark: SparkSession, path: str, manifest: dict, keyed: DataFrame
+) -> DataFrame:
+    dv = _read_dv(spark, path, manifest)
+    if dv is None:
+        return keyed
+    return keyed.join(
+        dv,
+        (keyed["__dv_file"] == dv["file"]) & (keyed["__dv_pos"] == dv["pos"]),
+        "left_anti",
+    )
+
+
+def _apply_dvs(
+    spark: SparkSession, path: str, manifest: dict, df: DataFrame
+) -> DataFrame:
+    """Filter MOR-deleted rows out of a scan: anti-join on (file key,
+    row_index). The DV side is tombstone-sized (rows deleted since the
+    last compaction), so AQE plans it as a broadcast; row_index comes
+    from parquet scan metadata — no data-column cost."""
+    if not (manifest.get("dv") or []):
+        return df
+    cols = df.columns
+    keyed = df.select(
+        "*",
+        _dv_key_expr().alias("__dv_file"),
+        F.col("_metadata.row_index").alias("__dv_pos"),
+    )
+    return _apply_dvs_keyed(spark, path, manifest, keyed).select(*cols)
+
+
+def _write_dv_files(df: DataFrame, path: str) -> list[str]:
+    """Write (file, pos) tombstones as immutable parquet under _dv/;
+    one distributed job, same uuid-batch layout as data files."""
+    batch = uuid.uuid4().hex
+    out_dir = os.path.join(path, _DV_DIR, batch)
+    df.select(
+        F.col("file").cast("string"), F.col("pos").cast("long")
+    ).write.mode("error").parquet(out_dir)
+    rel = []
+    for root, _dirs, names in os.walk(out_dir):
+        for n in names:
+            if n.endswith(".parquet"):
+                rel.append(os.path.relpath(os.path.join(root, n), path))
+    return rel
+
+
+def delete_where_mor(
+    spark: SparkSession,
+    path: str,
+    predicate: Column,
+    prune: tuple[str, object, object] | None = None,
+) -> int:
+    """Merge-on-read DELETE: append (file, position) tombstones instead
+    of rewriting data files — Delta deletion vectors / Iceberg
+    positional deletes.
+
+    One distributed job reads the candidate files (manifest-stats
+    pruned via ``prune``, same OVER-approximation contract as
+    :func:`delete_where`) with their parquet row indexes, filters to
+    ``predicate`` matches not already tombstoned, and writes the
+    positions; the commit references every data file unchanged. Every
+    read path (read_table, scan-planned reads, COW rewrites, CDF,
+    streaming sources over snapshots) applies the vectors, so results
+    are indistinguishable from a COW delete. Read-side anti-join debt
+    accumulates per MOR delete — :func:`materialize_dvs` compacts it
+    away. Returns the new version."""
+    parent = current_version(path)
+    if parent is None:
+        raise ValueError(f"no snapshot table at {path}")
+    manifest = _read_manifest(path, parent)
+    if prune is not None:
+        col, lo, hi = prune
+        candidates = _candidate_files(path, manifest, col, lo, hi)
+    else:
+        candidates = list(manifest["files"])
+    dv_files = list(manifest.get("dv") or [])
+    if candidates:
+        keyed = _keyed_scan(spark, path, candidates, parent)
+        live = _apply_dvs_keyed(spark, path, manifest, keyed)
+        hits = live.filter(predicate).select(
+            F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
+        )
+        dv_files += _write_dv_files(hits, path)
+    return _commit(
+        path,
+        list(manifest["files"]),
+        "delete_mor",
+        parent=parent,
+        extra={"dv": sorted(dv_files)},
+    )
+
+
+def materialize_dvs(spark: SparkSession, path: str) -> int:
+    """Compaction for deletion vectors: rewrite ONLY the files that
+    carry tombstones (dropping their dead rows) and commit with an
+    empty DV set — the read-side anti-join disappears. Files without
+    tombstones carry over unscanned. Returns the new version."""
+    parent = current_version(path)
+    if parent is None:
+        raise ValueError(f"no snapshot table at {path}")
+    manifest = _read_manifest(path, parent)
+    dv = _read_dv(spark, path, manifest)
+    if dv is None:
+        return parent
+    # Bounded driver metadata: the distinct file keys carrying
+    # tombstones (<= files touched since last compaction), never rows.
+    dead_keys = {r["file"] for r in dv.select("file").distinct().collect()}
+    candidates = [
+        f for f in manifest["files"] if _dv_key_of(f) in dead_keys
+    ]
+    kept = [f for f in manifest["files"] if _dv_key_of(f) not in dead_keys]
+    new_files, new_stats = kept, {}
+    if candidates:
+        survivors = _read_files_pinned(spark, path, candidates, parent)
+        written, new_stats = _write_data_files(survivors, path)
+        new_files = kept + written
+    return _commit(
+        path,
+        new_files,
+        "materialize_dv",
+        parent=parent,
+        extra={"dv": []},
+        new_stats=new_stats,
+    )
 
 
 def _candidate_files(
@@ -653,11 +841,14 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[int]:
     if len(vs) <= keep_last:
         return []
     expired, kept_versions = vs[:-keep_last], vs[-keep_last:]
-    live = {
-        f for v in kept_versions for f in _read_manifest(path, v)["files"]
-    }
+    live = set()
+    for v in kept_versions:
+        m = _read_manifest(path, v)
+        live.update(m["files"])
+        live.update(m.get("dv") or [])
     for v in expired:
-        for f in _read_manifest(path, v)["files"]:
+        m = _read_manifest(path, v)
+        for f in list(m["files"]) + list(m.get("dv") or []):
             if f not in live:
                 full = os.path.join(path, f)
                 if os.path.exists(full):
@@ -768,7 +959,11 @@ def optimize_table(
     else:
         df = df.coalesce(target_files)
     files, stats = _write_data_files(df, path)
-    return _commit(path, files, "optimize", parent=parent, new_stats=stats)
+    # the full rewrite read DV-filtered rows, so tombstones are spent
+    return _commit(
+        path, files, "optimize", parent=parent, new_stats=stats,
+        extra={"dv": []},
+    )
 
 
 def committed_stream_batches(
@@ -885,22 +1080,25 @@ def vacuum_orphans(path: str, min_age_seconds: float = 3600.0) -> list[str]:
     version at all.
     """
     _, data_dir = _table_dirs(path)
-    if not os.path.isdir(data_dir):
-        return []
-    referenced = {
-        f for v in _versions(path) for f in _read_manifest(path, v)["files"]
-    }
+    referenced = set()
+    for v in _versions(path):
+        m = _read_manifest(path, v)
+        referenced.update(m["files"])
+        referenced.update(m.get("dv") or [])
     now = time.time()
     removed = []
-    for root, _dirs, names in os.walk(data_dir):
-        for n in names:
-            full = os.path.join(root, n)
-            rel = os.path.relpath(full, path)
-            if rel in referenced or not n.endswith(".parquet"):
-                continue
-            if now - os.path.getmtime(full) >= min_age_seconds:
-                os.remove(full)
-                removed.append(rel)
+    for scan_dir in (data_dir, os.path.join(path, _DV_DIR)):
+        if not os.path.isdir(scan_dir):
+            continue
+        for root, _dirs, names in os.walk(scan_dir):
+            for n in names:
+                full = os.path.join(root, n)
+                rel = os.path.relpath(full, path)
+                if rel in referenced or not n.endswith(".parquet"):
+                    continue
+                if now - os.path.getmtime(full) >= min_age_seconds:
+                    os.remove(full)
+                    removed.append(rel)
     return removed
 
 
@@ -1066,8 +1264,9 @@ def table_changes(
         raise ValueError(
             f"versions {from_version}..{to_version} not both present at {path}"
         )
-    old = set(_read_manifest(path, from_version)["files"])
-    new = set(_read_manifest(path, to_version)["files"])
+    m_old = _read_manifest(path, from_version)
+    m_new = _read_manifest(path, to_version)
+    old, new = set(m_old["files"]), set(m_new["files"])
     added = sorted(new - old)
     removed = sorted(old - new)
 
@@ -1077,23 +1276,59 @@ def table_changes(
     # spans the evolution commit.
     schema = _table_schema(path, to_version)
 
-    def _read(files: list[str]) -> DataFrame | None:
+    def _read(files: list[str], dv_manifest: dict) -> DataFrame | None:
         if not files:
             return None
         paths = [os.path.join(path, f) for f in files]
         if schema is not None:
-            return spark.read.schema(schema).parquet(*paths)
-        return spark.read.parquet(*paths)
+            df = spark.read.schema(schema).parquet(*paths)
+        else:
+            df = spark.read.parquet(*paths)
+        return _apply_dvs(spark, path, dv_manifest, df)
 
-    a, r = _read(added), _read(removed)
-    if a is None and r is None:
-        # no file churn between the versions -> empty feed with the
-        # table's schema
+    # Each side nets out its own deletion vectors: added files minus
+    # to-version tombstones (rows appended then MOR-deleted inside the
+    # span never existed for the feed), removed files minus from-version
+    # tombstones (rows already dead at `from` aren't deleted again).
+    a, r = _read(added, m_new), _read(removed, m_old)
+
+    # MOR deletes on files present in BOTH versions: the rows at
+    # positions tombstoned inside the span. Only the files carrying new
+    # tombstones are read (their keys are bounded driver metadata —
+    # O(files touched since `from`), never rows).
+    mor = None
+    dv_new_df = _read_dv(spark, path, m_new)
+    if dv_new_df is not None:
+        dv_old_df = _read_dv(spark, path, m_old)
+        delta = (
+            dv_new_df.exceptAll(dv_old_df)
+            if dv_old_df is not None
+            else dv_new_df
+        ).distinct()
+        keys = {row["file"] for row in delta.select("file").distinct().collect()}
+        touched = sorted(f for f in (old & new) if _dv_key_of(f) in keys)
+        if touched:
+            keyed = _keyed_scan(spark, path, touched, to_version)
+            data_cols = [
+                c for c in keyed.columns if c not in ("__dv_file", "__dv_pos")
+            ]
+            mor = keyed.join(
+                delta,
+                (keyed["__dv_file"] == delta["file"])
+                & (keyed["__dv_pos"] == delta["pos"]),
+                "left_semi",
+            ).select(*data_cols)
+
+    if a is None and r is None and mor is None:
+        # no file or tombstone churn between the versions -> empty feed
+        # with the table's schema
         cur = read_table(spark, path, to_version)
         empty = cur.limit(0)
         return empty.withColumn("_change_type", F.lit("insert"))
     inserted = a.exceptAll(r) if (a is not None and r is not None) else a
     deleted = r.exceptAll(a) if (a is not None and r is not None) else r
+    if mor is not None:
+        deleted = mor if deleted is None else deleted.unionByName(mor)
     parts = []
     if inserted is not None:
         parts.append(inserted.withColumn("_change_type", F.lit("insert")))
@@ -1229,6 +1464,14 @@ def shallow_clone(
     extra: dict = {"cloned_from": src_abs, "cloned_version": v}
     if m.get("constraints"):
         extra["constraints"] = m["constraints"]
+    if m.get("dv"):
+        # deletion vectors carry over by reference too; their (batch,
+        # file) keys are path-prefix-independent, so they keep matching
+        # the re-referenced data files
+        extra["dv"] = sorted(
+            os.path.relpath(os.path.join(src_abs, f), dst_abs)
+            for f in m["dv"]
+        )
     return _commit(
         dst_path, [rel[f] for f in m["files"]], "clone", parent=None,
         extra=extra, schema_json=m.get("schema"), new_stats=stats,

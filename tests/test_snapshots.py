@@ -784,3 +784,189 @@ def test_audited_append_write_audit_publish(spark, tmp_path):
     removed = snap.vacuum_orphans(path, min_age_seconds=0.0)
     assert len(removed) >= 1
     assert snap.read_table(spark, path).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (merge-on-read DELETE)
+# ---------------------------------------------------------------------------
+
+
+def test_mor_delete_keeps_files_and_time_travels(spark, table):
+    files_v1 = snap._read_manifest(table, 1)["files"]
+    v2 = snap.delete_where_mor(spark, table, F.col("id") < 10)
+    assert v2 == 2
+    m2 = snap._read_manifest(table, 2)
+    # merge-on-read: NO data file churn, only tombstones
+    assert m2["files"] == files_v1
+    assert m2["dv"]
+    assert snap.read_table(spark, table).count() == 90
+    assert snap.read_table(spark, table).filter("id < 10").count() == 0
+    # readers pinned before the delete still see every row
+    assert snap.read_table(spark, table, version=1).count() == 100
+
+
+def test_mor_delete_never_duplicates_tombstones(spark, table):
+    snap.delete_where_mor(spark, table, F.col("id") < 10)
+    v3 = snap.delete_where_mor(spark, table, F.col("id") < 20)
+    dv = snap._read_dv(spark, table, snap._read_manifest(table, v3))
+    # the overlapping second delete only tombstones the 10 still-live rows
+    assert dv.count() == 20
+    assert dv.distinct().count() == 20
+    assert snap.read_table(spark, table).count() == 80
+
+
+def test_mor_delete_with_stats_pruning_metadata_only(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "mor_pruned")
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 10).alias("bucket"))
+    snap.create_table(df.repartitionByRange(4, "id"), path)
+
+    import pyarrow.parquet as pq
+
+    calls = {"n": 0}
+    real = pq.ParquetFile
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(pq, "ParquetFile", counting)
+    snap.delete_where_mor(
+        spark, path, F.col("id").between(0, 24), prune=("id", 0, 24)
+    )
+    assert calls["n"] == 0  # candidates from manifest stats, no footers
+    assert snap.read_table(spark, path).count() == 75
+
+
+def test_cow_rewrite_after_mor_never_resurrects(spark, table):
+    snap.delete_where_mor(spark, table, F.col("id") < 10)
+    # COW ops read candidates through the pinned+DV-filtered path
+    snap.delete_where(spark, table, F.col("bucket") == 5)
+    got = snap.read_table(spark, table)
+    assert got.filter("id < 10").count() == 0
+    assert got.filter("bucket = 5").count() == 0
+    assert got.count() == 100 - 10 - 9  # ids 15,25,...,95
+
+    snap.update_where(
+        spark, table, F.col("id") >= 90, {"bucket": F.lit(77).cast("long")}
+    )
+    got = snap.read_table(spark, table)
+    assert got.filter("id < 10").count() == 0
+    # ids 90-99 minus 95 (already COW-deleted with bucket 5)
+    assert got.filter("bucket = 77").count() == 9
+
+
+def test_mor_cdf_emits_deletes_and_nets_out_inside_span(spark, table):
+    v2 = snap.delete_where_mor(spark, table, F.col("id") < 5)
+    ch = snap.table_changes(spark, table, 1, v2)
+    rows = sorted((r._change_type, r.id) for r in ch.collect())
+    assert rows == [("delete", i) for i in range(5)]
+
+    # append rows then MOR-delete them inside one span: they never
+    # existed for the feed; the surviving append shows as insert
+    snap.append(
+        spark.range(1000, 1004).select(
+            F.col("id"), F.lit(0).cast("long").alias("bucket")
+        ),
+        table,
+    )
+    v4 = snap.delete_where_mor(spark, table, F.col("id").isin(1000, 1001))
+    ch = snap.table_changes(spark, table, v2, v4)
+    rows = sorted((r._change_type, r.id) for r in ch.collect())
+    assert rows == [("insert", 1002), ("insert", 1003)]
+
+
+def test_mor_cdf_no_churn_is_empty_feed(spark, table):
+    v2 = snap.delete_where_mor(spark, table, F.col("id") < 5)
+    ch = snap.table_changes(spark, table, v2, v2)
+    assert ch.count() == 0
+    assert "_change_type" in ch.columns
+
+
+def test_materialize_dvs_rewrites_only_tombstoned_files(spark, tmp_path):
+    path = str(tmp_path / "mor_mat")
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 10).alias("bucket"))
+    snap.create_table(df.repartitionByRange(4, "id"), path)
+    snap.delete_where_mor(
+        spark, path, F.col("id").between(0, 24), prune=("id", 0, 24)
+    )
+    files_before = set(snap._read_manifest(path, 2)["files"])
+    v3 = snap.materialize_dvs(spark, path)
+    m3 = snap._read_manifest(path, v3)
+    assert m3["dv"] == []
+    kept = files_before & set(m3["files"])
+    # the 3 untombstoned range files carry over untouched
+    assert len(kept) == 3
+    assert snap.read_table(spark, path).count() == 75
+    # spent tombstones: a fresh read opens no DV side at all
+    assert snap.read_table(spark, path).filter("id < 25").count() == 0
+    # idempotent on a clean table
+    assert snap.materialize_dvs(spark, path) == v3
+
+
+def test_mor_read_table_where_applies_dvs(spark, tmp_path):
+    path = str(tmp_path / "mor_rtw")
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 10).alias("bucket"))
+    snap.create_table(df.repartitionByRange(4, "id"), path)
+    snap.delete_where_mor(spark, path, F.col("id") == 30)
+    got = snap.read_table_where(spark, path, "id", 25, 49)
+    assert got.count() == 24
+    assert got.filter("id = 30").count() == 0
+
+
+def test_shallow_clone_carries_deletion_vectors(spark, tmp_path):
+    src = str(tmp_path / "mor_clone_src")
+    dst = str(tmp_path / "mor_clone_dst")
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 10).alias("bucket"))
+    snap.create_table(df.repartition(4), src)
+    snap.delete_where_mor(spark, src, F.col("id") < 10)
+    snap.shallow_clone(src, dst)
+    assert snap.read_table(spark, dst).count() == 90
+    assert snap.read_table(spark, dst).filter("id < 10").count() == 0
+    # clone-side materialization writes into the clone, source untouched
+    snap.materialize_dvs(spark, dst)
+    assert snap.read_table(spark, dst).count() == 90
+    assert snap.read_table(spark, src).count() == 90
+    assert snap._read_manifest(src, snap.current_version(src))["dv"]
+
+
+def test_vacuum_and_expire_manage_dv_files(spark, table):
+    snap.delete_where_mor(spark, table, F.col("id") < 10)
+    # referenced dv files survive an aggressive vacuum
+    assert snap.vacuum_orphans(table, min_age_seconds=0.0) == []
+    assert snap.read_table(spark, table).count() == 90
+
+    # orphaned dv batch (simulated crashed writer) is swept
+    import pyspark.sql.functions as SF
+
+    orphan = snap._write_dv_files(
+        spark.createDataFrame([("zz/zz.parquet", 0)], "file string, pos long"),
+        table,
+    )
+    assert orphan
+    removed = snap.vacuum_orphans(table, min_age_seconds=0.0)
+    assert sorted(removed) == sorted(orphan)
+
+    # materialize then expire old versions: spent dv files are reclaimed
+    snap.materialize_dvs(spark, table)
+    dv_files = snap._read_manifest(table, 2)["dv"]
+    assert dv_files
+    snap.expire_snapshots(table, keep_last=1)
+    assert not any(os.path.exists(os.path.join(table, f)) for f in dv_files)
+    assert snap.read_table(spark, table).count() == 90
+
+
+def test_merge_into_on_mor_table_does_not_resurrect(spark, tmp_path):
+    path = str(tmp_path / "mor_merge")
+    df = spark.range(0, 50).select(F.col("id"), (F.col("id") % 10).alias("bucket"))
+    snap.create_table(df.repartition(2), path)
+    snap.delete_where_mor(spark, path, F.col("id") < 5)
+    src = spark.createDataFrame(
+        [(3, 99), (60, 99)], "id long, bucket long"
+    )
+    snap.merge_into(spark, path, src, key_cols=["id"])
+    got = snap.read_table(spark, path)
+    # id=3 was MOR-deleted -> the merge sees no match and INSERTS it anew
+    assert got.filter("id = 3").count() == 1
+    assert [r.bucket for r in got.filter("id = 3").collect()] == [99]
+    assert got.filter("id < 3").count() == 0
+    assert got.count() == 45 + 2
