@@ -132,6 +132,7 @@ _KEEP = [
     "fuzzy_join_suppliers",
     "events_max_concurrency",
     "table_profile_numeric",
+    "timeseries_ohlc",
     # r3-green batch/metadata variants, code untouched since r3
     # (additive-only diffs keep the rows valid) — next in the r6 window.
     "similarity_topk_batch",

@@ -985,3 +985,63 @@ def table_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_numeric(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
+
+
+@register(
+    "timeseries_ohlc",
+    """
+    WITH keyed AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS slot,
+             value,
+             lpad(CAST(date_diff('microsecond',
+                                 TIMESTAMP '2024-01-01 00:00:00', ts)
+                       AS VARCHAR), 16, '0')
+               || lpad(CAST(event_id AS VARCHAR), 10, '0') AS ord
+      FROM events
+    )
+    SELECT event_type, slot,
+           arg_min(value, ord) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ord) AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS volume
+    FROM keyed
+    GROUP BY event_type, slot
+    """,
+    doc="OHLC bar resampling (open/high/low/close + volume per hour per "
+    "series): open/close via arg-extreme aggregates over a fixed-width "
+    "(micros-offset, event_id) string key — one partial-agg shuffle "
+    "carrying a single (value, key) pair per group, deterministic under "
+    "timestamp ties, where the window row_number formulation would sort "
+    "every group twice.",
+)
+def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ord_key = F.concat(
+        F.lpad(
+            F.expr(
+                "cast(timestampdiff(MICROSECOND,"
+                " timestamp_ntz'2024-01-01 00:00:00',"
+                " cast(ts as timestamp_ntz)) as string)"
+            ),
+            16,
+            "0",
+        ),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
+    keyed = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("slot"),
+        "value",
+        ord_key.alias("ord"),
+    )
+    return keyed.groupBy("event_type", "slot").agg(
+        F.min_by("value", "ord").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ord").alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("volume"),
+    )

@@ -480,3 +480,13 @@ def test_max_concurrency_no_global_sort(spark):
     boundary stream through one task order at 100 TB."""
     plan = plan_of(spark, "events_max_concurrency")
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_ohlc_is_single_agg_no_window_sort(spark):
+    """open/close come from arg-extreme aggregates: one partial-agg
+    shuffle, no Window node, no sort — the row_number-over-window
+    formulation would range-sort every group."""
+    plan = _exec_plan(spark, "timeseries_ohlc")
+    assert "Window" not in plan
+    assert "partial" in plan.lower()
+    assert "Exchange rangepartitioning" not in plan
