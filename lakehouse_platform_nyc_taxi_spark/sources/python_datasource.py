@@ -24,7 +24,12 @@ from __future__ import annotations
 import hashlib
 import math
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 #: Small fixed vocabulary — same spirit as the driver's synthetic docs.
 _VOCAB = (
@@ -78,3 +83,174 @@ class DocCorpusReader(DataSourceReader):
                     h = int.from_bytes(digest, "big")
             text = " ".join(words)
             yield (doc_id, text, "en", f"src{doc_id % 3}", len(text))
+
+
+# ---------------------------------------------------------------------------
+# Streaming change-feed source over snapshot tables (Delta-streaming
+# analogue): ``spark.readStream.format("snapshot_cdf")``. Offsets are
+# table VERSIONS — monotonic, checkpointed by the engine, replayable
+# from immutable manifests — so restarts resume exactly-once with no
+# source-side state. Appends stream as inserts, merge-on-read deletes
+# stream as per-tombstone delete rows; copy-on-write commits (file
+# removals) raise by default or are skipped under
+# ``skipChangeCommits`` — the same contract Delta's streaming source
+# exposes.
+#
+# Scale design: the driver's partitions() touches only MANIFESTS
+# (metadata); each input partition is one added data file or one
+# tombstone file, read executor-side with pyarrow. A 10k-file append
+# fans out as 10k parallel partitions.
+# ---------------------------------------------------------------------------
+
+
+class SnapshotCdfDataSource(DataSource):
+    """``format("snapshot_cdf")`` — streaming change feed of a snapshot
+    table. Options: ``path`` (required), ``startingVersion`` (default 0
+    = full history), ``skipChangeCommits`` (default false)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_cdf"
+
+    def _table_schema(self):
+        from pyspark.sql.types import StructType
+
+        from .snapshots import _read_manifest, current_version
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("snapshot_cdf requires .option('path', ...)")
+        v = current_version(path)
+        if v is None:
+            raise ValueError(f"no snapshot table at {path}")
+        sj = _read_manifest(path, v).get("schema")
+        if sj is None:
+            raise ValueError(
+                f"snapshot table at {path} has no manifest schema — "
+                "snapshot_cdf needs one to declare its stream schema "
+                "(tables created by create_table/append always have it)"
+            )
+        import json as _json
+
+        return StructType.fromJson(_json.loads(sj))
+
+    def schema(self):
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        base = self._table_schema()
+        return StructType(
+            list(base.fields)
+            + [
+                StructField("_change_type", StringType()),
+                StructField("_commit_version", LongType()),
+            ]
+        )
+
+    def streamReader(self, schema) -> "SnapshotCdfStreamReader":
+        return SnapshotCdfStreamReader(
+            self.options, [f.name for f in self._table_schema().fields]
+        )
+
+
+class SnapshotCdfStreamReader(DataSourceStreamReader):
+    def __init__(self, options, field_names):
+        self.path = options["path"]
+        self.starting = int(options.get("startingversion", 0))
+        self.skip_changes = str(
+            options.get("skipchangecommits", "false")
+        ).lower() in ("true", "1")
+        self.fields = field_names
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting}
+
+    def latestOffset(self) -> dict:
+        from .snapshots import current_version
+
+        return {"version": current_version(self.path) or self.starting}
+
+    def partitions(self, start: dict, end: dict):
+        import os as _os
+
+        from .snapshots import _read_manifest
+
+        out = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            m = _read_manifest(self.path, v)
+            prev_files: set = set()
+            prev_dv: set = set()
+            if m.get("parent") is not None:
+                pm = _read_manifest(self.path, m["parent"])
+                prev_files = set(pm["files"])
+                prev_dv = set(pm.get("dv") or [])
+            added = sorted(set(m["files"]) - prev_files)
+            removed = sorted(prev_files - set(m["files"]))
+            dv_added = sorted(set(m.get("dv") or []) - prev_dv)
+            if removed:
+                if self.skip_changes:
+                    continue
+                raise ValueError(
+                    f"snapshot_cdf: version {v} ({m.get('op')}) rewrote "
+                    "data files — copy-on-write commits cannot stream as "
+                    "row-level changes; set .option('skipChangeCommits', "
+                    "'true') to ignore them (Delta streaming-source "
+                    "semantics)"
+                )
+            abs_of = {
+                _dv_key(f): _os.path.abspath(_os.path.join(self.path, f))
+                for f in m["files"]
+            }
+            for f in added:
+                out.append(
+                    InputPartition(
+                        ("insert", v,
+                         _os.path.abspath(_os.path.join(self.path, f)),
+                         None)
+                    )
+                )
+            for f in dv_added:
+                out.append(
+                    InputPartition(
+                        ("delete", v,
+                         _os.path.abspath(_os.path.join(self.path, f)),
+                         abs_of)
+                    )
+                )
+        return out
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+
+        kind, version, file_path, abs_of = partition.value
+        if kind == "insert":
+            tbl = pq.read_table(file_path, columns=self.fields)
+            for row in tbl.to_pylist():
+                yield tuple(row[c] for c in self.fields) + ("insert", version)
+            return
+        dv = pq.read_table(file_path).to_pylist()
+        by_file: dict = {}
+        for r in dv:
+            by_file.setdefault(r["file"], []).append(r["pos"])
+        for key, positions in by_file.items():
+            data_path = abs_of.get(key)
+            if data_path is None:
+                continue  # tombstone for a file no longer in the version
+            tbl = pq.read_table(data_path, columns=self.fields).take(
+                sorted(positions)
+            )
+            for row in tbl.to_pylist():
+                yield tuple(row[c] for c in self.fields) + ("delete", version)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are table versions; manifests are immutable
+
+
+def _dv_key(rel_path: str) -> str:
+    """Last-two-component key, identical to snapshots._dv_key_of."""
+    segs = rel_path.replace("\\", "/").split("/")
+    return "/".join(segs[-2:])

@@ -96,3 +96,124 @@ def test_python_datasource_doc_corpus(spark):
     stats = T.text_stats(df)
     assert stats.count() == 500
     assert rows[0].n_chars == len(rows[0].text)
+
+
+# ---------------------------------------------------------------------------
+# snapshot_cdf: streaming change-feed source over snapshot tables
+# ---------------------------------------------------------------------------
+
+
+def _cdf_setup(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from lakehouse_platform_nyc_taxi_spark.sources import snapshots as snap
+    from lakehouse_platform_nyc_taxi_spark.sources.python_datasource import (
+        SnapshotCdfDataSource,
+    )
+
+    spark.dataSource.register(SnapshotCdfDataSource)
+    path = str(tmp_path / "cdf_table")
+    snap.create_table(
+        spark.range(0, 20).select(
+            F.col("id"), (F.col("id") % 5).alias("bucket")
+        ).repartition(2),
+        path,
+    )
+    snap.append(
+        spark.range(20, 30).select(
+            F.col("id"), F.lit(0).cast("long").alias("bucket")
+        ),
+        path,
+    )
+    snap.delete_where_mor(spark, path, F.col("id") < 3)
+    return snap, path
+
+
+def _drain_cdf(spark, path, out, ckpt, **options):
+    reader = spark.readStream.format("snapshot_cdf").option("path", path)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_snapshot_cdf_streams_inserts_and_mor_deletes(spark, tmp_path):
+    _snap, path = _cdf_setup(spark, tmp_path)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain_cdf(spark, path, out, ckpt)
+    r = spark.read.parquet(out)
+    got = {
+        row._change_type: row.n
+        for row in r.groupBy("_change_type").count().withColumnRenamed("count", "n").collect()
+    }
+    assert got == {"insert": 30, "delete": 3}
+    # per-commit versions: create=1, append=2, mor delete=3
+    versions = {
+        (row._change_type, row._commit_version)
+        for row in r.select("_change_type", "_commit_version").distinct().collect()
+    }
+    assert versions == {("insert", 1), ("insert", 2), ("delete", 3)}
+    assert sorted(
+        row.id for row in r.filter("_change_type = 'delete'").collect()
+    ) == [0, 1, 2]
+
+
+def test_snapshot_cdf_restart_resumes_exactly_once(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    snap, path = _cdf_setup(spark, tmp_path)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain_cdf(spark, path, out, ckpt)
+    snap.append(
+        spark.range(100, 105).select(
+            F.col("id"), F.lit(9).cast("long").alias("bucket")
+        ),
+        path,
+    )
+    snap.delete_where_mor(spark, path, F.col("id") == 25)
+    _drain_cdf(spark, path, out, ckpt)  # same checkpoint -> resume
+    r = spark.read.parquet(out)
+    assert r.count() == r.distinct().count()  # nothing replayed
+    got = {
+        row._change_type: row.n
+        for row in r.groupBy("_change_type").count().withColumnRenamed("count", "n").collect()
+    }
+    assert got == {"insert": 35, "delete": 4}
+
+
+def test_snapshot_cdf_rejects_or_skips_cow_commits(spark, tmp_path):
+    import pyspark.sql.functions as F
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    snap, path = _cdf_setup(spark, tmp_path)
+    snap.delete_where(spark, path, F.col("id") == 29)  # COW rewrite
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    with pytest.raises(StreamingQueryException, match="copy-on-write"):
+        _drain_cdf(spark, path, out, ckpt)
+    # Delta semantics: skipChangeCommits ignores the rewrite commit
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    _drain_cdf(spark, path, out2, ckpt2, skipChangeCommits="true")
+    r = spark.read.parquet(out2)
+    assert r.filter("_change_type = 'delete'").count() == 3
+    # inserts: v1 (20 rows) + v2 (10) — the rewrite's new file is skipped
+    assert r.filter("_change_type = 'insert'").count() == 30
+
+
+def test_snapshot_cdf_starting_version(spark, tmp_path):
+    _snap, path = _cdf_setup(spark, tmp_path)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain_cdf(spark, path, out, ckpt, startingVersion="2")
+    r = spark.read.parquet(out)
+    # only the v3 MOR delete is after version 2
+    assert {row._change_type for row in r.select("_change_type").collect()} == {
+        "delete"
+    }
+    assert r.count() == 3
