@@ -133,6 +133,8 @@ _KEEP = [
     "events_max_concurrency",
     "table_profile_numeric",
     "timeseries_ohlc",
+    "sql_lateral_topn",
+    "dedup_latest_record",
     # r3-green batch/metadata variants, code untouched since r3
     # (additive-only diffs keep the rows valid) — next in the r6 window.
     "similarity_topk_batch",

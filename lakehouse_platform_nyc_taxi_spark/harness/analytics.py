@@ -1045,3 +1045,66 @@ def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("volume"),
     )
+
+
+_LATERAL_TOPN_SQL = """
+    SELECT n.n_name AS nation, t.c_name AS customer, t.c_acctbal AS acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c.c_name, c.c_acctbal
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c.c_acctbal DESC, c.c_custkey
+      LIMIT 2
+    ) t
+"""
+
+
+@register(
+    "sql_lateral_topn",
+    _LATERAL_TOPN_SQL,
+    doc="Correlated LATERAL table subquery (Spark 3.2+ lateral join): "
+    "top-2 customers by balance per nation, written as the for-each-row "
+    "subquery shape analysts reach for. Catalyst decorrelates it into "
+    "a ranked join — no per-nation re-execution. IDENTICAL SQL text "
+    "runs on the DuckDB oracle (ad-hoc Trino-endpoint parity, reference "
+    "README.md:163-167). Tie-broken by c_custkey, so deterministic.",
+)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.testdata import register_views
+
+    register_views(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(_LATERAL_TOPN_SQL)
+
+
+@register(
+    "dedup_latest_record",
+    """
+    SELECT user_id, event_id, event_type, value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) ranked
+    WHERE rn = 1
+    """,
+    doc="CDC latest-record dedup (the QUALIFY row_number() = 1 pattern): "
+    "collapse an event stream to each key's most recent row, tie-broken "
+    "by the unique event_id. One hash exchange on the key; per-group "
+    "TOP-1 via window — the upsert-compaction every CDC mirror runs "
+    "before serving.",
+)
+def dedup_latest_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
