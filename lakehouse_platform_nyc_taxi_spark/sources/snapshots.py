@@ -232,6 +232,10 @@ def _write_data_files(
                 r = os.path.relpath(full, path)
                 rel.append(r)
                 stats[r] = _collect_file_stats(full)
+                # file size rides the manifest under a reserved key ("::"
+                # is not producible by _collect_file_stats column paths),
+                # so compaction planning never lists the filesystem
+                stats[r]["::bytes"] = [os.path.getsize(full)]
     return rel, stats
 
 
@@ -894,6 +898,62 @@ def _zorder_value(
             bit = F.shiftright(s, b).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
     return z
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> int:
+    """Incremental small-file compaction (Delta ``OPTIMIZE`` / Iceberg
+    ``rewrite_data_files`` with a size filter): bin-pack ONLY the files
+    below ``target_bytes`` into ~target-sized files; files already at
+    target carry into the new version untouched.
+
+    This is the steady-state maintenance op for streaming/micro-batch
+    ingest (every ``append_stream`` batch lands a few small files):
+    unlike :func:`optimize_table`, cost is O(small-file bytes), not
+    O(table) — on a 100 TB table with 1 GB steady-state files and a
+    day's worth of small appends, it rewrites the day, not the table.
+
+    Planning is metadata-only: file sizes ride the manifest stats under
+    the reserved ``::bytes`` key (recorded at write time); files
+    committed by a pre-size version of this module fall back to one
+    ``os.path.getsize`` each. The rewrite itself uses ``coalesce`` —
+    partition concatenation, NO shuffle. Tombstones of compacted files
+    are spent by the DV-aware read; returns the unchanged current
+    version if fewer than ``min_files`` files qualify."""
+    parent = current_version(path)
+    if parent is None:
+        raise ValueError(f"no snapshot table at {path}")
+    manifest = _read_manifest(path, parent)
+    stats = manifest.get("stats") or {}
+
+    def _size(f: str) -> int:
+        fs = stats.get(f) or {}
+        if "::bytes" in fs:
+            return int(fs["::bytes"][0])
+        try:
+            return os.path.getsize(os.path.join(path, f))
+        except OSError:
+            return 0
+
+    small = [f for f in manifest["files"] if _size(f) < target_bytes]
+    if len(small) < min_files:
+        return parent
+    kept = [f for f in manifest["files"] if f not in set(small)]
+    total = sum(_size(f) for f in small)
+    n_out = max(1, -(-total // target_bytes))  # ceil
+    survivors = _read_files_pinned(spark, path, small, parent)
+    written, new_stats = _write_data_files(survivors.coalesce(n_out), path)
+    return _commit(
+        path,
+        kept + written,
+        "compact",
+        parent=parent,
+        new_stats=new_stats,
+    )
 
 
 def optimize_table(

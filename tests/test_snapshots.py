@@ -970,3 +970,51 @@ def test_merge_into_on_mor_table_does_not_resurrect(spark, tmp_path):
     assert [r.bucket for r in got.filter("id = 3").collect()] == [99]
     assert got.filter("id < 3").count() == 0
     assert got.count() == 45 + 2
+
+
+def test_compact_small_files_rewrites_only_small(spark, tmp_path):
+    path = str(tmp_path / "compact")
+    # one "big" well-formed file + many small append files
+    snap.create_table(
+        spark.range(0, 5000).select(
+            F.col("id"), (F.col("id") % 7).alias("bucket")
+        ).coalesce(1),
+        path,
+    )
+    big = set(snap._read_manifest(path, 1)["files"])
+    for i in range(4):
+        snap.append(
+            spark.range(10000 + i * 10, 10010 + i * 10)
+            .select(F.col("id"), F.lit(0).cast("long").alias("bucket"))
+            .repartition(2),
+            path,
+        )
+    before = snap._read_manifest(path, snap.current_version(path))
+    assert len(before["files"]) == 1 + 8
+    # sizes rode the manifest — planning must not stat the filesystem
+    assert all("::bytes" in before["stats"][f] for f in before["files"])
+
+    # threshold between the small append files and the big base file
+    big_size = before["stats"][next(iter(big))]["::bytes"][0]
+    v = snap.compact_small_files(spark, path, target_bytes=big_size - 1)
+    m = snap._read_manifest(path, v)
+    assert big <= set(m["files"])  # the big file was NOT rewritten
+    assert len(m["files"]) < len(before["files"])
+    assert snap.read_table(spark, path).count() == 5040
+    # idempotent once compacted past the threshold
+    assert snap.compact_small_files(spark, path, target_bytes=1) == v
+
+
+def test_compact_respects_deletion_vectors(spark, tmp_path):
+    path = str(tmp_path / "compact_dv")
+    snap.create_table(
+        spark.range(0, 100).select(
+            F.col("id"), (F.col("id") % 10).alias("bucket")
+        ).repartition(4),
+        path,
+    )
+    snap.delete_where_mor(spark, path, F.col("id") < 10)
+    v = snap.compact_small_files(spark, path, target_bytes=10**9)
+    assert snap.read_table(spark, path).count() == 90
+    assert snap.read_table(spark, path).filter("id < 10").count() == 0
+    assert snap.current_version(path) == v
