@@ -135,6 +135,7 @@ _KEEP = [
     "timeseries_ohlc",
     "sql_lateral_topn",
     "dedup_latest_record",
+    "sampling_token_budget",
     # r3-green batch/metadata variants, code untouched since r3
     # (additive-only diffs keep the rows valid) — next in the r6 window.
     "similarity_topk_batch",

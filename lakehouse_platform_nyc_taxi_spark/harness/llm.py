@@ -1286,3 +1286,55 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_col="source",
         min_containment=0.05,
     )
+
+
+@register(
+    "sampling_token_budget",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                 AS n_tokens,
+               ({_HB.format(salt='budget')}) AS ord
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (
+                 PARTITION BY source ORDER BY ord, doc_id
+                 ROWS UNBOUNDED PRECEDING
+               ) AS cum_tokens,
+               CASE source
+                 WHEN 'src0' THEN 4000 WHEN 'src1' THEN 2500
+                 WHEN 'src2' THEN 1500 ELSE 600 END AS budget
+        FROM toks
+    )
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum
+    WHERE cum_tokens <= budget
+    """,
+    doc="Training-data recipe materialization under per-source TOKEN "
+    "budgets ('4k tokens of src0, 2.5k of src1, ...'): per source, the "
+    "md5-ordered document prefix whose running token total fits the "
+    "budget — deterministic on any engine/parallelism, unbiased within "
+    "source, exact at the boundary (no mid-document truncation). One "
+    "window exchange keyed by source.",
+)
+def sampling_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import token_budget_sample
+    from ..operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").cast("long").alias("n_tokens")
+    )
+    out = token_budget_sample(
+        docs,
+        key_col="doc_id",
+        source_col="source",
+        n_tokens_col="n_tokens",
+        budgets={"src0": 4000, "src1": 2500, "src2": 1500},
+        default_budget=600,
+    )
+    return out.select(
+        "doc_id", "source", "n_tokens", F.col("cum_tokens").cast("long").alias("cum_tokens")
+    )

@@ -184,3 +184,49 @@ def weighted_sample(
         hash_bucket(F.col(key_col), salt)
         < F.floor(w * F.lit(_RATE_BUCKETS)).cast("long")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    n_tokens_col: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    salt: str = "budget",
+) -> DataFrame:
+    """Data-recipe mixing under per-source TOKEN budgets: for each
+    source, keep the hash-ordered prefix of documents whose cumulative
+    token count stays within that source's budget.
+
+    This is the materialization step of a training-data recipe ("200 B
+    tokens web, 50 B code, 10 B reference"): deterministic (md5 order,
+    key tie-break — same corpus every run on any engine/parallelism),
+    unbiased within source (hash order is arrival-order-independent),
+    and exact on the budget boundary (a document that would cross the
+    budget is dropped, never truncated mid-document).
+
+    One hash exchange per the window partition (source); the running
+    sum is integer-exact. Sources not in ``budgets`` get
+    ``default_budget`` (0 = dropped entirely).
+    """
+    order = md5_long(
+        F.concat(F.col(key_col).cast("string"), F.lit(f"|{salt}"))
+    )
+    budget = F.lit(default_budget).cast("long")
+    for src, b in sorted(budgets.items()):
+        budget = F.when(F.col(source_col) == src, F.lit(b).cast("long")).otherwise(
+            budget
+        )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(order, F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(n_tokens_col).cast("long")).over(w)
+    return (
+        df.withColumn("cum_tokens", cum)
+        .withColumn("_budget", budget)
+        .filter(F.col("cum_tokens") <= F.col("_budget"))
+        .drop("_budget")
+    )

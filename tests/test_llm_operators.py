@@ -758,3 +758,29 @@ def test_ivf_index_persists_as_snapshot_tables(spark, tmp_path):
     assert got_pinned == want
     fresh = similarity.load_ivf_index(spark, path)
     assert fresh.n_cells == 4
+
+
+def test_token_budget_sample_boundary_and_default(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rows = [(i, "a", 40) for i in range(10)] + [(100, "zzz", 5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = token_budget_sample(
+        df, "doc_id", "source", "n_tokens",
+        budgets={"a": 100}, default_budget=0,
+    ).collect()
+    # 40+40 fits; the third doc would cross 100 -> dropped whole
+    assert len(out) == 2
+    assert all(r.source == "a" for r in out)
+    assert sorted(r.cum_tokens for r in out) == [40, 80]
+    # default_budget=0 drops unknown sources entirely
+    assert not [r for r in out if r.source == "zzz"]
+
+    # deterministic: same result on rerun
+    again = token_budget_sample(
+        df, "doc_id", "source", "n_tokens",
+        budgets={"a": 100}, default_budget=0,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
