@@ -179,3 +179,56 @@ def test_profile_numeric_known_values(spark):
 
     with pytest.raises(ValueError):
         profile_numeric(df, [])
+
+
+# ------------------------------------------------- fuzzy join property test
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    @given(
+        st.lists(
+            st.text(alphabet="ab", min_size=2, max_size=9),
+            min_size=2,
+            max_size=12,
+            unique=True,
+        ),
+        st.integers(1, 2),
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_fuzzy_join_matches_bruteforce(spark, strings, k):
+        """Pigeonhole blocking must lose NOTHING against the O(n^2)
+        reference on the operator's contract domain (equal-length
+        pairs): low-entropy alphabet forces heavy block collisions and
+        every segment-boundary edge case."""
+        rows = list(enumerate(strings))
+        df = spark.createDataFrame(rows, "k int, t string")
+        got = {
+            (r.key_a, r.key_b, r.dist)
+            for r in fuzzy_self_join(df, "k", "t", max_dist=k).collect()
+        }
+        want = {
+            (i, j, _lev(a, b))
+            for i, a in rows
+            for j, b in rows
+            if i < j and len(a) == len(b) and _lev(a, b) <= k
+        }
+        assert got == want
