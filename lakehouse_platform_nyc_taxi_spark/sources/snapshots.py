@@ -1303,6 +1303,89 @@ def merge_into(
     )
 
 
+def merge_into_mor(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: Sequence[str],
+    when_matched: str = "update",
+    validate_source_keys: bool = True,
+) -> int:
+    """Merge-on-read MERGE: tombstone the matched target rows (deletion
+    vectors) and, in update mode, append the source rows as new files —
+    NO existing data file is rewritten. The upsert cost is O(matched
+    rows + source rows); :func:`merge_into` (copy-on-write) rewrites
+    whole candidate files for the same result. Use MOR for frequent
+    small upserts (CDC trickle), COW when a batch touches most rows of
+    the files it hits anyway.
+
+    Same contracts as :func:`merge_into`: ``when_matched`` update (upsert)
+    or delete (CDC retract), duplicate-source-key validation, CHECK
+    constraints on inserted rows, manifest-stats file pruning on the
+    first key's source min/max. Schema evolution is not supported here
+    (use the COW merge) — the source must carry exactly the table's
+    columns for update mode, and at least the key columns for delete.
+    Returns the new version."""
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+    if not key_cols:
+        raise ValueError("merge_into_mor requires at least one key column")
+    parent = current_version(path)
+    if parent is None:
+        raise ValueError(f"no snapshot table at {path}")
+    manifest = _read_manifest(path, parent)
+    table_cols = [f.name for f in read_table(spark, path, parent).schema.fields]
+    if when_matched == "update":
+        if sorted(source.columns) != sorted(table_cols):
+            raise ValueError(
+                "MOR merge needs the exact table columns "
+                f"{table_cols}; got {source.columns} — schema evolution "
+                "goes through the copy-on-write merge_into"
+            )
+        if validate_source_keys:
+            dup = (
+                source.groupBy(*key_cols)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+            )
+            if dup.count() > 0:
+                raise ValueError(
+                    "merge source has duplicate keys — replacing one "
+                    "target row with several source rows is ambiguous; "
+                    "dedup the source first"
+                )
+        _enforce_constraints(source, path)
+    k0 = key_cols[0]
+    lo, hi = source.agg(F.min(k0), F.max(k0)).collect()[0]
+    candidates = (
+        _candidate_files(path, manifest, k0, lo, hi) if lo is not None else []
+    )
+    dv_files = list(manifest.get("dv") or [])
+    if candidates:
+        keys = source.select(*key_cols).dropDuplicates(list(key_cols))
+        keyed = _keyed_scan(spark, path, candidates, parent)
+        live = _apply_dvs_keyed(spark, path, manifest, keyed)
+        hits = live.join(keys, on=list(key_cols), how="left_semi").select(
+            F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
+        )
+        dv_files += _write_dv_files(hits, path)
+    new_files = list(manifest["files"])
+    new_stats: dict[str, dict] = {}
+    if when_matched == "update":
+        aligned = source.select(*table_cols)
+        written, new_stats = _write_data_files(aligned, path)
+        new_files += written
+    return _commit(
+        path,
+        new_files,
+        f"merge_mor-{when_matched}",
+        parent=parent,
+        extra={"dv": sorted(dv_files)},
+        new_stats=new_stats,
+    )
+
+
 def table_changes(
     spark: SparkSession, path: str, from_version: int, to_version: int
 ) -> DataFrame:

@@ -1018,3 +1018,104 @@ def test_compact_respects_deletion_vectors(spark, tmp_path):
     assert snap.read_table(spark, path).count() == 90
     assert snap.read_table(spark, path).filter("id < 10").count() == 0
     assert snap.current_version(path) == v
+
+
+def test_merge_into_mor_upsert_without_rewrites(spark, tmp_path):
+    path = str(tmp_path / "mor_upsert")
+    snap.create_table(
+        spark.range(0, 50).select(
+            F.col("id"), (F.col("id") % 10).alias("bucket")
+        ).repartition(2),
+        path,
+    )
+    files_v1 = set(snap._read_manifest(path, 1)["files"])
+    src = spark.createDataFrame(
+        [(3, 99), (7, 98), (60, 97)], "id long, bucket long"
+    )
+    v2 = snap.merge_into_mor(spark, path, src, key_cols=["id"])
+    m2 = snap._read_manifest(path, v2)
+    # merge-on-read: every original file still referenced, none rewritten
+    assert files_v1 <= set(m2["files"])
+    assert m2["dv"]
+    got = snap.read_table(spark, path)
+    assert got.count() == 51
+    assert {r.bucket for r in got.filter("id in (3, 7, 60)").collect()} == {
+        99, 98, 97
+    }
+    # old images are gone
+    assert got.filter("id = 3 and bucket <> 99").count() == 0
+
+    # CDF of the MOR merge: matched old images out, source rows in
+    ch = snap.table_changes(spark, path, 1, v2)
+    rows = sorted((r._change_type, r.id, r.bucket) for r in ch.collect())
+    assert rows == [
+        ("delete", 3, 3), ("delete", 7, 7),
+        ("insert", 3, 99), ("insert", 7, 98), ("insert", 60, 97),
+    ]
+
+
+def test_merge_into_mor_delete_mode_and_validation(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "mor_retract")
+    snap.create_table(
+        spark.range(0, 30).select(
+            F.col("id"), (F.col("id") % 3).alias("bucket")
+        ).repartition(2),
+        path,
+    )
+    dels = spark.createDataFrame([(5,), (6,), (999,)], "id long")
+    v2 = snap.merge_into_mor(
+        spark, path, dels, key_cols=["id"], when_matched="delete"
+    )
+    assert snap.read_table(spark, path).count() == 28
+    assert snap._read_manifest(path, v2)["files"] == snap._read_manifest(path, 1)["files"]
+
+    with pytest.raises(ValueError, match="duplicate keys"):
+        snap.merge_into_mor(
+            spark,
+            path,
+            spark.createDataFrame([(1, 0), (1, 1)], "id long, bucket long"),
+            key_cols=["id"],
+        )
+    with pytest.raises(ValueError, match="exact table columns"):
+        snap.merge_into_mor(
+            spark,
+            path,
+            spark.createDataFrame([(1, 0, 0)], "id long, bucket long, extra long"),
+            key_cols=["id"],
+        )
+
+
+def test_snapshot_cdf_streams_mor_merge_commits(spark, tmp_path):
+    from lakehouse_platform_nyc_taxi_spark.sources.python_datasource import (
+        SnapshotCdfDataSource,
+    )
+
+    spark.dataSource.register(SnapshotCdfDataSource)
+    path = str(tmp_path / "mor_merge_stream")
+    snap.create_table(
+        spark.range(0, 10).select(
+            F.col("id"), (F.col("id") % 2).alias("bucket")
+        ).coalesce(1),
+        path,
+    )
+    src = spark.createDataFrame([(1, 50), (20, 51)], "id long, bucket long")
+    snap.merge_into_mor(spark, path, src, key_cols=["id"])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    r = spark.read.parquet(out)
+    # a MOR merge removes no files, so it streams without skipChangeCommits:
+    # the old image as a delete, the upserted rows as inserts
+    assert r.filter("_change_type = 'delete'").count() == 1
+    assert r.filter("_change_type = 'insert' and _commit_version = 2").count() == 2
