@@ -1303,6 +1303,76 @@ def merge_into(
     )
 
 
+def update_where_mor(
+    spark: SparkSession,
+    path: str,
+    condition: Column,
+    assignments: dict[str, Column],
+    prune: tuple[str, object, object] | None = None,
+) -> int:
+    """Merge-on-read ``UPDATE ... SET``: tombstone the matching rows and
+    append their updated images as new files — the third MOR verb next
+    to :func:`delete_where_mor` and :func:`merge_into_mor`. Cost is
+    O(matching rows); :func:`update_where` (copy-on-write) rewrites
+    whole candidate files. Same ``prune`` over-approximation contract;
+    updated images are validated against the table's CHECK constraints.
+    Returns the new version."""
+    parent = current_version(path)
+    if parent is None:
+        raise ValueError(f"no snapshot table at {path}")
+    manifest = _read_manifest(path, parent)
+    if prune is not None:
+        col, lo, hi = prune
+        candidates = _candidate_files(path, manifest, col, lo, hi)
+    else:
+        candidates = list(manifest["files"])
+    dv_files = list(manifest.get("dv") or [])
+    new_files = list(manifest["files"])
+    new_stats: dict[str, dict] = {}
+    if candidates:
+        keyed = _keyed_scan(spark, path, candidates, parent)
+        live = _apply_dvs_keyed(spark, path, manifest, keyed)
+        matched = live.filter(condition)
+        data_cols = [
+            c for c in keyed.columns if c not in ("__dv_file", "__dv_pos")
+        ]
+        unknown = [c for c in assignments if c not in data_cols]
+        if unknown:
+            raise ValueError(
+                f"UPDATE assigns to columns not in the table: {unknown}"
+            )
+        # one job writes both sides from a shared scan: cache the (tiny)
+        # matched set so tombstones and images agree even under retries
+        matched = matched.localCheckpoint(eager=True)
+        hits = matched.select(
+            F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
+        )
+        images = matched.select(
+            *[
+                (
+                    assignments[c]
+                    .cast(matched.schema[c].dataType)
+                    .alias(c)
+                    if c in assignments
+                    else F.col(c)
+                )
+                for c in data_cols
+            ]
+        )
+        _enforce_constraints(images, path)
+        dv_files += _write_dv_files(hits, path)
+        written, new_stats = _write_data_files(images, path)
+        new_files += written
+    return _commit(
+        path,
+        new_files,
+        "update_mor",
+        parent=parent,
+        extra={"dv": sorted(dv_files)},
+        new_stats=new_stats,
+    )
+
+
 def merge_into_mor(
     spark: SparkSession,
     path: str,

@@ -1119,3 +1119,42 @@ def test_snapshot_cdf_streams_mor_merge_commits(spark, tmp_path):
     # the old image as a delete, the upserted rows as inserts
     assert r.filter("_change_type = 'delete'").count() == 1
     assert r.filter("_change_type = 'insert' and _commit_version = 2").count() == 2
+
+
+def test_update_where_mor_tombstones_and_appends_images(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "mor_update")
+    snap.create_table(
+        spark.range(0, 40).select(
+            F.col("id"), (F.col("id") % 4).alias("bucket")
+        ).repartitionByRange(4, "id"),
+        path,
+    )
+    files_v1 = set(snap._read_manifest(path, 1)["files"])
+    v2 = snap.update_where_mor(
+        spark,
+        path,
+        F.col("id").between(10, 19),
+        {"bucket": F.col("bucket") + 100},
+        prune=("id", 10, 19),
+    )
+    m2 = snap._read_manifest(path, v2)
+    assert files_v1 <= set(m2["files"])  # nothing rewritten
+    assert m2["dv"]
+    got = snap.read_table(spark, path)
+    assert got.count() == 40
+    assert got.filter("id between 10 and 19 and bucket < 100").count() == 0
+    assert got.filter("bucket >= 100").count() == 10
+    # untouched rows keep their images exactly once
+    assert got.filter("id = 5").count() == 1
+
+    with pytest.raises(ValueError, match="not in the table"):
+        snap.update_where_mor(
+            spark, path, F.col("id") < 0, {"nope": F.lit(1)}
+        )
+
+    # CDF: old images out, new images in
+    ch = snap.table_changes(spark, path, 1, v2)
+    assert ch.filter("_change_type = 'delete'").count() == 10
+    assert ch.filter("_change_type = 'insert' and bucket >= 100").count() == 10
