@@ -236,3 +236,37 @@ def test_mv_hll_sketches_refresh_equals_recompute(spark, tmp_path):
         for r in mv.read_mv(spark, view).collect()
     }
     assert got == want
+
+
+def test_mv_refresh_folds_mor_dml(spark, tmp_path):
+    """The change feed now carries MOR commits (deletion vectors); the
+    signed-delta fold must stay equal to a full recompute across a MOR
+    delete, a MOR update, and a MOR merge — none of which rewrite any
+    base data file."""
+    base = str(tmp_path / "mor_base")
+    view = str(tmp_path / "mor_mv")
+    df = spark.range(0, 200).select(
+        F.col("id"), (F.col("id") % 7).alias("bucket"), (F.col("id") * 1.0).alias("v")
+    )
+    snap.create_table(df.repartitionByRange(4, "id"), base)
+    mv.create_grouped_mv(spark, base, view, ["bucket"], ["v"])
+
+    snap.delete_where_mor(spark, base, F.col("id") < 30)
+    before, after = mv.refresh_mv(spark, base, view)
+    assert after == snap.current_version(base)
+    assert _got(spark, view) == _expected(spark, base)
+
+    snap.update_where_mor(
+        spark, base, F.col("id").between(100, 120), {"v": F.col("v") + 1000.0}
+    )
+    src = spark.createDataFrame(
+        [(150, 0, -5.0), (900, 0, 2.0)], "id long, bucket long, v double"
+    )
+    snap.merge_into_mor(spark, base, src, key_cols=["id"])
+    mv.refresh_mv(spark, base, view)
+    assert _got(spark, view) == _expected(spark, base)
+
+    # compaction of the vectors must be invisible to the view
+    snap.materialize_dvs(spark, base)
+    mv.refresh_mv(spark, base, view)
+    assert _got(spark, view) == _expected(spark, base)

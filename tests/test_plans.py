@@ -490,3 +490,25 @@ def test_ohlc_is_single_agg_no_window_sort(spark):
     assert "Window" not in plan
     assert "partial" in plan.lower()
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Hive-partitioned fact joined to a filtered dim must plan a
+    dynamicpruning PartitionFilter: at 100 TB the dim filter's matching
+    partition values are broadcast into the fact scan at runtime, so
+    the scan opens only the surviving partitions — without DPP every
+    partition is read and filtered post-join."""
+    p = str(tmp_path / "fact_parts")
+    spark.range(0, 2000).selectExpr(
+        "id", "id % 10 AS d", "id * 1.0 AS v"
+    ).write.partitionBy("d").parquet(p)
+    fact = spark.read.parquet(p)
+    dim = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(10)], "d long, name string"
+    ).filter("name = 'n3'")
+    q = fact.join(dim, "d").groupBy("name").sum("v")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = q._jdf.queryExecution().explainString(mode)
+    assert "dynamicpruning" in plan.lower(), plan
