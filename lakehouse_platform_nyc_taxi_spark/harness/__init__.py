@@ -136,6 +136,7 @@ _KEEP = [
     "sql_lateral_topn",
     "dedup_latest_record",
     "sampling_token_budget",
+    "agg_corr_regression",
     # r3-green batch/metadata variants, code untouched since r3
     # (additive-only diffs keep the rows valid) — next in the r6 window.
     "similarity_topk_batch",

@@ -1108,3 +1108,63 @@ def dedup_latest_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type", "value")
     )
+
+
+@register(
+    "agg_corr_regression",
+    f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             {DSUM('l_quantity')} AS sx,
+             {DSUM('l_extendedprice')} AS sy,
+             {DSUM('l_quantity * l_quantity')} AS sxx,
+             {DSUM('l_extendedprice * l_extendedprice')} AS syy,
+             {DSUM('l_quantity * l_extendedprice')} AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS pearson_r,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS ols_slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+             AS ols_intercept
+    FROM m
+    """,
+    doc="Correlation + simple linear regression per group from five "
+    "decimal-fenced moment sums (n, Sx, Sy, Sxx, Syy, Sxy) — one "
+    "partial-aggregated shuffle, then closed-form Pearson r / OLS "
+    "slope+intercept in IEEE doubles over the (bit-identical) moments. "
+    "Built-in corr()/regr_slope() differ numerically across engines; "
+    "the moment formulation is engine-exact AND the mergeable shape a "
+    "100 TB run needs anyway.",
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("pearson_r"),
+        slope.alias("ols_slope"),
+        ((sy - slope * sx) / n).alias("ols_intercept"),
+    )
