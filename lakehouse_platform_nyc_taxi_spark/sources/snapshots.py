@@ -541,6 +541,7 @@ def delete_where_mor(
     path: str,
     predicate: Column,
     prune: tuple[str, object, object] | None = None,
+    retries: int = 2,
 ) -> int:
     """Merge-on-read DELETE: append (file, position) tombstones instead
     of rewriting data files — Delta deletion vectors / Iceberg
@@ -555,7 +556,35 @@ def delete_where_mor(
     streaming sources over snapshots) applies the vectors, so results
     are indistinguishable from a COW delete. Read-side anti-join debt
     accumulates per MOR delete — :func:`materialize_dvs` compacts it
-    away. Returns the new version."""
+    away. Returns the new version.
+
+    Commit races auto-retry (``retries``): unlike COW ops, the safe MOR
+    retry is a full recompute against the new head — rows the racing
+    writer already tombstoned or rewrote are re-resolved, never blindly
+    re-linked; the losing attempt's tombstone files become orphans that
+    ``vacuum_orphans`` sweeps."""
+    return _mor_retry(
+        retries,
+        lambda: _delete_where_mor_once(spark, path, predicate, prune),
+    )
+
+
+def _mor_retry(retries: int, attempt_fn):
+    for attempt in range(retries + 1):
+        try:
+            return attempt_fn()
+        except RuntimeError:
+            if attempt == retries:
+                raise
+    raise AssertionError("unreachable")
+
+
+def _delete_where_mor_once(
+    spark: SparkSession,
+    path: str,
+    predicate: Column,
+    prune: tuple[str, object, object] | None,
+) -> int:
     parent = current_version(path)
     if parent is None:
         raise ValueError(f"no snapshot table at {path}")
@@ -1309,6 +1338,7 @@ def update_where_mor(
     condition: Column,
     assignments: dict[str, Column],
     prune: tuple[str, object, object] | None = None,
+    retries: int = 2,
 ) -> int:
     """Merge-on-read ``UPDATE ... SET``: tombstone the matching rows and
     append their updated images as new files — the third MOR verb next
@@ -1316,7 +1346,21 @@ def update_where_mor(
     O(matching rows); :func:`update_where` (copy-on-write) rewrites
     whole candidate files. Same ``prune`` over-approximation contract;
     updated images are validated against the table's CHECK constraints.
-    Returns the new version."""
+    Commit races auto-retry by full recompute (see
+    :func:`delete_where_mor`). Returns the new version."""
+    return _mor_retry(
+        retries,
+        lambda: _update_where_mor_once(spark, path, condition, assignments, prune),
+    )
+
+
+def _update_where_mor_once(
+    spark: SparkSession,
+    path: str,
+    condition: Column,
+    assignments: dict[str, Column],
+    prune: tuple[str, object, object] | None,
+) -> int:
     parent = current_version(path)
     if parent is None:
         raise ValueError(f"no snapshot table at {path}")
@@ -1380,6 +1424,7 @@ def merge_into_mor(
     key_cols: Sequence[str],
     when_matched: str = "update",
     validate_source_keys: bool = True,
+    retries: int = 2,
 ) -> int:
     """Merge-on-read MERGE: tombstone the matched target rows (deletion
     vectors) and, in update mode, append the source rows as new files —
@@ -1395,11 +1440,29 @@ def merge_into_mor(
     first key's source min/max. Schema evolution is not supported here
     (use the COW merge) — the source must carry exactly the table's
     columns for update mode, and at least the key columns for delete.
+    Commit races auto-retry by full recompute (see
+    :func:`delete_where_mor`).
     Returns the new version."""
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
     if not key_cols:
         raise ValueError("merge_into_mor requires at least one key column")
+    return _mor_retry(
+        retries,
+        lambda: _merge_into_mor_once(
+            spark, path, source, key_cols, when_matched, validate_source_keys
+        ),
+    )
+
+
+def _merge_into_mor_once(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: Sequence[str],
+    when_matched: str,
+    validate_source_keys: bool,
+) -> int:
     parent = current_version(path)
     if parent is None:
         raise ValueError(f"no snapshot table at {path}")

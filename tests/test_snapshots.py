@@ -1158,3 +1158,39 @@ def test_update_where_mor_tombstones_and_appends_images(spark, tmp_path):
     ch = snap.table_changes(spark, path, 1, v2)
     assert ch.filter("_change_type = 'delete'").count() == 10
     assert ch.filter("_change_type = 'insert' and bucket >= 100").count() == 10
+
+
+def test_concurrent_mor_deletes_both_land_via_recompute_retry(spark, table):
+    """MOR DML commutes under full-recompute retry: two racing MOR
+    deletes must BOTH land (the loser recomputes its tombstones against
+    the winner's head, so overlapping predicates never double-delete or
+    drop rows)."""
+    import threading
+
+    errs = []
+
+    def kill(pred):
+        try:
+            snap.delete_where_mor(spark, table, pred)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=kill, args=(F.col("id") < 15,)),
+        threading.Thread(target=kill, args=(F.col("id").between(10, 29),)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    got = snap.read_table(spark, table)
+    assert got.count() == 70
+    assert got.filter("id < 30").count() == 0
+    ops = [h["op"] for h in snap.history(table)]
+    assert ops.count("delete_mor") == 2
+    # overlap rows (10-14) tombstoned exactly once
+    dv = snap._read_dv(
+        spark, table, snap._read_manifest(table, snap.current_version(table))
+    )
+    assert dv.count() == dv.distinct().count() == 30
