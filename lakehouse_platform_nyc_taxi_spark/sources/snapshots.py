@@ -1425,6 +1425,7 @@ def merge_into_mor(
     when_matched: str = "update",
     validate_source_keys: bool = True,
     retries: int = 2,
+    commit_extra: dict | None = None,
 ) -> int:
     """Merge-on-read MERGE: tombstone the matched target rows (deletion
     vectors) and, in update mode, append the source rows as new files —
@@ -1450,7 +1451,8 @@ def merge_into_mor(
     return _mor_retry(
         retries,
         lambda: _merge_into_mor_once(
-            spark, path, source, key_cols, when_matched, validate_source_keys
+            spark, path, source, key_cols, when_matched,
+            validate_source_keys, commit_extra,
         ),
     )
 
@@ -1462,6 +1464,7 @@ def _merge_into_mor_once(
     key_cols: Sequence[str],
     when_matched: str,
     validate_source_keys: bool,
+    commit_extra: dict | None = None,
 ) -> int:
     parent = current_version(path)
     if parent is None:
@@ -1514,7 +1517,7 @@ def _merge_into_mor_once(
         new_files,
         f"merge_mor-{when_matched}",
         parent=parent,
-        extra={"dv": sorted(dv_files)},
+        extra={"dv": sorted(dv_files), **(commit_extra or {})},
         new_stats=new_stats,
     )
 

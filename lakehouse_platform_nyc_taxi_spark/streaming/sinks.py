@@ -78,6 +78,7 @@ def stream_merge_snapshot(
     checkpoint: str,
     key_cols: Sequence[str],
     app_id: str | None = None,
+    mode: str = "cow",
 ) -> None:
     """Streaming CDC apply: MERGE each micro-batch into a snapshot table,
     exactly once — the Delta "streaming upsert" pattern
@@ -93,7 +94,17 @@ def stream_merge_snapshot(
     whose key range intersects the batch (footer-stats pruning), so a
     narrow CDC batch against a clustered 100 TB table touches O(1)
     files. The first batch bootstraps the table.
+
+    ``mode="mor"`` applies each batch with :func:`merge_into_mor`
+    instead: matched rows are tombstoned and the batch appended —
+    O(batch) per micro-batch with NO file rewrites, the right shape for
+    a high-frequency CDC trickle (compact the read debt periodically
+    with ``materialize_dvs``/``compact_small_files``). MOR commits also
+    stay streamable: a downstream ``snapshot_cdf`` reader re-emits them
+    as row-level changes without ``skipChangeCommits``.
     """
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be cow|mor, got {mode!r}")
     import hashlib
     import os as _os
 
@@ -107,16 +118,24 @@ def stream_merge_snapshot(
         if batch_id in snap.committed_stream_batches(path, stream_id):
             return
         deduped = batch_df.dropDuplicates(list(key_cols))
+        tag = {"stream_batch_id": int(batch_id), "stream_id": stream_id}
+        if mode == "mor" and snap.current_version(path) is not None:
+            snap.merge_into_mor(
+                batch_df.sparkSession,
+                path,
+                deduped,
+                list(key_cols),
+                validate_source_keys=False,  # just deduped
+                commit_extra=tag,
+            )
+            return
         snap.merge_into(
             batch_df.sparkSession,
             path,
             deduped,
             list(key_cols),
             validate_source_keys=False,  # just deduped
-            commit_extra={
-                "stream_batch_id": int(batch_id),
-                "stream_id": stream_id,
-            },
+            commit_extra=tag,
             allow_bootstrap=True,
         )
 

@@ -306,3 +306,65 @@ def test_checkpoint_restart_resumes_from_offsets(spark, tmp_path):
     q2.awaitTermination()
     got = sorted(r.event_id for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3, 4, 5]  # exactly once across the restart
+
+
+def test_stream_merge_snapshot_mor_mode(spark, tmp_path):
+    """mode='mor': batches after bootstrap apply as merge-on-read —
+    no data-file rewrites, exactly-once on replay, and the commits
+    stream onward through snapshot_cdf without skipChangeCommits."""
+    from lakehouse_platform_nyc_taxi_spark.sources import snapshots as snap
+    from lakehouse_platform_nyc_taxi_spark.sources.python_datasource import (
+        SnapshotCdfDataSource,
+    )
+    from lakehouse_platform_nyc_taxi_spark.streaming.sinks import (
+        stream_merge_snapshot,
+    )
+
+    spark.dataSource.register(SnapshotCdfDataSource)
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    schema = "id long, v double"
+
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_merge_snapshot(stream, table, ckpt, ["id"], mode="mor")
+    files_v1 = set(snap._read_manifest(table, 1)["files"])
+
+    spark.createDataFrame([(2, 20.0), (3, 3.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    stream_merge_snapshot(stream2, table, ckpt, ["id"], mode="mor")
+    got = {r.id: r.v for r in snap.read_table(spark, table).collect()}
+    assert got == {1: 1.0, 2: 20.0, 3: 3.0}
+    m = snap._read_manifest(table, snap.current_version(table))
+    assert files_v1 <= set(m["files"])  # bootstrap files never rewritten
+    assert m["dv"]  # key 2's old image tombstoned
+    assert [h["op"] for h in snap.history(table)] == [
+        "merge-update",
+        "merge_mor-update",
+    ]
+
+    # replay: no new version (exactly-once tag honored by the MOR commit)
+    v = snap.current_version(table)
+    stream3 = spark.readStream.schema(schema).parquet(src)
+    stream_merge_snapshot(stream3, table, ckpt, ["id"], mode="mor")
+    assert snap.current_version(table) == v
+
+    # downstream CDC: the MOR merge streams as delete+insert rows
+    out, ck2 = str(tmp_path / "cdf_out"), str(tmp_path / "cdf_ck")
+    q = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", table)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    r = spark.read.parquet(out)
+    assert r.filter("_change_type = 'delete' and id = 2 and v = 2.0").count() == 1
+    assert r.filter("_change_type = 'insert'").count() == 4  # 2 bootstrap + 2 merged
