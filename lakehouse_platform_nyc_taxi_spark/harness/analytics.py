@@ -1126,10 +1126,10 @@ def dedup_latest_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n_rows,
-           (n * sxy - sx * sy)
-             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS pearson_r,
-           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS ols_slope,
-           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+           round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS pearson_r,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS ols_slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
              AS ols_intercept
     FROM m
     """,
@@ -1138,8 +1138,10 @@ def dedup_latest_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partial-aggregated shuffle, then closed-form Pearson r / OLS "
     "slope+intercept in IEEE doubles over the (bit-identical) moments. "
     "Built-in corr()/regr_slope() differ numerically across engines; "
-    "the moment formulation is engine-exact AND the mergeable shape a "
-    "100 TB run needs anyway.",
+    "the moment formulation is engine-exact up to one compiler-level "
+    "FMA-contraction ulp in the closed form (observed on the "
+    "intercept), which the explicit output rounding absorbs — AND it "
+    "is the mergeable shape a 100 TB run needs anyway.",
 )
 def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -1161,10 +1163,11 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "l_returnflag",
         n.cast("bigint").alias("n_rows"),
-        (
+        trino_round(
             (n * sxy - sx * sy)
-            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            9,
         ).alias("pearson_r"),
-        slope.alias("ols_slope"),
-        ((sy - slope * sx) / n).alias("ols_intercept"),
+        trino_round(slope, 9).alias("ols_slope"),
+        trino_round((sy - slope * sx) / n, 6).alias("ols_intercept"),
     )
