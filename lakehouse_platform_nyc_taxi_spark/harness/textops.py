@@ -807,3 +807,83 @@ def timeseries_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_lm_scores(load_table_parallel(spark, sf_dir, "documents"))
+
+
+@register(
+    "scd2_point_in_time_join",
+    """
+    WITH f AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events WHERE event_type <> 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    i AS (
+        SELECT *, sum(chg) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS island
+        FROM f
+    ),
+    runs AS (
+        SELECT user_id,
+               min(event_type) AS event_type,
+               min(ts) AS valid_from,
+               min(event_id) AS first_tb
+        FROM i GROUP BY user_id, island
+    ),
+    hist AS (
+        SELECT user_id, event_type AS status, valid_from,
+               lead(valid_from) OVER s AS valid_to
+        FROM runs
+        WINDOW s AS (PARTITION BY user_id ORDER BY valid_from, first_tb)
+    ),
+    p AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.value,
+           h.status, h.valid_from AS status_since
+    FROM p
+    LEFT JOIN hist h
+      ON p.user_id = h.user_id
+     AND h.valid_from <= p.ts
+     AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+    """,
+    doc="Point-in-time enrichment (feature-store as-of correctness): "
+    "each purchase joins the user's SCD2 status version whose "
+    "[valid_from, valid_to) interval covers the purchase instant — "
+    "never a later version (no time-travel leakage into training "
+    "rows). Versions partition the timeline, so exactly one match per "
+    "covered fact; purchases before any status event stay with NULL "
+    "status via the left join. Equi-join on user_id with the interval "
+    "as a residual filter.",
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd2 import point_in_time_join
+
+    ev = load_table(spark, sf_dir, "events")
+    history = scd2_history(
+        ev.filter(F.col("event_type") != "purchase"),
+        key_col="user_id",
+        attr_col="event_type",
+        ts_col="ts",
+        order_tiebreak="event_id",
+    ).select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        "valid_from",
+        "valid_to",
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = point_in_time_join(facts, history, "user_id", "ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        "status",
+        F.col("valid_from").alias("status_since"),
+    )

@@ -149,3 +149,34 @@ def scd2_apply(
     for part in (kept, closed_out, reopened, inserted):
         out = out.unionByName(part)
     return out
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_col: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (as-of) enrichment against SCD2 history: each fact
+    row joins the version whose ``[valid_from, valid_to)`` interval
+    covers its timestamp — the feature-store correctness rule that
+    prevents time-travel leakage (training rows must see the dimension
+    AS IT WAS, never a later version).
+
+    Versions partition each key's timeline (scd2_history guarantees
+    half-open adjacency), so at most one version matches per fact.
+    ``how="left"`` keeps facts that predate the first version (NULL
+    attributes). Plan: an equi-join on the key with the interval as a
+    residual range filter — per-key version lists are small, so the
+    join side stays skew-friendly; no cartesian.
+    """
+    h = history.withColumnRenamed(key_col, "__pit_key")
+    cond = (
+        (facts[key_col] == h["__pit_key"])
+        & (h[valid_from] <= facts[ts_col])
+        & (h[valid_to].isNull() | (facts[ts_col] < h[valid_to]))
+    )
+    return facts.join(h, cond, how).drop("__pit_key")
