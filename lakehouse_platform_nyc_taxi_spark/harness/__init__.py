@@ -119,9 +119,15 @@ _PRIORITY = [
     "sql_correlated_subquery",
     "cohort_retention",
     "timeseries_anomaly",
-    "text_bigram_lm",
+    # Changed mid-round-5: dedup_counts switched to
+    # dropDuplicatesWithinWatermark (bounded state) — the query must
+    # re-earn its row, so it takes the slot text_bigram_lm held.
+    "streaming_dedup_counts",
 ]
 _KEEP = [
+    # r5-new, displaced to make room for the changed streaming dedup
+    # (local mirror green; r6-window head with the wave-2 set):
+    "text_bigram_lm",
     # r6-window head: the round-5 second wave (iterative PageRank,
     # pigeonhole-blocked fuzzy join, sweep-line interval overlap, one-
     # pass profiling) landed after the 50-slot window was already full
@@ -173,7 +179,6 @@ _KEEP = [
     "similarity_topk_int8",
     "window_ntile_cume",
     "streaming_windowed_rollup",
-    "streaming_dedup_counts",
     "streaming_session_windows",
     "streaming_stream_static_join",
     "streaming_stateful_user_stats",

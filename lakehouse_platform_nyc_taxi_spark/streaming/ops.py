@@ -134,12 +134,20 @@ def windowed_rollup(
 
 
 def dedup_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Exactly-once style ingest dedup: dropDuplicates on the event key
-    within the watermark, then per-type counts (the staging
-    delete+insert analogue — S9 — as a stream)."""
+    """Exactly-once style ingest dedup, then per-type counts (the
+    staging delete+insert analogue — S9 — as a stream).
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+), NOT plain
+    ``dropDuplicates``: with the event-time column absent from the
+    dedup key, plain dropDuplicates can never evict its state (a
+    duplicate could arrive arbitrarily late), so the key set grows
+    without bound — the 100 TB killer. The WithinWatermark variant
+    contracts to dedup only re-deliveries arriving within the
+    watermark of the first occurrence and evicts beyond it, which is
+    exactly the at-least-once re-delivery window ingest dedup needs."""
     return (
         events.withWatermark("ts", watermark)
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
     )
