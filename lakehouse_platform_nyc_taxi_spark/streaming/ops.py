@@ -262,24 +262,64 @@ def _user_stats_fn(
     )
 
 
-def stateful_user_stats(events: DataFrame) -> DataFrame:
+def _user_stats_fn_ttl(ttl_ms: int):
+    """Event-time TTL wrapper: evict a key's state once the watermark
+    passes (key's last event time + ttl). The timeout invocation
+    arrives with an empty batch iterator; we drop the state and emit
+    nothing — the key's next event starts a fresh lifetime."""
+
+    def fn(key, batches, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+            yield  # pragma: no cover - keeps fn a generator
+        pdfs = list(batches)
+        stamps = [
+            int(pdf["ts"].max().value // 1_000_000) for pdf in pdfs if len(pdf)
+        ]
+        yield from _user_stats_fn(key, iter(pdfs), state)
+        if stamps:
+            state.setTimeoutTimestamp(max(stamps) + ttl_ms)
+
+    return fn
+
+
+def stateful_user_stats(
+    events: DataFrame,
+    state_ttl_minutes: int | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
     """Arbitrary stateful processing: per-user running stats via
-    ``applyInPandasWithState`` (update mode, no timeout — state lives for
-    the life of the stream; a production deployment sets a TTL timeout).
+    ``applyInPandasWithState`` (update mode).
 
     Arrow-batched: each trigger ships a user's rows to Python as pandas,
     state is a 3-field tuple per user — O(users) state, hash-partitioned.
-    """
-    return (
-        events.select("user_id", "value")
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            _user_stats_fn,
-            outputStructType=_OUT_SCHEMA,
-            stateStructType=_STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+
+    ``state_ttl_minutes`` bounds the state for key spaces that are NOT
+    dimension-like (device ids, session tokens — unbounded at 100 TB):
+    an EVENT-time timeout evicts any key idle that long once the
+    watermark passes, so state size tracks the recently-active key set
+    instead of the all-time key set. Event-time (not processing-time)
+    timeouts keep eviction deterministic — a replay of the same data
+    evicts identically — and let availableNow drains terminate (a
+    processing-time timeout would hold the drain open until wall-clock
+    expiry). ``None`` keeps lifetime state (fine for genuinely bounded
+    keys like users)."""
+    if state_ttl_minutes is None:
+        src = events.select("user_id", "value")
+        fn, conf = _user_stats_fn, GroupStateTimeout.NoTimeout
+    else:
+        src = events.withWatermark("ts", watermark).select(
+            "user_id", "value", "ts"
         )
+        fn = _user_stats_fn_ttl(state_ttl_minutes * 60_000)
+        conf = GroupStateTimeout.EventTimeTimeout
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=conf,
     )
 
 

@@ -368,3 +368,63 @@ def test_stream_merge_snapshot_mor_mode(spark, tmp_path):
     r = spark.read.parquet(out)
     assert r.filter("_change_type = 'delete' and id = 2 and v = 2.0").count() == 1
     assert r.filter("_change_type = 'insert'").count() == 4  # 2 bootstrap + 2 merged
+
+
+def test_stateful_user_stats_event_time_ttl_evicts_idle_keys(spark, tmp_path):
+    """Event-time TTL: a key idle longer than the TTL (by watermark) is
+    evicted, so its next event starts a fresh lifetime — deterministic
+    because eviction rides the watermark, not the wall clock. Three
+    single-file micro-batches: user 1 active in batch 1 only; by batch
+    3 the watermark has passed (last_seen + ttl), so user 1's final
+    count restarts at 1 instead of accumulating to 2."""
+    import datetime as dt
+
+    src = str(tmp_path / "ttl_src")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, minutes, user):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, "click", 1.0, "{}")
+
+    write_file("f1", [ev(1, 0, 1), ev(2, 0, 2)])
+    write_file("f2", [ev(3, 300, 2)])  # watermark after this batch: 290m
+    # user 1 absent while the watermark (290m) passes its 0m+60m timeout
+    # -> evicted here (timeouts only fire for keys with no data in the
+    # batch, so the eviction batch must not contain user 1)
+    write_file("f3", [ev(4, 600, 2)])
+    write_file("f4", [ev(5, 900, 1)])  # user 1 returns -> fresh state
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = S.run_available_now(
+        S.stateful_user_stats(stream, state_ttl_minutes=60, watermark="10 minutes"),
+        "update",
+        state_partitions=4,
+    )
+    rows = out.collect()
+    # last emitted row per user wins (update mode accumulates emissions)
+    last = {}
+    for r in rows:
+        last[r.user_id] = r.n_events
+    assert last[1] == 1  # fresh lifetime after eviction
+    # sanity: without TTL user 1 accumulates both events
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ev2 = stream2.withColumn("ts", F.col("ts").cast("timestamp"))
+    base = S.run_available_now(S.stateful_user_stats(ev2), "update")
+    last2 = {}
+    for r in base.collect():
+        last2[r.user_id] = r.n_events
+    assert last2[1] == 2
