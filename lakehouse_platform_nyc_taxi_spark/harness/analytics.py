@@ -1171,3 +1171,43 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         trino_round(slope, 9).alias("ols_slope"),
         trino_round((sy - slope * sx) / n, 6).alias("ols_intercept"),
     )
+
+
+@register(
+    "json_extract_rollup",
+    """
+    WITH j AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM j
+    GROUP BY event_type
+    """,
+    doc="Semi-structured extraction (the events table's JSON props "
+    "column): path-extract a field, cast, aggregate — schema-on-read "
+    "over string JSON without a UDF. get_json_object stays inside "
+    "whole-stage codegen (Jackson per row, no Python); malformed or "
+    "missing paths become NULLs that the aggregates skip, mirroring "
+    "SQL NULL semantics on both engines.",
+)
+def json_extract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.count_distinct(F.col("k")).alias("n_distinct_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
