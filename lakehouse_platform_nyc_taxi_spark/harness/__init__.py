@@ -145,6 +145,7 @@ _KEEP = [
     "agg_corr_regression",
     "scd2_point_in_time_join",
     "json_extract_rollup",
+    "json_variant_histogram",
     # r3-green batch/metadata variants, code untouched since r3
     # (additive-only diffs keep the rows valid) — next in the r6 window.
     "similarity_topk_batch",

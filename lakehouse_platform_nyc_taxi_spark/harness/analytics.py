@@ -1211,3 +1211,42 @@ def json_extract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
     )
+
+
+@register(
+    "json_variant_histogram",
+    """
+    WITH j AS (
+      SELECT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT CAST(floor(k / 10) AS BIGINT) AS k_decade,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM j
+    WHERE k IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="Spark 4 VARIANT path: parse_json once into the binary "
+    "semi-structured encoding, then try_variant_get typed extraction — "
+    "the parse-once/extract-many layout Snowflake/Databricks use for "
+    "JSON at scale (repeated get_json_object re-parses the string per "
+    "path). Decade-bucketed histogram of the extracted field; the "
+    "DuckDB oracle extracts via its JSON path functions — same "
+    "values, different encodings.",
+)
+def json_variant_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.parse_json(F.col("props")).alias("v")
+    )
+    k = F.try_variant_get("v", "$.k", "long")
+    return (
+        ev.select("user_id", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy(F.floor(F.col("k") / 10).cast("bigint").alias("k_decade"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
