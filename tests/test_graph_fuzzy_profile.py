@@ -232,3 +232,68 @@ if _HYP:
             if i < j and len(a) == len(b) and _lev(a, b) <= k
         }
         assert got == want
+
+
+if _HYP:
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 50), st.integers(0, 30)),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_max_concurrency_matches_pointwise_reference(spark, spans):
+        """Sweep-line result == brute-force max over open-point counts.
+        Half-open [s, e): touching intervals don't overlap, matching the
+        closes-before-opens tie policy; zero-length intervals contribute
+        nothing."""
+        def _m(minute):
+            return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minute)
+
+        rows = [("g", _m(s), _m(s + d)) for s, d in spans]
+        df = spark.createDataFrame(rows, "g string, s timestamp, e timestamp")
+        [r] = max_concurrency(df, "s", "e", keys=["g"]).collect()
+        want = 0
+        for t in {s for s, _ in spans}:
+            want = max(
+                want, sum(1 for s, d in spans if s <= t < s + d)
+            )
+        assert r.max_concurrent == want
+        assert r.n_intervals == len(spans)
+
+
+def test_token_budget_prefix_is_maximal(spark):
+    """Property on a deterministic corpus: the kept set per source is
+    exactly the maximal hash-ordered prefix fitting the budget — every
+    kept cum <= budget, and the first excluded doc would overflow."""
+    from lakehouse_platform_nyc_taxi_spark.operators.hashing import md5_long
+    from lakehouse_platform_nyc_taxi_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rows = [(i, f"s{i % 3}", 7 + (i * 13) % 40) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    budget = {"s0": 150, "s1": 90, "s2": 0}
+    kept = token_budget_sample(
+        df, "doc_id", "source", "n_tokens", budget
+    ).collect()
+    assert not [r for r in kept if r.source == "s2"]
+    # reconstruct the hash order in python and verify maximal-prefix
+    ordered = df.select(
+        "doc_id", "source", "n_tokens",
+        md5_long(F.concat(F.col("doc_id").cast("string"), F.lit("|budget"))).alias("h"),
+    ).collect()
+    for src, b in budget.items():
+        seq = sorted(
+            [r for r in ordered if r.source == src], key=lambda r: (r.h, r.doc_id)
+        )
+        cum, want = 0, []
+        for r in seq:
+            if cum + r.n_tokens > b:
+                break
+            cum += r.n_tokens
+            want.append(r.doc_id)
+        got = sorted(r.doc_id for r in kept if r.source == src)
+        assert got == sorted(want), (src, got, want)

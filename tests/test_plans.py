@@ -512,3 +512,26 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     )
     plan = q._jdf.queryExecution().explainString(mode)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_dv_read_anti_join_broadcasts_tombstones(spark, tmp_path):
+    """Reading a MOR-deleted snapshot table plans the deletion-vector
+    anti-join with the (tombstone-sized) DV side broadcast — never a
+    shuffle of the data side keyed on (file, pos)."""
+    from pyspark.sql import functions as SF
+
+    from lakehouse_platform_nyc_taxi_spark.sources import snapshots as snap
+
+    path = str(tmp_path / "dv_plan")
+    snap.create_table(
+        spark.range(0, 5000).select(
+            SF.col("id"), (SF.col("id") % 10).alias("bucket")
+        ).repartition(4),
+        path,
+    )
+    snap.delete_where_mor(spark, path, SF.col("id") < 100)
+    df = snap.read_table(spark, path)
+    assert df.count() == 4900
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
