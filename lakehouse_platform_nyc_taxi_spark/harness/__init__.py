@@ -146,6 +146,8 @@ _KEEP = [
     "scd2_point_in_time_join",
     "json_extract_rollup",
     "json_variant_histogram",
+    "window_rank_trio",
+    "set_except_all",
     # r3-green batch/metadata variants, code untouched since r3
     # (additive-only diffs keep the rows valid) — next in the r6 window.
     "similarity_topk_batch",

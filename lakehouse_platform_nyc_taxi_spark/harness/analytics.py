@@ -1250,3 +1250,68 @@ def json_variant_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "window_rank_trio",
+    """
+    SELECT l_returnflag,
+           l_orderkey,
+           l_linenumber,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           round(percent_rank() OVER w, 9) AS prnk
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    WINDOW w AS (
+      PARTITION BY l_returnflag
+      ORDER BY l_quantity, l_orderkey, l_linenumber
+    )
+    """,
+    doc="Ranking-function trio (rank / dense_rank / percent_rank) over a "
+    "tie-heavy ordering: rank skips after ties, dense_rank doesn't, "
+    "percent_rank = (rank-1)/(n-1). The full ORDER BY carries unique "
+    "tiebreak columns so every row's rank is engine-deterministic; "
+    "percent_rank is rounded on both faces (division of two exact "
+    "integers — same IEEE result, rounding is belt-and-braces).",
+)
+def window_rank_trio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 1000)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        trino_round(F.percent_rank().over(w), 9).alias("prnk"),
+    )
+
+
+@register(
+    "set_except_all",
+    """
+    SELECT o_custkey FROM orders
+    EXCEPT ALL
+    SELECT c_custkey FROM customer
+    """,
+    doc="Multiset difference (EXCEPT ALL): order-side customer keys with "
+    "their multiplicities minus one occurrence per existing customer — "
+    "the bag semantics dedup-aware reconciliation needs (the DISTINCT "
+    "set ops are covered by set_except/set_intersect). Plans as a "
+    "single hash aggregation of signed counts, one shuffle.",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return o.exceptAll(c)
