@@ -113,7 +113,11 @@ class SnapshotCdfDataSource(DataSource):
         return "snapshot_cdf"
 
     def _table_schema(self):
-        from pyspark.sql.types import StructType
+        """(logical StructType, physical column names) — the manifest
+        schema with the current column mapping applied, so a renamed
+        table streams under its logical names while executors read the
+        files' physical columns."""
+        from pyspark.sql.types import StructField, StructType
 
         from .snapshots import _read_manifest, current_version
 
@@ -123,7 +127,8 @@ class SnapshotCdfDataSource(DataSource):
         v = current_version(path)
         if v is None:
             raise ValueError(f"no snapshot table at {path}")
-        sj = _read_manifest(path, v).get("schema")
+        m = _read_manifest(path, v)
+        sj = m.get("schema")
         if sj is None:
             raise ValueError(
                 f"snapshot table at {path} has no manifest schema — "
@@ -132,7 +137,16 @@ class SnapshotCdfDataSource(DataSource):
             )
         import json as _json
 
-        return StructType.fromJson(_json.loads(sj))
+        phys = StructType.fromJson(_json.loads(sj))
+        mapping = m.get("column_mapping")
+        if not mapping:
+            return phys, [f.name for f in phys.fields]
+        types = {f.name: f for f in phys.fields}
+        fields, phys_names = [], []
+        for log, ph in dict(mapping).items():
+            fields.append(StructField(log, types[ph].dataType, True))
+            phys_names.append(ph)
+        return StructType(fields), phys_names
 
     def schema(self):
         from pyspark.sql.types import (
@@ -142,7 +156,7 @@ class SnapshotCdfDataSource(DataSource):
             StructType,
         )
 
-        base = self._table_schema()
+        base, _phys = self._table_schema()
         return StructType(
             list(base.fields)
             + [
@@ -152,9 +166,8 @@ class SnapshotCdfDataSource(DataSource):
         )
 
     def streamReader(self, schema) -> "SnapshotCdfStreamReader":
-        return SnapshotCdfStreamReader(
-            self.options, [f.name for f in self._table_schema().fields]
-        )
+        _base, phys = self._table_schema()
+        return SnapshotCdfStreamReader(self.options, phys)
 
 
 class SnapshotCdfStreamReader(DataSourceStreamReader):

@@ -105,7 +105,7 @@ def _commit(
         # files that later leave the manifest are inert on read and are
         # dropped at materialize_dvs time)
         pm = _read_manifest(path, parent)
-        for key in ("schema", "constraints", "dv"):
+        for key in ("schema", "constraints", "dv", "column_mapping"):
             if pm.get(key) is not None:
                 inherited[key] = pm[key]
         parent_stats = pm.get("stats") or {}
@@ -220,7 +220,13 @@ def _write_data_files(
     """Write df as new immutable data files; return their table-relative
     paths plus per-file manifest stats. Files land in a fresh uuid-named
     subdir of data/, so no write ever collides with an existing file
-    (immutability invariant)."""
+    (immutability invariant). Input frames carry LOGICAL column names;
+    the current version's column mapping translates them back to the
+    PHYSICAL names all data files share (manifest stats therefore stay
+    keyed physically, consistent with file footers)."""
+    v = current_version(path)
+    if v is not None:
+        df = _to_physical(df, _column_mapping(_read_manifest(path, v)))
     batch = uuid.uuid4().hex
     out_dir = os.path.join(path, _DATA_DIR, batch)
     df.write.mode("error").parquet(out_dir)
@@ -265,6 +271,55 @@ def _table_schema(path: str, version: int):
     return StructType.fromJson(json.loads(sj)) if sj else None
 
 
+# ---------------------------------------------------------------------------
+# Column mapping — zero-rewrite RENAME/DROP COLUMN (Delta column-mapping
+# "name" mode / Iceberg field-id renames). Data files keep their original
+# PHYSICAL column names forever; the manifest carries an ordered
+# {logical -> physical} mapping that reads apply as a final projection
+# and writes apply in reverse. Renaming or dropping a column is a
+# manifest-only commit — no data file is touched, and time travel to
+# pre-rename versions still shows the old names (each version's mapping
+# rides its own manifest).
+# ---------------------------------------------------------------------------
+
+
+def _column_mapping(manifest: dict) -> dict[str, str] | None:
+    """{logical: physical} (insertion order = column order) or None.
+
+    Stored in the manifest as a LIST of [logical, physical] pairs —
+    the manifest writer sorts dict keys for stable serialization, which
+    would destroy column order if the mapping were a dict."""
+    raw = manifest.get("column_mapping")
+    if raw is None:
+        return None
+    return dict(raw)
+
+
+def _to_logical(df: DataFrame, manifest: dict) -> DataFrame:
+    """Physical scan -> logical view (rename + drop projection)."""
+    mapping = _column_mapping(manifest)
+    if not mapping:
+        return df
+    cols = set(df.columns)
+    return df.select(
+        *[
+            (F.col(phys) if phys in cols else F.lit(None)).alias(log)
+            for log, phys in mapping.items()
+        ]
+    )
+
+
+def _to_physical(df: DataFrame, mapping: dict[str, str] | None) -> DataFrame:
+    """Logical frame -> physical column names for writing. Columns not
+    in the mapping (schema-evolution newcomers) pass through — their
+    physical name IS their logical name."""
+    if not mapping:
+        return df
+    return df.select(
+        *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+    )
+
+
 def append(
     df: DataFrame, path: str, merge_schema: bool = False, retries: int = 5
 ) -> int:
@@ -307,8 +362,18 @@ def _validate_append_schema(
     None when unchanged)."""
     schema_json = None
     table_schema = _table_schema(path, parent)
+    mapping = _column_mapping(_read_manifest(path, parent))
     if table_schema is not None:
-        existing = {f.name: f.dataType for f in table_schema.fields}
+        phys_types = {f.name: f.dataType for f in table_schema.fields}
+        if mapping:
+            # validate against the LOGICAL view of the table
+            existing = {
+                log: phys_types[phys]
+                for log, phys in mapping.items()
+                if phys in phys_types
+            }
+        else:
+            existing = phys_types
         incoming = {f.name: f.dataType for f in df.schema.fields}
         clashes = [
             n for n, t in incoming.items()
@@ -320,6 +385,13 @@ def _validate_append_schema(
                 f"{clashes}; snapshot tables never merge type changes"
             )
         new_cols = [f for f in df.schema.fields if f.name not in existing]
+        if new_cols and mapping:
+            raise ValueError(
+                f"append adds columns {[f.name for f in new_cols]} to a "
+                "column-mapped table; schema evolution after RENAME/DROP "
+                "COLUMN is not supported — evolve first, or rewrite the "
+                "table to materialize the mapping"
+            )
         if new_cols and not merge_schema:
             raise ValueError(
                 f"append adds columns {[f.name for f in new_cols]}; pass "
@@ -378,7 +450,7 @@ def read_table(
     if not manifest["files"]:
         raise ValueError(f"version {v} of {path} is empty")
     df = _scan_files(spark, path, manifest["files"], v)
-    return _apply_dvs(spark, path, manifest, df)
+    return _to_logical(_apply_dvs(spark, path, manifest, df), manifest)
 
 
 def read_table_where(
@@ -422,9 +494,11 @@ def _read_files_pinned(
     silently drop evolved columns (mixed-schema parquet reads take one
     file's schema). Deletion vectors of the version are applied, so
     copy-on-write rewrites of MOR-deleted rows can never resurrect
-    them."""
+    them. The version's column mapping is applied, so callers always
+    see LOGICAL names."""
+    m = _read_manifest(path, version)
     df = _scan_files(spark, path, files, version)
-    return _apply_dvs(spark, path, _read_manifest(path, version), df)
+    return _to_logical(_apply_dvs(spark, path, m, df), m)
 
 
 def _scan_files(
@@ -480,12 +554,26 @@ def _read_dv(spark: SparkSession, path: str, manifest: dict) -> DataFrame | None
 def _keyed_scan(
     spark: SparkSession, path: str, files: list[str], version: int
 ) -> DataFrame:
-    """Schema-pinned scan carrying the DV join key columns."""
+    """Schema-pinned scan carrying the DV join key columns; data
+    columns come out LOGICAL (column mapping applied)."""
+    m = _read_manifest(path, version)
     df = _scan_files(spark, path, files, version)
-    return df.select(
+    keyed = df.select(
         "*",
         _dv_key_expr().alias("__dv_file"),
         F.col("_metadata.row_index").alias("__dv_pos"),
+    )
+    mapping = _column_mapping(m)
+    if not mapping:
+        return keyed
+    cols = set(df.columns)
+    return keyed.select(
+        *[
+            (F.col(phys) if phys in cols else F.lit(None)).alias(log)
+            for log, phys in mapping.items()
+        ],
+        "__dv_file",
+        "__dv_pos",
     )
 
 
@@ -656,6 +744,9 @@ def _candidate_files(
     Files without manifest stats (committed by a pre-stats version of
     this module) fall back to one footer read; unknown -> True."""
     stats = manifest.get("stats") or {}
+    mapping = _column_mapping(manifest)
+    if mapping:
+        column = mapping.get(column, column)  # stats keys are physical
     out = []
     for f in manifest["files"]:
         fs = stats.get(f)
@@ -1563,7 +1654,9 @@ def table_changes(
             df = spark.read.schema(schema).parquet(*paths)
         else:
             df = spark.read.parquet(*paths)
-        return _apply_dvs(spark, path, dv_manifest, df)
+        # both sides project through the TO-version mapping so the feed
+        # speaks the destination's logical names even across a rename
+        return _to_logical(_apply_dvs(spark, path, dv_manifest, df), m_new)
 
     # Each side nets out its own deletion vectors: added files minus
     # to-version tombstones (rows appended then MOR-deleted inside the
@@ -1706,6 +1799,90 @@ def _enforce_constraints(df: DataFrame, path: str) -> None:
             )
 
 
+def _current_mapping_or_identity(path: str, parent: int) -> dict[str, str]:
+    m = _read_manifest(path, parent)
+    mapping = _column_mapping(m)
+    if mapping:
+        return dict(mapping)
+    schema = _table_schema(path, parent)
+    if schema is None:
+        raise ValueError(
+            f"table at {path} has no manifest schema — RENAME/DROP "
+            "COLUMN needs one (tables created by create_table have it)"
+        )
+    return {f.name: f.name for f in schema.fields}
+
+
+def _guard_constraints_reference(path: str, column: str) -> None:
+    import re as _re
+
+    for cname, expr in table_constraints(path).items():
+        if _re.search(rf"\b{_re.escape(column)}\b", expr):
+            raise ValueError(
+                f"column {column!r} is referenced by CHECK constraint "
+                f"{cname!r} ({expr!r}); drop the constraint first"
+            )
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """Zero-rewrite RENAME COLUMN (Delta column-mapping "name" mode):
+    data files keep their physical column names forever; this commit
+    only updates the manifest's {logical -> physical} mapping. Reads,
+    DML predicates, constraints, CDF, and the streaming change feed all
+    speak logical names from the next version on; time travel to older
+    versions still shows the old name (each version's mapping rides its
+    own manifest). Schema evolution is rejected on mapped tables (a new
+    logical column could collide with a retired physical name).
+    Returns the new version."""
+    parent = current_version(path)
+    if parent is None:
+        raise ValueError(f"no snapshot table at {path}")
+    mapping = _current_mapping_or_identity(path, parent)
+    if old not in mapping:
+        raise ValueError(f"no column {old!r} (have {sorted(mapping)})")
+    if new in mapping:
+        raise ValueError(f"column {new!r} already exists")
+    _guard_constraints_reference(path, old)
+    new_mapping = [
+        [new if log == old else log, phys] for log, phys in mapping.items()
+    ]
+    m = _read_manifest(path, parent)
+    return _commit(
+        path,
+        list(m["files"]),
+        "rename_column",
+        parent=parent,
+        extra={"column_mapping": new_mapping},
+    )
+
+
+def drop_column(path: str, column: str) -> int:
+    """Zero-rewrite DROP COLUMN: the manifest mapping stops projecting
+    the column; data files are untouched (old versions still read it
+    via time travel). Same mapped-table evolution restriction as
+    :func:`rename_column`. Returns the new version."""
+    parent = current_version(path)
+    if parent is None:
+        raise ValueError(f"no snapshot table at {path}")
+    mapping = _current_mapping_or_identity(path, parent)
+    if column not in mapping:
+        raise ValueError(f"no column {column!r} (have {sorted(mapping)})")
+    if len(mapping) == 1:
+        raise ValueError("cannot drop the only column")
+    _guard_constraints_reference(path, column)
+    new_mapping = [
+        [log, phys] for log, phys in mapping.items() if log != column
+    ]
+    m = _read_manifest(path, parent)
+    return _commit(
+        path,
+        list(m["files"]),
+        "drop_column",
+        parent=parent,
+        extra={"column_mapping": new_mapping},
+    )
+
+
 def shallow_clone(
     src_path: str, dst_path: str, version: int | None = None
 ) -> int:
@@ -1751,6 +1928,8 @@ def shallow_clone(
             os.path.relpath(os.path.join(src_abs, f), dst_abs)
             for f in m["dv"]
         )
+    if m.get("column_mapping"):
+        extra["column_mapping"] = m["column_mapping"]
     return _commit(
         dst_path, [rel[f] for f in m["files"]], "clone", parent=None,
         extra=extra, schema_json=m.get("schema"), new_stats=stats,

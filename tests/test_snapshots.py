@@ -1194,3 +1194,158 @@ def test_concurrent_mor_deletes_both_land_via_recompute_retry(spark, table):
         spark, table, snap._read_manifest(table, snap.current_version(table))
     )
     assert dv.count() == dv.distinct().count() == 30
+
+
+# ---------------------------------------------------------------------------
+# Column mapping: zero-rewrite RENAME / DROP COLUMN
+# ---------------------------------------------------------------------------
+
+
+def test_rename_column_zero_rewrite_and_time_travel(spark, table):
+    files_v1 = snap._read_manifest(table, 1)["files"]
+    v2 = snap.rename_column(table, "bucket", "shard")
+    m2 = snap._read_manifest(table, v2)
+    assert m2["files"] == files_v1  # manifest-only commit
+    got = snap.read_table(spark, table)
+    assert got.columns == ["id", "shard"]
+    assert got.filter("shard = 3").count() == 10
+    # time travel still speaks the old name
+    old = snap.read_table(spark, table, version=1)
+    assert old.columns == ["id", "bucket"]
+    # double rename chains
+    snap.rename_column(table, "shard", "cell")
+    assert snap.read_table(spark, table).columns == ["id", "cell"]
+    import pytest
+
+    with pytest.raises(ValueError, match="already exists"):
+        snap.rename_column(table, "id", "cell")
+    with pytest.raises(ValueError, match="no column"):
+        snap.rename_column(table, "bucket", "x")
+
+
+def test_dml_speaks_logical_names_after_rename(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "renamed_dml")
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 10).alias("bucket")
+    )
+    snap.create_table(df.repartitionByRange(4, "id"), path)
+    snap.rename_column(path, "id", "row_id")
+
+    import pyarrow.parquet as pq
+
+    existing = {
+        os.path.join(path, f)
+        for f in snap._read_manifest(path, snap.current_version(path))["files"]
+    }
+    opened = []
+    real = pq.ParquetFile
+
+    def counting(pth, *a, **k):
+        opened.append(str(pth))
+        return real(pth, *a, **k)
+
+    monkeypatch.setattr(pq, "ParquetFile", counting)
+    # stats pruning translates the logical prune column to physical:
+    # no PRE-EXISTING file's footer is opened (write-time stats on the
+    # rewrite output are the only allowed access)
+    snap.delete_range(spark, path, "row_id", 0, 24)
+    assert not [p for p in opened if p in existing]
+    got = snap.read_table(spark, path)
+    assert got.columns == ["row_id", "bucket"]
+    assert got.count() == 75
+
+    snap.update_where(
+        spark, path, F.col("row_id") >= 90, {"bucket": F.lit(77).cast("long")}
+    )
+    assert snap.read_table(spark, path).filter("bucket = 77").count() == 10
+
+    snap.delete_where_mor(spark, path, F.col("row_id") == 50)
+    assert snap.read_table(spark, path).count() == 74
+
+    src = spark.createDataFrame([(30, 99), (500, 99)], "row_id long, bucket long")
+    snap.merge_into_mor(spark, path, src, key_cols=["row_id"])
+    got = snap.read_table(spark, path)
+    assert got.filter("row_id = 30 and bucket = 99").count() == 1
+    assert got.count() == 75
+
+    # scan-planned read under the logical name
+    pruned = snap.read_table_where(spark, path, "row_id", 25, 30)
+    assert pruned.count() == 6
+
+
+def test_append_after_rename_and_evolution_guard(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "renamed_append")
+    snap.create_table(
+        spark.range(0, 20).select(F.col("id"), (F.col("id") % 2).alias("b")),
+        path,
+    )
+    snap.rename_column(path, "b", "flag")
+    snap.append(
+        spark.createDataFrame([(100, 1)], "id long, flag long"), path
+    )
+    got = snap.read_table(spark, path)
+    assert got.count() == 21
+    assert got.filter("id = 100 and flag = 1").count() == 1
+    # physical files all share the original physical name
+    with pytest.raises(ValueError, match="type|adds columns"):
+        snap.append(spark.createDataFrame([(1, 1)], "id long, b long"), path)
+    with pytest.raises(ValueError, match="column-mapped"):
+        snap.append(
+            spark.createDataFrame([(2, 1, 5)], "id long, flag long, extra long"),
+            path,
+            merge_schema=True,
+        )
+
+
+def test_drop_column_zero_rewrite(spark, table):
+    import pytest
+
+    v2 = snap.drop_column(table, "bucket")
+    got = snap.read_table(spark, table)
+    assert got.columns == ["id"]
+    assert got.count() == 100
+    assert snap.read_table(spark, table, version=1).columns == ["id", "bucket"]
+    assert snap._read_manifest(table, v2)["files"] == snap._read_manifest(table, 1)["files"]
+    # appends now carry only the surviving logical columns
+    snap.append(spark.range(1000, 1003).select("id"), table)
+    assert snap.read_table(spark, table).count() == 103
+    with pytest.raises(ValueError, match="only column"):
+        snap.drop_column(table, "id")
+
+
+def test_rename_blocked_by_referencing_constraint(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "renamed_constraint")
+    snap.create_table(
+        spark.range(0, 10).select(F.col("id"), (F.col("id") % 2).alias("b")),
+        path,
+    )
+    snap.add_constraint(spark, path, "b_valid", "b >= 0")
+    with pytest.raises(ValueError, match="referenced by CHECK constraint"):
+        snap.rename_column(path, "b", "flag")
+    with pytest.raises(ValueError, match="referenced by CHECK constraint"):
+        snap.drop_column(path, "b")
+    snap.drop_constraint(path, "b_valid")
+    snap.rename_column(path, "b", "flag")
+    assert snap.read_table(spark, path).columns == ["id", "flag"]
+
+
+def test_cdf_and_clone_speak_logical_names(spark, tmp_path):
+    path = str(tmp_path / "renamed_cdf")
+    snap.create_table(
+        spark.range(0, 20).select(F.col("id"), (F.col("id") % 2).alias("b")),
+        path,
+    )
+    v_rename = snap.rename_column(path, "b", "flag")
+    snap.delete_where_mor(spark, path, F.col("id") < 3)
+    ch = snap.table_changes(spark, path, v_rename, snap.current_version(path))
+    assert set(ch.columns) == {"id", "flag", "_change_type"}
+    assert ch.filter("_change_type = 'delete'").count() == 3
+
+    dst = str(tmp_path / "renamed_clone")
+    snap.shallow_clone(path, dst)
+    assert snap.read_table(spark, dst).columns == ["id", "flag"]
+    assert snap.read_table(spark, dst).count() == 17
