@@ -31,9 +31,8 @@ def _df(spark, rows):
 
 
 def _table_rows(spark, path):
-    return {
-        (r.id, r.grp, r.v) for r in snap.read_table(spark, path).collect()
-    }
+    # positional: the random sequence may have renamed columns
+    return {tuple(r) for r in snap.read_table(spark, path).collect()}
 
 
 def _model_rows(model):
@@ -59,9 +58,14 @@ def test_random_dml_sequences_match_model(spark, tmp_path, seed):
     snap.create_table(_df(spark, base).repartition(3), path)
     model.update({i: (g, v) for i, g, v in base})
 
+    def _aligned(rows):
+        df = _df(spark, rows)
+        vc = _vcol()
+        return df.withColumnRenamed("v", vc) if vc != "v" else df
+
     def op_append():
         rows = fresh_rows(rng.randint(1, 10))
-        snap.append(_df(spark, rows), path)
+        snap.append(_aligned(rows), path)
         model.update({i: (g, v) for i, g, v in rows})
 
     def op_cow_delete():
@@ -77,10 +81,14 @@ def test_random_dml_sequences_match_model(spark, tmp_path, seed):
         for i in [i for i in model if lo <= i <= hi]:
             del model[i]
 
+    def _vcol():
+        return "v" if "v" in snap.read_table(spark, path).columns else "w"
+
     def op_cow_update():
         g = rng.randrange(5)
+        vc = _vcol()
         snap.update_where(
-            spark, path, F.col("grp") == g, {"v": F.col("v") + 100.0}
+            spark, path, F.col("grp") == g, {vc: F.col(vc) + 100.0}
         )
         for i, (gg, v) in list(model.items()):
             if gg == g:
@@ -90,7 +98,7 @@ def test_random_dml_sequences_match_model(spark, tmp_path, seed):
         lo = rng.randrange(max(next_id[0], 1))
         hi = lo + rng.randint(0, 12)
         snap.update_where_mor(
-            spark, path, F.col("id").between(lo, hi), {"v": F.lit(-1.0)}
+            spark, path, F.col("id").between(lo, hi), {_vcol(): F.lit(-1.0)}
         )
         for i in model:
             if lo <= i <= hi:
@@ -102,7 +110,7 @@ def test_random_dml_sequences_match_model(spark, tmp_path, seed):
         rows = [(i, model[i][0], 55.5) for i in upd] + new
         if not rows:
             return
-        snap.merge_into_mor(spark, path, _df(spark, rows), key_cols=["id"])
+        snap.merge_into_mor(spark, path, _aligned(rows), key_cols=["id"])
         for i, g, v in rows:
             model[i] = (g, v)
 
@@ -112,7 +120,7 @@ def test_random_dml_sequences_match_model(spark, tmp_path, seed):
         rows = [(i, model[i][0], 77.0) for i in upd] + new
         if not rows:
             return
-        snap.merge_into(spark, path, _df(spark, rows), ["id"])
+        snap.merge_into(spark, path, _aligned(rows), ["id"])
         for i, g, v in rows:
             model[i] = (g, v)
 
@@ -140,7 +148,15 @@ def test_random_dml_sequences_match_model(spark, tmp_path, seed):
     def op_optimize():
         snap.optimize_table(spark, path, cluster_by=["id"], target_files=3)
 
+    def op_rename_toggle():
+        cols = snap.read_table(spark, path).columns
+        if "v" in cols:
+            snap.rename_column(path, "v", "w")
+        else:
+            snap.rename_column(path, "w", "v")
+
     ops = [
+        op_rename_toggle,
         op_append, op_append,
         op_cow_delete, op_mor_delete, op_mor_delete,
         op_cow_update, op_mor_update,
@@ -165,13 +181,12 @@ def test_random_dml_sequences_match_model(spark, tmp_path, seed):
     final_v = snap.current_version(path)
     ch = snap.table_changes(spark, path, 1, final_v)
     replay = {
-        (r.id, r.grp, r.v)
-        for r in snap.read_table(spark, path, 1).collect()
+        tuple(r) for r in snap.read_table(spark, path, 1).collect()
     }
     inserts = []
     deletes = []
     for r in ch.collect():
-        row = (r.id, r.grp, r.v)
+        row = tuple(r)[:3]  # positional: final version may be renamed
         (inserts if r._change_type == "insert" else deletes).append(row)
     for row in deletes:
         replay.discard(row)
