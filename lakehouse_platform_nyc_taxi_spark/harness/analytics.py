@@ -838,40 +838,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fuzzy_join_suppliers",
     """
     WITH base AS (
-      SELECT s_suppkey AS k, substring(s_name, 10, 9) AS t,
-             CAST(length(substring(s_name, 10, 9)) AS INT) AS len
+      SELECT s_suppkey AS k, substring(s_name, 10, 9) AS t
       FROM supplier
-    ),
-    segs AS (
-      SELECT k, t, len, 0 AS seg_i,
-             substring(t, CAST(floor(len * 0 / 2) AS INT) + 1,
-                       CAST(floor(len * 1 / 2) AS INT)
-                         - (CAST(floor(len * 0 / 2) AS INT) + 1) + 1) AS seg
-      FROM base
-      UNION ALL
-      SELECT k, t, len, 1 AS seg_i,
-             substring(t, CAST(floor(len * 1 / 2) AS INT) + 1,
-                       CAST(floor(len * 2 / 2) AS INT)
-                         - (CAST(floor(len * 1 / 2) AS INT) + 1) + 1) AS seg
-      FROM base
-    ),
-    cand AS (
-      SELECT DISTINCT a.k AS supp_a, b.k AS supp_b,
-                      a.t AS digits_a, b.t AS digits_b
-      FROM segs a
-      JOIN segs b
-        ON a.len = b.len AND a.seg_i = b.seg_i AND a.seg = b.seg
-       AND a.k < b.k
     )
-    SELECT supp_a, supp_b, digits_a, digits_b,
-           CAST(levenshtein(digits_a, digits_b) AS INT) AS dist
-    FROM cand
-    WHERE levenshtein(digits_a, digits_b) <= 1
+    SELECT a.k AS supp_a, b.k AS supp_b,
+           a.t AS digits_a, b.t AS digits_b,
+           CAST(levenshtein(a.t, b.t) AS INT) AS dist
+    FROM base a
+    JOIN base b ON a.k < b.k AND length(a.t) = length(b.t)
+    WHERE levenshtein(a.t, b.t) <= 1
     """,
-    doc="Pigeonhole-blocked fuzzy self-join (PassJoin-style): supplier id "
-    "digit strings within substitution distance 1, candidates from an "
-    "equi-join on (length, segment ordinal, segment) — no CartesianProduct "
-    "in the plan (pinned in test_plans) — then exact levenshtein verify.",
+    doc="PassJoin-blocked fuzzy self-join: supplier id digit strings "
+    "within edit distance 1; candidates come from an equi-join of "
+    "segment keys against shift-windowed substring probes (the "
+    "pigeonhole lemma makes this COMPLETE for edit distance, including "
+    "compensating insert+delete shifts) — no CartesianProduct in the "
+    "plan (pinned in test_plans), then an exact levenshtein verify. "
+    "The oracle is the naive all-pairs formulation, so the driver "
+    "cross-checks that blocking loses nothing.",
 )
 def fuzzy_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.fuzzy import fuzzy_self_join
