@@ -85,6 +85,19 @@ def fuzzy_self_join(
                     (F.lit(d) + start >= 1) & (F.length("seg") > 0)
                 )
             )
+    # strings shorter than k+1 can't be partitioned into k+1 non-empty
+    # segments — but any equal-length pair with len <= k is within
+    # distance k by definition (at most len substitutions), so they all
+    # share one degenerate block per length and the verify confirms.
+    shorts = base.filter(F.col("len") <= max_dist).select(
+        "k",
+        "t",
+        "len",
+        F.lit(-1).alias("seg_i"),
+        F.lit("").alias("seg"),
+    )
+    seg_parts.append(shorts)
+    probe_parts.append(shorts)
     segs = seg_parts[0]
     for p in seg_parts[1:]:
         segs = segs.union(p)
