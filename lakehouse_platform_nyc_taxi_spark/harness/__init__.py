@@ -62,78 +62,9 @@ def register(
 #      Their green rows live in CORRECTNESS_r01.json (kept in-repo), so
 #      rounds jointly cover every query.
 _PRIORITY = [
-    # --- Round-5 window (driver checks the FIRST 50 registered) ---
-    # Changed or new this round (must earn/re-earn a green row): the two
-    # r4 driver ERRs reshaped to scalar CSV outputs, the new 15-minute
-    # gapfill, timeseries_gapfill (shared gapfill_forward generalized),
-    # and sampling_temperature_mix (temperature_resample gained the
-    # max-groups guard on its count collect):
-    "embedding_quantize_int8",
-    "agg_collect_sorted",
-    "timeseries_gapfill_15min",
-    "timeseries_gapfill",
-    "sampling_temperature_mix",
-    # Oldest green rows (r3 — every other registered query is r4-green):
-    "conditional_case_nullif",
-    "dedup_exact",
-    "dedup_minhash_lsh_pairs",
-    "dedup_clusters",
-    "corpus_curation",
-    "sequence_packing",
-    "text_pii_scrub",
-    "multimodal_features",
-    "agg_monthly_rollup",
-    "agg_percentiles_approx",
-    "embedding_dim_stats",
-    "text_stats",
-    "text_corpus_rollup",
-    "text_tfidf_topk",
-    "similarity_topk_bruteforce",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "dedup_embedding_cosine",
-    "sql_adhoc_interactive",
-    "dedup_minhash_signatures",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "sampling_stratified_resample",
-    "sessionize_events",
-    "text_decontamination",
-    "text_heavy_hitters",
-    "join_broadcast_dims",
-    "join_left_outer",
-    # New this round (no driver row yet):
-    "embedding_covariance",
-    "text_collocations",
-    "sampling_weighted",
-    "text_bm25_topk",
-    "text_lm_surprisal",
-    "embedding_random_projection",
-    "hybrid_search_rrf",
-    "streaming_stream_stream_join",
-    "streaming_stream_stream_left",
-    "sql_recursive_chain",
-    "dedup_ngram_containment",
-    "text_zipf_fit",
-    "agg_histogram",
-    "sql_correlated_subquery",
-    "cohort_retention",
-    "timeseries_anomaly",
-    # Changed mid-round-5: dedup_counts switched to
-    # dropDuplicatesWithinWatermark (bounded state) — the query must
-    # re-earn its row, so it takes the slot text_bigram_lm held.
-    "streaming_dedup_counts",
-]
-_KEEP = [
-    # r5-new, displaced to make room for the changed streaming dedup
-    # (local mirror green; r6-window head with the wave-2 set):
-    "text_bigram_lm",
-    # r6-window head: the round-5 second wave (iterative PageRank,
-    # pigeonhole-blocked fuzzy join, sweep-line interval overlap, one-
-    # pass profiling) landed after the 50-slot window was already full
-    # of queries that must earn/refresh rows this round. No driver row
-    # yet — the local mirror (bit-exact, incl. the unrolled-CTE
-    # PageRank oracle) and pytest cover them until r6.
+    # --- Round-6 window (driver checks the FIRST 50 registered) ---
+    # 1) The 15 round-5 wave-2 queries that have NEVER had a driver
+    #    correctness row (VERDICT r5 "What's missing" #1):
     "graph_pagerank",
     "fuzzy_join_suppliers",
     "events_max_concurrency",
@@ -148,35 +79,28 @@ _KEEP = [
     "json_variant_histogram",
     "window_rank_trio",
     "set_except_all",
-    # r3-green batch/metadata variants, code untouched since r3
-    # (additive-only diffs keep the rows valid) — next in the r6 window.
+    "text_bigram_lm",
+    # 2) The 13 queries whose last green row is r3 (freshness rotation
+    #    debt; VERDICT "What's wrong" #2):
     "similarity_topk_batch",
     "similarity_topk_ivf_batch",
     "multimodal_metadata",
-    # r3-green, unchanged; byte-parity pinned by the trino-functions
-    # property suite — rotated out for the left-outer stream-stream join
-    # and the recursive-CTE query.
     "surrogate_keys_md5",
     "datetime_features",
-    # r3-green, unchanged; the 37-check pytest suite covers T1-T6 —
-    # rotated out for the containment-dedup query.
     "dq_violation_counts",
-    # r3-green, unchanged; reference-value unit tests in
-    # test_llm_operators — rotated out for zipf-fit and the histogram.
     "text_language_id",
     "text_fingerprints",
-    # r3-green, unchanged; deterministic-hash membership pinned by
-    # pytest — rotated out for the correlated subquery and cohorts.
     "sampling_hash_split",
     "sampling_per_group_cap",
-    # r3-green, unchanged; local-similarity property pytest — rotated
-    # out for the rolling-zscore anomaly query.
     "text_winnowing",
-    # r3-green, unchanged; overlap/boundary pytest (test_packing) and a
-    # shuffle-free plan test — rotated out for the bigram LM.
     "doc_chunking",
-    # r4-green, unchanged this round; fall just past the 50-row window
-    # (their rows in CORRECTNESS_r04.json stay ≤2 rounds old through r6).
+    "agg_approx_distinct",  # rows-only by design (HLL not SQL-twin-able)
+]
+# New round-6 registrations (not listed anywhere) auto-slot directly
+# after _PRIORITY, i.e. still inside the 50-row window.
+_KEEP = [
+    # r4-green queries refreshed next (2 rounds old at r6 — at the
+    # freshness limit; they fill the window slots new queries don't take):
     "agg_daily_rollup",
     "agg_pricing_summary",
     "scd2_event_history",
@@ -222,10 +146,59 @@ _KEEP = [
     "join_semi",
     "join_null_safe",
     "unpivot_charges",
+    # r5-green queries (fresh; rotate back in r7):
+    "embedding_quantize_int8",
+    "agg_collect_sorted",
+    "timeseries_gapfill_15min",
+    "timeseries_gapfill",
+    "sampling_temperature_mix",
+    "conditional_case_nullif",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_clusters",
+    "corpus_curation",
+    "sequence_packing",
+    "text_pii_scrub",
+    "multimodal_features",
+    "agg_monthly_rollup",
+    "agg_percentiles_approx",
+    "embedding_dim_stats",
+    "text_stats",
+    "text_corpus_rollup",
+    "text_tfidf_topk",
+    "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "dedup_embedding_cosine",
+    "sql_adhoc_interactive",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "sampling_stratified_resample",
+    "sessionize_events",
+    "text_decontamination",
+    "text_heavy_hitters",
+    "join_broadcast_dims",
+    "join_left_outer",
+    "embedding_covariance",
+    "text_collocations",
+    "sampling_weighted",
+    "text_bm25_topk",
+    "text_lm_surprisal",
+    "embedding_random_projection",
+    "hybrid_search_rrf",
+    "streaming_stream_stream_join",
+    "streaming_stream_stream_left",
+    "sql_recursive_chain",
+    "dedup_ngram_containment",
+    "text_zipf_fit",
+    "agg_histogram",
+    "sql_correlated_subquery",
+    "cohort_retention",
+    "timeseries_anomaly",
+    "streaming_dedup_counts",
 ]
-_ROTATE_OUT = [
-    "agg_approx_distinct",  # rows-only by design; r01 row recorded
-]
+_ROTATE_OUT: list[str] = []
 
 
 def registry() -> dict[str, QuerySpec]:

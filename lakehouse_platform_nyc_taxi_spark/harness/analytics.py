@@ -838,30 +838,35 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fuzzy_join_suppliers",
     """
     WITH base AS (
-      SELECT s_suppkey AS k, substring(s_name, 10, 9) AS t
+      SELECT s_suppkey AS k,
+             regexp_replace(substring(s_name, 10, 9), '^0+', '') AS t
       FROM supplier
     )
     SELECT a.k AS supp_a, b.k AS supp_b,
            a.t AS digits_a, b.t AS digits_b,
            CAST(levenshtein(a.t, b.t) AS INT) AS dist
     FROM base a
-    JOIN base b ON a.k < b.k AND length(a.t) = length(b.t)
+    JOIN base b ON a.k < b.k
     WHERE levenshtein(a.t, b.t) <= 1
     """,
-    doc="PassJoin-blocked fuzzy self-join: supplier id digit strings "
-    "within edit distance 1; candidates come from an equi-join of "
-    "segment keys against shift-windowed substring probes (the "
-    "pigeonhole lemma makes this COMPLETE for edit distance, including "
-    "compensating insert+delete shifts) — no CartesianProduct in the "
-    "plan (pinned in test_plans), then an exact levenshtein verify. "
-    "The oracle is the naive all-pairs formulation, so the driver "
-    "cross-checks that blocking loses nothing.",
+    doc="PassJoin-blocked fuzzy self-join on VARIABLE-length strings "
+    "(zero-stripped supplier ids): all pairs within edit distance 1, "
+    "cross-length included; candidates come from an equi-join of "
+    "segment keys against length-grouped, shift-windowed substring "
+    "probes (the pigeonhole lemma makes this COMPLETE for the general "
+    "edit-distance contract) — no CartesianProduct in the plan (pinned "
+    "in test_plans), then an exact levenshtein verify. The oracle is "
+    "the naive all-pairs formulation, so the driver cross-checks that "
+    "blocking loses nothing.",
 )
 def fuzzy_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.fuzzy import fuzzy_self_join
 
     s = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", F.substring("s_name", 10, 9).alias("digits")
+        "s_suppkey",
+        F.regexp_replace(
+            F.substring("s_name", 10, 9), "^0+", ""
+        ).alias("digits"),
     )
     pairs = fuzzy_self_join(s, key="s_suppkey", text="digits", max_dist=1)
     return pairs.select(
@@ -980,7 +985,7 @@ def table_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
              value,
              lpad(CAST(date_diff('microsecond',
                                  TIMESTAMP '2024-01-01 00:00:00', ts)
-                       AS VARCHAR), 16, '0')
+                       + 5000000000000000 AS VARCHAR), 16, '0')
                || lpad(CAST(event_id AS VARCHAR), 10, '0') AS ord
       FROM events
     )
@@ -1003,12 +1008,19 @@ def table_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # +5e15 µs (~158 years) biases the epoch offset non-negative: a
+    # bare offset for a pre-2024 ts would be a negative number whose
+    # zero-padded string sorts BEFORE positives lexically but AFTER
+    # them numerically, silently mis-ordering open/close. The bias
+    # keeps the key sign-safe for any ts in [1865, 2182] and still
+    # fits the 16-char field.
     ord_key = F.concat(
         F.lpad(
             F.expr(
                 "cast(timestampdiff(MICROSECOND,"
                 " timestamp_ntz'2024-01-01 00:00:00',"
-                " cast(ts as timestamp_ntz)) as string)"
+                " cast(ts as timestamp_ntz))"
+                " + 5000000000000000 as string)"
             ),
             16,
             "0",

@@ -8,26 +8,32 @@ partition blocking (Li et al., "PASS-JOIN: A Partition-based Method
 for Similarity Joins", VLDB 2012): split each string into ``k+1``
 disjoint segments; if two strings are within edit distance ``k``, at
 least one segment of either string appears EXACTLY in the other,
-shifted by at most ``k`` positions (the pigeonhole lemma — k edits
-can't touch all k+1 segments, and untouched content shifts by at most
-the net insertions/deletions before it). Candidate generation is then
-a plain equi-join of segment keys against shift-windowed substring
-probes — shuffled, broadcastable, AQE-skew-splittable like any other
-join — followed by an exact ``levenshtein`` verify on the (small)
-candidate set.
+shifted by a bounded offset (the pigeonhole lemma — k edits can't
+touch all k+1 segments, and untouched content shifts by the net
+insert/delete balance of the edits before it). Candidate generation
+is then a plain equi-join of segment keys against shift-windowed
+substring probes — shuffled, broadcastable, AQE-skew-splittable like
+any other join — followed by an exact ``levenshtein`` verify on the
+(small) candidate set.
 
-Scope: equal-length pairs (covers substitutions AND compensating
-insert+delete shifts). Cross-length support needs length-grouped
-partitioning of the probe windows — same join shape, more keys — and
-is out of scope here.
+Cross-length pairs are covered: a probe string generates windows for
+every candidate indexed length ``l`` with ``|l - len| <= k`` — the
+window positions are computed from *l* (the indexed string's even
+split), and the shift ``d`` of an untouched segment obeys the tight
+bound ``|d| + |d - delta| <= k`` where ``delta = len - l`` (edits
+before the segment contribute ``|d|`` net inserts/deletes, edits
+after contribute the remaining ``|delta - d|``, and together they
+can't exceed ``k``). The general edit-distance contract — any two
+strings, any lengths — therefore holds; completeness vs brute force
+is property-tested under hypothesis with variable-length strings.
 
 Scale design: no CartesianProduct in the plan (pinned by
-tests/test_plans.py); probes multiply rows by (k+1)(2k+1) — constant
-in n; candidates per block are bounded by block cardinality, and hot
-blocks (low-entropy segments) are ordinary skewed join keys — AQE
-skew splitting applies. Completeness vs a brute-force reference is
-property-tested under hypothesis (the aligned-segment shortcut this
-replaced missed shift pairs at k >= 2).
+tests/test_plans.py); segments/probes are generated with ONE
+explode-of-struct-array projection per side (no N-way union), so the
+scan count stays at 2 and the row blowup is O(k^3) per string —
+constant in n. Candidates per block are bounded by block cardinality,
+and hot blocks (low-entropy segments, the short-string degenerate
+block) are ordinary skewed join keys — AQE skew splitting applies.
 """
 
 from __future__ import annotations
@@ -42,89 +48,124 @@ def fuzzy_self_join(
     text: str,
     max_dist: int = 1,
 ) -> DataFrame:
-    """All pairs (a, b) with equal-length ``text`` values within edit
-    distance ``max_dist``, emitted once (key_a < key_b).
+    """All pairs (a, b) with ``text`` values within edit distance
+    ``max_dist`` — any lengths — emitted once (key_a < key_b).
 
     Returns (key_a, key_b, text_a, text_b, dist).
     """
     if max_dist < 1:
         raise ValueError("max_dist must be >= 1")
-    n_seg = max_dist + 1
+    k = max_dist
+    n_seg = k + 1
     base = df.select(
         F.col(key).alias("k"),
         F.col(text).alias("t"),
-        F.length(text).alias("len"),
+        F.length(text).cast("int").alias("len"),
     )
-    # Segment i of n over a string of length L: even split, start/length
-    # derived from (L, i) only — identical for any two equal-length
-    # strings, so segment and probe windows line up.
-    seg_parts = []
-    probe_parts = []
-    for i in range(n_seg):
-        start = F.floor(F.col("len") * i / n_seg).cast("int") + 1
-        end = F.floor(F.col("len") * (i + 1) / n_seg).cast("int")
-        seg_len = end - start + 1
-        seg_parts.append(
-            base.select(
-                "k",
-                "t",
-                "len",
-                F.lit(i).alias("seg_i"),
-                F.col("t").substr(start, seg_len).alias("seg"),
-            ).filter(F.length("seg") > 0)
-        )
-        for d in range(-max_dist, max_dist + 1):
-            probe_parts.append(
-                base.select(
-                    "k",
-                    "t",
-                    "len",
-                    F.lit(i).alias("seg_i"),
-                    F.col("t").substr(start + d, seg_len).alias("seg"),
-                ).filter(
-                    (F.lit(d) + start >= 1) & (F.length("seg") > 0)
-                )
-            )
-    # strings shorter than k+1 can't be partitioned into k+1 non-empty
-    # segments — but any equal-length pair with len <= k is within
-    # distance k by definition (at most len substitutions), so they all
-    # share one degenerate block per length and the verify confirms.
-    shorts = base.filter(F.col("len") <= max_dist).select(
-        "k",
-        "t",
-        "len",
-        F.lit(-1).alias("seg_i"),
-        F.lit("").alias("seg"),
-    )
-    seg_parts.append(shorts)
-    probe_parts.append(shorts)
-    segs = seg_parts[0]
-    for p in seg_parts[1:]:
-        segs = segs.union(p)
-    probes = probe_parts[0]
-    for p in probe_parts[1:]:
-        probes = probes.union(p)
 
-    left = segs.select(
+    def seg_bounds(l, i):
+        """Even-split segment i of a length-l string: (start, seg_len),
+        1-based — derived from (l, i) only, so the index side and any
+        probe targeting length l agree on positions exactly."""
+        start = F.floor(l * i / n_seg).cast("int") + 1
+        end = F.floor(l * (i + 1) / n_seg).cast("int")
+        return start, end - start + 1
+
+    own_len = F.col("len")
+    # INDEX side: each string's own k+1 segments (strings of length
+    # <= k can't fill k+1 non-empty segments; they go to the
+    # degenerate block below). One struct-array explode = one scan.
+    seg_structs = []
+    for i in range(n_seg):
+        start, seg_len = seg_bounds(own_len, i)
+        seg_structs.append(
+            F.struct(
+                own_len.alias("blk_len"),
+                F.lit(i).alias("seg_i"),
+                F.when(own_len >= n_seg, F.col("t").substr(start, seg_len)).alias(
+                    "seg"
+                ),
+                seg_len.alias("want"),
+            )
+        )
+    # degenerate block: an indexed string shorter than k+1 chars pairs
+    # only with strings of length <= 2k (length gap <= k), so both
+    # sides share one constant block key and the verify does the rest
+    seg_structs.append(
+        F.struct(
+            F.lit(-1).alias("blk_len"),
+            F.lit(-1).alias("seg_i"),
+            F.when(own_len <= k, F.lit("")).alias("seg"),
+            F.lit(0).alias("want"),
+        )
+    )
+
+    # PROBE side: windows for every candidate indexed length
+    # l = len + dl, |dl| <= k. delta = len - l = -dl; the shift d of an
+    # untouched segment satisfies |d| + |d - delta| <= k (tight), which
+    # also prunes the equal-length case to the pure-substitution d=0
+    # window at k=1.
+    probe_structs = []
+    for dl in range(-k, k + 1):
+        tgt_len = own_len + dl
+        for i in range(n_seg):
+            start, seg_len = seg_bounds(tgt_len, i)
+            for d in range(-k, k + 1):
+                if abs(d) + abs(d + dl) > k:
+                    continue
+                probe_structs.append(
+                    F.struct(
+                        tgt_len.alias("blk_len"),
+                        F.lit(i).alias("seg_i"),
+                        F.when(
+                            (tgt_len >= n_seg) & (start + d >= 1),
+                            F.col("t").substr(start + d, seg_len),
+                        ).alias("seg"),
+                        seg_len.alias("want"),
+                    )
+                )
+    probe_structs.append(
+        F.struct(
+            F.lit(-1).alias("blk_len"),
+            F.lit(-1).alias("seg_i"),
+            F.when(own_len <= 2 * k, F.lit("")).alias("seg"),
+            F.lit(0).alias("want"),
+        )
+    )
+
+    def expand(structs):
+        return (
+            base.select(
+                "k", "t", F.explode(F.array(*structs)).alias("p")
+            )
+            .filter(
+                F.col("p.seg").isNotNull()
+                # a window truncated by the string's end can't equal a
+                # full-length segment — drop it instead of joining it
+                & (F.length("p.seg") == F.col("p.want"))
+            )
+            .select("k", "t", "p.blk_len", "p.seg_i", "p.seg")
+        )
+
+    left = expand(seg_structs).select(
         F.col("k").alias("key_a"),
         F.col("t").alias("text_a"),
-        "len",
+        "blk_len",
         "seg_i",
         "seg",
     )
-    right = probes.select(
+    right = expand(probe_structs).select(
         F.col("k").alias("key_b"),
         F.col("t").alias("text_b"),
-        "len",
+        "blk_len",
         "seg_i",
         "seg",
     )
     # the pigeonhole lemma guarantees a (segment-of-one, shifted-probe-
-    # of-the-other) hit in at least one orientation; generating segments
-    # AND probes for every string covers both, and the unordered-pair
-    # normalization dedups.
+    # of-the-other) hit; both orientations are generated for every
+    # string, and the unordered-pair normalization dedups.
     candidates = (
-        left.join(right, ["len", "seg_i", "seg"])
+        left.join(right, ["blk_len", "seg_i", "seg"])
         .filter(F.col("key_a") != F.col("key_b"))
         .select(
             F.least("key_a", "key_b").alias("key_a"),

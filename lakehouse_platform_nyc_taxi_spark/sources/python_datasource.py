@@ -140,7 +140,14 @@ class SnapshotCdfDataSource(DataSource):
         phys = StructType.fromJson(_json.loads(sj))
         mapping = m.get("column_mapping")
         if not mapping:
-            return phys, [f.name for f in phys.fields]
+            # force nullable: files written before a merge_schema
+            # evolution null-fill the new columns, even if the column's
+            # own writes were non-null (a non-nullable declared field
+            # would NPE Spark's UnsafeProjection on the fill)
+            fields = [
+                StructField(f.name, f.dataType, True) for f in phys.fields
+            ]
+            return StructType(fields), [f.name for f in phys.fields]
         types = {f.name: f for f in phys.fields}
         fields, phys_names = [], []
         for log, ph in dict(mapping).items():
@@ -236,14 +243,27 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
                 )
         return out
 
+    def _read_evolved(self, pq, data_path, positions=None):
+        """Read ``self.fields`` from a data file, null-filling columns
+        the file predates: files written before a merge_schema evolution
+        lack the new columns, and streaming full history (default
+        startingVersion=0) of an evolved table must null-fill them like
+        every other read path, not raise in pyarrow."""
+        present = set(pq.read_schema(data_path).names)
+        cols = [c for c in self.fields if c in present]
+        tbl = pq.read_table(data_path, columns=cols)
+        if positions is not None:
+            tbl = tbl.take(sorted(positions))
+        for row in tbl.to_pylist():
+            yield tuple(row.get(c) for c in self.fields)
+
     def read(self, partition):
         import pyarrow.parquet as pq
 
         kind, version, file_path, abs_of = partition.value
         if kind == "insert":
-            tbl = pq.read_table(file_path, columns=self.fields)
-            for row in tbl.to_pylist():
-                yield tuple(row[c] for c in self.fields) + ("insert", version)
+            for vals in self._read_evolved(pq, file_path):
+                yield vals + ("insert", version)
             return
         dv = pq.read_table(file_path).to_pylist()
         by_file: dict = {}
@@ -253,11 +273,8 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
             data_path = abs_of.get(key)
             if data_path is None:
                 continue  # tombstone for a file no longer in the version
-            tbl = pq.read_table(data_path, columns=self.fields).take(
-                sorted(positions)
-            )
-            for row in tbl.to_pylist():
-                yield tuple(row[c] for c in self.fields) + ("delete", version)
+            for vals in self._read_evolved(pq, data_path, positions):
+                yield vals + ("delete", version)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are table versions; manifests are immutable

@@ -480,7 +480,11 @@ def read_table_where(
     if not files:
         schema = _table_schema(path, v)
         if schema is not None:
-            return spark.createDataFrame([], schema)
+            # the manifest schema is PHYSICAL — apply the version's
+            # column mapping so the empty result carries the same
+            # logical names as the non-empty path (a rename/drop must
+            # not leak old physical names through the pruned branch)
+            return _to_logical(spark.createDataFrame([], schema), manifest)
         return read_table(spark, path, v).filter(pred).limit(0)
     return _read_files_pinned(spark, path, files, v).filter(pred)
 
@@ -932,10 +936,20 @@ def rollback(path: str, version: int) -> int:
     m = _read_manifest(path, version)
     # restore that version's schema too — rolling back past a schema
     # evolution must not leave new-column ghosts; its file stats come
-    # along as well (the parent may not reference these files anymore)
+    # along as well (the parent may not reference these files anymore).
+    # dv / column_mapping / constraints must come from the TARGET
+    # version, not ride parent inheritance: rolling back past a MOR
+    # delete would otherwise keep the head's deletion vectors (hiding
+    # rows the restored version owns), and rolling back past a
+    # rename/drop would keep the head's column view.
     return _commit(
         path, m["files"], f"rollback-to-{version}", parent=parent,
         schema_json=m.get("schema"), new_stats=m.get("stats"),
+        extra={
+            "dv": m.get("dv") or [],
+            "column_mapping": m.get("column_mapping"),
+            "constraints": m.get("constraints"),
+        },
     )
 
 

@@ -279,7 +279,15 @@ def _user_stats_fn_ttl(ttl_ms: int):
         ]
         yield from _user_stats_fn(key, iter(pdfs), state)
         if stamps:
-            state.setTimeoutTimestamp(max(stamps) + ttl_ms)
+            # Spark rejects timeout timestamps at or below the current
+            # event-time watermark (IllegalArgumentException, killing
+            # the query). A key whose newest event is older than
+            # (watermark delay - ttl) would compute exactly that —
+            # clamp to strictly after the watermark so the key instead
+            # times out at the next trigger.
+            state.setTimeoutTimestamp(
+                max(max(stamps) + ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
 
     return fn
 

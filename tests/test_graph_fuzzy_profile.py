@@ -78,20 +78,21 @@ def test_pagerank_unweighted_defaults_and_validation(spark):
 
 
 # --------------------------------------------------------------- fuzzy join
-def test_fuzzy_self_join_finds_substitution_pairs_only(spark):
+def test_fuzzy_self_join_finds_pairs_across_lengths(spark):
     rows = [
         (1, "abcdef"),
-        (2, "abcdeX"),  # dist 1 to key 1
+        (2, "abcdeX"),  # dist 1 to key 1 (substitution)
         (3, "abXdef"),  # dist 1 to key 1, dist 2 to key 2
-        (4, "abcdefg"),  # longer: never matched (equal-length contract)
+        (4, "abcdefg"),  # dist 1 to key 1 (append) — cross-length
         (5, "qrstuv"),  # dist > 1 to everything
+        (6, "bcdef"),  # dist 1 to key 1 (leading delete) — cross-length
     ]
     df = spark.createDataFrame(rows, "k int, t string")
     got = {
         (r.key_a, r.key_b, r.dist)
         for r in fuzzy_self_join(df, "k", "t", max_dist=1).collect()
     }
-    assert got == {(1, 2, 1), (1, 3, 1)}
+    assert got == {(1, 2, 1), (1, 3, 1), (1, 4, 1), (1, 6, 1)}
 
 
 def test_fuzzy_self_join_emits_each_pair_once_and_zero_dist(spark):
@@ -206,7 +207,7 @@ if _HYP:
 
     @given(
         st.lists(
-            st.text(alphabet="ab", min_size=2, max_size=9),
+            st.text(alphabet="ab", min_size=0, max_size=9),
             min_size=2,
             max_size=12,
             unique=True,
@@ -216,9 +217,10 @@ if _HYP:
     @settings(max_examples=8, deadline=None)
     def test_fuzzy_join_matches_bruteforce(spark, strings, k):
         """Pigeonhole blocking must lose NOTHING against the O(n^2)
-        reference on the operator's contract domain (equal-length
-        pairs): low-entropy alphabet forces heavy block collisions and
-        every segment-boundary edge case."""
+        reference on the FULL edit-distance contract — any lengths,
+        including empty strings (the short-string degenerate block):
+        low-entropy alphabet forces heavy block collisions and every
+        segment-boundary / shift-window edge case."""
         rows = list(enumerate(strings))
         df = spark.createDataFrame(rows, "k int, t string")
         got = {
@@ -229,7 +231,7 @@ if _HYP:
             (i, j, _lev(a, b))
             for i, a in rows
             for j, b in rows
-            if i < j and len(a) == len(b) and _lev(a, b) <= k
+            if i < j and _lev(a, b) <= k
         }
         assert got == want
 

@@ -1349,3 +1349,99 @@ def test_cdf_and_clone_speak_logical_names(spark, tmp_path):
     snap.shallow_clone(path, dst)
     assert snap.read_table(spark, dst).columns == ["id", "flag"]
     assert snap.read_table(spark, dst).count() == 17
+
+
+def test_rollback_past_mor_delete_restores_hidden_rows(spark, table):
+    """Rolling back past a MOR delete must clear the head's deletion
+    vectors — the restored version owns the rows the DVs hide."""
+    snap.delete_where_mor(spark, table, F.col("id") < 30)
+    assert snap.read_table(spark, table).count() == 70
+    v3 = snap.rollback(table, 1)
+    m3 = snap._read_manifest(table, v3)
+    assert not (m3.get("dv") or [])
+    assert snap.read_table(spark, table).count() == 100
+    # and rolling FORWARD to the MOR version re-applies its own DVs
+    v4 = snap.rollback(table, 2)
+    assert snap.read_table(spark, table).count() == 70
+    assert snap._read_manifest(table, v4).get("dv")
+
+
+def test_rollback_past_rename_restores_old_column_view(spark, table):
+    snap.rename_column(table, "bucket", "shard")
+    assert snap.read_table(spark, table).columns == ["id", "shard"]
+    v3 = snap.rollback(table, 1)
+    assert snap.read_table(spark, table).columns == ["id", "bucket"]
+    # mapping cleared, not inherited: a fresh append then reads old names
+    snap.append(
+        spark.range(100, 110).select(
+            F.col("id"), F.lit(1).cast("long").alias("bucket")
+        ),
+        table,
+    )
+    got = snap.read_table(spark, table)
+    assert got.columns == ["id", "bucket"]
+    assert got.count() == 110
+    assert v3 == 3
+
+
+def test_rollback_past_drop_column_restores_it(spark, table):
+    snap.drop_column(table, "bucket")
+    assert snap.read_table(spark, table).columns == ["id"]
+    snap.rollback(table, 1)
+    got = snap.read_table(spark, table)
+    assert got.columns == ["id", "bucket"]
+    assert got.filter("bucket = 3").count() == 10
+
+
+def test_read_table_where_pruned_empty_uses_logical_names(spark, table):
+    """The pruned-to-empty branch must speak the column-mapped LOGICAL
+    schema, same as the non-empty path (renames/drops included)."""
+    snap.rename_column(table, "bucket", "shard")
+    empty = snap.read_table_where(spark, table, "id", 10_000, 20_000)
+    assert empty.count() == 0
+    assert empty.columns == ["id", "shard"]
+    # unions with the non-empty path's frame without schema conflict
+    nonempty = snap.read_table_where(spark, table, "id", 0, 4)
+    assert empty.unionByName(nonempty).count() == 5
+    snap.drop_column(table, "shard")
+    empty2 = snap.read_table_where(spark, table, "id", 10_000, 20_000)
+    assert empty2.columns == ["id"]
+
+
+def test_snapshot_cdf_streams_evolved_table_full_history(spark, tmp_path):
+    """Streaming full history (startingVersion=0) of a schema-evolved
+    table: files written BEFORE the merge_schema evolution lack the new
+    column and must null-fill, not raise in pyarrow."""
+    from lakehouse_platform_nyc_taxi_spark.sources.python_datasource import (
+        SnapshotCdfDataSource,
+    )
+
+    spark.dataSource.register(SnapshotCdfDataSource)
+    path = str(tmp_path / "evolved_stream")
+    snap.create_table(
+        spark.range(0, 5).select(F.col("id")).coalesce(1), path
+    )
+    snap.append(
+        spark.range(5, 8).select(
+            F.col("id"), F.lit("x").alias("tag")
+        ).coalesce(1),
+        path,
+        merge_schema=True,
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    r = spark.read.parquet(out)
+    assert r.count() == 8
+    # pre-evolution rows null-fill the evolved column
+    assert r.filter("_commit_version = 1 and tag is null").count() == 5
+    assert r.filter("_commit_version = 2 and tag = 'x'").count() == 3

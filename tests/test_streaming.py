@@ -428,3 +428,52 @@ def test_stateful_user_stats_event_time_ttl_evicts_idle_keys(spark, tmp_path):
     for r in base.collect():
         last2[r.user_id] = r.n_events
     assert last2[1] == 2
+
+
+def test_stateful_ttl_clamps_timeout_above_watermark(spark, tmp_path):
+    """A LATE event (arbitrary stateful ops don't auto-drop late rows)
+    whose ts + ttl is already at or below the current watermark must not
+    crash the query: Spark rejects timeout timestamps <= watermark with
+    IllegalArgumentException, so the op clamps to watermark + 1 and the
+    key simply times out at the next trigger."""
+    import datetime as dt
+
+    src = str(tmp_path / "late_ttl_src")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, minutes, user):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, "click", 1.0, "{}")
+
+    # batch 1 pushes the watermark to ~1990m; batch 2's user-1 event at
+    # 0m then computes timeout 0m+60m << watermark -> must clamp
+    write_file([ev(1, 2000, 2)])
+    write_file([ev(2, 0, 1)])
+    write_file([ev(3, 2010, 2)])  # user 1 absent -> clamped timeout fires
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = S.run_available_now(
+        S.stateful_user_stats(
+            stream, state_ttl_minutes=60, watermark="10 minutes"
+        ),
+        "update",
+        state_partitions=4,
+    )
+    last = {}
+    for r in out.collect():
+        last[r.user_id] = r.n_events
+    assert last[1] == 1  # processed (not crashed), then evicted
+    assert last[2] == 2

@@ -168,3 +168,43 @@ def test_rolling_zscore_flags_planted_spike(spark):
     assert [r["slot"].hour for r in out] == [16]  # hour 40 = day2 16:00
     assert out[0]["zscore"] > 4
     assert out[0]["slot_value"] == 300.0
+
+
+def test_ohlc_ordering_key_sign_safe_before_2024_epoch(spark, tmp_path):
+    """The micros-offset ordering key is biased non-negative: events
+    BEFORE the 2024-01-01 epoch must still time-order open/close (an
+    unbiased negative offset zero-pads into a string that sorts after
+    positives, silently swapping open and close)."""
+    import datetime as dt
+
+    from lakehouse_platform_nyc_taxi_spark.harness.analytics import (
+        timeseries_ohlc,
+    )
+
+    rows = [
+        # one hour bucket in 2023: open should be the 10:05 value,
+        # close the 10:55 value
+        (1, dt.datetime(2023, 6, 1, 10, 5), 100, "tick", 5.0, "{}"),
+        (2, dt.datetime(2023, 6, 1, 10, 30), 100, "tick", 9.0, "{}"),
+        (3, dt.datetime(2023, 6, 1, 10, 55), 100, "tick", 2.0, "{}"),
+        # a straddling bucket: one event in 2023, one in 2024 would be
+        # different hours; instead straddle INSIDE one hour across the
+        # epoch to force mixed-sign unbiased offsets
+        (4, dt.datetime(2023, 12, 31, 23, 10), 100, "mix", 7.0, "{}"),
+        (5, dt.datetime(2023, 12, 31, 23, 50), 100, "mix", 3.0, "{}"),
+    ]
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(os.path.join(sf, "events.parquet"))
+    got = {
+        (r.event_type): (r.open, r.close)
+        for r in timeseries_ohlc(spark, sf).collect()
+    }
+    assert got["tick"] == (5.0, 2.0)
+    assert got["mix"] == (7.0, 3.0)
