@@ -203,7 +203,7 @@ _ROTATE_OUT: list[str] = []
 
 def registry() -> dict[str, QuerySpec]:
     # Import for side effects (registration) on first use.
-    from . import analytics, core, llm, streaming, textops  # noqa: F401
+    from . import analytics, core, llm, mining, streaming, textops  # noqa: F401
 
     listed = set(_PRIORITY) | set(_KEEP) | set(_ROTATE_OUT)
     new = [n for n in _REGISTRY if n not in listed]

@@ -1,0 +1,514 @@
+"""Round-6 query wave: graph analytics (triangles, degrees), TWAP,
+privacy audit, running-distinct, mode/median, salted aggregation,
+funnel conversion, market-basket pairs, categorical profiling.
+
+Every query pairs a Spark-first implementation (operators/*) with a
+DuckDB-runnable oracle twin; column names and rounding are aligned on
+both sides per the driver's hash-compare contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.trino import trino_round
+from ..sources.testdata import load_table
+from . import register
+from .core import DSUM, dsum
+
+# Shared nation-trade edge derivation (identical to graph_pagerank's):
+# supplier-nation -> customer-nation, weight = lineitem count.
+_EDGES_SQL = """
+    edges AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+
+
+@register(
+    "graph_triangle_count",
+    f"""
+    WITH {_EDGES_SQL},
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    per_node AS (
+      SELECT v AS node, count(*) AS triangles
+      FROM (
+        SELECT x AS v FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY v
+    ),
+    nodes AS (
+      SELECT a AS node FROM und UNION SELECT b FROM und
+    )
+    SELECT n.n_name AS nation,
+           CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles
+    FROM nodes
+    LEFT JOIN per_node p USING (node)
+    JOIN nation n ON n.n_nationkey = node
+    """,
+    doc="Per-node triangle counts over the undirected nation trade "
+    "graph via degree-ordered edge orientation (Suri & Vassilvitskii's "
+    "curse-of-the-last-reducer fix): each triangle is found exactly "
+    "once at its lowest-degree vertex, so hub wedges explode on "
+    "O(min-degree^2), not O(hub-degree^2). Oracle is the naive "
+    "a<b<c ordered 3-way self-join — the driver cross-checks that "
+    "orientation loses nothing.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_count
+
+    tri = triangle_count(_trade_edges(spark, sf_dir))
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return tri.join(
+        F.broadcast(nation), tri.node == nation.n_nationkey
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.col("triangles").cast("bigint").alias("triangles"),
+    )
+
+
+@register(
+    "graph_degree_stats",
+    f"""
+    WITH {_EDGES_SQL},
+    melted AS (
+      SELECT src AS node, 1 AS is_out, w FROM edges
+      UNION ALL
+      SELECT dst AS node, 0 AS is_out, w FROM edges
+    ),
+    stats AS (
+      SELECT node,
+             CAST(sum(is_out) AS BIGINT) AS out_degree,
+             CAST(sum(1 - is_out) AS BIGINT) AS in_degree,
+             {DSUM('CASE WHEN is_out = 1 THEN w ELSE 0.0 END')} AS out_weight,
+             {DSUM('CASE WHEN is_out = 0 THEN w ELSE 0.0 END')} AS in_weight
+      FROM melted GROUP BY node
+    )
+    SELECT n.n_name AS nation, out_degree, in_degree, out_weight, in_weight
+    FROM stats JOIN nation n ON n.n_nationkey = node
+    """,
+    doc="Directed degree + weighted strength per node in ONE aggregation "
+    "pass: each edge melts to two (node, direction, w) rows map-side, "
+    "then a single shuffle on node — no join of two per-direction "
+    "aggregates. Decimal-fenced weight sums keep the result "
+    "order-independent and engine-exact.",
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import degree_stats
+
+    stats = degree_stats(_trade_edges(spark, sf_dir), weight="w")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return stats.join(
+        F.broadcast(nation), stats.node == nation.n_nationkey
+    ).select(
+        F.col("n_name").alias("nation"),
+        "out_degree",
+        "in_degree",
+        "out_weight",
+        "in_weight",
+    )
+
+
+@register(
+    "timeseries_twap",
+    """
+    WITH k AS (
+      SELECT event_type, date_trunc('day', ts) AS d, ts, value, event_id
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, d, value,
+             coalesce(
+               lead(ts) OVER (PARTITION BY event_type, d
+                              ORDER BY ts, event_id),
+               d + INTERVAL 1 DAY) AS nxt,
+             ts
+      FROM k
+    ),
+    w AS (
+      SELECT event_type, d, value,
+             CAST(date_diff('microsecond', ts, nxt) AS DOUBLE)
+               / 1000000.0 AS wt
+      FROM s
+    )
+    SELECT event_type, CAST(d AS TIMESTAMP) AS bucket_start,
+           round(CAST(sum(CAST(value * wt AS DECIMAL(28,8))) AS DOUBLE)
+                 / CAST(sum(CAST(wt AS DECIMAL(28,8))) AS DOUBLE), 6)
+             AS twap,
+           CAST(count(*) AS BIGINT) AS n_obs
+    FROM w GROUP BY event_type, d
+    """,
+    doc="Time-weighted average price per (series, day): each "
+    "observation holds until the next one (lead window partitioned by "
+    "series+day — no global sort), the last until midnight; weights "
+    "are microsecond intervals in IEEE double, weighted sums "
+    "decimal-fenced. The irregular-sampling mean a plain avg() gets "
+    "wrong whenever events burst.",
+)
+def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import twap
+
+    ev = load_table(spark, sf_dir, "events")
+    out = twap(
+        ev, ts="ts", value="value", keys=("event_type",), bucket="day",
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_type",
+        F.col("bucket_start"),
+        trino_round(F.col("twap"), 6).alias("twap"),
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+    )
+
+
+@register(
+    "privacy_k_anonymity",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+                AS BIGINT) AS l_diversity,
+           count(*) >= 5 AS k_anonymous,
+           count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 3
+             AS l_diverse
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+    doc="k-anonymity / l-diversity release audit over quasi-identifiers "
+    "(nation, market segment) with bucketed account balance as the "
+    "sensitive attribute: one shuffle on the QI key, count-distinct "
+    "partially deduplicated map-side — the pre-release "
+    "re-identifiability gate a user-adjacent training corpus needs.",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.privacy import k_anonymity
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("_sens"),
+    )
+    return k_anonymity(
+        cust, ["c_nationkey", "c_mktsegment"], sensitive="_sens", k=5, l=3
+    )
+
+
+@register(
+    "sql_running_distinct",
+    """
+    WITH firsts AS (
+      SELECT event_type, user_id,
+             min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY event_type, user_id
+    ),
+    daily AS (
+      SELECT event_type, first_day AS d,
+             CAST(count(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY event_type, first_day
+    )
+    SELECT event_type, d AS day, new_users,
+           CAST(sum(new_users) OVER (
+             PARTITION BY event_type ORDER BY d
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+    doc="Running COUNT(DISTINCT) over a window — unsupported natively "
+    "by both engines — rewritten to the scalable first-touch form: "
+    "mark each (series, user)'s first day (one dedup shuffle), count "
+    "new users per day, cumulative-sum per series. Shuffle volume is "
+    "O(distinct users), never O(events x days).",
+)
+def sql_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = firsts.groupBy(
+        "event_type", F.col("first_day").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("new_users"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        F.col("d").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
+@register(
+    "agg_mode_median",
+    """
+    WITH bucketed AS (
+      SELECT event_type, value,
+             CAST(floor(value) AS BIGINT) AS bucket
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM bucketed GROUP BY event_type, bucket
+    ),
+    top AS (
+      SELECT c.event_type, min(c.bucket) AS mode_bucket,
+             max(c.cnt) AS mode_count
+      FROM counts c
+      JOIN (SELECT event_type, max(cnt) AS mc FROM counts
+            GROUP BY event_type) m
+        ON m.event_type = c.event_type AND c.cnt = m.mc
+      GROUP BY c.event_type
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             round(quantile_cont(value, 0.5), 9) AS median_value
+      FROM bucketed GROUP BY event_type
+    )
+    SELECT med.event_type, n_rows, median_value, mode_bucket, mode_count
+    FROM med JOIN top USING (event_type)
+    """,
+    doc="Exact per-group median (interpolated 0.5-quantile — a full "
+    "per-group sort Spark runs as a single partial-ordering aggregate, "
+    "not a window) and deterministic mode (max count, ties toward the "
+    "smallest bucket) — the two order statistics approx_percentile "
+    "can't answer exactly.",
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.floor("value").cast("bigint").alias("bucket"),
+    )
+    counts = ev.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    top = (
+        counts.groupBy("event_type")
+        .agg(F.max("cnt").alias("mc"))
+        .join(counts, "event_type")
+        .filter(F.col("cnt") == F.col("mc"))
+        .groupBy("event_type")
+        .agg(
+            F.min("bucket").alias("mode_bucket"),
+            F.max("cnt").alias("mode_count"),
+        )
+    )
+    med = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        trino_round(F.expr("percentile(value, 0.5)"), 9).alias(
+            "median_value"
+        ),
+    )
+    return med.join(top, "event_type")
+
+
+@register(
+    "join_skew_salted",
+    f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {DSUM('l_quantity')} AS sum_qty,
+           {DSUM('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Two-phase salted aggregation for hot GROUP BY keys (3 return "
+    "flags over the whole lineitem stream would each funnel into one "
+    "reducer): phase 1 groups by (key, salt) spreading every hot key "
+    "over 16 reducers, phase 2 merges the <=16 decimal partials per "
+    "key — decimals stay decimal between phases so the fence holds "
+    "end-to-end. Oracle is the plain single-phase GROUP BY: the "
+    "driver cross-checks salting is invisible in the result.",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    out = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n_rows": (F.count(F.lit(1)), F.sum("n_rows")),
+            # partials stay DECIMAL so the merge is still order-blind
+            "sum_qty": (
+                F.sum(F.col("l_quantity").cast("decimal(28,8)")),
+                F.sum("sum_qty"),
+            ),
+            "sum_price": (
+                F.sum(F.col("l_extendedprice").cast("decimal(28,8)")),
+                F.sum("sum_price"),
+            ),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+    )
+
+
+@register(
+    "events_funnel",
+    """
+    WITH r0 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    r1 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN r0 ON e.user_id = r0.user_id AND e.ts > r0.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    r2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN r1 ON e.user_id = r1.user_id AND e.ts > r1.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, 0 AS stage_idx,
+           CAST((SELECT count(*) FROM r0) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'click', 1, CAST((SELECT count(*) FROM r1) AS BIGINT)
+    UNION ALL
+    SELECT 'purchase', 2, CAST((SELECT count(*) FROM r2) AS BIGINT)
+    """,
+    doc="Ordered funnel conversion (view -> click -> purchase, strictly "
+    "time-ordered per user) in ONE scan + one user-keyed shuffle: each "
+    "user aggregates a sorted per-stage timestamp array, the greedy "
+    "left-fold (earliest valid event per stage — provably optimal) "
+    "runs row-local, and a 1-row aggregate emits the stage counts. "
+    "The oracle is the 3-pass join chain; the driver cross-checks the "
+    "single-pass fold against it.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    out = funnel_counts(
+        ev, user="user_id", event_type="event_type", ts="ts",
+        stages=["view", "click", "purchase"],
+    )
+    return out.select(
+        "stage",
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+    )
+
+
+@register(
+    "basket_pair_histogram",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    pairs AS (
+      SELECT x.i AS a, y.i AS b2, CAST(count(*) AS BIGINT) AS n_baskets
+      FROM items x JOIN items y ON x.b = y.b AND x.i < y.i
+      GROUP BY x.i, y.i
+    )
+    SELECT n_baskets,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY n_baskets
+    """,
+    doc="Market-basket co-occurrence: unordered part pairs per order "
+    "generated map-side from each basket's sorted item array (ONE "
+    "shuffle to group baskets + one count shuffle on the pair key — "
+    "the self-join formulation the oracle uses shuffles the item "
+    "stream twice), capped deterministically for pathological "
+    "baskets; summarized as a support histogram so the driver "
+    "verifies every pair count, not a top-k slice.",
+)
+def basket_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.basket import co_occurrence_pairs
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pairs = co_occurrence_pairs(li, basket="l_orderkey", item="l_partkey")
+    return pairs.groupBy("n_baskets").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+
+
+@register(
+    "table_profile_categorical",
+    """
+    WITH melted AS (
+      SELECT 'lang' AS col_name, lang AS val FROM documents
+      UNION ALL
+      SELECT 'source', source FROM documents
+    ),
+    counts AS (
+      SELECT col_name, val, CAST(count(*) AS BIGINT) AS cnt
+      FROM melted GROUP BY col_name, val
+    ),
+    stats AS (
+      SELECT col_name,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(coalesce(sum(CASE WHEN val IS NULL THEN cnt END), 0)
+                  AS BIGINT) AS n_null,
+             CAST(count(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT)
+               AS n_distinct
+      FROM counts GROUP BY col_name
+    ),
+    top AS (
+      SELECT c.col_name, min(c.val) AS top_value, max(c.cnt) AS top_count
+      FROM counts c
+      JOIN (SELECT col_name, max(cnt) AS mc FROM counts
+            WHERE val IS NOT NULL GROUP BY col_name) m
+        ON m.col_name = c.col_name AND c.cnt = m.mc
+      WHERE c.val IS NOT NULL
+      GROUP BY c.col_name
+    )
+    SELECT col_name, n_rows, n_null, n_distinct, top_value, top_count
+    FROM stats LEFT JOIN top USING (col_name)
+    """,
+    doc="Categorical column profiling (row/null/distinct counts + "
+    "deterministic modal value) for the documents table's string "
+    "columns in ONE scan: stack-melt fused into the scan, per-(col, "
+    "value) partial aggregation collapses the stream map-side, so "
+    "shuffle volume is the sum of per-column cardinalities.",
+)
+def table_profile_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_categorical
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_categorical(docs, ["lang", "source"])

@@ -1,0 +1,68 @@
+"""Market-basket co-occurrence mining (pairwise association counts).
+
+"Parts ordered together", "documents cited together", "tokens
+co-occurring in a window" — the shared shape is: group items by a
+basket key, emit every unordered item pair within a basket, count
+pairs across baskets. The naive self-join on the basket key is the
+right Spark plan (equi-join, no cartesian), but its output size is
+sum over baskets of (basket_size choose 2) — so the operator exposes
+``max_basket_size`` to cap pathological baskets (a basket with 10^5
+items would alone emit 5·10^9 pairs; capping is the standard
+market-basket practice, and the cap is applied DETERMINISTICALLY by
+item order so reruns and the SQL oracle agree).
+
+Scale: one shuffle to group baskets, pair generation map-side from
+each basket's sorted item array (no join — the self-join formulation
+shuffles the item stream twice; the array formulation shuffles it
+once and explodes pairs where they land), one final count shuffle on
+the pair key. Hot pairs are ordinary skewed agg keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def co_occurrence_pairs(
+    df: DataFrame,
+    basket: str,
+    item: str,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Unordered item-pair counts across baskets.
+
+    Returns (item_a, item_b, n_baskets) with item_a < item_b; a pair
+    appearing twice in one basket (duplicate items) counts once per
+    basket.
+    """
+    items = (
+        df.select(F.col(basket).alias("b"), F.col(item).alias("i"))
+        .distinct()
+        .groupBy("b")
+        .agg(F.array_sort(F.collect_list("i")).alias("items"))
+    )
+    if max_basket_size is not None:
+        items = items.withColumn(
+            "items", F.slice("items", 1, max_basket_size)
+        )
+    pairs = items.select(
+        F.explode(
+            F.expr(
+                # all (i, j) with i < j from the sorted array: flatten of
+                # per-position suffix pairings — pure Catalyst, no UDF
+                "flatten(transform(items, (x, i) -> "
+                "transform(slice(items, i + 2, size(items)), "
+                "y -> struct(x as a, y as b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+        .select(
+            F.col("a").alias("item_a"),
+            F.col("b").alias("item_b"),
+            "n_baskets",
+        )
+    )

@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 
 def _dsum(col):
     """Order-independent double sum (decimal-fenced)."""
-    return F.sum(F.col(col).cast("decimal(28,8)")).cast("double")
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(28,8)")).cast("double")
 
 
 def pagerank(
@@ -128,3 +129,117 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def undirected_edges(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Canonical undirected edge set: distinct (a, b) with a < b, self
+    loops dropped — the input both triangle counting and degree stats
+    expect. One distinct shuffle."""
+    return (
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts over the undirected graph.
+
+    Algorithm: orient every undirected edge from its lower-(degree, id)
+    endpoint to its higher one, then count directed wedges u->v, u->w
+    closed by an oriented edge v->w. Each triangle has exactly one
+    vertex with two out-edges under a total order, so it is found ONCE —
+    no /3 or /6 correction, and (the scale point) a hub of degree D
+    keeps only its edges toward higher-degree nodes as out-edges, so the
+    wedge join explodes on O(sum of min-degree^2), not O(D^2) per hub
+    (the classic degree-ordered triangle bound, e.g. Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW 2011).
+    Plan: 2 shuffle joins + 1 explode + 1 groupBy; no cartesian.
+
+    Returns (node, triangles) for every node of the graph (0 included).
+    """
+    und = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    keyed = und.join(da, "a").join(db, "b")
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    e1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = e1.join(e2, "u").filter(F.col("x") < F.col("y"))
+    # close the wedge: (x, y) must be an oriented edge in EITHER
+    # orientation-order — orientation is by degree, so compare against
+    # the undirected set (checkpointed above, scanned once more)
+    closing = und.select(
+        F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+    )
+    tris = wedges.join(closing, ["x", "y"])
+    per_node = (
+        tris.select(
+            F.explode(F.array("u", "x", "y")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    nodes = deg.select("node")
+    return nodes.join(per_node, "node", "left").select(
+        "node", F.coalesce("triangles", F.lit(0)).alias("triangles")
+    )
+
+
+def degree_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Directed degree/strength per node in ONE pass: melt each edge
+    into (node, is_out, w) and aggregate — no join of two per-direction
+    aggregates, one shuffle total.
+
+    Returns (node, out_degree, in_degree, out_weight, in_weight); nodes
+    appearing only as source (or only as destination) get 0 for the
+    missing direction.
+    """
+    w = F.lit(1.0) if weight is None else F.col(weight).cast("double")
+    melted = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(src).alias("node"),
+                    F.lit(1).alias("is_out"),
+                    w.alias("w"),
+                ),
+                F.struct(
+                    F.col(dst).alias("node"),
+                    F.lit(0).alias("is_out"),
+                    w.alias("w"),
+                ),
+            )
+        ).alias("m")
+    ).select("m.node", "m.is_out", "m.w")
+    return melted.groupBy("node").agg(
+        F.sum(F.col("is_out")).cast("bigint").alias("out_degree"),
+        F.sum(1 - F.col("is_out")).cast("bigint").alias("in_degree"),
+        _dsum(F.when(F.col("is_out") == 1, F.col("w")).otherwise(F.lit(0.0)))
+        .alias("out_weight"),
+        _dsum(F.when(F.col("is_out") == 0, F.col("w")).otherwise(F.lit(0.0)))
+        .alias("in_weight"),
+    )

@@ -53,3 +53,47 @@ def profile_numeric(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             F.sum(val.cast("decimal(28,8)")).cast("double") / F.count(val)
         ).alias("mean_val"),
     )
+
+
+def profile_categorical(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Categorical counterpart of :func:`profile_numeric`: one pass,
+    one row per column with row/null/distinct counts and the modal
+    value (most frequent non-null; ties broken toward the smallest
+    value, so deterministic).
+
+    Same melt-then-aggregate shape — ``stack`` fuses into the scan —
+    but the mode needs per-(col, value) counts first, so the plan is
+    a (col_name, val) count (map-side partial-agg collapses the melted
+    stream to per-column cardinality) feeding two small per-column
+    aggregates. Shuffle volume is the sum of per-column distincts,
+    never the row stream.
+    """
+    pairs = ", ".join(f"'{c}', cast({c} as string)" for c in cols)
+    melted = df.selectExpr(
+        f"stack({len(cols)}, {pairs}) as (col_name, val)"
+    )
+    counts = melted.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = counts.groupBy("col_name").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("val").isNull(), F.col("cnt"))), F.lit(0)
+        ).cast("bigint").alias("n_null"),
+        F.count(F.when(F.col("val").isNotNull(), F.lit(1)))
+        .cast("bigint")
+        .alias("n_distinct"),
+    )
+    nonnull = counts.filter(F.col("val").isNotNull())
+    top = (
+        nonnull.groupBy("col_name")
+        .agg(F.max("cnt").alias("top_count"))
+        .join(nonnull, "col_name")
+        .filter(F.col("cnt") == F.col("top_count"))
+        .groupBy("col_name")
+        .agg(
+            F.min("val").alias("top_value"),
+            F.max("cnt").cast("bigint").alias("top_count"),
+        )
+    )
+    return stats.join(top, "col_name", "left")

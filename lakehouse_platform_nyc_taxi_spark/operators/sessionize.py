@@ -16,6 +16,8 @@ memory.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -85,4 +87,70 @@ def sessionize(
                 "timestampdiff(MICROSECOND, session_start, session_end) div 1000000"
             ),
         )
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    user: str,
+    event_type: str,
+    ts: str,
+    stages: Sequence[str],
+) -> DataFrame:
+    """Ordered-funnel conversion: how many users reached stage i having
+    passed stages 0..i-1 IN TIME ORDER (a later "view" can't claim an
+    earlier "purchase").
+
+    Single-scan formulation: one conditional-min aggregate per user
+    computes the first timestamp of every stage, then the stage-k
+    reach time is folded left as
+    ``t_k = min ts of stage_k events AFTER t_{k-1}`` — which equals
+    min-over-events only when events are totally ordered per stage, so
+    instead each user keeps the SORTED timestamp array per stage
+    (bounded by that user's stage events) and the fold picks the first
+    element after the previous stage's reach time. One shuffle on
+    user, one 1-row final aggregate; per-user arrays are bounded by
+    that user's own event count (cap upstream for pathological users).
+
+    Returns one row: (stage, stage_idx, n_users) per stage.
+    """
+    per_user = df.groupBy(F.col(user).alias("u")).agg(
+        *[
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col(event_type) == s, F.col(ts))
+                )
+            ).alias(f"_ts_{i}")
+            for i, s in enumerate(stages)
+        ]
+    )
+    # left-fold the reach times: reach_0 = first stage-0 ts; reach_i =
+    # first stage-i ts strictly after reach_{i-1}
+    reach_prev = F.try_element_at(F.col("_ts_0"), F.lit(1))
+    reached = per_user.withColumn("_reach_0", reach_prev)
+    for i in range(1, len(stages)):
+        # expr form: a python lambda with a bound default would read as
+        # PySpark's 2-arg (element, index) variant
+        reached = reached.withColumn(
+            f"_reach_{i}",
+            F.expr(
+                f"try_element_at(filter(_ts_{i}, t -> t > _reach_{i-1}), 1)"
+            ),
+        )
+    counts = reached.agg(
+        *[
+            F.count(F.col(f"_reach_{i}")).cast("bigint").alias(f"n_{i}")
+            for i in range(len(stages))
+        ]
+    )
+    rows = [
+        F.struct(
+            F.lit(s).alias("stage"),
+            F.lit(i).alias("stage_idx"),
+            F.col(f"n_{i}").alias("n_users"),
+        )
+        for i, s in enumerate(stages)
+    ]
+    return counts.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.stage", "r.stage_idx", "r.n_users"
     )

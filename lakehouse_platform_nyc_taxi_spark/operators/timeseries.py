@@ -262,3 +262,54 @@ def max_concurrency(
         F.max("concurrency").cast("bigint").alias("max_concurrent"),
         (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),
     )
+
+
+def twap(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    keys: Sequence[str] = ("series",),
+    bucket: str = "day",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Time-weighted average per (keys, bucket): each observation holds
+    its value until the next observation in the same bucket, the last
+    one until the bucket's end — the irregular-sampling mean (TWAP)
+    where a plain ``avg`` would over-weight bursts.
+
+    One lead() window (partitioned by keys+bucket — no global sort) and
+    one grouped aggregate; weights are microsecond intervals in IEEE
+    double, weighted sums decimal-fenced, so the result is
+    engine-exact. ``tiebreak`` orders equal timestamps deterministically.
+
+    Returns keys + (bucket_start, twap, n_obs).
+    """
+    order = [F.col("_ts")] + ([F.col(tiebreak)] if tiebreak else [])
+    bstart = F.date_trunc(bucket, F.col(ts)).cast("timestamp_ntz")
+    w = Window.partitionBy(*keys, "_bstart").orderBy(*order)
+    keyed = df.select(
+        *keys,
+        bstart.alias("_bstart"),
+        F.col(ts).alias("_ts"),
+        F.col(value).alias("_v"),
+        *([F.col(tiebreak)] if tiebreak else []),
+    )
+    stepped = keyed.withColumn(
+        "_next", F.coalesce(F.lead("_ts").over(w), F.col("_bstart") + F.expr(f"INTERVAL 1 {bucket}"))
+    ).withColumn(
+        "_w",
+        (
+            F.expr(
+                "cast(timestampdiff(MICROSECOND, cast(_ts as timestamp_ntz),"
+                " cast(_next as timestamp_ntz)) as double)"
+            )
+            / F.lit(1_000_000.0)
+        ),
+    )
+    return stepped.groupBy(*keys, "_bstart").agg(
+        (
+            F.sum((F.col("_v") * F.col("_w")).cast("decimal(28,8)")).cast("double")
+            / F.sum(F.col("_w").cast("decimal(28,8)")).cast("double")
+        ).alias("twap"),
+        F.count(F.lit(1)).alias("n_obs"),
+    ).withColumnRenamed("_bstart", "bucket_start")

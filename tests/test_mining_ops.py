@@ -1,0 +1,187 @@
+"""Known-value tests for the round-6 operator wave: triangles, degree
+stats, TWAP, privacy audit, co-occurrence, funnel, categorical profile."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from lakehouse_platform_nyc_taxi_spark.operators.basket import (
+    co_occurrence_pairs,
+)
+from lakehouse_platform_nyc_taxi_spark.operators.graph import (
+    degree_stats,
+    triangle_count,
+)
+from lakehouse_platform_nyc_taxi_spark.operators.privacy import (
+    k_anonymity,
+    suppression_summary,
+)
+from lakehouse_platform_nyc_taxi_spark.operators.profile import (
+    profile_categorical,
+)
+from lakehouse_platform_nyc_taxi_spark.operators.sessionize import (
+    funnel_counts,
+)
+from lakehouse_platform_nyc_taxi_spark.operators.timeseries import twap
+
+
+# ------------------------------------------------------------------ graph
+def test_triangle_count_k4_and_path(spark):
+    # K4: every vertex sits in C(3,2)=3 triangles; a pendant path node in 0
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges.append((3, 4))  # pendant
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.triangles for r in triangle_count(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 0}
+
+
+def test_triangle_count_ignores_direction_dupes_and_loops(spark):
+    # same triangle given twice in mixed directions + a self loop
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (1, 3), (3, 1), (2, 2)],
+        "src int, dst int",
+    )
+    got = {r.node: r.triangles for r in triangle_count(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_degree_stats_directed_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 3.0), (1, 3, 1.0), (3, 1, 2.5)],
+        "src int, dst int, w double",
+    )
+    got = {
+        r.node: (r.out_degree, r.in_degree, r.out_weight, r.in_weight)
+        for r in degree_stats(df, weight="w").collect()
+    }
+    assert got[1] == (2, 1, 4.0, 2.5)
+    assert got[2] == (0, 1, 0.0, 3.0)
+    assert got[3] == (1, 1, 2.5, 1.0)
+
+
+# ------------------------------------------------------------------- twap
+def test_twap_weights_by_holding_time(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # value 10 held 6h, value 20 held 18h (to midnight):
+        # twap = (10*6 + 20*18) / 24 = 17.5
+        ("a", t0, 10.0, 1),
+        ("a", t0 + dt.timedelta(hours=6), 20.0, 2),
+        # single observation: twap == its value regardless of arrival time
+        ("b", t0 + dt.timedelta(hours=23), 42.0, 3),
+    ]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double, eid long")
+    got = {
+        r.series: (r.twap, r.n_obs)
+        for r in twap(df, keys=("series",), tiebreak="eid").collect()
+    }
+    assert got["a"] == (17.5, 2)
+    assert got["b"] == (42.0, 1)
+
+
+def test_twap_tiebreak_orders_equal_timestamps(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("a", t0, 10.0, 2), ("a", t0, 20.0, 1)]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double, eid long")
+    [r] = twap(df, keys=("series",), tiebreak="eid").collect()
+    # eid 1 holds 0 seconds, eid 2 holds the whole day -> twap = 10
+    assert r.twap == 10.0
+
+
+# ---------------------------------------------------------------- privacy
+def test_k_anonymity_flags_and_l_diversity(spark):
+    rows = [
+        ("US", "A", 1), ("US", "A", 1), ("US", "A", 2),
+        ("US", "A", 3), ("US", "A", 3),           # size 5, l=3
+        ("DE", "B", 7), ("DE", "B", 7),           # size 2, l=1
+    ]
+    df = spark.createDataFrame(rows, "nat string, seg string, sens int")
+    got = {
+        (r.nat, r.seg): (r.group_size, r.l_diversity, r.k_anonymous, r.l_diverse)
+        for r in k_anonymity(df, ["nat", "seg"], sensitive="sens", k=5, l=3).collect()
+    }
+    assert got[("US", "A")] == (5, 3, True, True)
+    assert got[("DE", "B")] == (2, 1, False, False)
+
+    [s] = suppression_summary(df, ["nat", "seg"], k=5).collect()
+    assert (s.n_rows, s.n_suppressed) == (7, 2)
+    assert abs(s.suppression_rate - 2 / 7) < 1e-12
+
+
+# ----------------------------------------------------------------- basket
+def test_co_occurrence_counts_pairs_once_per_basket(spark):
+    rows = [
+        (1, "x"), (1, "y"), (1, "y"),  # duplicate item: pair counted once
+        (2, "x"), (2, "y"), (2, "z"),
+    ]
+    df = spark.createDataFrame(rows, "b int, i string")
+    got = {
+        (r.item_a, r.item_b): r.n_baskets
+        for r in co_occurrence_pairs(df, "b", "i").collect()
+    }
+    assert got == {("x", "y"): 2, ("x", "z"): 1, ("y", "z"): 1}
+
+
+def test_co_occurrence_basket_cap_is_deterministic(spark):
+    rows = [(1, c) for c in "abcd"]
+    df = spark.createDataFrame(rows, "b int, i string")
+    got = {
+        (r.item_a, r.item_b)
+        for r in co_occurrence_pairs(df, "b", "i", max_basket_size=2).collect()
+    }
+    # cap keeps the 2 smallest items of the sorted basket
+    assert got == {("a", "b")}
+
+
+# ----------------------------------------------------------------- funnel
+def test_funnel_requires_time_order(spark):
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1 completes in order
+        (1, "view", t(0)), (1, "click", t(1)), (1, "purchase", t(2)),
+        # u2 purchased BEFORE clicking -> purchase must not count
+        (2, "view", t(0)), (2, "purchase", t(1)), (2, "click", t(2)),
+        # u3 never viewed -> nothing counts
+        (3, "click", t(0)), (3, "purchase", t(1)),
+    ]
+    df = spark.createDataFrame(rows, "u long, et string, ts timestamp")
+    got = {
+        r.stage: r.n_users
+        for r in funnel_counts(
+            df, "u", "et", "ts", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {"view": 2, "click": 2, "purchase": 1}
+
+
+def test_funnel_greedy_uses_earliest_valid_event(spark):
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    # the user's SECOND view is followed by a click; greedy (first view)
+    # still converts because a later click exists after the first view
+    rows = [
+        (1, "view", t(0)), (1, "view", t(10)),
+        (1, "click", t(5)), (1, "purchase", t(6)),
+    ]
+    df = spark.createDataFrame(rows, "u long, et string, ts timestamp")
+    got = {
+        r.stage: r.n_users
+        for r in funnel_counts(
+            df, "u", "et", "ts", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {"view": 1, "click": 1, "purchase": 1}
+
+
+# ---------------------------------------------------------------- profile
+def test_profile_categorical_counts_and_deterministic_mode(spark):
+    rows = [("en", None), ("en", "web"), ("fr", "web"), ("fr", "book")]
+    df = spark.createDataFrame(rows, "lang string, source string")
+    got = {
+        r.col_name: (r.n_rows, r.n_null, r.n_distinct, r.top_value, r.top_count)
+        for r in profile_categorical(df, ["lang", "source"]).collect()
+    }
+    # lang: en/fr tie at 2 -> smallest value wins
+    assert got["lang"] == (4, 0, 2, "en", 2)
+    assert got["source"] == (4, 1, 2, "web", 2)

@@ -535,3 +535,51 @@ def test_dv_read_anti_join_broadcasts_tombstones(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------- round-6 operator wave
+def test_triangle_count_never_cartesian(spark):
+    """Degree-ordered triangle counting must stay equi-join shaped —
+    the 3-way closure is joins on (u) and (x, y), never a product."""
+    plan = plan_of(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_degree_stats_single_aggregation_pass(spark):
+    """The melt formulation aggregates once on node — joining two
+    per-direction aggregates would plan 2+ aggregate exchanges over the
+    edge stream."""
+    plan = plan_of(spark, "graph_degree_stats")
+    # exactly one exchange keyed by the melted node column
+    assert len(re.findall(r"hashpartitioning\(node", plan)) == 1
+
+
+def test_basket_pairs_generated_map_side(spark):
+    """Pair generation is an explode over each basket's sorted array —
+    the item stream shuffles ONCE (to group baskets) + once for the
+    pair count; the self-join formulation would shuffle it twice before
+    counting. No join anywhere in the plan."""
+    plan = plan_of(spark, "basket_pair_histogram")
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct"):
+        assert join not in plan, join
+    assert "explode(flatten(transform" in plan
+
+
+def test_funnel_single_user_shuffle(spark):
+    """The greedy fold runs row-local after ONE shuffle on user; the
+    3-pass oracle shape (join per stage) must not leak in."""
+    plan = plan_of(spark, "events_funnel")
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert join not in plan, join
+    assert len(re.findall(r"hashpartitioning\(u(?:ser_id)?#", plan)) == 1
+
+
+def test_salted_agg_two_phase(spark):
+    """Phase 1 keys on (key, salt), phase 2 on key alone — the hot-key
+    split must be visible as the two grouping shapes."""
+    plan = plan_of(spark, "join_skew_salted")
+    assert "_salt" in plan
+    # final exchange on the bare key (merge phase)
+    assert re.search(r"hashpartitioning\(l_returnflag#\d+, \d+\)", plan), plan
