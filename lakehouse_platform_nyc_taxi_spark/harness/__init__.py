@@ -62,57 +62,9 @@ def register(
 #      Their green rows live in CORRECTNESS_r01.json (kept in-repo), so
 #      rounds jointly cover every query.
 _PRIORITY = [
-    # --- Round-6 window (driver checks the FIRST 50 registered) ---
-    # 1) The 15 round-5 wave-2 queries that have NEVER had a driver
-    #    correctness row (VERDICT r5 "What's missing" #1):
-    "graph_pagerank",
-    "fuzzy_join_suppliers",
-    "events_max_concurrency",
-    "table_profile_numeric",
-    "timeseries_ohlc",
-    "sql_lateral_topn",
-    "dedup_latest_record",
-    "sampling_token_budget",
-    "agg_corr_regression",
-    "scd2_point_in_time_join",
-    "json_extract_rollup",
-    "json_variant_histogram",
-    "window_rank_trio",
-    "set_except_all",
-    "text_bigram_lm",
-    # 2) The 13 queries whose last green row is r3 (freshness rotation
-    #    debt; VERDICT "What's wrong" #2):
-    "similarity_topk_batch",
-    "similarity_topk_ivf_batch",
-    "multimodal_metadata",
-    "surrogate_keys_md5",
-    "datetime_features",
-    "dq_violation_counts",
-    "text_language_id",
-    "text_fingerprints",
-    "sampling_hash_split",
-    "sampling_per_group_cap",
-    "text_winnowing",
-    "doc_chunking",
-    "agg_approx_distinct",  # rows-only by design (HLL not SQL-twin-able)
-]
-# New round-6 registrations (not listed anywhere) auto-slot directly
-# after _PRIORITY, i.e. still inside the 50-row window.
-_KEEP = [
-    # r4-green queries refreshed next (2 rounds old at r6 — at the
-    # freshness limit; they fill the window slots new queries don't take):
-    "agg_daily_rollup",
-    "agg_pricing_summary",
-    "scd2_event_history",
-    "similarity_topk_int8",
-    "window_ntile_cume",
-    "streaming_windowed_rollup",
-    "streaming_session_windows",
-    "streaming_stream_static_join",
-    "streaming_stateful_user_stats",
-    "text_repetition",
-    "text_rarity_stats",
-    "cast_rename_projection",
+    # --- Round-7 window (driver checks the FIRST 50 registered) ---
+    # 1) The 33 queries whose last driver-green row is r4 (oldest-first
+    #    rotation policy; VERDICT r6 "Next round" #1):
     "filter_precedence_quirk",
     "in_list_between",
     "incremental_watermark",
@@ -146,7 +98,64 @@ _KEEP = [
     "join_semi",
     "join_null_safe",
     "unpivot_charges",
-    # r5-green queries (fresh; rotate back in r7):
+    # 2) agg_approx_distinct gained an oracle this round (error-bound flag
+    #    on the exact columns; VERDICT r6 "Next round" #2) -> re-verify:
+    "agg_approx_distinct",
+]
+# New round-7 registrations (not listed anywhere) auto-slot directly
+# after _PRIORITY, i.e. still inside the 50-row window.
+_KEEP = [
+    # r6-green queries (fresh):
+    "graph_pagerank",
+    "fuzzy_join_suppliers",
+    "events_max_concurrency",
+    "table_profile_numeric",
+    "timeseries_ohlc",
+    "sql_lateral_topn",
+    "dedup_latest_record",
+    "sampling_token_budget",
+    "agg_corr_regression",
+    "scd2_point_in_time_join",
+    "json_extract_rollup",
+    "json_variant_histogram",
+    "window_rank_trio",
+    "set_except_all",
+    "text_bigram_lm",
+    "similarity_topk_batch",
+    "similarity_topk_ivf_batch",
+    "multimodal_metadata",
+    "surrogate_keys_md5",
+    "datetime_features",
+    "dq_violation_counts",
+    "text_language_id",
+    "text_fingerprints",
+    "sampling_hash_split",
+    "sampling_per_group_cap",
+    "text_winnowing",
+    "doc_chunking",
+    "graph_triangle_count",
+    "graph_degree_stats",
+    "timeseries_twap",
+    "privacy_k_anonymity",
+    "sql_running_distinct",
+    "agg_mode_median",
+    "join_skew_salted",
+    "events_funnel",
+    "basket_pair_histogram",
+    "table_profile_categorical",
+    "agg_daily_rollup",
+    "agg_pricing_summary",
+    "scd2_event_history",
+    "similarity_topk_int8",
+    "window_ntile_cume",
+    "streaming_windowed_rollup",
+    "streaming_session_windows",
+    "streaming_stream_static_join",
+    "streaming_stateful_user_stats",
+    "text_repetition",
+    "text_rarity_stats",
+    "cast_rename_projection",
+    # r5-green queries (next-oldest; rotate back in r8):
     "embedding_quantize_int8",
     "agg_collect_sorted",
     "timeseries_gapfill_15min",

@@ -204,16 +204,41 @@ def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    None,  # HLL sketch values are engine-specific -> rows-only check
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY event_type
+    """,
     doc="approx_count_distinct (HyperLogLog++) per event_type — the "
-    "cardinality-estimation scale path; exact countDistinct is the "
-    "oracle-paired variant (agg_daily_rollup).",
+    "cardinality-estimation scale path. The raw sketch estimate is "
+    "engine-specific, so the oracle pairs the exact count plus a "
+    "`within_bound` flag asserting |approx-exact| <= max(3*rsd*exact, 5) "
+    "(3 standard errors at rsd=0.05, floored for tiny groups where "
+    "HLL++'s sparse mode is exact anyway). The flag is TRUE on the "
+    "oracle side, so a sketch drifting past its published error bound "
+    "flips the hash red.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+    rsd = 0.05  # Spark's default relative standard deviation for HLL++
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(
+                    F.ceil(3 * rsd * F.col("exact_users")), F.lit(5)
+                )
+            ).alias("within_bound"),
+        )
     )
 
 

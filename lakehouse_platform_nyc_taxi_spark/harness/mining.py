@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from ..functions.trino import trino_round
 from ..sources.testdata import load_table
 from . import register
-from .core import DSUM, dsum
+from .core import DSUM
 
 # Shared nation-trade edge derivation (identical to graph_pagerank's):
 # supplier-nation -> customer-nation, weight = lineitem count.
@@ -222,7 +222,7 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("_sens"),
     )
     return k_anonymity(
-        cust, ["c_nationkey", "c_mktsegment"], sensitive="_sens", k=5, l=3
+        cust, ["c_nationkey", "c_mktsegment"], sensitive="_sens", k=5, min_l=3
     )
 
 
@@ -439,9 +439,16 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH items AS (
       SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
     ),
+    capped AS (
+      SELECT b, i FROM (
+        SELECT b, i,
+               row_number() OVER (PARTITION BY b ORDER BY i) AS rn
+        FROM items
+      ) WHERE rn <= 32
+    ),
     pairs AS (
       SELECT x.i AS a, y.i AS b2, CAST(count(*) AS BIGINT) AS n_baskets
-      FROM items x JOIN items y ON x.b = y.b AND x.i < y.i
+      FROM capped x JOIN capped y ON x.b = y.b AND x.i < y.i
       GROUP BY x.i, y.i
     )
     SELECT n_baskets,
@@ -452,9 +459,11 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "generated map-side from each basket's sorted item array (ONE "
     "shuffle to group baskets + one count shuffle on the pair key — "
     "the self-join formulation the oracle uses shuffles the item "
-    "stream twice), capped deterministically for pathological "
-    "baskets; summarized as a support histogram so the driver "
-    "verifies every pair count, not a top-k slice.",
+    "stream twice), capped deterministically at 32 items/basket by "
+    "sorted item order (mirrored in the oracle via row_number <= 32; "
+    "TPC-H baskets are <=7 items, so the cap guards pathological data "
+    "without changing this result); summarized as a support histogram "
+    "so the driver verifies every pair count, not a top-k slice.",
 )
 def basket_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.basket import co_occurrence_pairs
@@ -462,7 +471,9 @@ def basket_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    pairs = co_occurrence_pairs(li, basket="l_orderkey", item="l_partkey")
+    pairs = co_occurrence_pairs(
+        li, basket="l_orderkey", item="l_partkey", max_basket_size=32
+    )
     return pairs.groupBy("n_baskets").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs")
     )

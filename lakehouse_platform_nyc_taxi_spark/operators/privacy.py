@@ -30,7 +30,7 @@ def k_anonymity(
     qid_cols: Sequence[str],
     sensitive: str | None = None,
     k: int = 5,
-    l: int = 2,
+    min_l: int = 2,
 ) -> DataFrame:
     """Per-QI-group audit row: group size, distinct sensitive values,
     and the pass/fail flags a release gate needs.
@@ -46,7 +46,7 @@ def k_anonymity(
     out = df.groupBy(*qid_cols).agg(*aggs)
     out = out.withColumn("k_anonymous", F.col("group_size") >= k)
     if sensitive is not None:
-        out = out.withColumn("l_diverse", F.col("l_diversity") >= l)
+        out = out.withColumn("l_diverse", F.col("l_diversity") >= min_l)
     return out
 
 

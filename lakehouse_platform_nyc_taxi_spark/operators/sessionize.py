@@ -96,6 +96,7 @@ def funnel_counts(
     event_type: str,
     ts: str,
     stages: Sequence[str],
+    max_events_per_stage: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel conversion: how many users reached stage i having
     passed stages 0..i-1 IN TIME ORDER (a later "view" can't claim an
@@ -110,19 +111,33 @@ def funnel_counts(
     (bounded by that user's stage events) and the fold picks the first
     element after the previous stage's reach time. One shuffle on
     user, one 1-row final aggregate; per-user arrays are bounded by
-    that user's own event count (cap upstream for pathological users).
+    that user's own event count. ``max_events_per_stage`` caps each
+    per-stage array at its EARLIEST k timestamps, bounding the row
+    width carried into the fold columns (the collect_list buffer
+    itself still sees every event — for a truly pathological user,
+    ALSO pre-cap upstream with a per-(user, stage) row_number filter,
+    which costs an extra sort). When the cap truncates, the fold
+    becomes a conservative approximation: a user counts as reaching
+    stage i only via their first k stage-i events, so n_users is a
+    lower bound (exact for every user under the cap).
 
     Returns one row: (stage, stage_idx, n_users) per stage.
     """
+    if max_events_per_stage is not None and max_events_per_stage < 1:
+        raise ValueError(
+            f"max_events_per_stage must be >= 1, got {max_events_per_stage}"
+        )
+
+    def _stage_ts(i: int, s: str):
+        arr = F.array_sort(
+            F.collect_list(F.when(F.col(event_type) == s, F.col(ts)))
+        )
+        if max_events_per_stage is not None:
+            arr = F.slice(arr, 1, max_events_per_stage)
+        return arr.alias(f"_ts_{i}")
+
     per_user = df.groupBy(F.col(user).alias("u")).agg(
-        *[
-            F.array_sort(
-                F.collect_list(
-                    F.when(F.col(event_type) == s, F.col(ts))
-                )
-            ).alias(f"_ts_{i}")
-            for i, s in enumerate(stages)
-        ]
+        *[_stage_ts(i, s) for i, s in enumerate(stages)]
     )
     # left-fold the reach times: reach_0 = first stage-0 ts; reach_i =
     # first stage-i ts strictly after reach_{i-1}

@@ -284,6 +284,13 @@ def twap(
 
     Returns keys + (bucket_start, twap, n_obs).
     """
+    allowed = ("week", "day", "hour", "minute", "month", "year")
+    if bucket not in allowed:
+        # fail here, not as an opaque Catalyst parse error inside the
+        # INTERVAL literal far from the call site
+        raise ValueError(
+            f"unsupported twap bucket {bucket!r}; expected one of {allowed}"
+        )
     order = [F.col("_ts")] + ([F.col(tiebreak)] if tiebreak else [])
     bstart = F.date_trunc(bucket, F.col(ts)).cast("timestamp_ntz")
     w = Window.partitionBy(*keys, "_bstart").orderBy(*order)

@@ -100,7 +100,7 @@ def test_k_anonymity_flags_and_l_diversity(spark):
     df = spark.createDataFrame(rows, "nat string, seg string, sens int")
     got = {
         (r.nat, r.seg): (r.group_size, r.l_diversity, r.k_anonymous, r.l_diverse)
-        for r in k_anonymity(df, ["nat", "seg"], sensitive="sens", k=5, l=3).collect()
+        for r in k_anonymity(df, ["nat", "seg"], sensitive="sens", k=5, min_l=3).collect()
     }
     assert got[("US", "A")] == (5, 3, True, True)
     assert got[("DE", "B")] == (2, 1, False, False)
