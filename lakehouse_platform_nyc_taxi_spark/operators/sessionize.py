@@ -111,33 +111,20 @@ def funnel_counts(
     (bounded by that user's stage events) and the fold picks the first
     element after the previous stage's reach time. One shuffle on
     user, one 1-row final aggregate; per-user arrays are bounded by
-    that user's own event count. ``max_events_per_stage`` caps each
-    per-stage array at its EARLIEST k timestamps, bounding the row
-    width carried into the fold columns (the collect_list buffer
-    itself still sees every event — for a truly pathological user,
-    ALSO pre-cap upstream with a per-(user, stage) row_number filter,
-    which costs an extra sort). When the cap truncates, the fold
+    that user's own event count. ``max_events_per_stage`` keeps only
+    each user's EARLIEST k events per stage via a per-(user, stage)
+    ``row_number`` filter BEFORE the aggregate, so the collect_list
+    buffer itself — not just the fold-column width — is bounded (cost:
+    one extra shuffle+sort on (user, stage); without the cap the
+    operator stays single-shuffle). When the cap truncates, the fold
     becomes a conservative approximation: a user counts as reaching
     stage i only via their first k stage-i events, so n_users is a
     lower bound (exact for every user under the cap).
 
     Returns one row: (stage, stage_idx, n_users) per stage.
     """
-    if max_events_per_stage is not None and max_events_per_stage < 1:
-        raise ValueError(
-            f"max_events_per_stage must be >= 1, got {max_events_per_stage}"
-        )
-
-    def _stage_ts(i: int, s: str):
-        arr = F.array_sort(
-            F.collect_list(F.when(F.col(event_type) == s, F.col(ts)))
-        )
-        if max_events_per_stage is not None:
-            arr = F.slice(arr, 1, max_events_per_stage)
-        return arr.alias(f"_ts_{i}")
-
-    per_user = df.groupBy(F.col(user).alias("u")).agg(
-        *[_stage_ts(i, s) for i, s in enumerate(stages)]
+    per_user = _per_user_stage_times(
+        df, user, event_type, ts, stages, max_events_per_stage
     )
     # left-fold the reach times: reach_0 = first stage-0 ts; reach_i =
     # first stage-i ts strictly after reach_{i-1}
@@ -168,4 +155,48 @@ def funnel_counts(
     ]
     return counts.select(F.explode(F.array(*rows)).alias("r")).select(
         "r.stage", "r.stage_idx", "r.n_users"
+    )
+
+
+def _per_user_stage_times(
+    df: DataFrame,
+    user: str,
+    event_type: str,
+    ts: str,
+    stages: Sequence[str],
+    max_events_per_stage: int | None,
+) -> DataFrame:
+    """One row per user with the sorted per-stage timestamp arrays the
+    funnel fold consumes (``u``, ``_ts_0`` .. ``_ts_{n-1}``).
+
+    With ``max_events_per_stage`` set, non-stage events are dropped and a
+    per-(user, stage) ``row_number`` keeps only the earliest k BEFORE the
+    collect_list, so no aggregation buffer ever holds more than k
+    timestamps per stage (one extra shuffle+sort on (user, stage); the
+    uncapped path is untouched and stays single-shuffle).
+    """
+    if max_events_per_stage is not None and max_events_per_stage < 1:
+        raise ValueError(
+            f"max_events_per_stage must be >= 1, got {max_events_per_stage}"
+        )
+    src = df
+    if max_events_per_stage is not None:
+        rn = F.row_number().over(
+            Window.partitionBy(user, event_type).orderBy(ts)
+        )
+        src = (
+            df.filter(F.col(event_type).isin(list(stages)))
+            .withColumn("_rn", rn)
+            .filter(F.col("_rn") <= max_events_per_stage)
+            .drop("_rn")
+        )
+
+    def _stage_ts(i: int, s: str):
+        arr = F.array_sort(
+            F.collect_list(F.when(F.col(event_type) == s, F.col(ts)))
+        )
+        return arr.alias(f"_ts_{i}")
+
+    return src.groupBy(F.col(user).alias("u")).agg(
+        *[_stage_ts(i, s) for i, s in enumerate(stages)]
     )

@@ -284,12 +284,27 @@ def twap(
 
     Returns keys + (bucket_start, twap, n_obs).
     """
-    allowed = ("week", "day", "hour", "minute", "month", "year")
-    if bucket not in allowed:
+    # every date_trunc unit that yields a timestamp truncation; quarter
+    # maps to a 3-month bucket length because Spark has no QUARTER
+    # interval literal. (Sub-second date_trunc units are excluded by
+    # design: a TWAP bucket below the obs-timestamp resolution is
+    # degenerate.)
+    bucket_len = {
+        "second": "INTERVAL 1 SECOND",
+        "minute": "INTERVAL 1 MINUTE",
+        "hour": "INTERVAL 1 HOUR",
+        "day": "INTERVAL 1 DAY",
+        "week": "INTERVAL 1 WEEK",
+        "month": "INTERVAL 1 MONTH",
+        "quarter": "INTERVAL 3 MONTH",
+        "year": "INTERVAL 1 YEAR",
+    }
+    if bucket not in bucket_len:
         # fail here, not as an opaque Catalyst parse error inside the
         # INTERVAL literal far from the call site
         raise ValueError(
-            f"unsupported twap bucket {bucket!r}; expected one of {allowed}"
+            f"unsupported twap bucket {bucket!r}; expected one of "
+            f"{tuple(bucket_len)}"
         )
     order = [F.col("_ts")] + ([F.col(tiebreak)] if tiebreak else [])
     bstart = F.date_trunc(bucket, F.col(ts)).cast("timestamp_ntz")
@@ -302,7 +317,7 @@ def twap(
         *([F.col(tiebreak)] if tiebreak else []),
     )
     stepped = keyed.withColumn(
-        "_next", F.coalesce(F.lead("_ts").over(w), F.col("_bstart") + F.expr(f"INTERVAL 1 {bucket}"))
+        "_next", F.coalesce(F.lead("_ts").over(w), F.col("_bstart") + F.expr(bucket_len[bucket]))
     ).withColumn(
         "_w",
         (

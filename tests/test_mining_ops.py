@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from lakehouse_platform_nyc_taxi_spark.operators.basket import (
@@ -79,6 +81,32 @@ def test_twap_weights_by_holding_time(spark):
     }
     assert got["a"] == (17.5, 2)
     assert got["b"] == (42.0, 1)
+
+
+def test_twap_quarter_and_second_buckets(spark):
+    t0 = dt.datetime(2024, 1, 15)
+    rows = [
+        # quarter bucket: 10 held Jan15..Feb15 (31d), 40 held Feb15..Apr1
+        # (46d, leap Feb) -> twap = (10*31 + 40*46) / 77 = 27.922077922
+        ("a", t0, 10.0, 1),
+        ("a", dt.datetime(2024, 2, 15), 40.0, 2),
+    ]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double, eid long")
+    [r] = twap(df, keys=("series",), bucket="quarter", tiebreak="eid").collect()
+    assert r.bucket_start == dt.datetime(2024, 1, 1)
+    assert abs(r.twap - (10 * 31 + 40 * 46) / 77) < 1e-9
+
+    srows = [
+        # second bucket: 1.0 held 250ms, 3.0 held to the second's end
+        ("s", dt.datetime(2024, 1, 1, 0, 0, 5, 0), 1.0, 1),
+        ("s", dt.datetime(2024, 1, 1, 0, 0, 5, 250_000), 3.0, 2),
+    ]
+    sdf = spark.createDataFrame(srows, "series string, ts timestamp, value double, eid long")
+    [r] = twap(sdf, keys=("series",), bucket="second", tiebreak="eid").collect()
+    assert abs(r.twap - (1.0 * 0.25 + 3.0 * 0.75)) < 1e-9
+
+    with pytest.raises(ValueError, match="unsupported twap bucket"):
+        twap(df, keys=("series",), bucket="millisecond")
 
 
 def test_twap_tiebreak_orders_equal_timestamps(spark):
@@ -172,6 +200,55 @@ def test_funnel_greedy_uses_earliest_valid_event(spark):
         ).collect()
     }
     assert got == {"view": 1, "click": 1, "purchase": 1}
+
+
+def test_funnel_stage_cap_bounds_buffer_and_lower_bounds_counts(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators.sessionize import (
+        _per_user_stage_times,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    # u1 is pathological: 50 views, and the only click lands AFTER every
+    # view, so conversion doesn't depend on which views survive the cap.
+    # u2's qualifying click is their 3rd (beyond cap=2): with the cap the
+    # fold only sees clicks at t1, t2 — both BEFORE u2's first view at
+    # t5 — so u2 converts view but not click (documented lower bound).
+    rows = (
+        [(1, "view", t(m)) for m in range(50)]
+        + [(1, "click", t(55))]
+        + [(2, "click", t(1)), (2, "click", t(2)), (2, "view", t(5)),
+           (2, "click", t(9))]
+    )
+    df = spark.createDataFrame(rows, "u long, et string, ts timestamp")
+    stages = ["view", "click"]
+
+    per_user = _per_user_stage_times(df, "u", "et", "ts", stages, 2)
+    widths = per_user.selectExpr(
+        "greatest(size(_ts_0), size(_ts_1)) as w"
+    ).collect()
+    # the aggregation buffer (hence the arrays) never exceeds the cap
+    assert max(r.w for r in widths) == 2
+
+    got = {
+        r.stage: r.n_users
+        for r in funnel_counts(
+            df, "u", "et", "ts", stages, max_events_per_stage=2
+        ).collect()
+    }
+    assert got == {"view": 2, "click": 1}
+    # uncapped: u2's 3rd click (after their view) converts
+    uncapped = {
+        r.stage: r.n_users
+        for r in funnel_counts(df, "u", "et", "ts", stages).collect()
+    }
+    assert uncapped == {"view": 2, "click": 2}
+
+
+def test_funnel_stage_cap_validates(spark):
+    df = spark.createDataFrame([(1, "view", dt.datetime(2024, 1, 1))],
+                               "u long, et string, ts timestamp")
+    with pytest.raises(ValueError, match="max_events_per_stage"):
+        funnel_counts(df, "u", "et", "ts", ["view"], max_events_per_stage=0)
 
 
 # ---------------------------------------------------------------- profile
