@@ -200,6 +200,141 @@ _NGRAM_JACCARD = (
 )
 
 
+def _substring_spans_cte(k: int = 8, min_overlap: int = 12, cap: int = 100) -> str:
+    # parallel unnest zips positions with their window hashes; the
+    # QUALIFY mirrors the Spark df-cap (measured max window df at sf0.1
+    # is 3, so cap=100 provably never bites at oracle/bench scales and
+    # the SQL stays a faithful oracle — same argument as the ngram cap).
+    return f"""
+    stok AS (
+        SELECT doc_id, {TOKS} AS toks FROM documents
+    ),
+    w AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(toks) - {k} + 1)) AS pos,
+               unnest(list_transform(
+                   generate_series(1, len(toks) - {k} + 1),
+                   i -> md5(array_to_string(toks[i:i + {k - 1}], ' ')))) AS wh
+        FROM stok WHERE len(toks) >= {k}
+    ),
+    c AS (
+        SELECT * FROM w QUALIFY count(*) OVER (PARTITION BY wh) <= {cap}
+    ),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+        FROM c a JOIN c b ON a.wh = b.wh AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT *, pos_a - row_number() OVER (
+            PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS island
+        FROM m
+    ),
+    spans AS (
+        SELECT doc_a, doc_b,
+               min(pos_a) AS a_start, min(pos_b) AS b_start,
+               count(*) + {k} - 1 AS overlap_tokens
+        FROM isl
+        GROUP BY doc_a, doc_b, diag, island
+        HAVING count(*) + {k} - 1 >= {min_overlap}
+    )"""
+
+
+def _exact_substring_sql(k: int = 8, min_overlap: int = 12, cap: int = 100) -> str:
+    return f"""
+    WITH {_substring_spans_cte(k, min_overlap, cap)}
+    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           CAST(a_start AS BIGINT) AS a_start,
+           CAST(b_start AS BIGINT) AS b_start,
+           CAST(overlap_tokens AS BIGINT) AS overlap_tokens
+    FROM spans
+    """
+
+
+@register(
+    "dedup_exact_substring",
+    _exact_substring_sql(),
+    doc="Exact substring dedup (Lee et al. 2021): verbatim cross-doc "
+    "token spans >= 12 tokens via 8-token window hashing + "
+    "gaps-and-islands over match diagonals — window-hash equi-join, "
+    "never all-pairs; the df cap is the boilerplate/skew valve.",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_substring_pairs(
+        load_table_parallel(spark, sf_dir, "documents"),
+        window_tokens=8,
+        min_overlap_tokens=12,
+        max_window_df=100,
+    )
+
+
+def _strip_spans_sql() -> str:
+    # Interval merge mirrors strip_duplicate_spans: running pre-row max
+    # of interval ends -> island flags -> merged [min s, max e]; tokens
+    # surviving every merged interval are re-joined with single spaces
+    # (both engines tokenize-and-rejoin, so parity is exact even if the
+    # source text had irregular whitespace).
+    return f"""
+    WITH {_substring_spans_cte()},
+    iv AS (
+        SELECT doc_b AS id, b_start AS s,
+               b_start + overlap_tokens - 1 AS e
+        FROM spans
+    ),
+    flagged AS (
+        SELECT id, s, e,
+               CASE WHEN max(e) OVER (
+                        PARTITION BY id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL THEN 1
+                    WHEN s > max(e) OVER (
+                        PARTITION BY id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    grp AS (
+        SELECT *, sum(new_island) OVER (
+            PARTITION BY id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS g
+        FROM flagged
+    ),
+    mrg AS (SELECT id, g, min(s) AS s, max(e) AS e FROM grp GROUP BY id, g),
+    ivl AS (
+        SELECT id, list(struct_pack(s := s, e := e) ORDER BY s, e) AS ivs,
+               sum(e - s + 1) AS removed
+        FROM mrg GROUP BY id
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           -- COALESCE: duckdb's array_to_string([]) is NULL where
+           -- spark's concat_ws over an empty array is ''
+           COALESCE(CASE WHEN i.ivs IS NULL THEN array_to_string(d.toks, ' ')
+                ELSE array_to_string(
+                    [d.toks[p] FOR p IN generate_series(1, len(d.toks))
+                     IF len(list_filter(i.ivs, x -> p >= x.s AND p <= x.e)) = 0],
+                    ' ')
+           END, '') AS text,
+           CAST(COALESCE(i.removed, 0) AS BIGINT) AS n_tokens_removed
+    FROM stok d LEFT JOIN ivl i ON d.doc_id = i.id
+    """
+
+
+@register(
+    "dedup_strip_spans",
+    _strip_spans_sql(),
+    doc="APPLY exact substring dedup (the second half of Lee et al. "
+    "2021): every duplicated span is removed from the higher-id doc of "
+    "each pair (keep-first policy) after merging overlapping removal "
+    "ranges per doc — pairs to cleaned corpus, one interval-merge "
+    "shuffle plus one left join back to the documents.",
+)
+def dedup_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    pairs = dedup.exact_substring_pairs(
+        docs, window_tokens=8, min_overlap_tokens=12, max_window_df=100
+    )
+    return dedup.strip_duplicate_spans(docs, pairs)
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""
@@ -782,6 +917,66 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = multimodal.attach_binary_payload(load_table_parallel(spark, sf_dir, "documents"))
     return multimodal.fake_feature_extractor(assets)
+
+
+def _decode_image_sql() -> str:
+    # The REAL decode path on P5 payloads is deterministic byte
+    # arithmetic: the raster is the text's first 192 bytes zero-padded
+    # into a 16x12 image, and the 8x8 NEAREST thumbnail samples 64 FIXED
+    # raster positions (pixel-center nearest-neighbor), so the whole
+    # feature row is SQL-expressible. Positions computed here exactly as
+    # multimodal._nearest_resize does.
+    w, h = 16, 12
+    rowmap = [min(int((j + 0.5) * h / 8), h - 1) for j in range(8)]
+    colmap = [min(int((i + 0.5) * w / 8), w - 1) for i in range(8)]
+    pix = [
+        f"CASE WHEN len(codes) > {r * w + c} THEN codes[{r * w + c + 1}] ELSE 0 END"
+        for r in rowmap
+        for c in colmap
+    ]
+    thumb = ",\n               ".join(pix)
+    return f"""
+    WITH c AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS blen,
+               list_transform(split(text[1:192], ''), ch -> ord(ch)) AS codes
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, blen,
+               [{thumb}] AS thumb
+        FROM c
+    )
+    SELECT CAST(doc_id AS BIGINT) AS asset_id,
+           CAST(13 + 192 AS BIGINT) AS byte_length,
+           CAST(thumb[1] AS INTEGER) AS first_byte,
+           CAST(list_sum(thumb) % 1000003 AS BIGINT) AS byte_sum_mod,
+           CAST(list_sum(thumb) AS DOUBLE) / 64 AS mean_byte
+    FROM t
+    """
+
+
+@register(
+    "multimodal_decode_image",
+    _decode_image_sql(),
+    doc="REAL image decode through mapInPandas: each document's text is "
+    "rendered into a binary 16x12 P5 (PGM) payload executor-side, then "
+    "decode_image_features decodes the raster (pure-Python PNM codec "
+    "behind the PIL seam), NEAREST-resamples to 8x8 and emits pixel "
+    "stats. The oracle replays the decode as byte arithmetic on the 64 "
+    "fixed thumbnail positions — full hash match on a genuinely "
+    "executed decode body.",
+)
+def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.concat(
+            F.lit(b"P5 16 12 255\n"),
+            F.expr("rpad(encode(substring(text, 1, 192), 'UTF-8'), 192, X'00')"),
+        ).alias("content"),
+    )
+    return multimodal.decode_image_features(assets)
 
 
 # ---------------------------------------------------------------------------

@@ -477,6 +477,232 @@ def _gram_intersections(
     )
 
 
+# ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better"): find verbatim cross-document token
+# spans of length >= L by hashing every k-token window and growing runs
+# of consecutive window matches — the suffix-array result re-expressed
+# as a window-hash equi-join, which is the shape that distributes.
+# ---------------------------------------------------------------------------
+
+
+def exact_substring_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 8,
+    min_overlap_tokens: int = 12,
+    max_window_df: int | None = 100,
+) -> DataFrame:
+    """Verbatim cross-document overlaps: one row per maximal shared token
+    span of length >= ``min_overlap_tokens``, as
+    (doc_a, doc_b, a_start, b_start, overlap_tokens) with 1-based token
+    positions and doc_a < doc_b.
+
+    Method: hash every ``window_tokens``-token window (md5 of the
+    space-joined tokens — oracle-reproducible), equi-join windows across
+    documents on the hash, then gaps-and-islands per (pair, diagonal):
+    a run of m consecutive window matches with the same position offset
+    is a verbatim span of m + k - 1 tokens. A span of exactly L tokens
+    yields L - k + 1 consecutive matches, so every span >= L survives
+    and spans < k are invisible by construction (set k <= L).
+
+    Scale ledger (the reason this isn't a suffix array): candidates only
+    ever meet inside a window-hash bucket, and ``max_window_df`` drops
+    boilerplate windows hotter than the cap BEFORE the self-join — the
+    join is never quadratic beyond df_cap² per bucket. The df count()
+    window rides the same (wh) exchange both join sides need
+    (ReusedExchange — same trick as ``_gram_intersections``); the
+    islands row_number shuffles on (doc_a, doc_b, diag) and the span
+    groupBy reuses that partitioning (its keys are a superset). Shuffled
+    payload is (wh 32B, doc_id, pos) — never the text. At 100 TB the cap
+    is also the skew valve: a viral boilerplate paragraph becomes a
+    single hot bucket without it.
+
+    NB: truncation semantics of the cap — spans whose EVERY window is
+    hotter than the cap are dropped (a >cap-duplicated span is exactly
+    the boilerplate the cap exists to ignore); spans with at least one
+    sub-cap window survive in clipped form.
+    """
+    k = window_tokens
+    if k < 2:
+        raise ValueError(f"window_tokens must be >= 2, got {k}")
+    if min_overlap_tokens < k:
+        raise ValueError(
+            f"min_overlap_tokens ({min_overlap_tokens}) must be >= "
+            f"window_tokens ({k}); shorter spans produce no window match"
+        )
+    toks = F.col("_toks")
+    win_hashes = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            # element_at is O(1) per token on the materialized array;
+            # slice() would copy k elements per position
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # Same projection discipline as _gram_intersections: tokens and the
+    # hash array materialize in their own selects (fusing them makes
+    # Catalyst re-derive the array per exploded row), and posexplode_outer
+    # (not posexplode) keeps InferFiltersFromGenerate from pushing the
+    # whole pipeline into a per-row scan filter; the inner equi-join on
+    # wh drops the null rows empty arrays produce.
+    base = (
+        df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(F.col(id_col), win_hashes.alias("_whs"))
+        .select(F.col(id_col), F.posexplode_outer("_whs").alias("_pos0", "wh"))
+        .select(F.col(id_col), (F.col("_pos0") + 1).alias("pos"), "wh")
+    )
+    if max_window_df is not None:
+        wdf = Window.partitionBy("wh")
+        base = (
+            base.withColumn("_df", F.count("*").over(wdf))
+            .filter(F.col("_df") <= max_window_df)
+            .drop("_df")
+        )
+    a = base.select(
+        F.col(id_col).alias("doc_a"), F.col("pos").alias("pos_a"), "wh"
+    )
+    b = base.select(
+        F.col(id_col).alias("doc_b"), F.col("pos").alias("pos_b"), "wh"
+    )
+    matches = (
+        a.join(b, "wh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "pos_a",
+            "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    # islands: consecutive pos_a on one diagonal share (pos_a - row_number)
+    isl = matches.withColumn(
+        "_island",
+        F.col("pos_a")
+        - F.row_number().over(
+            Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+        ),
+    )
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "_island")
+        .agg(
+            F.min("pos_a").alias("a_start"),
+            F.min("pos_b").alias("b_start"),
+            (F.count("*") + (k - 1)).cast("bigint").alias("overlap_tokens"),
+        )
+        .filter(F.col("overlap_tokens") >= min_overlap_tokens)
+        .select(
+            F.col("doc_a").cast("bigint").alias("doc_a"),
+            F.col("doc_b").cast("bigint").alias("doc_b"),
+            F.col("a_start").cast("bigint").alias("a_start"),
+            F.col("b_start").cast("bigint").alias("b_start"),
+            "overlap_tokens",
+        )
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply exact substring dedup (the second half of Lee et al. 2021):
+    remove every duplicated span from the HIGHER-id document of each
+    pair, keeping the lowest-id copy — the keep-first policy that turns
+    ``exact_substring_pairs`` output into a cleaned corpus.
+
+    ``spans`` is ``exact_substring_pairs`` output; the tokens at
+    [b_start, b_start + overlap_tokens - 1] are dropped from doc_b.
+    Overlapping removal ranges from different partners are merged first
+    (gaps-and-islands over a running interval-end max), then each doc's
+    tokens are filtered against its own merged-interval list with array
+    HOFs — per-doc work is O(tokens x intervals), interval counts are
+    small by construction.
+
+    Returns every input row as (id, text, n_tokens_removed): untouched
+    docs pass through with 0 (left join against the interval table, one
+    shuffle on doc id; the interval merge shuffles once on doc_b).
+    """
+    ivs = spans.select(
+        F.col("doc_b").alias("_id"),
+        F.col("b_start").alias("_s"),
+        (F.col("b_start") + F.col("overlap_tokens") - 1).alias("_e"),
+    )
+    w = Window.partitionBy("_id").orderBy("_s", "_e")
+    # running max end over STRICTLY preceding intervals; a new island
+    # starts when this interval begins past everything seen so far
+    prev_max_e = F.max("_e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ivs.select(
+        "_id",
+        "_s",
+        "_e",
+        F.when(prev_max_e.isNull() | (F.col("_s") > prev_max_e), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_new"),
+    )
+    grp = F.sum("_new").over(
+        Window.partitionBy("_id")
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        flagged.select("_id", "_s", "_e", grp.alias("_g"))
+        .groupBy("_id", "_g")
+        .agg(F.min("_s").alias("s"), F.max("_e").alias("e"))
+        .groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("s"), F.col("e")))
+            ).alias("_ivs")
+        )
+    )
+    toks_df = df.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).join(merged, F.col(id_col) == F.col("_id"), "left")
+    kept = F.filter(
+        F.transform(
+            F.col("_toks"),
+            lambda t, i: F.struct(t.alias("t"), (i + 1).alias("pos")),
+        ),
+        lambda x: ~F.exists(
+            F.col("_ivs"),
+            lambda iv: (x["pos"] >= iv["s"]) & (x["pos"] <= iv["e"]),
+        ),
+    )
+    return toks_df.select(
+        F.col(id_col),
+        F.when(
+            F.col("_ivs").isNull(), F.concat_ws(" ", F.col("_toks"))
+        )
+        .otherwise(
+            F.concat_ws(
+                " ", F.transform(kept, lambda x: x["t"])
+            )
+        )
+        .alias(text_col),
+        F.coalesce(
+            F.aggregate(
+                F.col("_ivs"),
+                F.lit(0).cast("bigint"),
+                lambda acc, iv: acc + iv["e"] - iv["s"] + 1,
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_tokens_removed"),
+    )
+
+
 def dot_product(a: Column, b: Column) -> Column:
     """Dot product of two double vectors via a sequential fold
     (deterministic accumulation order, engine-reproducible)."""

@@ -134,17 +134,79 @@ def test_multimodal_fake_extractor_matches_reference(spark):
     assert meta.byte_length == 3
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
-    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
-    assets = multimodal.attach_binary_payload(df)
+def _encode_pgm(width, height, pixels):
+    return b"P5\n# test fixture\n%d %d\n255\n" % (width, height) + bytes(pixels)
+
+
+def _encode_ppm(width, height, rgb):
+    flat = bytes(c for px in rgb for c in px)
+    return b"P6 %d %d 255\n" % (width, height) + flat
+
+
+def test_multimodal_real_decode_executes_on_pnm(spark):
+    """End-to-end decode through mapInPandas on real (uncompressed) image
+    payloads — the decode body runs, not a raise path."""
+    w, h = 16, 12
+    gray = [(x * 7 + y * 13) % 256 for y in range(h) for x in range(w)]
+    rgb = [((i * 3) % 256, (i * 5) % 256, (i * 11) % 256) for i in range(w * h)]
+    pgm, ppm = _encode_pgm(w, h, gray), _encode_ppm(w, h, rgb)
+    assets = spark.createDataFrame(
+        [(1, bytearray(pgm)), (2, bytearray(ppm))],
+        "asset_id long, content binary",
+    )
+    got = {r.asset_id: r for r in multimodal.decode_image_features(assets).collect()}
+
+    # reference computation in plain python (shared codec helpers are
+    # unit-tested below; here we recompute expectations independently)
+    def expect(pixels):
+        thumb = [
+            pixels[min(int((j + 0.5) * h / 8), h - 1) * w + min(int((i + 0.5) * w / 8), w - 1)]
+            for j in range(8) for i in range(8)
+        ]
+        return thumb[0], sum(thumb) % 1_000_003, sum(thumb) / 64
+
+    f0, s0, m0 = expect(gray)
+    assert (got[1].byte_length, got[1].first_byte) == (len(pgm), f0)
+    assert (got[1].byte_sum_mod, got[1].mean_byte) == (s0, m0)
+
+    luma = [(r * 299 + g * 587 + b * 114) // 1000 for r, g, b in rgb]
+    f1, s1, m1 = expect(luma)
+    assert (got[2].byte_length, got[2].first_byte) == (len(ppm), f1)
+    assert (got[2].byte_sum_mod, got[2].mean_byte) == (s1, m1)
+
+
+def test_multimodal_decode_rejects_unknown_format(spark):
+    assets = spark.createDataFrame(
+        [(9, bytearray(b"\x89PNG not really"))], "asset_id long, content binary"
+    )
     try:
         import PIL  # noqa: F401
 
-        pytest.skip("PIL present; stub not applicable")
+        pytest.skip("PIL present; fallback codec not in play")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError, match="image codec"):
-        multimodal.decode_image_features(assets)
+    from py4j.protocol import Py4JJavaError  # noqa: PLC0415
+
+    with pytest.raises((Py4JJavaError, Exception), match="asset 9|unsupported image format"):
+        multimodal.decode_image_features(assets).collect()
+
+
+def test_pnm_codec_header_variants():
+    from lakehouse_platform_nyc_taxi_spark.operators.multimodal import (
+        _decode_pnm,
+        _nearest_resize,
+    )
+
+    # comments + arbitrary whitespace in the header
+    data = b"P5\n# comment line\n  3\t2\n# another\n255\n" + bytes(range(6))
+    assert _decode_pnm(data) == (3, 2, list(range(6)))
+    # truncated raster raises
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_pnm(b"P5 3 2 255\n\x00\x01")
+    with pytest.raises(ValueError, match="maxval"):
+        _decode_pnm(b"P5 1 1 65535\n\x00\x00")
+    # identity resize
+    assert _nearest_resize(list(range(64)), 8, 8) == list(range(64))
 
 
 def test_fake_resize_bounds_output(spark, docs):
@@ -308,6 +370,100 @@ def test_ngram_jaccard_df_cap_skew_valve(spark):
     assert capped[(100, 101)] <= exact[(100, 101)]
     # the boilerplate-only pairs never meet after the cap
     assert all(p == (100, 101) for p in capped)
+
+
+# ------------------------------------------------- exact substring dedup
+def test_exact_substring_finds_span_with_positions(spark):
+    span = " ".join(f"s{i}" for i in range(1, 11))  # 10 shared tokens
+    rows = [
+        (1, f"w1 w2 {span} w3 w4"),         # span at tokens 3..12
+        (2, f"x1 {span} x2 x3"),            # span at tokens 2..11
+        (3, "y1 y2 s1 s2 s3 s4 s5 y3 y4"),  # only 5 shared: under L=8
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.a_start, r.b_start, r.overlap_tokens)
+        for r in dedup.exact_substring_pairs(
+            docs, window_tokens=4, min_overlap_tokens=8
+        ).collect()
+    }
+    assert got == {(1, 2): (3, 2, 10)}
+
+
+def test_exact_substring_separate_spans_one_row_each(spark):
+    p = " ".join(f"p{i}" for i in range(8))
+    q = " ".join(f"q{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(4, f"{p} z1 z2 {q}"), (5, f"{q} m1 m2 {p}")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.a_start, r.b_start): r.overlap_tokens
+        for r in dedup.exact_substring_pairs(
+            docs, window_tokens=4, min_overlap_tokens=8
+        ).collect()
+    }
+    # two 8-token spans on different diagonals -> two rows, never merged
+    assert got == {(1, 11): 8, (11, 1): 8}
+
+
+def test_exact_substring_window_df_cap_drops_boilerplate(spark):
+    boiler = "this content is provided as is without warranty"
+    rows = [(i, f"unique{i} {boiler} tail{i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.exact_substring_pairs(
+        docs, window_tokens=4, min_overlap_tokens=8, max_window_df=None
+    ).count()
+    capped = dedup.exact_substring_pairs(
+        docs, window_tokens=4, min_overlap_tokens=8, max_window_df=4
+    ).count()
+    # 6 docs share the 8-token boilerplate -> C(6,2)=15 pairs uncapped;
+    # every window's df is 6 > 4, so the cap drops the whole span
+    assert uncapped == 15 and capped == 0
+
+
+def test_strip_duplicate_spans_keep_first_and_merge(spark):
+    span = " ".join(f"s{i}" for i in range(1, 11))
+    docs = spark.createDataFrame(
+        [
+            (1, f"w1 w2 {span} w3 w4"),   # canonical (lowest id): untouched
+            (2, f"x1 {span} x2 x3"),      # loses the span
+            (3, "plain doc here"),        # no spans at all
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.exact_substring_pairs(docs, window_tokens=4, min_overlap_tokens=8)
+    got = {r.doc_id: (r.text, r.n_tokens_removed)
+           for r in dedup.strip_duplicate_spans(docs, pairs).collect()}
+    assert got[1] == (f"w1 w2 {span} w3 w4", 0)
+    assert got[2] == ("x1 x2 x3", 10)
+    assert got[3] == ("plain doc here", 0)
+
+
+def test_strip_duplicate_spans_merges_overlapping_intervals(spark):
+    # doc 9 has two partners whose spans overlap inside it: tokens 1..8
+    # (from doc 1) and 5..12 (from doc 2) -> merged removal 1..12, not 16
+    docs = spark.createDataFrame(
+        [
+            (9, " ".join(f"t{i}" for i in range(1, 13)) + " tail1 tail2"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 9, 1, 1, 8), (2, 9, 1, 5, 8)],
+        "doc_a long, doc_b long, a_start long, b_start long, overlap_tokens long",
+    )
+    [r] = dedup.strip_duplicate_spans(docs, spans).collect()
+    assert r.text == "tail1 tail2"
+    assert r.n_tokens_removed == 12
+
+
+def test_exact_substring_validates_params(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_overlap_tokens"):
+        dedup.exact_substring_pairs(docs, window_tokens=8, min_overlap_tokens=4)
+    with pytest.raises(ValueError, match="window_tokens"):
+        dedup.exact_substring_pairs(docs, window_tokens=1)
 
 
 def test_ivf_build_probe_split_and_full_probe_equals_brute(spark):

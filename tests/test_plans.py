@@ -77,6 +77,7 @@ def test_pairwise_operators_never_cartesian(spark):
         "dedup_minhash_lsh_pairs",
         "dedup_ngram_jaccard",
         "dedup_embedding_cosine",
+        "dedup_exact_substring",
         "join_asof",
         "join_range",
     ):
