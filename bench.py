@@ -101,13 +101,24 @@ def main() -> int:
 
     total = round(sum(timings.values()), 4)
     total_min = round(sum(timings_min.values()), 4)
+    # Calibrated twins (r8+, VERDICT r7 #5): per-query seconds divided by
+    # calibration_sec, so cross-round triage compares plan cost directly
+    # instead of re-doing the normalization by hand. Unit: multiples of
+    # the fixed CPU-probe workload on the same warmed session.
+    cal = calibration_sec or 1.0
+    timings_cal = {k: round(v / cal, 4) for k, v in timings.items()}
+    timings_min_cal = {k: round(v / cal, 4) for k, v in timings_min.items()}
     detail = {
         "metric": "total_runtime_all_queries",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_min": timings_min,
+        "queries_calibrated": timings_cal,
+        "queries_min_calibrated": timings_min_cal,
         "value_min": total_min,
+        "value_calibrated": round(total / cal, 4),
+        "value_min_calibrated": round(total_min / cal, 4),
         "runs_per_query": n_runs,
         "sf": _sf_from_dir(sf_dir),
         "n_queries": len(timings),
@@ -120,11 +131,39 @@ def main() -> int:
         "protocol_version": 2,
         "calibration_sec": calibration_sec,
     }
+    # Regression gate (r8+): compare calibrated min-of-runs against the
+    # PREVIOUS committed BENCH_DETAIL.json (the driver benches a fresh
+    # checkout, so the on-disk file is last round's record). Anything
+    # >1.5x calibrated is recorded in the detail file and printed to
+    # stderr — a plan regression can't slip through unflagged again
+    # (VERDICT r7 #4/#8). Purely advisory: the bench never fails on it.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    regressions: dict[str, dict[str, float]] = {}
+    try:
+        with open(detail_path) as fh:
+            prev = json.load(fh)
+        prev_cal = prev.get("calibration_sec") or 1.0
+        prev_min = prev.get("queries_min") or prev.get("queries") or {}
+        for q, now_s in timings_min.items():
+            if q not in prev_min:
+                continue
+            now_n, prev_n = now_s / cal, prev_min[q] / prev_cal
+            if prev_n > 0 and now_n > 1.5 * prev_n and now_s > 0.3:
+                regressions[q] = {
+                    "prev_calibrated": round(prev_n, 4),
+                    "now_calibrated": round(now_n, 4),
+                    "ratio": round(now_n / prev_n, 2),
+                }
+        for q, r in sorted(regressions.items(), key=lambda kv: -kv[1]["ratio"]):
+            print(f"BENCH-REGRESSION {q}: {r['prev_calibrated']} -> "
+                  f"{r['now_calibrated']} calibrated ({r['ratio']}x)", file=sys.stderr)
+    except (OSError, ValueError):
+        pass  # first run / unreadable previous detail
+    detail["regressions_vs_prev"] = regressions
     # Per-query map goes to a file (and stderr): the driver captures a
     # bounded tail of stdout, and a single multi-KB line gets truncated
     # mid-JSON (BENCH_r01 "parsed": null). stdout carries exactly ONE
     # short JSON line so any head- or tail-window capture parses it.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     print(json.dumps(detail), file=sys.stderr)
@@ -135,6 +174,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "value_min": total_min,
+                "value_min_calibrated": round(total_min / cal, 4),
                 "runs_per_query": n_runs,
                 "sf": _sf_from_dir(sf_dir),
                 "n_queries": len(timings),
