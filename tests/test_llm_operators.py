@@ -940,3 +940,75 @@ def test_token_budget_sample_boundary_and_default(spark):
         budgets={"a": 100}, default_budget=0,
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------- property
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+def _ref_substring_spans(ta, tb, k, min_overlap):
+    """Independent pure-Python reference for exact_substring_pairs on ONE
+    doc pair: window-match diagonals -> maximal runs -> spans >= L, with
+    1-based (a_start, b_start, overlap) tuples."""
+    wb = {}
+    for j in range(len(tb) - k + 1):
+        wb.setdefault(tuple(tb[j : j + k]), []).append(j)
+    by_diag = {}
+    for i in range(len(ta) - k + 1):
+        for j in wb.get(tuple(ta[i : i + k]), []):
+            by_diag.setdefault(i - j, []).append(i)
+    out = set()
+    for d, iis in by_diag.items():
+        iis.sort()
+        run_start, prev = iis[0], iis[0]
+        for i in iis[1:] + [None]:
+            if i is not None and i == prev + 1:
+                prev = i
+                continue
+            overlap = prev - run_start + k
+            if overlap >= min_overlap:
+                out.add((run_start + 1, run_start - d + 1, overlap))
+            if i is not None:
+                run_start = prev = i
+    return out
+
+
+if _HYP:
+
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(["a", "b"]), min_size=1, max_size=12),
+            min_size=2,
+            max_size=5,
+        ),
+        st.integers(2, 3),
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_exact_substring_matches_reference(spark, docs_tokens, k):
+        """The distributed window-hash + gaps-and-islands pipeline must
+        equal the per-pair reference on a 2-letter alphabet (maximal
+        window collisions, repeated windows within one doc, runs touching
+        both document ends)."""
+        L = k + 1
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.doc_a, r.doc_b, r.a_start, r.b_start, r.overlap_tokens)
+            for r in dedup.exact_substring_pairs(
+                df, window_tokens=k, min_overlap_tokens=L, max_window_df=None
+            ).collect()
+        }
+        want = {
+            (ia, ib, s_a, s_b, ov)
+            for ia, ta in enumerate(docs_tokens)
+            for ib, tb in enumerate(docs_tokens)
+            if ia < ib
+            for (s_a, s_b, ov) in _ref_substring_spans(ta, tb, k, L)
+        }
+        assert got == want
