@@ -55,6 +55,48 @@ def streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_grouping_sets",
+    f"""
+    WITH wm AS (SELECT {_WM} AS cutoff FROM events),
+    lv AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+               date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+               g.gset, g.key, value
+        FROM events,
+             LATERAL (VALUES ('type', event_type), ('total', 'ALL')) AS g(gset, key)
+    ),
+    agg AS (
+        SELECT window_start, window_end, gset, key,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value
+        FROM lv
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT window_start, window_end, gset, key, n_events, total_value
+    FROM agg, wm
+    WHERE window_end <= wm.cutoff
+    """,
+    doc="Streaming GROUPING SETS: per-type and grand-total day rollups "
+    "in ONE stateful pass via explode-before-aggregate (streaming aggs "
+    "have no native ROLLUP); state keyed by (window, gset, key), all "
+    "levels finalized together by the watermark.",
+)
+def streaming_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = S.read_events_stream(spark, sf_dir)
+    out = S.grouping_sets_rollup(ev, window="1 day", watermark="1 hour").select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+        "gset",
+        "key",
+        "n_events",
+        "total_value",
+    )
+    return S.run_available_now(out, "append", state_partitions=8)
+
+
+@register(
     "streaming_dedup_counts",
     """
     SELECT event_type,

@@ -418,6 +418,67 @@ def test_analyze_statistics_flip_join_to_broadcast(spark, tmp_path):
         spark.sql("DROP DATABASE IF EXISTS cbo_t")
 
 
+def test_cbo_statistics_reorder_star_join(spark):
+    """Cost-based join REORDER (the companion to the broadcast-flip test):
+    a star query written in the worst order — fact x wide-dim first,
+    selective dim last — is re-sequenced by the DP join-reorderer once
+    ANALYZE column statistics land, so the selective join runs innermost
+    and the wide dim joins against the already-shrunk intermediate. At
+    100 TB this ordering is the difference between shuffling the fact
+    table's full width through the wide dim and shuffling a filtered
+    fraction of it."""
+    import re
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS ro_t")
+    try:
+        for t in ("fact", "dwide", "dsel"):
+            spark.sql(f"DROP TABLE IF EXISTS ro_t.{t}")
+        spark.range(0, 200000).selectExpr(
+            "id", "id % 5000 AS k1", "id % 50 AS k2"
+        ).write.saveAsTable("ro_t.fact")
+        spark.range(0, 5000).selectExpr(
+            "id AS k1", "repeat('x', 500) AS pad"
+        ).write.saveAsTable("ro_t.dwide")
+        spark.range(0, 50).selectExpr(
+            "id AS k2", "id % 2 AS flag"
+        ).write.saveAsTable("ro_t.dsel")
+        prev = {
+            k: spark.conf.get(k)
+            for k in (
+                "spark.sql.cbo.enabled",
+                "spark.sql.cbo.joinReorder.enabled",
+                "spark.sql.adaptive.enabled",
+            )
+        }
+        try:
+            spark.conf.set("spark.sql.cbo.enabled", "true")
+            spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            q = """SELECT count(*) FROM ro_t.fact f
+                   JOIN ro_t.dwide w ON f.k1 = w.k1
+                   JOIN ro_t.dsel s ON f.k2 = s.k2
+                   WHERE s.flag = 0"""
+
+            def scan_order():
+                opt = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+                return re.findall(r"ro_t\.(\w+)", opt)
+
+            # without stats the written (bad) order survives
+            assert scan_order() == ["fact", "dwide", "dsel"]
+            for t in ("fact", "dwide", "dsel"):
+                spark.sql(f"ANALYZE TABLE ro_t.{t} COMPUTE STATISTICS")
+                spark.sql(
+                    f"ANALYZE TABLE ro_t.{t} COMPUTE STATISTICS FOR ALL COLUMNS"
+                )
+            # with stats the selective dim joins first
+            assert scan_order() == ["fact", "dsel", "dwide"]
+        finally:
+            for k, v in prev.items():
+                spark.conf.set(k, v)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS ro_t CASCADE")
+
+
 def test_fuzzy_join_blocked_never_cartesian(spark):
     """Pigeonhole blocking must reach the plan as a plain equi-join on
     (len, seg_i, seg) — an all-pairs cartesian (or non-equi nested-loop

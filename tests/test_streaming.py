@@ -98,6 +98,30 @@ def test_windowed_rollup_append_drops_unfinalized_tail(spark):
     assert all(e.replace(tzinfo=None) <= cutoff for e in ends)
 
 
+def test_grouping_sets_rollup_levels_consistent(spark):
+    """Every finalized window's grand total must equal the sum of its
+    per-type rows (the grouping-sets invariant), and both levels must
+    share the same finalized window set."""
+    ev = S.read_events_stream(spark, SF_SMOKE)
+    out = S.run_available_now(
+        S.grouping_sets_rollup(ev, window="1 day", watermark="1 hour"), "append"
+    ).collect()
+    assert out, "append mode emitted no finalized windows"
+    by_window: dict = {}
+    for r in out:
+        lv = by_window.setdefault(r.window_start, {"type": 0, "total": 0, "tv": 0.0, "ttv": 0.0})
+        if r.gset == "type":
+            lv["type"] += r.n_events
+            lv["tv"] += r.total_value
+        else:
+            assert (r.gset, r.key) == ("total", "ALL")
+            lv["total"] += r.n_events
+            lv["ttv"] += r.total_value
+    for w, lv in by_window.items():
+        assert lv["type"] == lv["total"] > 0, w
+        assert abs(lv["tv"] - lv["ttv"]) < 1e-6, w
+
+
 def test_stream_upsert_foreachbatch(spark, tmp_path):
     """foreachBatch + incremental delete+insert: re-delivered keys update
     in place instead of duplicating."""
