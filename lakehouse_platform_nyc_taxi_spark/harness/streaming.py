@@ -55,6 +55,53 @@ def streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_chained_windows",
+    f"""
+    WITH wm AS (SELECT {_WM} AS cutoff FROM events),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS hv
+        FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+        SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS window_start,
+               date_trunc('day', h) + INTERVAL 1 DAY AS window_end,
+               event_type,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_fine_windows,
+               CAST(sum(CAST(hv AS DECIMAL(28,8))) AS DOUBLE) AS total_value
+        FROM hourly GROUP BY 1, 2, 3
+    )
+    SELECT window_start, window_end, event_type, n_events, n_fine_windows,
+           total_value
+    FROM daily, wm
+    WHERE window_end <= wm.cutoff
+    """,
+    doc="Chained windowed aggregations (Spark 3.4+ multi-stateful): raw "
+    "events -> hourly windows -> daily windows via window_time() in ONE "
+    "streaming query; the daily level consumes one pre-aggregated row "
+    "per (hour, type), not raw events. Oracle replays the two-level "
+    "decimal-fenced aggregation with the append-mode cutoff.",
+)
+def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = S.read_events_stream(spark, sf_dir)
+    out = S.chained_window_rollup(
+        ev, fine="1 hour", coarse="1 day", watermark="1 hour"
+    ).select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "n_events",
+        "n_fine_windows",
+        "total_value",
+    )
+    return S.run_available_now(out, "append", state_partitions=8)
+
+
+@register(
     "streaming_grouping_sets",
     f"""
     WITH wm AS (SELECT {_WM} AS cutoff FROM events),

@@ -25,6 +25,7 @@ from .ops import (
     stateful_user_stats,
     stream_static_enrich,
     stream_stream_attribution,
+    chained_window_rollup,
     grouping_sets_rollup,
     windowed_rollup,
 )
@@ -33,6 +34,7 @@ from .sinks import stream_append_parquet, stream_upsert_parquet
 __all__ = [
     "read_events_stream",
     "run_available_now",
+    "chained_window_rollup",
     "grouping_sets_rollup",
     "windowed_rollup",
     "dedup_counts",

@@ -184,6 +184,58 @@ def grouping_sets_rollup(
     )
 
 
+def chained_window_rollup(
+    events: DataFrame,
+    fine: str = "1 hour",
+    coarse: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Chained windowed aggregations — TWO stateful operators in ONE
+    streaming query (Spark 3.4+ multi-stateful support): raw events
+    aggregate into ``fine`` windows, whose outputs re-aggregate into
+    ``coarse`` windows via ``window_time()``.
+
+    This is the production shape for multi-granularity dashboards at
+    scale: the coarse level consumes ONE pre-aggregated row per (fine
+    window, key) instead of raw events, so its state and shuffle are
+    ~events/fine_cardinality smaller than aggregating the raw stream
+    twice. The inner decimal fence makes each hourly value exact; the
+    outer sum re-fences those (≤ 24 per day) so the daily total is
+    order-independent too.
+
+    Returns (window_start, window_end, event_type, n_events, n_fine
+    windows observed, total_value).
+    """
+    fine_agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", fine).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("_n"),
+            dsum("value").alias("_fine_value"),
+        )
+    )
+    return (
+        fine_agg.groupBy(
+            F.window(F.window_time("w"), coarse).alias("d"), "event_type"
+        )
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.count("*").alias("n_fine_windows"),
+            F.sum(F.col("_fine_value").cast("decimal(28,8)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("d.start").alias("window_start"),
+            F.col("d.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "n_fine_windows",
+            "total_value",
+        )
+    )
+
+
 def dedup_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once style ingest dedup, then per-type counts (the
     staging delete+insert analogue — S9 — as a stream).

@@ -26,6 +26,9 @@ QUERIES = [
     "embedding_random_projection",  # 2^40 fixed-point integer folds
     "hybrid_search_rrf",       # candidate-set ranks + fixed-order fusion
     "sql_recursive_chain",     # recursive decimal accumulation
+    "dedup_exact_substring",   # r8: window-hash islands (pure integer)
+    "dedup_strip_spans",       # r8: interval merge + token filter
+    "multimodal_decode_image", # r8: mapInPandas decode (integer stats)
 ]
 
 

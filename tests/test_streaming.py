@@ -122,6 +122,35 @@ def test_grouping_sets_rollup_levels_consistent(spark):
         assert abs(lv["tv"] - lv["ttv"]) < 1e-6, w
 
 
+def test_chained_window_rollup_matches_flat_daily(spark):
+    """The two-level (hour -> day) chained aggregation must produce the
+    same daily totals as a single flat daily aggregation, with
+    n_fine_windows counting the distinct occupied hours."""
+    ev = S.read_events_stream(spark, SF_SMOKE)
+    out = {
+        (r.window_start, r.event_type): (r.n_events, r.n_fine_windows, r.total_value)
+        for r in S.run_available_now(
+            S.chained_window_rollup(ev, watermark="1 hour"), "append"
+        ).collect()
+    }
+    assert out, "append mode emitted no finalized windows"
+    flat = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in S.run_available_now(
+            S.windowed_rollup(
+                S.read_events_stream(spark, SF_SMOKE),
+                window="1 day",
+                watermark="1 hour",
+            ),
+            "append",
+        ).collect()
+    }
+    assert set(out) == set(flat)
+    for k, (n, n_hours, tv) in out.items():
+        assert (n, tv) == flat[k], k
+        assert 1 <= n_hours <= 24, k
+
+
 def test_stream_upsert_foreachbatch(spark, tmp_path):
     """foreachBatch + incremental delete+insert: re-delivered keys update
     in place instead of duplicating."""
