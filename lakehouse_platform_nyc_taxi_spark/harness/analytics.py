@@ -242,6 +242,49 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_hll_mergeable_rollup",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_daily_sketches,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="MERGEABLE sketch rollup (Apache DataSketches HLL, Spark 4 "
+    "hll_sketch_agg/hll_union_agg): per-(day, type) user sketches union "
+    "into per-type totals WITHOUT touching raw rows again — the 100 TB "
+    "pre-aggregation pattern (daily sketch partials persist; any rollup "
+    "window is a sketch union, never a re-scan; the same fold the "
+    "incremental-MV HLL columns use). Oracle pairs the exact count plus "
+    "a within_bound flag at lgK=12 (rsd~1.6%), same contract as "
+    "agg_approx_distinct.",
+)
+def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    rsd = 1.04 / (2**12) ** 0.5  # DataSketches HLL default lgConfigK=12
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("_day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("_sk"))
+    rolled = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est"),
+        F.count("*").alias("n_daily_sketches"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return rolled.join(exact, "event_type").select(
+        "event_type",
+        "n_daily_sketches",
+        "exact_users",
+        (
+            F.abs(F.col("_est") - F.col("exact_users"))
+            <= F.greatest(F.ceil(3 * rsd * F.col("exact_users")), F.lit(5))
+        ).alias("within_bound"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Window frames / offsets (§2.5 extensions)
 # --------------------------------------------------------------------------
