@@ -66,6 +66,7 @@ _PRIORITY = [
     # 1) New this round (never driver-attested):
     "dedup_exact_substring",
     "dedup_strip_spans",
+    "dedup_self_substring",
     "multimodal_decode_image",
     "streaming_grouping_sets",
     "streaming_chained_windows",
@@ -75,13 +76,13 @@ _PRIORITY = [
     #    driver artifact must re-attest the current (query, oracle) pair
     #    (VERDICT r7 "Next round" #1):
     "basket_pair_histogram",
-    # 3) 43 of the 50 queries whose last driver-green row is r5
-    #    (oldest-first rotation policy). The remaining seven
-    #    (dedup_ngram_containment, text_zipf_fit, agg_histogram,
-    #    sql_correlated_subquery, cohort_retention, timeseries_anomaly,
-    #    streaming_dedup_counts) don't fit the window; they lead the r9
-    #    rotation (head of _KEEP) and are re-verified locally every
-    #    session by test_harness_oracle.
+    # 3) 42 of the 50 queries whose last driver-green row is r5
+    #    (oldest-first rotation policy). The remaining eight
+    #    (sql_recursive_chain, dedup_ngram_containment, text_zipf_fit,
+    #    agg_histogram, sql_correlated_subquery, cohort_retention,
+    #    timeseries_anomaly, streaming_dedup_counts) don't fit the
+    #    window; they lead the r9 rotation (head of _KEEP) and are
+    #    re-verified locally every session by test_harness_oracle.
     "embedding_quantize_int8",
     "agg_collect_sorted",
     "timeseries_gapfill_15min",
@@ -124,7 +125,6 @@ _PRIORITY = [
     "hybrid_search_rrf",
     "streaming_stream_stream_join",
     "streaming_stream_stream_left",
-    "sql_recursive_chain",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at 50 that lands OUTSIDE the window, so
@@ -132,6 +132,7 @@ _PRIORITY = [
 # name bumped to _KEEP to make room).
 _KEEP = [
     # r5-green overflow (oldest — head of the r9 rotation):
+    "sql_recursive_chain",
     "dedup_ngram_containment",
     "text_zipf_fit",
     "agg_histogram",

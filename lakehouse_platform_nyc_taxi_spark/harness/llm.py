@@ -268,6 +268,71 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _self_substring_cte(k: int = 3, min_overlap: int = 4, cap: int = 100) -> str:
+    # k=3/L=4 tuned to the corpus's repetition profile: the synthetic
+    # documents are near-random word streams, so 8-token self-repeats
+    # are absent; 3-token windows surface the real (rare) repeats while
+    # the same k=8 defaults stay for production text.
+    return f"""
+    stok AS (
+        SELECT doc_id, {TOKS} AS toks FROM documents
+    ),
+    w AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(toks) - {k} + 1)) AS pos,
+               unnest(list_transform(
+                   generate_series(1, len(toks) - {k} + 1),
+                   i -> md5(array_to_string(toks[i:i + {k - 1}], ' ')))) AS wh
+        FROM stok WHERE len(toks) >= {k}
+    ),
+    c AS (
+        SELECT * FROM w QUALIFY count(*) OVER (PARTITION BY wh) <= {cap}
+    ),
+    m AS (
+        SELECT a.doc_id AS id, a.pos AS pos_a, b.pos AS pos_b,
+               b.pos - a.pos AS diag
+        FROM c a JOIN c b ON a.wh = b.wh AND a.doc_id = b.doc_id
+                          AND a.pos < b.pos
+    ),
+    isl AS (
+        SELECT *, pos_a - row_number() OVER (
+            PARTITION BY id, diag ORDER BY pos_a) AS island
+        FROM m
+    ),
+    spans AS (
+        SELECT id AS doc_id,
+               min(pos_a) AS first_start, min(pos_b) AS repeat_start,
+               count(*) + {k} - 1 AS overlap_tokens
+        FROM isl
+        GROUP BY id, diag, island
+        HAVING count(*) + {k} - 1 >= {min_overlap}
+    )"""
+
+
+@register(
+    "dedup_self_substring",
+    f"""
+    WITH {_self_substring_cte()}
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(first_start AS BIGINT) AS first_start,
+           CAST(repeat_start AS BIGINT) AS repeat_start,
+           CAST(overlap_tokens AS BIGINT) AS overlap_tokens
+    FROM spans
+    """,
+    doc="WITHIN-document verbatim repetition (the self-dedup half of "
+    "Lee et al. 2021): window-hash self-join keyed on (doc, hash) + "
+    "gaps-and-islands per diagonal — a document's cost is bounded by "
+    "its own repeated-window count, never corpus-quadratic.",
+)
+def dedup_self_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.self_substring_spans(
+        load_table_parallel(spark, sf_dir, "documents"),
+        window_tokens=3,
+        min_overlap_tokens=4,
+        max_window_df=100,
+    )
+
+
 def _strip_spans_sql() -> str:
     # Interval merge mirrors strip_duplicate_spans: running pre-row max
     # of interval ends -> island flags -> merged [min s, max e]; tokens

@@ -524,47 +524,10 @@ def exact_substring_pairs(
     the boilerplate the cap exists to ignore); spans with at least one
     sub-cap window survive in clipped form.
     """
-    k = window_tokens
-    if k < 2:
-        raise ValueError(f"window_tokens must be >= 2, got {k}")
-    if min_overlap_tokens < k:
-        raise ValueError(
-            f"min_overlap_tokens ({min_overlap_tokens}) must be >= "
-            f"window_tokens ({k}); shorter spans produce no window match"
-        )
-    toks = F.col("_toks")
-    win_hashes = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            # element_at is O(1) per token on the materialized array;
-            # slice() would copy k elements per position
-            lambda i: F.md5(
-                F.concat_ws(
-                    " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-                )
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # Same projection discipline as _gram_intersections: tokens and the
-    # hash array materialize in their own selects (fusing them makes
-    # Catalyst re-derive the array per exploded row), and posexplode_outer
-    # (not posexplode) keeps InferFiltersFromGenerate from pushing the
-    # whole pipeline into a per-row scan filter; the inner equi-join on
-    # wh drops the null rows empty arrays produce.
-    base = (
-        df.select(F.col(id_col), tokens(text_col).alias("_toks"))
-        .select(F.col(id_col), win_hashes.alias("_whs"))
-        .select(F.col(id_col), F.posexplode_outer("_whs").alias("_pos0", "wh"))
-        .select(F.col(id_col), (F.col("_pos0") + 1).alias("pos"), "wh")
+    base = _window_table(
+        df, text_col, id_col, window_tokens, min_overlap_tokens, max_window_df
     )
-    if max_window_df is not None:
-        wdf = Window.partitionBy("wh")
-        base = (
-            base.withColumn("_df", F.count("*").over(wdf))
-            .filter(F.col("_df") <= max_window_df)
-            .drop("_df")
-        )
+    k = window_tokens
     a = base.select(
         F.col(id_col).alias("doc_a"), F.col("pos").alias("pos_a"), "wh"
     )
@@ -605,6 +568,149 @@ def exact_substring_pairs(
             F.col("b_start").cast("bigint").alias("b_start"),
             "overlap_tokens",
         )
+    )
+
+
+def _window_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_tokens: int,
+    min_overlap_tokens: int,
+    max_window_df: int | None,
+) -> DataFrame:
+    """Shared (id, pos, wh) window-hash table for the substring-dedup
+    family: one md5 per k-token window, 1-based positions, df-capped.
+
+    Same projection discipline as ``_gram_intersections``: tokens and
+    the hash array materialize in their own selects (fusing them makes
+    Catalyst re-derive the array per exploded row), and posexplode_outer
+    (not posexplode) keeps InferFiltersFromGenerate from pushing the
+    whole pipeline into a per-row scan filter; the inner equi-join on wh
+    drops the null rows empty arrays produce. element_at is O(1) per
+    token on the materialized array; slice() would copy k elements per
+    position.
+    """
+    k = window_tokens
+    if k < 2:
+        raise ValueError(f"window_tokens must be >= 2, got {k}")
+    if min_overlap_tokens < k:
+        raise ValueError(
+            f"min_overlap_tokens ({min_overlap_tokens}) must be >= "
+            f"window_tokens ({k}); shorter spans produce no window match"
+        )
+    toks = F.col("_toks")
+    win_hashes = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = (
+        df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(F.col(id_col), win_hashes.alias("_whs"))
+        .select(F.col(id_col), F.posexplode_outer("_whs").alias("_pos0", "wh"))
+        .select(F.col(id_col), (F.col("_pos0") + 1).alias("pos"), "wh")
+    )
+    if max_window_df is not None:
+        wdf = Window.partitionBy("wh")
+        base = (
+            base.withColumn("_df", F.count("*").over(wdf))
+            .filter(F.col("_df") <= max_window_df)
+            .drop("_df")
+        )
+    return base
+
+
+def self_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 8,
+    min_overlap_tokens: int = 12,
+    max_window_df: int | None = 100,
+) -> DataFrame:
+    """WITHIN-document verbatim repetition (the self-dedup half of Lee
+    et al. 2021): one row per maximal repeated token span inside a
+    single document, as (doc_id, first_start, repeat_start,
+    overlap_tokens), repeat_start > first_start, 1-based positions.
+
+    Same machinery as ``exact_substring_pairs`` with the join keyed on
+    (id, wh) and pos_a < pos_b; islands form per (id, diagonal).
+    Periodic text ("a b a b a b") yields overlapping spans per period —
+    stripping keeps the first period (see ``strip_self_repeats``).
+    Scale: the self-join meets only within (id, wh) buckets, so a
+    document's cost is bounded by its own repeated-window count; the
+    df cap still guards corpus-wide boilerplate windows.
+    """
+    base = _window_table(
+        df, text_col, id_col, window_tokens, min_overlap_tokens, max_window_df
+    )
+    k = window_tokens
+    a = base.select(
+        F.col(id_col), F.col("pos").alias("pos_a"), "wh"
+    )
+    b = base.select(
+        F.col(id_col), F.col("pos").alias("pos_b"), "wh"
+    )
+    matches = (
+        a.join(b, [id_col, "wh"])
+        .filter(F.col("pos_a") < F.col("pos_b"))
+        .select(
+            id_col,
+            "pos_a",
+            "pos_b",
+            (F.col("pos_b") - F.col("pos_a")).alias("diag"),
+        )
+    )
+    isl = matches.withColumn(
+        "_island",
+        F.col("pos_a")
+        - F.row_number().over(
+            Window.partitionBy(id_col, "diag").orderBy("pos_a")
+        ),
+    )
+    return (
+        isl.groupBy(id_col, "diag", "_island")
+        .agg(
+            F.min("pos_a").alias("first_start"),
+            F.min("pos_b").alias("repeat_start"),
+            (F.count("*") + (k - 1)).cast("bigint").alias("overlap_tokens"),
+        )
+        .filter(F.col("overlap_tokens") >= min_overlap_tokens)
+        .select(
+            F.col(id_col).cast("bigint").alias(id_col),
+            F.col("first_start").cast("bigint").alias("first_start"),
+            F.col("repeat_start").cast("bigint").alias("repeat_start"),
+            "overlap_tokens",
+        )
+    )
+
+
+def strip_self_repeats(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply within-doc dedup: remove each repeated span's LATER copy
+    (keep-first), reusing the interval-merge machinery of
+    ``strip_duplicate_spans`` with the repeat occurrence as the removal
+    target."""
+    return strip_duplicate_spans(
+        df,
+        spans.select(
+            F.col(id_col).alias("doc_b"),
+            F.col("repeat_start").alias("b_start"),
+            "overlap_tokens",
+        ),
+        text_col=text_col,
+        id_col=id_col,
     )
 
 

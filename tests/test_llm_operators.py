@@ -458,6 +458,34 @@ def test_strip_duplicate_spans_merges_overlapping_intervals(spark):
     assert r.n_tokens_removed == 12
 
 
+def test_self_substring_finds_and_strips_repeat(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "x1 a b c d e x2 x3 a b c d e x4"),  # 5-token repeat at 9
+            (2, "p q r s t u v w"),                   # no repeats
+        ],
+        "doc_id long, text string",
+    )
+    spans = dedup.self_substring_spans(docs, window_tokens=3, min_overlap_tokens=5)
+    assert [tuple(r) for r in spans.collect()] == [(1, 2, 9, 5)]
+    got = {r.doc_id: (r.text, r.n_tokens_removed)
+           for r in dedup.strip_self_repeats(docs, spans).collect()}
+    assert got[1] == ("x1 a b c d e x2 x3 x4", 5)
+    assert got[2] == ("p q r s t u v w", 0)
+
+
+def test_self_substring_periodic_text_keeps_first_period(spark):
+    # "a b" repeated 4x: every later period matches the first; stripping
+    # the repeat occurrences leaves exactly one period
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b a b")], "doc_id long, text string"
+    )
+    spans = dedup.self_substring_spans(docs, window_tokens=2, min_overlap_tokens=2)
+    [r] = dedup.strip_self_repeats(docs, spans).collect()
+    assert r.text == "a b"
+    assert r.n_tokens_removed == 6
+
+
 def test_exact_substring_validates_params(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="min_overlap_tokens"):
