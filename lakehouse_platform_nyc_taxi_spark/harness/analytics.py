@@ -947,6 +947,98 @@ def fuzzy_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "entity_resolution_golden",
+    """
+    WITH RECURSIVE base AS (
+      SELECT s_suppkey AS k, s_nationkey AS nk,
+             regexp_replace(substring(s_name, 10, 9), '^0+', '') AS t
+      FROM supplier
+    ),
+    p AS (
+      SELECT a.k AS ka, b.k AS kb
+      FROM base a JOIN base b ON a.k < b.k AND a.nk = b.nk
+      WHERE levenshtein(a.t, b.t) <= 1
+    ),
+    e AS (
+      SELECT ka AS src, kb AS dst FROM p
+      UNION
+      SELECT kb AS src, ka AS dst FROM p
+    ),
+    reach AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+    ),
+    lab AS (
+      SELECT src AS id, least(src, min(dst)) AS cluster
+      FROM reach GROUP BY src
+    ),
+    gold AS (
+      SELECT b.k AS id, b.t, COALESCE(l.cluster, b.k) AS cluster
+      FROM base b LEFT JOIN lab l ON b.k = l.id
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_members,
+           min_by(t, id) AS canonical_digits
+    FROM gold
+    GROUP BY cluster
+    """,
+    doc="End-to-end entity resolution (r8): PassJoin-blocked fuzzy pairs "
+    "restricted to a blocking attribute (same nation — without it, "
+    "near-sequential ids connect transitively into one giant "
+    "component) -> connected components -> one golden record per "
+    "entity cluster (canonical = the lowest-key member's attributes, "
+    "min_by — no sort-per-group), singletons kept as their own cluster "
+    "via the left join. The stages are the already-verified fuzzy-join "
+    "and CC operators composed; the oracle replays them as naive "
+    "all-pairs levenshtein + recursive transitive closure.",
+)
+def entity_resolution_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+    from ..operators.fuzzy import fuzzy_self_join
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_nationkey").alias("nk"),
+        F.regexp_replace(F.substring("s_name", 10, 9), "^0+", "").alias(
+            "digits"
+        ),
+    )
+    raw_pairs = fuzzy_self_join(
+        s.select("s_suppkey", "digits"),
+        key="s_suppkey",
+        text="digits",
+        max_dist=1,
+    )
+    nk = s.select("s_suppkey", "nk")
+    pairs = (
+        raw_pairs.join(
+            nk.select(F.col("s_suppkey").alias("key_a"), F.col("nk").alias("_nka")),
+            "key_a",
+        )
+        .join(
+            nk.select(F.col("s_suppkey").alias("key_b"), F.col("nk").alias("_nkb")),
+            "key_b",
+        )
+        .filter(F.col("_nka") == F.col("_nkb"))
+    )
+    cc = connected_components(pairs, id_a="key_a", id_b="key_b")
+    labeled = s.join(cc, s.s_suppkey == cc.id, "left").select(
+        "s_suppkey",
+        "digits",
+        F.coalesce("cluster", "s_suppkey").alias("cluster"),
+    )
+    return labeled.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.min_by("digits", "s_suppkey").alias("canonical_digits"),
+    ).select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "n_members",
+        "canonical_digits",
+    )
+
+
+@register(
     "events_max_concurrency",
     """
     WITH iv AS (
