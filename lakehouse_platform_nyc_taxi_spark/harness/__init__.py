@@ -72,19 +72,17 @@ _PRIORITY = [
     "streaming_chained_windows",
     "agg_hll_mergeable_rollup",
     "entity_resolution_golden",
+    "agg_histogram_percentile_rollup",
     # 2) Changed since its last (r6) driver-green row: r7 added the
     #    max_basket_size=32 cap and mirrored it in the oracle, so the
     #    driver artifact must re-attest the current (query, oracle) pair
     #    (VERDICT r7 "Next round" #1):
     "basket_pair_histogram",
-    # 3) 41 of the 50 queries whose last driver-green row is r5
-    #    (oldest-first rotation policy). The remaining nine
-    #    (streaming_stream_stream_left, sql_recursive_chain,
-    #    dedup_ngram_containment, text_zipf_fit, agg_histogram,
-    #    sql_correlated_subquery, cohort_retention, timeseries_anomaly,
-    #    streaming_dedup_counts) don't fit the window; they lead the r9
-    #    rotation (head of _KEEP) and are re-verified locally every
-    #    session by test_harness_oracle.
+    # 3) 40 of the 50 queries whose last driver-green row is r5
+    #    (oldest-first rotation policy). The remaining ten (the head of
+    #    _KEEP, streaming_stream_stream_join onward) don't fit the
+    #    window; they lead the r9 rotation and are re-verified locally
+    #    every session by test_harness_oracle.
     "embedding_quantize_int8",
     "agg_collect_sorted",
     "timeseries_gapfill_15min",
@@ -125,7 +123,6 @@ _PRIORITY = [
     "text_lm_surprisal",
     "embedding_random_projection",
     "hybrid_search_rrf",
-    "streaming_stream_stream_join",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at 50 that lands OUTSIDE the window, so
@@ -133,6 +130,7 @@ _PRIORITY = [
 # name bumped to _KEEP to make room).
 _KEEP = [
     # r5-green overflow (oldest — head of the r9 rotation):
+    "streaming_stream_stream_join",
     "streaming_stream_stream_left",
     "sql_recursive_chain",
     "dedup_ngram_containment",

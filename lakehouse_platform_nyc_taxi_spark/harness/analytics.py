@@ -947,6 +947,86 @@ def fuzzy_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_histogram_percentile_rollup",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(least(floor(value / 5), 99) AS INT) AS bin
+      FROM events
+    ),
+    h AS (
+      SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT *,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bin) - n AS cum_before
+      FROM h
+    ),
+    t AS (SELECT event_type, sum(n) AS tot FROM h GROUP BY 1),
+    x AS (
+      SELECT c.*, t.tot, p.p
+      FROM c JOIN t USING (event_type),
+           (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.95 AS DOUBLE))) p(p)
+    ),
+    hit AS (SELECT * FROM x WHERE cum >= p * tot),
+    fb AS (SELECT event_type, p, min(bin) AS bin FROM hit GROUP BY 1, 2)
+    SELECT f.event_type, f.p,
+           round(f.bin * 5 + 5 * (x.p * x.tot - x.cum_before) / x.n, 6)
+               AS est_value,
+           CAST(x.tot AS BIGINT) AS n_total
+    FROM fb f
+    JOIN x ON x.event_type = f.event_type AND x.p = f.p AND x.bin = f.bin
+    """,
+    doc="MERGEABLE percentile rollup from binned partials: fixed-width "
+    "value histograms (per-day partials union by simple bin-count "
+    "addition — the deterministic counterpart to quantile sketches) -> "
+    "cumulative sums -> linear interpolation inside the target bin for "
+    "p50/p95. Unlike t-digest/GK this is exactly reproducible in any "
+    "engine, so the oracle hash-matches the estimates to 6 decimals; "
+    "accuracy is bounded by bin width, a transparent knob.",
+)
+def agg_histogram_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    width, n_bins = 5.0, 100
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("_day"),
+            F.least(F.floor(F.col("value") / width), F.lit(n_bins - 1))
+            .cast("int")
+            .alias("bin"),
+        )
+        .groupBy("_day", "event_type", "bin")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    hist = daily.groupBy("event_type", "bin").agg(F.sum("_cnt").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("bin")
+    cum = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "cum_before", F.col("cum") - F.col("n")
+    )
+    tot = hist.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    x = cum.join(tot, "event_type").select(
+        "*", F.explode(F.array(F.lit(0.5), F.lit(0.95))).alias("p")
+    )
+    hit = x.filter(F.col("cum") >= F.col("p") * F.col("tot"))
+    fb = hit.groupBy("event_type", "p").agg(
+        F.min_by(F.struct("bin", "n", "cum_before"), "bin").alias("b"),
+        F.min("tot").alias("tot"),
+    )
+    est = F.col("b.bin") * width + width * (
+        F.col("p") * F.col("tot") - F.col("b.cum_before")
+    ) / F.col("b.n")
+    return fb.select(
+        "event_type",
+        "p",
+        trino_round(est, 6).alias("est_value"),
+        F.col("tot").cast("bigint").alias("n_total"),
+    )
+
+
+@register(
     "entity_resolution_golden",
     """
     WITH RECURSIVE base AS (
