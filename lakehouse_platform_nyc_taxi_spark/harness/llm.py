@@ -586,7 +586,11 @@ def _cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare=_cluster_pairs,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.connected_components(_cluster_pairs(spark, sf_dir))
+    # near-dup clusters are dense and shallow (2-3 rounds either way):
+    # the pointer-jumping join would cost more than it saves
+    return dedup.connected_components(
+        _cluster_pairs(spark, sf_dir), pointer_jumping=False
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -898,6 +898,7 @@ def connected_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 25,
+    pointer_jumping: bool = True,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph by iterative
     min-label propagation: every node repeatedly adopts the smallest label
@@ -906,11 +907,13 @@ def connected_components(
     that turns pairwise dedup output into keep/drop decisions.
 
     Scale notes: each iteration is one shuffle join + aggregation on the
-    node key, followed by a pointer-jumping compression join
-    (label <- min(label, label-of-label)) that turns the plain
-    O(diameter) propagation into O(log diameter) rounds — on a
-    10-node chain, 4 rounds instead of 9 (r8; each round costs one
-    extra equi-join on the label key, a clear win once diameter > 3).
+    node key; with ``pointer_jumping`` (default) each round adds a
+    compression join (label <- min(label, label-of-label)) that turns
+    plain O(diameter) propagation into O(log diameter) rounds. Measured
+    at sf0.1 (r8): chain-shaped ER graphs drop 8 rounds / 5.6 s to
+    4.5 s, while DENSE near-dup clusters (2-3 rounds either way) pay
+    the extra join for nothing — pass ``pointer_jumping=False`` for
+    graphs known to be dense and shallow (``dedup_clusters`` does).
     localCheckpoint() per iteration truncates the lineage — without it
     the plan doubles every pass. The only driver traffic is the one-row
     convergence count.
@@ -948,22 +951,20 @@ def connected_components(
                 "label"
             ),
         )
-        # pointer jumping: follow the label one more hop (label of my
-        # label) — min-labels only shrink, so this is safe and collapses
-        # chains exponentially
-        parent = stepped.select(
-            F.col("id").alias("label"), F.col("label").alias("_plabel")
-        )
-        new_labels = (
-            stepped.join(parent, "label", "left")
-            .select(
+        if pointer_jumping:
+            # follow the label one more hop (label of my label) —
+            # min-labels only shrink, so this is safe and collapses
+            # chains exponentially
+            parent = stepped.select(
+                F.col("id").alias("label"), F.col("label").alias("_plabel")
+            )
+            stepped = stepped.join(parent, "label", "left").select(
                 "id",
                 F.least(F.col("label"), F.coalesce("_plabel", "label")).alias(
                     "label"
                 ),
             )
-            .localCheckpoint()
-        )
+        new_labels = stepped.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

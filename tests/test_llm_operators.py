@@ -289,10 +289,16 @@ def test_connected_components_clusters_chains(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
         "doc_a long, doc_b long",
     )
-    out = {r.id: r.cluster for r in dedup.connected_components(pairs).collect()}
-    assert {out[1], out[2], out[3], out[4]} == {1}   # chain collapses to min id
-    assert {out[10], out[11]} == {10}
-    assert {out[20], out[21], out[22]} == {20}
+    for pj in (True, False):  # pointer-jumping and plain propagation agree
+        out = {
+            r.id: r.cluster
+            for r in dedup.connected_components(
+                pairs, pointer_jumping=pj
+            ).collect()
+        }
+        assert {out[1], out[2], out[3], out[4]} == {1}  # chain -> min id
+        assert {out[10], out[11]} == {10}
+        assert {out[20], out[21], out[22]} == {20}
 
 
 def test_hash_sampling_deterministic_and_leak_proof(spark):
