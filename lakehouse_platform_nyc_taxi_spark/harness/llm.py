@@ -200,11 +200,15 @@ _NGRAM_JACCARD = (
 )
 
 
-def _substring_spans_cte(k: int = 8, min_overlap: int = 12, cap: int = 100) -> str:
-    # parallel unnest zips positions with their window hashes; the
-    # QUALIFY mirrors the Spark df-cap (measured max window df at sf0.1
-    # is 3, so cap=100 provably never bites at oracle/bench scales and
-    # the SQL stays a faithful oracle — same argument as the ngram cap).
+def _window_table_cte(k: int, cap: int) -> str:
+    """Shared stok/w/c CTE block: tokenized docs, the k-token window-hash
+    table with 1-based positions (parallel unnest zips positions with
+    hashes), and the df-cap — the SQL twin of ``dedup._window_table``,
+    kept in ONE place so the cross-doc and self-join oracles can't
+    drift apart. The QUALIFY mirrors the Spark df-cap (measured max
+    window df at sf0.1 is 3, so cap=100 provably never bites at
+    oracle/bench scales and the SQL stays a faithful oracle — same
+    argument as the ngram cap)."""
     return f"""
     stok AS (
         SELECT doc_id, {TOKS} AS toks FROM documents
@@ -219,7 +223,11 @@ def _substring_spans_cte(k: int = 8, min_overlap: int = 12, cap: int = 100) -> s
     ),
     c AS (
         SELECT * FROM w QUALIFY count(*) OVER (PARTITION BY wh) <= {cap}
-    ),
+    )"""
+
+
+def _substring_spans_cte(k: int = 8, min_overlap: int = 12, cap: int = 100) -> str:
+    return f"""{_window_table_cte(k, cap)},
     m AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
@@ -273,21 +281,7 @@ def _self_substring_cte(k: int = 3, min_overlap: int = 4, cap: int = 100) -> str
     # documents are near-random word streams, so 8-token self-repeats
     # are absent; 3-token windows surface the real (rare) repeats while
     # the same k=8 defaults stay for production text.
-    return f"""
-    stok AS (
-        SELECT doc_id, {TOKS} AS toks FROM documents
-    ),
-    w AS (
-        SELECT doc_id,
-               unnest(generate_series(1, len(toks) - {k} + 1)) AS pos,
-               unnest(list_transform(
-                   generate_series(1, len(toks) - {k} + 1),
-                   i -> md5(array_to_string(toks[i:i + {k - 1}], ' ')))) AS wh
-        FROM stok WHERE len(toks) >= {k}
-    ),
-    c AS (
-        SELECT * FROM w QUALIFY count(*) OVER (PARTITION BY wh) <= {cap}
-    ),
+    return f"""{_window_table_cte(k, cap)},
     m AS (
         SELECT a.doc_id AS id, a.pos AS pos_a, b.pos AS pos_b,
                b.pos - a.pos AS diag
@@ -1004,15 +998,19 @@ def _decode_image_sql() -> str:
         for c in colmap
     ]
     thumb = ",\n               ".join(pix)
+    # NB: like multimodal_features, this assumes the harness corpus is
+    # pure-ASCII non-null text (per-character ord == per-byte value; the
+    # testdata's max code point is 121) — the COALESCE makes null text
+    # decode as an all-zero raster on both sides rather than erroring.
     return f"""
     WITH c AS (
         SELECT doc_id,
-               CAST(octet_length(encode(text)) AS BIGINT) AS blen,
-               list_transform(split(text[1:192], ''), ch -> ord(ch)) AS codes
+               list_transform(split(COALESCE(text, '')[1:192], ''),
+                              ch -> ord(ch)) AS codes
         FROM documents
     ),
     t AS (
-        SELECT doc_id, blen,
+        SELECT doc_id,
                [{thumb}] AS thumb
         FROM c
     )
@@ -1042,7 +1040,10 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("asset_id"),
         F.concat(
             F.lit(b"P5 16 12 255\n"),
-            F.expr("rpad(encode(substring(text, 1, 192), 'UTF-8'), 192, X'00')"),
+            F.expr(
+                "rpad(encode(substring(coalesce(text, ''), 1, 192), 'UTF-8'),"
+                " 192, X'00')"
+            ),
         ).alias("content"),
     )
     return multimodal.decode_image_features(assets)

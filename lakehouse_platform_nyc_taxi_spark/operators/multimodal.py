@@ -2,12 +2,13 @@
 columns with typed metadata, and Pandas-UDF decode/feature plumbing.
 
 The container ships no image/audio libraries, so ``decode_image_features``
-carries its own pure-Python PNM (P5/P6) codec as the fallback behind the
-PIL seam — the decode path executes for real on uncompressed formats in
-any runtime; compressed formats (JPEG/PNG) still need PIL and raise
-per-payload without it. ``fake_feature_extractor`` remains the
-deterministic stand-in exercising the same Spark-side plumbing (schema,
-Arrow batch shape, partition behavior) with zero decode cost.
+carries its own pure-Python PNM (P5/P6) codec as the DEFAULT decoder —
+the decode path executes for real on uncompressed formats in any
+runtime, deterministically (which the oracle-matched harness query
+pins); ``prefer_pil=True`` opts into PIL for compressed formats
+(JPEG/PNG) on PIL-equipped runtimes. ``fake_feature_extractor`` remains
+the deterministic stand-in exercising the same Spark-side plumbing
+(schema, Arrow batch shape, partition behavior) with zero decode cost.
 
 Scale design: binary payloads never leave the executors; metadata
 extraction is a Catalyst projection, and feature extraction is
@@ -97,8 +98,11 @@ def _decode_pnm(data: bytes) -> tuple[int, int, list[int]]:
 
     The test codec for the decode seam: uncompressed, ~30 lines, no
     dependency — so the mapInPandas decode path executes for real even
-    in runtimes without an image library. RGB collapses to luma with the
-    ITU-R 601-2 integer weights PIL's ``convert("L")`` uses.
+    in runtimes without an image library. RGB collapses to luma with
+    integer ITU-R 601-2 weights ((R*299+G*587+B*114)//1000 — close to
+    but NOT bit-identical to PIL's ``convert("L")``, which uses
+    (R*19595+G*38470+B*7471)>>16; oracle-matched paths must pin THIS
+    codec, not PIL).
     """
     # header = magic + 3 ASCII ints, '#' comments allowed, any whitespace
     pos, fields = 0, []
@@ -118,6 +122,8 @@ def _decode_pnm(data: bytes) -> tuple[int, int, list[int]]:
         fields.append(int(data[start:pos]))
     pos += 1  # single whitespace byte after maxval, then raster
     width, height, maxval = fields
+    if width < 1 or height < 1:
+        raise ValueError(f"degenerate PNM dimensions {width}x{height}")
     if maxval > 255:
         raise ValueError(f"PNM maxval {maxval} > 255 unsupported")
     n = width * height
@@ -153,36 +159,45 @@ def _nearest_resize(
     ]
 
 
-def decode_image_features(df: DataFrame) -> DataFrame:
+def decode_image_features(df: DataFrame, prefer_pil: bool = False) -> DataFrame:
     """Real image decode: grayscale -> 8x8 nearest-neighbor thumbnail ->
-    pixel stats, in Arrow-batched ``mapInPandas``. Uses PIL when the
-    runtime has it; otherwise falls back to the built-in pure-Python PNM
-    codec (P5/P6), so the decode path is executable — not a stub — in
-    codec-less runtimes. Unsupported formats raise per-payload with the
-    asset id."""
+    pixel stats, in Arrow-batched ``mapInPandas``.
+
+    Default (``prefer_pil=False``): the built-in pure-Python PNM codec
+    (P5/P6) — deterministic and engine-reproducible, which is what the
+    oracle-matched harness query and the unit tests pin (PIL's
+    ``convert("L")``/NEAREST use slightly different integer luma
+    coefficients and sampling conventions, so its output is NOT
+    bit-identical). ``prefer_pil=True`` switches to PIL when importable
+    — the path for compressed formats (JPEG/PNG) in PIL-equipped
+    runtimes — falling back to the PNM codec without it. Unsupported
+    formats raise per-payload with the asset id."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:  # one probe per worker, not per row
-            import io  # noqa: PLC0415
+        def gray64_pnm(content: bytes) -> list[int]:
+            w, h, px = _decode_pnm(bytes(content))
+            return _nearest_resize(px, w, h)
 
-            from PIL import Image  # noqa: PLC0415
+        gray64 = gray64_pnm
+        if prefer_pil:
+            try:  # one probe per worker, not per row
+                import io  # noqa: PLC0415
 
-            def gray64(content: bytes) -> list[int]:  # pragma: no cover - no PIL here
-                img = Image.open(io.BytesIO(content)).convert("L")
-                return list(img.resize((8, 8), Image.NEAREST).getdata())
+                from PIL import Image  # noqa: PLC0415
 
-        except ImportError:
+                def gray64(content: bytes) -> list[int]:  # pragma: no cover - no PIL here
+                    img = Image.open(io.BytesIO(content)).convert("L")
+                    return list(img.resize((8, 8), Image.NEAREST).getdata())
 
-            def gray64(content: bytes) -> list[int]:
-                w, h, px = _decode_pnm(bytes(content))
-                return _nearest_resize(px, w, h)
+            except ImportError:
+                pass
 
         for pdf in batches:
             feats = []
             for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
                 try:
                     pixels = gray64(content)
-                except ValueError as exc:
+                except (ValueError, IndexError) as exc:
                     raise ValueError(f"asset {asset_id}: {exc}") from exc
                 feats.append(
                     (asset_id, len(content), pixels[0], sum(pixels) % 1_000_003,

@@ -176,18 +176,23 @@ def test_multimodal_real_decode_executes_on_pnm(spark):
 
 
 def test_multimodal_decode_rejects_unknown_format(spark):
+    # default path pins the pure-Python codec regardless of PIL presence
     assets = spark.createDataFrame(
         [(9, bytearray(b"\x89PNG not really"))], "asset_id long, content binary"
     )
-    try:
-        import PIL  # noqa: F401
-
-        pytest.skip("PIL present; fallback codec not in play")
-    except ImportError:
-        pass
     from py4j.protocol import Py4JJavaError  # noqa: PLC0415
 
     with pytest.raises((Py4JJavaError, Exception), match="asset 9|unsupported image format"):
+        multimodal.decode_image_features(assets).collect()
+
+
+def test_multimodal_decode_rejects_degenerate_dims(spark):
+    assets = spark.createDataFrame(
+        [(3, bytearray(b"P5 0 0 255\n"))], "asset_id long, content binary"
+    )
+    from py4j.protocol import Py4JJavaError  # noqa: PLC0415
+
+    with pytest.raises((Py4JJavaError, Exception), match="asset 3|degenerate PNM"):
         multimodal.decode_image_features(assets).collect()
 
 
