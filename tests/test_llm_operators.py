@@ -1051,3 +1051,64 @@ if _HYP:
             for (s_a, s_b, ov) in _ref_substring_spans(ta, tb, k, L)
         }
         assert got == want
+
+
+def _ref_self_spans(toks, k, min_overlap):
+    """Independent reference for self_substring_spans on one doc:
+    within-doc window matches (i < j) -> diagonal runs -> spans >= L."""
+    pos = {}
+    for i in range(len(toks) - k + 1):
+        pos.setdefault(tuple(toks[i : i + k]), []).append(i)
+    by_diag = {}
+    for plist in pos.values():
+        for a in plist:
+            for b in plist:
+                if a < b:
+                    by_diag.setdefault(b - a, []).append(a)
+    out = set()
+    for d, iis in by_diag.items():
+        iis = sorted(set(iis))
+        run_start, prev = iis[0], iis[0]
+        for i in iis[1:] + [None]:
+            if i is not None and i == prev + 1:
+                prev = i
+                continue
+            overlap = prev - run_start + k
+            if overlap >= min_overlap:
+                out.add((run_start + 1, run_start + d + 1, overlap))
+            if i is not None:
+                run_start = prev = i
+    return out
+
+
+if _HYP:
+
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(["a", "b"]), min_size=1, max_size=14),
+            min_size=1,
+            max_size=4,
+        ),
+        st.integers(2, 3),
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_self_substring_matches_reference(spark, docs_tokens, k):
+        """Within-doc repetition must equal the per-doc reference on a
+        2-letter alphabet — periodic text produces overlapping matches
+        on every period-multiple diagonal, the hardest case for the
+        islands bookkeeping."""
+        L = k + 1
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.doc_id, r.first_start, r.repeat_start, r.overlap_tokens)
+            for r in dedup.self_substring_spans(
+                df, window_tokens=k, min_overlap_tokens=L, max_window_df=None
+            ).collect()
+        }
+        want = {
+            (i, s, rs, ov)
+            for i, toks in enumerate(docs_tokens)
+            for (s, rs, ov) in _ref_self_spans(toks, k, L)
+        }
+        assert got == want
