@@ -951,8 +951,9 @@ def fuzzy_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH b AS (
       SELECT event_type,
-             CAST(least(floor(value / 5), 99) AS INT) AS bin
+             CAST(least(floor(value / 5), 119) AS INT) AS bin
       FROM events
+      WHERE value IS NOT NULL
     ),
     h AS (
       SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
@@ -984,14 +985,20 @@ def fuzzy_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "addition — the deterministic counterpart to quantile sketches) -> "
     "cumulative sums -> linear interpolation inside the target bin for "
     "p50/p95. Unlike t-digest/GK this is exactly reproducible in any "
-    "engine, so the oracle hash-matches the estimates to 6 decimals; "
-    "accuracy is bounded by bin width, a transparent knob.",
+    "engine, so the oracle hash-matches the estimates to 6 decimals. "
+    "Accuracy is bounded by bin width ONLY inside the sized range "
+    "[0, n_bins*width); the last bin is a catch-all whose error is "
+    "unbounded, so n_bins is sized to cover the data (testdata max "
+    "~560 < 600). NULL values are filtered identically on both sides: "
+    "Spark windows sort NULLs first, DuckDB last, so an unfiltered "
+    "NULL bin would silently diverge (ADVICE r8).",
 )
 def agg_histogram_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    width, n_bins = 5.0, 100
+    width, n_bins = 5.0, 120
     ev = load_table(spark, sf_dir, "events")
     daily = (
-        ev.select(
+        ev.filter(F.col("value").isNotNull())
+        .select(
             "event_type",
             F.date_trunc("day", "ts").alias("_day"),
             F.least(F.floor(F.col("value") / width), F.lit(n_bins - 1))
@@ -1036,7 +1043,7 @@ def _er_supplier_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ER_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_ER_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _er_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1044,7 +1051,9 @@ def _er_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpointed per (session, sf_dir) like dedup_clusters'
     _cluster_pairs — in production the match-pair table is materialized
     once and the clustering/golden-record step runs from it."""
-    key = (id(spark.sparkContext), sf_dir)
+    # applicationId is stable per context and never recycled the way a
+    # garbage-collected context's id() can be (ADVICE r8).
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ER_PAIRS_CACHE:
         from ..operators.fuzzy import fuzzy_self_join
 

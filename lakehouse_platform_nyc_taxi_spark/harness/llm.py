@@ -535,11 +535,13 @@ def sampling_per_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: pipeline the pairwise stage's output is the *input artifact* of the
 #: clustering stage — bench times the clustering, not a recompute of the
 #: pairs (fn still fills the cache itself when cold).
-_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark.sparkContext), sf_dir)
+    # applicationId, not id(ctx): CPython can recycle a dead context's id
+    # and hand back a checkpoint bound to the dead context (ADVICE r8).
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PAIRS_CACHE:
         pairs = dedup.ngram_jaccard_pairs(
             load_table_parallel(spark, sf_dir, "documents"), block_col="source", max_gram_df=100
@@ -798,11 +800,11 @@ def text_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Built IVF indexes, keyed by (session, sf_dir): the build is the offline
 #: half (write-once at scale); queries/bench time the probe.
-_IVF_CACHE: dict[tuple[int, str], similarity.IvfIndex] = {}
+_IVF_CACHE: dict[tuple[str, str], similarity.IvfIndex] = {}
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str) -> similarity.IvfIndex:
-    key = (id(spark.sparkContext), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_CACHE:
         _IVF_CACHE[key] = similarity.build_ivf_index(
             load_table_parallel(spark, sf_dir, "embeddings"), n_cells=16, method="hash"
