@@ -62,8 +62,122 @@ def register(
 #      Their green rows live in CORRECTNESS_r01.json (kept in-repo), so
 #      rounds jointly cover every query.
 _PRIORITY = [
-    # --- Round-8 window (driver checks the FIRST 50 registered) ---
+    # --- Round-9 window (driver checks the FIRST 50 registered) ---
     # 1) New this round (never driver-attested):
+    "layout_zorder_skipping",
+    "dedup_incremental_minhash",
+    # 2) Changed since its r8 driver-green row: NULL-value filter added
+    #    on both sides + bins widened to cover the data range (ADVICE
+    #    r8), so the current (query, oracle) pair must be re-attested:
+    "agg_histogram_percentile_rollup",
+    # 3) The 10 r5-green overflow queries (oldest driver rows; r8's
+    #    rotation couldn't fit them):
+    "streaming_stream_stream_join",
+    "streaming_stream_stream_left",
+    "sql_recursive_chain",
+    "dedup_ngram_containment",
+    "text_zipf_fit",
+    "agg_histogram",
+    "sql_correlated_subquery",
+    "cohort_retention",
+    "timeseries_anomaly",
+    "streaming_dedup_counts",
+    # 4) 37 of the 48 queries whose last driver-green row is r6
+    #    (oldest-first rotation policy). The remaining eleven
+    #    (agg_pricing_summary onward, head of _KEEP) lead the r10
+    #    rotation and are re-verified locally every session by
+    #    test_harness_oracle.
+    "graph_pagerank",
+    "fuzzy_join_suppliers",
+    "events_max_concurrency",
+    "table_profile_numeric",
+    "timeseries_ohlc",
+    "sql_lateral_topn",
+    "dedup_latest_record",
+    "sampling_token_budget",
+    "agg_corr_regression",
+    "scd2_point_in_time_join",
+    "json_extract_rollup",
+    "json_variant_histogram",
+    "window_rank_trio",
+    "set_except_all",
+    "text_bigram_lm",
+    "similarity_topk_batch",
+    "similarity_topk_ivf_batch",
+    "multimodal_metadata",
+    "surrogate_keys_md5",
+    "datetime_features",
+    "dq_violation_counts",
+    "text_language_id",
+    "text_fingerprints",
+    "sampling_hash_split",
+    "sampling_per_group_cap",
+    "text_winnowing",
+    "doc_chunking",
+    "graph_triangle_count",
+    "graph_degree_stats",
+    "timeseries_twap",
+    "privacy_k_anonymity",
+    "sql_running_distinct",
+    "agg_mode_median",
+    "join_skew_salted",
+    "events_funnel",
+    "table_profile_categorical",
+    "agg_daily_rollup",
+]
+# Any NEW registration not listed anywhere auto-slots directly after
+# _PRIORITY — but with _PRIORITY at 50 that lands OUTSIDE the window, so
+# a query added mid-round must be listed in _PRIORITY explicitly (and a
+# name bumped to _KEEP to make room).
+_KEEP = [
+    # r6-green overflow (oldest — head of the r10 rotation):
+    "agg_pricing_summary",
+    "scd2_event_history",
+    "similarity_topk_int8",
+    "window_ntile_cume",
+    "streaming_windowed_rollup",
+    "streaming_session_windows",
+    "streaming_stream_static_join",
+    "streaming_stateful_user_stats",
+    "text_repetition",
+    "text_rarity_stats",
+    "cast_rename_projection",
+    # r7-green queries:
+    "filter_precedence_quirk",
+    "in_list_between",
+    "incremental_watermark",
+    "join_full_outer",
+    "join_right_outer",
+    "lateral_explode_tokens",
+    "orderby_limit_topk",
+    "pivot_event_values",
+    "scan_projection_filter",
+    "set_except",
+    "set_intersect",
+    "star_extend_projection",
+    "union_all_typed_nulls",
+    "union_distinct",
+    "validity_filter",
+    "window_lead_lag",
+    "window_moving_avg",
+    "window_running_total",
+    "window_time_range_sum",
+    "window_topk_per_group",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "agg_arg_extremes",
+    "agg_no_keys",
+    "agg_percentiles",
+    "join_anti",
+    "join_asof",
+    "join_cross_ratio",
+    "join_range",
+    "join_semi",
+    "join_null_safe",
+    "unpivot_charges",
+    "agg_approx_distinct",
+    # r8-green queries (freshest driver rows):
     "dedup_exact_substring",
     "dedup_strip_spans",
     "dedup_self_substring",
@@ -72,17 +186,7 @@ _PRIORITY = [
     "streaming_chained_windows",
     "agg_hll_mergeable_rollup",
     "entity_resolution_golden",
-    "agg_histogram_percentile_rollup",
-    # 2) Changed since its last (r6) driver-green row: r7 added the
-    #    max_basket_size=32 cap and mirrored it in the oracle, so the
-    #    driver artifact must re-attest the current (query, oracle) pair
-    #    (VERDICT r7 "Next round" #1):
     "basket_pair_histogram",
-    # 3) 40 of the 50 queries whose last driver-green row is r5
-    #    (oldest-first rotation policy). The remaining ten (the head of
-    #    _KEEP, streaming_stream_stream_join onward) don't fit the
-    #    window; they lead the r9 rotation and are re-verified locally
-    #    every session by test_harness_oracle.
     "embedding_quantize_int8",
     "agg_collect_sorted",
     "timeseries_gapfill_15min",
@@ -124,113 +228,12 @@ _PRIORITY = [
     "embedding_random_projection",
     "hybrid_search_rrf",
 ]
-# Any NEW registration not listed anywhere auto-slots directly after
-# _PRIORITY — but with _PRIORITY at 50 that lands OUTSIDE the window, so
-# a query added mid-round must be listed in _PRIORITY explicitly (and a
-# name bumped to _KEEP to make room).
-_KEEP = [
-    # r5-green overflow (oldest — head of the r9 rotation):
-    "streaming_stream_stream_join",
-    "streaming_stream_stream_left",
-    "sql_recursive_chain",
-    "dedup_ngram_containment",
-    "text_zipf_fit",
-    "agg_histogram",
-    "sql_correlated_subquery",
-    "cohort_retention",
-    "timeseries_anomaly",
-    "streaming_dedup_counts",
-    # r7-green queries (freshest driver rows):
-    "filter_precedence_quirk",
-    "in_list_between",
-    "incremental_watermark",
-    "join_full_outer",
-    "join_right_outer",
-    "lateral_explode_tokens",
-    "orderby_limit_topk",
-    "pivot_event_values",
-    "scan_projection_filter",
-    "set_except",
-    "set_intersect",
-    "star_extend_projection",
-    "union_all_typed_nulls",
-    "union_distinct",
-    "validity_filter",
-    "window_lead_lag",
-    "window_moving_avg",
-    "window_running_total",
-    "window_time_range_sum",
-    "window_topk_per_group",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_rollup",
-    "agg_arg_extremes",
-    "agg_no_keys",
-    "agg_percentiles",
-    "join_anti",
-    "join_asof",
-    "join_cross_ratio",
-    "join_range",
-    "join_semi",
-    "join_null_safe",
-    "unpivot_charges",
-    "agg_approx_distinct",
-    # r6-green queries (next in line for r9 after the r5 overflow):
-    "graph_pagerank",
-    "fuzzy_join_suppliers",
-    "events_max_concurrency",
-    "table_profile_numeric",
-    "timeseries_ohlc",
-    "sql_lateral_topn",
-    "dedup_latest_record",
-    "sampling_token_budget",
-    "agg_corr_regression",
-    "scd2_point_in_time_join",
-    "json_extract_rollup",
-    "json_variant_histogram",
-    "window_rank_trio",
-    "set_except_all",
-    "text_bigram_lm",
-    "similarity_topk_batch",
-    "similarity_topk_ivf_batch",
-    "multimodal_metadata",
-    "surrogate_keys_md5",
-    "datetime_features",
-    "dq_violation_counts",
-    "text_language_id",
-    "text_fingerprints",
-    "sampling_hash_split",
-    "sampling_per_group_cap",
-    "text_winnowing",
-    "doc_chunking",
-    "graph_triangle_count",
-    "graph_degree_stats",
-    "timeseries_twap",
-    "privacy_k_anonymity",
-    "sql_running_distinct",
-    "agg_mode_median",
-    "join_skew_salted",
-    "events_funnel",
-    "table_profile_categorical",
-    "agg_daily_rollup",
-    "agg_pricing_summary",
-    "scd2_event_history",
-    "similarity_topk_int8",
-    "window_ntile_cume",
-    "streaming_windowed_rollup",
-    "streaming_session_windows",
-    "streaming_stream_static_join",
-    "streaming_stateful_user_stats",
-    "text_repetition",
-    "text_rarity_stats",
-    "cast_rename_projection",
-]
 _ROTATE_OUT: list[str] = []
 
 
 def registry() -> dict[str, QuerySpec]:
     # Import for side effects (registration) on first use.
-    from . import analytics, core, llm, mining, streaming, textops  # noqa: F401
+    from . import analytics, core, llm, mining, scale, streaming, textops  # noqa: F401
 
     listed = set(_PRIORITY) | set(_KEEP) | set(_ROTATE_OUT)
     new = [n for n in _REGISTRY if n not in listed]

@@ -1,0 +1,323 @@
+"""Round-9 query wave: data-layout / file-skipping analytics and
+incremental (stored-index) near-dup detection.
+
+Every query pairs a Spark-first implementation (operators/*) with a
+DuckDB-runnable oracle twin; column names and rounding are aligned on
+both sides per the driver's hash-compare contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, layout
+from ..operators.sampling import hash_bucket
+from ..sources.testdata import load_table, load_table_parallel
+from . import register
+from .llm import MD5L, _minhash_sig_sql
+
+# ---------------------------------------------------------------------------
+# Z-order layout vs single-column sort vs insertion order: how many files
+# does a range predicate actually have to read under each write layout?
+# ---------------------------------------------------------------------------
+
+_BITS = 16
+_FLOG = 6  # 2**6 = 64 files
+_SCALE = float(2**_BITS - 1)
+
+
+def _rank_sql(c: str, mn: str, mx: str) -> str:
+    return (
+        f"CASE WHEN {mx} > {mn} THEN "
+        f"CAST(floor(CAST({c} - {mn} AS DOUBLE) * CAST({_SCALE} AS DOUBLE) "
+        f"/ CAST({mx} - {mn} AS DOUBLE)) AS BIGINT) ELSE 0 END"
+    )
+
+
+_LAYOUT_SQL = f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS days
+      FROM orders
+    ),
+    st AS (
+      SELECT min(o_custkey) AS cx_mn, max(o_custkey) AS cx_mx,
+             min(days) AS dy_mn, max(days) AS dy_mx,
+             min(o_orderkey) AS ok_mn, max(o_orderkey) AS ok_mx
+      FROM o
+    ),
+    r AS (
+      SELECT o_custkey, days,
+             {_rank_sql("o_custkey", "cx_mn", "cx_mx")} AS xi,
+             {_rank_sql("days", "dy_mn", "dy_mx")} AS yi,
+             {_rank_sql("o_orderkey", "ok_mn", "ok_mx")} AS ki,
+             cx_mn + CAST(0.45 AS DOUBLE) * (cx_mx - cx_mn) AS lo_x,
+             cx_mn + CAST(0.55 AS DOUBLE) * (cx_mx - cx_mn) AS hi_x,
+             dy_mn + CAST(0.45 AS DOUBLE) * (dy_mx - dy_mn) AS lo_y,
+             dy_mn + CAST(0.55 AS DOUBLE) * (dy_mx - dy_mn) AS hi_y
+      FROM o CROSS JOIN st
+    ),
+    f AS (
+      SELECT o_custkey, days, lo_x, hi_x, lo_y, hi_y,
+             (ki >> {_BITS - _FLOG}) AS file_lin,
+             (xi >> {_BITS - _FLOG}) AS file_sx,
+             ({layout.zorder_value_sql("xi", "yi", _BITS)} >> {2 * _BITS - _FLOG})
+                 AS file_z
+      FROM r
+    ),
+    e AS (
+      SELECT 'linear' AS layout, file_lin AS file_id,
+             o_custkey, days, lo_x, hi_x, lo_y, hi_y FROM f
+      UNION ALL
+      SELECT 'sort_x', file_sx, o_custkey, days, lo_x, hi_x, lo_y, hi_y FROM f
+      UNION ALL
+      SELECT 'zorder', file_z, o_custkey, days, lo_x, hi_x, lo_y, hi_y FROM f
+    ),
+    zm AS (
+      SELECT layout, file_id, count(*) AS n_rows,
+             min(o_custkey) AS x_min, max(o_custkey) AS x_max,
+             min(days) AS y_min, max(days) AS y_max,
+             sum(CASE WHEN o_custkey >= lo_x AND o_custkey <= hi_x
+                      THEN 1 ELSE 0 END) AS x_matched,
+             sum(CASE WHEN days >= lo_y AND days <= hi_y
+                      THEN 1 ELSE 0 END) AS y_matched,
+             min(lo_x) AS lo_x, min(hi_x) AS hi_x,
+             min(lo_y) AS lo_y, min(hi_y) AS hi_y
+      FROM e GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT layout, 'custkey_range' AS predicate, n_rows,
+             NOT (x_max < lo_x OR x_min > hi_x) AS scanned,
+             x_matched AS matched
+      FROM zm
+      UNION ALL
+      SELECT layout, 'date_range', n_rows,
+             NOT (y_max < lo_y OR y_min > hi_y), y_matched
+      FROM zm
+    )
+    SELECT layout, predicate,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_scanned,
+           CAST(sum(CASE WHEN scanned THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_scanned,
+           CAST(sum(CASE WHEN scanned THEN matched ELSE 0 END) AS BIGINT)
+               AS rows_matched
+    FROM pr GROUP BY 1, 2
+"""
+
+
+@register(
+    "layout_zorder_skipping",
+    _LAYOUT_SQL,
+    doc="Write-layout comparison via zone-map file-skipping simulation: "
+    "orders bucketed into 64 files under three layouts — insertion "
+    "order (o_orderkey), single-column sort (o_custkey), and Z-order "
+    "(Morton interleave of custkey x order-date rank) — then, per "
+    "layout, per-file min/max zone maps decide which files a 10% "
+    "range predicate on EACH dimension must scan. Shows the 100 TB "
+    "tradeoff in numbers: linear skips nothing, sort_x is perfect on "
+    "x and blind on y, zorder prunes a large fraction on BOTH. Pure "
+    "Catalyst bit arithmetic (no UDFs); min/max normalization uses a "
+    "1-row broadcast aggregate, zone maps of all three layouts come "
+    "from ONE explode + ONE shuffle; zone-map soundness (skipped "
+    "files contain zero matches) is pinned by rows_matched over "
+    "scanned files equalling the global match count "
+    "(tests/test_layout.py).",
+)
+def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+        )
+        .cast("long")
+        .alias("days"),
+    )
+    stats = o.agg(
+        F.min("o_custkey").alias("cx_mn"),
+        F.max("o_custkey").alias("cx_mx"),
+        F.min("days").alias("dy_mn"),
+        F.max("days").alias("dy_mx"),
+        F.min("o_orderkey").alias("ok_mn"),
+        F.max("o_orderkey").alias("ok_mx"),
+    )
+
+    def _bounds(mn: str, mx: str) -> tuple:
+        lo = F.col(mn) + F.lit(0.45) * (F.col(mx) - F.col(mn))
+        hi = F.col(mn) + F.lit(0.55) * (F.col(mx) - F.col(mn))
+        return lo, hi
+
+    # Materialize the ranks in their own select so the 64-term Morton
+    # interleave references columns, not re-evaluated rank expressions.
+    r = o.crossJoin(F.broadcast(stats)).select(
+        "o_custkey",
+        "days",
+        layout.minmax_unit_rank(
+            F.col("o_custkey"), F.col("cx_mn"), F.col("cx_mx"), _BITS
+        ).alias("xi"),
+        layout.minmax_unit_rank(
+            F.col("days"), F.col("dy_mn"), F.col("dy_mx"), _BITS
+        ).alias("yi"),
+        layout.minmax_unit_rank(
+            F.col("o_orderkey"), F.col("ok_mn"), F.col("ok_mx"), _BITS
+        ).alias("ki"),
+        *[
+            c.alias(n)
+            for n, c in zip(
+                ("lo_x", "hi_x"), _bounds("cx_mn", "cx_mx"), strict=True
+            )
+        ],
+        *[
+            c.alias(n)
+            for n, c in zip(
+                ("lo_y", "hi_y"), _bounds("dy_mn", "dy_mx"), strict=True
+            )
+        ],
+    )
+    f = r.select(
+        "o_custkey",
+        "days",
+        layout.file_id(F.col("ki"), _BITS, _FLOG).alias("file_lin"),
+        layout.file_id(F.col("xi"), _BITS, _FLOG).alias("file_sx"),
+        layout.file_id(
+            layout.zorder_value(F.col("xi"), F.col("yi"), _BITS),
+            2 * _BITS,
+            _FLOG,
+        ).alias("file_z"),
+        (
+            (F.col("o_custkey") >= F.col("lo_x"))
+            & (F.col("o_custkey") <= F.col("hi_x"))
+        ).alias("x_match"),
+        ((F.col("days") >= F.col("lo_y")) & (F.col("days") <= F.col("hi_y"))).alias(
+            "y_match"
+        ),
+        "lo_x",
+        "hi_x",
+        "lo_y",
+        "hi_y",
+    )
+    zones = layout.zone_maps(
+        f.select("o_custkey", "days", "file_lin", "file_sx", "file_z",
+                 "x_match", "y_match", "lo_x", "hi_x", "lo_y", "hi_y"),
+        layouts={
+            "linear": F.col("file_lin"),
+            "sort_x": F.col("file_sx"),
+            "zorder": F.col("file_z"),
+        },
+        dims={
+            "x": F.col("o_custkey"),
+            "y": F.col("days"),
+            # predicate bounds are constants; min() just carries them
+            "lo_x": F.col("lo_x"),
+            "hi_x": F.col("hi_x"),
+            "lo_y": F.col("lo_y"),
+            "hi_y": F.col("hi_y"),
+        },
+        matches={"x": F.col("x_match"), "y": F.col("y_match")},
+    )
+    preds = F.explode(
+        F.array(
+            F.struct(
+                F.lit("custkey_range").alias("predicate"),
+                (
+                    ~(
+                        (F.col("x_max") < F.col("lo_x_min"))
+                        | (F.col("x_min") > F.col("hi_x_min"))
+                    )
+                ).alias("scanned"),
+                F.col("x_matched").alias("matched"),
+            ),
+            F.struct(
+                F.lit("date_range").alias("predicate"),
+                (
+                    ~(
+                        (F.col("y_max") < F.col("lo_y_min"))
+                        | (F.col("y_min") > F.col("hi_y_min"))
+                    )
+                ).alias("scanned"),
+                F.col("y_matched").alias("matched"),
+            ),
+        )
+    ).alias("_pr")
+    return (
+        zones.select("layout", "n_rows", preds)
+        .groupBy("layout", F.col("_pr.predicate").alias("predicate"))
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum(F.col("_pr.scanned").cast("long")).alias("files_scanned"),
+            F.sum(F.when(F.col("_pr.scanned"), F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+            F.sum(
+                F.when(F.col("_pr.scanned"), F.col("_pr.matched")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rows_matched"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash dedup: probe a new batch against the stored index.
+# ---------------------------------------------------------------------------
+
+_INCR_BUCKET_SQL = MD5L.format(x="CAST(doc_id AS VARCHAR) || '|incr'")
+
+_SIG_COLS = ", ".join(f"sig{j}" for j in range(8))
+_INCR_BANDS_SQL = "\n        UNION ALL\n".join(
+    f"        SELECT doc_id, bucket, {b} AS band, "
+    f"md5(CAST(sig{2 * b} AS VARCHAR) || '-' || CAST(sig{2 * b + 1} AS VARCHAR))"
+    f" AS band_digest, {_SIG_COLS} FROM sb"
+    for b in range(4)
+)
+_INCR_AGREE = " + ".join(
+    f"(CASE WHEN a{j} = b{j} THEN 1 ELSE 0 END)" for j in range(8)
+)
+
+
+@register(
+    "dedup_incremental_minhash",
+    _minhash_sig_sql().rstrip()
+    + f""",
+    sb AS (
+        SELECT doc_id, {_SIG_COLS},
+               ({_INCR_BUCKET_SQL}) % 10000 AS bucket
+        FROM sig
+    ),
+    banded AS (
+{_INCR_BANDS_SQL}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS index_doc,
+               a.sig0 AS a0, a.sig1 AS a1, a.sig2 AS a2, a.sig3 AS a3,
+               a.sig4 AS a4, a.sig5 AS a5, a.sig6 AS a6, a.sig7 AS a7,
+               b.sig0 AS b0, b.sig1 AS b1, b.sig2 AS b2, b.sig3 AS b3,
+               b.sig4 AS b4, b.sig5 AS b5, b.sig6 AS b6, b.sig7 AS b7
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.band_digest = b.band_digest
+        WHERE a.bucket < 1000 AND b.bucket >= 1000
+    )
+    SELECT new_doc, index_doc, ({_INCR_AGREE}) / 8.0 AS jaccard_est
+    FROM cand
+    WHERE ({_INCR_AGREE}) / 8.0 >= 0.5
+    """,
+    doc="Incremental corpus dedup: a deterministic 10% hash-bucket of "
+    "documents plays the incoming batch, the remaining 90% the stored "
+    "signature index; the batch's MinHash band digests equi-join "
+    "against the index's and candidates are kept at signature "
+    "agreement >= 0.5. The scale contract: per-batch cost is "
+    "O(batch) hashing + a band-bucket join against a signature store "
+    "that is ~0.01% the corpus size — the corpus text is never "
+    "re-read (operators/dedup.py::minhash_lsh_probe).",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs).localCheckpoint()
+    bucket = hash_bucket(F.col("doc_id"), "incr")
+    return dedup.minhash_lsh_probe(
+        sigs.filter(bucket < 1000), sigs.filter(bucket >= 1000)
+    )

@@ -173,6 +173,97 @@ def minhash_signatures(
     return base.select(F.col(id_col), *sig_cols)
 
 
+def band_table(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Explode a signature table into its LSH band rows:
+    (id, sig0..sigN, band, band_digest).
+
+    Single-pass banding: posexplode over the array of band digests, so
+    the (expensive) signature computation is evaluated once per
+    document, not once per band as a union of branches would.
+    """
+    rows_per_band = num_hashes // bands
+    digests = [
+        F.md5(
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"sig{j}").cast("string")
+                    for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ],
+            )
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col),
+        *[F.col(f"sig{j}") for j in range(num_hashes)],
+        F.posexplode(F.array(*digests)).alias("band", "band_digest"),
+    )
+
+
+def minhash_lsh_probe(
+    new_sigs: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    min_jaccard_est: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup detection: probe a NEW batch's MinHash
+    signatures against a STORED signature index, emitting
+    (new_doc, index_doc, jaccard_est) for candidates meeting the
+    estimate threshold.
+
+    The production shape for a growing corpus: signatures are computed
+    once per document at ingest and persisted (num_hashes longs per doc
+    — the index is ~0.01% of a 100 TB text corpus); each incoming batch
+    re-hashes only its own documents and band-joins against the stored
+    index, so incremental dedup cost is O(batch) + a band-bucket join,
+    never a corpus re-scan. Within-batch duplicates are NOT emitted
+    here — dedupe the batch against itself with
+    :func:`minhash_lsh_pairs` first, then probe the survivors.
+
+    Both inputs are signature tables (``minhash_signatures`` output);
+    the asymmetric join keeps (new, index) orientation, no ``<`` tie
+    break needed since the sides are disjoint.
+    """
+    left = band_table(new_sigs, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("new_doc"),
+        "band",
+        "band_digest",
+        *[F.col(f"sig{j}").alias(f"a_sig{j}") for j in range(num_hashes)],
+    )
+    right = band_table(index_sigs, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("index_doc"),
+        "band",
+        "band_digest",
+        *[F.col(f"sig{j}").alias(f"b_sig{j}") for j in range(num_hashes)],
+    )
+    pairs = (
+        left.join(right, ["band", "band_digest"])
+        .select(
+            "new_doc",
+            "index_doc",
+            *[F.col(f"a_sig{j}") for j in range(num_hashes)],
+            *[F.col(f"b_sig{j}") for j in range(num_hashes)],
+        )
+        .distinct()
+    )
+    agreement = sum(
+        F.when(F.col(f"a_sig{j}") == F.col(f"b_sig{j}"), 1).otherwise(0)
+        for j in range(num_hashes)
+    )
+    return (
+        pairs.withColumn(
+            "jaccard_est", agreement.cast("double") / F.lit(float(num_hashes))
+        )
+        .filter(F.col("jaccard_est") >= min_jaccard_est)
+        .select("new_doc", "index_doc", "jaccard_est")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -203,31 +294,11 @@ def minhash_lsh_pairs(
             "a remainder would silently drop trailing signature columns from "
             "banding and reduce candidate recall"
         )
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
     if materialize_signatures:
         sigs = sigs.localCheckpoint()
 
-    # Single-pass banding: posexplode over the array of band digests, so the
-    # (expensive) signature computation is evaluated once per document, not
-    # once per band as a union of branches would.
-    digests = [
-        F.md5(
-            F.concat_ws(
-                "-",
-                *[
-                    F.col(f"sig{j}").cast("string")
-                    for j in range(b * rows_per_band, (b + 1) * rows_per_band)
-                ],
-            )
-        )
-        for b in range(bands)
-    ]
-    banded = sigs.select(
-        F.col(id_col),
-        *[F.col(f"sig{j}") for j in range(num_hashes)],
-        F.posexplode(F.array(*digests)).alias("band", "band_digest"),
-    )
+    banded = band_table(sigs, id_col, num_hashes, bands)
 
     left = banded.select(
         F.col(id_col).alias("doc_a"),

@@ -1,0 +1,114 @@
+"""Data-layout operators: Z-order (Morton) clustering, zone-map
+statistics, and data-skipping simulation.
+
+At 100 TB the cheapest query is the one that never reads the file:
+engines prune files whose per-file min/max (zone map) cannot satisfy
+the predicate. Which files CAN be pruned is decided at write time by
+the sort order — a single-column sort clusters that column perfectly
+and leaves every other column unsorted, while a Z-order interleave
+spreads locality across dimensions so range predicates on ANY of the
+interleaved columns prune a large fraction of files (the idea behind
+Delta OPTIMIZE ZORDER BY / Iceberg sort orders).
+
+Everything here is pure Catalyst column arithmetic — the bit
+interleave unrolls to ~4·bits integer ops fused into whole-stage
+codegen; no UDFs, no shuffle beyond the zone-map aggregation itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def minmax_unit_rank(col: Column, mn: Column, mx: Column, bits: int = 16) -> Column:
+    """Scale ``col`` into the integer grid [0, 2**bits) using the
+    (broadcast) min/max columns: floor((col - mn) * (2**bits - 1) / span).
+
+    The min/max come from a 1-row aggregate broadcast-joined back (the
+    incremental_watermark pattern) — no driver collect, so the whole
+    layout computation stays one distributed plan.
+    """
+    span = (mx - mn).cast("double")
+    scaled = F.floor((col - mn).cast("double") * F.lit(float(2**bits - 1)) / span)
+    return F.when(span > 0, scaled).otherwise(F.lit(0)).cast("long")
+
+
+def zorder_value(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton interleave of two integer ranks in [0, 2**bits):
+    bit i of x lands at position 2i, bit i of y at 2i+1.
+
+    Unrolled to 2*bits shift/mask/add terms — all long arithmetic
+    inside codegen. 16+16 bits -> a 32-bit z-value, plenty of
+    resolution for file-level clustering (file counts are ~1e5-1e6
+    even at 100 TB, far below 2**32 cells).
+    """
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.shiftright(x, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+        )
+        terms.append(
+            F.shiftright(y, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+        )
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z.cast("long")
+
+
+def zorder_value_sql(x: str, y: str, bits: int = 16) -> str:
+    """The exact SQL twin of :func:`zorder_value` (DuckDB/ANSI bit ops),
+    for oracle parity: identical term order, identical integer types."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({y} >> {i}) & 1) * {1 << (2 * i + 1)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def file_id(rank: Column, rank_bits: int, n_files_log2: int) -> Column:
+    """Assign a file by the top ``n_files_log2`` bits of a rank or
+    z-value — value-range bucketing, shuffle-free and deterministic
+    (unlike ntile, which needs a global sort). File sizes vary with the
+    data distribution; at scale the writer would range-partition on the
+    same key, which preserves the zone-map geometry measured here."""
+    return F.shiftright(rank, rank_bits - n_files_log2).cast("long")
+
+
+def zone_maps(
+    df: DataFrame,
+    layouts: dict[str, Column],
+    dims: dict[str, Column],
+    matches: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Per-(layout, file) zone maps: min/max of each dim column plus row
+    and predicate-match counts.
+
+    One explode (len(layouts) structs per row) + ONE shuffle keyed on
+    (layout, file_id) — the multi-layout comparison never rescans the
+    table per layout. Output is tiny: n_layouts * n_files rows.
+    """
+    matches = matches or {}
+    lf = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("layout"), col.alias("file_id")
+                )
+                for name, col in layouts.items()
+            ]
+        )
+    ).alias("_lf")
+    aggs = [F.count("*").alias("n_rows")]
+    for d, col in dims.items():
+        aggs.append(F.min(col).alias(f"{d}_min"))
+        aggs.append(F.max(col).alias(f"{d}_max"))
+    for m, col in matches.items():
+        aggs.append(F.sum(col.cast("long")).alias(f"{m}_matched"))
+    keep = [c for c in df.columns]
+    return (
+        df.select(*keep, lf)
+        .groupBy(F.col("_lf.layout").alias("layout"), F.col("_lf.file_id").alias("file_id"))
+        .agg(*aggs)
+    )

@@ -1,0 +1,101 @@
+"""Z-order layout / zone-map skipping + incremental MinHash probe."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_platform_nyc_taxi_spark import harness
+from lakehouse_platform_nyc_taxi_spark.operators import dedup, layout
+from lakehouse_platform_nyc_taxi_spark.operators.sampling import hash_bucket
+from lakehouse_platform_nyc_taxi_spark.sources.testdata import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _morton_ref(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_value_matches_reference(spark):
+    cases = [
+        (0, 0),
+        (0, 65535),
+        (65535, 0),
+        (65535, 65535),
+        (1, 2),
+        (43690, 21845),  # alternating bit patterns
+        (12345, 54321),
+        (32768, 32767),
+    ]
+    df = spark.createDataFrame(cases, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", layout.zorder_value(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+    for x, y in cases:
+        assert got[(x, y)] == _morton_ref(x, y), (x, y)
+
+
+def test_zorder_skipping_sound_and_effective(spark):
+    """Zone-map soundness: a skipped file contains no matching rows, so
+    rows_matched summed over scanned files must equal the brute-force
+    global match count — identically for every layout."""
+    out = {
+        (r.layout, r.predicate): r
+        for r in harness.registry()["layout_zorder_skipping"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert len(out) == 6
+    for pred in ("custkey_range", "date_range"):
+        matched = {out[(lay, pred)].rows_matched for lay in ("linear", "sort_x", "zorder")}
+        assert len(matched) == 1, f"{pred}: zone-map skipping dropped matches {matched}"
+        for lay in ("linear", "sort_x", "zorder"):
+            r = out[(lay, pred)]
+            assert r.files_scanned <= r.n_files
+            assert r.rows_matched <= r.rows_scanned
+    # Brute-force the custkey predicate on the raw table.
+    o = load_table(spark, SF_SMOKE, "orders")
+    st = o.agg(F.min("o_custkey").alias("mn"), F.max("o_custkey").alias("mx")).first()
+    lo = st.mn + 0.45 * (st.mx - st.mn)
+    hi = st.mn + 0.55 * (st.mx - st.mn)
+    brute = o.filter((F.col("o_custkey") >= lo) & (F.col("o_custkey") <= hi)).count()
+    assert out[("zorder", "custkey_range")].rows_matched == brute
+    # Effectiveness: the multi-dim layout must beat insertion order on
+    # both dimensions (the point of Z-ordering).
+    for pred in ("custkey_range", "date_range"):
+        assert (
+            out[("zorder", pred)].files_scanned
+            < out[("linear", pred)].files_scanned
+        )
+
+
+def test_minhash_probe_matches_pairs_cross_subset(spark):
+    """Probing batch-vs-index must find exactly the full self-join's
+    pairs that straddle the batch/index split (reoriented new-first)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sigs = dedup.minhash_signatures(docs).localCheckpoint()
+    bucket = hash_bucket(F.col("doc_id"), "incr")
+    probe = {
+        (r.new_doc, r.index_doc): r.jaccard_est
+        for r in dedup.minhash_lsh_probe(
+            sigs.filter(bucket < 1000), sigs.filter(bucket >= 1000)
+        ).collect()
+    }
+    is_new = {
+        r.doc_id: r.b < 1000
+        for r in docs.select("doc_id", bucket.alias("b")).collect()
+    }
+    expected = {}
+    for r in dedup.minhash_lsh_pairs(docs).collect():
+        if is_new[r.doc_a] != is_new[r.doc_b]:
+            new, idx = (r.doc_a, r.doc_b) if is_new[r.doc_a] else (r.doc_b, r.doc_a)
+            expected[(new, idx)] = r.jaccard_est
+    assert probe == expected
+    assert expected, "smoke data produced no cross-split pairs; test is vacuous"

@@ -78,6 +78,7 @@ def test_pairwise_operators_never_cartesian(spark):
         "dedup_ngram_jaccard",
         "dedup_embedding_cosine",
         "dedup_exact_substring",
+        "dedup_incremental_minhash",
         "join_asof",
         "join_range",
     ):
