@@ -321,3 +321,103 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_probe(
         sigs.filter(bucket < 1000), sigs.filter(bucket >= 1000)
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (community detection) over the sparsified trade graph.
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 4
+_LPA_KNN = 2
+
+
+def _lpa_iter_sql(i: int) -> str:
+    return f"""
+    s{i} AS (
+      SELECT u.dst AS id, l.label,
+             CAST(sum(CAST(u.w AS DECIMAL(28,8))) AS DOUBLE) AS w_sum
+      FROM und u JOIN l{i - 1} l ON u.src = l.id
+      GROUP BY 1, 2
+    ),
+    l{i} AS (
+      SELECT id, label FROM (
+        SELECT id, label,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY w_sum DESC, label ASC) AS rn
+        FROM s{i}) WHERE rn = 1
+    )"""
+
+
+def _lpa_oracle_sql() -> str:
+    from .mining import _EDGES_SQL
+
+    return (
+        f"""
+    WITH {_EDGES_SQL.strip()},
+    sym AS (
+      SELECT src, dst, CAST(sum(CAST(w AS DECIMAL(28,8))) AS DOUBLE) AS w
+      FROM (SELECT src, dst, w FROM edges WHERE src <> dst
+            UNION ALL SELECT dst, src, w FROM edges WHERE src <> dst) b
+      GROUP BY 1, 2
+    ),
+    knn AS (
+      SELECT src, dst, w FROM (
+        SELECT src, dst, w,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst ASC) AS rn
+        FROM sym) WHERE rn <= {_LPA_KNN}
+    ),
+    und AS (
+      SELECT src, dst, CAST(sum(CAST(w AS DECIMAL(28,8))) AS DOUBLE) AS w
+      FROM (SELECT src, dst, w FROM knn
+            UNION ALL SELECT dst, src, w FROM knn) b
+      GROUP BY 1, 2
+    ),
+    l0 AS (SELECT DISTINCT src AS id, src AS label FROM und),"""
+        + ",".join(_lpa_iter_sql(i) for i in range(1, _LPA_ITERS + 1))
+        + f"""
+    SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label
+    FROM l{_LPA_ITERS}
+    """
+    )
+
+
+@register(
+    "graph_label_propagation",
+    _lpa_oracle_sql(),
+    doc="Weighted synchronous label propagation (community detection), 4 "
+    "fixed iterations over the k-nearest-neighbour sparsification of "
+    "the nation-trade graph (top-2 strongest partners per nation, "
+    "symmetrized): each node adopts the neighbour label with the "
+    "highest decimal-fenced incident weight (ties -> smallest label). "
+    "The kNN sparsification is the standard prelude for LPA on "
+    "near-complete graphs — without it a dense graph collapses to one "
+    "community in one step; the mode-weight update then finds dense "
+    "communities that min-label CC cannot. Winner selection is a "
+    "(w_sum DESC, label ASC) row_number, bit-stable across engines; "
+    "the oracle unrolls the iterations as plain CTEs "
+    "(operators/graph.py::label_propagation).",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.graph import _dsum, label_propagation
+    from .mining import _trade_edges
+
+    e = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+        .groupBy("src", "dst")
+        .agg(_dsum("w").alias("w"))
+    )
+    wnd = Window.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst").asc())
+    knn = (
+        sym.withColumn("_rn", F.row_number().over(wnd))
+        .filter(F.col("_rn") <= _LPA_KNN)
+        .select("src", "dst", "w")
+    )
+    labels = label_propagation(knn, iterations=_LPA_ITERS, weight="w")
+    return labels.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("label").cast("bigint").alias("label"),
+    )

@@ -243,3 +243,65 @@ def degree_stats(
         _dsum(F.when(F.col("is_out") == 0, F.col("w")).otherwise(F.lit(0.0)))
         .alias("in_weight"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Synchronous weighted label propagation (community detection):
+    every node starts labelled with its own id; each iteration every
+    node adopts the label carrying the highest total incident edge
+    weight among its neighbours (ties -> smallest label). Fixed
+    ``iterations`` (no convergence test) keeps the result a
+    deterministic function of the input — required for oracle pairing
+    and predictable cluster cost.
+
+    Determinism: per-(node, label) weight sums go through the decimal
+    fence (order-independent), and the winner is picked by
+    (w_sum DESC, label ASC) row_number — bit-stable across engines and
+    partitionings. Unlike min-label propagation (= connected
+    components), the mode-weight update finds DENSE communities inside
+    a connected graph.
+
+    Scale: two shuffles per iteration (the (node, label) aggregate and
+    the per-node winner window); label-vector lineage is truncated
+    every ``checkpoint_every`` iterations like :func:`pagerank`.
+    Returns (id, label).
+    """
+    from pyspark.sql import Window
+
+    w = F.lit(1.0) if weight is None else F.col(weight).cast("double")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+    und = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+        .groupBy("src", "dst")
+        .agg(_dsum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    wnd = Window.partitionBy("id").orderBy(
+        F.col("w_sum").desc(), F.col("label").asc()
+    )
+    for i in range(iterations):
+        neigh = und.join(
+            labels.select(F.col("id").alias("_sid"), "label"),
+            F.col("src") == F.col("_sid"),
+        )
+        scores = neigh.groupBy(F.col("dst").alias("id"), "label").agg(
+            _dsum("w").alias("w_sum")
+        )
+        labels = (
+            scores.withColumn("_rn", F.row_number().over(wnd))
+            .filter(F.col("_rn") == 1)
+            .select("id", "label")
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

@@ -99,3 +99,27 @@ def test_minhash_probe_matches_pairs_cross_subset(spark):
             expected[(new, idx)] = r.jaccard_est
     assert probe == expected
     assert expected, "smoke data produced no cross-split pairs; test is vacuous"
+
+
+def test_label_propagation_barbell(spark):
+    """Two dense triangles joined by one weak bridge: LPA must find the
+    two communities, which min-label CC (one component) cannot."""
+    from lakehouse_platform_nyc_taxi_spark.operators.graph import label_propagation
+
+    edges = [
+        # triangle A: 1-2-3, strong
+        (1, 2, 10.0), (2, 3, 10.0), (1, 3, 10.0),
+        # triangle B: 4-5-6, strong
+        (4, 5, 10.0), (5, 6, 10.0), (4, 6, 10.0),
+        # weak bridge
+        (3, 4, 1.0),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {
+        r.id: r.label
+        for r in label_propagation(df, iterations=3, weight="w").collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    a = {got[1], got[2], got[3]}
+    b = {got[4], got[5], got[6]}
+    assert len(a) == 1 and len(b) == 1 and a != b
