@@ -208,16 +208,15 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sort_x": F.col("file_sx"),
             "zorder": F.col("file_z"),
         },
-        dims={
-            "x": F.col("o_custkey"),
-            "y": F.col("days"),
-            # predicate bounds are constants; min() just carries them
+        dims={"x": F.col("o_custkey"), "y": F.col("days")},
+        matches={"x": F.col("x_match"), "y": F.col("y_match")},
+        # predicate bounds are per-group constants, carried via min()
+        consts={
             "lo_x": F.col("lo_x"),
             "hi_x": F.col("hi_x"),
             "lo_y": F.col("lo_y"),
             "hi_y": F.col("hi_y"),
         },
-        matches={"x": F.col("x_match"), "y": F.col("y_match")},
     )
     preds = F.explode(
         F.array(
@@ -225,8 +224,8 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("custkey_range").alias("predicate"),
                 (
                     ~(
-                        (F.col("x_max") < F.col("lo_x_min"))
-                        | (F.col("x_min") > F.col("hi_x_min"))
+                        (F.col("x_max") < F.col("lo_x"))
+                        | (F.col("x_min") > F.col("hi_x"))
                     )
                 ).alias("scanned"),
                 F.col("x_matched").alias("matched"),
@@ -235,8 +234,8 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("date_range").alias("predicate"),
                 (
                     ~(
-                        (F.col("y_max") < F.col("lo_y_min"))
-                        | (F.col("y_min") > F.col("hi_y_min"))
+                        (F.col("y_max") < F.col("lo_y"))
+                        | (F.col("y_min") > F.col("hi_y"))
                     )
                 ).alias("scanned"),
                 F.col("y_matched").alias("matched"),

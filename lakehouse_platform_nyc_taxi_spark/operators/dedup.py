@@ -183,6 +183,12 @@ def band_table(
     the (expensive) signature computation is evaluated once per
     document, not once per band as a union of branches would.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands ({bands}); "
+            "a remainder would silently drop trailing signature columns from "
+            "banding and reduce candidate recall"
+        )
     rows_per_band = num_hashes // bands
     digests = [
         F.md5(

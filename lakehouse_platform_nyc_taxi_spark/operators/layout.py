@@ -34,27 +34,36 @@ def minmax_unit_rank(col: Column, mn: Column, mx: Column, bits: int = 16) -> Col
     return F.when(span > 0, scaled).otherwise(F.lit(0)).cast("long")
 
 
-def zorder_value(x: Column, y: Column, bits: int = 16) -> Column:
-    """Morton interleave of two integer ranks in [0, 2**bits):
-    bit i of x lands at position 2i, bit i of y at 2i+1.
+def morton_interleave(ranks: list[Column], bits: int = 16) -> Column:
+    """Morton interleave of N integer ranks in [0, 2**bits): bit b of
+    rank i lands at position b*N + i (rank 0 is the least-significant
+    dimension). Unrolled to N*bits shift/mask/or terms — all long
+    arithmetic inside codegen.
 
-    Unrolled to 2*bits shift/mask/add terms — all long arithmetic
-    inside codegen. 16+16 bits -> a 32-bit z-value, plenty of
-    resolution for file-level clustering (file counts are ~1e5-1e6
-    even at 100 TB, far below 2**32 cells).
+    The interleave must fit a 64-bit signed long, and Spark's shiftleft
+    masks shift amounts mod 64, so overflowing bit positions would
+    silently WRAP and corrupt the ordering — ``bits`` is clamped to
+    63 // N (callers that pre-scale must clamp the same way BEFORE
+    scaling, as sources/snapshots.py::_zorder_value does, so rank
+    values never exceed the interleaved resolution).
     """
-    terms = []
-    for i in range(bits):
-        terms.append(
-            F.shiftright(x, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
-        )
-        terms.append(
-            F.shiftright(y, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
-        )
-    z = terms[0]
-    for t in terms[1:]:
-        z = z + t
-    return z.cast("long")
+    bits = min(bits, 63 // len(ranks))
+    n = len(ranks)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, s in enumerate(ranks):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(s, b).bitwiseAND(F.lit(1)), b * n + i)
+            )
+    return z
+
+
+def zorder_value(x: Column, y: Column, bits: int = 16) -> Column:
+    """Two-dimensional :func:`morton_interleave`: bit i of x at
+    position 2i, bit i of y at 2i+1. 16+16 bits -> a 32-bit z-value,
+    plenty of resolution for file-level clustering (file counts are
+    ~1e5-1e6 even at 100 TB, far below 2**32 cells)."""
+    return morton_interleave([x, y], bits)
 
 
 def zorder_value_sql(x: str, y: str, bits: int = 16) -> str:
@@ -81,15 +90,19 @@ def zone_maps(
     layouts: dict[str, Column],
     dims: dict[str, Column],
     matches: dict[str, Column] | None = None,
+    consts: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Per-(layout, file) zone maps: min/max of each dim column plus row
-    and predicate-match counts.
+    and predicate-match counts. ``consts`` columns (e.g. predicate
+    bounds derived from a broadcast stats row) are constant per group
+    and carried through with a single min() each.
 
     One explode (len(layouts) structs per row) + ONE shuffle keyed on
     (layout, file_id) — the multi-layout comparison never rescans the
     table per layout. Output is tiny: n_layouts * n_files rows.
     """
     matches = matches or {}
+    consts = consts or {}
     lf = F.explode(
         F.array(
             *[
@@ -106,9 +119,10 @@ def zone_maps(
         aggs.append(F.max(col).alias(f"{d}_max"))
     for m, col in matches.items():
         aggs.append(F.sum(col.cast("long")).alias(f"{m}_matched"))
-    keep = [c for c in df.columns]
+    for k, col in consts.items():
+        aggs.append(F.min(col).alias(k))
     return (
-        df.select(*keep, lf)
+        df.select("*", lf)
         .groupBy(F.col("_lf.layout").alias("layout"), F.col("_lf.file_id").alias("file_id"))
         .agg(*aggs)
     )

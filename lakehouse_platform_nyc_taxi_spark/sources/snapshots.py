@@ -1004,11 +1004,12 @@ def _zorder_value(
     sort on z gives multi-column file locality — the property Delta's
     ``OPTIMIZE ... ZORDER BY`` exploits, built here from pure Catalyst
     bit arithmetic (shift/and/or — whole-stage-codegen'd, no UDF)."""
-    # the interleave must fit a 64-bit signed long: bit position goes up
-    # to bits*len(cols)-1, and Spark's shiftleft masks shift amounts
-    # mod 64, so overflowing bits would silently WRAP and corrupt the
-    # ordering — clamp per-column resolution instead (5+ columns get
-    # coarser locality, never wrong clustering)
+    from ..operators.layout import morton_interleave
+
+    # clamp BEFORE scaling (morton_interleave re-clamps identically):
+    # rank values must never exceed the interleaved resolution, or the
+    # dropped high bits would break locality (5+ columns get coarser
+    # locality, never wrong clustering)
     bits = min(bits, 63 // len(cols))
     scaled = []
     top = (1 << bits) - 1
@@ -1025,13 +1026,7 @@ def _zorder_value(
             ),
         )
         scaled.append(s)
-    z = F.lit(0).cast("long")
-    n = len(cols)
-    for b in range(bits):
-        for i, s in enumerate(scaled):
-            bit = F.shiftright(s, b).bitwiseAND(F.lit(1))
-            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
-    return z
+    return morton_interleave(scaled, bits)
 
 
 def compact_small_files(
