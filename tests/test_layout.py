@@ -123,3 +123,63 @@ def test_label_propagation_barbell(spark):
     a = {got[1], got[2], got[3]}
     b = {got[4], got[5], got[6]}
     assert len(a) == 1 and len(b) == 1 and a != b
+
+
+def _hilbert_ref(x: int, y: int, bits: int = 16) -> int:
+    n = 1 << bits
+    rx = ry = 0
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_reference_and_locality(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators.layout import with_hilbert
+
+    cases = [
+        (0, 0), (0, 65535), (65535, 0), (65535, 65535),
+        (1, 0), (0, 1), (1, 1),
+        (43690, 21845), (12345, 54321), (32768, 32767), (40000, 1),
+    ]
+    df = spark.createDataFrame(cases, "x long, y long")
+    got = {
+        (r.x, r.y): r.h
+        for r in with_hilbert(df, "x", "y", out="h").collect()
+    }
+    for x, y in cases:
+        assert got[(x, y)] == _hilbert_ref(x, y), (x, y)
+    # locality: consecutive d on a small grid are always adjacent cells
+    bits = 4
+    grid = [(x, y) for x in range(16) for y in range(16)]
+    sdf = spark.createDataFrame(grid, "x long, y long")
+    by_d = {
+        r.h: (r.x, r.y)
+        for r in with_hilbert(sdf, "x", "y", out="h", bits=bits).collect()
+    }
+    assert sorted(by_d) == list(range(256))
+    for d in range(255):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, by_d[d], by_d[d + 1])
+
+
+def test_hilbert_skipping_sound(spark):
+    out = {
+        (r.layout, r.predicate): r
+        for r in harness.registry()["layout_hilbert_skipping"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert len(out) == 4
+    for pred in ("custkey_range", "date_range"):
+        matched = {out[(lay, pred)].rows_matched for lay in ("zorder", "hilbert")}
+        assert len(matched) == 1, f"{pred}: skipping dropped matches {matched}"
