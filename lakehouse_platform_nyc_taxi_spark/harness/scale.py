@@ -25,6 +25,16 @@ from .llm import MD5L, _minhash_sig_sql
 _BITS = 16
 _FLOG = 6  # 2**6 = 64 files
 _HFLOG = 5  # hilbert comparison: 32 files (non-power-of-4; see its doc)
+_HBITS = 6  # hilbert rank resolution. The Hilbert state machine is
+#           prefix-recursive: level k of the recursion consumes bit k
+#           of each rank and emits d's bits 2(bits-k)..2(bits-k)+1, so
+#           the FILE assignment (top _HFLOG bits of d) is a function of
+#           only the top ceil(_HFLOG/2) = 3 bits of each rank —
+#           identical for ANY bits >= 3. Fewer levels = a shorter
+#           chained-projection plan (driver-side construction is the
+#           cost that scales with chain depth), so run the machine on
+#           the top 6 bits: 3 levels of slack below file granularity,
+#           6x shorter plan than full 16-bit resolution.
 _SCALE = float(2**_BITS - 1)
 
 
@@ -143,7 +153,10 @@ def _ranked_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo_x, hi_x = _bounds("cx_mn", "cx_mx")
     lo_y, hi_y = _bounds("dy_mn", "dy_mx")
     # Materialize the ranks in their own select so downstream interleaves
-    # reference columns, not re-evaluated rank expressions.
+    # reference columns, not re-evaluated rank expressions. (No explicit
+    # repartition: measured at sf0.1, the single-row-group scan task
+    # finishes faster than the exchange it would take to spread the
+    # cheap bit arithmetic — these are scan-bound, not CPU-bound.)
     return o.crossJoin(F.broadcast(stats)).select(
         "o_custkey",
         "days",
@@ -287,16 +300,16 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     + layout.hilbert_sql_ctes(
         "r",
         ["o_custkey", "days", "lo_x", "hi_x", "lo_y", "hi_y", "xi", "yi"],
-        "xi",
-        "yi",
+        f"(xi >> {_BITS - _HBITS})",
+        f"(yi >> {_BITS - _HBITS})",
         out="hd",
-        bits=_BITS,
+        bits=_HBITS,
     )
     + _skip_tail_sql(
         "hil",
         [
             ("zorder", f"({layout.zorder_value_sql('xi', 'yi', _BITS)} >> {2 * _BITS - _HFLOG})"),
-            ("hilbert", f"hd >> {2 * _BITS - _HFLOG}"),
+            ("hilbert", f"hd >> {2 * _HBITS - _HFLOG}"),
         ],
     ),
     doc="Hilbert vs Z-order clustering head-to-head on the same "
@@ -309,16 +322,22 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Hilbert — the curve behind Databricks liquid clustering — "
     "balances it (10 vs 14): same total pruning, no dimension bias, "
     "which is why multi-tenant layouts prefer it. The per-level "
-    "rotate/flip state machine unrolls into 16 chained Catalyst "
-    "projections (no UDF, no shuffle); the oracle replays the "
-    "identical state machine as 16 chained CTEs "
+    "rotate/flip state machine unrolls into chained Catalyst "
+    "projections — 6 levels suffice, since the curve is "
+    "prefix-recursive and file assignment only sees the top rank "
+    "bits (see _HBITS) — no UDF, no shuffle; the oracle replays the "
+    "identical state machine as chained CTEs "
     "(operators/layout.py::with_hilbert / hilbert_sql_ctes); "
     "adjacent-cell locality is property-tested on the full 4-bit "
     "grid (tests/test_layout.py).",
 )
 def layout_hilbert_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    r = _ranked_orders(spark, sf_dir)
-    h = layout.with_hilbert(r, "xi", "yi", out="hd", bits=_BITS)
+    r = _ranked_orders(spark, sf_dir).select(
+        "*",
+        F.shiftright(F.col("xi"), _BITS - _HBITS).alias("x8"),
+        F.shiftright(F.col("yi"), _BITS - _HBITS).alias("y8"),
+    )
+    h = layout.with_hilbert(r, "x8", "y8", out="hd", bits=_HBITS)
     f = h.select(
         "o_custkey",
         "days",
@@ -331,7 +350,7 @@ def layout_hilbert_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             2 * _BITS,
             _HFLOG,
         ).alias("file_z"),
-        layout.file_id(F.col("hd"), 2 * _BITS, _HFLOG).alias("file_h"),
+        layout.file_id(F.col("hd"), 2 * _HBITS, _HFLOG).alias("file_h"),
     )
     return _skip_summary(f, {"zorder": "file_z", "hilbert": "file_h"})
 

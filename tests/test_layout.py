@@ -183,3 +183,30 @@ def test_hilbert_skipping_sound(spark):
     for pred in ("custkey_range", "date_range"):
         matched = {out[(lay, pred)].rows_matched for lay in ("zorder", "hilbert")}
         assert len(matched) == 1, f"{pred}: skipping dropped matches {matched}"
+
+
+def test_rank_and_interleave_edge_cases(spark):
+    """Degenerate spans and the 63-bit clamp: a constant column ranks to
+    0 everywhere (no divide-by-zero), and morton_interleave never
+    builds a shift past bit 62 regardless of requested bits."""
+    from lakehouse_platform_nyc_taxi_spark.operators.layout import (
+        minmax_unit_rank,
+        morton_interleave,
+    )
+
+    df = spark.createDataFrame([(7, 7), (7, 7)], "v long, w long")
+    st = df.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    out = (
+        df.crossJoin(st.hint("broadcast"))
+        .select(minmax_unit_rank(F.col("v"), F.col("mn"), F.col("mx")).alias("r"))
+        .collect()
+    )
+    assert [r.r for r in out] == [0, 0]
+
+    # bits=40 for 2 ranks must clamp to 31 (63 // 2), not wrap mod 64
+    big = spark.createDataFrame([((1 << 31) - 1, (1 << 31) - 1)], "x long, y long")
+    z = big.select(
+        morton_interleave([F.col("x"), F.col("y")], bits=40).alias("z")
+    ).collect()[0].z
+    assert z == (1 << 62) - 1
+    assert z > 0
