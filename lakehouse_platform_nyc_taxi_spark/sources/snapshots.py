@@ -1011,6 +1011,15 @@ def _zorder_value(
     # dropped high bits would break locality (5+ columns get coarser
     # locality, never wrong clustering)
     bits = min(bits, 63 // len(cols))
+    return morton_interleave(_scaled_ranks(cols, stats, bits), bits)
+
+
+def _scaled_ranks(
+    cols: Sequence[str], stats: dict[str, tuple[float, float]], bits: int
+) -> list[Column]:
+    """Min/max-scale each column to a ``bits``-bit integer rank, clamped
+    into [0, 2**bits - 1] (out-of-stats values from concurrent appends
+    land in the edge cells rather than corrupting the interleave)."""
     scaled = []
     top = (1 << bits) - 1
     for c in cols:
@@ -1026,7 +1035,7 @@ def _zorder_value(
             ),
         )
         scaled.append(s)
-    return morton_interleave(scaled, bits)
+    return scaled
 
 
 def compact_small_files(
@@ -1091,6 +1100,7 @@ def optimize_table(
     cluster_by: Sequence[str] = (),
     target_files: int | None = None,
     zorder_by: Sequence[str] = (),
+    curve: str = "zorder",
 ) -> int:
     """Compaction + clustering rewrite (Iceberg ``rewrite_data_files`` /
     Delta ``OPTIMIZE ... ZORDER BY``'s role): rewrite the current version
@@ -1112,12 +1122,22 @@ def optimize_table(
     Z-order columns must be numeric/date-castable; the min/max scaling
     stats come from one distributed agg.
 
+    ``curve`` picks the space-filling curve for ``zorder_by``:
+    ``"zorder"`` (Morton, any column count) or ``"hilbert"`` (exactly
+    two columns — no quadrant jumps, so per-file ranges are tighter and
+    pruning is dimension-balanced at non-power-of-4 file counts; the
+    curve behind Databricks liquid clustering).
+
     One distributed job (repartitionByRange + sortWithinPartitions +
     write); readers pinned to older versions are untouched, and the
     commit CAS protects against concurrent writers like any other op.
     """
     if cluster_by and zorder_by:
         raise ValueError("cluster_by and zorder_by are mutually exclusive")
+    if curve not in ("zorder", "hilbert"):
+        raise ValueError(f"unknown curve {curve!r}: expected 'zorder' or 'hilbert'")
+    if curve == "hilbert" and len(zorder_by) != 2:
+        raise ValueError("curve='hilbert' requires exactly two zorder_by columns")
     parent = current_version(path)
     if parent is None:
         raise ValueError(f"no snapshot table at {path}")
@@ -1138,10 +1158,24 @@ def optimize_table(
                 raise ValueError(
                     f"zorder column {c!r} is all-NULL or non-numeric"
                 )
-        z = _zorder_value(zorder_by, stats)
+        if curve == "hilbert":
+            from ..operators.layout import with_hilbert
+
+            # 8-bit ranks = a 65536-cell grid, far finer than any
+            # realistic target_files; keeps the chained-projection
+            # state machine short (operators/layout.py::with_hilbert)
+            hx, hy = _scaled_ranks(zorder_by, stats, bits=8)
+            df = with_hilbert(
+                df.withColumn("__hx", hx).withColumn("__hy", hy),
+                "__hx",
+                "__hy",
+                out="__z",
+                bits=8,
+            ).drop("__hx", "__hy")
+        else:
+            df = df.withColumn("__z", _zorder_value(zorder_by, stats))
         df = (
-            df.withColumn("__z", z)
-            .repartitionByRange(target_files, F.col("__z"))
+            df.repartitionByRange(target_files, F.col("__z"))
             .sortWithinPartitions("__z")
             .drop("__z")
         )

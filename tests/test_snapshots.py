@@ -1445,3 +1445,36 @@ def test_snapshot_cdf_streams_evolved_table_full_history(spark, tmp_path):
     # pre-evolution rows null-fill the evolved column
     assert r.filter("_commit_version = 1 and tag is null").count() == 5
     assert r.filter("_commit_version = 2 and tag = 'x'").count() == 3
+
+
+def test_optimize_hilbert_multi_column_pruning(spark, tmp_path):
+    """curve='hilbert' must give the same both-columns file locality as
+    Morton (and reject non-2-D column lists)."""
+    path = str(tmp_path / "hil")
+    n = 4096
+    df = spark.range(0, n).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    snap.create_table(df.repartition(8), path)
+    v = snap.optimize_table(
+        spark, path, zorder_by=("x", "y"), target_files=16, curve="hilbert"
+    )
+    files = snap._read_manifest(path, v)["files"]
+    assert len(files) == 16
+
+    def touched(col, lo, hi):
+        return sum(
+            1
+            for f in files
+            if snap._stats_may_match(os.path.join(path, f), col, lo, hi)
+        )
+
+    assert touched("x", 10, 13) < 16
+    assert touched("y", 10, 13) < 16
+    assert snap.read_table(spark, path, v).count() == n
+    with pytest.raises(ValueError, match="exactly two"):
+        snap.optimize_table(spark, path, zorder_by=("x",), curve="hilbert")
+    with pytest.raises(ValueError, match="unknown curve"):
+        snap.optimize_table(spark, path, zorder_by=("x", "y"), curve="peano")
