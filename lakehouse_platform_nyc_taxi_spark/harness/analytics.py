@@ -879,20 +879,11 @@ def _pagerank_oracle(iters: int = 3, damping: str = "0.85") -> str:
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
+    from .mining import _trade_edges
 
-    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    edges = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy(
-            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).cast("double").alias("w"))
-    )
+    # shared session-cached edge table (mining._trade_edges): the same
+    # materialize-once artifact pagerank/triangles/degrees/LPA all read
+    edges = _trade_edges(spark, sf_dir)
     ranks = pagerank(edges, iterations=3, damping=0.85, weight="w")
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"
