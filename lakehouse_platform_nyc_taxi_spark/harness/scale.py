@@ -15,7 +15,7 @@ from ..operators import dedup, layout
 from ..operators.sampling import hash_bucket
 from ..sources.testdata import load_table, load_table_parallel
 from . import register
-from .llm import MD5L, _minhash_sig_sql
+from .llm import MD5L, _IVF_CTES, _IVF_DOT, _ivf_index, _minhash_sig_sql
 
 # ---------------------------------------------------------------------------
 # Z-order layout vs single-column sort vs insertion order: how many files
@@ -514,4 +514,103 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("id").cast("bigint").alias("id"),
         F.col("label").cast("bigint").alias("label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@10 of the IVF index vs exact brute force.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_recall_oracle_sql() -> str:
+    dot_nq = _IVF_DOT.format(a="n.e", b="q.qe")
+    dot_cq = _IVF_DOT.format(a="c.ce", b="q.qe")
+    dot_aq = _IVF_DOT.format(a="asg.e", b="q.qe")
+    return (
+        _IVF_CTES
+        + f"""
+    , q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n WHERE vec_id < 20),
+    bscored AS (
+        SELECT q.qid, n.vec_id,
+               round({dot_nq} / (sqrt(n.nrm) * sqrt(q.qn)), 6) AS score
+        FROM n, q
+    ),
+    br AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY score DESC, vec_id) AS rk
+            FROM bscored) WHERE rk <= 10
+    ),
+    cprobe AS (
+        SELECT qid, cell FROM (
+            SELECT q.qid, c.cell,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {dot_cq} / (sqrt(c.cnrm) * sqrt(q.qn)) DESC,
+                                c.cell
+                   ) AS crk
+            FROM c, q
+        ) WHERE crk <= 2
+    ),
+    iscored AS (
+        SELECT q.qid, asg.vec_id,
+               round({dot_aq} / (sqrt(asg.nrm) * sqrt(q.qn)), 6) AS score
+        FROM asg
+        JOIN cprobe ON asg.cell = cprobe.cell
+        JOIN q ON q.qid = cprobe.qid
+    ),
+    ir AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY score DESC, vec_id) AS rk
+            FROM iscored) WHERE rk <= 10
+    )
+    SELECT br.qid,
+           CAST(count(ir.vec_id) AS BIGINT) AS n_hits,
+           round(CAST(count(ir.vec_id) AS DOUBLE) / CAST(10.0 AS DOUBLE), 6)
+               AS recall_at_10
+    FROM br LEFT JOIN ir ON br.qid = ir.qid AND br.vec_id = ir.vec_id
+    GROUP BY br.qid
+    """
+    )
+
+
+@register(
+    "similarity_ivf_recall",
+    _ivf_recall_oracle_sql(),
+    doc="In-engine ANN quality evaluation: recall@10 of the IVF index "
+    "(n_probe=2 of 16 cells) against the exact brute-force top-10, "
+    "for a 20-query batch — the metric that decides n_probe/n_cells "
+    "tradeoffs before a 100 TB reindex. Pure composition of the two "
+    "existing search paths plus a (qid, vec_id) equi-join; ranks "
+    "tie-break on (score DESC, vec_id) in both engines so the "
+    "boundary row of each top-10 is deterministic.",
+    prepare=_ivf_index,
+)
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.trino import trino_round
+    from ..operators import similarity
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    qs = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    )
+    exact = similarity.cosine_topk_batch(emb, qs, k=10)
+    approx = similarity.ivf_probe_batch(
+        _ivf_index(spark, sf_dir), qs, k=10, n_probe=2
+    )
+    hits = exact.select("qid", "vec_id").join(
+        approx.select("qid", "vec_id", F.lit(1).alias("_hit")),
+        ["qid", "vec_id"],
+        "left",
+    )
+    return hits.groupBy("qid").agg(
+        F.count("_hit").cast("bigint").alias("n_hits"),
+        trino_round(
+            F.count("_hit").cast("double") / F.lit(10.0), 6
+        ).alias("recall_at_10"),
     )
