@@ -69,6 +69,7 @@ _PRIORITY = [
     "graph_label_propagation",
     "layout_hilbert_skipping",
     "similarity_ivf_recall",
+    "multimodal_frame_sample",
     # 2) Changed since its r8 driver-green row: NULL-value filter added
     #    on both sides + bins widened to cover the data range (ADVICE
     #    r8), so the current (query, oracle) pair must be re-attested:
@@ -85,9 +86,9 @@ _PRIORITY = [
     "cohort_retention",
     "timeseries_anomaly",
     "streaming_dedup_counts",
-    # 4) 34 of the 48 queries whose last driver-green row is r6
-    #    (oldest-first rotation policy). The remaining fourteen
-    #    (events_funnel onward, head of _KEEP) lead the r10
+    # 4) 33 of the 48 queries whose last driver-green row is r6
+    #    (oldest-first rotation policy). The remaining fifteen
+    #    (join_skew_salted onward, head of _KEEP) lead the r10
     #    rotation and are re-verified locally every session by
     #    test_harness_oracle.
     "graph_pagerank",
@@ -123,7 +124,6 @@ _PRIORITY = [
     "privacy_k_anonymity",
     "sql_running_distinct",
     "agg_mode_median",
-    "join_skew_salted",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at 50 that lands OUTSIDE the window, so
@@ -131,6 +131,7 @@ _PRIORITY = [
 # name bumped to _KEEP to make room).
 _KEEP = [
     # r6-green overflow (oldest — head of the r10 rotation):
+    "join_skew_salted",
     "events_funnel",
     "table_profile_categorical",
     "agg_daily_rollup",

@@ -614,3 +614,48 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_hit").cast("double") / F.lit(10.0), 6
         ).alias("recall_at_10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: video-style frame sampling (explode-shaped mapInPandas).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH a AS (
+      SELECT doc_id AS asset_id, coalesce(text, '') AS c,
+             length(coalesce(text, '')) AS L
+      FROM documents
+    ),
+    f AS (
+      SELECT asset_id, CAST(i AS INT) AS frame_no,
+             CAST(i * greatest(L // 4, 1) AS BIGINT) AS frame_offset,
+             md5(substring(c, CAST(i * greatest(L // 4, 1) AS BIGINT) + 1,
+                           greatest(L // 4, 1))) AS frame_md5
+      FROM a, unnest(generate_series(0, least(4, L) - 1)) AS t(i)
+      WHERE L > 0
+    )
+    SELECT asset_id, frame_no, frame_offset, frame_md5 FROM f
+    """,
+    doc="Video-to-frame-table expansion: each binary payload (documents "
+    "bytes standing in for video) is segmented into 4 equal 'frames', "
+    "one output row per sampled frame with byte offset and md5 digest "
+    "— the explode-shaped Arrow mapInPandas pattern whose per-frame "
+    "rows feed the image pipeline, with per-frame payload never "
+    "shuffled at source size. The oracle replays the segment "
+    "arithmetic and digests in SQL (valid because the testdata text "
+    "is byte==char, an invariant pinned by "
+    "tests/test_llm_operators.py's ord==byte test) "
+    "(operators/multimodal.py::fake_frame_sample).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("content"),
+    )
+    return multimodal.fake_frame_sample(assets, n_frames=4)
