@@ -866,6 +866,12 @@ def _pagerank_oracle(iters: int = 3, damping: str = "0.85") -> str:
     return sql
 
 
+
+def _pagerank_prepare(spark: SparkSession, sf_dir: str):
+    from .mining import _trade_edges
+
+    return _trade_edges(spark, sf_dir)
+
 @register(
     "graph_pagerank",
     _pagerank_oracle(3),
@@ -876,6 +882,7 @@ def _pagerank_oracle(iters: int = 3, damping: str = "0.85") -> str:
     "aggregates broadcast via crossJoin, nothing collected. Per-edge "
     "terms in IEEE double + decimal-fenced sums make the fixpoint "
     "bit-identical to the unrolled-CTE oracle.",
+    prepare=_pagerank_prepare,
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank

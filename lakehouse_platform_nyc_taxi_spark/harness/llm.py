@@ -1093,11 +1093,12 @@ def similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_batch(emb, _query_batch(spark, sf_dir), k=10)
 
 
-@register(
-    "similarity_topk_ivf_batch",
-    _IVF_CTES
-    + _BATCH_Q
-    + f"""
+def _ivf_probe_sql(scored: str = "scored") -> str:
+    """The batch IVF probe path (centroid ranking -> 2-cell probe list ->
+    exact re-score) as shared oracle CTEs over a ``q`` query batch —
+    used verbatim by both the batch top-k oracle and the recall oracle
+    (harness/scale.py) so the probe semantics can never diverge."""
+    return f"""
     , cprobe AS (
         SELECT qid, cell FROM (
             SELECT q.qid, c.cell,
@@ -1109,14 +1110,22 @@ def similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM c, q
         ) WHERE crk <= 2
     ),
-    scored AS (
+    {scored} AS (
         SELECT q.qid, asg.vec_id,
                round({_IVF_DOT.format(a='asg.e', b='q.qe')} / (sqrt(asg.nrm) * sqrt(q.qn)), 6) AS score
         FROM asg
         JOIN cprobe ON asg.cell = cprobe.cell
         JOIN q ON q.qid = cprobe.qid
-    ),
-    r AS (
+    )"""
+
+
+@register(
+    "similarity_topk_ivf_batch",
+    _IVF_CTES
+    + _BATCH_Q
+    + _ivf_probe_sql()
+    + f"""
+    , r AS (
         SELECT qid, vec_id, score,
                row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rk
         FROM scored

@@ -101,6 +101,7 @@ def _trade_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     "O(min-degree^2), not O(hub-degree^2). Oracle is the naive "
     "a<b<c ordered 3-way self-join — the driver cross-checks that "
     "orientation loses nothing.",
+    prepare=_trade_edges,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import triangle_count
@@ -140,6 +141,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "then a single shuffle on node — no join of two per-direction "
     "aggregates. Decimal-fenced weight sums keep the result "
     "order-independent and engine-exact.",
+    prepare=_trade_edges,
 )
 def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import degree_stats

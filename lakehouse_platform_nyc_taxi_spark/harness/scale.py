@@ -15,7 +15,7 @@ from ..operators import dedup, layout
 from ..operators.sampling import hash_bucket
 from ..sources.testdata import load_table, load_table_parallel
 from . import register
-from .llm import MD5L, _IVF_CTES, _IVF_DOT, _ivf_index, _minhash_sig_sql
+from .llm import MD5L, _IVF_CTES, _IVF_DOT, _ivf_index, _ivf_probe_sql, _minhash_sig_sql
 
 # ---------------------------------------------------------------------------
 # Z-order layout vs single-column sort vs insertion order: how many files
@@ -476,6 +476,12 @@ def _lpa_oracle_sql() -> str:
     )
 
 
+
+def _lpa_prepare(spark: SparkSession, sf_dir: str):
+    from .mining import _trade_edges
+
+    return _trade_edges(spark, sf_dir)
+
 @register(
     "graph_label_propagation",
     _lpa_oracle_sql(),
@@ -491,6 +497,7 @@ def _lpa_oracle_sql() -> str:
     "(w_sum DESC, label ASC) row_number, bit-stable across engines; "
     "the oracle unrolls the iterations as plain CTEs "
     "(operators/graph.py::label_propagation).",
+    prepare=_lpa_prepare,
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -524,8 +531,6 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_recall_oracle_sql() -> str:
     dot_nq = _IVF_DOT.format(a="n.e", b="q.qe")
-    dot_cq = _IVF_DOT.format(a="c.ce", b="q.qe")
-    dot_aq = _IVF_DOT.format(a="asg.e", b="q.qe")
     return (
         _IVF_CTES
         + f"""
@@ -541,26 +546,10 @@ def _ivf_recall_oracle_sql() -> str:
                    row_number() OVER (PARTITION BY qid
                                       ORDER BY score DESC, vec_id) AS rk
             FROM bscored) WHERE rk <= 10
-    ),
-    cprobe AS (
-        SELECT qid, cell FROM (
-            SELECT q.qid, c.cell,
-                   row_number() OVER (
-                       PARTITION BY q.qid
-                       ORDER BY {dot_cq} / (sqrt(c.cnrm) * sqrt(q.qn)) DESC,
-                                c.cell
-                   ) AS crk
-            FROM c, q
-        ) WHERE crk <= 2
-    ),
-    iscored AS (
-        SELECT q.qid, asg.vec_id,
-               round({dot_aq} / (sqrt(asg.nrm) * sqrt(q.qn)), 6) AS score
-        FROM asg
-        JOIN cprobe ON asg.cell = cprobe.cell
-        JOIN q ON q.qid = cprobe.qid
-    ),
-    ir AS (
+    )"""
+        + _ivf_probe_sql("iscored")
+        + f"""
+    , ir AS (
         SELECT qid, vec_id FROM (
             SELECT qid, vec_id,
                    row_number() OVER (PARTITION BY qid

@@ -1148,6 +1148,16 @@ def optimize_table(
         cols = [F.col(c) for c in cluster_by]
         df = df.repartitionByRange(target_files, *cols).sortWithinPartitions(*cols)
     elif zorder_by:
+        # scratch columns the clustering rewrite materializes internally:
+        # a user column with one of these names would be silently
+        # overwritten (then dropped) by withColumn — refuse loudly
+        reserved = {"__z", "__hx", "__hy", "_hx", "_hy", "_hd"}
+        taken = sorted(reserved.intersection(df.columns))
+        if taken:
+            raise ValueError(
+                f"zorder_by rewrite reserves column names {taken}; "
+                "rename those columns before OPTIMIZE"
+            )
         row = df.agg(
             *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in zorder_by],
             *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in zorder_by],
