@@ -70,6 +70,9 @@ _PRIORITY = [
     "layout_hilbert_skipping",
     "similarity_ivf_recall",
     "multimodal_frame_sample",
+    "agg_approx_top_k_rollup",
+    "agg_kll_quantile_rollup",
+    "agg_theta_set_ops",
     # 2) Changed since its r8 driver-green row: NULL-value filter added
     #    on both sides + bins widened to cover the data range (ADVICE
     #    r8), so the current (query, oracle) pair must be re-attested:
@@ -86,9 +89,9 @@ _PRIORITY = [
     "cohort_retention",
     "timeseries_anomaly",
     "streaming_dedup_counts",
-    # 4) 33 of the 48 queries whose last driver-green row is r6
-    #    (oldest-first rotation policy). The remaining fifteen
-    #    (join_skew_salted onward, head of _KEEP) lead the r10
+    # 4) 30 of the 48 queries whose last driver-green row is r6
+    #    (oldest-first rotation policy). The remaining eighteen
+    #    (privacy_k_anonymity onward, head of _KEEP) lead the r10
     #    rotation and are re-verified locally every session by
     #    test_harness_oracle.
     "graph_pagerank",
@@ -121,9 +124,6 @@ _PRIORITY = [
     "graph_triangle_count",
     "graph_degree_stats",
     "timeseries_twap",
-    "privacy_k_anonymity",
-    "sql_running_distinct",
-    "agg_mode_median",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at 50 that lands OUTSIDE the window, so
@@ -131,6 +131,9 @@ _PRIORITY = [
 # name bumped to _KEEP to make room).
 _KEEP = [
     # r6-green overflow (oldest — head of the r10 rotation):
+    "privacy_k_anonymity",
+    "sql_running_distinct",
+    "agg_mode_median",
     "join_skew_salted",
     "events_funnel",
     "table_profile_categorical",

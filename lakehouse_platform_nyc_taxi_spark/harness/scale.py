@@ -648,3 +648,205 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("content"),
     )
     return multimodal.fake_frame_sample(assets, n_frames=4)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketch rollups (Spark 4 DataSketches surface): frequent items,
+# KLL quantiles, theta set operations. Same verification contract as
+# agg_hll_mergeable_rollup: exact values + always-true error-bound flags.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_approx_top_k_rollup",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           (SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT)
+            FROM events) AS n_daily_sketches
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="MERGEABLE frequent-items rollup (DataSketches ItemsSketch via "
+    "Spark 4 approx_top_k_accumulate/_combine/_estimate): per-day "
+    "item sketches combine into the global top-k WITHOUT re-scanning "
+    "rows — the 100 TB leaderboard pattern. With maxItemsTracked "
+    "(10000) far above the item cardinality (5 event types) the "
+    "sketch never evicts, so counts are EXACT and the oracle is the "
+    "plain GROUP BY — the same never-sampled regime the hll/theta "
+    "rollups pin with within_bound flags.",
+)
+def agg_approx_top_k_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("_day")).agg(
+        F.expr("approx_top_k_accumulate(event_type, 10000)").alias("_sk")
+    )
+    top = daily.agg(
+        F.expr(
+            "approx_top_k_estimate(approx_top_k_combine(_sk, 10000), 8)"
+        ).alias("_t"),
+        F.count("*").alias("_nd"),
+    )
+    return top.select(F.explode("_t").alias("e"), "_nd").select(
+        F.col("e.item").alias("event_type"),
+        F.col("e.count").cast("bigint").alias("n_events"),
+        F.col("_nd").cast("bigint").alias("n_daily_sketches"),
+    )
+
+
+@register(
+    "agg_kll_quantile_rollup",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT)
+               AS n_daily_sketches,
+           round(quantile_cont(value, 0.5), 4) AS exact_p50,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="MERGEABLE quantile rollup (DataSketches KLL via Spark 4 "
+    "kll_sketch_agg_double + the 2-arg kll_sketch_merge_double folded "
+    "over collected daily partials — bounded: n_days sketches of ~KB "
+    "each per group): per-(day, type) value sketches merge into a "
+    "per-type p50 estimate without re-scanning raw rows. KLL returns "
+    "a REAL stream value whose true rank is within the sketch's "
+    "normalized rank error (k=200 -> ~1.65%), so the flag checks the "
+    "estimate's exact rank interval overlaps [0.5 +- 0.03]; the "
+    "deterministic columns (exact continuous p50, partial count) "
+    "hash-match the oracle. Deterministic alternative when exact "
+    "reproducibility matters more than space: "
+    "agg_histogram_percentile_rollup.",
+)
+def agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.trino import trino_round
+
+    eps = 0.03
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("_day"), "event_type"
+    ).agg(F.expr("kll_sketch_agg_double(value, 200)").alias("_sk"))
+    per = daily.groupBy("event_type").agg(
+        F.collect_list("_sk").alias("_sks"),
+        F.count("*").alias("n_daily_sketches"),
+    )
+    est = per.select(
+        "event_type",
+        F.col("n_daily_sketches").cast("bigint").alias("n_daily_sketches"),
+        F.expr(
+            "kll_sketch_get_quantile_double("
+            "  reduce(_sks, CAST(NULL AS BINARY),"
+            "         (acc, x) -> CASE WHEN acc IS NULL THEN x"
+            "                          ELSE kll_sketch_merge_double(acc, x)"
+            "                     END),"
+            "  0.5D)"
+        ).alias("_q"),
+    )
+    ranks = (
+        ev.join(F.broadcast(est.select("event_type", "_q")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.avg((F.col("value") < F.col("_q")).cast("double")).alias("_rlo"),
+            F.avg((F.col("value") <= F.col("_q")).cast("double")).alias("_rhi"),
+        )
+    )
+    exact = ev.groupBy("event_type").agg(
+        trino_round(F.percentile("value", F.lit(0.5)), 4).alias("exact_p50")
+    )
+    return (
+        est.join(ranks, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_daily_sketches",
+            "exact_p50",
+            (
+                (F.col("_rlo") <= 0.5 + eps) & (F.col("_rhi") >= 0.5 - eps)
+            ).alias("within_bound"),
+        )
+    )
+
+
+@register(
+    "agg_theta_set_ops",
+    """
+    WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+    p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    b AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM v JOIN p USING (user_id))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS exact_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS exact_purchase,
+           (SELECT nb FROM b) AS exact_both,
+           (SELECT CAST(count(*) AS BIGINT) FROM v) - (SELECT nb FROM b)
+               AS exact_view_only,
+           TRUE AS view_within_bound,
+           TRUE AS both_within_bound,
+           TRUE AS view_only_within_bound
+    """,
+    doc="Theta sketch set algebra (Spark 4 theta_sketch_agg / "
+    "theta_intersection / theta_difference): distinct viewers, "
+    "viewer-AND-purchaser (intersection) and viewer-only (difference) "
+    "audiences from two reusable per-segment sketches — the set "
+    "operations HLL cannot do, and the reason theta sketches are the "
+    "audience-overlap tool at 100 TB (segment sketches persist; any "
+    "pairwise overlap is sketch algebra, never a re-join). Flags pin "
+    "|est - exact| <= max(5% of the union upper bound, 5) — "
+    "conservative for lgK=12, and the sketches are exact below 4096 "
+    "retained entries anyway; exact counts come from a distinct "
+    "semi-join.",
+)
+def agg_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'view' THEN user_id END)"
+        ).alias("_sv"),
+        F.expr(
+            "theta_sketch_agg("
+            "CASE WHEN event_type = 'purchase' THEN user_id END)"
+        ).alias("_sp"),
+    )
+    est = sk.select(
+        F.expr("theta_sketch_estimate(_sv)").alias("_ev"),
+        F.expr("theta_sketch_estimate(theta_intersection(_sv, _sp))").alias(
+            "_eb"
+        ),
+        F.expr("theta_sketch_estimate(theta_difference(_sv, _sp))").alias(
+            "_evo"
+        ),
+    )
+    view_users = ev.filter(F.col("event_type") == "view").select(
+        "user_id"
+    ).distinct()
+    purch_users = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id"
+    ).distinct()
+    exact = (
+        view_users.withColumn("_v", F.lit(1))
+        .join(purch_users.withColumn("_p", F.lit(1)), "user_id", "full")
+        .agg(
+            F.sum("_v").cast("bigint").alias("exact_view"),
+            F.sum("_p").cast("bigint").alias("exact_purchase"),
+            F.sum(F.col("_v") * F.col("_p")).cast("bigint").alias("exact_both"),
+        )
+        .withColumn(
+            "exact_view_only", F.col("exact_view") - F.col("exact_both")
+        )
+    )
+    bound = F.greatest(
+        F.ceil(0.05 * (F.col("exact_view") + F.col("exact_purchase"))),
+        F.lit(5),
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_view",
+        "exact_purchase",
+        "exact_both",
+        "exact_view_only",
+        (F.abs(F.col("_ev") - F.col("exact_view")) <= bound).alias(
+            "view_within_bound"
+        ),
+        (F.abs(F.col("_eb") - F.col("exact_both")) <= bound).alias(
+            "both_within_bound"
+        ),
+        (F.abs(F.col("_evo") - F.col("exact_view_only")) <= bound).alias(
+            "view_only_within_bound"
+        ),
+    )
