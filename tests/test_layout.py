@@ -210,3 +210,18 @@ def test_rank_and_interleave_edge_cases(spark):
     ).collect()[0].z
     assert z == (1 << 62) - 1
     assert z > 0
+
+
+def test_hilbert_matches_reference_random(spark):
+    """Random 16-bit points (seeded): the chained-projection machine must
+    agree with the pure-python reference everywhere, not just corners."""
+    import random
+
+    from lakehouse_platform_nyc_taxi_spark.operators.layout import with_hilbert
+
+    rng = random.Random(4643)
+    cases = [(rng.randrange(65536), rng.randrange(65536)) for _ in range(200)]
+    df = spark.createDataFrame(cases, "x long, y long")
+    got = {(r.x, r.y): r.h for r in with_hilbert(df, "x", "y", out="h").collect()}
+    for x, y in cases:
+        assert got[(x, y)] == _hilbert_ref(x, y), (x, y)
