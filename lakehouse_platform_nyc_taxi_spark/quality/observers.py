@@ -122,3 +122,45 @@ def drain_with_expectations(
                 totals[k] = totals.get(k, 0) + int(v)
     spark = stream_df.sparkSession
     return spark.table(name), totals
+
+
+def guarded_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    how: str = "left",
+):
+    """Join with an inline fan-out guard: a silent cardinality bug — the
+    "N:1" dimension that actually has duplicate keys — multiplies fact
+    rows without any error, and at 100 TB the first symptom is a bill.
+    Observes the left-side and output row counts on the SAME job
+    (``Dataset.observe`` accumulators, zero extra scans) so the
+    contract "output rows <= left rows" is checked for free.
+
+    Returns ``(df, verify)``: run an action on ``df``, then call
+    ``verify()`` — it raises :class:`ExpectationError` with the extra
+    row count if the join fanned out, else returns the observed
+    ``{"left_rows": n, "out_rows": m}``. Valid for ``left``/``inner``
+    joins (semantics where the left side is the preserved fact stream);
+    outer/cross joins have no such contract and are rejected.
+    """
+    if how not in ("left", "inner", "leftouter", "left_outer"):
+        raise ValueError(
+            f"guarded_join contract requires a left/inner join, got {how!r}"
+        )
+    obs_in = Observation("join_guard_in")
+    obs_out = Observation("join_guard_out")
+    out = (
+        left.observe(obs_in, F.count(F.lit(1)).alias("rows"))
+        .join(right, on, how)
+        .observe(obs_out, F.count(F.lit(1)).alias("rows"))
+    )
+
+    def verify() -> dict[str, int]:
+        i = obs_in.get["rows"]
+        o = obs_out.get["rows"]
+        if o > i:
+            raise ExpectationError({"join_fanout_extra_rows": o - i})
+        return {"left_rows": i, "out_rows": o}
+
+    return out, verify

@@ -233,3 +233,32 @@ def test_snapshot_staging_model_constraint_and_schema_drift(spark, raw_paths, tm
     bad = evolved.limit(1).withColumn("total_amount", F.lit(-5.0))
     with pytest.raises(ValueError, match="violates CHECK"):
         snap.append(bad, path)
+
+
+def test_guarded_join_catches_dim_fanout(spark):
+    from lakehouse_platform_nyc_taxi_spark.quality.observers import (
+        ExpectationError,
+        guarded_join,
+    )
+
+    fact = spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], "id long, k string")
+    good_dim = spark.createDataFrame([("a", 10), ("b", 20)], "k string, v long")
+    out, verify = guarded_join(fact, good_dim, "k")
+    assert out.count() == 3
+    assert verify() == {"left_rows": 3, "out_rows": 3}
+
+    dup_dim = spark.createDataFrame(
+        [("a", 10), ("a", 11), ("b", 20)], "k string, v long"
+    )
+    out, verify = guarded_join(fact, dup_dim, "k")
+    assert out.count() == 5  # silent fan-out the guard must surface
+    try:
+        verify()
+        raise AssertionError("fan-out not detected")
+    except ExpectationError as e:
+        assert e.counts == {"join_fanout_extra_rows": 2}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="left/inner"):
+        guarded_join(fact, good_dim, "k", how="full")
