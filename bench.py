@@ -130,6 +130,11 @@ def main() -> int:
         # produced uniform 1.25x swings between identical-code runs).
         "protocol_version": 2,
         "calibration_sec": calibration_sec,
+        # r9+: 1/5/15-min host load at run end. The VM shares a host with
+        # a BURSTY neighbor (observed load 0.1 -> 14 on identical code,
+        # totals 118 -> 201 s) that the CPU probe does NOT track; a high
+        # load_avg marks the run's numbers as ambient-suspect.
+        "load_avg": [round(x, 2) for x in os.getloadavg()],
     }
     # Regression gate (r8+): compare calibrated min-of-runs against the
     # PREVIOUS committed BENCH_DETAIL.json (the driver benches a fresh
