@@ -62,8 +62,16 @@ def register(
 #      Their green rows live in CORRECTNESS_r01.json (kept in-repo), so
 #      rounds jointly cover every query.
 _PRIORITY = [
-    # --- Round-9 window (driver checks the FIRST 50 registered) ---
-    # 1) New this round (never driver-attested):
+    # --- Round-10 window (driver checks the FIRST 50 registered) ---
+    # 0) New in round 10 (never driver-attested). NOTE: round 9's driver
+    #    artifacts were never produced (the round died on infra errors),
+    #    so the whole r9 window below is ALSO still awaiting its first
+    #    attestation — it stays in place, and three r6-green names from
+    #    the window tail moved to _KEEP to make room:
+    "quality_gopher_rules",
+    "corpus_overlap_matrix",
+    "embedding_kmeans_semdedup",
+    # 1) New in round 9 (never driver-attested):
     "layout_zorder_skipping",
     "dedup_incremental_minhash",
     "graph_label_propagation",
@@ -121,16 +129,17 @@ _PRIORITY = [
     "sampling_per_group_cap",
     "text_winnowing",
     "doc_chunking",
-    "graph_triangle_count",
-    "graph_degree_stats",
-    "timeseries_twap",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at 50 that lands OUTSIDE the window, so
 # a query added mid-round must be listed in _PRIORITY explicitly (and a
 # name bumped to _KEEP to make room).
 _KEEP = [
-    # r6-green overflow (oldest — head of the r10 rotation):
+    # r6-green overflow (oldest — head of the r11 rotation; the first
+    # three fell out of the r10 window to admit the round-10 queries):
+    "graph_triangle_count",
+    "graph_degree_stats",
+    "timeseries_twap",
     "privacy_k_anonymity",
     "sql_running_distinct",
     "agg_mode_median",

@@ -15,7 +15,15 @@ from ..operators import dedup, layout
 from ..operators.sampling import hash_bucket
 from ..sources.testdata import load_table, load_table_parallel
 from . import register
-from .llm import MD5L, _IVF_CTES, _IVF_DOT, _ivf_index, _ivf_probe_sql, _minhash_sig_sql
+from .llm import (
+    MD5L,
+    _IVF_CTES,
+    _IVF_DOT,
+    _VEC_CTE,
+    _ivf_index,
+    _ivf_probe_sql,
+    _minhash_sig_sql,
+)
 
 # ---------------------------------------------------------------------------
 # Z-order layout vs single-column sort vs insertion order: how many files
@@ -849,4 +857,92 @@ def agg_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("_evo") - F.col("exact_view_only")) <= bound).alias(
             "view_only_within_bound"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: SemDeDup — deterministic k-means clustering + within-cluster
+# semantic near-dup flags, unrolled Lloyd's in the SQL twin.
+# ---------------------------------------------------------------------------
+
+
+def _km_iter_sql(i: int) -> str:
+    """One unrolled Lloyd iteration: decimal-fenced per-(cell, dim) means
+    -> ordered centroid list -> cosine scores -> first-max reassignment."""
+    prev = f"a{i - 1}"
+    dot = _IVF_DOT.format(a="n.e", b="c.ce")
+    return f"""
+    , x{i} AS (
+        SELECT cell, unnest(generate_series(1, len(e))) AS i, unnest(e) AS x
+        FROM {prev}
+    ),
+    c{i} AS (
+        SELECT cell, i,
+               CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+        FROM x{i} GROUP BY cell, i
+    ),
+    v{i} AS (SELECT cell, list(m ORDER BY i) AS ce FROM c{i} GROUP BY cell),
+    w{i} AS (
+        SELECT cell, ce, list_sum(list_transform(ce, x -> x * x)) AS cnrm
+        FROM v{i}
+    ),
+    s{i} AS (
+        SELECT n.vec_id, n.e, n.nrm, c.cell,
+               {dot} / (sqrt(n.nrm) * sqrt(c.cnrm)) AS cs
+        FROM n, w{i} c
+    ),
+    a{i} AS (
+        SELECT vec_id, e, nrm, cell FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+            FROM s{i}
+        ) WHERE rn = 1
+    )
+    """
+
+
+def _kmeans_semdedup_oracle() -> str:
+    km_hash = MD5L.format(x="CAST(vec_id AS VARCHAR) || '|km'")
+    pair_dot = _IVF_DOT.format(a="a.e", b="b.e")
+    return (
+        _VEC_CTE
+        + f"""
+    , a0 AS (
+        SELECT vec_id, e, nrm,
+               CAST(({km_hash}) % 8 AS INTEGER) AS cell
+        FROM n
+    )
+    """
+        + _km_iter_sql(1)
+        + _km_iter_sql(2)
+        + f"""
+    , d AS (
+        SELECT DISTINCT a.vec_id
+        FROM a2 a JOIN a2 b
+          ON a.cell = b.cell AND b.vec_id < a.vec_id
+         AND {pair_dot} / (sqrt(a.nrm) * sqrt(b.nrm)) >= 0.9
+    )
+    SELECT a2.vec_id, CAST(a2.cell AS INTEGER) AS cluster,
+           (d.vec_id IS NOT NULL) AS is_dup
+    FROM a2 LEFT JOIN d ON a2.vec_id = d.vec_id
+    """
+    )
+
+
+@register(
+    "embedding_kmeans_semdedup",
+    _kmeans_semdedup_oracle(),
+    doc="SemDeDup (Abbas et al. 2023): deterministic distributed Lloyd's "
+    "(salted-hash init, DECIMAL(38,12)-fenced centroid means, literal-"
+    "centroid cosine argmax reassignment — engine-bit-reproducible, so "
+    "the oracle unrolls both iterations in SQL), then semantic near-dup "
+    "flags computed only within final clusters (keep-lowest-id). "
+    "Pairwise work is sharded per cluster; only k*d mean scalars reach "
+    "the driver per iteration.",
+)
+def embedding_kmeans_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_semdedup
+
+    return kmeans_semdedup(
+        load_table_parallel(spark, sf_dir, "embeddings"), k=8, iters=2, tau=0.9
     )

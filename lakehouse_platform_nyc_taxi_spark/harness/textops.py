@@ -887,3 +887,95 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status",
         F.col("valid_from").alias("status_since"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: Gopher rule-based quality gate + cross-source overlap audit.
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that']"
+
+
+@register(
+    "quality_gopher_rules",
+    f"""
+    WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+    f AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_words,
+               CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE)
+                   / len(toks) AS mean_len,
+               CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+                   AS DOUBLE) / len(toks) AS alpha_ratio,
+               CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+                   / len(toks) AS symbol_ratio,
+               CAST(len(list_intersect(list_transform(toks, w -> lower(w)),
+                                       {_GOPHER_STOPS})) AS INTEGER)
+                   AS stopword_kinds
+        FROM t
+    )
+    SELECT doc_id, n_words,
+           round(mean_len, 4) AS mean_word_len,
+           round(alpha_ratio, 4) AS alpha_word_ratio,
+           round(symbol_ratio, 4) AS symbol_word_ratio,
+           stopword_kinds,
+           (n_words >= 30 AND n_words <= 100000) AS r_word_count,
+           (mean_len >= 3.0 AND mean_len <= 10.0) AS r_mean_word_len,
+           (alpha_ratio >= 0.80) AS r_alpha_ratio,
+           (symbol_ratio <= 0.10) AS r_symbol_ratio,
+           (stopword_kinds >= 2) AS r_stopwords,
+           ((n_words >= 30 AND n_words <= 100000)
+            AND (mean_len >= 3.0 AND mean_len <= 10.0)
+            AND alpha_ratio >= 0.80
+            AND symbol_ratio <= 0.10
+            AND stopword_kinds >= 2) AS keep
+    FROM f
+    """,
+    doc="Gopher-style hard quality gate (Rae et al. 2021): per-rule "
+    "boolean verdicts (word-count window, mean word length, alphabetic "
+    "ratio, symbol ratio, distinct-stopword floor) plus the conjunction "
+    "as keep — each rule independently reportable so a curation run can "
+    "explain every drop. Single codegen projection, zero shuffles.",
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.gopher_rules(load_table_parallel(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_overlap_matrix",
+    f"""
+    WITH t AS (SELECT source AS g, {TOKS} AS toks FROM documents),
+    gr AS (
+        SELECT g,
+               list_distinct(list_transform(generate_series(1, len(toks) - 7),
+                             i -> array_to_string(toks[i:i+7], ' '))) AS grams
+        FROM t WHERE len(toks) >= 8
+    ),
+    sh AS (
+        SELECT DISTINCT g, {MD5L.format(x='gr2')} AS h
+        FROM (SELECT g, unnest(grams) AS gr2 FROM gr)
+    ),
+    per AS (SELECT g, count(*) AS n FROM sh GROUP BY g),
+    shared AS (
+        SELECT x.g AS ga, y.g AS gb, count(*) AS shared
+        FROM sh x JOIN sh y ON x.h = y.h AND x.g < y.g
+        GROUP BY 1, 2
+    )
+    SELECT a.g AS source_a, b.g AS source_b,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           CAST(COALESCE(s.shared, 0) AS BIGINT) AS shared,
+           round(CAST(COALESCE(s.shared, 0) AS DOUBLE)
+                 / (a.n + b.n - COALESCE(s.shared, 0)), 6) AS jaccard
+    FROM per a
+    JOIN per b ON a.g < b.g
+    LEFT JOIN shared s ON s.ga = a.g AND s.gb = b.g
+    """,
+    doc="Cross-source duplication audit: distinct 8-token-shingle overlap "
+    "and Jaccard for every source pair — the 'how much of crawl B is "
+    "already in crawl A' question asked before mixing corpora. Shingles "
+    "are md5-hashed to longs before the shuffle (8-byte keys, not "
+    "strings); a shingle in s sources costs C(s,2) join rows, bounded "
+    "by the (small) source count, never doc-pair cartesian.",
+)
+def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.corpus_overlap(load_table_parallel(spark, sf_dir, "documents"))

@@ -745,3 +745,109 @@ def load_ivf_index(
     return IvfIndex(
         assigned=assigned, centroids=centroids, id_col=id_col, n_cells=n_cells
     )
+
+
+def kmeans_semdedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.9,
+    seed: str = "km",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): k-means-cluster the embedding
+    space, then flag semantic near-duplicates only WITHIN a cluster —
+    the pairwise cosine work shrinks from O(n^2) to O(sum of cluster
+    sizes squared), and clusters shard independently across executors.
+
+    Deterministic distributed Lloyd's, engine-reproducible by design:
+
+    - init: cell = salted-md5(id) mod k — a pure projection any engine
+      can re-derive (no random seeds, no data-order dependence).
+    - each iteration: centroids = per-(cell, dim) means over DECIMAL
+      (38,12)-fenced sums (exact, associative, partition-order-free),
+      converted to double only once summed; reassignment is a
+      zero-shuffle projection scoring each row against the k literal
+      centroid vectors (cosine, sequential fold), argmax via first-max
+      -> lowest cell wins float ties. Only k*d mean scalars ever reach
+      the driver (bounded metadata, SCALE.md invariant), and a cell
+      that loses all members simply drops out of the scored set — both
+      engines score only the cells present.
+    - dedup: within each final cluster, a row is a duplicate iff some
+      LOWER-id row in the same cluster has cosine >= ``tau`` (keep-first
+      semantics; the survivor set is id-deterministic).
+
+    Output: one row per vector — ``vec_id, cluster, is_dup``.
+    """
+    import math
+
+    base = vec_norms(df, vec_col, [id_col]).localCheckpoint()
+    salted = F.concat(F.col(id_col).cast("string"), F.lit(f"|{seed}"))
+    assigned = base.select(
+        id_col, "v", "nrm", (md5_long(salted) % k).cast("int").alias("cell")
+    )
+    for _ in range(iters):
+        stats = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "_x"))
+            .groupBy("cell", "dim")
+            .agg(
+                F.sum(F.col("_x").cast("decimal(38,12)")).alias("_s"),
+                F.count(F.lit(1)).alias("_c"),
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_cell.setdefault(r["cell"], {})[r["dim"]] = float(r["_s"]) / r["_c"]
+        centroid_rows = []
+        for cell in sorted(by_cell):
+            means = by_cell[cell]
+            cv = [means[d] for d in sorted(means)]
+            cnrm = 0.0
+            for x in cv:
+                cnrm = cnrm + x * x
+            centroid_rows.append((cell, cv, cnrm))
+        scores = F.array(
+            *[
+                dot_product(F.col("v"), F.array(*[F.lit(x) for x in cv]))
+                / (F.sqrt("nrm") * F.lit(math.sqrt(cnrm)))
+                for _, cv, cnrm in centroid_rows
+            ]
+        )
+        cells_lit = F.array(*[F.lit(cell) for cell, _, _ in centroid_rows])
+        assigned = base.select(
+            F.col(id_col), "v", "nrm", scores.alias("_cs")
+        ).select(
+            F.col(id_col),
+            "v",
+            "nrm",
+            F.element_at(
+                cells_lit, F.array_position(F.col("_cs"), F.array_max("_cs")).cast("int")
+            ).alias("cell"),
+        )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+            & (
+                dot_product(F.col("a.v"), F.col("b.v"))
+                / (F.sqrt(F.col("a.nrm")) * F.sqrt(F.col("b.nrm")))
+                >= tau
+            ),
+        )
+        .select(F.col(f"a.{id_col}"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.join(dup_ids, id_col, "left")
+        .select(
+            id_col,
+            F.col("cell").alias("cluster"),
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )

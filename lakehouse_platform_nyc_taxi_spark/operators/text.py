@@ -286,6 +286,146 @@ def decontaminate(
     )
 
 
+#: The function words the Gopher stopword rule requires (a doc must hit
+#: ``min_stopword_kinds`` DISTINCT entries to pass). Rae et al. 2021 use
+#: {the, be, to, of, and, that, have, with}; we keep the spirit with a
+#: lexicon that overlaps the synthetic corpus vocabulary.
+GOPHER_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is", "that")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_alpha_ratio: float = 0.80,
+    max_symbol_ratio: float = 0.10,
+    min_stopword_kinds: int = 2,
+) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021, public):
+    per-document feature values, one boolean verdict per rule, and the
+    conjunction as ``keep``.
+
+    Distinct from :func:`text_stats` (a weighted composite score): this
+    is the *hard filter* — every rule is individually reportable, so a
+    curation run can explain WHY a document was dropped and tune each
+    threshold independently.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min_mean_len, max_mean_len]; fraction of words containing an
+    alphabetic character >= min_alpha_ratio; '#'/'...'-symbol to word
+    ratio <= max_symbol_ratio; >= min_stopword_kinds DISTINCT function
+    words present.
+
+    Dataflow: a single whole-stage-codegen projection — higher-order
+    array functions only, zero shuffles, scales as one mapper pass at
+    any corpus size.
+    """
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    sum_lens = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    mean_len = sum_lens.cast("double") / n_words
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = alpha_words.cast("double") / n_words
+    n_symbols = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), 0)
+    )
+    symbol_ratio = n_symbols.cast("double") / n_words
+    stopword_kinds = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+    r_word_count = (n_words >= min_words) & (n_words <= max_words)
+    r_mean_len = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    r_alpha = alpha_ratio >= min_alpha_ratio
+    r_symbol = symbol_ratio <= max_symbol_ratio
+    r_stopwords = stopword_kinds >= min_stopword_kinds
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        trino_round(mean_len, 4).alias("mean_word_len"),
+        trino_round(alpha_ratio, 4).alias("alpha_word_ratio"),
+        trino_round(symbol_ratio, 4).alias("symbol_word_ratio"),
+        stopword_kinds.alias("stopword_kinds"),
+        r_word_count.alias("r_word_count"),
+        r_mean_len.alias("r_mean_word_len"),
+        r_alpha.alias("r_alpha_ratio"),
+        r_symbol.alias("r_symbol_ratio"),
+        r_stopwords.alias("r_stopwords"),
+        (r_word_count & r_mean_len & r_alpha & r_symbol & r_stopwords).alias("keep"),
+    )
+
+
+def corpus_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Cross-source duplication audit: for every unordered pair of corpus
+    sources, how many DISTINCT token ``n``-gram shingles they share, plus
+    the Jaccard similarity of their shingle sets. The standard question
+    before mixing crawls ("how much of source B is already in source A?").
+
+    Dataflow: shingles are md5-hashed to 8-byte keys immediately (the
+    shuffle carries longs, never ~60-byte strings), deduplicated per
+    source, then self-joined on the hash. A shingle present in s of the
+    S sources contributes C(s,2) pairs — bounded by C(S,2) per shingle,
+    and S (number of sources) is small by definition, so the join cannot
+    blow up the way a doc-level all-pairs would. The pair frame
+    (C(S,2) rows) is built from a tiny distinct-source list and
+    broadcast-joined, so every pair appears even with zero overlap.
+    """
+    sh = (
+        df.select(F.col(group_col).alias("g"), F.explode(shingles(text_col, n)).alias("_g"))
+        .select("g", md5_long(F.col("_g")).alias("h"))
+        .distinct()
+    )
+    per_source = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_shingles"))
+    shared = (
+        sh.alias("x")
+        .join(sh.alias("y"), (F.col("x.h") == F.col("y.h")) & (F.col("x.g") < F.col("y.g")))
+        .groupBy(F.col("x.g").alias("ga"), F.col("y.g").alias("gb"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    srcs = per_source.select(F.col("g"), F.col("n_shingles"))
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.g") < F.col("b.g"))
+        .select(
+            F.col("a.g").alias("source_a"),
+            F.col("b.g").alias("source_b"),
+            F.col("a.n_shingles").alias("n_a"),
+            F.col("b.n_shingles").alias("n_b"),
+        )
+    )
+    return (
+        pairs.join(
+            shared,
+            (pairs.source_a == shared.ga) & (pairs.source_b == shared.gb),
+            "left",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.coalesce(F.col("shared"), F.lit(0)).alias("shared"),
+            trino_round(
+                F.coalesce(F.col("shared"), F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("shared"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def tfidf_topk(
     df: DataFrame,
     text_col: str = "text",

@@ -1112,3 +1112,50 @@ if _HYP:
             for (s, rs, ov) in _ref_self_spans(toks, k, L)
         }
         assert got == want
+
+
+def test_kmeans_semdedup_flags_exact_dups_keep_first(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),   # exact dup of 1 -> same cluster, flagged
+        (3, [0.6, 0.8]),   # cos 0.6 / 0.8 to the axes: never >= 0.9
+        (4, [0.0, 1.0]),
+        (5, [0.0, 1.0]),   # exact dup of 4 -> flagged
+        (6, [-1.0, 0.0]),  # anti-parallel to 1: cos -1, never flagged
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r.asDict()
+        for r in similarity.kmeans_semdedup(df, k=2, iters=2, tau=0.9).collect()
+    }
+    assert len(out) == 6
+    # identical vectors always share a cluster (identical score arrays):
+    assert out[1]["cluster"] == out[2]["cluster"]
+    assert out[4]["cluster"] == out[5]["cluster"]
+    # keep-lowest-id: the lower id of each dup pair survives:
+    assert not out[1]["is_dup"] and out[2]["is_dup"]
+    assert not out[4]["is_dup"] and out[5]["is_dup"]
+    # sub-threshold / anti-parallel vectors are never duplicates:
+    assert not out[3]["is_dup"] and not out[6]["is_dup"]
+    assert all(r["cluster"] in (0, 1) for r in out.values())
+
+
+def test_kmeans_semdedup_deterministic_across_runs(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(
+        similarity.kmeans_semdedup(df, k=4, iters=2, tau=0.95).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    b = sorted(
+        similarity.kmeans_semdedup(
+            df.repartition(7), k=4, iters=2, tau=0.95
+        ).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

@@ -223,3 +223,65 @@ def test_dedup_lines_within_and_boilerplate(spark):
     assert cleaned[2].text == "body two"
     assert cleaned[3].text == "unique text"
     assert cleaned[3].n_lines_kept == 1
+
+
+def test_gopher_rules_verdicts_and_keep(spark):
+    long_good = "the quick brown fox jumps over a lazy dog " * 5  # 45 words
+    short = "the a tiny doc"
+    no_stops = "lorem ipsum dolor sit amet " * 8  # 40 words, 1 stopword kind? none
+    df = _docs(
+        spark,
+        [
+            (1, long_good.strip()),
+            (2, short),
+            (3, no_stops.strip()),
+        ],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in text.gopher_rules(df, min_words=30).collect()
+    }
+    assert out[1]["keep"] and out[1]["r_word_count"] and out[1]["r_stopwords"]
+    assert out[1]["n_words"] == 45
+    # short doc fails the word-count (and mean-len) rules while the
+    # others stay individually reportable as passes:
+    assert not out[2]["keep"] and not out[2]["r_word_count"]
+    assert out[2]["r_stopwords"] and out[2]["r_alpha_ratio"]
+    # stopword-free doc passes the count rule but fails the stopword floor:
+    assert not out[3]["keep"] and out[3]["r_word_count"]
+    assert not out[3]["r_stopwords"] and out[3]["stopword_kinds"] == 0
+
+
+def test_gopher_symbol_and_mean_len_rules(spark):
+    hashy = " ".join(["#tag"] * 40)  # symbol ratio 1.0 -> fails
+    tiny_words = " ".join(["a b"] * 20) + " the of"  # mean len ~1 -> fails
+    df = _docs(spark, [(1, hashy), (2, tiny_words)])
+    out = {r["doc_id"]: r.asDict() for r in text.gopher_rules(df).collect()}
+    assert not out[1]["r_symbol_ratio"] and out[1]["symbol_word_ratio"] == 1.0
+    assert not out[2]["r_mean_word_len"] and out[2]["mean_word_len"] < 2.0
+
+
+def test_corpus_overlap_shared_and_disjoint(spark):
+    block = "w1 w2 w3 w4 w5 w6 w7 w8"  # exactly one 8-shingle
+    other = "x1 x2 x3 x4 x5 x6 x7 x8"
+    df = spark.createDataFrame(
+        [
+            ("sa", block),
+            ("sb", block + " w9"),  # shares shingle(w1..w8), adds one more
+            ("sc", other),
+        ],
+        "source string, text string",
+    )
+    from lakehouse_platform_nyc_taxi_spark.operators.text import corpus_overlap
+
+    out = {
+        (r["source_a"], r["source_b"]): r.asDict()
+        for r in corpus_overlap(df, group_col="source").collect()
+    }
+    ab = out[("sa", "sb")]
+    assert ab["n_a"] == 1 and ab["n_b"] == 2 and ab["shared"] == 1
+    assert abs(ab["jaccard"] - 0.5) < 1e-9
+    # disjoint pairs still emitted, with zero overlap:
+    assert out[("sa", "sc")]["shared"] == 0
+    assert out[("sa", "sc")]["jaccard"] == 0.0
+    assert len(out) == 3
