@@ -71,6 +71,7 @@ _PRIORITY = [
     "quality_gopher_rules",
     "corpus_overlap_matrix",
     "embedding_kmeans_semdedup",
+    "dedup_cluster_survivors",
     # 1) New in round 9 (never driver-attested):
     "layout_zorder_skipping",
     "dedup_incremental_minhash",
@@ -128,7 +129,6 @@ _PRIORITY = [
     "sampling_hash_split",
     "sampling_per_group_cap",
     "text_winnowing",
-    "doc_chunking",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at 50 that lands OUTSIDE the window, so
@@ -140,6 +140,7 @@ _KEEP = [
     "graph_triangle_count",
     "graph_degree_stats",
     "timeseries_twap",
+    "doc_chunking",
     "privacy_k_anonymity",
     "sql_running_distinct",
     "agg_mode_median",

@@ -1614,3 +1614,60 @@ def sampling_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "source", "n_tokens", F.col("cum_tokens").cast("long").alias("cum_tokens")
     )
+
+
+@register(
+    "dedup_cluster_survivors",
+    f"""
+    WITH RECURSIVE {_NGRAM_GRAMS_CTE},
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM g a
+        JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE {_NGRAM_JACCARD} >= 0.2
+    ),
+    e AS (
+        SELECT doc_a AS src, doc_b AS dst FROM p
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM p
+    ),
+    reach AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+    ),
+    cl AS (
+        SELECT src AS id, least(src, min(dst)) AS cluster
+        FROM reach GROUP BY src
+    ),
+    m AS (
+        SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster,
+               CAST(d.n_chars AS BIGINT) AS n_chars
+        FROM documents d LEFT JOIN cl ON d.doc_id = cl.id
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rk
+        FROM m
+    )
+    SELECT cluster,
+           CAST(count(*) AS BIGINT) AS n_members,
+           min(CASE WHEN rk = 1 THEN doc_id END) AS survivor_id,
+           min(CASE WHEN rk = 1 THEN n_chars END) AS survivor_chars
+    FROM r GROUP BY cluster
+    """,
+    doc="The dedup APPLY step: near-dup pair graph -> connected components "
+    "-> one canonical survivor per cluster (longest doc wins, lowest id "
+    "breaks ties), singletons survive as their own cluster. This is the "
+    "keep/drop decision a curation run executes after pairwise dedup; "
+    "one window + one groupBy past the clustering, both keyed on the "
+    "cluster id. Pair table shared with dedup_clusters via the session "
+    "cache (the stored pipeline artifact).",
+    prepare=_cluster_pairs,
+)
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = dedup.connected_components(
+        _cluster_pairs(spark, sf_dir), pointer_jumping=False
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cluster_survivors(docs, clusters)

@@ -1058,3 +1058,39 @@ def connected_components(
             "longer diameter than expected — raise max_iter"
         )
     return labels.select(F.col("id"), F.col("label").alias("cluster"))
+
+
+def cluster_survivors(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """The dedup APPLY step: given the full document table and a
+    (id, cluster) assignment covering the documents that appear in at
+    least one near-dup pair, pick ONE canonical survivor per cluster —
+    highest ``score_col`` wins, lowest id breaks ties — and report the
+    member count. Documents absent from ``clusters`` are singletons
+    (their own cluster, trivially surviving).
+
+    One broadcast-or-shuffle join on the id, then a window + groupBy
+    both keyed on the cluster id — nothing scales worse than the
+    clustering that produced the input. Output: ``cluster, n_members,
+    survivor_id, survivor_chars``.
+    """
+    m = (
+        docs.select(id_col, F.col(score_col).cast("long").alias("_score"))
+        .join(clusters.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster"), F.col(id_col)).alias("cluster"),
+            "_score",
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("_score"), F.asc(id_col))
+    r = m.withColumn("_rk", F.row_number().over(w))
+    return r.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min(F.when(F.col("_rk") == 1, F.col(id_col))).alias("survivor_id"),
+        F.min(F.when(F.col("_rk") == 1, F.col("_score"))).alias("survivor_chars"),
+    )

@@ -1159,3 +1159,25 @@ def test_kmeans_semdedup_deterministic_across_runs(spark):
         key=lambda r: r["vec_id"],
     )
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_cluster_survivors_longest_wins_singletons_survive(spark):
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 300), (4, 50), (9, 70)],
+        "doc_id long, n_chars long",
+    )
+    # one 3-member cluster {1,2,3} labeled by its min id; 4 and 9 are
+    # singletons (absent from the cluster table entirely):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "id long, cluster long"
+    )
+    out = {
+        r["cluster"]: r.asDict()
+        for r in dedup.cluster_survivors(docs, clusters).collect()
+    }
+    assert len(out) == 3
+    # longest doc wins; the 300-char tie breaks to the LOWER id (2):
+    assert out[1]["survivor_id"] == 2 and out[1]["survivor_chars"] == 300
+    assert out[1]["n_members"] == 3
+    assert out[4]["survivor_id"] == 4 and out[4]["n_members"] == 1
+    assert out[9]["survivor_id"] == 9 and out[9]["n_members"] == 1

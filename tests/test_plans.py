@@ -646,3 +646,22 @@ def test_salted_agg_two_phase(spark):
     assert "_salt" in plan
     # final exchange on the bare key (merge phase)
     assert re.search(r"hashpartitioning\(l_returnflag#\d+, \d+\)", plan), plan
+
+
+def test_round10_operators_plan_shapes(spark):
+    # Gopher gate: a pure projection — no keyed shuffle anywhere (the
+    # only allowed Exchange is the scan-parallelize round-robin from
+    # load_table_parallel, which carries no partitioning key).
+    plan = plan_of(spark, "quality_gopher_rules")
+    assert "hashpartitioning" not in plan.lower(), (
+        "gopher_rules should be a shuffle-free projection"
+    )
+    # SemDeDup: the within-cluster pair join is keyed on cell (equi),
+    # never a nested loop / cartesian over the corpus.
+    plan = plan_of(spark, "embedding_kmeans_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # Overlap matrix: the shingle self-join is hash-keyed (equi on the
+    # md5 long); only the C(S,2)-row source pair frame may nested-loop.
+    plan = plan_of(spark, "corpus_overlap_matrix")
+    assert "CartesianProduct" not in plan
