@@ -72,6 +72,7 @@ _PRIORITY = [
     "corpus_overlap_matrix",
     "embedding_kmeans_semdedup",
     "dedup_cluster_survivors",
+    "similarity_pq_adc_topk",
     # 1) New in round 9 (never driver-attested):
     "layout_zorder_skipping",
     "dedup_incremental_minhash",
@@ -128,7 +129,6 @@ _PRIORITY = [
     "text_fingerprints",
     "sampling_hash_split",
     "sampling_per_group_cap",
-    "text_winnowing",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at 50 that lands OUTSIDE the window, so
@@ -136,11 +136,12 @@ _PRIORITY = [
 # name bumped to _KEEP to make room).
 _KEEP = [
     # r6-green overflow (oldest — head of the r11 rotation; the first
-    # three fell out of the r10 window to admit the round-10 queries):
+    # five fell out of the r10 window to admit the round-10 queries):
     "graph_triangle_count",
     "graph_degree_stats",
     "timeseries_twap",
     "doc_chunking",
+    "text_winnowing",
     "privacy_k_anonymity",
     "sql_running_distinct",
     "agg_mode_median",

@@ -946,3 +946,128 @@ def embedding_kmeans_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_semdedup(
         load_table_parallel(spark, sf_dir, "embeddings"), k=8, iters=2, tau=0.9
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: Product quantization — per-subspace deterministic k-means
+# codebooks + asymmetric-distance (ADC) top-k, fully unrolled in SQL.
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_K, _PQ_DSUB = 8, 16, 8  # 64 dims = 8 subspaces x 8 dims
+
+
+def _pq_iter_sql(i: int) -> str:
+    """One unrolled Lloyd iteration over ALL subspaces at once: keyed by
+    (sub, cell) instead of cell — otherwise identical to the semdedup
+    twin (decimal-fenced means, first-max reassignment, ties to the
+    lowest cell, only surviving cells scored)."""
+    prev = f"pa{i - 1}"
+    dot = _IVF_DOT.format(a="p.sv", b="c.ce")
+    return f"""
+    , px{i} AS (
+        SELECT sub, cell, unnest(generate_series(1, len(sv))) AS dim,
+               unnest(sv) AS x
+        FROM {prev}
+    ),
+    pc{i} AS (
+        SELECT sub, cell, dim,
+               CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mu
+        FROM px{i} GROUP BY sub, cell, dim
+    ),
+    pv{i} AS (
+        SELECT sub, cell, list(mu ORDER BY dim) AS ce
+        FROM pc{i} GROUP BY sub, cell
+    ),
+    pw{i} AS (
+        SELECT sub, cell, ce, list_sum(list_transform(ce, x -> x * x)) AS cnrm
+        FROM pv{i}
+    ),
+    ps{i} AS (
+        SELECT p.vec_id, p.sub, p.sv, c.cell,
+               {dot} - 0.5 * c.cnrm AS s
+        FROM pp p JOIN pw{i} c ON p.sub = c.sub
+    ),
+    pa{i} AS (
+        SELECT vec_id, sub, sv, cell FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, sub ORDER BY s DESC, cell) AS rn
+            FROM ps{i}
+        ) WHERE rn = 1
+    )
+    """
+
+
+def _pq_oracle() -> str:
+    h = MD5L.format(
+        x="CAST(vec_id AS VARCHAR) || '|' || CAST(sub AS VARCHAR) || '|pq'"
+    )
+    dotq = _IVF_DOT.format(a="qs.qsv", b="w.ce")
+    return (
+        _VEC_CTE
+        + f"""
+    , sb AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS sub)
+    , pp AS (
+        SELECT vec_id, sub,
+               list_slice(e, sub * {_PQ_DSUB} + 1, sub * {_PQ_DSUB} + {_PQ_DSUB}) AS sv
+        FROM n, sb
+    )
+    , pa0 AS (
+        SELECT vec_id, sub, sv, CAST(({h}) % {_PQ_K} AS INTEGER) AS cell
+        FROM pp
+    )
+    """
+        + _pq_iter_sql(1)
+        + _pq_iter_sql(2)
+        + f"""
+    , q AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = 0)
+    , qs AS (
+        SELECT sb.sub,
+               list_slice(qe, sb.sub * {_PQ_DSUB} + 1, sb.sub * {_PQ_DSUB} + {_PQ_DSUB}) AS qsv
+        FROM q, sb
+    )
+    , lut AS (
+        SELECT w.sub, w.cell, {dotq} AS ldot, w.cnrm
+        FROM pw2 w JOIN qs ON w.sub = qs.sub
+    )
+    , adc AS (
+        SELECT a.vec_id,
+               list_sum(list(l.ldot ORDER BY a.sub)) AS adot,
+               list_sum(list(l.cnrm ORDER BY a.sub)) AS rnrm
+        FROM pa2 a JOIN lut l ON a.sub = l.sub AND a.cell = l.cell
+        GROUP BY a.vec_id
+    )
+    SELECT vec_id, round(adot / (sqrt(q.qn) * sqrt(rnrm)), 6) AS score
+    FROM adc, q
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+    """
+    )
+
+
+@register(
+    "similarity_pq_adc_topk",
+    _pq_oracle(),
+    doc="Product quantization ANN (Jegou et al. 2011): 8 subspaces x 16 "
+    "centroids trained with the same deterministic distributed Lloyd's "
+    "as SemDeDup (one exploded shuffle per iteration covers ALL "
+    "subspaces; k*dims mean scalars to the driver), then asymmetric-"
+    "distance top-10 against vec_id=0 — the query stays exact, every "
+    "corpus vector costs m TABLE LOOKUPS instead of a 64-float dot, "
+    "and the serving stage is a zero-shuffle projection ending in "
+    "TakeOrdered. PQ codes are the 100 TB lever: 8 nibbles per vector "
+    "in place of 256 float bytes. Oracle unrolls both Lloyd iterations "
+    "and the ADC lookup join in SQL; sums are list-ordered or decimal-"
+    "fenced on both engines so the hashes match to 6 decimals.",
+)
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_adc_topk, pq_train_encode
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    codes, book = pq_train_encode(
+        emb, dims=64, m=_PQ_M, k=_PQ_K, iters=2, seed="pq"
+    )
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    return pq_adc_topk(codes, book, qv, k=10)

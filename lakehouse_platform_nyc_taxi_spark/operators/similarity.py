@@ -851,3 +851,186 @@ def kmeans_semdedup(
             F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
         )
     )
+
+
+@dataclass
+class PqCodebook:
+    """Trained product-quantization codebooks.
+
+    ``cents[sub]`` is the ordered list of surviving centroids for
+    subspace ``sub``: ``(cell, centroid_vector, squared_norm)`` tuples
+    sorted by cell id. ``m * k * (dims/m) = k * dims`` scalars total —
+    bounded metadata regardless of corpus size (SCALE.md invariant).
+    """
+
+    m: int
+    k: int
+    dims: int
+    cents: dict[int, list[tuple[int, list[float], float]]]
+
+
+def pq_train_encode(
+    df: DataFrame,
+    dims: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    seed: str = "pq",
+) -> tuple[DataFrame, PqCodebook]:
+    """Product quantization (Jegou et al. 2011, public): split each
+    vector into ``m`` subspaces of ``dims/m`` dims and k-means-quantize
+    every subspace independently — the corpus compresses to ``m`` small
+    codes per vector (m=8, k=16 turns a 256-byte float64[32] payload
+    into 8 nibbles, a 32-64x shrink), which is what lets a 100 TB
+    embedding corpus be scanned from memory-resident codes.
+
+    Training is the same deterministic distributed Lloyd's as
+    ``kmeans_semdedup`` (salted-md5 init, DECIMAL(38,12)-fenced
+    centroid means, literal-centroid scoring), run on all ``m``
+    subspaces IN ONE exploded frame: one shuffle per iteration
+    regardless of m, and only ``k * dims`` mean scalars ever reach the
+    driver. Reassignment maximizes ``dot(x, c) - 0.5*||c||^2``
+    (equivalent to L2 argmin; ties break to the lowest cell), scoring
+    only cells that still have members — engine-reproducible, so a SQL
+    twin can unroll it.
+
+    Returns ``(codes, codebook)``: codes is one row per
+    ``(id, sub, cell)`` w.r.t. the final-iteration centroids.
+    """
+    if dims % m != 0:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    dsub = dims // m
+    base = vec_norms(df, vec_col, [id_col]).localCheckpoint()
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(sub).alias("sub"),
+                F.slice("v", sub * dsub + 1, dsub).alias("sv"),
+            )
+            for sub in range(m)
+        ]
+    )
+    p = base.select(id_col, F.inline(pairs))
+    salted = F.concat(
+        F.col(id_col).cast("string"),
+        F.lit("|"),
+        F.col("sub").cast("string"),
+        F.lit(f"|{seed}"),
+    )
+    assigned = p.withColumn("cell", (md5_long(salted) % k).cast("int"))
+    cents: dict[int, list[tuple[int, list[float], float]]] = {}
+    for _ in range(iters):
+        stats = (
+            assigned.select("sub", "cell", F.posexplode("sv").alias("dim", "_x"))
+            .groupBy("sub", "cell", "dim")
+            .agg(
+                F.sum(F.col("_x").cast("decimal(38,12)")).alias("_s"),
+                F.count(F.lit(1)).alias("_c"),
+            )
+            .collect()
+        )
+        by_sub: dict[int, dict[int, dict[int, float]]] = {}
+        for r in stats:
+            by_sub.setdefault(r["sub"], {}).setdefault(r["cell"], {})[
+                r["dim"]
+            ] = float(r["_s"]) / r["_c"]
+        cents = {}
+        for sub in sorted(by_sub):
+            rows = []
+            for cell in sorted(by_sub[sub]):
+                means = by_sub[sub][cell]
+                cv = [means[d] for d in sorted(means)]
+                cnrm = 0.0
+                for x in cv:
+                    cnrm = cnrm + x * x
+                rows.append((cell, cv, cnrm))
+            cents[sub] = rows
+        pick = None
+        for sub in sorted(cents):
+            rows = cents[sub]
+            scores = F.array(
+                *[
+                    dot_product(F.col("sv"), F.array(*[F.lit(x) for x in cv]))
+                    - F.lit(0.5 * cn)
+                    for _, cv, cn in rows
+                ]
+            )
+            cells_lit = F.array(*[F.lit(cell) for cell, _, _ in rows])
+            choice = F.element_at(
+                cells_lit,
+                F.array_position(scores, F.array_max(scores)).cast("int"),
+            )
+            cond = F.col("sub") == sub
+            pick = (
+                F.when(cond, choice)
+                if pick is None
+                else pick.when(cond, choice)
+            )
+        assigned = p.withColumn("cell", pick.cast("int"))
+    codes = assigned.select(id_col, "sub", "cell")
+    return codes, PqCodebook(m=m, k=k, dims=dims, cents=cents)
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook: PqCodebook,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    exact, every corpus vector is represented by its m codes, and the
+    score is a pure table lookup — ``sum_sub lut[sub][code]`` with
+    ``lut[sub][cell] = dot(q_sub, centroid)`` precomputed once from the
+    query (m*k scalars, driver-side; the query vector itself is 1-row
+    bounded metadata).
+
+    Cosine is approximated against the reconstruction norm
+    ``sqrt(sum_sub ||centroid_code||^2)``. The serving plan is the
+    whole point at scale: codes pivot to one array per vector (one
+    build-time shuffle), then scoring is a ZERO-shuffle whole-stage
+    projection over literal lookup arrays ending in TakeOrdered —
+    no join, no exchange, per-row cost m lookups instead of a
+    ``dims``-long float dot.
+    """
+    m, dsub = codebook.m, codebook.dims // codebook.m
+    qn = 0.0
+    for x in query_vec:
+        qn = qn + float(x) * float(x)
+    lut: list[list[float]] = []
+    cnr: list[list[float]] = []
+    for sub in range(m):
+        qsv = [float(x) for x in query_vec[sub * dsub : (sub + 1) * dsub]]
+        lrow = [0.0] * codebook.k
+        nrow = [0.0] * codebook.k
+        for cell, cv, cn in codebook.cents.get(sub, []):
+            s = 0.0
+            for a, b in zip(qsv, cv):
+                s = s + a * b
+            lrow[cell] = s
+            nrow[cell] = cn
+        lut.append(lrow)
+        cnr.append(nrow)
+    arr = (
+        codes.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "cell"))).alias("_sc"))
+        .select(id_col, F.transform("_sc", lambda s: s["cell"]).alias("_codes"))
+    )
+    import math
+
+    adot = None
+    rnrm = None
+    for sub in range(m):
+        code1 = F.element_at("_codes", sub + 1) + F.lit(1)
+        t = F.element_at(F.array(*[F.lit(x) for x in lut[sub]]), code1)
+        n = F.element_at(F.array(*[F.lit(x) for x in cnr[sub]]), code1)
+        adot = t if adot is None else adot + t
+        rnrm = n if rnrm is None else rnrm + n
+    score = adot / (F.lit(math.sqrt(qn)) * F.sqrt(rnrm))
+    return (
+        arr.select(id_col, trino_round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )

@@ -1181,3 +1181,57 @@ def test_cluster_survivors_longest_wins_singletons_survive(spark):
     assert out[1]["n_members"] == 3
     assert out[4]["survivor_id"] == 4 and out[4]["n_members"] == 1
     assert out[9]["survivor_id"] == 9 and out[9]["n_members"] == 1
+
+
+def _pq_fixture(spark):
+    # 12 vectors in 4 dims -> m=2 subspaces of 2 dims, k=2 cells each.
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.choice([-1.0, 1.0]) + rng.random() * 0.1 for _ in range(4)])
+        for i in range(12)
+    ]
+    return rows, spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_train_encode_code_contract(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators.similarity import (
+        pq_train_encode,
+    )
+
+    _, df = _pq_fixture(spark)
+    codes, book = pq_train_encode(df, dims=4, m=2, k=2, iters=2, seed="t")
+    got = codes.collect()
+    # exactly m codes per vector, every cell a trained centroid of its sub
+    per_vec = {}
+    for r in got:
+        per_vec.setdefault(r.vec_id, set()).add(r.sub)
+        assert r.cell in {c for c, _, _ in book.cents[r.sub]}
+    assert all(subs == {0, 1} for subs in per_vec.values())
+    assert len(per_vec) == 12
+    # centroid vectors have subspace width and finite norms
+    for sub, rows in book.cents.items():
+        for cell, cv, cnrm in rows:
+            assert len(cv) == 2 and cnrm >= 0.0
+
+
+def test_pq_adc_topk_deterministic_and_self_hit(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_train_encode,
+    )
+
+    rows, df = _pq_fixture(spark)
+    codes, book = pq_train_encode(df, dims=4, m=2, k=2, iters=2, seed="t")
+    qv = [float(x) for x in rows[0][1]]
+    a = pq_adc_topk(codes, book, qv, k=5).collect()
+    b = pq_adc_topk(codes, book, qv, k=5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 5
+    # scores are sorted desc with id tiebreak
+    key = [(-r.score, r.vec_id) for r in a]
+    assert key == sorted(key)
+    # the query vector itself ranks in the top half: ADC reconstructs its
+    # own cell centroids, the nearest representation PQ has of it
+    assert 0 in {r.vec_id for r in a}

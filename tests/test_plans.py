@@ -665,3 +665,36 @@ def test_round10_operators_plan_shapes(spark):
     # md5 long); only the C(S,2)-row source pair frame may nested-loop.
     plan = plan_of(spark, "corpus_overlap_matrix")
     assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_serving_is_lookup_projection(spark):
+    """PQ ADC serving (the repeated-query hot path): after the one-time
+    code pivot, scoring must be a pure lookup projection — no join of
+    any kind and exactly ONE keyed exchange (the pivot groupBy); the
+    top-k is TakeOrdered, never a global sort."""
+    from lakehouse_platform_nyc_taxi_spark.operators.similarity import (
+        PqCodebook,
+        pq_adc_topk,
+    )
+
+    codes = spark.createDataFrame(
+        [(i, s, (i + s) % 2) for i in range(6) for s in range(2)],
+        "vec_id long, sub int, cell int",
+    )
+    book = PqCodebook(
+        m=2,
+        k=2,
+        dims=4,
+        cents={
+            s: [(c, [0.1 * (s + 1), 0.2 * (c + 1)], 0.05) for c in range(2)]
+            for s in range(2)
+        },
+    )
+    df = pq_adc_topk(codes, book, [1.0, 0.0, 0.0, 1.0], k=3)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "Join" not in plan, plan
+    assert plan.lower().count("hashpartitioning") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
