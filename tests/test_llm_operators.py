@@ -1235,3 +1235,26 @@ def test_pq_adc_topk_deterministic_and_self_hit(spark):
     # the query vector itself ranks in the top half: ADC reconstructs its
     # own cell centroids, the nearest representation PQ has of it
     assert 0 in {r.vec_id for r in a}
+
+
+def test_pq_adc_batch_matches_single_query_path(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_adc_topk_batch,
+        pq_train_encode,
+    )
+    from pyspark.sql import functions as SF
+
+    rows, df = _pq_fixture(spark)
+    codes, book = pq_train_encode(df, dims=4, m=2, k=2, iters=2, seed="t")
+    queries = spark.createDataFrame(
+        [(i, rows[i][1]) for i in (0, 3)], "qid long, qv array<float>"
+    )
+    batch = pq_adc_topk_batch(codes, book, queries, k=4).collect()
+    for qid in (0, 3):
+        single = pq_adc_topk(
+            codes, book, [float(x) for x in rows[qid][1]], k=4
+        ).collect()
+        got = [(r.vec_id, r.score) for r in batch if r.qid == qid]
+        want = [(r.vec_id, r.score) for r in single]
+        assert got == want, (qid, got, want)
