@@ -74,6 +74,7 @@ _PRIORITY = [
     "dedup_cluster_survivors",
     "similarity_pq_adc_topk",
     "similarity_pq_recall",
+    "dedup_lsh_precision",
     # 1) New in round 9 (never driver-attested):
     "layout_zorder_skipping",
     "dedup_incremental_minhash",
@@ -128,7 +129,6 @@ _PRIORITY = [
     "dq_violation_counts",
     "text_language_id",
     "text_fingerprints",
-    "sampling_hash_split",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at 50 that lands OUTSIDE the window, so
@@ -143,6 +143,7 @@ _KEEP = [
     "doc_chunking",
     "text_winnowing",
     "sampling_per_group_cap",
+    "sampling_hash_split",
     "privacy_k_anonymity",
     "sql_running_distinct",
     "agg_mode_median",

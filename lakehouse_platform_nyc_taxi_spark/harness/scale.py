@@ -17,8 +17,12 @@ from ..sources.testdata import load_table, load_table_parallel
 from . import register
 from .llm import (
     MD5L,
+    _AGREE_SQL,
+    _BANDS_SQL,
     _IVF_CTES,
     _IVF_DOT,
+    _NGRAM_GRAMS_CTE,
+    _NGRAM_JACCARD,
     _VEC_CTE,
     _ivf_index,
     _ivf_probe_sql,
@@ -1193,4 +1197,62 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         trino_round(
             F.count("_hit").cast("double") / F.lit(10.0), 6
         ).alias("recall_at_10"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup quality evaluation: LSH candidate precision vs exact n-gram Jaccard.
+# ---------------------------------------------------------------------------
+
+
+def _lsh_precision_oracle_sql() -> str:
+    return (
+        _minhash_sig_sql().rstrip()
+        + ",\n"
+        + _BANDS_SQL
+        + ",\n"
+        + _NGRAM_GRAMS_CTE
+        + f"""
+    , j AS (
+        SELECT ({_AGREE_SQL}) / 8.0 AS jaccard_est,
+               CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
+                    THEN {_NGRAM_JACCARD} ELSE 0.0 END AS tj
+        FROM pairs p
+        JOIN g a ON a.doc_id = p.doc_a
+        JOIN g b ON b.doc_id = p.doc_b
+    )
+    SELECT jaccard_est,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN tj >= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_pairs,
+           round(CAST(sum(CASE WHEN tj >= 0.2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS precision_at_true,
+           round(CAST(sum(CAST(tj AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+               AS mean_true_jaccard
+    FROM j GROUP BY jaccard_est
+    """
+    )
+
+
+@register(
+    "dedup_lsh_precision",
+    _lsh_precision_oracle_sql(),
+    doc="Dedup quality evaluation: every MinHash/LSH band-collision "
+    "candidate (no agreement cutoff) is exact-rechecked with true "
+    "word-3-gram Jaccard, rolled up per signature-agreement level into "
+    "candidate count, true-near-dup count (tj >= 0.2), precision, and "
+    "the fenced mean true Jaccard — the curve that calibrates the "
+    "est-threshold before a 100 TB dedup drops documents. The recheck "
+    "joins the LSH-bounded candidate list (never quadratic) to per-doc "
+    "gram sets; cost is proportional to what the bands already pruned. "
+    "Note the two gram spaces deliberately differ (char-5-shingle "
+    "estimator vs the corpus's word-3-gram dup definition): on this "
+    "testdata the curve shows the cheap detector needs est=1.0 to "
+    "reach even 3% precision against the word-level truth — exactly "
+    "the calibration fact the query exists to surface "
+    "(operators/dedup.py::lsh_precision).",
+)
+def dedup_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_precision(
+        load_table_parallel(spark, sf_dir, "documents")
     )

@@ -1094,3 +1094,86 @@ def cluster_survivors(
         F.min(F.when(F.col("_rk") == 1, F.col(id_col))).alias("survivor_id"),
         F.min(F.when(F.col("_rk") == 1, F.col("_score"))).alias("survivor_chars"),
     )
+
+
+def gram_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """Distinct word-n-gram set per document, as an array column —
+    the same gram definition the inverted-index Jaccard core uses
+    (whitespace tokens, ``ngram``-word windows, de-duplicated), but
+    kept per-doc instead of exploded, for per-PAIR exact re-checks."""
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= ngram,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - ngram),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + k + 1) for k in range(ngram)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), tokens(text_col).alias("_toks")).select(
+        F.col(id_col), grams.alias("grams")
+    )
+
+
+def lsh_precision(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    true_jaccard: float = 0.2,
+    ngram: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Dedup quality evaluation: for EVERY MinHash/LSH band-collision
+    candidate pair (no agreement cutoff), compute the exact word-n-gram
+    Jaccard and report, per signature-agreement level, how many
+    candidates are true near-dups at ``true_jaccard`` — the
+    precision curve that decides the est-threshold before a 100 TB
+    dedup commits to dropping documents.
+
+    The exact re-check joins the candidate pair list (LSH-bounded, NOT
+    quadratic) against the per-doc gram sets twice and compares arrays
+    per pair — per-pair cost proportional to the two documents, total
+    cost proportional to the candidate count the bands already pruned.
+
+    Output: ``jaccard_est, n_pairs, n_true_pairs, precision_at_true,
+    mean_true_jaccard`` (fenced mean, 6-decimal rounded).
+    """
+    cands = minhash_lsh_pairs(
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        min_jaccard_est=0.0,
+    )
+    g = gram_sets(df, text_col, id_col, ngram)
+    a = g.select(F.col(id_col).alias("doc_a"), F.col("grams").alias("_ga"))
+    b = g.select(F.col(id_col).alias("doc_b"), F.col("grams").alias("_gb"))
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    uni = F.size(F.array_distinct(F.concat("_ga", "_gb")))
+    tj = F.when(uni > 0, inter / uni).otherwise(F.lit(0.0))
+    j = cands.join(a, "doc_a").join(b, "doc_b").select(
+        "jaccard_est", tj.alias("_tj")
+    )
+    hit = F.when(F.col("_tj") >= true_jaccard, 1).otherwise(0)
+    return j.groupBy("jaccard_est").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(hit).cast("bigint").alias("n_true_pairs"),
+        trino_round(
+            F.sum(hit).cast("double") / F.count(F.lit(1)), 6
+        ).alias("precision_at_true"),
+        trino_round(
+            F.sum(F.col("_tj").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_true_jaccard"),
+    )

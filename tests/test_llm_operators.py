@@ -1258,3 +1258,26 @@ def test_pq_adc_batch_matches_single_query_path(spark):
         got = [(r.vec_id, r.score) for r in batch if r.qid == qid]
         want = [(r.vec_id, r.score) for r in single]
         assert got == want, (qid, got, want)
+
+
+def test_lsh_precision_flags_true_dups_per_est_level(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1: est 1.0, true jaccard 1.0
+        (3, "completely different words about spark catalyst optimizer"),
+        (4, "unrelated sentence mentioning parquet files and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["jaccard_est"]: r.asDict()
+        for r in dedup.lsh_precision(df).collect()
+    }
+    # the exact-dup pair collides in every band with all sigs agreeing
+    assert 1.0 in out
+    top = out[1.0]
+    assert top["n_true_pairs"] >= 1
+    assert top["precision_at_true"] == top["n_true_pairs"] / top["n_pairs"]
+    assert 0.0 <= top["mean_true_jaccard"] <= 1.0
+    # buckets partition the candidate set: counts are all positive
+    assert all(v["n_pairs"] >= 1 for v in out.values())
