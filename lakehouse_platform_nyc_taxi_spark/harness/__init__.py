@@ -75,6 +75,7 @@ _PRIORITY = [
     "similarity_pq_adc_topk",
     "similarity_pq_recall",
     "dedup_lsh_precision",
+    "embedding_source_drift",
     # 1) New in round 9 (never driver-attested):
     "layout_zorder_skipping",
     "dedup_incremental_minhash",
@@ -128,7 +129,6 @@ _PRIORITY = [
     "datetime_features",
     "dq_violation_counts",
     "text_language_id",
-    "text_fingerprints",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at 50 that lands OUTSIDE the window, so
@@ -144,6 +144,7 @@ _KEEP = [
     "text_winnowing",
     "sampling_per_group_cap",
     "sampling_hash_split",
+    "text_fingerprints",
     "privacy_k_anonymity",
     "sql_running_distinct",
     "agg_mode_median",

@@ -1256,3 +1256,54 @@ def dedup_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_precision(
         load_table_parallel(spark, sf_dir, "documents")
     )
+
+
+@register(
+    "embedding_source_drift",
+    """
+    WITH x AS (
+        SELECT label, unnest(generate_series(1, len(embedding))) AS dim,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v
+        FROM embeddings
+    ),
+    c AS (
+        SELECT label, dim,
+               CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mu
+        FROM x GROUP BY label, dim
+    ),
+    nn AS (
+        SELECT label, CAST(sum(CAST(mu * mu AS DECIMAL(38,12))) AS DOUBLE) AS nrm
+        FROM c GROUP BY label
+    ),
+    d AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(sum(CAST(a.mu * b.mu AS DECIMAL(38,12))) AS DOUBLE) AS dt
+        FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY a.label, b.label
+    ),
+    cnt AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n
+        FROM embeddings GROUP BY label
+    )
+    SELECT d.label_a, d.label_b,
+           round(d.dt / (sqrt(na.nrm) * sqrt(nb.nrm)), 6) AS centroid_cosine,
+           ca.n AS n_a, cb.n AS n_b
+    FROM d
+    JOIN nn na ON na.label = d.label_a
+    JOIN nn nb ON nb.label = d.label_b
+    JOIN cnt ca ON ca.label = d.label_a
+    JOIN cnt cb ON cb.label = d.label_b
+    """,
+    doc="Embedding drift audit: pairwise cosine between per-label "
+    "centroids (labels stand in for sources / shards / time slices) — "
+    "the pre-mix check that two corpus slices occupy the same region "
+    "of embedding space. One data-sized decimal-fenced partial-agg "
+    "shuffle for the per-(label, dim) means; every later step runs on "
+    "labels x dims rows. No collect anywhere; dots and norms are "
+    "decimal-fenced sums of mean products, bit-reproducible in SQL "
+    "(operators/similarity.py::centroid_drift).",
+)
+def embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import centroid_drift
+
+    return centroid_drift(load_table_parallel(spark, sf_dir, "embeddings"))

@@ -1111,3 +1111,73 @@ def pq_adc_topk_batch(
         .filter(F.col("_rk") <= k)
         .select(qid_col, id_col, "score")
     )
+
+
+def centroid_drift(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Embedding drift audit: pairwise cosine between per-group centroid
+    vectors — the check that says whether two sources / shards / time
+    slices live in the same region of embedding space before they are
+    mixed into one training run.
+
+    Fully distributed and collect-free: per-(group, dim) DECIMAL-fenced
+    means (ONE data-sized partial-agg shuffle; everything after runs on
+    groups x dims rows), then dot products and norms as decimal-fenced
+    sums of mean products — deterministic regardless of partitioning,
+    so a SQL twin reproduces it bit-for-bit. Output:
+    ``label_a, label_b, centroid_cosine, n_a, n_b`` for group pairs
+    with label_a < label_b.
+    """
+    x = df.select(
+        F.col(group_col).alias("label"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda v: v.cast("double"))
+        ).alias("dim", "v"),
+    )
+    c = x.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    nn = c.groupBy("label").agg(
+        F.sum((F.col("mu") * F.col("mu")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("nrm")
+    )
+    a = c.select(F.col("label").alias("label_a"), "dim", F.col("mu").alias("_ma"))
+    b = c.select(F.col("label").alias("label_b"), "dim", F.col("mu").alias("_mb"))
+    d = (
+        a.join(b, (a["dim"] == b["dim"]) & (F.col("label_a") < F.col("label_b")))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum((F.col("_ma") * F.col("_mb")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("_dt")
+        )
+    )
+    cnt = df.groupBy(F.col(group_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    na = nn.select(F.col("label").alias("label_a"), F.col("nrm").alias("_na"))
+    nb = nn.select(F.col("label").alias("label_b"), F.col("nrm").alias("_nb"))
+    ca = cnt.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"))
+    return (
+        d.join(na, "label_a")
+        .join(nb, "label_b")
+        .join(ca, "label_a")
+        .join(cb, "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            trino_round(
+                F.col("_dt") / (F.sqrt("_na") * F.sqrt("_nb")), 6
+            ).alias("centroid_cosine"),
+            "n_a",
+            "n_b",
+        )
+    )

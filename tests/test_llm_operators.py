@@ -1281,3 +1281,27 @@ def test_lsh_precision_flags_true_dups_per_est_level(spark):
     assert 0.0 <= top["mean_true_jaccard"] <= 1.0
     # buckets partition the candidate set: counts are all positive
     assert all(v["n_pairs"] >= 1 for v in out.values())
+
+
+def test_centroid_drift_parallel_and_orthogonal_groups(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators.similarity import (
+        centroid_drift,
+    )
+
+    rows = [
+        # group 0 and 1 both center on the x axis -> cosine 1.0
+        (0, [1.0, 0.0]), (0, [3.0, 0.0]),
+        (1, [2.0, 0.0]),
+        # group 2 centers on y -> orthogonal to both
+        (2, [0.0, 1.0]), (2, [0.0, 5.0]),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    out = {
+        (r.label_a, r.label_b): r.asDict()
+        for r in centroid_drift(df).collect()
+    }
+    assert len(out) == 3
+    assert out[(0, 1)]["centroid_cosine"] == 1.0
+    assert out[(0, 2)]["centroid_cosine"] == 0.0
+    assert out[(1, 2)]["centroid_cosine"] == 0.0
+    assert out[(0, 1)]["n_a"] == 2 and out[(0, 1)]["n_b"] == 1
