@@ -76,6 +76,7 @@ _PRIORITY = [
     "similarity_pq_recall",
     "dedup_lsh_precision",
     "embedding_source_drift",
+    "sampling_bernoulli_estimate",
     # 1) New in round 9 (never driver-attested):
     "layout_zorder_skipping",
     "dedup_incremental_minhash",
@@ -128,7 +129,6 @@ _PRIORITY = [
     "surrogate_keys_md5",
     "datetime_features",
     "dq_violation_counts",
-    "text_language_id",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at 50 that lands OUTSIDE the window, so
@@ -145,6 +145,7 @@ _KEEP = [
     "sampling_per_group_cap",
     "sampling_hash_split",
     "text_fingerprints",
+    "text_language_id",
     "privacy_k_anonymity",
     "sql_running_distinct",
     "agg_mode_median",

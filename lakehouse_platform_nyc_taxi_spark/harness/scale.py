@@ -1307,3 +1307,56 @@ def embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import centroid_drift
 
     return centroid_drift(load_table_parallel(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "sampling_bernoulli_estimate",
+    f"""
+    WITH s AS (
+        SELECT event_type, value FROM events
+        WHERE ({MD5L.format(x="CAST(event_id AS VARCHAR) || '|est'")}) % 10000 < 1000
+    ),
+    e AS (
+        SELECT event_type,
+               count(*) * 10.0 AS ne,
+               CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) * 10.0 AS se
+        FROM s GROUP BY event_type
+    ),
+    x AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sx
+        FROM events GROUP BY event_type
+    )
+    SELECT x.event_type, x.n_exact,
+           round(coalesce(e.ne, 0.0), 6) AS n_est,
+           round(x.sx, 6) AS sum_exact,
+           round(coalesce(e.se, 0.0), 6) AS sum_est,
+           round(CASE WHEN x.n_exact != 0
+                      THEN abs(coalesce(e.ne, 0.0) - CAST(x.n_exact AS DOUBLE))
+                           / abs(CAST(x.n_exact AS DOUBLE)) END, 6) AS rel_err_n,
+           round(CASE WHEN x.sx != 0
+                      THEN abs(coalesce(e.se, 0.0) - x.sx) / abs(x.sx) END, 6)
+               AS rel_err_sum
+    FROM x LEFT JOIN e ON e.event_type = x.event_type
+    """,
+    doc="Horvitz-Thompson estimates from a 10% deterministic hash-"
+    "Bernoulli sample: per event_type, count and decimal-fenced value "
+    "sum scaled by 1/rate, alongside the exact aggregates and the "
+    "measured relative errors. Because membership is a key hash (not "
+    "RNG), the estimate is a pure function of the data — every engine "
+    "gets the SAME numbers, so the errors are hash-checkable, not "
+    "just bounded. This is the answer-from-1%-of-the-bytes pattern "
+    "that turns a 100 TB sweep into a sample-sized one "
+    "(operators/sampling.py::sampled_estimate).",
+)
+def sampling_bernoulli_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import sampled_estimate
+
+    return sampled_estimate(
+        load_table(spark, sf_dir, "events"),
+        key_col="event_id",
+        value_col="value",
+        group_col="event_type",
+        rate=0.1,
+        salt="est",
+    )

@@ -230,3 +230,60 @@ def token_budget_sample(
         .filter(F.col("cum_tokens") <= F.col("_budget"))
         .drop("_budget")
     )
+
+
+def sampled_estimate(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    group_col: str,
+    rate: float = 0.1,
+    salt: str = "est",
+) -> DataFrame:
+    """Horvitz-Thompson estimation from a deterministic hash-Bernoulli
+    sample: aggregate the ``rate`` sample, scale by 1/rate, and report
+    both the estimates and their relative error against the exact
+    aggregates — the "answer from 1% of the bytes" pattern that turns a
+    100 TB sweep into a 1 TB one, with the error measured in-engine.
+
+    Because membership is a hash (not RNG), the estimate is a pure
+    deterministic function of the data: reruns and other engines get
+    the SAME estimate, so the error columns are exact-checkable, not
+    just bounded. Sums are DECIMAL-fenced before the 1/rate scaling.
+
+    Output per group: ``n_exact, n_est, sum_exact, sum_est,
+    rel_err_n, rel_err_sum`` (estimates and errors rounded to 6).
+    """
+    inv = 1.0 / rate
+    s = hash_sample(df, key_col, rate, salt)
+    est = s.groupBy(group_col).agg(
+        (F.count(F.lit(1)) * F.lit(inv)).alias("_ne"),
+        (
+            F.sum(F.col(value_col).cast("decimal(38,12)")).cast("double")
+            * F.lit(inv)
+        ).alias("_se"),
+    )
+    exact = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.sum(F.col(value_col).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("_sx"),
+    )
+    from ..functions.trino import trino_round
+
+    rel = lambda e, x: F.when(  # noqa: E731
+        x != 0, F.abs(e - x) / F.abs(x)
+    ).otherwise(F.lit(None).cast("double"))
+    return exact.join(est, group_col, "left").select(
+        group_col,
+        "n_exact",
+        trino_round(F.coalesce(F.col("_ne"), F.lit(0.0)), 6).alias("n_est"),
+        trino_round(F.col("_sx"), 6).alias("sum_exact"),
+        trino_round(F.coalesce(F.col("_se"), F.lit(0.0)), 6).alias("sum_est"),
+        trino_round(
+            rel(F.coalesce(F.col("_ne"), F.lit(0.0)), F.col("n_exact").cast("double")), 6
+        ).alias("rel_err_n"),
+        trino_round(
+            rel(F.coalesce(F.col("_se"), F.lit(0.0)), F.col("_sx")), 6
+        ).alias("rel_err_sum"),
+    )

@@ -1305,3 +1305,24 @@ def test_centroid_drift_parallel_and_orthogonal_groups(spark):
     assert out[(0, 2)]["centroid_cosine"] == 0.0
     assert out[(1, 2)]["centroid_cosine"] == 0.0
     assert out[(0, 1)]["n_a"] == 2 and out[(0, 1)]["n_b"] == 1
+
+
+def test_sampled_estimate_scales_by_inverse_rate(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators.sampling import (
+        hash_sample,
+        sampled_estimate,
+    )
+
+    rows = [(i, "g", float(i)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, g string, v double")
+    out = sampled_estimate(
+        df, key_col="k", value_col="v", group_col="g", rate=0.25, salt="t"
+    ).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    kept = hash_sample(df, "k", 0.25, "t").count()
+    assert r["n_exact"] == 400
+    assert r["n_est"] == kept * 4.0
+    # the estimate is reproducible and the error column is consistent
+    assert abs(r["rel_err_n"] - abs(r["n_est"] - 400) / 400) < 1e-6
+    assert r["sum_est"] >= 0.0 and r["rel_err_sum"] is not None
