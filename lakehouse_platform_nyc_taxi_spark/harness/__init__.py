@@ -77,6 +77,7 @@ _PRIORITY = [
     "dedup_lsh_precision",
     "embedding_source_drift",
     "sampling_bernoulli_estimate",
+    "profile_key_skew",
     # 1) New in round 9 (never driver-attested):
     "layout_zorder_skipping",
     "dedup_incremental_minhash",
@@ -128,7 +129,6 @@ _PRIORITY = [
     "multimodal_metadata",
     "surrogate_keys_md5",
     "datetime_features",
-    "dq_violation_counts",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at 50 that lands OUTSIDE the window, so
@@ -146,6 +146,7 @@ _KEEP = [
     "sampling_hash_split",
     "text_fingerprints",
     "text_language_id",
+    "dq_violation_counts",
     "privacy_k_anonymity",
     "sql_running_distinct",
     "agg_mode_median",

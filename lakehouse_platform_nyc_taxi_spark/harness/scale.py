@@ -1360,3 +1360,52 @@ def sampling_bernoulli_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate=0.1,
         salt="est",
     )
+
+
+def _skew_block_sql(col: str, top_k: int = 10) -> str:
+    return f"""
+    SELECT '{col}' AS key_name, s.n_keys, s.n_rows,
+           round(s.ss / (CAST(s.n_rows AS DOUBLE) * CAST(s.n_rows AS DOUBLE)), 6)
+               AS hhi,
+           round((CAST(s.n_rows AS DOUBLE) * CAST(s.n_rows AS DOUBLE)) / s.ss, 6)
+               AS effective_keys,
+           round(CAST(s.mx AS DOUBLE) / CAST(s.n_rows AS DOUBLE), 6) AS top1_share,
+           round(CAST(t.tk AS DOUBLE) / CAST(s.n_rows AS DOUBLE), 6) AS topk_share,
+           round(CAST(s.mx AS DOUBLE) * CAST(s.n_keys AS DOUBLE)
+                 / CAST(s.n_rows AS DOUBLE), 6) AS skew_factor
+    FROM (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(c AS DECIMAL(19,0)) * c) AS DOUBLE) AS ss,
+               CAST(max(c) AS BIGINT) AS mx
+        FROM (SELECT CAST({col} AS VARCHAR) AS k, count(*) AS c
+              FROM events GROUP BY 1)
+    ) s
+    CROSS JOIN (
+        SELECT CAST(sum(c) AS BIGINT) AS tk FROM (
+            SELECT count(*) AS c
+            FROM (SELECT CAST({col} AS VARCHAR) AS k FROM events)
+            GROUP BY k ORDER BY count(*) DESC, k LIMIT {top_k})
+    ) t
+    """
+
+
+@register(
+    "profile_key_skew",
+    _skew_block_sql("user_id") + "\nUNION ALL\n" + _skew_block_sql("event_type"),
+    doc="Shuffle-skew pre-flight over candidate keys: per column, the "
+    "Herfindahl concentration index, effective key count (1/HHI), "
+    "max-key and top-10 shares, and the max/mean skew factor that "
+    "sizes the salting decision before a 100 TB job hashes on the "
+    "key. Deliberately HHI and not Gini: HHI is a pure decimal-fenced "
+    "sum over the distinct-key-sized count table (one partial-agg "
+    "shuffle per column, no global rank); top-k shares come from "
+    "TakeOrdered, never a global sort "
+    "(operators/profile.py::key_skew).",
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import key_skew
+
+    return key_skew(
+        load_table(spark, sf_dir, "events"), ["user_id", "event_type"]
+    )

@@ -97,3 +97,71 @@ def profile_categorical(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         )
     )
     return stats.join(top, "col_name", "left")
+
+
+def key_skew(df: DataFrame, cols: Sequence[str], top_k: int = 10) -> DataFrame:
+    """Shuffle-skew pre-flight: for each candidate join/group key column,
+    measure how concentrated its value distribution is — BEFORE a 100 TB
+    job hashes on it and one reducer eats the hot key.
+
+    Per column: distinct key count, Herfindahl concentration index
+    ``hhi = sum((c_i/N)^2)``, its inverse (the "effective" number of
+    keys a shuffle really spreads over), the max-key share, the top-k
+    combined share, and the max/mean skew factor that sizes the salting
+    decision (``join_skew_salted``'s input).
+
+    Everything derives from the per-key count table (distinct-key-sized,
+    one partial-agg shuffle per column): HHI is a pure decimal-fenced
+    sum of squared counts — NO global rank or window, which is why this
+    is HHI and not Gini (Gini needs a total order over all keys; at a
+    billion keys that is its own skewed job). Top-k shares come from a
+    TakeOrdered top-k, never a global sort. All ratios are exact
+    integer arithmetic until one final double division.
+    """
+    from ..functions.trino import trino_round
+
+    out = None
+    for c in cols:
+        counts = df.groupBy(F.col(c).cast("string").alias("_k")).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        stats = counts.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("_c").cast("bigint").alias("n_rows"),
+            F.sum(F.col("_c").cast("decimal(19,0)") * F.col("_c")).alias("_ss"),
+            F.max("_c").cast("bigint").alias("_mx"),
+        )
+        top = (
+            counts.orderBy(F.desc("_c"), F.asc("_k"))
+            .limit(top_k)
+            .agg(F.sum("_c").cast("bigint").alias("_tk"))
+        )
+        row = stats.crossJoin(F.broadcast(top)).select(
+            F.lit(c).alias("key_name"),
+            "n_keys",
+            "n_rows",
+            trino_round(
+                F.col("_ss").cast("double")
+                / (F.col("n_rows").cast("double") * F.col("n_rows").cast("double")),
+                6,
+            ).alias("hhi"),
+            trino_round(
+                (F.col("n_rows").cast("double") * F.col("n_rows").cast("double"))
+                / F.col("_ss").cast("double"),
+                6,
+            ).alias("effective_keys"),
+            trino_round(
+                F.col("_mx").cast("double") / F.col("n_rows").cast("double"), 6
+            ).alias("top1_share"),
+            trino_round(
+                F.col("_tk").cast("double") / F.col("n_rows").cast("double"), 6
+            ).alias("topk_share"),
+            trino_round(
+                F.col("_mx").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("skew_factor"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -299,3 +299,21 @@ def test_token_budget_prefix_is_maximal(spark):
             want.append(r.doc_id)
         got = sorted(r.doc_id for r in kept if r.source == src)
         assert got == sorted(want), (src, got, want)
+
+
+def test_key_skew_flags_hot_key(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators.profile import key_skew
+
+    # 90 rows on one key, 10 spread over ten keys: HHI ~ (90/100)^2 + ...
+    rows = [(0, "hot") for _ in range(90)] + [(i, f"k{i}") for i in range(1, 11)]
+    df = spark.createDataFrame(
+        [(v, k) for v, k in rows], "val long, key string"
+    )
+    out = {r["key_name"]: r.asDict() for r in key_skew(df, ["key"]).collect()}
+    r = out["key"]
+    assert r["n_keys"] == 11 and r["n_rows"] == 100
+    assert r["top1_share"] == 0.9
+    assert abs(r["hhi"] - (0.9**2 + 10 * 0.01**2)) < 1e-9
+    # max/mean factor: 90 / (100/11)
+    assert abs(r["skew_factor"] - 90 * 11 / 100) < 1e-9
+    assert r["topk_share"] == 0.99  # hot + 9 singles of the 10
