@@ -1181,3 +1181,73 @@ def centroid_drift(
             "n_b",
         )
     )
+
+
+def save_pq_index(
+    codes: DataFrame, codebook: PqCodebook, path: str
+) -> tuple[int, int]:
+    """Persist a PQ index AS LAKEHOUSE TABLES: ``<path>/codes`` (the
+    per-vector code rows — the 32-64x-compressed corpus) and
+    ``<path>/codebook`` (one row per (sub, cell) centroid, plus the
+    m/k/dims geometry on every row) become snapshot tables, so a
+    re-encode is an atomic commit with history/rollback, and ADC
+    serving can pin an index version for reproducible retrieval.
+    Returns the committed (codes_version, codebook_version)."""
+    import os
+
+    from ..sources import snapshots as snap
+
+    spark = codes.sparkSession
+    rows = [
+        (codebook.m, codebook.k, codebook.dims, sub, cell, cv, cnrm)
+        for sub, cents in sorted(codebook.cents.items())
+        for cell, cv, cnrm in cents
+    ]
+    book_df = spark.createDataFrame(
+        rows,
+        "m int, k int, dims int, sub int, cell int, "
+        "cv array<double>, cnrm double",
+    )
+
+    def _put(df: DataFrame, p: str) -> int:
+        cur = snap.current_version(p)
+        if cur is None:
+            return snap.create_table(df, p)
+        files, stats = snap._write_data_files(df, p)
+        return snap._commit(
+            p, files, "rebuild", parent=cur,
+            schema_json=df.schema.json(), new_stats=stats,
+        )
+
+    vc = _put(codes, os.path.join(path, "codes"))
+    vb = _put(book_df, os.path.join(path, "codebook"))
+    return vc, vb
+
+
+def load_pq_index(
+    spark,
+    path: str,
+    version: tuple[int, int] | None = None,
+) -> tuple[DataFrame, PqCodebook]:
+    """Open a persisted PQ index (optionally pinned to the
+    ``(codes_version, codebook_version)`` pair from
+    :func:`save_pq_index`). The codebook table is geometry-sized
+    (m*k rows) — collecting it is bounded metadata; the code table
+    stays a lazy snapshot scan for ADC to consume."""
+    import os
+
+    from ..sources import snapshots as snap
+
+    vc, vb = version if version is not None else (None, None)
+    codes = snap.read_table(spark, os.path.join(path, "codes"), vc)
+    book_rows = snap.read_table(
+        spark, os.path.join(path, "codebook"), vb
+    ).collect()
+    cents: dict[int, list[tuple[int, list[float], float]]] = {}
+    m = k = dims = 0
+    for r in sorted(book_rows, key=lambda r: (r["sub"], r["cell"])):
+        m, k, dims = r["m"], r["k"], r["dims"]
+        cents.setdefault(r["sub"], []).append(
+            (r["cell"], [float(x) for x in r["cv"]], float(r["cnrm"]))
+        )
+    return codes, PqCodebook(m=m, k=k, dims=dims, cents=cents)

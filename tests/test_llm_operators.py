@@ -1326,3 +1326,32 @@ def test_sampled_estimate_scales_by_inverse_rate(spark):
     # the estimate is reproducible and the error column is consistent
     assert abs(r["rel_err_n"] - abs(r["n_est"] - 400) / 400) < 1e-6
     assert r["sum_est"] >= 0.0 and r["rel_err_sum"] is not None
+
+
+def test_pq_index_save_load_roundtrip(spark, tmp_path):
+    from lakehouse_platform_nyc_taxi_spark.operators.similarity import (
+        load_pq_index,
+        pq_adc_topk,
+        pq_train_encode,
+        save_pq_index,
+    )
+
+    rows, df = _pq_fixture(spark)
+    codes, book = pq_train_encode(df, dims=4, m=2, k=2, iters=2, seed="t")
+    p = str(tmp_path / "pqidx")
+    v1 = save_pq_index(codes, book, p)
+    codes2, book2 = load_pq_index(spark, p)
+    assert book2 == book
+    assert sorted(map(tuple, codes2.collect())) == sorted(
+        map(tuple, codes.collect())
+    )
+    # serving off the loaded index gives identical results
+    qv = [float(x) for x in rows[0][1]]
+    a = [tuple(r) for r in pq_adc_topk(codes, book, qv, k=5).collect()]
+    b = [tuple(r) for r in pq_adc_topk(codes2, book2, qv, k=5).collect()]
+    assert a == b
+    # a re-encode is a new atomic version, and the old pin still reads
+    v2 = save_pq_index(codes, book, p)
+    assert v2[0] > v1[0]
+    codes_pinned, _ = load_pq_index(spark, p, version=v1)
+    assert codes_pinned.count() == codes.count()
