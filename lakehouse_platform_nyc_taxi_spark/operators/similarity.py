@@ -947,27 +947,31 @@ def pq_train_encode(
                     cnrm = cnrm + x * x
                 rows.append((cell, cv, cnrm))
             cents[sub] = rows
-        pick = None
-        for sub in sorted(cents):
-            rows = cents[sub]
-            scores = F.array(
-                *[
-                    dot_product(F.col("sv"), F.array(*[F.lit(x) for x in cv]))
-                    - F.lit(0.5 * cn)
-                    for _, cv, cn in rows
-                ]
+        # Reassignment as ONE tiny higher-order-function expression over
+        # nested-array literals (CENTS[sub][i][dim], CNRM[sub][i],
+        # CELLS[sub][i] — ragged per sub, only surviving cells): the
+        # per-(sub, cell) expanded expression tree costs seconds of
+        # Py4J/codegen per iteration at m*k=128; this tree is O(1) and
+        # computes the identical doubles (aggregate fold from 0.0 ==
+        # the expanded left-chained sum, bit for bit).
+        cents_lit = F.lit([[cv for _, cv, _ in cents[s]] for s in sorted(cents)])
+        cnrm_lit = F.lit([[cn for _, _, cn in cents[s]] for s in sorted(cents)])
+        cells_lit = F.lit([[c for c, _, _ in cents[s]] for s in sorted(cents)])
+        sub1 = F.col("sub") + 1
+        scores = F.zip_with(
+            F.element_at(cents_lit, sub1),
+            F.element_at(cnrm_lit, sub1),
+            lambda c, n: F.aggregate(
+                F.zip_with(F.col("sv"), c, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
             )
-            cells_lit = F.array(*[F.lit(cell) for cell, _, _ in rows])
-            choice = F.element_at(
-                cells_lit,
-                F.array_position(scores, F.array_max(scores)).cast("int"),
-            )
-            cond = F.col("sub") == sub
-            pick = (
-                F.when(cond, choice)
-                if pick is None
-                else pick.when(cond, choice)
-            )
+            - F.lit(0.5) * n,
+        )
+        pick = F.element_at(
+            F.element_at(cells_lit, sub1),
+            F.array_position(scores, F.array_max(scores)).cast("int"),
+        )
         assigned = p.withColumn("cell", pick.cast("int"))
     codes = assigned.select(id_col, "sub", "cell")
     return codes, PqCodebook(m=m, k=k, dims=dims, cents=cents)
