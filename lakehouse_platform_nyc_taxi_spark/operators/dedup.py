@@ -318,27 +318,27 @@ def minhash_lsh_pairs(
         "band_digest",
         *[F.col(f"sig{j}").alias(f"b_sig{j}") for j in range(num_hashes)],
     )
-    pairs = (
+    agreement = sum(
+        F.when(F.col(f"a_sig{j}") == F.col(f"b_sig{j}"), 1).otherwise(0)
+        for j in range(num_hashes)
+    )
+    # Compute the estimate BEFORE de-duplicating band collisions: the
+    # signatures are constant per doc, so the estimate is constant per
+    # pair, and the distinct then shuffles 3 narrow columns instead of
+    # 2 + 2*num_hashes sig longs — at 10^6 candidate rows that is the
+    # dominant exchange of the whole operator.
+    return (
         left.join(right, ["band", "band_digest"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
-            *[F.col(f"a_sig{j}") for j in range(num_hashes)],
-            *[F.col(f"b_sig{j}") for j in range(num_hashes)],
-        )
-        .distinct()
-    )
-    agreement = sum(
-        F.when(F.col(f"a_sig{j}") == F.col(f"b_sig{j}"), 1).otherwise(0)
-        for j in range(num_hashes)
-    )
-    return (
-        pairs.withColumn(
-            "jaccard_est", agreement.cast("double") / F.lit(float(num_hashes))
+            (agreement.cast("double") / F.lit(float(num_hashes))).alias(
+                "jaccard_est"
+            ),
         )
         .filter(F.col("jaccard_est") >= min_jaccard_est)
-        .select("doc_a", "doc_b", "jaccard_est")
+        .distinct()
     )
 
 
