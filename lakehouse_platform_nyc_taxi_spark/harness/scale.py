@@ -1213,13 +1213,23 @@ def _lsh_precision_oracle_sql() -> str:
         + ",\n"
         + _NGRAM_GRAMS_CTE
         + f"""
+    , gh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(grams, x -> {MD5L.format(x="x")}))
+                   AS ghs
+        FROM g
+    )
     , j AS (
         SELECT ({_AGREE_SQL}) / 8.0 AS jaccard_est,
-               CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
-                    THEN {_NGRAM_JACCARD} ELSE 0.0 END AS tj
+               CASE WHEN (len(a.ghs) + len(b.ghs)
+                          - len(list_intersect(a.ghs, b.ghs))) > 0
+                    THEN len(list_intersect(a.ghs, b.ghs))
+                         / CAST(len(a.ghs) + len(b.ghs)
+                                - len(list_intersect(a.ghs, b.ghs)) AS DOUBLE)
+                    ELSE 0.0 END AS tj
         FROM pairs p
-        JOIN g a ON a.doc_id = p.doc_a
-        JOIN g b ON b.doc_id = p.doc_b
+        JOIN gh a ON a.doc_id = p.doc_a
+        JOIN gh b ON b.doc_id = p.doc_b
     )
     SELECT jaccard_est,
            CAST(count(*) AS BIGINT) AS n_pairs,

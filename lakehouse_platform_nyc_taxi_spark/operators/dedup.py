@@ -1101,11 +1101,20 @@ def gram_sets(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 3,
+    hashed: bool = False,
 ) -> DataFrame:
     """Distinct word-n-gram set per document, as an array column —
     the same gram definition the inverted-index Jaccard core uses
     (whitespace tokens, ``ngram``-word windows, de-duplicated), but
-    kept per-doc instead of exploded, for per-PAIR exact re-checks."""
+    kept per-doc instead of exploded, for per-PAIR exact re-checks.
+
+    ``hashed=True`` md5-hashes every gram to an 8-byte long: set
+    intersections compare longs instead of ~30-byte strings and the
+    arrays shrink ~4x through any join — the right representation when
+    the gram sets ride a candidate-pair join. A 48-bit collision only
+    matters if two distinct grams of the SAME doc pair collide
+    (~10^-14 per pair); an engine-parity twin applies the identical
+    hash, so cross-engine results agree even then."""
     toks = F.col("_toks")
     grams = F.when(
         F.size(toks) >= ngram,
@@ -1118,6 +1127,8 @@ def gram_sets(
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+    if hashed:
+        grams = F.array_distinct(F.transform(grams, md5_long))
     return df.select(F.col(id_col), tokens(text_col).alias("_toks")).select(
         F.col(id_col), grams.alias("grams")
     )
@@ -1155,14 +1166,22 @@ def lsh_precision(
         bands=bands,
         min_jaccard_est=0.0,
     )
-    g = gram_sets(df, text_col, id_col, ngram)
+    # Hashed gram sets (8-byte longs, ~4x smaller through the join) and
+    # broadcast hints: the gram table has one row per DOCUMENT while
+    # the probe side has one row per candidate PAIR — the doc side is
+    # smaller by construction, so the pair stream never shuffles for
+    # the recheck. Union size is derived (|A|+|B|-|A∩B|, exact on
+    # distinct sets) instead of materializing concat+distinct per pair.
+    g = gram_sets(df, text_col, id_col, ngram, hashed=True)
     a = g.select(F.col(id_col).alias("doc_a"), F.col("grams").alias("_ga"))
     b = g.select(F.col(id_col).alias("doc_b"), F.col("grams").alias("_gb"))
     inter = F.size(F.array_intersect("_ga", "_gb"))
-    uni = F.size(F.array_distinct(F.concat("_ga", "_gb")))
+    uni = F.size("_ga") + F.size("_gb") - inter
     tj = F.when(uni > 0, inter / uni).otherwise(F.lit(0.0))
-    j = cands.join(a, "doc_a").join(b, "doc_b").select(
-        "jaccard_est", tj.alias("_tj")
+    j = (
+        cands.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .select("jaccard_est", tj.alias("_tj"))
     )
     hit = F.when(F.col("_tj") >= true_jaccard, 1).otherwise(0)
     return j.groupBy("jaccard_est").agg(
