@@ -1419,3 +1419,48 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew(
         load_table(spark, sf_dir, "events"), ["user_id", "event_type"]
     )
+
+
+@register(
+    "similarity_hard_negatives",
+    _VEC_CTE
+    + f"""
+    , q AS (
+        SELECT vec_id AS qid, label AS qlabel, e AS qe, nrm AS qn
+        FROM n WHERE vec_id < 20
+    )
+    , sc AS (
+        SELECT q.qid, n.vec_id,
+               round({_IVF_DOT.format(a='n.e', b='q.qe')}
+                     / (sqrt(n.nrm) * sqrt(q.qn)), 6) AS score
+        FROM n JOIN q ON n.label != q.qlabel
+    )
+    SELECT qid, vec_id, score FROM (
+        SELECT qid, vec_id, score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, vec_id) AS rk
+        FROM sc) WHERE rk <= 5
+    """,
+    doc="Hard-negative mining for contrastive embedding training: per "
+    "query (a 20-vector batch with labels), the top-5 most-similar "
+    "corpus vectors of a DIFFERENT label — the near-misses a triplet/"
+    "InfoNCE loss learns from. The class-mismatch predicate applies at "
+    "the broadcast join, before scoring, so same-class rows never "
+    "enter the B x N score stream; ranks tie-break on (rounded score "
+    "DESC, vec_id) in both engines "
+    "(operators/similarity.py::hard_negatives).",
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import hard_negatives
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    qs = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    return hard_negatives(emb, qs, k=5)

@@ -1255,3 +1255,46 @@ def load_pq_index(
             (r["cell"], [float(x) for x in r["cv"]], float(r["cnrm"]))
         )
     return codes, PqCodebook(m=m, k=k, dims=dims, cents=cents)
+
+
+def hard_negatives(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+    qlabel_col: str = "qlabel",
+) -> DataFrame:
+    """Hard-negative mining for embedding training: per query, the top-k
+    most-similar corpus vectors whose label DIFFERS from the query's —
+    the near-misses a contrastive loss learns the most from.
+
+    Same shape as ``cosine_topk_batch`` with the class-mismatch
+    predicate applied AT THE JOIN, before any scoring or ranking: the
+    excluded same-class rows never enter the B x N score stream, so the
+    ranking shuffle shrinks by each class's own share. The query batch
+    (with labels) broadcasts; ties rank (rounded score DESC, id)."""
+    from pyspark.sql import Window
+
+    base = vec_norms(df, vec_col, [id_col, label_col])
+    q = vec_norms(queries, qvec_col, [qid_col, qlabel_col]).select(
+        qid_col,
+        qlabel_col,
+        F.col("v").alias("qv_d"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos = F.col("dot") / (F.sqrt("nrm") * F.sqrt("qnrm"))
+    scored = (
+        base.join(F.broadcast(q), F.col(label_col) != F.col(qlabel_col))
+        .withColumn("dot", dot_product(F.col("v"), F.col("qv_d")))
+        .select(qid_col, id_col, trino_round(cos, 6).alias("score"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

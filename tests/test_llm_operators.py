@@ -1355,3 +1355,28 @@ def test_pq_index_save_load_roundtrip(spark, tmp_path):
     assert v2[0] > v1[0]
     codes_pinned, _ = load_pq_index(spark, p, version=v1)
     assert codes_pinned.count() == codes.count()
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [0.99, 0.1]),   # same label as query: must NEVER appear
+        (3, 1, [0.98, 0.2]),   # different label, very close: top negative
+        (4, 1, [0.0, 1.0]),
+        (5, 2, [0.7, 0.7]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    qs = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0)], "qid long, qv array<float>, qlabel int"
+    )
+    got = hard_negatives(df, qs, k=3).collect()
+    ids = [r.vec_id for r in got]
+    assert 1 not in ids and 2 not in ids  # same-label rows filtered
+    assert ids[0] == 3                    # closest cross-label first
+    assert len(got) == 3
+    scores = [r.score for r in got]
+    assert scores == sorted(scores, reverse=True)
