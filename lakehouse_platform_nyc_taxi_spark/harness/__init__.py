@@ -79,6 +79,7 @@ _PRIORITY = [
     "sampling_bernoulli_estimate",
     "profile_key_skew",
     "similarity_hard_negatives",
+    "corpus_novelty",
     # 1) New in round 9 (never driver-attested):
     "layout_zorder_skipping",
     "dedup_incremental_minhash",
@@ -128,7 +129,6 @@ _PRIORITY = [
     "similarity_topk_batch",
     "similarity_topk_ivf_batch",
     "multimodal_metadata",
-    "surrogate_keys_md5",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at 50 that lands OUTSIDE the window, so
@@ -148,6 +148,7 @@ _KEEP = [
     "text_language_id",
     "dq_violation_counts",
     "datetime_features",
+    "surrogate_keys_md5",
     "privacy_k_anonymity",
     "sql_running_distinct",
     "agg_mode_median",

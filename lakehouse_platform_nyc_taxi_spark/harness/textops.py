@@ -979,3 +979,38 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.corpus_overlap(load_table_parallel(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_novelty",
+    f"""
+    WITH t AS (SELECT source AS g, {TOKS} AS toks FROM documents),
+    gr AS (
+        SELECT g,
+               list_distinct(list_transform(generate_series(1, len(toks) - 7),
+                             i -> array_to_string(toks[i:i+7], ' '))) AS grams
+        FROM t WHERE len(toks) >= 8
+    ),
+    sh AS (
+        SELECT DISTINCT g, {MD5L.format(x='gr2')} AS h
+        FROM (SELECT g, unnest(grams) AS gr2 FROM gr)
+    ),
+    own AS (SELECT h, min(g) AS g FROM sh GROUP BY h),
+    nv AS (SELECT g, CAST(count(*) AS BIGINT) AS n_novel FROM own GROUP BY g),
+    per AS (SELECT g, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY g)
+    SELECT per.g AS source, per.n_shingles,
+           CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel,
+           round(CAST(COALESCE(nv.n_novel, 0) AS DOUBLE) / per.n_shingles, 6)
+               AS novelty_rate
+    FROM per LEFT JOIN nv ON nv.g = per.g
+    """,
+    doc="Marginal-novelty audit: sources processed in lexicographic "
+    "order, each distinct 8-token shingle charged to its FIRST source; "
+    "novelty rate = the fraction of a source's shingles no earlier "
+    "source already had — what adding this crawl actually buys. Same "
+    "hashed-shingle dataflow as the overlap matrix plus one min-owner "
+    "groupBy on the hash; shuffle is the distinct (source, shingle) "
+    "table, never pairwise (operators/text.py::corpus_novelty).",
+)
+def corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.corpus_novelty(load_table_parallel(spark, sf_dir, "documents"))

@@ -1073,3 +1073,48 @@ def dedup_lines(
             F.size("_kept").alias("n_lines_kept"),
         )
     )
+
+
+def corpus_novelty(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Marginal-novelty audit: process sources in lexicographic order and
+    charge each distinct shingle to the FIRST source containing it; a
+    source's novelty rate is the fraction of its shingles no earlier
+    source already had — the "what does adding this crawl actually buy"
+    number behind data-recipe decisions.
+
+    Same hashed-shingle dataflow as ``corpus_overlap`` (md5 longs
+    before any shuffle, distinct per source), plus one groupBy on the
+    shingle hash to elect the min-source owner — shuffle volume is the
+    distinct (source, shingle) table, never pairwise. Output:
+    ``source, n_shingles, n_novel, novelty_rate``.
+    """
+    sh = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(shingles(text_col, n)).alias("_g"),
+        )
+        .select("g", md5_long(F.col("_g")).alias("h"))
+        .distinct()
+    )
+    owners = sh.groupBy("h").agg(F.min("g").alias("g"))
+    novel = owners.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_novel")
+    )
+    per = sh.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    return per.join(novel, "g", "left").select(
+        F.col("g").alias("source"),
+        "n_shingles",
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
+        trino_round(
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+            / F.col("n_shingles"),
+            6,
+        ).alias("novelty_rate"),
+    )

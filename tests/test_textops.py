@@ -285,3 +285,21 @@ def test_corpus_overlap_shared_and_disjoint(spark):
     assert out[("sa", "sc")]["shared"] == 0
     assert out[("sa", "sc")]["jaccard"] == 0.0
     assert len(out) == 3
+
+
+def test_corpus_novelty_first_source_owns_shared_shingles(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators.text import corpus_novelty
+
+    base = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, "a", base),                      # first source: all novel
+        (2, "b", base),                      # pure repeat of a: 0 novel
+        (3, "c", base + " eleven twelve"),   # 2 new trailing shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r.asDict() for r in corpus_novelty(df).collect()}
+    assert out["a"]["novelty_rate"] == 1.0
+    assert out["b"]["n_novel"] == 0 and out["b"]["novelty_rate"] == 0.0
+    # c shares the 3 shingles of the base text and adds 2 sliding ones
+    assert out["c"]["n_novel"] == 2
+    assert out["c"]["n_shingles"] == 5
