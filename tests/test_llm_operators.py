@@ -1380,3 +1380,98 @@ def test_hard_negatives_excludes_same_label(spark):
     assert len(got) == 3
     scores = [r.score for r in got]
     assert scores == sorted(scores, reverse=True)
+
+
+if _HYP:
+
+    @given(st.integers(0, 2**31 - 1), st.integers(6, 14))
+    @settings(max_examples=5, deadline=None)
+    def test_pq_codes_are_argmin_of_returned_codebook(spark, seed, n_vecs):
+        """Invariant: every emitted code is the first-max of
+        dot(sv, c) - 0.5*||c||^2 over the returned codebook, computed
+        with the same sequential fold — no training reimplementation,
+        just the contract between codes and codebook."""
+        import random
+
+        from lakehouse_platform_nyc_taxi_spark.operators.similarity import (
+            pq_train_encode,
+        )
+        rng = random.Random(seed)
+        rows = [
+            (i, [rng.choice([-1.0, 1.0]) + rng.random() * 0.25 for _ in range(4)])
+            for i in range(n_vecs)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        codes, book = pq_train_encode(df, dims=4, m=2, k=2, iters=2, seed="p")
+        got = {(r.vec_id, r.sub): r.cell for r in codes.collect()}
+        # re-read the float32-cast vectors the way Spark saw them
+        vecs = {
+            r.vec_id: [float(x) for x in r.embedding]
+            for r in df.select("vec_id", "embedding").collect()
+        }
+        for (vid, sub), cell in got.items():
+            sv = vecs[vid][sub * 2 : sub * 2 + 2]
+            best_cell, best_s = None, None
+            for c, cv, cn in book.cents[sub]:
+                s = 0.0
+                for a, b in zip(sv, cv):
+                    s = s + a * b
+                s = s - 0.5 * cn
+                if best_s is None or s > best_s:
+                    best_cell, best_s = c, s
+            assert cell == best_cell, (vid, sub, cell, best_cell)
+
+    @given(st.integers(0, 2**31 - 1))
+    @settings(max_examples=5, deadline=None)
+    def test_centroid_drift_scale_invariance_and_duplicate_group(spark, seed):
+        """cosine(centroid_a, centroid_b) is invariant under scaling a
+        group by a power of two (exact in binary floats), and a group
+        that duplicates another has centroid cosine exactly 1.0."""
+        import random
+
+        from lakehouse_platform_nyc_taxi_spark.operators.similarity import (
+            centroid_drift,
+        )
+        rng = random.Random(seed)
+        base = [[rng.uniform(-1, 1) for _ in range(3)] for _ in range(4)]
+        rows = (
+            [(0, v) for v in base]
+            + [(1, [x * 2.0 for x in v]) for v in base]   # scaled copy
+            + [(2, [rng.uniform(-1, 1) for _ in range(3)]) for _ in range(3)]
+        )
+        df = spark.createDataFrame(rows, "label int, embedding array<float>")
+        out = {
+            (r.label_a, r.label_b): r.centroid_cosine
+            for r in centroid_drift(df).collect()
+        }
+        assert out[(0, 1)] == 1.0
+        assert out[(0, 2)] == out[(1, 2)]
+
+    @given(st.integers(0, 2**31 - 1), st.integers(50, 200))
+    @settings(max_examples=5, deadline=None)
+    def test_sampled_estimate_matches_md5_mirror(spark, seed, n_rows):
+        """The HT estimate is a pure function of the data: a python md5
+        mirror of the membership rule plus the same 1/rate scaling must
+        reproduce n_est exactly (integral values keep the decimal fence
+        lossless, so sum_est matches too)."""
+        import hashlib
+        import random
+
+        from lakehouse_platform_nyc_taxi_spark.operators.sampling import (
+            sampled_estimate,
+        )
+        rng = random.Random(seed)
+        rows = [(i, "g", float(rng.randint(0, 50))) for i in range(n_rows)]
+        df = spark.createDataFrame(rows, "k long, g string, v double")
+        r = sampled_estimate(
+            df, key_col="k", value_col="v", group_col="g", rate=0.2, salt="s"
+        ).collect()[0]
+
+        def member(k):
+            h = int(hashlib.md5(f"{k}|s".encode()).hexdigest()[:15], 16)
+            return h % 10000 < 2000
+
+        kept = [(k, v) for k, _, v in rows if member(k)]
+        assert r["n_est"] == len(kept) * 5.0
+        assert r["sum_est"] == round(sum(v for _, v in kept) * 5.0, 6)
+        assert r["n_exact"] == n_rows
