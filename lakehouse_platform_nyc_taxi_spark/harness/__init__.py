@@ -80,6 +80,7 @@ _PRIORITY = [
     "profile_key_skew",
     "similarity_hard_negatives",
     "corpus_novelty",
+    "events_winsorize",
     # 1) New in round 9 (never driver-attested):
     "layout_zorder_skipping",
     "dedup_incremental_minhash",
@@ -128,7 +129,6 @@ _PRIORITY = [
     "text_bigram_lm",
     "similarity_topk_batch",
     "similarity_topk_ivf_batch",
-    "multimodal_metadata",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at 50 that lands OUTSIDE the window, so
@@ -149,6 +149,7 @@ _KEEP = [
     "dq_violation_counts",
     "datetime_features",
     "surrogate_keys_md5",
+    "multimodal_metadata",
     "privacy_k_anonymity",
     "sql_running_distinct",
     "agg_mode_median",

@@ -1464,3 +1464,52 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hard_negatives(emb, qs, k=5)
+
+
+@register(
+    "events_winsorize",
+    """
+    WITH b AS (
+        SELECT event_type AS g, value AS v FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT g, v,
+               count(*) OVER (PARTITION BY g ORDER BY v) AS cum,
+               count(*) OVER (PARTITION BY g) AS n
+        FROM b
+    ),
+    lo AS (SELECT g, min(v) AS p_lo FROM r WHERE cum >= ceil(0.01 * n) GROUP BY g),
+    hi AS (SELECT g, min(v) AS p_hi FROM r WHERE cum >= ceil(0.99 * n) GROUP BY g),
+    c AS (
+        SELECT b.g, b.v, lo.p_lo, hi.p_hi,
+               greatest(lo.p_lo, least(hi.p_hi, b.v)) AS w
+        FROM b JOIN lo ON lo.g = b.g JOIN hi ON hi.g = b.g
+    )
+    SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           min(p_lo) AS p_lo, min(p_hi) AS p_hi,
+           CAST(sum(CASE WHEN v < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_lo,
+           CAST(sum(CASE WHEN v > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_hi,
+           round(CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+               AS mean_raw,
+           round(CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+               AS mean_winsorized
+    FROM c GROUP BY g
+    """,
+    doc="Winsorized robust stats per event_type: DISCRETE p1/p99 bounds "
+    "(smallest value whose tie-stable running count reaches ceil(p*n) "
+    "— actual data points, integer-rank parity, no interpolation), "
+    "values clipped to the bounds, decimal-fenced raw vs winsorized "
+    "means and per-tail clamp counts. The bound election is the honest "
+    "exact-percentile sort; at 100 TB swap the KLL sketch twin in for "
+    "the bounds and keep the clip pass "
+    "(operators/timeseries.py::winsorize_stats).",
+)
+def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import winsorize_stats
+
+    return winsorize_stats(
+        load_table(spark, sf_dir, "events"), value_col="value",
+        group_col="event_type",
+    )

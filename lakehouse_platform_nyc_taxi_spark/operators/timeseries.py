@@ -335,3 +335,76 @@ def twap(
         ).alias("twap"),
         F.count(F.lit(1)).alias("n_obs"),
     ).withColumnRenamed("_bstart", "bucket_start")
+
+
+def winsorize_stats(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Robust-stats pass: per group, find the DISCRETE lo/hi percentile
+    values (smallest value whose running count reaches ceil(p*n) — real
+    data points, no interpolation, so the bounds are exact and engine-
+    reproducible on integer ranks), clip the column to them, and report
+    the clipped decimal-fenced mean next to the raw one plus how many
+    rows each tail clamped.
+
+    Two shuffles: one window cumsum over (group, value) to elect the
+    bounds (the honest exact-percentile sort; at 100 TB swap in the KLL
+    sketch twin, ``agg_percentiles_approx``, and keep the clip pass),
+    one broadcast of the groups-sized bound table back over the scan.
+    NULL values are excluded from ranks, clip, and both means.
+
+    Output: ``group, n_rows, p_lo, p_hi, n_clipped_lo, n_clipped_hi,
+    mean_raw, mean_winsorized`` (means rounded to 6).
+    """
+    g = F.col(group_col)
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull()).select(g.alias("_g"), v.alias("_v"))
+    w = Window.partitionBy("_g").orderBy("_v")
+    tot = Window.partitionBy("_g")
+    ranked = base.select(
+        "_g",
+        "_v",
+        F.count(F.lit(1)).over(w).alias("_cum"),
+        F.count(F.lit(1)).over(tot).alias("_n"),
+    )
+    bounds = (
+        ranked.filter(F.col("_cum") >= F.ceil(F.lit(lo) * F.col("_n")))
+        .groupBy("_g")
+        .agg(F.min("_v").alias("p_lo"))
+        .join(
+            ranked.filter(F.col("_cum") >= F.ceil(F.lit(hi) * F.col("_n")))
+            .groupBy("_g")
+            .agg(F.min("_v").alias("p_hi")),
+            "_g",
+        )
+    )
+    clipped = base.join(F.broadcast(bounds), "_g").select(
+        "_g",
+        "_v",
+        "p_lo",
+        "p_hi",
+        F.greatest(F.col("p_lo"), F.least(F.col("p_hi"), F.col("_v"))).alias(
+            "_w"
+        ),
+    )
+    dmean = lambda c: (  # noqa: E731
+        F.sum(F.col(c).cast("decimal(38,12)")).cast("double")
+        / F.count(F.lit(1))
+    )
+    return clipped.groupBy(F.col("_g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("p_lo").alias("p_lo"),
+        F.min("p_hi").alias("p_hi"),
+        F.sum(F.when(F.col("_v") < F.col("p_lo"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_lo"),
+        F.sum(F.when(F.col("_v") > F.col("p_hi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_hi"),
+        trino_round(dmean("_v"), 6).alias("mean_raw"),
+        trino_round(dmean("_w"), 6).alias("mean_winsorized"),
+    )

@@ -208,3 +208,23 @@ def test_ohlc_ordering_key_sign_safe_before_2024_epoch(spark, tmp_path):
     }
     assert got["tick"] == (5.0, 2.0)
     assert got["mix"] == (7.0, 3.0)
+
+
+def test_winsorize_clips_tails_exactly(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators.timeseries import (
+        winsorize_stats,
+    )
+
+    # values 1..100 in one group: p1 (lo=0.01) elects the value at
+    # running-count ceil(0.01*100)=1 -> 1.0; hi=0.90 -> 90.0
+    rows = [("g", float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = winsorize_stats(
+        df, value_col="value", group_col="grp", lo=0.01, hi=0.90
+    ).collect()[0].asDict()
+    assert out["p_lo"] == 1.0 and out["p_hi"] == 90.0
+    assert out["n_clipped_lo"] == 0 and out["n_clipped_hi"] == 10
+    assert out["mean_raw"] == 50.5
+    # clipped: 1..90 plus ten 90s -> (sum(1..90) + 900) / 100
+    assert out["mean_winsorized"] == (sum(range(1, 91)) + 900) / 100
+    assert out["n_rows"] == 100
