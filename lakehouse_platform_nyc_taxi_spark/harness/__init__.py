@@ -107,10 +107,11 @@ _PRIORITY = [
     "cohort_retention",
     "timeseries_anomaly",
     "streaming_dedup_counts",
-    # 4) 30 of the 48 queries whose last driver-green row is r6
-    #    (oldest-first rotation policy). The remaining eighteen
-    #    (privacy_k_anonymity onward, head of _KEEP) lead the r10
-    #    rotation and are re-verified locally every session by
+    # 4) What fits of the r6-green cohort (oldest-first rotation
+    #    policy). Each round-10 query added mid-round displaced the
+    #    tail name of this block into the head of _KEEP (1-in-1-out,
+    #    so the window stays exactly 50); the displaced names lead the
+    #    r11 rotation and are re-verified locally every session by
     #    test_harness_oracle.
     "graph_pagerank",
     "fuzzy_join_suppliers",
