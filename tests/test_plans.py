@@ -698,3 +698,23 @@ def test_pq_adc_serving_is_lookup_projection(spark):
     assert "Join" not in plan, plan
     assert plan.lower().count("hashpartitioning") == 1, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_round10b_operators_plan_shapes(spark):
+    # Hard negatives: the labeled query batch must broadcast; the corpus
+    # never shuffles for the scoring join.
+    plan = plan_of(spark, "similarity_hard_negatives")
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+    # Novelty: hashed-shingle groupBys only — no pairwise join at all.
+    plan = plan_of(spark, "corpus_novelty")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # HT estimate: membership is a row-local filter fused into the scan —
+    # the sample stage itself must not add a keyed exchange beyond the
+    # two group aggregates (sample-side + exact-side).
+    plan = plan_of(spark, "sampling_bernoulli_estimate")
+    assert plan.lower().count("hashpartitioning") <= 3, plan
+    # Winsorize: bound table joins back by broadcast, not a shuffle join.
+    plan = plan_of(spark, "events_winsorize")
+    assert "BroadcastHashJoin" in plan
