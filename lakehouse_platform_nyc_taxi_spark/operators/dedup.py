@@ -1142,6 +1142,7 @@ def lsh_precision(
     ngram: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup quality evaluation: for EVERY MinHash/LSH band-collision
     candidate pair (no agreement cutoff), compute the exact word-n-gram
@@ -1157,14 +1158,22 @@ def lsh_precision(
 
     Output: ``jaccard_est, n_pairs, n_true_pairs, precision_at_true,
     mean_true_jaccard`` (fenced mean, 6-decimal rounded).
+
+    Pass ``candidates`` to recheck a precomputed/persisted candidate
+    table (``doc_a, doc_b, jaccard_est`` — the stored pipeline
+    artifact) instead of rebuilding the LSH index inline.
     """
-    cands = minhash_lsh_pairs(
-        df,
-        text_col,
-        id_col,
-        num_hashes=num_hashes,
-        bands=bands,
-        min_jaccard_est=0.0,
+    cands = (
+        candidates
+        if candidates is not None
+        else minhash_lsh_pairs(
+            df,
+            text_col,
+            id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            min_jaccard_est=0.0,
+        )
     )
     # Hashed gram sets (8-byte longs, ~4x smaller through the join) and
     # broadcast hints: the gram table has one row per DOCUMENT while
