@@ -1475,3 +1475,37 @@ if _HYP:
         assert r["n_est"] == len(kept) * 5.0
         assert r["sum_est"] == round(sum(v for _, v in kept) * 5.0, 6)
         assert r["n_exact"] == n_rows
+
+
+def test_round10_operators_degenerate_inputs(spark):
+    """Edge contracts: single-label drift is empty (no pairs), a
+    single-distinct-value group winsorizes to itself with zero clamps,
+    and a corpus with no near-dup candidates yields an empty precision
+    curve rather than an error."""
+    from lakehouse_platform_nyc_taxi_spark.operators.similarity import (
+        centroid_drift,
+    )
+    from lakehouse_platform_nyc_taxi_spark.operators.timeseries import (
+        winsorize_stats,
+    )
+
+    one_label = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 4.0])], "label int, embedding array<float>"
+    )
+    assert centroid_drift(one_label).count() == 0
+
+    const = spark.createDataFrame(
+        [("g", 7.0)] * 5, "grp string, value double"
+    )
+    r = winsorize_stats(const, "value", "grp").collect()[0]
+    assert r["p_lo"] == 7.0 and r["p_hi"] == 7.0
+    assert r["n_clipped_lo"] == 0 and r["n_clipped_hi"] == 0
+    assert r["mean_raw"] == r["mean_winsorized"] == 7.0
+
+    distinct_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    out = dedup.lsh_precision(distinct_docs).collect()
+    # docs share no shingles -> no band collisions -> empty curve
+    assert out == []
