@@ -29,6 +29,11 @@ QUERIES = [
     "dedup_exact_substring",   # r8: window-hash islands (pure integer)
     "dedup_strip_spans",       # r8: interval merge + token filter
     "multimodal_decode_image", # r8: mapInPandas decode (integer stats)
+    "similarity_pq_adc_topk",  # r10: Lloyd fences + ADC lookup chain
+    "embedding_source_drift",  # r10: fenced mean products, no collect
+    "dedup_lsh_precision",     # r10: hashed-gram recheck + fenced mean
+    "events_winsorize",        # r10: tie-stable rank bounds + fences
+    "sampling_bernoulli_estimate",  # r10: hash membership + fences
 ]
 
 
