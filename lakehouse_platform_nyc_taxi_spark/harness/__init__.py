@@ -81,6 +81,7 @@ _PRIORITY = [
     "similarity_hard_negatives",
     "corpus_novelty",
     "events_winsorize",
+    "streaming_dedup_gate",
     # 1) New in round 9 (never driver-attested):
     "layout_zorder_skipping",
     "dedup_incremental_minhash",
@@ -129,7 +130,6 @@ _PRIORITY = [
     "set_except_all",
     "text_bigram_lm",
     "similarity_topk_batch",
-    "similarity_topk_ivf_batch",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at 50 that lands OUTSIDE the window, so
@@ -151,6 +151,7 @@ _KEEP = [
     "datetime_features",
     "surrogate_keys_md5",
     "multimodal_metadata",
+    "similarity_topk_ivf_batch",
     "privacy_k_anonymity",
     "sql_running_distinct",
     "agg_mode_median",

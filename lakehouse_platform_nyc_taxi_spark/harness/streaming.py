@@ -357,3 +357,55 @@ def streaming_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = S.read_events_stream(spark, sf_dir)
     out = S.stream_stream_attribution(ev, how="left_outer")
     return S.run_available_now(out, "append", state_partitions=8)
+
+
+def _gate_agree_sql() -> str:
+    return " + ".join(
+        f"(CASE WHEN n.sig{j} = s.sig{j} THEN 1 ELSE 0 END)" for j in range(8)
+    )
+
+
+def _streaming_dedup_gate_oracle() -> str:
+    from .llm import _BANDS_SQL, _minhash_sig_sql
+
+    agree = _gate_agree_sql()
+    return (
+        _minhash_sig_sql().rstrip()
+        + ",\n"
+        + _BANDS_SQL
+        + f"""
+    SELECT DISTINCT n.doc_id, s.doc_id AS matched_id,
+           ({agree}) / 8.0 AS jaccard_est
+    FROM banded n
+    JOIN banded s ON n.band = s.band AND n.band_digest = s.band_digest
+    WHERE n.doc_id % 2 = 1 AND s.doc_id % 2 = 0
+      AND ({agree}) / 8.0 >= 0.5
+    """
+    )
+
+
+@register(
+    "streaming_dedup_gate",
+    _streaming_dedup_gate_oracle(),
+    doc="Continuous-ingestion near-dup gate: odd-id documents arrive as a "
+    "file stream, get MinHash-signed and band-bucketed IN the stream "
+    "(stateless projections), and stream-static join the even-id "
+    "corpus's band index — one emitted row per (new doc, stored "
+    "near-dup) with signature agreement >= 0.5. The streaming half of "
+    "the batch minhash_lsh_pairs pipeline against the same persisted "
+    "index shape; only the cross-band pair dedup keeps state "
+    "(streaming/ops.py::stream_dedup_gate).",
+)
+def streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..sources.testdata import load_table
+
+    new_docs = S.read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 2 == 1
+    )
+    stored = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    out = S.stream_dedup_gate(new_docs, stored, min_est=0.5)
+    return S.run_available_now(out, "append", state_partitions=8)

@@ -19,10 +19,12 @@ harness grades finalized-append semantics against a SQL oracle.
 
 from .ops import (
     dedup_counts,
+    read_documents_stream,
     read_events_stream,
     run_available_now,
     session_windows,
     stateful_user_stats,
+    stream_dedup_gate,
     stream_static_enrich,
     stream_stream_attribution,
     chained_window_rollup,
@@ -32,7 +34,9 @@ from .ops import (
 from .sinks import stream_append_parquet, stream_upsert_parquet
 
 __all__ = [
+    "read_documents_stream",
     "read_events_stream",
+    "stream_dedup_gate",
     "run_available_now",
     "chained_window_rollup",
     "grouping_sets_rollup",

@@ -496,3 +496,80 @@ def stream_stream_attribution(
         ).alias("secs_to_purchase"),
         "purchase_value",
     )
+
+
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-stream source over the documents parquet (schema from a
+    batch read; no timestamp fix-ups — documents carry no event time)."""
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    reader = spark.readStream.schema(schema).option(
+        "pathGlobFilter", "documents.parquet"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(sf_dir)
+
+
+def stream_dedup_gate(
+    stream_docs: DataFrame,
+    stored_docs: DataFrame,
+    min_est: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Continuous-ingestion near-dup gate: every arriving document is
+    MinHash-signed and band-bucketed IN the stream (pure projections —
+    stateless, no watermark needed), then stream-static joined against
+    the stored corpus's band index; a row ``(doc_id, matched_id,
+    jaccard_est)`` is emitted for each stored near-dup with signature
+    agreement >= ``min_est``. Downstream ingestion drops any new doc
+    that produced a match — the streaming half of the batch
+    ``minhash_lsh_pairs`` pipeline, against the SAME persisted index.
+
+    The only stateful step is the pair de-duplication (one doc pair can
+    collide in several bands); with availableNow batch-draining its
+    state is bounded by the run. In production the stored band table is
+    the snapshot-table artifact the batch dedup already writes.
+    """
+    from ..operators.dedup import band_table, minhash_signatures
+
+    new_b = band_table(
+        minhash_signatures(stream_docs, num_hashes=num_hashes),
+        "doc_id",
+        num_hashes,
+        bands,
+    ).select(
+        F.col("doc_id"),
+        "band",
+        "band_digest",
+        *[F.col(f"sig{j}").alias(f"n_sig{j}") for j in range(num_hashes)],
+    )
+    idx_b = band_table(
+        minhash_signatures(stored_docs, num_hashes=num_hashes),
+        "doc_id",
+        num_hashes,
+        bands,
+    ).select(
+        F.col("doc_id").alias("matched_id"),
+        "band",
+        "band_digest",
+        *[F.col(f"sig{j}").alias(f"s_sig{j}") for j in range(num_hashes)],
+    )
+    agreement = sum(
+        F.when(F.col(f"n_sig{j}") == F.col(f"s_sig{j}"), 1).otherwise(0)
+        for j in range(num_hashes)
+    )
+    return (
+        new_b.join(idx_b, ["band", "band_digest"])
+        .select(
+            "doc_id",
+            "matched_id",
+            (agreement.cast("double") / F.lit(float(num_hashes))).alias(
+                "jaccard_est"
+            ),
+        )
+        .filter(F.col("jaccard_est") >= min_est)
+        .dropDuplicates(["doc_id", "matched_id"])
+    )

@@ -530,3 +530,36 @@ def test_stateful_ttl_clamps_timeout_above_watermark(spark, tmp_path):
         last[r.user_id] = r.n_events
     assert last[1] == 1  # processed (not crashed), then evicted
     assert last[2] == 2
+
+
+def test_stream_dedup_gate_flags_stored_duplicate(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lakehouse_platform_nyc_taxi_spark import streaming as S
+
+    text_dup = "the exact same long sentence repeated for shingling " * 3
+    corpus = spark.createDataFrame(
+        [
+            (0, text_dup),
+            (2, "an unrelated stored document about catalyst plans " * 3),
+            (1, text_dup),  # arriving doc: duplicate of stored doc 0
+            (3, "a fresh arriving document with novel content only " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "docs")
+    corpus.coalesce(1).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema).parquet(path)
+        .filter(F.col("doc_id") % 2 == 1)
+    )
+    stored = spark.read.parquet(path).filter(F.col("doc_id") % 2 == 0)
+    out = S.run_available_now(
+        S.stream_dedup_gate(stream, stored, min_est=0.5), "append",
+        state_partitions=4,
+    ).collect()
+    got = {(r.doc_id, r.matched_id): r.jaccard_est for r in out}
+    assert (1, 0) in got and got[(1, 0)] == 1.0  # exact dup flagged
+    assert all(d == 1 for d, _ in got)           # only arriving docs emit
+    assert (3, 0) not in got and (3, 2) not in got  # novel doc passes
