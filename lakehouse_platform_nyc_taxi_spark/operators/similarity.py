@@ -808,14 +808,24 @@ def kmeans_semdedup(
             for x in cv:
                 cnrm = cnrm + x * x
             centroid_rows.append((cell, cv, cnrm))
-        scores = F.array(
-            *[
-                dot_product(F.col("v"), F.array(*[F.lit(x) for x in cv]))
-                / (F.sqrt("nrm") * F.lit(math.sqrt(cnrm)))
-                for _, cv, cnrm in centroid_rows
-            ]
+        # One tiny HOF expression over nested-array literals instead of
+        # k expanded lambda dot products (the PQ trainer's measured
+        # Py4J/codegen fix); the zip_with fold computes the identical
+        # doubles — aggregate from 0.0 == the expanded sequential sum,
+        # and sqrt(cnrm) stays a driver-side scalar exactly as before.
+        cents_lit = F.lit([cv for _, cv, _ in centroid_rows])
+        csq_lit = F.lit([math.sqrt(cnrm) for _, _, cnrm in centroid_rows])
+        cells_lit = F.lit([cell for cell, _, _ in centroid_rows])
+        scores = F.zip_with(
+            cents_lit,
+            csq_lit,
+            lambda c, n: F.aggregate(
+                F.zip_with(F.col("v"), c, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (F.sqrt("nrm") * n),
         )
-        cells_lit = F.array(*[F.lit(cell) for cell, _, _ in centroid_rows])
         assigned = base.select(
             F.col(id_col), "v", "nrm", scores.alias("_cs")
         ).select(
