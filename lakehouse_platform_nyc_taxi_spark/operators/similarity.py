@@ -155,12 +155,20 @@ def build_ivf_index(
         # Zero-shuffle assignment: materialize the score array in its own
         # projection (CollapseProject fences the n_cells dot-product folds
         # from being re-inlined per consumer), then first-index-of-max.
-        scores = F.array(
-            *[
-                dot_product(F.col("v"), F.array(*[F.lit(x) for x in cv]))
-                / (F.sqrt("nrm") * F.lit(math.sqrt(cnrm)))
-                for _, cv, cnrm in centroid_rows
-            ]
+        # Scores come from ONE HOF expression over nested-array literals
+        # (the PQ trainer's measured Py4J/codegen fix); the zip_with fold
+        # computes the identical doubles as the expanded lambda dots.
+        cents_lit = F.lit([cv for _, cv, _ in centroid_rows])
+        csq_lit = F.lit([math.sqrt(cnrm) for _, _, cnrm in centroid_rows])
+        scores = F.zip_with(
+            cents_lit,
+            csq_lit,
+            lambda c, n: F.aggregate(
+                F.zip_with(F.col("v"), c, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (F.sqrt("nrm") * n),
         )
         assigned = base.select(F.col(id_col), "v", "nrm", scores.alias("_cs")).select(
             F.col(id_col),
