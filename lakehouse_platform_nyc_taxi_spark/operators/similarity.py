@@ -1,18 +1,26 @@
-"""Similarity search over an embedding column (array<float>).
+"""Similarity search and embedding analytics over array<float> columns.
 
-Three paths, same result contract (vec_id + rounded cosine score):
-- ``cosine_topk``: brute-force scan — the exact baseline. One pass over
-  the table, a 1-row broadcast of the query vector, TakeOrdered top-k.
-  At 100 TB this is the "small query set × full scan" pattern — linear,
-  no shuffle beyond the final top-k.
-- ``cosine_topk_lsh``: sign-LSH bucketed variant — the scale path. Each
-  vector gets a b-bit bucket from the signs of its leading components;
-  the query probes only its own bucket (candidates shrink ~2^b) before
-  exact re-scoring. Recall trades off with b; re-rank is exact.
-- ``build_ivf_index`` + ``ivf_probe``: IVF-Flat split into its offline
-  half (coarse quantizer + cell assignment, built once per corpus) and
-  its online half (probe the n_probe nearest cells, exact re-rank) —
-  the standard recall/cost dial for repeated ANN queries.
+Search paths, one result contract (vec_id + rounded cosine score):
+- ``cosine_topk`` / ``cosine_topk_batch``: brute-force scan — the exact
+  baseline. One pass, broadcast queries, TakeOrdered / per-qid top-k.
+- ``cosine_topk_lsh``: sign-LSH bucketed variant — probe only the
+  query's 2^b-pruned bucket, exact re-score inside.
+- ``build_ivf_index`` + ``ivf_probe``(+``_batch``): IVF-Flat split into
+  offline build and online probe (n_probe/n_cells of the corpus per
+  query); persists as snapshot tables (``save/load_ivf_index``).
+- ``quantize_int8`` + ``int8_topk``: 4x-compressed serving with exact
+  integer accumulation.
+- ``pq_train_encode`` + ``pq_adc_topk``(+``_batch``): product
+  quantization — 32-64x code compression, zero-shuffle ADC lookup
+  serving; persists via ``save/load_pq_index``.
+- Quality dials measured in-engine: ``similarity_ivf_recall`` /
+  ``similarity_pq_recall`` harness queries (recall@10 vs brute force).
+
+Training-data utilities on the same column type: ``kmeans_semdedup``
+(SemDeDup), ``hard_negatives`` (contrastive mining), ``centroid_drift``
+(per-group drift audit), PCA / random projection / covariance, RRF
+fusion. Every float reduction is either sequential-fold or
+decimal-fenced so results are bit-reproducible across engines.
 """
 
 from __future__ import annotations
