@@ -15,6 +15,15 @@ Scale design (the point of each implementation):
   (source / coarse cluster) — the pattern is candidate-generation-first,
   exact-check-second; the block key keeps the join from going quadratic.
 
+Downstream of pair generation: ``connected_components`` (min-label
+propagation, optional pointer jumping) turns pairs into clusters,
+``cluster_survivors`` executes the keep/drop decision, and
+``lsh_precision`` measures candidate precision against exact n-gram
+Jaccard — the est-threshold calibration read before dropping documents.
+Exact substring machinery (``exact_substring_pairs`` /
+``self_substring_spans`` / ``strip_spans``) covers the Lee et al. 2021
+suffix-overlap family via window hashing, never all-pairs.
+
 All hashing is md5-based (operators.hashing) so every step is
 reproducible in the DuckDB oracle.
 """
