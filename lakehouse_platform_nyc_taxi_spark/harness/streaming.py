@@ -365,6 +365,29 @@ def _gate_agree_sql() -> str:
     )
 
 
+_GATE_INDEX_CACHE: dict = {}
+
+
+def _gate_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached banded signature index of the even-id (stored)
+    corpus half — the persisted artifact the gate joins against; in
+    production this is the band table the batch dedup already writes."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import band_table, minhash_signatures
+    from ..sources.testdata import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _GATE_INDEX_CACHE:
+        stored = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 2 == 0
+        )
+        _GATE_INDEX_CACHE[key] = band_table(
+            minhash_signatures(stored), "doc_id", 8, 4
+        ).localCheckpoint()
+    return _GATE_INDEX_CACHE[key]
+
+
 def _streaming_dedup_gate_oracle() -> str:
     from .llm import _BANDS_SQL, _minhash_sig_sql
 
@@ -395,17 +418,15 @@ def _streaming_dedup_gate_oracle() -> str:
     "the batch minhash_lsh_pairs pipeline against the same persisted "
     "index shape; only the cross-band pair dedup keeps state "
     "(streaming/ops.py::stream_dedup_gate).",
+    prepare=_gate_index,
 )
 def streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from ..sources.testdata import load_table
-
     new_docs = S.read_documents_stream(spark, sf_dir).filter(
         F.col("doc_id") % 2 == 1
     )
-    stored = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 2 == 0
+    out = S.stream_dedup_gate(
+        new_docs, min_est=0.5, stored_index=_gate_index(spark, sf_dir)
     )
-    out = S.stream_dedup_gate(new_docs, stored, min_est=0.5)
     return S.run_available_now(out, "append", state_partitions=8)

@@ -514,10 +514,11 @@ def read_documents_stream(
 
 def stream_dedup_gate(
     stream_docs: DataFrame,
-    stored_docs: DataFrame,
+    stored_docs: DataFrame | None = None,
     min_est: float = 0.5,
     num_hashes: int = 8,
     bands: int = 4,
+    stored_index: DataFrame | None = None,
 ) -> DataFrame:
     """Continuous-ingestion near-dup gate: every arriving document is
     MinHash-signed and band-bucketed IN the stream (pure projections —
@@ -530,8 +531,10 @@ def stream_dedup_gate(
 
     The only stateful step is the pair de-duplication (one doc pair can
     collide in several bands); with availableNow batch-draining its
-    state is bounded by the run. In production the stored band table is
-    the snapshot-table artifact the batch dedup already writes.
+    state is bounded by the run. Pass ``stored_index`` (the banded
+    signature table — doc_id, band, band_digest, sig0..N) to join the
+    persisted artifact directly; in production that is the
+    snapshot-table band index the batch dedup already writes.
     """
     from ..operators.dedup import band_table, minhash_signatures
 
@@ -546,12 +549,16 @@ def stream_dedup_gate(
         "band_digest",
         *[F.col(f"sig{j}").alias(f"n_sig{j}") for j in range(num_hashes)],
     )
-    idx_b = band_table(
-        minhash_signatures(stored_docs, num_hashes=num_hashes),
-        "doc_id",
-        num_hashes,
-        bands,
-    ).select(
+    if stored_index is None:
+        if stored_docs is None:
+            raise ValueError("pass stored_docs or a prebuilt stored_index")
+        stored_index = band_table(
+            minhash_signatures(stored_docs, num_hashes=num_hashes),
+            "doc_id",
+            num_hashes,
+            bands,
+        )
+    idx_b = stored_index.select(
         F.col("doc_id").alias("matched_id"),
         "band",
         "band_digest",
