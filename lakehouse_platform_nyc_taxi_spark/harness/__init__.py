@@ -82,6 +82,8 @@ _PRIORITY = [
     "corpus_novelty",
     "events_winsorize",
     "streaming_dedup_gate",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
     # 1) New in round 9 (never driver-attested):
     "layout_zorder_skipping",
     "dedup_incremental_minhash",
@@ -129,7 +131,6 @@ _PRIORITY = [
     "window_rank_trio",
     "set_except_all",
     "text_bigram_lm",
-    "similarity_topk_batch",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at 50 that lands OUTSIDE the window, so
@@ -152,6 +153,7 @@ _KEEP = [
     "surrogate_keys_md5",
     "multimodal_metadata",
     "similarity_topk_ivf_batch",
+    "similarity_topk_batch",
     "privacy_k_anonymity",
     "sql_running_distinct",
     "agg_mode_median",

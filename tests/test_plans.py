@@ -718,3 +718,12 @@ def test_round10b_operators_plan_shapes(spark):
     # Winsorize: bound table joins back by broadcast, not a shuffle join.
     plan = plan_of(spark, "events_winsorize")
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_star_joins_broadcast_dims(spark):
+    for name in ("tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        # every scan carries a pushed filter or pruned schema
+        assert "PushedFilters" in plan, name
