@@ -84,6 +84,7 @@ _PRIORITY = [
     "streaming_dedup_gate",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
     # 1) New in round 9 (never driver-attested):
     "layout_zorder_skipping",
     "dedup_incremental_minhash",
@@ -130,7 +131,6 @@ _PRIORITY = [
     "json_variant_histogram",
     "window_rank_trio",
     "set_except_all",
-    "text_bigram_lm",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at 50 that lands OUTSIDE the window, so
@@ -154,6 +154,7 @@ _KEEP = [
     "multimodal_metadata",
     "similarity_topk_ivf_batch",
     "similarity_topk_batch",
+    "text_bigram_lm",
     "privacy_k_anonymity",
     "sql_running_distinct",
     "agg_mode_median",

@@ -1653,3 +1653,57 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(trino_round(rev, 6).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+@register(
+    "tpch_q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(38,12))) AS DOUBLE), 6) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 (returned-item reporting): lost revenue per customer "
+    "from one quarter's returns, top-20 — join order matters (the "
+    "returnflag + date filters prune lineitem/orders at the scan "
+    "before the customer join; nation broadcasts), and the top-20 is "
+    "TakeOrdered on (rounded revenue DESC, custkey). Third classic "
+    "star-join anchor next to Q3/Q5 (Q1 is agg_pricing_summary).",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.trino import trino_round
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-04-01").cast("date"))
+    )
+    li = load_table_parallel(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.sum(
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+            "decimal(38,12)"
+        )
+    ).cast("double")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(trino_round(rev, 6).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )

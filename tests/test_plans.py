@@ -721,7 +721,11 @@ def test_round10b_operators_plan_shapes(spark):
 
 
 def test_tpch_star_joins_broadcast_dims(spark):
-    for name in ("tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume"):
+    for name in (
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier_volume",
+        "tpch_q10_returned_items",
+    ):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastHashJoin" in plan, name
