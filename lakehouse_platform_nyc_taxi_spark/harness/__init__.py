@@ -62,83 +62,18 @@ def register(
 #      Their green rows live in CORRECTNESS_r01.json (kept in-repo), so
 #      rounds jointly cover every query.
 _PRIORITY = [
-    # --- Round-10 window (driver checks the FIRST 50 registered) ---
-    # 0) New in round 10 (never driver-attested). NOTE: round 9's driver
-    #    artifacts were never produced (the round died on infra errors),
-    #    so the whole r9 window below is ALSO still awaiting its first
-    #    attestation — it stays in place, and three r6-green names from
-    #    the window tail moved to _KEEP to make room:
-    "quality_gopher_rules",
-    "corpus_overlap_matrix",
-    "embedding_kmeans_semdedup",
-    "dedup_cluster_survivors",
-    "similarity_pq_adc_topk",
-    "similarity_pq_recall",
-    "dedup_lsh_precision",
-    "embedding_source_drift",
-    "sampling_bernoulli_estimate",
-    "profile_key_skew",
-    "similarity_hard_negatives",
-    "corpus_novelty",
-    "events_winsorize",
-    "streaming_dedup_gate",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q10_returned_items",
-    # 1) New in round 9 (never driver-attested):
-    "layout_zorder_skipping",
-    "dedup_incremental_minhash",
-    "graph_label_propagation",
-    "layout_hilbert_skipping",
-    "similarity_ivf_recall",
-    "multimodal_frame_sample",
-    "agg_approx_top_k_rollup",
-    "agg_kll_quantile_rollup",
-    "agg_theta_set_ops",
-    # 2) Changed since its r8 driver-green row: NULL-value filter added
-    #    on both sides + bins widened to cover the data range (ADVICE
-    #    r8), so the current (query, oracle) pair must be re-attested:
-    "agg_histogram_percentile_rollup",
-    # 3) The 10 r5-green overflow queries (oldest driver rows; r8's
-    #    rotation couldn't fit them):
-    "streaming_stream_stream_join",
-    "streaming_stream_stream_left",
-    "sql_recursive_chain",
-    "dedup_ngram_containment",
-    "text_zipf_fit",
-    "agg_histogram",
-    "sql_correlated_subquery",
-    "cohort_retention",
-    "timeseries_anomaly",
-    "streaming_dedup_counts",
-    # 4) What fits of the r6-green cohort (oldest-first rotation
-    #    policy). Each round-10 query added mid-round displaced the
-    #    tail name of this block into the head of _KEEP (1-in-1-out,
-    #    so the window stays exactly 50); the displaced names lead the
-    #    r11 rotation and are re-verified locally every session by
-    #    test_harness_oracle.
-    "graph_pagerank",
-    "fuzzy_join_suppliers",
-    "events_max_concurrency",
-    "table_profile_numeric",
-    "timeseries_ohlc",
-    "sql_lateral_topn",
-    "dedup_latest_record",
-    "sampling_token_budget",
-    "agg_corr_regression",
-    "scd2_point_in_time_join",
-    "json_extract_rollup",
-    "json_variant_histogram",
-    "window_rank_trio",
+    # --- Round-11 window (driver checks the FIRST 50 registered) ---
+    # INVARIANT (pinned by tests/test_harness_oracle.py): len(_PRIORITY)
+    # is EXACTLY 50 and equals the first 50 names registry() yields. A
+    # query added mid-round must be inserted at the head of this list
+    # and the tail name moved to the head of _KEEP (1-in-1-out).
+    # 0) Fell out of the r10 window (the r10 _PRIORITY had 51 names —
+    #    ADVICE r10 #1 — so this tail entry was silently unattested):
     "set_except_all",
-]
-# Any NEW registration not listed anywhere auto-slots directly after
-# _PRIORITY — but with _PRIORITY at 50 that lands OUTSIDE the window, so
-# a query added mid-round must be listed in _PRIORITY explicitly (and a
-# name bumped to _KEEP to make room).
-_KEEP = [
-    # r6-green overflow (oldest — head of the r11 rotation; the first
-    # five fell out of the r10 window to admit the round-10 queries):
+    # 1) The r6-green overflow cohort — oldest driver rows in the repo
+    #    (their green rows are from CORRECTNESS_r06; re-verified locally
+    #    every session by test_harness_oracle, but due a fresh driver
+    #    attestation):
     "graph_triangle_count",
     "graph_degree_stats",
     "timeseries_twap",
@@ -173,7 +108,8 @@ _KEEP = [
     "text_repetition",
     "text_rarity_stats",
     "cast_rename_projection",
-    # r7-green queries:
+    # 2) Oldest r7-green names (the rest of the r7 cohort stays in
+    #    _KEEP for the r12 rotation):
     "filter_precedence_quirk",
     "in_list_between",
     "incremental_watermark",
@@ -189,6 +125,13 @@ _KEEP = [
     "union_all_typed_nulls",
     "union_distinct",
     "validity_filter",
+]
+# Any NEW registration not listed anywhere auto-slots directly after
+# _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
+# window, so a query added mid-round must be listed in _PRIORITY
+# explicitly (and a name bumped to _KEEP to make room).
+_KEEP = [
+    # r7-green remainder (head of the r12 rotation):
     "window_lead_lag",
     "window_moving_avg",
     "window_running_total",
@@ -208,7 +151,7 @@ _KEEP = [
     "join_null_safe",
     "unpivot_charges",
     "agg_approx_distinct",
-    # r8-green queries (freshest driver rows):
+    # r8-green queries:
     "dedup_exact_substring",
     "dedup_strip_spans",
     "dedup_self_substring",
@@ -258,6 +201,58 @@ _KEEP = [
     "text_lm_surprisal",
     "embedding_random_projection",
     "hybrid_search_rrf",
+    # r10-green queries (freshest driver rows — CORRECTNESS_r10.json,
+    # 50/50 hash-green):
+    "quality_gopher_rules",
+    "corpus_overlap_matrix",
+    "embedding_kmeans_semdedup",
+    "dedup_cluster_survivors",
+    "similarity_pq_adc_topk",
+    "similarity_pq_recall",
+    "dedup_lsh_precision",
+    "embedding_source_drift",
+    "sampling_bernoulli_estimate",
+    "profile_key_skew",
+    "similarity_hard_negatives",
+    "corpus_novelty",
+    "events_winsorize",
+    "streaming_dedup_gate",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "layout_zorder_skipping",
+    "dedup_incremental_minhash",
+    "graph_label_propagation",
+    "layout_hilbert_skipping",
+    "similarity_ivf_recall",
+    "multimodal_frame_sample",
+    "agg_approx_top_k_rollup",
+    "agg_kll_quantile_rollup",
+    "agg_theta_set_ops",
+    "agg_histogram_percentile_rollup",
+    "streaming_stream_stream_join",
+    "streaming_stream_stream_left",
+    "sql_recursive_chain",
+    "dedup_ngram_containment",
+    "text_zipf_fit",
+    "agg_histogram",
+    "sql_correlated_subquery",
+    "cohort_retention",
+    "timeseries_anomaly",
+    "streaming_dedup_counts",
+    "graph_pagerank",
+    "fuzzy_join_suppliers",
+    "events_max_concurrency",
+    "table_profile_numeric",
+    "timeseries_ohlc",
+    "sql_lateral_topn",
+    "dedup_latest_record",
+    "sampling_token_budget",
+    "agg_corr_regression",
+    "scd2_point_in_time_join",
+    "json_extract_rollup",
+    "json_variant_histogram",
+    "window_rank_trio",
 ]
 _ROTATE_OUT: list[str] = []
 

@@ -1184,12 +1184,15 @@ def lsh_precision(
             min_jaccard_est=0.0,
         )
     )
-    # Hashed gram sets (8-byte longs, ~4x smaller through the join) and
-    # broadcast hints: the gram table has one row per DOCUMENT while
-    # the probe side has one row per candidate PAIR — the doc side is
-    # smaller by construction, so the pair stream never shuffles for
-    # the recheck. Union size is derived (|A|+|B|-|A∩B|, exact on
-    # distinct sets) instead of materializing concat+distinct per pair.
+    # Hashed gram sets (8-byte longs, ~4x smaller through the join).
+    # No broadcast hint: the gram table has one row per DOCUMENT, which
+    # is evaluation-sized here but corpus-sized in production — a forced
+    # broadcast would blow the driver at 100 TB (ADVICE r10 #3). AQE
+    # picks broadcast when the doc side actually fits; otherwise this is
+    # two key-partitioned shuffles on the candidate-pair stream, which
+    # the bands already pruned to near-linear size. Union size is
+    # derived (|A|+|B|-|A∩B|, exact on distinct sets) instead of
+    # materializing concat+distinct per pair.
     g = gram_sets(df, text_col, id_col, ngram, hashed=True)
     a = g.select(F.col(id_col).alias("doc_a"), F.col("grams").alias("_ga"))
     b = g.select(F.col(id_col).alias("doc_b"), F.col("grams").alias("_gb"))
@@ -1197,8 +1200,8 @@ def lsh_precision(
     uni = F.size("_ga") + F.size("_gb") - inter
     tj = F.when(uni > 0, inter / uni).otherwise(F.lit(0.0))
     j = (
-        cands.join(F.broadcast(a), "doc_a")
-        .join(F.broadcast(b), "doc_b")
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
         .select("jaccard_est", tj.alias("_tj"))
     )
     hit = F.when(F.col("_tj") >= true_jaccard, 1).otherwise(0)

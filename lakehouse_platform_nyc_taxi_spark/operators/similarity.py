@@ -29,6 +29,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.trino import trino_round
 from .dedup import dot_product, vec_norms
@@ -835,22 +836,34 @@ def kmeans_semdedup(
         scores = F.zip_with(
             cents_lit,
             csq_lit,
-            lambda c, n: F.aggregate(
-                F.zip_with(F.col("v"), c, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / (F.sqrt("nrm") * n),
+            lambda c, n: F.try_divide(
+                F.aggregate(
+                    F.zip_with(F.col("v"), c, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                F.sqrt("nrm") * n,
+            ),
         )
+        # Zero-norm vectors (or an all-zero centroid) make the cosine
+        # denominator 0 — try_divide scores them NULL instead of the
+        # ANSI divide-by-zero error. array_position then returns 0 and
+        # element_at(…, 0) would raise (ADVICE r10 #4), so route them to
+        # the first surviving cell deterministically; the dup join's
+        # cosine against them is NULL downstream (try-guarded below), so
+        # they can never be flagged dup.
+        _pos = F.array_position(F.col("_cs"), F.array_max("_cs")).cast("int")
         assigned = base.select(
             F.col(id_col), "v", "nrm", scores.alias("_cs")
         ).select(
             F.col(id_col),
             "v",
             "nrm",
-            F.element_at(
-                cells_lit, F.array_position(F.col("_cs"), F.array_max("_cs")).cast("int")
-            ).alias("cell"),
+            F.when(
+                (F.col("nrm") > 0) & (_pos > 0), F.element_at(cells_lit, _pos)
+            )
+            .otherwise(F.element_at(cells_lit, F.lit(1)))
+            .alias("cell"),
         )
     a = assigned.alias("a")
     b = assigned.alias("b")
@@ -860,8 +873,10 @@ def kmeans_semdedup(
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
             & (
-                dot_product(F.col("a.v"), F.col("b.v"))
-                / (F.sqrt(F.col("a.nrm")) * F.sqrt(F.col("b.nrm")))
+                F.try_divide(
+                    dot_product(F.col("a.v"), F.col("b.v")),
+                    F.sqrt(F.col("a.nrm")) * F.sqrt(F.col("b.nrm")),
+                )
                 >= tau
             ),
         )
@@ -1117,9 +1132,18 @@ def pq_adc_topk_batch(
         flat_n = [x for row in cnr for x in row]
         data.append((r[qid_col], flat_l, flat_n, math.sqrt(qn)))
     spark = codes.sparkSession
-    qluts = spark.createDataFrame(
-        data, f"{qid_col} long, _lut array<double>, _cnr array<double>, _qsn double"
+    # Derive the qid field type from the query frame so int/string ids
+    # work, not just long (ADVICE r10 #2).
+    qid_type = T.StructField(qid_col, queries.schema[qid_col].dataType, True)
+    qlut_schema = T.StructType(
+        [
+            qid_type,
+            T.StructField("_lut", T.ArrayType(T.DoubleType()), True),
+            T.StructField("_cnr", T.ArrayType(T.DoubleType()), True),
+            T.StructField("_qsn", T.DoubleType(), True),
+        ]
     )
+    qluts = spark.createDataFrame(data, qlut_schema)
     arr = pq_code_arrays(codes, id_col)
     j = arr.join(F.broadcast(qluts))
     adot = None

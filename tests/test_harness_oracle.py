@@ -59,6 +59,22 @@ def test_every_registered_query_in_coverage_md():
     assert not missing, f"queries absent from COVERAGE.md: {missing}"
 
 
+def test_driver_attestation_window_is_exactly_50():
+    """The driver's correctness pass attests only the FIRST 50 registered
+    queries. _PRIORITY must therefore be exactly 50 names and be exactly
+    the head of the registry ordering — a 51st entry silently falls out
+    of the window (ADVICE r10 #1: ``set_except_all`` lost its r10 row
+    this way)."""
+    names = list(harness.registry())
+    assert len(harness._PRIORITY) == 50, (
+        f"_PRIORITY has {len(harness._PRIORITY)} names; the driver window is 50"
+    )
+    assert names[:50] == harness._PRIORITY
+    # No duplicates anywhere in the ordering lists.
+    ordering = harness._PRIORITY + harness._KEEP + harness._ROTATE_OUT
+    assert len(ordering) == len(set(ordering))
+
+
 def test_approx_percentile_high_cardinality_error_bound(spark, duck_oracle):
     """The genuinely-approximate sketch case (high-cardinality price):
     GK with accuracy a guarantees rank error <= n/a; check the returned

@@ -1140,6 +1140,26 @@ def test_kmeans_semdedup_flags_exact_dups_keep_first(spark):
     assert all(r["cluster"] in (0, 1) for r in out.values())
 
 
+def test_kmeans_semdedup_zero_norm_vectors_survive(spark):
+    """A zero vector scores NaN against every centroid; the reassignment
+    must not crash on element_at(cells, 0) (ADVICE r10 #4) and the zero
+    vector must never be flagged dup (cosine to it is undefined)."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),
+        (3, [0.0, 0.0]),  # zero norm
+        (4, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r.asDict()
+        for r in similarity.kmeans_semdedup(df, k=2, iters=2, tau=0.9).collect()
+    }
+    assert len(out) == 4
+    assert not out[3]["is_dup"]
+    assert not out[1]["is_dup"] and out[2]["is_dup"]
+
+
 def test_kmeans_semdedup_deterministic_across_runs(spark):
     import random
 
@@ -1258,6 +1278,28 @@ def test_pq_adc_batch_matches_single_query_path(spark):
         got = [(r.vec_id, r.score) for r in batch if r.qid == qid]
         want = [(r.vec_id, r.score) for r in single]
         assert got == want, (qid, got, want)
+
+
+def test_pq_adc_batch_accepts_string_and_int_qids(spark):
+    """The batch LUT frame derives the qid type from the query frame
+    (ADVICE r10 #2) — string and int ids must work, not just long."""
+    from lakehouse_platform_nyc_taxi_spark.operators.similarity import (
+        pq_adc_topk_batch,
+        pq_train_encode,
+    )
+
+    rows, df = _pq_fixture(spark)
+    codes, book = pq_train_encode(df, dims=4, m=2, k=2, iters=2, seed="t")
+    for schema, ids in (
+        ("qid string, qv array<float>", ["a", "b"]),
+        ("qid int, qv array<float>", [0, 3]),
+    ):
+        queries = spark.createDataFrame(
+            [(ids[j], rows[i][1]) for j, i in enumerate((0, 3))], schema
+        )
+        out = pq_adc_topk_batch(codes, book, queries, k=3).collect()
+        assert {r.qid for r in out} == set(ids)
+        assert len(out) == 6
 
 
 def test_lsh_precision_flags_true_dups_per_est_level(spark):
