@@ -67,6 +67,18 @@ _PRIORITY = [
     # is EXACTLY 50 and equals the first 50 names registry() yields. A
     # query added mid-round must be inserted at the head of this list
     # and the tail name moved to the head of _KEEP (1-in-1-out).
+    # 0) New in round 11 (never driver-attested): the TPC-H wave.
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q12_shipping_delay",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
     # 0) Fell out of the r10 window (the r10 _PRIORITY had 51 names —
     #    ADVICE r10 #1 — so this tail entry was silently unattested):
     "set_except_all",
@@ -114,6 +126,13 @@ _PRIORITY = [
     "in_list_between",
     "incremental_watermark",
     "join_full_outer",
+]
+# Any NEW registration not listed anywhere auto-slots directly after
+# _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
+# window, so a query added mid-round must be listed in _PRIORITY
+# explicitly (and a name bumped to _KEEP to make room).
+_KEEP = [
+    # displaced from the r11 window by the TPC-H wave (1-in-1-out):
     "join_right_outer",
     "lateral_explode_tokens",
     "orderby_limit_topk",
@@ -125,12 +144,6 @@ _PRIORITY = [
     "union_all_typed_nulls",
     "union_distinct",
     "validity_filter",
-]
-# Any NEW registration not listed anywhere auto-slots directly after
-# _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
-# window, so a query added mid-round must be listed in _PRIORITY
-# explicitly (and a name bumped to _KEEP to make room).
-_KEEP = [
     # r7-green remainder (head of the r12 rotation):
     "window_lead_lag",
     "window_moving_avg",
@@ -259,7 +272,7 @@ _ROTATE_OUT: list[str] = []
 
 def registry() -> dict[str, QuerySpec]:
     # Import for side effects (registration) on first use.
-    from . import analytics, core, llm, mining, scale, streaming, textops  # noqa: F401
+    from . import analytics, core, llm, mining, scale, streaming, textops, tpch  # noqa: F401
 
     listed = set(_PRIORITY) | set(_KEEP) | set(_ROTATE_OUT)
     new = [n for n in _REGISTRY if n not in listed]

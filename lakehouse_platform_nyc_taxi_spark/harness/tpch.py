@@ -1,0 +1,638 @@
+"""Round-11 query wave: the remaining TPC-H-expressible benchmark
+queries over this testdata's schema.
+
+The testdata ships no ``partsupp`` table and its ``lineitem`` lacks
+``l_shipmode / l_commitdate / l_receiptdate / l_shipinstruct`` (and
+``part`` lacks ``p_container``), so Q2/Q9/Q11/Q16/Q20/Q21 cannot be
+posed and Q12/Q19/Q22 are adapted to the columns that exist — each
+adaptation keeps the query's *plan shape* (the thing worth
+benchmarking): Q12's dual conditional counts over a fact-fact join,
+Q19's disjunction-of-conjunctions pushdown, Q22's anti-join +
+fenced scalar threshold. Q1 has lived in ``core.py`` as
+``agg_pricing_summary`` since round 1; Q3/Q5/Q10 landed in round 10
+(``scale.py``).
+
+Every aggregate follows the repo's determinism fence: sums run over
+DECIMAL(38,12) (exact, associative, partition-order-free), convert to
+double once aggregated, and round via ``trino_round`` on BOTH engine
+sides, so the driver's value hash is bit-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.trino import trino_round
+from ..sources.testdata import load_table, load_table_parallel
+from . import register
+
+
+def _fenced_sum(col) -> F.Column:
+    return F.sum(col.cast("decimal(38,12)")).cast("double")
+
+
+def _volume() -> F.Column:
+    return F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+
+
+_Q6_SQL = """
+SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,12)))
+             AS DOUBLE), 6) AS revenue
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    _Q6_SQL,
+    doc="TPC-H Q6 (forecast revenue change): keyless aggregate whose "
+    "entire predicate — one year of shipdates, a discount band, a "
+    "quantity cap — pushes to the parquet scan; no join, no shuffle "
+    "beyond the single partial-agg exchange. The canonical scan-"
+    "bandwidth benchmark: at 100 TB this query is I/O-bound, so the "
+    "plan's only job is to never touch the 7 columns it doesn't need.",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table_parallel(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01").cast("date"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        trino_round(
+            _fenced_sum(F.col("l_extendedprice") * F.col("l_discount")), 6
+        ).alias("revenue")
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(38,12))) AS DOUBLE), 6) AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  AND n1.n_name <> n2.n_name
+  AND CAST(l.l_shipdate AS DATE) BETWEEN DATE '1996-01-01'
+                                     AND DATE '1997-12-31'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    _Q7_SQL,
+    doc="TPC-H Q7 (volume shipping): bilateral trade volume between a "
+    "nation set, by ship year. Widened from the spec's single nation "
+    "pair to a 3-nation set so the result is non-empty at sf0.001 "
+    "(150 customers). The two nation joins broadcast and their IN-"
+    "filters semi-reduce supplier/customer BEFORE the fact join; the "
+    "cross-nation inequality is a residual broadcast-side predicate, "
+    "never a shuffle. Revenue decimal-fenced, year cast INT on both "
+    "engines.",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nations = ["NATION_1", "NATION_2", "NATION_3"]
+    n1 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(nations))
+        .select(
+            F.col("n_nationkey").alias("_n1key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(nations))
+        .select(
+            F.col("n_nationkey").alias("_n2key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        n1, F.col("s_nationkey") == F.col("_n1key")
+    )
+    c = load_table(spark, sf_dir, "customer").join(
+        n2, F.col("c_nationkey") == F.col("_n2key")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table_parallel(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate")
+        .cast("date")
+        .between(F.lit("1996-01-01").cast("date"), F.lit("1997-12-31").cast("date"))
+    )
+    return (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(trino_round(_fenced_sum(_volume()), 6).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q8_SQL = """
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                           THEN volume ELSE CAST(0 AS DECIMAL(38,12)) END)
+                  AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,12))
+             AS volume,
+           n1.n_name AS supp_nation
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    JOIN region r ON n2.n_regionkey = r.r_regionkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND p.p_type = 'PROMO'
+      AND CAST(o.o_orderdate AS DATE) BETWEEN DATE '1996-01-01'
+                                          AND DATE '1997-12-31'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register(
+    "tpch_q8_market_share",
+    _Q8_SQL,
+    doc="TPC-H Q8 (national market share): NATION_5's share of PROMO-"
+    "part revenue sold into ASIA, per order year — the widest TPC-H "
+    "star (7 joins, nation joined twice under different roles). All "
+    "five dimensions broadcast; part's type filter semi-reduces "
+    "lineitem first (the CBO's most selective edge); the share is a "
+    "conditional-over-total ratio of two decimal-fenced sums computed "
+    "in ONE aggregation pass, not two scans.",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate")
+        .cast("date")
+        .between(F.lit("1996-01-01").cast("date"), F.lit("1997-12-31").cast("date"))
+    )
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_n1key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_n2key"), F.col("n_regionkey").alias("_n2reg")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    li = load_table_parallel(spark, sf_dir, "lineitem")
+    vol = _volume().cast("decimal(38,12)")
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n2, c["c_nationkey"] == F.col("_n2key"))
+        .join(r, F.col("_n2reg") == r["r_regionkey"])
+        .join(n1, s["s_nationkey"] == F.col("_n1key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            trino_round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(
+                        F.lit(0).cast("decimal(38,12)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q12_SQL = """
+SELECT CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                           CAST(l.l_shipdate AS DATE)) > 60 THEN 'LATE'
+            WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                           CAST(l.l_shipdate AS DATE)) > 30 THEN 'SLOW'
+            ELSE 'FAST' END AS ship_bucket,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "tpch_q12_shipping_delay",
+    _Q12_SQL,
+    doc="TPC-H Q12 adapted (shipping modes and order priority): the "
+    "testdata ships no l_shipmode/l_commitdate/l_receiptdate, so the "
+    "group key is a ship-delay bucket derived from shipdate minus "
+    "orderdate — same plan shape as the spec query: one fact-fact "
+    "join (orders joins pre-filtered lineitem on the order key), dual "
+    "conditional counts splitting urgent from non-urgent priorities "
+    "in a single pass. Day difference is whole-day on both engines "
+    "(DATE-cast operands), so the buckets are bit-identical.",
+)
+def tpch_q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table_parallel(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01").cast("date"))
+    )
+    delay = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    bucket = (
+        F.when(delay > 60, F.lit("LATE"))
+        .when(delay > 30, F.lit("SLOW"))
+        .otherwise(F.lit("FAST"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                      AND o.o_orderpriority <> '5-LOW'
+    GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    _Q13_SQL,
+    doc="TPC-H Q13 (customer distribution): two-level aggregation — "
+    "orders per customer under a join-side predicate (the spec's "
+    "o_comment NOT LIKE filter becomes a priority filter; this "
+    "testdata has no o_comment), then the histogram of those counts. "
+    "The left join preserves order-less customers as c_count = 0 "
+    "(count of NULL keys), the shape the spec exists to test. First "
+    "aggregation shuffles on custkey (same key the join just used — "
+    "AQE reuses the exchange), second on the tiny count domain.",
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q14_SQL = """
+SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(38,12))
+                   ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(38,12))) AS DOUBLE), 6)
+       AS promo_revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-09-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1997-10-01'
+"""
+
+
+@register(
+    "tpch_q14_promo_effect",
+    _Q14_SQL,
+    doc="TPC-H Q14 (promotion effect): percent of one month's revenue "
+    "from PROMO-type parts. The month filter prunes lineitem at the "
+    "scan to ~1.2%% of rows BEFORE the part join (which broadcasts); "
+    "numerator and denominator are decimal-fenced sums from one "
+    "aggregation pass — the conditional-ratio pattern Q8 uses, minus "
+    "the star.",
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table_parallel(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-09-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-10-01").cast("date"))
+    )
+    vol = _volume().cast("decimal(38,12)")
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .agg(
+            trino_round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol).otherwise(
+                        F.lit(0).cast("decimal(38,12)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+_Q15_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(38,12))) AS DOUBLE), 6)
+             AS total_revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+@register(
+    "tpch_q15_top_supplier",
+    _Q15_SQL,
+    doc="TPC-H Q15 (top supplier): one quarter's revenue per supplier, "
+    "keep the max. The spec's view becomes a reused DataFrame: the "
+    "revenue aggregate is computed ONCE, its 1-row max broadcast-"
+    "cross-joined back (the incremental_watermark pattern — no "
+    "collect, no second scan of lineitem), supplier broadcasts onto "
+    "the winner set. Equality on the max is safe because "
+    "total_revenue is decimal-fenced then 6-rounded identically on "
+    "both engines.",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table_parallel(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-04-01").cast("date"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        trino_round(_fenced_sum(_volume()), 6).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q17_SQL = """
+SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,12)))
+             AS DOUBLE) / 7.0, 6) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (
+    SELECT l_partkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE)
+             / count(*) AS avg_qty
+    FROM lineitem
+    GROUP BY l_partkey
+) a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND p.p_size <= 10
+  AND l.l_quantity < 0.5 * a.avg_qty
+"""
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    _Q17_SQL,
+    doc="TPC-H Q17 (small-quantity-order revenue): lineitems of one "
+    "brand's small parts whose quantity is under half the part's "
+    "average (spec uses 0.2x + p_container; this testdata has no "
+    "container, and 0.5x keeps the answer non-empty at sf0.001). The "
+    "correlated scalar subquery decorrelates into a per-part average "
+    "joined back on partkey — the textbook rewrite; both the filtered "
+    "part dim and the per-part averages broadcast, so the fact table "
+    "never shuffles. The average is fenced (decimal sum / exact "
+    "count) and 0.5x is an exact double scale, so the comparison is "
+    "engine-identical.",
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table_parallel(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("_apk")).agg(
+        (_fenced_sum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(avg_qty), li["l_partkey"] == F.col("_apk"))
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            trino_round(
+                _fenced_sum(F.col("l_extendedprice")) / F.lit(7.0), 6
+            ).alias("avg_yearly")
+        )
+    )
+
+
+_Q18_SQL = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(38,12))) AS DOUBLE)
+         AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+@register(
+    "tpch_q18_large_volume_customer",
+    _Q18_SQL,
+    doc="TPC-H Q18 (large-volume customer): orders whose total quantity "
+    "tops 250, with their customer and quantity sum, top-100 by order "
+    "price. The IN-subquery becomes a semi-join against the grouped "
+    "having-filter — lineitem is aggregated ONCE on l_orderkey and "
+    "the surviving keys (tiny) broadcast back onto the fact rows; "
+    "customer broadcasts; the top-100 is TakeOrdered on (totalprice "
+    "DESC, orderkey) — deterministic boundary. Quantity sums are "
+    "integer-valued and far below 2^53, so the >250 membership test "
+    "is exact on both engines regardless of fencing; the RETURNED "
+    "total_qty is decimal-fenced like every emitted aggregate.",
+)
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table_parallel(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_fenced_sum(F.col("l_quantity")).alias("_tq"))
+        .filter(F.col("_tq") > 250)
+        .select(F.col("l_orderkey").alias("_bigkey"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(big), li["l_orderkey"] == F.col("_bigkey"), "left_semi")
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_fenced_sum(F.col("l_quantity")).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+_Q19_SQL = """
+SELECT round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(38,12))) AS DOUBLE), 6) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 21)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    _Q19_SQL,
+    doc="TPC-H Q19 adapted (discounted revenue): disjunction of three "
+    "brand/size/quantity conjunctions across the part join (the "
+    "spec's p_container + l_shipmode legs use columns this testdata "
+    "lacks; size/quantity bands keep the shape). The optimizer-"
+    "relevant property survives: each disjunct's single-table "
+    "conjuncts factor out — Catalyst pushes the derived brand-OR "
+    "and quantity-OR envelopes to the part and lineitem scans "
+    "respectively, then evaluates the full residual after the "
+    "(broadcast) join. One row out, decimal-fenced.",
+)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table_parallel(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(trino_round(_fenced_sum(_volume()), 6).alias("revenue"))
+    )
+
+
+_Q22_SQL = """
+WITH thr AS (
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,12))) AS DOUBLE)
+           / count(*) AS avg_bal
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_mktsegment, count(*) AS numcust,
+       round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(38,12))) AS DOUBLE), 6)
+         AS totacctbal
+FROM customer c, thr
+WHERE c.c_acctbal > thr.avg_bal
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderpriority = '1-URGENT'
+  )
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    _Q22_SQL,
+    doc="TPC-H Q22 adapted (global sales opportunity): well-funded "
+    "customers with no urgent orders, counted per market segment (the "
+    "spec keys on c_phone country codes and full order absence; this "
+    "testdata has no phone column and every customer has orders, so "
+    "the anti-join is against URGENT orders). Same plan shape as the "
+    "spec: a fenced scalar average broadcast-cross-joined as the "
+    "balance threshold (no collect), then a broadcast anti-join "
+    "against the filtered orders key set, one grouped aggregate.",
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        (_fenced_sum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, c["c_custkey"] == urgent["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            trino_round(_fenced_sum(F.col("c_acctbal")), 6).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

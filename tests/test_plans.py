@@ -725,9 +725,41 @@ def test_tpch_star_joins_broadcast_dims(spark):
         "tpch_q3_shipping_priority",
         "tpch_q5_local_supplier_volume",
         "tpch_q10_returned_items",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q12_shipping_delay",
+        "tpch_q13_customer_distribution",
+        "tpch_q14_promo_effect",
+        "tpch_q15_top_supplier",
+        "tpch_q17_small_quantity_revenue",
+        "tpch_q18_large_volume_customer",
+        "tpch_q19_discounted_revenue",
+        "tpch_q22_global_sales_opportunity",
     ):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastHashJoin" in plan, name
         # every scan carries a pushed filter or pruned schema
         assert "PushedFilters" in plan, name
+
+
+def test_tpch_q6_is_scan_plus_partial_agg(spark):
+    # Q6 is the scan-bandwidth query: no join at all, predicate pushed,
+    # and the scan reads only the 4 columns the predicate/agg touch.
+    plan = plan_of(spark, "tpch_q6_forecast_revenue")
+    assert "Join" not in plan
+    assert "PushedFilters: [" in plan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, cols
+
+
+def test_tpch_q18_semi_join_no_fact_shuffle_join(spark):
+    # The having-filtered key set broadcasts back as LeftSemi — the
+    # lineitem fact table must not sort-merge for the membership test.
+    plan = plan_of(spark, "tpch_q18_large_volume_customer")
+    assert "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
