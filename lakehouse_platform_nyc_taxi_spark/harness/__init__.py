@@ -67,7 +67,12 @@ _PRIORITY = [
     # is EXACTLY 50 and equals the first 50 names registry() yields. A
     # query added mid-round must be inserted at the head of this list
     # and the tail name moved to the head of _KEEP (1-in-1-out).
-    # 0) New in round 11 (never driver-attested): the TPC-H wave.
+    # 0) New in round 11 (never driver-attested): DSIR + mixture wave,
+    #    then the TPC-H wave.
+    "sampling_dsir_weights",
+    "sampling_dsir_select",
+    "corpus_mixture_plan",
+    # 0b) The TPC-H wave.
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
@@ -122,9 +127,6 @@ _PRIORITY = [
     "cast_rename_projection",
     # 2) Oldest r7-green names (the rest of the r7 cohort stays in
     #    _KEEP for the r12 rotation):
-    "filter_precedence_quirk",
-    "in_list_between",
-    "incremental_watermark",
     "join_full_outer",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
@@ -132,6 +134,10 @@ _PRIORITY = [
 # window, so a query added mid-round must be listed in _PRIORITY
 # explicitly (and a name bumped to _KEEP to make room).
 _KEEP = [
+    # displaced from the r11 window by the DSIR/mixture wave:
+    "filter_precedence_quirk",
+    "in_list_between",
+    "incremental_watermark",
     # displaced from the r11 window by the TPC-H wave (1-in-1-out):
     "join_right_outer",
     "lateral_explode_tokens",

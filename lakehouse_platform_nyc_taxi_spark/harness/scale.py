@@ -1707,3 +1707,140 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 wave: DSIR importance resampling + training-mixture planning.
+# ---------------------------------------------------------------------------
+
+from ..operators import sampling as _sampling  # noqa: E402
+from .llm import TOKS  # noqa: E402
+
+_DSIR_B = 4096
+_DSIR_AB = 0.5 * _DSIR_B  # alpha * n_buckets
+
+_DSIR_CTES = f"""
+    tok AS (
+        SELECT doc_id, lang = 'en' AS is_t,
+               ({MD5L.format(x='token')}) % {_DSIR_B} AS b
+        FROM (SELECT doc_id, lang, unnest({TOKS}) AS token FROM documents)
+    ),
+    cnt AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS cr,
+               CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        FROM tok GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(cr) AS DOUBLE) AS tr, CAST(sum(ct) AS DOUBLE) AS tt
+        FROM cnt
+    ),
+    lr AS (
+        SELECT b,
+               round(ln(((CAST(ct AS DOUBLE) + 0.5) / (tt + {_DSIR_AB}))
+                        / ((CAST(cr AS DOUBLE) + 0.5) / (tr + {_DSIR_AB}))),
+                     8) AS w
+        FROM cnt CROSS JOIN tot
+    ),
+    dsir AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(CAST(sum(CAST(w AS DECIMAL(28,8))) AS DOUBLE), 6)
+                   AS dsir_weight,
+               round(CAST(sum(CAST(w AS DECIMAL(28,8))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS dsir_per_token
+        FROM tok JOIN lr USING (b)
+        GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "sampling_dsir_weights",
+    f"WITH {_DSIR_CTES} SELECT * FROM dsir",
+    doc="DSIR importance weights (Xie et al. 2023): per-document "
+    "target-vs-raw log-likelihood ratio over hash-bucketed token "
+    "features (md5 mod 4096), target = English docs. The learned "
+    "'model' is one bounded 4096-row log-ratio table (broadcast), "
+    "counts for raw AND target come from a single conditional "
+    "aggregation scan, and per-doc weights are decimal-fenced sums "
+    "of round8 ratios — bit-stable at any partitioning. At 100 TB "
+    "this is two token-level shuffles + one doc-level, no driver "
+    "state beyond 4096 scalars.",
+)
+def sampling_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    return _sampling.dsir_importance(
+        docs, F.col("lang") == "en", n_buckets=_DSIR_B
+    )
+
+
+@register(
+    "sampling_dsir_select",
+    f"""
+    WITH {_DSIR_CTES},
+    ranked AS (
+        SELECT d.lang, s.doc_id, s.n_tokens, s.dsir_weight, s.dsir_per_token,
+               row_number() OVER (PARTITION BY d.lang
+                                  ORDER BY s.dsir_per_token DESC, s.doc_id)
+                   AS rn
+        FROM dsir s JOIN documents d USING (doc_id)
+    )
+    SELECT lang, doc_id, n_tokens, dsir_weight, dsir_per_token
+    FROM ranked WHERE rn <= 5
+    """,
+    doc="DSIR selection stage: keep the 5 most-English-like documents "
+    "per language by per-token importance weight (deterministic "
+    "ties: lowest doc_id). The weights table joins back to the "
+    "corpus for the group key, then one window shuffle ranks within "
+    "language — stratified top-k, the standard coreset pick before "
+    "a weighted rebuild.",
+)
+def sampling_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    w = _sampling.dsir_importance(docs, F.col("lang") == "en", n_buckets=_DSIR_B)
+    labeled = w.join(docs.select("doc_id", "lang"), "doc_id")
+    return _sampling.dsir_select_topk(labeled, "lang", 5).select(
+        "lang", "doc_id", "n_tokens", "dsir_weight", "dsir_per_token"
+    )
+
+
+_MIX_WEIGHTS = {"en": 0.4, "de": 0.2, "fr": 0.15, "es": 0.15, "zh": 0.1}
+_MIX_BUDGET = 100_000
+_MIX_CASE = " ".join(
+    f"WHEN '{g}' THEN CAST({w} AS DOUBLE)" for g, w in sorted(_MIX_WEIGHTS.items())
+)
+
+
+@register(
+    "corpus_mixture_plan",
+    f"""
+    WITH avail AS (
+        SELECT lang,
+               CAST(sum(len({TOKS})) AS BIGINT) AS available_tokens,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    )
+    SELECT lang, available_tokens, n_docs,
+           round(CASE lang {_MIX_CASE} ELSE 0.0 END, 6) AS target_share,
+           round(round(CASE lang {_MIX_CASE} ELSE 0.0 END, 6)
+                 * {float(_MIX_BUDGET)}, 6) AS planned_tokens,
+           round(least(round(CASE lang {_MIX_CASE} ELSE 0.0 END, 6)
+                       * {float(_MIX_BUDGET)}
+                       / CAST(available_tokens AS DOUBLE), 1.0), 6)
+               AS sample_rate,
+           round(round(CASE lang {_MIX_CASE} ELSE 0.0 END, 6)
+                 * {float(_MIX_BUDGET)}
+                 / CAST(available_tokens AS DOUBLE), 6) AS epochs
+    FROM avail ORDER BY lang
+    """,
+    doc="Training-mixture planner: per-language token availability vs "
+    "a target mixture (en .4 / de .2 / fr .15 / es .15 / zh .1) and "
+    "a 100k-token budget — the DoReMi-style bookkeeping pass that "
+    "yields each group's sampling rate (capped at 1) and epoch count "
+    "(>1 = the mixture needs data repetition). Token counts are "
+    "row-local size(split(...)) — ONE grouped aggregate over the "
+    "corpus, no explode, no token-level shuffle; everything after is "
+    "arithmetic on a group-cardinality table.",
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    return _sampling.mixture_plan(docs, _MIX_WEIGHTS, _MIX_BUDGET)

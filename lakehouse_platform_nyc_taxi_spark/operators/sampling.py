@@ -287,3 +287,167 @@ def sampled_estimate(
             rel(F.coalesce(F.col("_se"), F.lit(0.0)), F.col("_sx")), 6
         ).alias("rel_err_sum"),
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public): score every
+    document by how much its hashed token features look like a TARGET
+    subcorpus relative to the RAW corpus, so a selection pass can keep
+    the raw documents most target-like.
+
+    Distributed shape (the reason DSIR scales where a classifier
+    doesn't): the feature space is HASH-BUCKETED to ``n_buckets``
+    (md5(token) mod n_buckets), so the learned "model" is one bounded
+    table of per-bucket log-ratios — never vocabulary-sized, never
+    driver-bound:
+
+    1. one explode + groupBy(bucket) computes raw and target counts in
+       a single map-side-combined shuffle (target membership is a
+       row-local predicate, counted conditionally — the corpus is
+       scanned ONCE);
+    2. bucket log-ratios ``ln(p_target(f) / p_raw(f))`` (add-alpha
+       smoothed, round8 — the repo's cross-engine float fence for
+       transcendentals) form a <= n_buckets-row table that BROADCASTS
+       back onto the token stream;
+    3. per-document weight = the decimal-fenced sum of its tokens'
+       round8 log-ratios (exact, associative, partition-order-free),
+       normalized per token for a length-independent score.
+
+    Returns one row per document: ``doc_id, n_tokens, dsir_weight``
+    (total nats, round6) and ``dsir_per_token`` (round6). Downstream
+    selection is a plain top-k / threshold / ``weighted_sample`` over
+    ``dsir_weight``.
+    """
+    from ..functions.trino import trino_round
+    from .text import tokens
+
+    toks = df.select(
+        F.col(id_col),
+        target.alias("_is_target"),
+        F.explode(tokens(text_col)).alias("_tok"),
+    ).select(
+        id_col, "_is_target", (md5_long(F.col("_tok")) % n_buckets).alias("_b")
+    )
+    counts = toks.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_cr"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("_ct"),
+    )
+    totals = counts.agg(
+        F.sum("_cr").alias("_tr"), F.sum("_ct").alias("_tt")
+    )
+    denom_t = F.col("_tt").cast("double") + F.lit(alpha * n_buckets)
+    denom_r = F.col("_tr").cast("double") + F.lit(alpha * n_buckets)
+    ratios = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "_b",
+            F.round(
+                F.log(
+                    ((F.col("_ct").cast("double") + F.lit(alpha)) / denom_t)
+                    / ((F.col("_cr").cast("double") + F.lit(alpha)) / denom_r)
+                ),
+                8,
+            ).alias("_w"),
+        )
+    )
+    per_doc = (
+        toks.join(F.broadcast(ratios), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("_w").cast("decimal(28,8)")).cast("double").alias("_sum"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        trino_round(F.col("_sum"), 6).alias("dsir_weight"),
+        trino_round(F.col("_sum") / F.col("n_tokens").cast("double"), 6).alias(
+            "dsir_per_token"
+        ),
+    )
+
+
+def dsir_select_topk(
+    weights: DataFrame,
+    group_col: str,
+    k: int,
+    weight_col: str = "dsir_per_token",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Selection stage over :func:`dsir_importance`: keep the ``k`` most
+    target-like documents per group (deterministic ties: lowest id
+    wins). One window shuffle on the group key — the standard stratified
+    top-k; at 100 TB pre-aggregate nothing, the window prunes to k rows
+    per group before any collect-side materialization."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(weight_col), F.col(id_col)
+    )
+    return (
+        weights.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-mixture planner: given target mixture ``weights`` per
+    group and a total token ``budget``, compute per-group availability
+    and the sampling rate / epoch count that realizes the mixture —
+    the bookkeeping pass before a DoReMi-style weighted rebuild of a
+    corpus.
+
+    One grouped aggregate over the corpus (token counts are row-local
+    ``size(split(...))`` — no explode, no token-level shuffle), then
+    pure arithmetic against the broadcast literal weight table. Groups
+    without a weight get weight 0. ``sample_rate`` caps at 1.0;
+    ``epochs`` > 1 means the plan must repeat data to honor the
+    mixture (the overflow a planner exists to surface).
+
+    Output per group: ``available_tokens, n_docs, target_share,
+    planned_tokens, sample_rate, epochs`` (round6).
+    """
+    from ..functions.trino import trino_round
+    from .text import token_count
+
+    total_w = sum(weights.values())
+    share = F.coalesce(
+        *[
+            F.when(F.col(group_col) == g, F.lit(w / total_w))
+            for g, w in sorted(weights.items())
+        ],
+        F.lit(0.0),
+    )
+    avail = df.groupBy(group_col).agg(
+        F.sum(token_count(text_col)).cast("bigint").alias("available_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    planned = F.col("target_share") * F.lit(float(budget_tokens))
+    ratio = planned / F.col("available_tokens").cast("double")
+    return (
+        avail.withColumn("target_share", trino_round(share, 6))
+        .select(
+            group_col,
+            "available_tokens",
+            "n_docs",
+            "target_share",
+            trino_round(planned, 6).alias("planned_tokens"),
+            trino_round(F.least(ratio, F.lit(1.0)), 6).alias("sample_rate"),
+            trino_round(ratio, 6).alias("epochs"),
+        )
+        .orderBy(group_col)
+    )

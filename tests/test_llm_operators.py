@@ -1551,3 +1551,83 @@ def test_round10_operators_degenerate_inputs(spark):
     out = dedup.lsh_precision(distinct_docs).collect()
     # docs share no shingles -> no band collisions -> empty curve
     assert out == []
+
+
+def test_dsir_importance_ranks_target_like_docs_higher(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators.sampling import (
+        dsir_importance,
+    )
+
+    # Target docs (is_t) speak "tt"-vocabulary; raw-only docs speak "rr".
+    # A raw doc written in target vocabulary must out-score raw-vocab docs.
+    rows = [
+        (1, "tt ta tb tt ta", "t"),
+        (2, "ta tt tb tb tt", "t"),
+        (3, "rr ra rb rr ra", "r"),
+        (4, "ra rr rb rb rr", "r"),
+        (5, "tt ta tb tt tb", "r"),  # target-like raw doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dsir_importance(df, F.col("grp") == "t").collect()
+    }
+    assert len(out) == 5
+    assert all(r["n_tokens"] == 5 for r in out.values())
+    # the target-vocab raw doc beats both raw-vocab docs
+    assert out[5]["dsir_per_token"] > out[3]["dsir_per_token"]
+    assert out[5]["dsir_per_token"] > out[4]["dsir_per_token"]
+    # absolute sign is meaningless (raw = ALL docs, so cr >= ct and the
+    # smoothed ratios skew negative); the contract is the RANKING:
+    # every target-vocab doc outranks every raw-vocab doc.
+    t_like = {1, 2, 5}
+    worst_t = min(out[i]["dsir_per_token"] for i in t_like)
+    best_r = max(out[i]["dsir_per_token"] for i in (3, 4))
+    assert worst_t > best_r
+
+
+def test_dsir_select_topk_deterministic_ties(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators.sampling import (
+        dsir_select_topk,
+    )
+
+    rows = [
+        ("a", 1, 0.5), ("a", 2, 0.5), ("a", 3, 0.9),
+        ("b", 4, 0.1), ("b", 5, 0.2),
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, dsir_per_token double")
+    got = sorted(
+        (r.lang, r.doc_id)
+        for r in dsir_select_topk(df, "lang", 2).collect()
+    )
+    # ties break on lowest doc_id: 'a' keeps 3 (0.9) and 1 (0.5, id<2)
+    assert got == [("a", 1), ("a", 3), ("b", 4), ("b", 5)]
+
+
+def test_mixture_plan_rates_cap_and_zero_weight_groups(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators.sampling import (
+        mixture_plan,
+    )
+
+    rows = [
+        (1, "w w w w", "big"),     # 4 tokens
+        (2, "w w w w w w", "big"),  # 6 tokens
+        (3, "w w", "small"),        # 2 tokens
+        (4, "w", "other"),          # no weight -> share 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["lang"]: r.asDict()
+        for r in mixture_plan(df, {"big": 3.0, "small": 1.0}, 8).collect()
+    }
+    assert out["big"]["available_tokens"] == 10
+    assert out["big"]["target_share"] == 0.75
+    assert out["big"]["planned_tokens"] == 6.0
+    assert out["big"]["sample_rate"] == 0.6
+    assert out["big"]["epochs"] == 0.6
+    # small: planned 2 tokens, has 2 -> rate caps at exactly 1
+    assert out["small"]["sample_rate"] == 1.0
+    assert out["small"]["epochs"] == 1.0
+    # unweighted group: share 0, rate 0 (not absent from the plan)
+    assert out["other"]["target_share"] == 0.0
+    assert out["other"]["sample_rate"] == 0.0

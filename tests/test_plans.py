@@ -757,6 +757,22 @@ def test_tpch_q6_is_scan_plus_partial_agg(spark):
     assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, cols
 
 
+def test_dsir_ratio_table_broadcasts_mixture_has_no_explode(spark):
+    # DSIR: the 4096-row log-ratio table must broadcast back onto the
+    # token stream (never a shuffle join), and the only nested-loop is
+    # the 1-row totals cross join.
+    for name in ("sampling_dsir_weights", "sampling_dsir_select"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # Mixture planner: token counts are row-local size(split(...)) —
+    # no explode (Generate), no join of any kind.
+    plan = plan_of(spark, "corpus_mixture_plan")
+    assert "Generate" not in plan
+    assert "Join" not in plan
+
+
 def test_tpch_q18_semi_join_no_fact_shuffle_join(spark):
     # The having-filtered key set broadcasts back as LeftSemi — the
     # lineitem fact table must not sort-merge for the membership test.
