@@ -505,24 +505,28 @@ LIMIT 100
     "DESC, orderkey) — deterministic boundary. Quantity sums are "
     "integer-valued and far below 2^53, so the >250 membership test "
     "is exact on both engines regardless of fencing; the RETURNED "
-    "total_qty is decimal-fenced like every emitted aggregate.",
+    "total_qty is decimal-fenced like every emitted aggregate. The "
+    "Spark plan folds the spec's IN-subquery + regroup into ONE "
+    "lineitem aggregation: orders and customers join 1:1 onto the "
+    "qualifying per-order sums, so the grouped re-sum the SQL writes "
+    "is the identity and lineitem scans exactly once.",
 )
 def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table_parallel(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(_fenced_sum(F.col("l_quantity")).alias("_tq"))
-        .filter(F.col("_tq") > 250)
-        .select(F.col("l_orderkey").alias("_bigkey"))
+        .agg(_fenced_sum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
     )
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(big), li["l_orderkey"] == F.col("_bigkey"), "left_semi")
-        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(_fenced_sum(F.col("l_quantity")).alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )

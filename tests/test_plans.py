@@ -773,9 +773,11 @@ def test_dsir_ratio_table_broadcasts_mixture_has_no_explode(spark):
     assert "Join" not in plan
 
 
-def test_tpch_q18_semi_join_no_fact_shuffle_join(spark):
-    # The having-filtered key set broadcasts back as LeftSemi — the
-    # lineitem fact table must not sort-merge for the membership test.
+def test_tpch_q18_single_lineitem_scan(spark):
+    # The IN-subquery + regroup folds into ONE lineitem aggregation
+    # (orders/customer join 1:1 onto the per-order sums), so the fact
+    # table must scan exactly once and nothing sort-merges.
     plan = plan_of(spark, "tpch_q18_large_volume_customer")
-    assert "LeftSemi" in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan
     assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
