@@ -67,6 +67,7 @@ _PRIORITY = [
     # is EXACTLY 50 and equals the first 50 names registry() yields. A
     # query added mid-round must be inserted at the head of this list
     # and the tail name moved to the head of _KEEP (1-in-1-out).
+    "agg_count_min_sketch",
     # 0) New in round 11 (never driver-attested): DSIR + mixture wave,
     #    then the TPC-H wave.
     "sampling_dsir_weights",
@@ -127,13 +128,13 @@ _PRIORITY = [
     "cast_rename_projection",
     # 2) Oldest r7-green names (the rest of the r7 cohort stays in
     #    _KEEP for the r12 rotation):
-    "join_full_outer",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
 # window, so a query added mid-round must be listed in _PRIORITY
 # explicitly (and a name bumped to _KEEP to make room).
 _KEEP = [
+    "join_full_outer",
     # displaced from the r11 window by the DSIR/mixture wave:
     "filter_precedence_quirk",
     "in_list_between",

@@ -1844,3 +1844,77 @@ _MIX_CASE = " ".join(
 def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_parallel(spark, sf_dir, "documents")
     return _sampling.mixture_plan(docs, _MIX_WEIGHTS, _MIX_BUDGET)
+
+
+_CMS_D, _CMS_W = 4, 1024
+_CMS_HASH = MD5L.format(
+    x="CAST(user_id AS VARCHAR) || '#' || CAST(d AS VARCHAR)"
+)
+
+
+@register(
+    "agg_count_min_sketch",
+    f"""
+    WITH exact AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM events GROUP BY 1
+        ORDER BY exact_cnt DESC, user_id LIMIT 10
+    ),
+    depths AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    cells AS (
+        SELECT d, ({_CMS_HASH}) % {_CMS_W} AS cell
+        FROM events CROSS JOIN depths
+    ),
+    cms AS (
+        SELECT d, cell, CAST(count(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY 1, 2
+    ),
+    pc AS (
+        SELECT user_id, exact_cnt, d, ({_CMS_HASH}) % {_CMS_W} AS cell
+        FROM exact CROSS JOIN depths
+    ),
+    est AS (
+        SELECT user_id, exact_cnt,
+               CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS cms_est
+        FROM pc LEFT JOIN cms USING (d, cell)
+        GROUP BY 1, 2
+    )
+    SELECT user_id, exact_cnt, cms_est,
+           cms_est >= exact_cnt AS never_underestimates
+    FROM est
+    """,
+    doc="Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005): "
+    "a hand-rolled 4x1024 CMS over event user_ids (Spark 4's "
+    "DataSketches surface has no CMS) probed at the exact top-10 "
+    "users. Because the sketch is pure integer Catalyst arithmetic "
+    "over the repo's md5 hash family, the oracle REPLAYS it cell for "
+    "cell — estimates hash-match exactly rather than hiding behind "
+    "pinned bound flags; the structural CMS guarantee (never "
+    "underestimates) is emitted as a checked column. Build: one "
+    "explode + one groupBy with state bounded at depth*width cells; "
+    "sharded sketches merge by cell addition "
+    "(operators/sketch.py::cms_merge).",
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    cms = sketch.cms_build(ev, "user_id", depth=_CMS_D, width=_CMS_W)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "user_id")
+        .limit(10)
+    )
+    est = sketch.cms_estimate(cms, exact, "user_id", depth=_CMS_D, width=_CMS_W)
+    return (
+        exact.join(F.broadcast(est), "user_id")
+        .select(
+            "user_id",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias(
+                "never_underestimates"
+            ),
+        )
+    )

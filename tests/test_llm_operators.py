@@ -1631,3 +1631,25 @@ def test_mixture_plan_rates_cap_and_zero_weight_groups(spark):
     # unweighted group: share 0, rate 0 (not absent from the plan)
     assert out["other"]["target_share"] == 0.0
     assert out["other"]["sample_rate"] == 0.0
+
+
+def test_cms_build_estimate_merge(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators import sketch
+
+    rows = [(k,) for k in ["a"] * 7 + ["b"] * 3 + ["c"] * 1]
+    df = spark.createDataFrame(rows, "k string")
+    cms = sketch.cms_build(df, "k", depth=3, width=64)
+    # total mass is preserved per depth row
+    per_d = {r.d: r.s for r in cms.groupBy("d").agg(F.sum("cnt").alias("s")).collect()}
+    assert per_d == {0: 11, 1: 11, 2: 11}
+    probes = spark.createDataFrame([("a",), ("c",), ("zz",)], "k string")
+    est = {r.k: r.cms_est for r in sketch.cms_estimate(cms, probes, "k", depth=3, width=64).collect()}
+    # never underestimates; unseen key estimates 0 unless it collides
+    assert est["a"] >= 7 and est["c"] >= 1
+    assert est["zz"] >= 0
+    # merge == sketch of the union
+    df2 = spark.createDataFrame([("a",), ("d",), ("d",)], "k string")
+    cms2 = sketch.cms_build(df2, "k", depth=3, width=64)
+    merged = sketch.cms_merge(cms, cms2)
+    whole = sketch.cms_build(df.union(df2), "k", depth=3, width=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
