@@ -430,3 +430,75 @@ def streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_docs, min_est=0.5, stored_index=_gate_index(spark, sf_dir)
     )
     return S.run_available_now(out, "append", state_partitions=8)
+
+
+@register(
+    "streaming_cms_heavy_hitters",
+    """
+    WITH exact AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM events GROUP BY 1
+        ORDER BY exact_cnt DESC, user_id LIMIT 10
+    ),
+    depths AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    cells AS (
+        SELECT d, (('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#'
+                    || CAST(d AS VARCHAR)), 1, 15))::BIGINT) % 1024 AS cell
+        FROM events CROSS JOIN depths
+    ),
+    cms AS (
+        SELECT d, cell, CAST(count(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY 1, 2
+    ),
+    pc AS (
+        SELECT user_id, exact_cnt, d,
+               (('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#'
+                 || CAST(d AS VARCHAR)), 1, 15))::BIGINT) % 1024 AS cell
+        FROM exact CROSS JOIN depths
+    ),
+    est AS (
+        SELECT user_id, exact_cnt,
+               CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS cms_est
+        FROM pc LEFT JOIN cms USING (d, cell)
+        GROUP BY 1, 2
+    )
+    SELECT user_id, exact_cnt, cms_est,
+           cms_est >= exact_cnt AS never_underestimates
+    FROM est
+    """,
+    doc="Streaming count-min sketch: the (4x1024) cell table is the "
+    "stream's ENTIRE state — bounded by sketch dimensions, not key "
+    "cardinality, which is why CMS is the ingestion-side counter at "
+    "100 TB (per-key streaming counts grow state forever; the sketch "
+    "never does). Complete-mode drain, then the batch estimator "
+    "probes the final cell table at the exact top-10 users. Counts "
+    "are associative, so the drained sketch is bit-identical to the "
+    "batch build and the oracle replays it cell for cell "
+    "(streaming/ops.py::stream_cms + operators/sketch.py).",
+)
+def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators import sketch
+    from ..sources.testdata import load_table
+
+    ev = S.read_events_stream(spark, sf_dir)
+    cms = S.run_available_now(
+        S.stream_cms(ev, "user_id", depth=4, width=1024),
+        "complete",
+        state_partitions=8,
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "user_id")
+        .limit(10)
+    )
+    est = sketch.cms_estimate(cms, exact, "user_id", depth=4, width=1024)
+    return exact.join(F.broadcast(est), "user_id").select(
+        "user_id",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("never_underestimates"),
+    )

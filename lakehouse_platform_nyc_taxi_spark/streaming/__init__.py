@@ -24,6 +24,7 @@ from .ops import (
     run_available_now,
     session_windows,
     stateful_user_stats,
+    stream_cms,
     stream_dedup_gate,
     stream_static_enrich,
     stream_stream_attribution,
@@ -36,6 +37,7 @@ from .sinks import stream_append_parquet, stream_upsert_parquet
 __all__ = [
     "read_documents_stream",
     "read_events_stream",
+    "stream_cms",
     "stream_dedup_gate",
     "run_available_now",
     "chained_window_rollup",

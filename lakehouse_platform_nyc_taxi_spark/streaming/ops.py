@@ -580,3 +580,28 @@ def stream_dedup_gate(
         .filter(F.col("jaccard_est") >= min_est)
         .dropDuplicates(["doc_id", "matched_id"])
     )
+
+
+def stream_cms(
+    stream_df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch as a STREAMING aggregation: the (depth x width)
+    cell table is the state, so state size is bounded by the sketch
+    dimensions — not by key cardinality — which is the whole point of
+    CMS in an ingestion pipeline (per-key streaming counts would grow
+    state forever; the sketch never does). Complete-mode output: each
+    micro-batch re-emits the updated cell table, and after an
+    availableNow drain the final table is IDENTICAL to the batch-built
+    sketch over the same rows (counts are associative), which is what
+    lets the DuckDB oracle replay it cell for cell."""
+    from ..operators.sketch import _cell
+
+    key = F.col(key_col)
+    cells = stream_df.select(
+        F.posexplode(
+            F.array(*[_cell(key, d, width) for d in range(depth)])
+        ).alias("d", "cell")
+    )
+    return cells.groupBy("d", "cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
