@@ -67,6 +67,9 @@ _PRIORITY = [
     # is EXACTLY 50 and equals the first 50 names registry() yields. A
     # query added mid-round must be inserted at the head of this list
     # and the tail name moved to the head of _KEEP (1-in-1-out).
+    "stats_chi_squared",
+    "stats_ab_lift",
+    "events_rfm_segmentation",
     "streaming_cms_heavy_hitters",
     "agg_count_min_sketch",
     # 0) New in round 11 (never driver-attested): DSIR + mixture wave,
@@ -123,9 +126,6 @@ _PRIORITY = [
     "streaming_windowed_rollup",
     "streaming_session_windows",
     "streaming_stream_static_join",
-    "streaming_stateful_user_stats",
-    "text_repetition",
-    "text_rarity_stats",
     # 2) Oldest r7-green names (the rest of the r7 cohort stays in
     #    _KEEP for the r12 rotation):
 ]
@@ -134,6 +134,9 @@ _PRIORITY = [
 # window, so a query added mid-round must be listed in _PRIORITY
 # explicitly (and a name bumped to _KEEP to make room).
 _KEEP = [
+    "streaming_stateful_user_stats",
+    "text_repetition",
+    "text_rarity_stats",
     "cast_rename_projection",
     "join_full_outer",
     # displaced from the r11 window by the DSIR/mixture wave:

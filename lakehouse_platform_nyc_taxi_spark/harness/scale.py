@@ -1918,3 +1918,155 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 wave: distributed statistical tests / segmentation.
+# ---------------------------------------------------------------------------
+
+_AB_HASH = MD5L.format(x="CAST(user_id AS VARCHAR) || '|ab'")
+
+
+@register(
+    "stats_chi_squared",
+    """
+    WITH cells AS (
+        SELECT event_type, day(ts) AS m, CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
+    c AS (SELECT m, sum(o) AS ct FROM cells GROUP BY 1),
+    t AS (SELECT sum(o) AS n, count(DISTINCT event_type) AS nr,
+                 count(DISTINCT m) AS nc
+          FROM cells),
+    grid AS (
+        SELECT r.event_type, r.rt, c.m, c.ct, coalesce(cells.o, 0) AS o
+        FROM r CROSS JOIN c
+        LEFT JOIN cells USING (event_type, m)
+    ),
+    contrib AS (
+        SELECT round((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                     / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)), 8) AS x,
+               n, nr, nc
+        FROM grid CROSS JOIN t
+    )
+    SELECT round(CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE), 6) AS chi2,
+           CAST((max(nr) - 1) * (max(nc) - 1) AS BIGINT) AS dof,
+           round(sqrt(CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE)
+                      / (CAST(max(n) AS DOUBLE)
+                         * CAST(least(max(nr) - 1, max(nc) - 1) AS DOUBLE))),
+                 6) AS cramers_v,
+           CAST(max(n) AS BIGINT) AS n
+    FROM contrib
+    """,
+    doc="Chi-squared independence test (event_type x day-of-month) with "
+    "Cramér's V: contingency cells from ONE groupBy, margins as "
+    "aggregates of the cell table broadcast back, per-cell "
+    "contributions round8 then decimal-summed (partition-order-free), "
+    "sqrt correctly rounded by IEEE — the whole statistic is "
+    "bit-stable cross-engine. Cell table is category-cardinality-"
+    "bounded, so at 100 TB the only event-scale work is the first "
+    "groupBy (operators/stats.py::chi_squared).",
+)
+def stats_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import stats
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.dayofmonth("ts").alias("m")
+    )
+    return stats.chi_squared(ev, "event_type", "m")
+
+
+@register(
+    "stats_ab_lift",
+    f"""
+    WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY 1
+    ),
+    armed AS (
+        SELECT CAST(({_AB_HASH}) % 2 AS INTEGER) AS arm, conv FROM per_user
+    ),
+    arms AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
+        FROM armed GROUP BY 1
+    ),
+    wide AS (
+        SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a,
+               max(CASE WHEN arm = 0 THEN c END) AS conv_a,
+               max(CASE WHEN arm = 1 THEN n END) AS n_b,
+               max(CASE WHEN arm = 1 THEN c END) AS conv_b
+        FROM arms
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+           round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+           round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                 - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS lift,
+           round((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                  - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                 / sqrt((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                        * (1.0 - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                        / CAST(n_a AS DOUBLE)
+                        + (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                        * (1.0 - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                        / CAST(n_b AS DOUBLE)), 6) AS z_score
+    FROM wide
+    """,
+    doc="Two-proportion A/B z-test on deterministic hash-split arms "
+    "(md5 parity of user_id — reproducible, no RNG): per-user "
+    "purchase-conversion flags, arm aggregates, unpooled-SE z-score. "
+    "One user-level aggregate + one 2-row aggregate; division and "
+    "sqrt on identical doubles are bit-stable cross-engine "
+    "(operators/stats.py::ab_lift).",
+)
+def stats_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return stats.ab_lift(ev, "user_id", F.col("event_type") == "purchase")
+
+
+@register(
+    "events_rfm_segmentation",
+    """
+    WITH per_user AS (
+        SELECT user_id AS u, max(ts) AS last_ts,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS mon
+        FROM events GROUP BY 1
+    ),
+    g AS (SELECT max(ts) AS gmax FROM events),
+    scored AS (
+        SELECT u, date_diff('day', CAST(last_ts AS DATE), CAST(gmax AS DATE))
+                   AS rec,
+               freq, mon
+        FROM per_user CROSS JOIN g
+    ),
+    tiled AS (
+        SELECT u, mon,
+               CAST(ntile(4) OVER (ORDER BY rec, u) AS VARCHAR) || '-' ||
+               CAST(ntile(4) OVER (ORDER BY freq DESC, u) AS VARCHAR) || '-' ||
+               CAST(ntile(4) OVER (ORDER BY mon DESC, u) AS VARCHAR) AS segment
+        FROM scored
+    )
+    SELECT segment, CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(sum(CAST(mon AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS avg_monetary
+    FROM tiled GROUP BY 1 ORDER BY 1
+    """,
+    doc="RFM segmentation: quartile scores on recency/frequency/"
+    "monetary per user, user counts + fenced mean spend per R-F-M "
+    "segment. The ntile windows run over the USER-level aggregate "
+    "(users << events — the same bounded-cardinality global-window "
+    "precedent as text_zipf_fit's vocab ranking) with user-id "
+    "tiebreaks, so bucket assignment is integer-exact on both "
+    "engines (operators/stats.py::rfm_segments).",
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return stats.rfm_segments(ev, "user_id", "ts", "value")

@@ -1653,3 +1653,55 @@ def test_cms_build_estimate_merge(spark):
     merged = sketch.cms_merge(cms, cms2)
     whole = sketch.cms_build(df.union(df2), "k", depth=3, width=64)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_chi_squared_independent_and_dependent(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators import stats
+
+    # perfectly dependent: col = row -> chi2 = n, cramers_v = 1
+    dep = spark.createDataFrame(
+        [("a", "a")] * 10 + [("b", "b")] * 10, "r string, c string"
+    )
+    row = stats.chi_squared(dep, "r", "c").collect()[0]
+    assert row.n == 20 and row.dof == 1
+    assert row.chi2 == 20.0 and row.cramers_v == 1.0
+    # perfectly independent (balanced grid) -> chi2 = 0
+    ind = spark.createDataFrame(
+        [(r, c) for r in "ab" for c in "xy" for _ in range(5)],
+        "r string, c string",
+    )
+    row = stats.chi_squared(ind, "r", "c").collect()[0]
+    assert row.chi2 == 0.0 and row.cramers_v == 0.0
+
+
+def test_ab_lift_flags_and_determinism(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators import stats
+
+    rows = [(u, "purchase" if u % 3 == 0 else "view") for u in range(200)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    a = stats.ab_lift(df, "user_id", F.col("event_type") == "purchase").collect()[0]
+    b = stats.ab_lift(
+        df.repartition(7), "user_id", F.col("event_type") == "purchase"
+    ).collect()[0]
+    assert tuple(a) == tuple(b)
+    assert a.n_a + a.n_b == 200
+    assert a.conv_a <= a.n_a and a.conv_b <= a.n_b
+
+
+def test_rfm_segments_cover_all_users(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators import stats
+
+    rows = [
+        (u, f"2024-01-{(u % 28) + 1:02d} 00:00:00", float(u % 7) + 1.0)
+        for u in range(40)
+        for _ in range((u % 3) + 1)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value string").select(
+        "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    out = stats.rfm_segments(df, "user_id", "ts", "value").collect()
+    assert sum(r.n_users for r in out) == 40
+    for r in out:
+        rr, ff, mm = r.segment.split("-")
+        assert 1 <= int(rr) <= 4 and 1 <= int(ff) <= 4 and 1 <= int(mm) <= 4
