@@ -2070,3 +2070,39 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return stats.rfm_segments(ev, "user_id", "ts", "value")
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH pairs AS (
+        SELECT event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    counts AS (
+        SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n_transitions
+        FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT cur, nxt, n_transitions,
+           round(CAST(n_transitions AS DOUBLE)
+                 / CAST(sum(n_transitions) OVER (PARTITION BY cur) AS DOUBLE),
+                 6) AS p
+    FROM counts ORDER BY cur, nxt
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "streams: P(next event type | current), with event_id breaking "
+    "same-timestamp ties so the sequence is engine-identical. One "
+    "window shuffle on user, a |types|^2-bounded pair table, row "
+    "totals as a window over that table (no second scan); "
+    "probabilities are exact integer ratios "
+    "(operators/sessionize.py::markov_transitions).",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize.markov_transitions(
+        ev, "user_id", "event_type", "ts", "event_id"
+    )

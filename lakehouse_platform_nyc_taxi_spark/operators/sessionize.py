@@ -200,3 +200,44 @@ def _per_user_stage_times(
     return src.groupBy(F.col(user).alias("u")).agg(
         *[_stage_ts(i, s) for i, s in enumerate(stages)]
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    user: str,
+    event_type: str,
+    ts: str,
+    tiebreak: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for every observed (current, next) event-type pair, the transition
+    count and probability P(next | current).
+
+    One window shuffle on the user key (lead over (ts, tiebreak) — the
+    tiebreak makes same-timestamp order engine-identical), then a
+    transition-pair groupBy whose output is bounded by |event types|^2;
+    row totals come from a window over THAT bounded table, not a second
+    scan. Probabilities are exact count ratios (round6) — no float
+    accumulation at all.
+
+    Output: ``cur, nxt, n_transitions, p`` ordered by (cur, nxt).
+    """
+    w = Window.partitionBy(user).orderBy(ts, tiebreak)
+    pairs = df.select(
+        F.col(event_type).alias("cur"),
+        F.lead(event_type).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    counts = pairs.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions")
+    )
+    tot = F.sum("n_transitions").over(Window.partitionBy("cur"))
+    from ..functions.trino import trino_round
+
+    return counts.select(
+        "cur",
+        "nxt",
+        "n_transitions",
+        trino_round(
+            F.col("n_transitions").cast("double") / tot.cast("double"), 6
+        ).alias("p"),
+    ).orderBy("cur", "nxt")

@@ -1705,3 +1705,23 @@ def test_rfm_segments_cover_all_users(spark):
     for r in out:
         rr, ff, mm = r.segment.split("-")
         assert 1 <= int(rr) <= 4 and 1 <= int(ff) <= 4 and 1 <= int(mm) <= 4
+
+
+def test_markov_transitions_probabilities(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators import sessionize
+
+    rows = [
+        (1, "a", 1, 10), (1, "b", 2, 11), (1, "a", 3, 12), (1, "c", 4, 13),
+        (2, "a", 1, 20), (2, "b", 2, 21),
+    ]
+    df = spark.createDataFrame(rows, "u long, et string, ts long, eid long")
+    out = {
+        (r.cur, r.nxt): (r.n_transitions, r.p)
+        for r in sessionize.markov_transitions(df, "u", "et", "ts", "eid").collect()
+    }
+    # user1: a->b, b->a, a->c ; user2: a->b
+    assert out[("a", "b")] == (2, 0.666667)
+    assert out[("a", "c")] == (1, 0.333333)
+    assert out[("b", "a")] == (1, 1.0)
+    # no cross-user transition (b@u1 end -> a@u2 start must not appear)
+    assert ("c", "a") not in out
