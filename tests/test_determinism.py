@@ -34,6 +34,12 @@ QUERIES = [
     "dedup_lsh_precision",     # r10: hashed-gram recheck + fenced mean
     "events_winsorize",        # r10: tie-stable rank bounds + fences
     "sampling_bernoulli_estimate",  # r10: hash membership + fences
+    "sampling_dsir_weights",   # r11: round8 log-ratio decimal sums
+    "agg_count_min_sketch",    # r11: pure-integer sketch cells
+    "stats_chi_squared",       # r11: round8 contributions + IEEE sqrt
+    "events_rfm_segmentation", # r11: ntile tiebreaks + fenced means
+    "tpch_q15_top_supplier",   # r11: rounded-revenue max equality
+    "events_markov_transitions",  # r11: lead() tie order + exact ratios
 ]
 
 
