@@ -757,6 +757,23 @@ def test_tpch_q6_is_scan_plus_partial_agg(spark):
     assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, cols
 
 
+def test_round11_sketch_stats_plan_shapes(spark):
+    # CMS: probe estimates join the bounded cell table by broadcast.
+    plan = plan_of(spark, "agg_count_min_sketch")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # Chi-squared: margins broadcast onto the bounded grid; the only
+    # nested-loops are the 1-row totals / domain cross joins.
+    plan = plan_of(spark, "stats_chi_squared")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # AB lift / Markov: pure aggregate/window pipelines — no join at all.
+    for name in ("stats_ab_lift", "events_markov_transitions"):
+        plan = plan_of(spark, name)
+        assert "Join" not in plan, name
+
+
 def test_dsir_ratio_table_broadcasts_mixture_has_no_explode(spark):
     # DSIR: the 4096-row log-ratio table must broadcast back onto the
     # token stream (never a shuffle join), and the only nested-loop is
