@@ -67,6 +67,8 @@ _PRIORITY = [
     # is EXACTLY 50 and equals the first 50 names registry() yields. A
     # query added mid-round must be inserted at the head of this list
     # and the tail name moved to the head of _KEEP (1-in-1-out).
+    "events_attribution_last_touch",
+    "timeseries_cusum_changepoint",
     "events_markov_transitions",
     "stats_chi_squared",
     "stats_ab_lift",
@@ -124,8 +126,6 @@ _PRIORITY = [
     "scd2_event_history",
     "similarity_topk_int8",
     "window_ntile_cume",
-    "streaming_windowed_rollup",
-    "streaming_session_windows",
     # 2) Oldest r7-green names (the rest of the r7 cohort stays in
     #    _KEEP for the r12 rotation):
 ]
@@ -134,6 +134,8 @@ _PRIORITY = [
 # window, so a query added mid-round must be listed in _PRIORITY
 # explicitly (and a name bumped to _KEEP to make room).
 _KEEP = [
+    "streaming_windowed_rollup",
+    "streaming_session_windows",
     "streaming_stream_static_join",
     "streaming_stateful_user_stats",
     "text_repetition",

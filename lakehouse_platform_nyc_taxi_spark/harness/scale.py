@@ -2106,3 +2106,100 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize.markov_transitions(
         ev, "user_id", "event_type", "ts", "event_id"
     )
+
+
+@register(
+    "events_attribution_last_touch",
+    """
+    WITH carried AS (
+        SELECT event_type, value,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN struct_pack(t := ts, ch := event_type)
+                          END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS lt,
+               ts
+        FROM events
+    ),
+    conv AS (
+        SELECT CASE WHEN lt IS NOT NULL
+                     AND date_diff('microsecond', lt.t, ts)
+                         <= CAST(604800000000 AS BIGINT)
+                    THEN lt.ch ELSE 'direct' END AS channel,
+               value
+        FROM carried WHERE event_type = 'purchase'
+    )
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+           round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 6)
+               AS total_value
+    FROM conv GROUP BY 1 ORDER BY 1
+    """,
+    doc="Last-touch attribution: each purchase credits the user's most "
+    "recent preceding non-purchase event within 7 days ('direct' when "
+    "none) — ONE user-keyed window with an ignoreNulls last_value "
+    "carry, no self-join, no per-conversion scan; same-timestamp "
+    "order pinned by event_id, window arithmetic microsecond-exact "
+    "on both engines. Output is channel-bounded "
+    "(operators/sessionize.py::attribution_last_touch).",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize.attribution_last_touch(
+        ev, "user_id", "event_type", "ts", "event_id"
+    )
+
+
+@register(
+    "timeseries_cusum_changepoint",
+    """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS b,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(sum(CAST(cnt AS DECIMAL(38,12))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS m,
+               CAST(count(*) AS BIGINT) AS n_buckets
+        FROM daily GROUP BY 1
+    ),
+    cus AS (
+        SELECT d.event_type, d.b, s.n_buckets,
+               CAST(sum(CAST(round(CAST(d.cnt AS DOUBLE) - s.m, 8)
+                             AS DECIMAL(28,8)))
+                    OVER (PARTITION BY d.event_type ORDER BY d.b
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS cusum
+        FROM daily d JOIN stats s USING (event_type)
+    ),
+    ranked AS (
+        SELECT event_type, n_buckets, b, cusum,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY round(abs(cusum), 6) DESC, b)
+                   AS rn,
+               max(round(cusum, 6)) OVER (PARTITION BY event_type)
+                   - min(round(cusum, 6)) OVER (PARTITION BY event_type)
+                   AS rng
+        FROM cus
+    )
+    SELECT event_type, n_buckets, CAST(b AS TIMESTAMP) AS peak_bucket,
+           round(cusum, 6) AS peak_cusum, round(rng, 6) AS cusum_range
+    FROM ranked WHERE rn = 1 ORDER BY event_type
+    """,
+    doc="CUSUM change-point detection on daily event counts per type: "
+    "cumulative deviation from the per-type mean, peak |CUSUM| bucket "
+    "elected with earliest-bucket tiebreak. Everything after the "
+    "first groupBy runs at bucket cardinality; deviations are round8 "
+    "decimal-summed in bucket order so the running sum — and thus "
+    "the peak — is bit-identical on any engine "
+    "(operators/timeseries.py::cusum_changepoint).",
+)
+def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import timeseries
+
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.cusum_changepoint(ev, "event_type", "ts")

@@ -241,3 +241,56 @@ def markov_transitions(
             F.col("n_transitions").cast("double") / tot.cast("double"), 6
         ).alias("p"),
     ).orderBy("cur", "nxt")
+
+
+def attribution_last_touch(
+    df: DataFrame,
+    user: str,
+    event_type: str,
+    ts: str,
+    tiebreak: str,
+    conversion: str = "purchase",
+    lookback_days: int = 7,
+) -> DataFrame:
+    """Last-touch marketing attribution: credit each conversion event to
+    the user's most recent PRECEDING non-conversion event within the
+    lookback window; conversions with no touch in range are 'direct'.
+
+    One window shuffle on the user key — the carried last-touch is an
+    ``ignoreNulls`` last_value over rows strictly before the current one
+    (ordered by (ts, tiebreak), so same-timestamp order is engine-
+    identical); no self-join, no per-conversion scan. Output is the
+    |channels|-bounded conversion table: ``channel, n_conversions,
+    total_value`` (fenced, round6).
+    """
+    from ..functions.trino import trino_round
+
+    w = (
+        Window.partitionBy(user)
+        .orderBy(ts, tiebreak)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col(event_type) != conversion,
+        F.struct(F.col(ts).alias("t"), F.col(event_type).alias("ch")),
+    )
+    carried = df.withColumn("_lt", F.last(touch, ignorenulls=True).over(w))
+    conv = carried.filter(F.col(event_type) == conversion)
+    # microsecond-exact difference: timestamps are integer micros, so
+    # timestampdiff(MICROSECOND) == DuckDB date_diff('microsecond') with
+    # no boundary-crossing ambiguity (unlike SECOND granularity)
+    in_window = F.col("_lt").isNotNull() & (
+        F.expr(f"timestampdiff(MICROSECOND, _lt.t, {ts})")
+        <= F.lit(lookback_days * 86400 * 1_000_000).cast("long")
+    )
+    channel = F.when(in_window, F.col("_lt.ch")).otherwise(F.lit("direct"))
+    return (
+        conv.groupBy(channel.alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+            trino_round(
+                F.sum(F.col("value").cast("decimal(38,12)")).cast("double"), 6
+            ).alias("total_value"),
+        )
+        .orderBy("channel")
+    )

@@ -408,3 +408,73 @@ def winsorize_stats(
         trino_round(dmean("_v"), 6).alias("mean_raw"),
         trino_round(dmean("_w"), 6).alias("mean_winsorized"),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """CUSUM change-point detection on per-bucket event counts: for each
+    group, the cumulative sum of (count - group mean) over time and the
+    bucket where |CUSUM| peaks — the classic level-shift locator.
+
+    Two bounded shuffles: one groupBy to the (group, bucket) count table
+    (everything after runs at bucket cardinality, not event scale), one
+    window pass for the running sum. Per-bucket deviations are round8
+    then decimal-summed in bucket order — the running sum is exact, so
+    the peak election (max |cusum|, earliest bucket tiebreak) is
+    engine-identical.
+
+    Output: ``<group_col>, n_buckets, peak_bucket, peak_cusum,
+    cusum_range`` (round6).
+    """
+    from ..functions.trino import trino_round
+
+    daily = df.groupBy(
+        F.col(group_col), F.date_trunc(bucket, ts_col).alias("_b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
+    stats = daily.groupBy(group_col).agg(
+        (
+            F.sum(F.col("_cnt").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_mean"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+    )
+    dev = F.round(F.col("_cnt").cast("double") - F.col("_mean"), 8)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = (
+        daily.join(F.broadcast(stats), group_col)
+        .withColumn(
+            "_cusum",
+            F.sum(dev.cast("decimal(28,8)")).over(w).cast("double"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(
+            F.desc(F.round(F.abs(F.col("_cusum")), 6)), F.col("_b")
+        )
+    )
+    rng = Window.partitionBy(group_col)
+    return (
+        cusum.withColumn(
+            "_rng",
+            F.max(F.round(F.col("_cusum"), 6)).over(rng)
+            - F.min(F.round(F.col("_cusum"), 6)).over(rng),
+        )
+        .withColumn("_rn", rn)
+        .filter(F.col("_rn") == 1)
+        .select(
+            group_col,
+            "n_buckets",
+            F.col("_b").cast("timestamp_ntz").alias("peak_bucket"),
+            trino_round(F.col("_cusum"), 6).alias("peak_cusum"),
+            trino_round(F.col("_rng"), 6).alias("cusum_range"),
+        )
+        .orderBy(group_col)
+    )

@@ -1725,3 +1725,57 @@ def test_markov_transitions_probabilities(spark):
     assert out[("b", "a")] == (1, 1.0)
     # no cross-user transition (b@u1 end -> a@u2 start must not appear)
     assert ("c", "a") not in out
+
+
+def test_attribution_last_touch_windows_and_direct(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators import sessionize
+
+    rows = [
+        # user 1: click -> purchase (attributed to click)
+        (1, "click", "2024-01-10 00:00:00", 1, 5.0),
+        (1, "purchase", "2024-01-11 00:00:00", 2, 10.0),
+        # user 2: touch too old (8 days) -> direct
+        (2, "view", "2024-01-01 00:00:00", 3, 1.0),
+        (2, "purchase", "2024-01-09 00:00:01", 4, 20.0),
+        # user 3: purchase with no prior event -> direct
+        (3, "purchase", "2024-01-05 00:00:00", 5, 30.0),
+        # user 4: two touches, latest one wins
+        (4, "view", "2024-01-10 01:00:00", 6, 1.0),
+        (4, "click", "2024-01-10 02:00:00", 7, 1.0),
+        (4, "purchase", "2024-01-10 03:00:00", 8, 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {
+        r.channel: (r.n_conversions, r.total_value)
+        for r in sessionize.attribution_last_touch(
+            df, "user_id", "event_type", "ts", "event_id"
+        ).collect()
+    }
+    assert out["click"] == (2, 50.0)
+    assert out["direct"] == (2, 50.0)
+    assert "view" not in out
+
+
+def test_cusum_changepoint_locates_level_shift(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators import timeseries
+
+    # 10 days at 2 events/day then 10 days at 10/day: |CUSUM| peaks at
+    # the shift boundary (day 10, the last low day).
+    rows = []
+    eid = 0
+    for day in range(1, 21):
+        n = 2 if day <= 10 else 10
+        for _ in range(n):
+            rows.append(("a", f"2024-01-{day:02d} 12:00:00", eid))
+            eid += 1
+    df = spark.createDataFrame(rows, "g string, ts string, eid long").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    out = timeseries.cusum_changepoint(df, "g", "ts").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_buckets == 20
+    assert str(r.peak_bucket).startswith("2024-01-10")
+    assert r.peak_cusum == -40.0  # 10 days * (2 - 6)
