@@ -81,6 +81,7 @@ _PRIORITY = [
     "sampling_dsir_select",
     "corpus_mixture_plan",
     # 0b) The TPC-H wave.
+    "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
@@ -125,7 +126,6 @@ _PRIORITY = [
     "agg_pricing_summary",
     "scd2_event_history",
     "similarity_topk_int8",
-    "window_ntile_cume",
     # 2) Oldest r7-green names (the rest of the r7 cohort stays in
     #    _KEEP for the r12 rotation):
 ]
@@ -134,6 +134,7 @@ _PRIORITY = [
 # window, so a query added mid-round must be listed in _PRIORITY
 # explicitly (and a name bumped to _KEEP to make room).
 _KEEP = [
+    "window_ntile_cume",
     "streaming_windowed_rollup",
     "streaming_session_windows",
     "streaming_stream_static_join",

@@ -640,3 +640,56 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("c_mktsegment")
     )
+
+
+_Q4_SQL = """
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1997-04-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND date_diff('day', CAST(o.o_orderdate AS DATE),
+                      CAST(l.l_shipdate AS DATE)) > 30
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@register(
+    "tpch_q4_order_priority",
+    _Q4_SQL,
+    doc="TPC-H Q4 adapted (order priority checking): orders from one "
+    "quarter with at least one line item shipped more than 30 days "
+    "after ordering, counted per priority (the spec's commitdate < "
+    "receiptdate lateness test uses columns this testdata lacks; "
+    "ship-lag keeps the EXISTS-correlated-on-two-tables shape). The "
+    "correlated EXISTS decorrelates into a LEFT SEMI join — but the "
+    "lateness predicate references BOTH sides, so unlike Q18 the "
+    "fact rows must meet the filtered orders; the quarter filter "
+    "prunes orders at the scan first and the semi-join carries only "
+    "(orderkey, orderdate).",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-04-01").cast("date"))
+    )
+    li = load_table_parallel(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"]) & (late > 30),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

@@ -735,6 +735,7 @@ def test_tpch_star_joins_broadcast_dims(spark):
         "tpch_q18_large_volume_customer",
         "tpch_q19_discounted_revenue",
         "tpch_q22_global_sales_opportunity",
+        "tpch_q4_order_priority",
     ):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
