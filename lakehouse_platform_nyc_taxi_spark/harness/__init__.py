@@ -82,6 +82,7 @@ _PRIORITY = [
     "corpus_mixture_plan",
     # 0b) The TPC-H wave.
     "tpch_q4_order_priority",
+    "tpch_q21_suppliers_who_kept_waiting",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
@@ -125,7 +126,6 @@ _PRIORITY = [
     "agg_daily_rollup",
     "agg_pricing_summary",
     "scd2_event_history",
-    "similarity_topk_int8",
     # 2) Oldest r7-green names (the rest of the r7 cohort stays in
     #    _KEEP for the r12 rotation):
 ]
@@ -135,6 +135,7 @@ _PRIORITY = [
 # explicitly (and a name bumped to _KEEP to make room).
 _KEEP = [
     "window_ntile_cume",
+    "similarity_topk_int8",
     "streaming_windowed_rollup",
     "streaming_session_windows",
     "streaming_stream_static_join",

@@ -736,6 +736,7 @@ def test_tpch_star_joins_broadcast_dims(spark):
         "tpch_q19_discounted_revenue",
         "tpch_q22_global_sales_opportunity",
         "tpch_q4_order_priority",
+        "tpch_q21_suppliers_who_kept_waiting",
     ):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
