@@ -3,14 +3,16 @@ queries over this testdata's schema.
 
 The testdata ships no ``partsupp`` table and its ``lineitem`` lacks
 ``l_shipmode / l_commitdate / l_receiptdate / l_shipinstruct`` (and
-``part`` lacks ``p_container``), so Q2/Q9/Q11/Q16/Q20/Q21 cannot be
-posed and Q12/Q19/Q22 are adapted to the columns that exist — each
+``part`` lacks ``p_container``), so Q2/Q9/Q11/Q16/Q20 cannot be posed
+and Q4/Q12/Q19/Q21/Q22 are adapted to the columns that exist — each
 adaptation keeps the query's *plan shape* (the thing worth
-benchmarking): Q12's dual conditional counts over a fact-fact join,
-Q19's disjunction-of-conjunctions pushdown, Q22's anti-join +
-fenced scalar threshold. Q1 has lived in ``core.py`` as
+benchmarking): Q4's two-sided-predicate EXISTS, Q12's dual conditional
+counts over a fact-fact join, Q19's disjunction-of-conjunctions
+pushdown, Q21's correlated EXISTS + NOT EXISTS self-joins, Q22's
+anti-join + fenced scalar threshold. Q1 has lived in ``core.py`` as
 ``agg_pricing_summary`` since round 1; Q3/Q5/Q10 landed in round 10
-(``scale.py``).
+(``scale.py``). Coverage: 17 of the 22 TPC-H queries — every one the
+schema can express.
 
 Every aggregate follows the repo's determinism fence: sums run over
 DECIMAL(38,12) (exact, associative, partition-order-free), convert to
