@@ -67,6 +67,7 @@ _PRIORITY = [
     # is EXACTLY 50 and equals the first 50 names registry() yields. A
     # query added mid-round must be inserted at the head of this list
     # and the tail name moved to the head of _KEEP (1-in-1-out).
+    "dedup_cluster_purge",
     "events_attribution_last_touch",
     "timeseries_cusum_changepoint",
     "events_markov_transitions",
@@ -124,7 +125,6 @@ _PRIORITY = [
     "events_funnel",
     "table_profile_categorical",
     "agg_daily_rollup",
-    "agg_pricing_summary",
     "scd2_event_history",
     # 2) Oldest r7-green names (the rest of the r7 cohort stays in
     #    _KEEP for the r12 rotation):
@@ -135,6 +135,7 @@ _PRIORITY = [
 # explicitly (and a name bumped to _KEEP to make room).
 _KEEP = [
     "window_ntile_cume",
+    "agg_pricing_summary",
     "similarity_topk_int8",
     "streaming_windowed_rollup",
     "streaming_session_windows",

@@ -17,6 +17,7 @@ from ..sources.testdata import load_table, load_table_parallel
 from . import register
 from .llm import (
     MD5L,
+    _cluster_pairs,
     _AGREE_SQL,
     _BANDS_SQL,
     _IVF_CTES,
@@ -2203,3 +2204,85 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return timeseries.cusum_changepoint(ev, "event_type", "ts")
+
+
+@register(
+    "dedup_cluster_purge",
+    f"""
+    WITH RECURSIVE {_NGRAM_GRAMS_CTE},
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM g a
+        JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE {_NGRAM_JACCARD} >= 0.2
+    ),
+    e AS (
+        SELECT doc_a AS src, doc_b AS dst FROM p
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM p
+    ),
+    reach AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+    ),
+    cc AS (
+        SELECT src AS id, least(src, min(dst)) AS cluster
+        FROM reach GROUP BY src
+    ),
+    assigned AS (
+        SELECT d.doc_id, d.source, coalesce(cc.cluster, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+    ),
+    purged AS (
+        SELECT DISTINCT cluster FROM assigned WHERE doc_id % 97 = 0
+    )
+    SELECT a.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN p.cluster IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purged
+    FROM assigned a LEFT JOIN purged p ON a.cluster = p.cluster
+    GROUP BY a.source ORDER BY a.source
+    """,
+    doc="GDPR-style cluster purge: a takedown of seed documents "
+    "(doc_id % 97 = 0 stands in for the request list) must also remove "
+    "their near-duplicate cluster members, or the content survives as "
+    "a paraphrase. Cluster assignment reuses the session-cached "
+    "n-gram-Jaccard pair artifact + min-label CC (docs outside the "
+    "pair graph are their own singleton cluster via coalesce); the "
+    "purged-cluster set is a DISTINCT projection joined back "
+    "broadcast-side. Output: per-source doc and purge counts "
+    "(operators/dedup.py::connected_components).",
+    prepare=_cluster_pairs,
+)
+def dedup_cluster_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    cc = dedup.connected_components(
+        _cluster_pairs(spark, sf_dir), pointer_jumping=False
+    )
+    assigned = (
+        docs.join(cc, docs["doc_id"] == cc["id"], "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("cluster"), F.col("doc_id")).alias("_cl"),
+        )
+    )
+    purged = (
+        assigned.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("_cl").alias("_pcl"))
+        .distinct()
+    )
+    return (
+        assigned.join(F.broadcast(purged), assigned["_cl"] == F.col("_pcl"), "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("_pcl").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purged"),
+        )
+        .orderBy("source")
+    )
