@@ -67,6 +67,8 @@ _PRIORITY = [
     # is EXACTLY 50 and equals the first 50 names registry() yields. A
     # query added mid-round must be inserted at the head of this list
     # and the tail name moved to the head of _KEEP (1-in-1-out).
+    "embedding_standardize",
+    "corpus_kl_to_global",
     "dedup_cluster_purge",
     "events_attribution_last_touch",
     "timeseries_cusum_changepoint",
@@ -118,8 +120,6 @@ _PRIORITY = [
     "similarity_topk_ivf_batch",
     "similarity_topk_batch",
     "text_bigram_lm",
-    "privacy_k_anonymity",
-    "sql_running_distinct",
     "agg_mode_median",
     "join_skew_salted",
     "events_funnel",
@@ -135,6 +135,8 @@ _PRIORITY = [
 # explicitly (and a name bumped to _KEEP to make room).
 _KEEP = [
     "window_ntile_cume",
+    "privacy_k_anonymity",
+    "sql_running_distinct",
     "agg_pricing_summary",
     "similarity_topk_int8",
     "streaming_windowed_rollup",

@@ -2286,3 +2286,155 @@ def dedup_cluster_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 wave: normalization audit + corpus-distribution divergences.
+# ---------------------------------------------------------------------------
+
+from ..functions.trino import trino_round  # noqa: E402
+
+
+@register(
+    "embedding_standardize",
+    """
+    WITH v AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    x AS (
+        SELECT unnest(list_transform(generate_series(1, len(e)),
+                                     i -> {'dim': i - 1, 'val': e[i]}),
+                      recursive := true)
+        FROM v
+    ),
+    stats AS (
+        SELECT dim,
+               CAST(sum(CAST(val AS DECIMAL(28,8))) AS DOUBLE)
+                   / count(val) AS m,
+               sqrt(CAST(sum(CAST(val * val AS DECIMAL(28,8))) AS DOUBLE)
+                    / count(val)
+                    - (CAST(sum(CAST(val AS DECIMAL(28,8))) AS DOUBLE)
+                       / count(val))
+                      * (CAST(sum(CAST(val AS DECIMAL(28,8))) AS DOUBLE)
+                         / count(val))) AS s,
+               CAST(count(val) AS BIGINT) AS n
+        FROM x GROUP BY dim
+    ),
+    z AS (
+        SELECT x.dim, round((val - m) / s, 8) AS zv, n
+        FROM x JOIN stats USING (dim)
+    )
+    SELECT dim, n,
+           round(CAST(sum(CAST(zv AS DECIMAL(28,8))) AS DOUBLE)
+                 / CAST(n AS DOUBLE), 6) AS mean_z,
+           round(min(zv), 6) AS min_z,
+           round(max(zv), 6) AS max_z
+    FROM z GROUP BY dim, n ORDER BY dim
+    """,
+    doc="Embedding standardization audit: z-score every dimension "
+    "against its corpus mean/std (population variance via fenced "
+    "E[x^2]-mean^2, IEEE-exact sqrt) and verify the result per dim "
+    "(mean_z ~ 0, extreme z values for outlier triage). The dim-stats "
+    "table (d rows) broadcasts back onto the exploded stream; z "
+    "values are round8 then decimal-summed. The normalization "
+    "pre-pass every embedding pipeline runs before whitening/PCA.",
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode(
+            F.transform("embedding", lambda v: v.cast("double"))
+        ).alias("dim", "val")
+    )
+    dsum = lambda c: F.sum(c.cast("decimal(28,8)")).cast("double")  # noqa: E731
+    stats = x.groupBy("dim").agg(
+        (dsum(F.col("val")) / F.count("val")).alias("_m"),
+        F.sqrt(
+            dsum(F.col("val") * F.col("val")) / F.count("val")
+            - (dsum(F.col("val")) / F.count("val"))
+            * (dsum(F.col("val")) / F.count("val"))
+        ).alias("_s"),
+        F.count("val").cast("bigint").alias("n"),
+    )
+    z = x.join(F.broadcast(stats), "dim").select(
+        "dim",
+        "n",
+        F.round((F.col("val") - F.col("_m")) / F.col("_s"), 8).alias("_z"),
+    )
+    return (
+        z.groupBy("dim", "n")
+        .agg(
+            trino_round(dsum(F.col("_z")) / F.col("n").cast("double"), 6).alias(
+                "mean_z"
+            ),
+            trino_round(F.min("_z"), 6).alias("min_z"),
+            trino_round(F.max("_z"), 6).alias("max_z"),
+        )
+        .orderBy("dim")
+    )
+
+
+@register(
+    "corpus_kl_to_global",
+    f"""
+    WITH t AS (
+        SELECT source, unnest({TOKS}) AS token FROM documents
+    ),
+    sc AS (
+        SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        FROM t GROUP BY 1, 2
+    ),
+    st AS (SELECT source, sum(c) AS ns FROM sc GROUP BY 1),
+    gc AS (SELECT token, sum(c) AS g FROM sc GROUP BY 1),
+    gt AS (SELECT sum(c) AS ng FROM sc),
+    contrib AS (
+        SELECT sc.source,
+               round((CAST(sc.c AS DOUBLE) / CAST(st.ns AS DOUBLE))
+                     * ln((CAST(sc.c AS DOUBLE) / CAST(st.ns AS DOUBLE))
+                          / (CAST(gc.g AS DOUBLE) / CAST(gt.ng AS DOUBLE))),
+                     8) AS x
+        FROM sc JOIN st USING (source) JOIN gc USING (token) CROSS JOIN gt
+    )
+    SELECT source,
+           round(CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE), 6)
+               AS kl_nats
+    FROM contrib GROUP BY source ORDER BY source
+    """,
+    doc="Per-source KL divergence to the global token distribution — "
+    "the distribution-shift score that flags a source whose language "
+    "no longer matches the corpus (mixture drift, scraping bugs). "
+    "One token-level count shuffle; the global vocab counts join the "
+    "per-source counts ON THE TOKEN KEY (vocab-sized, not corpus-"
+    "sized) and totals broadcast; per-term contributions are round8 "
+    "decimal-summed. Source terms are a subset of global terms, so "
+    "q > 0 always and the sum is finite.",
+)
+def corpus_kl_to_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    t = docs.select("source", F.explode(tokens("text")).alias("token"))
+    sc = t.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    st = sc.groupBy("source").agg(F.sum("_c").alias("_ns"))
+    gc = sc.groupBy("token").agg(F.sum("_c").alias("_g"))
+    gt = sc.agg(F.sum("_c").alias("_ng"))
+    ps = F.col("_c").cast("double") / F.col("_ns").cast("double")
+    q = F.col("_g").cast("double") / F.col("_ng").cast("double")
+    contrib = (
+        sc.join(F.broadcast(st), "source")
+        .join(gc, "token")
+        .crossJoin(F.broadcast(gt))
+        .select("source", F.round(ps * F.log(ps / q), 8).alias("_x"))
+    )
+    return (
+        contrib.groupBy("source")
+        .agg(
+            trino_round(
+                F.sum(F.col("_x").cast("decimal(28,8)")).cast("double"), 6
+            ).alias("kl_nats")
+        )
+        .orderBy("source")
+    )
