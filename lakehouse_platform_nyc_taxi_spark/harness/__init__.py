@@ -67,6 +67,7 @@ _PRIORITY = [
     # is EXACTLY 50 and equals the first 50 names registry() yields. A
     # query added mid-round must be inserted at the head of this list
     # and the tail name moved to the head of _KEEP (1-in-1-out).
+    "text_log_odds_terms",
     "embedding_standardize",
     "corpus_kl_to_global",
     "dedup_cluster_purge",
@@ -119,7 +120,6 @@ _PRIORITY = [
     "multimodal_metadata",
     "similarity_topk_ivf_batch",
     "similarity_topk_batch",
-    "text_bigram_lm",
     "agg_mode_median",
     "join_skew_salted",
     "events_funnel",
@@ -135,6 +135,7 @@ _PRIORITY = [
 # explicitly (and a name bumped to _KEEP to make room).
 _KEEP = [
     "window_ntile_cume",
+    "text_bigram_lm",
     "privacy_k_anonymity",
     "sql_running_distinct",
     "agg_pricing_summary",

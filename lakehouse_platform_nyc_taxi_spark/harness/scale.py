@@ -2438,3 +2438,91 @@ def corpus_kl_to_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_LO_A = 0.01  # per-term Dirichlet prior
+
+
+@register(
+    "text_log_odds_terms",
+    f"""
+    WITH t AS (
+        SELECT source, unnest({TOKS}) AS token FROM documents
+    ),
+    sc AS (
+        SELECT source, token, CAST(count(*) AS BIGINT) AS y
+        FROM t GROUP BY 1, 2
+    ),
+    st AS (SELECT source, sum(y) AS ns FROM sc GROUP BY 1),
+    gc AS (SELECT token, sum(y) AS g FROM sc GROUP BY 1),
+    gt AS (SELECT sum(g) AS n, count(*) AS vocab FROM gc),
+    z AS (
+        SELECT sc.source, sc.token,
+               round((ln((CAST(sc.y AS DOUBLE) + {_LO_A})
+                         / (CAST(st.ns AS DOUBLE) + {_LO_A} * vocab
+                            - CAST(sc.y AS DOUBLE) - {_LO_A}))
+                      - ln((CAST(gc.g - sc.y AS DOUBLE) + {_LO_A})
+                           / (CAST(gt.n - st.ns AS DOUBLE) + {_LO_A} * vocab
+                              - CAST(gc.g - sc.y AS DOUBLE) - {_LO_A})))
+                     / sqrt(1.0 / (CAST(sc.y AS DOUBLE) + {_LO_A})
+                            + 1.0 / (CAST(gc.g - sc.y AS DOUBLE) + {_LO_A})),
+                     6) AS zscore
+        FROM sc JOIN st USING (source) JOIN gc USING (token) CROSS JOIN gt
+    ),
+    ranked AS (
+        SELECT source, token, zscore,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY zscore DESC, token) AS rn
+        FROM z
+    )
+    SELECT source, token, zscore FROM ranked WHERE rn <= 3
+    ORDER BY source, zscore DESC, token
+    """,
+    doc="Informative terms per source by Dirichlet-prior log-odds z-score "
+    "(Monroe et al. 2008, 'Fightin' Words' — the comparative-corpus "
+    "alternative to tf-idf that accounts for variance on rare terms): "
+    "source-vs-rest odds from the SAME vocab-keyed count tables the "
+    "KL query builds (per-source counts join global counts on the "
+    "token key; totals and vocab size broadcast), z-scores round6, "
+    "top-3 per source via one window on the vocab-sized table. ln and "
+    "sqrt on identical doubles are engine-stable (the repo's "
+    "transcendental fence).",
+)
+def text_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.text import tokens
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    t = docs.select("source", F.explode(tokens("text")).alias("token"))
+    sc = t.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_y")
+    )
+    st = sc.groupBy("source").agg(F.sum("_y").alias("_ns"))
+    gc = sc.groupBy("token").agg(F.sum("_y").alias("_g"))
+    gt = gc.agg(F.sum("_g").alias("_n"), F.count(F.lit(1)).alias("_vocab"))
+    a = F.lit(_LO_A)
+    y = F.col("_y").cast("double")
+    ns = F.col("_ns").cast("double")
+    yr = (F.col("_g") - F.col("_y")).cast("double")
+    nr = (F.col("_n") - F.col("_ns")).cast("double")
+    a0 = a * F.col("_vocab")
+    delta = F.log((y + a) / (ns + a0 - y - a)) - F.log(
+        (yr + a) / (nr + a0 - yr - a)
+    )
+    zscore = F.round(
+        delta / F.sqrt(F.lit(1.0) / (y + a) + F.lit(1.0) / (yr + a)), 6
+    )
+    z = (
+        sc.join(F.broadcast(st), "source")
+        .join(gc, "token")
+        .crossJoin(F.broadcast(gt))
+        .select("source", "token", zscore.alias("zscore"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("zscore"), "token")
+    return (
+        z.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("source", "token", "zscore")
+        .orderBy("source", F.desc("zscore"), "token")
+    )
