@@ -67,6 +67,7 @@ _PRIORITY = [
     # is EXACTLY 50 and equals the first 50 names registry() yields. A
     # query added mid-round must be inserted at the head of this list
     # and the tail name moved to the head of _KEEP (1-in-1-out).
+    "sql_having_above_average",
     "text_log_odds_terms",
     "embedding_standardize",
     "corpus_kl_to_global",
@@ -117,7 +118,6 @@ _PRIORITY = [
     "dq_violation_counts",
     "datetime_features",
     "surrogate_keys_md5",
-    "multimodal_metadata",
     "similarity_topk_ivf_batch",
     "similarity_topk_batch",
     "agg_mode_median",
@@ -135,6 +135,7 @@ _PRIORITY = [
 # explicitly (and a name bumped to _KEEP to make room).
 _KEEP = [
     "window_ntile_cume",
+    "multimodal_metadata",
     "text_bigram_lm",
     "privacy_k_anonymity",
     "sql_running_distinct",

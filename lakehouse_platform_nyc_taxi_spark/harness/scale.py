@@ -2526,3 +2526,50 @@ def text_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "token", "zscore")
         .orderBy("source", F.desc("zscore"), "token")
     )
+
+
+@register(
+    "sql_having_above_average",
+    """
+    WITH g AS (
+        SELECT o_custkey,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,12)))
+                     AS DOUBLE), 6) AS spend
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, spend
+    FROM g
+    WHERE spend > (SELECT CAST(sum(CAST(spend AS DECIMAL(38,12))) AS DOUBLE)
+                          / count(*) FROM g)
+    ORDER BY spend DESC, o_custkey
+    LIMIT 25
+    """,
+    doc="HAVING-above-average (groups whose total beats the mean group "
+    "total): the scalar subquery decorrelates into a 1-row aggregate "
+    "OF the grouped table broadcast-joined back — the group table is "
+    "computed once and reused for both roles (no second orders scan), "
+    "the same reuse shape as TPC-H Q15's max. Spend is decimal-fenced "
+    "+ round6 BEFORE the threshold compare, so membership at the "
+    "boundary is bit-identical cross-engine; top-25 is TakeOrdered.",
+)
+def sql_having_above_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_custkey").agg(
+        trino_round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,12)")).cast("double"),
+            6,
+        ).alias("spend")
+    )
+    thr = g.agg(
+        (
+            F.sum(F.col("spend").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_avg")
+    )
+    return (
+        g.crossJoin(F.broadcast(thr))
+        .filter(F.col("spend") > F.col("_avg"))
+        .select("o_custkey", "spend")
+        .orderBy(F.desc("spend"), "o_custkey")
+        .limit(25)
+    )
