@@ -2573,3 +2573,54 @@ def sql_having_above_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("spend"), "o_custkey")
         .limit(25)
     )
+
+
+@register(
+    "events_funnel_latency",
+    """
+    WITH r0 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    r1 AS (
+      SELECT e.user_id, min(e.ts) AS t, min(r0.t) AS prev
+      FROM events e JOIN r0 ON e.user_id = r0.user_id AND e.ts > r0.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    r2 AS (
+      SELECT e.user_id, min(e.ts) AS t, min(r1.t) AS prev
+      FROM events e JOIN r1 ON e.user_id = r1.user_id AND e.ts > r1.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    l1 AS (SELECT date_diff('microsecond', prev, t) AS us FROM r1),
+    l2 AS (SELECT date_diff('microsecond', prev, t) AS us FROM r2)
+    SELECT 'click' AS stage, CAST(0 + 1 AS INTEGER) AS stage_idx,
+           CAST((SELECT count(*) FROM l1) AS BIGINT) AS n_users,
+           round((SELECT CAST(sum(CAST(us AS DECIMAL(38,12))) AS DOUBLE)
+                         / count(*) / 1000000.0 FROM l1), 6)
+               AS mean_latency_s,
+           round((SELECT CAST(max(us) AS DOUBLE) / 1000000.0 FROM l1), 6)
+               AS max_latency_s
+    UNION ALL
+    SELECT 'purchase', 2,
+           CAST((SELECT count(*) FROM l2) AS BIGINT),
+           round((SELECT CAST(sum(CAST(us AS DECIMAL(38,12))) AS DOUBLE)
+                         / count(*) / 1000000.0 FROM l2), 6),
+           round((SELECT CAST(max(us) AS DOUBLE) / 1000000.0 FROM l2), 6)
+    """,
+    doc="Funnel stage-transition latency (view -> click -> purchase): "
+    "among users who reached a stage, mean/max seconds since reaching "
+    "the previous stage — computed from the SAME single-scan greedy "
+    "fold as events_funnel (reach times identical by construction), "
+    "one user-keyed shuffle + a 1-row aggregate. Latencies are exact "
+    "microsecond integers decimal-summed; the oracle is the 3-pass "
+    "join chain (operators/sessionize.py::funnel_latency).",
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import funnel_latency
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_latency(
+        ev, user="user_id", event_type="event_type", ts="ts",
+        stages=["view", "click", "purchase"],
+    )

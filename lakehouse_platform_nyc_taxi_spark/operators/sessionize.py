@@ -294,3 +294,73 @@ def attribution_last_touch(
         )
         .orderBy("channel")
     )
+
+
+def funnel_latency(
+    df: DataFrame,
+    user: str,
+    event_type: str,
+    ts: str,
+    stages: Sequence[str],
+    max_events_per_stage: int | None = None,
+) -> DataFrame:
+    """Stage-transition latency for the ordered funnel: among users who
+    reached stage i, how long after reaching stage i-1 (seconds). Same
+    single-scan greedy fold as :func:`funnel_counts` (identical reach
+    times), then one 1-row aggregate per transition — latencies are
+    exact microsecond integers decimal-summed, so the means are
+    partition-order-free.
+
+    Output: one row per transition —
+    ``stage, stage_idx, n_users, mean_latency_s, max_latency_s``
+    (round6).
+    """
+    from ..functions.trino import trino_round
+
+    per_user = _per_user_stage_times(
+        df, user, event_type, ts, stages, max_events_per_stage
+    )
+    reached = per_user.withColumn(
+        "_reach_0", F.try_element_at(F.col("_ts_0"), F.lit(1))
+    )
+    for i in range(1, len(stages)):
+        reached = reached.withColumn(
+            f"_reach_{i}",
+            F.expr(
+                f"try_element_at(filter(_ts_{i}, t -> t > _reach_{i-1}), 1)"
+            ),
+        )
+    lat = [
+        F.expr(
+            f"timestampdiff(MICROSECOND, _reach_{i-1}, _reach_{i})"
+        ).alias(f"_lat_{i}")
+        for i in range(1, len(stages))
+    ]
+    lats = reached.select(*lat)
+    aggs = []
+    for i in range(1, len(stages)):
+        c = F.col(f"_lat_{i}")
+        aggs += [
+            F.count(c).cast("bigint").alias(f"n_{i}"),
+            (
+                F.sum(c.cast("decimal(38,12)")).cast("double")
+                / F.count(c).cast("double")
+                / F.lit(1e6)
+            ).alias(f"mean_{i}"),
+            (F.max(c).cast("double") / F.lit(1e6)).alias(f"max_{i}"),
+        ]
+    wide = lats.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(stages[i]).alias("stage"),
+            F.lit(i).cast("int").alias("stage_idx"),
+            F.col(f"n_{i}").alias("n_users"),
+            trino_round(F.col(f"mean_{i}"), 6).alias("mean_latency_s"),
+            trino_round(F.col(f"max_{i}"), 6).alias("max_latency_s"),
+        )
+        for i in range(1, len(stages))
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.stage", "r.stage_idx", "r.n_users", "r.mean_latency_s",
+        "r.max_latency_s",
+    )

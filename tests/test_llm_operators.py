@@ -1779,3 +1779,34 @@ def test_cusum_changepoint_locates_level_shift(spark):
     assert r.n_buckets == 20
     assert str(r.peak_bucket).startswith("2024-01-10")
     assert r.peak_cusum == -40.0  # 10 days * (2 - 6)
+
+
+def test_funnel_latency_matches_reach_times(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators import sessionize
+
+    rows = [
+        # user 1 full funnel: a@0s -> b@10s -> c@40s
+        (1, "a", "2024-01-01 00:00:00", 1),
+        (1, "b", "2024-01-01 00:00:10", 2),
+        (1, "c", "2024-01-01 00:00:40", 3),
+        # user 2 reaches b only, 20s after a
+        (2, "a", "2024-01-01 00:00:00", 4),
+        (2, "b", "2024-01-01 00:00:20", 5),
+        # user 3: b BEFORE a -> never reaches b in order
+        (3, "b", "2024-01-01 00:00:00", 6),
+        (3, "a", "2024-01-01 00:00:05", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {
+        r.stage: r.asDict()
+        for r in sessionize.funnel_latency(
+            df, "user_id", "event_type", "ts", ["a", "b", "c"]
+        ).collect()
+    }
+    assert out["b"]["n_users"] == 2
+    assert out["b"]["mean_latency_s"] == 15.0  # (10 + 20) / 2
+    assert out["b"]["max_latency_s"] == 20.0
+    assert out["c"]["n_users"] == 1
+    assert out["c"]["mean_latency_s"] == 30.0
