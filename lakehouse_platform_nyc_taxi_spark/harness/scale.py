@@ -2624,3 +2624,48 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, user="user_id", event_type="event_type", ts="ts",
         stages=["view", "click", "purchase"],
     )
+
+
+@register(
+    "privacy_t_closeness",
+    """
+    WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    grp AS (SELECT lang, CAST(sum(c) AS BIGINT) AS group_size
+            FROM cells GROUP BY 1),
+    gdist AS (SELECT source, sum(c) AS g FROM cells GROUP BY 1),
+    tot AS (SELECT sum(c) AS n FROM cells),
+    agg AS (
+        SELECT cells.lang, grp.group_size,
+               CAST(sum(CAST(round(abs(CAST(c AS DOUBLE)
+                                       / CAST(group_size AS DOUBLE)
+                                       - CAST(g AS DOUBLE)
+                                         / CAST(n AS DOUBLE)), 8)
+                             AS DECIMAL(28,8))) AS DOUBLE) AS present,
+               CAST(sum(CAST(round(CAST(g AS DOUBLE) / CAST(n AS DOUBLE), 8)
+                             AS DECIMAL(28,8))) AS DOUBLE) AS qpres
+        FROM cells JOIN grp USING (lang) JOIN gdist USING (source)
+        CROSS JOIN tot
+        GROUP BY 1, 2
+    )
+    SELECT lang, group_size,
+           round((present + 1.0 - qpres) / 2.0, 6) AS tvd,
+           round((present + 1.0 - qpres) / 2.0, 6) <= 0.3 AS t_close
+    FROM agg ORDER BY lang
+    """,
+    doc="t-closeness audit (Li et al. 2007): per language group, "
+    "total-variation distance between the group's source distribution "
+    "and the global one — the release gate that catches large-but-"
+    "skewed groups k-anonymity/l-diversity pass. One groupBy to the "
+    "(QI, sensitive) cube; margins are aggregates of that table "
+    "broadcast back; absent-value mass folds in as 1 - present-q "
+    "arithmetic (no grid join); round8 terms decimal-summed "
+    "(operators/privacy.py::t_closeness).",
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.privacy import t_closeness
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    return t_closeness(docs, ["lang"], "source", t=0.3)

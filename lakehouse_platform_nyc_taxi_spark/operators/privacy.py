@@ -73,3 +73,64 @@ def suppression_summary(
             / F.sum("group_size")
         ).cast("double").alias("suppression_rate"),
     )
+
+
+def t_closeness(
+    df: DataFrame,
+    qid_cols: Sequence[str],
+    sensitive: str,
+    t: float = 0.3,
+) -> DataFrame:
+    """t-closeness audit (Li et al. 2007, public): for every
+    quasi-identifier group, the total-variation distance between the
+    group's sensitive-value distribution and the global one — the
+    release gate k-anonymity/l-diversity can't provide when a group is
+    large and diverse but SKEWED toward one sensitive value.
+
+    Shape: one groupBy to the (QI-group, sensitive) count cube, group
+    and global margins as aggregates OF that table (never a second
+    scan), global distribution broadcast onto the group cells, TVD =
+    0.5 * sum|p - q| over the UNION of values — values absent from a
+    group contribute q/2 each, folded in as (1 - group_mass_on_present)
+    arithmetic instead of a grid join. Per-cell terms are round8
+    decimal-summed.
+
+    Output: qid_cols + ``(group_size, tvd, t_close)`` (round6, flag
+    ``tvd <= t``).
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.trino import trino_round
+
+    cells = df.groupBy(*qid_cols, sensitive).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    grp = cells.groupBy(*qid_cols).agg(
+        F.sum("_c").cast("bigint").alias("group_size")
+    )
+    glob = cells.groupBy(sensitive).agg(F.sum("_c").alias("_g"))
+    tot = cells.agg(F.sum("_c").alias("_n"))
+    p = F.col("_c").cast("double") / F.col("group_size").cast("double")
+    q = F.col("_g").cast("double") / F.col("_n").cast("double")
+    # present-value terms: |p - q|; absent-value mass handled below
+    term = F.round(F.abs(p - q), 8)
+    qmass = F.round(q, 8)
+    per_group = (
+        cells.join(F.broadcast(grp), list(qid_cols))
+        .join(F.broadcast(glob), sensitive)
+        .crossJoin(F.broadcast(tot))
+        .groupBy(*qid_cols, "group_size")
+        .agg(
+            F.sum(term.cast("decimal(28,8)")).cast("double").alias("_present"),
+            F.sum(qmass.cast("decimal(28,8)")).cast("double").alias("_qpres"),
+        )
+    )
+    # values the group never takes contribute |0 - q| = q each:
+    # sum over absent values of q = 1 - sum over present values of q
+    tvd = (F.col("_present") + (F.lit(1.0) - F.col("_qpres"))) / F.lit(2.0)
+    return per_group.select(
+        *qid_cols,
+        "group_size",
+        trino_round(tvd, 6).alias("tvd"),
+        (trino_round(tvd, 6) <= F.lit(t)).alias("t_close"),
+    ).orderBy(*qid_cols)

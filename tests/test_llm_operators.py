@@ -1810,3 +1810,20 @@ def test_funnel_latency_matches_reach_times(spark):
     assert out["b"]["max_latency_s"] == 20.0
     assert out["c"]["n_users"] == 1
     assert out["c"]["mean_latency_s"] == 30.0
+
+
+def test_t_closeness_extremes(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators.privacy import t_closeness
+
+    # group 'g1' mirrors the global 50/50 distribution -> tvd 0;
+    # group 'g2' is fully skewed to one value -> tvd = 0.5
+    rows = (
+        [("g1", "x")] * 5 + [("g1", "y")] * 5
+        + [("g2", "x")] * 10
+        + [("g3", "y")] * 10
+    )
+    df = spark.createDataFrame(rows, "qi string, s string")
+    out = {r.qi: r.asDict() for r in t_closeness(df, ["qi"], "s", t=0.3).collect()}
+    assert out["g1"]["tvd"] == 0.0 and out["g1"]["t_close"]
+    assert out["g2"]["tvd"] == 0.5 and not out["g2"]["t_close"]
+    assert out["g3"]["tvd"] == 0.5
