@@ -2669,3 +2669,50 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table_parallel(spark, sf_dir, "documents")
     return t_closeness(docs, ["lang"], "source", t=0.3)
+
+
+@register(
+    "orders_interarrival_stats",
+    """
+    WITH gaps AS (
+        SELECT date_diff('day',
+                         CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS DATE),
+                         CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders
+    ),
+    g AS (SELECT gap_days FROM gaps WHERE gap_days IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+           round(CAST(sum(CAST(gap_days AS DECIMAL(38,12))) AS DOUBLE)
+                 / count(*), 6) AS mean_gap_days,
+           CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+           CAST(max(gap_days) AS BIGINT) AS max_gap_days
+    FROM g
+    """,
+    doc="Repeat-purchase cadence: whole-day gaps between a customer's "
+    "consecutive orders (lag over (orderdate, orderkey) — the key "
+    "tiebreak makes same-day order sequence engine-identical), "
+    "fenced mean + integer extremes in one pass. One customer-keyed "
+    "window shuffle + a 1-row aggregate; DATE-cast day difference is "
+    "whole-unit on both engines.",
+)
+def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(
+        F.col("o_orderdate").cast("date"),
+        F.lag(F.col("o_orderdate")).over(w).cast("date"),
+    )
+    g = o.select(gap.alias("gap_days")).filter(F.col("gap_days").isNotNull())
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        trino_round(
+            F.sum(F.col("gap_days").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_gap_days"),
+        F.min("gap_days").cast("bigint").alias("min_gap_days"),
+        F.max("gap_days").cast("bigint").alias("max_gap_days"),
+    )
