@@ -1827,3 +1827,90 @@ def test_t_closeness_extremes(spark):
     assert out["g1"]["tvd"] == 0.0 and out["g1"]["t_close"]
     assert out["g2"]["tvd"] == 0.5 and not out["g2"]["t_close"]
     assert out["g3"]["tvd"] == 0.5
+
+
+def test_round11_operators_degenerate_inputs(spark):
+    """Degenerate-input hardening for the round-11 family: empty
+    relations, single categories, and no-signal streams must return
+    empty/NULL-flagged results, never raise."""
+    from lakehouse_platform_nyc_taxi_spark.operators import (
+        sessionize,
+        sketch,
+        stats,
+        timeseries,
+    )
+    from lakehouse_platform_nyc_taxi_spark.operators.privacy import t_closeness
+    from lakehouse_platform_nyc_taxi_spark.operators.sampling import (
+        dsir_importance,
+        mixture_plan,
+    )
+
+    # DSIR: empty target partition (no doc matches) still scores all docs
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = dsir_importance(docs, F.lit(False)).collect()
+    assert len(out) == 2  # ct=0 everywhere -> smoothed ratios, no error
+
+    # mixture_plan: zero budget -> rates 0 everywhere
+    mp = {r["lang"]: r.asDict() for r in mixture_plan(
+        docs.withColumn("lang", F.lit("en")), {"en": 1.0}, 0
+    ).collect()}
+    assert mp["en"]["sample_rate"] == 0.0 and mp["en"]["epochs"] == 0.0
+
+    # CMS: empty probe set -> empty result; empty corpus sketch -> est 0
+    empty = spark.createDataFrame([], "k string")
+    cms = sketch.cms_build(docs.select(F.col("text").alias("k")), "k")
+    assert sketch.cms_estimate(cms, empty, "k").count() == 0
+    cms0 = sketch.cms_build(empty, "k")
+    probes = spark.createDataFrame([("zz",)], "k string")
+    est = sketch.cms_estimate(cms0, probes, "k").collect()
+    assert est[0].cms_est == 0
+
+    # chi-squared: single column category -> dof 0, cramers_v NULL (not a crash)
+    one = spark.createDataFrame([("a", "x"), ("b", "x")], "r string, c string")
+    row = stats.chi_squared(one, "r", "c").collect()[0]
+    assert row.dof == 0 and row.cramers_v is None
+
+    # markov: one event per user -> no transitions -> empty
+    ev1 = spark.createDataFrame(
+        [(1, "a", 1, 1), (2, "b", 1, 2)], "u long, et string, ts long, eid long"
+    )
+    assert sessionize.markov_transitions(ev1, "u", "et", "ts", "eid").count() == 0
+
+    # attribution: no conversions -> empty channel table
+    ev2 = spark.createDataFrame(
+        [(1, "view", "2024-01-01 00:00:00", 1, 1.0)],
+        "user_id long, event_type string, ts string, event_id long, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    assert sessionize.attribution_last_touch(
+        ev2, "user_id", "event_type", "ts", "event_id"
+    ).count() == 0
+
+    # cusum: single bucket -> deviation 0, peak at that bucket, range 0
+    ev3 = spark.createDataFrame(
+        [("a", "2024-01-01 01:00:00", 1), ("a", "2024-01-01 02:00:00", 2)],
+        "g string, ts string, eid long",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    r = timeseries.cusum_changepoint(ev3, "g", "ts").collect()[0]
+    assert r.n_buckets == 1 and r.peak_cusum == 0.0 and r.cusum_range == 0.0
+
+    # funnel latency: nobody reaches stage 2 -> n_users 0, NULL stats
+    ev4 = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00", 1)],
+        "user_id long, event_type string, ts string, event_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    lat = {
+        r.stage: r.asDict()
+        for r in sessionize.funnel_latency(
+            ev4, "user_id", "event_type", "ts", ["a", "b"]
+        ).collect()
+    }
+    assert lat["b"]["n_users"] == 0 and lat["b"]["mean_latency_s"] is None
+
+    # t-closeness: single sensitive value globally -> every group tvd 0
+    single = spark.createDataFrame(
+        [("g1", "x"), ("g2", "x")], "qi string, s string"
+    )
+    for r in t_closeness(single, ["qi"], "s").collect():
+        assert r.tvd == 0.0 and r.t_close
