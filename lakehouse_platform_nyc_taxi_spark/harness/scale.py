@@ -2716,3 +2716,53 @@ def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_days").cast("bigint").alias("min_gap_days"),
         F.max("gap_days").cast("bigint").alias("max_gap_days"),
     )
+
+
+@register(
+    "text_tokenizer_fertility",
+    f"""
+    WITH d AS (
+        SELECT lang,
+               CAST(len({TOKS}) AS BIGINT) AS words,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS toks
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(words) AS BIGINT) AS n_words,
+           CAST(sum(toks) AS BIGINT) AS n_tokens,
+           round(CAST(sum(toks) AS DOUBLE) / CAST(sum(words) AS DOUBLE), 6)
+               AS fertility
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+    doc="Tokenizer fertility per language: BPE-style segment count over "
+    "whitespace-word count — the cost multiplier that decides how many "
+    "training tokens a language's text actually produces (fertility "
+    "near 1 = cheap; high fertility = the tokenizer fragments the "
+    "language). Both counts are row-local regex/size projections "
+    "fused into the scan (no explode); one grouped aggregate of exact "
+    "integers, ratio computed once per group "
+    "(operators/text.py::bpe_ish_token_count).",
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_ish_token_count, token_count
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        token_count("text").cast("bigint").alias("_w"),
+        bpe_ish_token_count("text").cast("bigint").alias("_t"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_w").cast("bigint").alias("n_words"),
+            F.sum("_t").cast("bigint").alias("n_tokens"),
+            trino_round(
+                F.sum("_t").cast("double") / F.sum("_w").cast("double"), 6
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
