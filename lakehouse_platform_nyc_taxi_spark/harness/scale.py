@@ -2766,3 +2766,73 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ),
+    dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+    contrib AS (
+        SELECT user_id, unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                               INTERVAL 1 DAY)) AS w
+        FROM ud
+    ),
+    wau AS (
+        SELECT CAST(w AS DATE) AS d, CAST(count(DISTINCT user_id) AS BIGINT)
+                   AS wau
+        FROM contrib GROUP BY 1
+    ),
+    span AS (SELECT min(d) AS lo, max(d) AS hi FROM ud)
+    SELECT CAST(dau.d AS TIMESTAMP) AS day, dau.dau, wau.wau,
+           round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+               AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d CROSS JOIN span
+    WHERE dau.d >= span.lo + INTERVAL 6 DAY
+    ORDER BY day
+    """,
+    doc="DAU/WAU stickiness per day (trailing 7-day window): instead of "
+    "a sliding count-distinct (quadratic re-scan or heavyweight "
+    "window state), each active (user, day) EXPLODES to the <= 7 "
+    "future days it keeps the user 'weekly active' for — the "
+    "classic contribution-inversion that turns a sliding distinct "
+    "into a plain grouped distinct at 7x the (already user-day-"
+    "deduped) row count. Days before a full trailing window are "
+    "dropped. At 100 TB the explode input is |active user-days|, "
+    "not |events|.",
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), 6), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("w"),
+    )
+    wau = contrib.groupBy(F.col("w").alias("d")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("wau")
+    )
+    span = ud.agg(F.min("d").alias("_lo"))
+    return (
+        dau.join(wau, "d")
+        .crossJoin(F.broadcast(span))
+        .filter(F.col("d") >= F.date_add(F.col("_lo"), 6))
+        .select(
+            F.col("d").cast("timestamp_ntz").alias("day"),
+            "dau",
+            "wau",
+            trino_round(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
