@@ -217,3 +217,51 @@ def test_dynamic_partition_overwrite_touches_only_present_partitions(
         (r.year, r.month, r.id) for r in spark.read.parquet(path).collect()
     }
     assert got == {(2023, 1, 1), (2023, 2, 20), (2023, 2, 21), (2023, 3, 3)}
+
+
+def test_format_round_trips_orc_json_csv_and_codecs(spark, tmp_path):
+    """Source-format coverage beyond parquet: ORC, JSON-lines and CSV
+    round-trip with schema + values intact, and parquet writes honor
+    explicit compression codecs (zstd/snappy) while staying readable."""
+    from lakehouse_platform_nyc_taxi_spark.sources.testdata import load_table
+
+    src = (
+        load_table(spark, "/root/testdata/sf0.001", "nation")
+        .orderBy("n_nationkey")
+    )
+    want = [tuple(r) for r in src.collect()]
+    # ORC
+    p = str(tmp_path / "orc")
+    src.write.format("orc").save(p)
+    got = [tuple(r) for r in spark.read.format("orc").load(p).orderBy("n_nationkey").collect()]
+    assert got == want
+    # JSON lines (schema supplied on read: JSON erases int width)
+    p = str(tmp_path / "json")
+    src.write.format("json").save(p)
+    got = [
+        tuple(r)
+        for r in spark.read.schema(src.schema).json(p).orderBy("n_nationkey").collect()
+    ]
+    assert got == want
+    # CSV with header
+    p = str(tmp_path / "csv")
+    src.write.option("header", True).csv(p)
+    got = [
+        tuple(r)
+        for r in spark.read.option("header", True)
+        .schema(src.schema)
+        .csv(p)
+        .orderBy("n_nationkey")
+        .collect()
+    ]
+    assert got == want
+    # Parquet codec matrix
+    import glob as _glob
+
+    for codec, ext in (("zstd", ".zstd.parquet"), ("snappy", ".snappy.parquet")):
+        p = str(tmp_path / f"pq_{codec}")
+        src.write.option("compression", codec).parquet(p)
+        files = _glob.glob(p + "/*.parquet")
+        assert files and all(f.endswith(ext) for f in files), (codec, files)
+        got = [tuple(r) for r in spark.read.parquet(p).orderBy("n_nationkey").collect()]
+        assert got == want
