@@ -1014,3 +1014,121 @@ def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.corpus_novelty(load_table_parallel(spark, sf_dir, "documents"))
+
+
+_GOPHER_F_CTE = f"""
+    t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+    f AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_words,
+               CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE)
+                   / len(toks) AS mean_len,
+               CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+                   AS DOUBLE) / len(toks) AS alpha_ratio,
+               CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+                   / len(toks) AS symbol_ratio,
+               CAST(len(list_intersect(list_transform(toks, w -> lower(w)),
+                                       {_GOPHER_STOPS})) AS INTEGER)
+                   AS stopword_kinds
+        FROM t
+    ),
+    r AS (
+        SELECT n_words,
+               (n_words >= 30 AND n_words <= 100000) AS r_word_count,
+               (mean_len >= 3.0 AND mean_len <= 10.0) AS r_mean_word_len,
+               (alpha_ratio >= 0.80) AS r_alpha_ratio,
+               (symbol_ratio <= 0.10) AS r_symbol_ratio,
+               (stopword_kinds >= 2) AS r_stopwords
+        FROM f
+    ),
+    tot AS (SELECT CAST(sum(n_words) AS BIGINT) AS all_tokens FROM r)
+"""
+
+_GOPHER_RULE_NAMES = [
+    "r_word_count",
+    "r_mean_word_len",
+    "r_alpha_ratio",
+    "r_symbol_ratio",
+    "r_stopwords",
+]
+
+_ABLATION_ARMS = "\n    UNION ALL\n".join(
+    f"""    SELECT '{name}' AS rule,
+           CAST(sum(CASE WHEN NOT {name} THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_failing,
+           CAST(sum(CASE WHEN NOT {name} THEN n_words ELSE 0 END) AS BIGINT)
+               AS tokens_lost,
+           round(CAST(sum(CASE WHEN NOT {name} THEN n_words ELSE 0 END)
+                      AS DOUBLE) / CAST(max(all_tokens) AS DOUBLE), 6)
+               AS pct_tokens_lost
+    FROM r CROSS JOIN tot"""
+    for name in _GOPHER_RULE_NAMES + ["keep"]
+).replace(
+    # the 'keep' arm: fails when the CONJUNCTION fails
+    "WHEN NOT keep",
+    "WHEN NOT (r_word_count AND r_mean_word_len AND r_alpha_ratio "
+    "AND r_symbol_ratio AND r_stopwords)",
+)
+
+
+@register(
+    "quality_rule_ablation",
+    f"""
+    WITH {_GOPHER_F_CTE}
+    SELECT * FROM (
+{_ABLATION_ARMS}
+    ) ORDER BY rule
+    """,
+    doc="Gopher-rule ablation: for each quality rule, how many documents "
+    "and what share of corpus tokens a curation run would drop by "
+    "enforcing it — plus the conjunction ('keep') as the combined "
+    "cost. The decision table tuned before committing a 100 TB "
+    "filter pass: rule flags come from the SAME single-projection "
+    "gopher gate, the ablation is ONE keyless aggregate per rule over "
+    "the flag table (Catalyst shares the scan), token totals "
+    "broadcast (operators/text.py::gopher_rules).",
+)
+def quality_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flags = text.gopher_rules(load_table_parallel(spark, sf_dir, "documents"))
+    rules = [
+        "r_word_count",
+        "r_mean_word_len",
+        "r_alpha_ratio",
+        "r_symbol_ratio",
+        "r_stopwords",
+        "keep",
+    ]
+    tot = flags.agg(F.sum("n_words").cast("bigint").alias("_all"))
+    arms = flags.crossJoin(F.broadcast(tot)).agg(
+        F.max("_all").alias("_all"),
+        *[
+            F.sum(F.when(~F.col(r), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_d_{r}")
+            for r in rules
+        ],
+        *[
+            F.sum(F.when(~F.col(r), F.col("n_words")).otherwise(0))
+            .cast("bigint")
+            .alias(f"_t_{r}")
+            for r in rules
+        ],
+    )
+    from ..functions.trino import trino_round
+
+    rows = [
+        F.struct(
+            F.lit(r if r != "keep" else "keep").alias("rule"),
+            F.col(f"_d_{r}").alias("docs_failing"),
+            F.col(f"_t_{r}").alias("tokens_lost"),
+            trino_round(
+                F.col(f"_t_{r}").cast("double") / F.col("_all").cast("double"), 6
+            ).alias("pct_tokens_lost"),
+        )
+        for r in rules
+    ]
+    return (
+        arms.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.rule", "r.docs_failing", "r.tokens_lost", "r.pct_tokens_lost")
+        .orderBy("rule")
+    )
