@@ -1671,3 +1671,61 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents")
     return dedup.cluster_survivors(docs, clusters)
+
+
+@register(
+    "text_langid_confusion",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+    h AS (
+        SELECT doc_id, lang,
+           {_lang_hits_sql()}
+        FROM t
+    ),
+    pred AS (
+        SELECT lang AS true_lang, {_lang_pred_sql()} AS predicted_lang
+        FROM h
+    ),
+    m AS (
+        SELECT true_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2
+    ),
+    per AS (SELECT true_lang, sum(n) AS tot FROM m GROUP BY 1)
+    SELECT m.true_lang, m.predicted_lang, m.n,
+           round(CAST(m.n AS DOUBLE) / CAST(per.tot AS DOUBLE), 6) AS share
+    FROM m JOIN per USING (true_lang)
+    ORDER BY true_lang, predicted_lang
+    """,
+    doc="Language-ID confusion matrix: the lexicon-hit classifier's "
+    "predictions against the corpus's stored labels, with per-true-"
+    "language share — the evaluation pass run before trusting a "
+    "heuristic classifier to route a 100 TB corpus. Classification is "
+    "the same single projection as text_language_id; the matrix is "
+    "one |langs|^2-bounded groupBy with margins as aggregates of it.",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    pred = text.language_id(docs).select(
+        "doc_id", F.col("predicted_lang")
+    )
+    m = (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    per = m.groupBy("true_lang").agg(F.sum("n").alias("_tot"))
+    from ..functions.trino import trino_round
+
+    return (
+        m.join(F.broadcast(per), "true_lang")
+        .select(
+            "true_lang",
+            "predicted_lang",
+            "n",
+            trino_round(
+                F.col("n").cast("double") / F.col("_tot").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("true_lang", "predicted_lang")
+    )
