@@ -67,6 +67,7 @@ _PRIORITY = [
     # is EXACTLY 50 and equals the first 50 names registry() yields. A
     # query added mid-round must be inserted at the head of this list
     # and the tail name moved to the head of _KEEP (1-in-1-out).
+    "agg_weighted_median",
     "text_langid_confusion",
     "quality_rule_ablation",
     "events_dau_wau_stickiness",
@@ -116,7 +117,6 @@ _PRIORITY = [
     "graph_triangle_count",
     "graph_degree_stats",
     "timeseries_twap",
-    "doc_chunking",
     "surrogate_keys_md5",
     "similarity_topk_ivf_batch",
     "similarity_topk_batch",
@@ -135,6 +135,7 @@ _PRIORITY = [
 # explicitly (and a name bumped to _KEEP to make room).
 _KEEP = [
     "window_ntile_cume",
+    "doc_chunking",
     "text_winnowing",
     "sampling_per_group_cap",
     "sampling_hash_split",

@@ -2836,3 +2836,60 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "agg_weighted_median",
+    """
+    WITH w AS (
+        SELECT l_returnflag, l_extendedprice AS v, l_quantity AS wt,
+               sum(l_quantity) OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cumw,
+               sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(min(v), 6) AS weighted_median_price,
+           CAST(max(tot) AS DOUBLE) AS total_weight
+    FROM w
+    WHERE cumw >= tot / 2.0
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Weighted median (lower weighted-median convention): the first "
+    "value, in (value, orderkey, linenumber) order, whose cumulative "
+    "weight reaches half the group total — quantity-weighted median "
+    "extended price per return flag. Exact arithmetic throughout: "
+    "quantities are integer-valued doubles, so the running and total "
+    "sums are exact and the boundary test is bit-identical on both "
+    "engines; the unique sort tiebreak pins the running order. One "
+    "window shuffle on the group key. Complements agg_percentiles "
+    "(unweighted exact) and agg_percentiles_approx (sketch).",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table_parallel(spark, sf_dir, "lineitem")
+    wo = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum("l_quantity").over(wo).alias("cumw"),
+        F.sum("l_quantity").over(wt).alias("tot"),
+    )
+    return (
+        w.filter(F.col("cumw") >= F.col("tot") / 2.0)
+        .groupBy("l_returnflag")
+        .agg(
+            trino_round(F.min("v"), 6).alias("weighted_median_price"),
+            F.max("tot").cast("double").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
