@@ -437,7 +437,9 @@ def mixture_plan(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
     )
     planned = F.col("target_share") * F.lit(float(budget_tokens))
-    ratio = planned / F.col("available_tokens").cast("double")
+    # try_divide: a group whose documents are all empty has 0 available
+    # tokens — its rate/epochs are NULL (unplannable), not an ANSI error
+    ratio = F.try_divide(planned, F.col("available_tokens").cast("double"))
     return (
         avail.withColumn("target_share", trino_round(share, 6))
         .select(

@@ -251,6 +251,7 @@ def attribution_last_touch(
     tiebreak: str,
     conversion: str = "purchase",
     lookback_days: int = 7,
+    value_col: str = "value",
 ) -> DataFrame:
     """Last-touch marketing attribution: credit each conversion event to
     the user's most recent PRECEDING non-conversion event within the
@@ -289,7 +290,7 @@ def attribution_last_touch(
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
             trino_round(
-                F.sum(F.col("value").cast("decimal(38,12)")).cast("double"), 6
+                F.sum(F.col(value_col).cast("decimal(38,12)")).cast("double"), 6
             ).alias("total_value"),
         )
         .orderBy("channel")
