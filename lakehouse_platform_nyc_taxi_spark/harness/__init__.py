@@ -67,6 +67,7 @@ _PRIORITY = [
     # is EXACTLY 50 and equals the first 50 names registry() yields. A
     # query added mid-round must be inserted at the head of this list
     # and the tail name moved to the head of _KEEP (1-in-1-out).
+    "window_nth_value_session",
     "agg_weighted_median",
     "text_langid_confusion",
     "quality_rule_ablation",

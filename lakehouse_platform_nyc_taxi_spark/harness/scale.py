@@ -2893,3 +2893,79 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "window_nth_value_session",
+    """
+    WITH w AS (
+        SELECT user_id, event_id, value,
+               nth_value(value, 2) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)
+                   AS second_value,
+               first_value(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS first_type,
+               last_value(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS last_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT user_id, first_type, last_type,
+           round(second_value, 6) AS second_event_value
+    FROM w WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="first/last/nth_value window coverage: per user, the first and "
+    "final event types over the whole ordered history plus the "
+    "second event's value (nth_value over the full-partition frame — "
+    "NULL for single-event users, the frame-semantics edge worth "
+    "pinning). "
+    "last_value uses the CURRENT ROW..UNBOUNDED FOLLOWING frame (the "
+    "default frame's classic trap); (ts, event_id) ordering makes "
+    "same-timestamp results engine-identical. One user-keyed window "
+    "shuffle, one row kept per user.",
+)
+def window_nth_value_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    grow = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    shrink = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = ev.select(
+        "user_id",
+        F.nth_value("value", 2).over(full).alias("_sv"),
+        F.first("event_type").over(grow).alias("first_type"),
+        F.last("event_type").over(shrink).alias("last_type"),
+        F.row_number().over(order).alias("_rn"),
+    )
+    return (
+        w.filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "first_type",
+            "last_type",
+            trino_round(F.col("_sv"), 6).alias("second_event_value"),
+        )
+        .orderBy("user_id")
+    )

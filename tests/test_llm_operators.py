@@ -1914,3 +1914,28 @@ def test_round11_operators_degenerate_inputs(spark):
     )
     for r in t_closeness(single, ["qi"], "s").collect():
         assert r.tvd == 0.0 and r.t_close
+
+
+def test_funnel_latency_user_counts_match_funnel_counts(spark):
+    """Coherence across operators: funnel_latency and funnel_counts use
+    the same greedy fold, so their per-stage converting-user counts must
+    agree on real data."""
+    from lakehouse_platform_nyc_taxi_spark.operators import sessionize
+    from lakehouse_platform_nyc_taxi_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    stages = ["view", "click", "purchase"]
+    counts = {
+        r.stage: r.n_users
+        for r in sessionize.funnel_counts(
+            ev, "user_id", "event_type", "ts", stages
+        ).collect()
+    }
+    lat = {
+        r.stage: r.n_users
+        for r in sessionize.funnel_latency(
+            ev, "user_id", "event_type", "ts", stages
+        ).collect()
+    }
+    for s in stages[1:]:
+        assert lat[s] == counts[s], (s, lat[s], counts[s])
