@@ -126,7 +126,6 @@ _PRIORITY = [
     "events_funnel",
     "table_profile_categorical",
     "agg_daily_rollup",
-    "scd2_event_history",
     # 2) Oldest r7-green names (the rest of the r7 cohort stays in
     #    _KEEP for the r12 rotation):
 ]
@@ -135,6 +134,7 @@ _PRIORITY = [
 # window, so a query added mid-round must be listed in _PRIORITY
 # explicitly (and a name bumped to _KEEP to make room).
 _KEEP = [
+    "scd2_event_history",
     "window_ntile_cume",
     "doc_chunking",
     "text_winnowing",
