@@ -62,78 +62,27 @@ def register(
 #      Their green rows live in CORRECTNESS_r01.json (kept in-repo), so
 #      rounds jointly cover every query.
 _PRIORITY = [
-    # --- Round-11 window (driver checks the FIRST 50 registered) ---
+    # --- Round-12 window (driver checks the FIRST 50 registered) ---
     # INVARIANT (pinned by tests/test_harness_oracle.py): len(_PRIORITY)
     # is EXACTLY 50 and equals the first 50 names registry() yields. A
     # query added mid-round must be inserted at the head of this list
     # and the tail name moved to the head of _KEEP (1-in-1-out).
-    "window_nth_value_session",
-    "agg_weighted_median",
-    "text_langid_confusion",
-    "quality_rule_ablation",
-    "events_dau_wau_stickiness",
-    "text_tokenizer_fertility",
-    "orders_interarrival_stats",
-    "privacy_t_closeness",
-    "events_funnel_latency",
-    "sql_having_above_average",
-    "text_log_odds_terms",
-    "embedding_standardize",
-    "corpus_kl_to_global",
-    "dedup_cluster_purge",
-    "events_attribution_last_touch",
-    "timeseries_cusum_changepoint",
-    "events_markov_transitions",
-    "stats_chi_squared",
-    "stats_ab_lift",
-    "events_rfm_segmentation",
-    "streaming_cms_heavy_hitters",
-    "agg_count_min_sketch",
-    # 0) New in round 11 (never driver-attested): DSIR + mixture wave,
-    #    then the TPC-H wave.
-    "sampling_dsir_weights",
-    "sampling_dsir_select",
-    "corpus_mixture_plan",
-    # 0b) The TPC-H wave.
-    "tpch_q4_order_priority",
-    "tpch_q21_suppliers_who_kept_waiting",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
+    #
+    # Composition (VERDICT r11 #2, the attestation rotation):
+    #   1. Five NEW r12 queries — the partsupp-derived TPC-H shapes
+    #      (Q2/Q9/Q11/Q16/Q20), completing 22/22 coverage.
+    #   2. tpch_q12_shipping_delay — its ORACLE changed this round
+    #      (the missing CAST(sum AS BIGINT), VERDICT r11 #1), so its
+    #      r11 red row must be re-attested.
+    #   3. The 44 oldest driver-green names (r7-green _KEEP head),
+    #      re-verified locally every pytest run but due a fresh
+    #      driver hash. After r12 no green row is older than r8.
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_relation",
+    "tpch_q20_potential_promotion",
     "tpch_q12_shipping_delay",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_global_sales_opportunity",
-    # 0) Fell out of the r10 window (the r10 _PRIORITY had 51 names —
-    #    ADVICE r10 #1 — so this tail entry was silently unattested):
-    "set_except_all",
-    # 1) The r6-green overflow cohort — oldest driver rows in the repo
-    #    (their green rows are from CORRECTNESS_r06; re-verified locally
-    #    every session by test_harness_oracle, but due a fresh driver
-    #    attestation):
-    "graph_triangle_count",
-    "graph_degree_stats",
-    "timeseries_twap",
-    "surrogate_keys_md5",
-    "similarity_topk_ivf_batch",
-    "similarity_topk_batch",
-    "agg_mode_median",
-    "join_skew_salted",
-    "events_funnel",
-    "table_profile_categorical",
-    "agg_daily_rollup",
-    # 2) Oldest r7-green names (the rest of the r7 cohort stays in
-    #    _KEEP for the r12 rotation):
-]
-# Any NEW registration not listed anywhere auto-slots directly after
-# _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
-# window, so a query added mid-round must be listed in _PRIORITY
-# explicitly (and a name bumped to _KEEP to make room).
-_KEEP = [
     "scd2_event_history",
     "window_ntile_cume",
     "doc_chunking",
@@ -158,11 +107,9 @@ _KEEP = [
     "text_rarity_stats",
     "cast_rename_projection",
     "join_full_outer",
-    # displaced from the r11 window by the DSIR/mixture wave:
     "filter_precedence_quirk",
     "in_list_between",
     "incremental_watermark",
-    # displaced from the r11 window by the TPC-H wave (1-in-1-out):
     "join_right_outer",
     "lateral_explode_tokens",
     "orderby_limit_topk",
@@ -174,13 +121,21 @@ _KEEP = [
     "union_all_typed_nulls",
     "union_distinct",
     "validity_filter",
-    # r7-green remainder (head of the r12 rotation):
     "window_lead_lag",
     "window_moving_avg",
     "window_running_total",
     "window_time_range_sum",
     "window_topk_per_group",
     "agg_cube",
+]
+# Any NEW registration not listed anywhere auto-slots directly after
+# _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
+# window, so a query added mid-round must be listed in _PRIORITY
+# explicitly (and a name bumped to _KEEP to make room).
+_KEEP = [
+    # Staleness-ordered (oldest driver row first): r8-green cohort,
+    # then r10-green, then the 49 r11-green names at the tail —
+    # future rotations pull from the HEAD of this list.
     "agg_grouping_sets",
     "agg_rollup",
     "agg_arg_extremes",
@@ -194,7 +149,6 @@ _KEEP = [
     "join_null_safe",
     "unpivot_charges",
     "agg_approx_distinct",
-    # r8-green queries:
     "dedup_exact_substring",
     "dedup_strip_spans",
     "dedup_self_substring",
@@ -244,8 +198,6 @@ _KEEP = [
     "text_lm_surprisal",
     "embedding_random_projection",
     "hybrid_search_rrf",
-    # r10-green queries (freshest driver rows — CORRECTNESS_r10.json,
-    # 50/50 hash-green):
     "quality_gopher_rules",
     "corpus_overlap_matrix",
     "embedding_kmeans_semdedup",
@@ -296,6 +248,55 @@ _KEEP = [
     "json_extract_rollup",
     "json_variant_histogram",
     "window_rank_trio",
+    "window_nth_value_session",
+    "agg_weighted_median",
+    "text_langid_confusion",
+    "quality_rule_ablation",
+    "events_dau_wau_stickiness",
+    "text_tokenizer_fertility",
+    "orders_interarrival_stats",
+    "privacy_t_closeness",
+    "events_funnel_latency",
+    "sql_having_above_average",
+    "text_log_odds_terms",
+    "embedding_standardize",
+    "corpus_kl_to_global",
+    "dedup_cluster_purge",
+    "events_attribution_last_touch",
+    "timeseries_cusum_changepoint",
+    "events_markov_transitions",
+    "stats_chi_squared",
+    "stats_ab_lift",
+    "events_rfm_segmentation",
+    "streaming_cms_heavy_hitters",
+    "agg_count_min_sketch",
+    "sampling_dsir_weights",
+    "sampling_dsir_select",
+    "corpus_mixture_plan",
+    "tpch_q4_order_priority",
+    "tpch_q21_suppliers_who_kept_waiting",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "set_except_all",
+    "graph_triangle_count",
+    "graph_degree_stats",
+    "timeseries_twap",
+    "surrogate_keys_md5",
+    "similarity_topk_ivf_batch",
+    "similarity_topk_batch",
+    "agg_mode_median",
+    "join_skew_salted",
+    "events_funnel",
+    "table_profile_categorical",
+    "agg_daily_rollup",
 ]
 _ROTATE_OUT: list[str] = []
 
