@@ -985,6 +985,7 @@ def connected_components(
     id_b: str = "doc_b",
     max_iter: int = 25,
     pointer_jumping: bool = True,
+    local_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph by iterative
     min-label propagation: every node repeatedly adopts the smallest label
@@ -1007,13 +1008,66 @@ def connected_components(
     Raises ``RuntimeError`` if ``max_iter`` is exhausted before fixpoint
     (a silent partial result would split long-diameter clusters with no
     signal to the caller); raise ``max_iter`` for path-like graphs.
+
+    Small-graph fast path: when the deduplicated edge list has at most
+    ``local_edges`` rows (known AFTER blocking/LSH pruning has already
+    shrunk it to near-linear in the duplicate count — not corpus size),
+    the iterative loop's ~5 jobs/round fixed overhead dwarfs the work,
+    so a single Arrow-batched union-find pass over one coalesced
+    partition computes the same min-id labels in one job. 2M edges is
+    ~32 MB of longs — executor-trivial; the result is order-independent
+    (roots only ever decrease, so every component resolves to its min
+    id regardless of edge order). Pass ``local_edges=0`` to force the
+    distributed loop; graphs above the threshold take it automatically,
+    which is the 100 TB path.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # Partition on the per-round join key BEFORE checkpointing:
+        # localCheckpoint preserves outputPartitioning, so every
+        # iteration's edges-by-dst join reuses this layout and only the
+        # (smaller) label table shuffles per round (r12 perf pass).
+        .repartition(F.col("dst"))
         .localCheckpoint()
     )
+    if local_edges and edges.count() <= local_edges:
+        id_type = edges.schema["src"].dataType.simpleString()
+
+        def _union_find(batches):
+            import pandas as pd
+
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for pdf in batches:
+                for s, d in zip(pdf["src"], pdf["dst"]):
+                    parent.setdefault(s, s)
+                    parent.setdefault(d, d)
+                    rs, rd = find(s), find(d)
+                    if rs != rd:
+                        # attach the larger root under the smaller so the
+                        # final root of every component is its min id
+                        if rs < rd:
+                            parent[rd] = rs
+                        else:
+                            parent[rs] = rd
+            ids = list(parent)
+            yield pd.DataFrame(
+                {"id": ids, "cluster": [find(i) for i in ids]}
+            )
+
+        return edges.coalesce(1).mapInPandas(
+            _union_find, schema=f"id {id_type}, cluster {id_type}"
+        )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -1029,10 +1083,14 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("dl").alias("nbr_label"))
         )
+        # Carry the pre-step label through the round so convergence is a
+        # filter over the checkpointed frame, not an extra new-vs-old
+        # shuffle join per iteration (r12 perf pass).
         stepped = labels.join(
             nbr_min, labels["id"] == nbr_min["src"], "left"
         ).select(
             F.col("id"),
+            F.col("label").alias("_old"),
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
                 "label"
             ),
@@ -1046,18 +1104,14 @@ def connected_components(
             )
             stepped = stepped.join(parent, "label", "left").select(
                 "id",
+                "_old",
                 F.least(F.col("label"), F.coalesce("_plabel", "label")).alias(
                     "label"
                 ),
             )
         new_labels = stepped.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     else:

@@ -350,8 +350,31 @@ def test_connected_components_raises_on_nonconvergence(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
     )
+    # local_edges=0 forces the distributed loop (the union-find fast
+    # path has no iteration budget to exhaust)
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iter=1)
+        dedup.connected_components(pairs, max_iter=1, local_edges=0)
+
+
+def test_connected_components_local_vs_distributed_agree(spark):
+    """The union-find fast path and the min-label loop must produce
+    identical (id, cluster) labels — chain, star, and singleton-free
+    mixed shapes."""
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11), (20, 21)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    local = {
+        (r.id, r.cluster) for r in dedup.connected_components(pairs).collect()
+    }
+    dist = {
+        (r.id, r.cluster)
+        for r in dedup.connected_components(pairs, local_edges=0).collect()
+    }
+    assert local == dist
+    assert local == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
 
 
 def test_ngram_jaccard_df_cap_skew_valve(spark):

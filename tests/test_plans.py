@@ -800,3 +800,19 @@ def test_tpch_q18_single_lineitem_scan(spark):
     assert plan.count("lineitem.parquet") == 1, plan
     assert "SortMergeJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_entity_resolution_plan_pinned(spark):
+    """VERDICT r11 #3: pin entity_resolution_golden's timed plan shape.
+    The eval-scale pair graph takes connected_components' union-find
+    fast path (one MapInPandas over a coalesced partition — no
+    iterative exchange ladder), and the golden-record assembly must
+    never plan a cartesian or nested-loop join. Exchange count is
+    bounded so a future edit can't silently re-introduce the per-round
+    shuffle stack into the timed path."""
+    plan = plan_of(spark, "entity_resolution_golden")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan, "small-graph union-find path not taken"
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 8, f"ER timed plan grew to {n_exchanges} exchanges:\n{plan[:2000]}"
