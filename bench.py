@@ -165,6 +165,18 @@ def main() -> int:
     except (OSError, ValueError):
         pass  # first run / unreadable previous detail
     detail["regressions_vs_prev"] = regressions
+    # Family subtotals (r12, VERDICT r11 #8): with 200+ queries a
+    # family-wide drift can hide inside a stable total — roll up
+    # calibrated min-of-runs by name prefix (first underscore token:
+    # tpch_*, dedup_*, streaming_*, ...) so per-family regressions stay
+    # one diff away.
+    families: dict[str, dict[str, float]] = {}
+    for q, s in timings_min_cal.items():
+        fam = q.split("_", 1)[0]
+        agg = families.setdefault(fam, {"n": 0, "min_calibrated_sec": 0.0})
+        agg["n"] += 1
+        agg["min_calibrated_sec"] = round(agg["min_calibrated_sec"] + s, 4)
+    detail["families"] = families
     # Per-query map goes to a file (and stderr): the driver captures a
     # bounded tail of stdout, and a single multi-KB line gets truncated
     # mid-JSON (BENCH_r01 "parsed": null). stdout carries exactly ONE

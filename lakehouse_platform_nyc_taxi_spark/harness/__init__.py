@@ -69,14 +69,20 @@ _PRIORITY = [
     # and the tail name moved to the head of _KEEP (1-in-1-out).
     #
     # Composition (VERDICT r11 #2, the attestation rotation):
-    #   1. Five NEW r12 queries — the partsupp-derived TPC-H shapes
+    #   1. NINE NEW r12 queries — the extension wave (entropy
+    #      l-diversity, Pareto revenue concentration, MAD outliers,
+    #      association rules) plus the partsupp-derived TPC-H shapes
     #      (Q2/Q9/Q11/Q16/Q20), completing 22/22 coverage.
     #   2. tpch_q12_shipping_delay — its ORACLE changed this round
     #      (the missing CAST(sum AS BIGINT), VERDICT r11 #1), so its
     #      r11 red row must be re-attested.
-    #   3. The 44 oldest driver-green names (r7-green _KEEP head),
+    #   3. The 40 oldest driver-green names (r7-green _KEEP head),
     #      re-verified locally every pytest run but due a fresh
     #      driver hash. After r12 no green row is older than r8.
+    "privacy_l_diversity",
+    "orders_pareto_share",
+    "events_anomaly_mad",
+    "basket_association_rules",
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
@@ -123,10 +129,6 @@ _PRIORITY = [
     "validity_filter",
     "window_lead_lag",
     "window_moving_avg",
-    "window_running_total",
-    "window_time_range_sum",
-    "window_topk_per_group",
-    "agg_cube",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
@@ -136,6 +138,12 @@ _KEEP = [
     # Staleness-ordered (oldest driver row first): r8-green cohort,
     # then r10-green, then the 49 r11-green names at the tail —
     # future rotations pull from the HEAD of this list.
+    # r7-green, displaced from the r12 window by the r12 extension
+    # wave (4-in-4-out):
+    "window_running_total",
+    "window_time_range_sum",
+    "window_topk_per_group",
+    "agg_cube",
     "agg_grouping_sets",
     "agg_rollup",
     "agg_arg_extremes",

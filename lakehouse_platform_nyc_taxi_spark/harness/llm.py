@@ -96,6 +96,33 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(load_table_parallel(spark, sf_dir, "documents"))
 
 
+_BAND_INDEX_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+
+
+def shared_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached full-corpus banded MinHash index (doc_id, band,
+    band_digest, sig0..7) — the ONE persisted dedup artifact the
+    evaluation family shares (VERDICT r11 #7): dedup_lsh_precision's
+    candidate table is a band self-join over it and
+    streaming_dedup_gate's stored half is an even-id filter of it, so
+    the shingle/md5 signature pipeline runs once per (session, sf)
+    instead of once per query. In production this is the band table the
+    batch dedup job already writes; signatures are per-doc pure
+    functions, so banding the full corpus then filtering equals signing
+    a filtered corpus."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BAND_INDEX_CACHE:
+        _BAND_INDEX_CACHE[key] = dedup.band_table(
+            dedup.minhash_signatures(
+                load_table_parallel(spark, sf_dir, "documents")
+            ),
+            "doc_id",
+            8,
+            4,
+        ).localCheckpoint()
+    return _BAND_INDEX_CACHE[key]
+
+
 _BANDS_SQL = """
     banded AS (
         SELECT doc_id, 0 AS band,

@@ -540,3 +540,94 @@ def table_profile_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return profile_categorical(docs, ["lang", "source"])
+
+
+@register(
+    "basket_association_rules",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    capped AS (
+      SELECT b, i FROM (
+        SELECT b, i,
+               row_number() OVER (PARTITION BY b ORDER BY i) AS rn
+        FROM items
+      ) WHERE rn <= 32
+    ),
+    nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM capped),
+    supp AS (SELECT i, CAST(count(*) AS BIGINT) AS s FROM capped GROUP BY 1),
+    pairs AS (
+      SELECT x.i AS antecedent, y.i AS consequent,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM capped x JOIN capped y ON x.b = y.b AND x.i < y.i
+      GROUP BY 1, 2
+    )
+    SELECT p.antecedent, p.consequent, p.n_ab,
+           round(CAST(p.n_ab AS DOUBLE) / sa.s, 6) AS confidence,
+           round(CAST(p.n_ab AS DOUBLE) * nb.n / (sa.s * sc.s), 6) AS lift
+    FROM pairs p
+    JOIN supp sa ON sa.i = p.antecedent
+    JOIN supp sc ON sc.i = p.consequent
+    CROSS JOIN nb
+    WHERE p.n_ab >= 2
+    ORDER BY lift DESC, p.antecedent, p.consequent
+    LIMIT 100
+    """,
+    doc="Association rules over the basket pair table: support "
+    "(co-occurrence count), confidence (pair support over antecedent "
+    "support) and lift (observed over independence-expected "
+    "co-occurrence) for every part pair sharing >= 2 orders, top-100 "
+    "by lift with a unique (lift, a, b) tiebreak. Composes "
+    "co_occurrence_pairs (map-side pair generation from sorted basket "
+    "arrays — one basket shuffle + one pair-key shuffle, never a "
+    "self-join) with the item-support aggregate of the SAME capped "
+    "item stream; supports broadcast onto the pair table, the basket "
+    "total rides a 1-row cross join, top-100 is TakeOrdered.",
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.basket import co_occurrence_pairs
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = (
+        li.select(F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    # identical deterministic cap to co_occurrence_pairs' sorted-slice:
+    # the 32 smallest item ids per basket
+    capped = (
+        items.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("b").orderBy("i")),
+        )
+        .filter(F.col("rn") <= 32)
+        .drop("rn")
+    )
+    nb = capped.agg(F.countDistinct("b").cast("bigint").alias("n"))
+    supp = capped.groupBy("i").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    pairs = co_occurrence_pairs(
+        li, basket="l_orderkey", item="l_partkey", max_basket_size=32
+    ).filter(F.col("n_baskets") >= 2)
+    sa = supp.select(F.col("i").alias("_ia"), F.col("s").alias("_sa"))
+    sc = supp.select(F.col("i").alias("_ic"), F.col("s").alias("_sc"))
+    return (
+        pairs.join(F.broadcast(sa), pairs["item_a"] == F.col("_ia"))
+        .join(F.broadcast(sc), pairs["item_b"] == F.col("_ic"))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("item_a").alias("antecedent"),
+            F.col("item_b").alias("consequent"),
+            F.col("n_baskets").alias("n_ab"),
+            trino_round(
+                F.col("n_baskets").cast("double") / F.col("_sa"), 6
+            ).alias("confidence"),
+            trino_round(
+                F.col("n_baskets").cast("double")
+                * F.col("n")
+                / (F.col("_sa") * F.col("_sc")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(100)
+    )

@@ -943,11 +943,16 @@ def _kmeans_semdedup_oracle() -> str:
     "the oracle unrolls both iterations in SQL), then semantic near-dup "
     "flags computed only within final clusters (keep-lowest-id). "
     "Pairwise work is sharded per cluster; only k*d mean scalars reach "
-    "the driver per iteration.",
+    "the driver per iteration. k=8 here is EVAL-SIZED (the oracle "
+    "unrolls exactly 8 init cells): within-cluster pairwise is "
+    "O(n^2/k), so production calls leave k unset and the operator "
+    "derives k ~ sqrt(n) capped at 16384 (VERDICT r11 #6).",
 )
 def embedding_kmeans_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import kmeans_semdedup
 
+    # k pinned to match the unrolled-SQL oracle; see doc above for the
+    # scale-derived default.
     return kmeans_semdedup(
         load_table_parallel(spark, sf_dir, "embeddings"), k=8, iters=2, tau=0.9
     )
@@ -1216,9 +1221,12 @@ def _lsh_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup index build, not something rebuilt per evaluation."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _LSH_CANDS_CACHE:
+        from .llm import shared_band_index
+
         cands = dedup.minhash_lsh_pairs(
             load_table_parallel(spark, sf_dir, "documents"),
             min_jaccard_est=0.0,
+            banded=shared_band_index(spark, sf_dir),
         )
         _LSH_CANDS_CACHE[key] = cands.localCheckpoint()
     return _LSH_CANDS_CACHE[key]
@@ -2864,32 +2872,40 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "extended price per return flag. Exact arithmetic throughout: "
     "quantities are integer-valued doubles, so the running and total "
     "sums are exact and the boundary test is bit-identical on both "
-    "engines; the unique sort tiebreak pins the running order. One "
-    "window shuffle on the group key. Complements agg_percentiles "
-    "(unweighted exact) and agg_percentiles_approx (sketch).",
+    "engines; the unique sort tiebreak pins the running order. The "
+    "running sum is the skew-safe two_phase_running_sum (partition by "
+    "(flag, price-range bucket) + broadcast bucket offsets — r11 "
+    "VERDICT's few-groups caveat): with only 3 return flags a plain "
+    "per-flag window would sort a third of lineitem in one task at "
+    "any scale. The group total rides along from the bucket table, "
+    "saving the second whole-table window the r11 form paid. "
+    "Complements agg_percentiles (unweighted exact) and "
+    "agg_percentiles_approx (sketch).",
 )
 def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.timeseries import two_phase_running_sum
 
-    li = load_table_parallel(spark, sf_dir, "lineitem")
-    wo = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wt = Window.partitionBy("l_returnflag")
-    w = li.select(
+    li = load_table_parallel(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").alias("v"),
-        F.sum("l_quantity").over(wo).alias("cumw"),
-        F.sum("l_quantity").over(wt).alias("tot"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+    )
+    w = two_phase_running_sum(
+        li,
+        value="l_quantity",
+        order=("v", "l_orderkey", "l_linenumber"),
+        keys=("l_returnflag",),
+        bucket_on="v",
+        out="cumw",
     )
     return (
-        w.filter(F.col("cumw") >= F.col("tot") / 2.0)
+        w.filter(F.col("cumw") >= F.col("cumw_total") / 2.0)
         .groupBy("l_returnflag")
         .agg(
             trino_round(F.min("v"), 6).alias("weighted_median_price"),
-            F.max("tot").cast("double").alias("total_weight"),
+            F.max("cumw_total").cast("double").alias("total_weight"),
         )
         .orderBy("l_returnflag")
     )
@@ -2968,4 +2984,188 @@ def window_nth_value_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             trino_round(F.col("_sv"), 6).alias("second_event_value"),
         )
         .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 wave: entropy l-diversity, Pareto revenue concentration,
+# MAD-robust outliers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "privacy_l_diversity",
+    """
+    WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    grp AS (SELECT lang, CAST(sum(c) AS BIGINT) AS group_size
+            FROM cells GROUP BY 1),
+    agg AS (
+        SELECT cells.lang, grp.group_size,
+               CAST(sum(CAST(round(
+                   (CAST(c AS DOUBLE) / CAST(group_size AS DOUBLE))
+                   * ln(1.0 / (CAST(c AS DOUBLE)
+                               / CAST(group_size AS DOUBLE))), 8)
+                   AS DECIMAL(28,8))) AS DOUBLE) AS h
+        FROM cells JOIN grp USING (lang)
+        GROUP BY 1, 2
+    )
+    SELECT lang, group_size, round(h, 6) AS entropy,
+           round(h, 6) >= 0.693147 AS entropy_l_diverse
+    FROM agg ORDER BY lang
+    """,
+    doc="Entropy l-diversity audit (Machanavajjhala et al. 2007): per "
+    "language group, Shannon entropy of the source distribution must "
+    "reach ln(2) — the gate a 99%%-one-source group passes on "
+    "distinct-count l-diversity but fails here. Completes the privacy "
+    "trio (k-anonymity r6, t-closeness r11). One groupBy to the "
+    "(QI, sensitive) cube, group sizes broadcast back, per-cell "
+    "p*ln(1/p) terms round8 decimal-summed so float-log last-ulp "
+    "engine differences can't move the sum "
+    "(operators/privacy.py::entropy_l_diversity).",
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.privacy import entropy_l_diversity
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    return entropy_l_diversity(docs, ["lang"], "source", l=2)
+
+
+@register(
+    "orders_pareto_share",
+    """
+    WITH cust AS (
+        SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(38,12))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    w AS (
+        SELECT rev,
+               sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(rev) OVER () AS tot
+        FROM cust
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN CAST(cum - rev AS DOUBLE)
+                              < 0.5 * CAST(tot AS DOUBLE)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS top50_customers,
+           CAST(sum(CASE WHEN CAST(cum - rev AS DOUBLE)
+                              < 0.8 * CAST(tot AS DOUBLE)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS top80_customers,
+           round(CAST(max(rev) AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6)
+               AS top1_share
+    FROM w
+    """,
+    doc="Revenue concentration (Pareto/Lorenz): how many customers, "
+    "taken from the top by lifetime revenue, cover 50%% and 80%% of "
+    "total revenue, plus the single largest customer's share. The "
+    "global running sum is the skew-safe two_phase_running_sum with "
+    "keys=() — revenue-range buckets carry the parallelism, so even "
+    "this GLOBAL cumulative ordering never funnels one task (the "
+    "classic Lorenz-curve scaling trap). Per-customer revenue and all "
+    "cumulative sums are DECIMAL(38,12)-exact; threshold tests compare "
+    "their double casts identically on both engines; a (revenue DESC, "
+    "custkey) unique order pins the curve.",
+)
+def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import two_phase_running_sum
+
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,12)")).alias("rev")
+        )
+        .withColumn("rev_neg", -F.col("rev").cast("double"))
+    )
+    w = two_phase_running_sum(
+        cust,
+        value="rev",
+        order=("rev_neg", "o_custkey"),
+        keys=(),
+        bucket_on="rev_neg",
+        out="cum",
+    )
+    before = (F.col("cum") - F.col("rev")).cast("double")
+    tot = F.col("cum_total").cast("double")
+    return w.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.when(before < F.lit(0.5) * tot, 1).otherwise(0))
+        .cast("bigint")
+        .alias("top50_customers"),
+        F.sum(F.when(before < F.lit(0.8) * tot, 1).otherwise(0))
+        .cast("bigint")
+        .alias("top80_customers"),
+        trino_round(
+            F.max("rev").cast("double") / F.max("cum_total").cast("double"), 6
+        ).alias("top1_share"),
+    )
+
+
+@register(
+    "events_anomaly_mad",
+    """
+    WITH med AS (
+        SELECT event_type, round(quantile_cont(value, 0.5), 9) AS med
+        FROM events GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, round(quantile_cont(adev, 0.5), 9) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           max(d.med) AS median_value,
+           max(m.mad) AS mad,
+           CAST(sum(CASE WHEN abs(d.value - d.med)
+                              > 3 * 1.4826 * m.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Robust outlier detection: per event type, median + median "
+    "absolute deviation (both exact interpolated 0.5-quantiles, "
+    "round9-fenced like agg_mode_median), outliers = values beyond "
+    "3 sigma-equivalents (1.4826*MAD) — the robust twin of the "
+    "z-score/winsorize family, immune to the outliers it hunts. "
+    "Exact MAD is inherently two order statistics deep, so the plan "
+    "is two grouped-percentile passes with the tiny per-type medians "
+    "broadcast between them — no window, no sort of a whole type.",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 9).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(adev, 0.5D)"), 9).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.max("med").alias("median_value"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(3) * F.lit(1.4826) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
     )

@@ -374,17 +374,17 @@ def _gate_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     production this is the band table the batch dedup already writes."""
     from pyspark.sql import functions as F
 
-    from ..operators.dedup import band_table, minhash_signatures
-    from ..sources.testdata import load_table
+    from .llm import shared_band_index
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _GATE_INDEX_CACHE:
-        stored = load_table(spark, sf_dir, "documents").filter(
+        # even-id filter of the session-shared full-corpus band index
+        # (signatures are per-doc pure functions, so filter-after-band
+        # equals band-after-filter); the filter of a checkpointed frame
+        # is cheap enough that no second checkpoint is needed
+        _GATE_INDEX_CACHE[key] = shared_band_index(spark, sf_dir).filter(
             F.col("doc_id") % 2 == 0
         )
-        _GATE_INDEX_CACHE[key] = band_table(
-            minhash_signatures(stored), "doc_id", 8, 4
-        ).localCheckpoint()
     return _GATE_INDEX_CACHE[key]
 
 

@@ -288,6 +288,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     min_jaccard_est: float = 0.5,
     materialize_signatures: bool = True,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs with estimated Jaccard.
 
@@ -302,6 +303,12 @@ def minhash_lsh_pairs(
     pipeline for each side — measured 2.2x at sf0.1. This makes the call
     eager; pass False for a fully lazy plan. In production the signature
     table is typically written out once and reused across runs anyway.
+
+    ``banded``: a precomputed ``band_table`` output (id, band,
+    band_digest, sig0..sigN-1) to join against instead of re-deriving
+    signatures from ``df`` — pass the persisted index when one exists
+    (the production shape; the harness's dedup-evaluation queries share
+    one per session).
     """
     if num_hashes % bands != 0:
         raise ValueError(
@@ -309,11 +316,12 @@ def minhash_lsh_pairs(
             "a remainder would silently drop trailing signature columns from "
             "banding and reduce candidate recall"
         )
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
-    if materialize_signatures:
-        sigs = sigs.localCheckpoint()
+    if banded is None:
+        sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+        if materialize_signatures:
+            sigs = sigs.localCheckpoint()
 
-    banded = band_table(sigs, id_col, num_hashes, bands)
+        banded = band_table(sigs, id_col, num_hashes, bands)
 
     left = banded.select(
         F.col(id_col).alias("doc_a"),

@@ -134,3 +134,52 @@ def t_closeness(
         trino_round(tvd, 6).alias("tvd"),
         (trino_round(tvd, 6) <= F.lit(t)).alias("t_close"),
     ).orderBy(*qid_cols)
+
+
+def entropy_l_diversity(
+    df: DataFrame,
+    qid_cols: Sequence[str],
+    sensitive: str,
+    l: int = 2,
+) -> DataFrame:
+    """Entropy l-diversity audit (Machanavajjhala et al. 2007, public):
+    for every quasi-identifier group, the Shannon entropy of its
+    sensitive-value distribution must reach ln(l) — a strictly stronger
+    gate than distinct-count l-diversity (``k_anonymity``'s
+    ``l_diversity`` column), which a group that is 99% one value and 1%
+    another still passes at l=2.
+
+    Shape: one groupBy to the (QI-group, sensitive) count cube, group
+    sizes as an aggregate OF that table broadcast back, entropy =
+    sum(p * ln(1/p)) with per-cell terms round8 decimal-summed so the
+    float log's last-ulp engine differences can't move the sum (the
+    same fence as ``t_closeness``).
+
+    Output: qid_cols + ``(group_size, entropy, entropy_l_diverse)``
+    (round6, flag ``entropy >= ln(l)``).
+    """
+    import math
+
+    from ..functions.trino import trino_round
+
+    cells = df.groupBy(*qid_cols, sensitive).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    grp = cells.groupBy(*qid_cols).agg(
+        F.sum("_c").cast("bigint").alias("group_size")
+    )
+    p = F.col("_c").cast("double") / F.col("group_size").cast("double")
+    term = F.round(p * F.log(F.lit(1.0) / p), 8)
+    per_group = (
+        cells.join(F.broadcast(grp), list(qid_cols))
+        .groupBy(*qid_cols, "group_size")
+        .agg(F.sum(term.cast("decimal(28,8)")).cast("double").alias("_h"))
+    )
+    return per_group.select(
+        *qid_cols,
+        "group_size",
+        trino_round(F.col("_h"), 6).alias("entropy"),
+        (trino_round(F.col("_h"), 6) >= F.lit(round(math.log(l), 6))).alias(
+            "entropy_l_diverse"
+        ),
+    ).orderBy(*qid_cols)

@@ -768,7 +768,7 @@ def kmeans_semdedup(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    k: int = 8,
+    k: int | None = None,
     iters: int = 2,
     tau: float = 0.9,
     seed: str = "km",
@@ -800,6 +800,14 @@ def kmeans_semdedup(
     import math
 
     base = vec_norms(df, vec_col, [id_col]).localCheckpoint()
+    if k is None:
+        # Within-cluster pairwise cost is O(n^2/k): k must grow with the
+        # corpus or the quadratic term re-emerges at scale. sqrt(n) keeps
+        # expected per-cluster pair work linear in n (SemDeDup paper uses
+        # fixed large k for fixed corpus sizes); capped so the broadcast
+        # centroid literal list (k*d scalars) stays driver-trivial. One
+        # count() on the checkpointed base - no extra scan of the source.
+        k = max(2, min(int(math.isqrt(base.count())), 16_384))
     salted = F.concat(F.col(id_col).cast("string"), F.lit(f"|{seed}"))
     assigned = base.select(
         id_col, "v", "nrm", (md5_long(salted) % k).cast("int").alias("cell")

@@ -212,6 +212,92 @@ def rolling_zscore(
     )
 
 
+def two_phase_running_sum(
+    df: DataFrame,
+    value: str,
+    order: Sequence[str],
+    keys: Sequence[str] = (),
+    bucket_on: str | None = None,
+    n_buckets: int = 64,
+    out: str = "running",
+) -> DataFrame:
+    """Exact running sum over ``order`` within each ``keys`` group,
+    computed skew-safely: partition by (keys, range-bucket) instead of
+    keys alone, then add broadcast per-bucket offsets.
+
+    The single-window formulation (``sum(value) OVER (PARTITION BY keys
+    ORDER BY order ROWS UNBOUNDED PRECEDING)``) sorts each whole group
+    in ONE task — with a 3-value group key that is a third of the table
+    per task at any scale. This helper:
+
+    1. range-buckets rows with ``width_bucket`` over the global
+       [min, max] of ``bucket_on`` (must be the leading sort column, so
+       bucket order refines row order; ties stay in one bucket) —
+       min/max come from a keyless aggregate broadcast back, never a
+       driver collect;
+    2. computes per-(keys, bucket) value sums — a table of
+       |keys| x n_buckets rows — and prefix-sums THOSE with a window
+       over the tiny bucket table;
+    3. runs the full-detail cumulative window inside each
+       (keys, bucket) partition and adds the broadcast bucket offset.
+
+    Output: ``df`` + ``out`` (running sum including current row) +
+    ``{out}_total`` (group total). Values are bit-identical to the
+    single-window form (partial sums of the same addends; exact for
+    integer-valued doubles/longs). One fact shuffle on (keys, bucket)
+    — same count as before, finer keys — plus one extra scan for the
+    min/max. Size ``n_buckets`` ~ cluster parallelism / |keys|; equal-
+    width buckets assume ``bucket_on`` is not pathologically clumped
+    (if it is, pre-transform it — the running sum itself is unaffected
+    by bucket imbalance, only parallelism is).
+    """
+    bucket_on = bucket_on or order[0]
+    kcols = [F.col(k) for k in keys]
+    dt = dict(df.dtypes).get(bucket_on, "")
+    if dt.startswith("timestamp"):
+        # micros-since-epoch: monotone, and double-exact far beyond any
+        # realistic date range's 2^53 bound for bucketing purposes
+        bsrc = F.unix_micros(F.col(bucket_on).cast("timestamp")).cast("double")
+    elif dt == "date":
+        bsrc = F.datediff(F.col(bucket_on), F.lit("1970-01-01")).cast("double")
+    else:
+        bsrc = F.col(bucket_on).cast("double")
+    stats = df.agg(F.min(bsrc).alias("_lo"), F.max(bsrc).alias("_hi"))
+    b = df.crossJoin(F.broadcast(stats)).withColumn(
+        "_bucket",
+        F.when(F.col("_hi") > F.col("_lo"),
+               F.width_bucket(bsrc, F.col("_lo"), F.col("_hi"), F.lit(n_buckets)))
+        .otherwise(F.lit(1)),
+    ).drop("_lo", "_hi")
+    woff = (
+        Window.partitionBy(*kcols)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy(*kcols)
+    btab = (
+        b.groupBy(*kcols, F.col("_bucket"))
+        .agg(F.sum(value).alias("_bsum"))
+        .select(
+            *keys,
+            "_bucket",
+            F.coalesce(F.sum("_bsum").over(woff), F.lit(0)).alias("_off"),
+            F.sum("_bsum").over(wtot).alias("_tot"),
+        )
+    )
+    wcum = (
+        Window.partitionBy(*kcols, F.col("_bucket"))
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        b.join(F.broadcast(btab), [*keys, "_bucket"])
+        .withColumn(out, F.col("_off") + F.sum(value).over(wcum))
+        .withColumn(f"{out}_total", F.col("_tot"))
+        .drop("_bucket", "_off", "_tot")
+    )
+
+
 def max_concurrency(
     df: DataFrame,
     start: str,
@@ -234,10 +320,13 @@ def max_concurrency(
     the curve (its close precedes its own open). Rows with NULL bounds
     or end < start are ignored.
 
-    Scale: the window partitions by ``keys`` — per-group sort, no
-    global order. Unkeyed use (keys=()) funnels everything through one
-    partition; callers at scale should always pass keys (time-bucket
-    the sweep per day/shard and merge if a global curve is needed).
+    Scale: the concurrency curve is a ``two_phase_running_sum`` —
+    boundary points partition by (keys, time-range bucket), each bucket
+    window-sums its own slice and adds a broadcast bucket offset, so no
+    task ever sorts a whole group (the r11 VERDICT's few-groups skew
+    caveat). Unkeyed use (keys=()) parallelizes across the time buckets
+    the same way. Curve values are bit-identical to the single-window
+    sweep (same ±1 addends, reassociated at bucket boundaries).
     """
     kcols = [F.col(k) for k in keys]
     valid = df.filter(
@@ -252,12 +341,14 @@ def max_concurrency(
         *kcols, F.col(end).alias("t"), F.lit(-1).alias("delta")
     )
     events = opens.union(closes)
-    w = (
-        Window.partitionBy(*[F.col(k) for k in keys])
-        .orderBy("t", "delta")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve = two_phase_running_sum(
+        events,
+        value="delta",
+        order=("t", "delta"),
+        keys=keys,
+        bucket_on="t",
+        out="concurrency",
     )
-    curve = events.withColumn("concurrency", F.sum("delta").over(w))
     return curve.groupBy(*keys).agg(
         F.max("concurrency").cast("bigint").alias("max_concurrent"),
         (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),

@@ -816,3 +816,24 @@ def test_entity_resolution_plan_pinned(spark):
     assert "MapInPandas" in plan, "small-graph union-find path not taken"
     n_exchanges = plan.count("Exchange")
     assert n_exchanges <= 8, f"ER timed plan grew to {n_exchanges} exchanges:\n{plan[:2000]}"
+
+
+def test_running_sums_partition_by_bucket_not_whole_group(spark):
+    """VERDICT r11 #4: the exact running sums in agg_weighted_median and
+    events_max_concurrency must never window over the bare few-valued
+    group key (3 return flags / few event types -> one task sorts a
+    third of the table at any scale). The two_phase_running_sum form
+    partitions the detail window by (key, range _bucket); only the
+    |keys| x n_buckets bucket table may window by the key alone."""
+    for name, detail_marker in (
+        ("agg_weighted_median", "l_orderkey"),
+        ("events_max_concurrency", "delta"),
+    ):
+        plan = optimized_of(spark, name)
+        specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+        detail = [s for s in specs if detail_marker in s]
+        assert detail, f"{name}: detail window not found in plan"
+        for s in detail:
+            assert "_bucket" in s, (
+                f"{name}: detail running sum windows over the whole group:\n{s}"
+            )
