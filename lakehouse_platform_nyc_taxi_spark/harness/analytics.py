@@ -1243,7 +1243,9 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def table_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import profile_numeric
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # parallel load: the melt + partial aggregate is CPU-bound per row
+    # and the single row group would pin it to one task (r12 perf pass)
+    li = load_table_parallel(spark, sf_dir, "lineitem")
     return profile_numeric(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
@@ -1413,7 +1415,10 @@ def dedup_latest_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is the mergeable shape a 100 TB run needs anyway.",
 )
 def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # parallel load: five DECIMAL(38,12) moment sums over one parquet
+    # row group would otherwise run their partial aggregation in a
+    # single task (r12 perf pass)
+    li = load_table_parallel(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_quantity").alias("x"),
         F.col("l_extendedprice").alias("y"),

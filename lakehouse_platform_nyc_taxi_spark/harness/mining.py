@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.trino import trino_round
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, load_table_parallel
 from . import register
 from .core import DSUM
 
@@ -485,6 +485,9 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def basket_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.basket import co_occurrence_pairs
 
+    # plain load measured FASTER than load_table_parallel here (r12
+    # A/B: 2.2 s vs 2.4 s at sf0.1): the distinct partial-aggregates
+    # map-side, so the extra round-robin exchange only adds cost
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )

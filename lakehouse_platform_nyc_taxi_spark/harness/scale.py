@@ -3169,3 +3169,130 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_attribution_time_decay",
+    """
+    WITH conv AS (
+        SELECT user_id AS u, event_id AS cid, ts AS ct, value AS v
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id AS tu, event_type AS ch, ts AS tt
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    j AS (
+        SELECT c.cid, c.v, t.ch,
+               round(exp(-0.6931471805599453
+                         * date_diff('microsecond', t.tt, c.ct)
+                         / 302400000000.0), 8) AS w
+        FROM conv c LEFT JOIN touch t
+          ON t.tu = c.u AND t.tt < c.ct
+         AND date_diff('microsecond', t.tt, c.ct) <= 604800000000
+    ),
+    sw AS (
+        SELECT cid, v, ch, w,
+               CAST(sum(CAST(w AS DECIMAL(28,8)))
+                    OVER (PARTITION BY cid) AS DOUBLE) AS s
+        FROM j
+    ),
+    credits AS (
+        SELECT COALESCE(ch, 'direct') AS channel,
+               CASE WHEN ch IS NULL THEN round(v, 8)
+                    ELSE round(v * w / s, 8) END AS credit
+        FROM sw
+    )
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
+           round(CAST(sum(CAST(credit AS DECIMAL(28,8))) AS DOUBLE), 6)
+               AS attributed_value
+    FROM credits GROUP BY 1 ORDER BY 1
+    """,
+    doc="Time-decay multi-touch attribution: every touch in the 7-day "
+    "window before a purchase shares its value, weighted "
+    "exp(-ln2 * age / 3.5d) and normalized per conversion; "
+    "no-touch purchases credit 'direct'. Multi-touch complement of "
+    "events_attribution_last_touch: per-user range join (keyed on "
+    "user, window residual — never cartesian), per-conversion "
+    "normalization over the high-cardinality conversion id, "
+    "|channels|-bounded rollup. exp() last-ulp differences are fenced "
+    "by round8 before BOTH decimal-exact sums "
+    "(operators/sessionize.py::attribution_time_decay).",
+)
+def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize.attribution_time_decay(
+        ev, "user_id", "event_type", "ts", "event_id"
+    )
+
+
+@register(
+    "stats_cuped_adjustment",
+    f"""
+    WITH per_user AS (
+        SELECT user_id,
+               COALESCE(CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN CAST(value AS DECIMAL(38,12)) END) AS DOUBLE),
+                        0.0) AS x,
+               COALESCE(CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                        THEN CAST(value AS DECIMAL(38,12)) END) AS DOUBLE),
+                        0.0) AS y
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+        FROM per_user
+    ),
+    adj AS (
+        SELECT CAST(({_AB_HASH}) % 2 AS INTEGER) AS arm,
+               y,
+               (m.n * m.sxy - m.sx * m.sy)
+                   / (m.n * m.sxx - m.sx * m.sx) AS theta,
+               y - ((m.n * m.sxy - m.sx * m.sy)
+                    / (m.n * m.sxx - m.sx * m.sx))
+                   * (x - m.sx / m.n) AS ya
+        FROM per_user CROSS JOIN m
+    )
+    SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_post,
+           round(CAST(sum(CAST(ya AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_post_adjusted,
+           round((CAST(count(*) AS DOUBLE)
+                  * CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE)
+                  - CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE)
+                    * CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE))
+                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)), 6)
+               AS var_post,
+           round((CAST(count(*) AS DOUBLE)
+                  * CAST(sum(CAST(ya * ya AS DECIMAL(38,12))) AS DOUBLE)
+                  - CAST(sum(CAST(ya AS DECIMAL(38,12))) AS DOUBLE)
+                    * CAST(sum(CAST(ya AS DECIMAL(38,12))) AS DOUBLE))
+                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)), 6)
+               AS var_post_adjusted,
+           round(max(theta), 6) AS theta
+    FROM adj GROUP BY 1 ORDER BY 1
+    """,
+    doc="CUPED variance reduction (Deng et al. 2013): each user's "
+    "post-period value sum adjusted by their pre-period sum as a "
+    "control variate (theta = pooled cov/var), reported per md5-parity "
+    "experiment arm with before/after variances so the sensitivity "
+    "gain is visible. Pre/post split at 2024-01-16 (the testdata's "
+    "event-range midpoint). Two shuffles: the per-user rollup and the "
+    "2-row arm rollup; the five pooled moments ride ONE broadcast row; "
+    "all sums decimal-fenced, closed forms in IEEE doubles over "
+    "bit-identical moments (operators/stats.py::cuped_adjustment).",
+)
+def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return stats.cuped_adjustment(
+        ev, "user_id", "ts", "value", split_ts="2024-01-16"
+    )

@@ -276,7 +276,9 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def timeseries_gapfill_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled = gapfill_forward(
-        load_table(spark, sf_dir, "events"), step="15 minute"
+        # parallel load: the generative slot explode is CPU-bound and the
+        # single events row group would pin it to one task (r12 perf pass)
+        load_table_parallel(spark, sf_dir, "events"), step="15 minute"
     )
     return filled.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_slots"),

@@ -297,6 +297,82 @@ def attribution_last_touch(
     )
 
 
+def attribution_time_decay(
+    df: DataFrame,
+    user: str,
+    event_type: str,
+    ts: str,
+    tiebreak: str,
+    conversion: str = "purchase",
+    lookback_days: int = 7,
+    half_life_days: float = 3.5,
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-decay multi-touch attribution: every non-conversion event in
+    the lookback window before a conversion shares that conversion's
+    value, weighted exp(-ln2 * age / half_life) and normalized per
+    conversion; conversions with no touch in range credit 'direct'.
+
+    The multi-touch complement of ``attribution_last_touch``: a
+    conversion's credit is split across ALL its touches instead of
+    handed to the latest one. Plan shape: a per-user range join
+    (conversion x touches within the window — keyed on the user,
+    range as residual, never a cartesian), per-conversion weight
+    normalization via a window over the conversion id (high-cardinality
+    key — parallel at any scale), then a |channels|-bounded rollup.
+    Determinism fence: exp() can differ in the last ulp across engines,
+    so each weight is round8'd BEFORE the decimal-exact normalizing sum
+    and each credit round8'd before the decimal-exact channel sum.
+
+    Output: ``channel, n_credits, attributed_value`` (round6).
+    """
+    from ..functions.trino import trino_round
+
+    lb_us = int(lookback_days * 86400 * 1_000_000)
+    hl_us = float(half_life_days * 86400 * 1_000_000)
+    conv = df.filter(F.col(event_type) == conversion).select(
+        F.col(user).alias("_u"),
+        F.col(tiebreak).alias("_cid"),
+        F.col(ts).alias("_ct"),
+        F.col(value_col).alias("_v"),
+    )
+    touch = df.filter(F.col(event_type) != conversion).select(
+        F.col(user).alias("_tu"),
+        F.col(event_type).alias("_ch"),
+        F.col(ts).alias("_tt"),
+    )
+    dt = F.expr("timestampdiff(MICROSECOND, _tt, _ct)")
+    j = conv.join(
+        touch,
+        (F.col("_u") == F.col("_tu"))
+        & (F.col("_tt") < F.col("_ct"))
+        & (dt <= F.lit(lb_us)),
+        "left",
+    ).withColumn(
+        "_w",
+        F.round(F.exp(F.lit(-0.6931471805599453) * dt / F.lit(hl_us)), 8),
+    )
+    sw = F.sum(F.col("_w").cast("decimal(28,8)")).over(
+        Window.partitionBy("_cid")
+    ).cast("double")
+    credit = F.when(
+        F.col("_ch").isNotNull(),
+        F.round(F.col("_v") * F.col("_w") / sw, 8),
+    ).otherwise(F.round(F.col("_v"), 8))
+    channel = F.coalesce(F.col("_ch"), F.lit("direct"))
+    return (
+        j.select(channel.alias("channel"), credit.alias("_credit"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+            trino_round(
+                F.sum(F.col("_credit").cast("decimal(28,8)")).cast("double"), 6
+            ).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
 def funnel_latency(
     df: DataFrame,
     user: str,

@@ -197,3 +197,109 @@ def rfm_segments(
         )
         .orderBy("segment")
     )
+
+
+def cuped_adjustment(
+    df: DataFrame,
+    user: str,
+    ts: str,
+    value: str,
+    split_ts: str,
+    salt: str = "ab",
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, public): adjust each
+    user's post-period metric with their pre-period metric as a control
+    variate — y* = y - theta * (x - mean(x)), theta = cov(x, y)/var(x)
+    — then report per-arm means and variances so the experimenter sees
+    the sensitivity gain (var(y*) < var(y) whenever pre and post
+    correlate).
+
+    Arms are the deterministic md5-parity hash split (same convention
+    as ``ab_lift``); theta comes from POOLED moments (both arms — the
+    standard unbiased-under-SUTVA choice). Everything reduces to
+    decimal-fenced moment sums: per-user (x, y) in one grouped pass,
+    five pooled moments broadcast back as one row, adjusted values are
+    closed-form doubles over bit-identical moments, per-arm output
+    moments fenced again. Two shuffles total (user rollup, 2-row arm
+    rollup); nothing driver-side.
+
+    Output per arm: ``arm, n_users, mean_post, mean_post_adjusted,
+    var_post, var_post_adjusted, theta`` (round6; population variance).
+    """
+    from ..functions.trino import trino_round
+    from .hashing import md5_long
+
+    def dsum(col):
+        return F.sum(col.cast("decimal(38,12)")).cast("double")
+
+    per_user = (
+        df.groupBy(F.col(user).alias("_u"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(ts) < F.lit(split_ts).cast("timestamp_ntz"),
+                        F.col(value).cast("decimal(38,12)"),
+                    )
+                ).cast("double"),
+                F.lit(0.0),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(ts) >= F.lit(split_ts).cast("timestamp_ntz"),
+                        F.col(value).cast("decimal(38,12)"),
+                    )
+                ).cast("double"),
+                F.lit(0.0),
+            ).alias("y"),
+        )
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        dsum(F.col("x")).alias("_sx"),
+        dsum(F.col("y")).alias("_sy"),
+        dsum(F.col("x") * F.col("x")).alias("_sxx"),
+        dsum(F.col("x") * F.col("y")).alias("_sxy"),
+    )
+    theta = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    arm = (
+        md5_long(F.concat(F.col("_u").cast("string"), F.lit(f"|{salt}"))) % 2
+    ).cast("int")
+    adj = (
+        per_user.crossJoin(F.broadcast(m))
+        .withColumn("_theta", theta)
+        .withColumn(
+            "ya",
+            F.col("y")
+            - F.col("_theta") * (F.col("x") - F.col("_sx") / F.col("_n")),
+        )
+        .select(arm.alias("arm"), "y", "ya", "_theta")
+    )
+    an = F.count(F.lit(1)).cast("double")
+    asy, asyy = dsum(F.col("y")), dsum(F.col("y") * F.col("y"))
+    asa, asaa = dsum(F.col("ya")), dsum(F.col("ya") * F.col("ya"))
+    out = adj.groupBy("arm").agg(
+        an.alias("_an"),
+        asy.alias("_asy"),
+        asyy.alias("_asyy"),
+        asa.alias("_asa"),
+        asaa.alias("_asaa"),
+        F.max("_theta").alias("_t"),
+    )
+    n_ = F.col("_an")
+    return out.select(
+        "arm",
+        n_.cast("bigint").alias("n_users"),
+        trino_round(F.col("_asy") / n_, 6).alias("mean_post"),
+        trino_round(F.col("_asa") / n_, 6).alias("mean_post_adjusted"),
+        trino_round(
+            (n_ * F.col("_asyy") - F.col("_asy") * F.col("_asy")) / (n_ * n_), 6
+        ).alias("var_post"),
+        trino_round(
+            (n_ * F.col("_asaa") - F.col("_asa") * F.col("_asa")) / (n_ * n_), 6
+        ).alias("var_post_adjusted"),
+        trino_round(F.col("_t"), 6).alias("theta"),
+    ).orderBy("arm")

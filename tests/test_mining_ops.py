@@ -262,3 +262,91 @@ def test_profile_categorical_counts_and_deterministic_mode(spark):
     # lang: en/fr tie at 2 -> smallest value wins
     assert got["lang"] == (4, 0, 2, "en", 2)
     assert got["source"] == (4, 1, 2, "web", 2)
+
+
+# ------------------------------------------------------------- r12 wave
+def test_entropy_l_diversity_flags_skew_distinct_count_misses(spark):
+    """A 2-value group that is 99%-one-value passes count-l but fails
+    entropy-l (entropy << ln 2); a balanced 2-value group passes both."""
+    from lakehouse_platform_nyc_taxi_spark.operators.privacy import (
+        entropy_l_diversity,
+    )
+
+    rows = [("skew", "a")] * 99 + [("skew", "b")] + [("bal", "a")] * 5 + [
+        ("bal", "b")
+    ] * 5
+    df = spark.createDataFrame(rows, "qi string, s string")
+    got = {r.qi: r for r in entropy_l_diversity(df, ["qi"], "s", l=2).collect()}
+    assert got["bal"].entropy_l_diverse
+    assert not got["skew"].entropy_l_diverse
+    assert got["skew"].entropy < 0.1 < got["bal"].entropy
+
+
+def test_attribution_time_decay_shares_and_direct(spark):
+    """Two equidistant touches split a conversion 50/50; a no-touch
+    conversion credits 'direct' in full; decayed weights normalize to
+    the conversion's value exactly."""
+    from lakehouse_platform_nyc_taxi_spark.operators.sessionize import (
+        attribution_time_decay,
+    )
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        # user 1: two touches exactly 1h before the purchase
+        (1, 1, "ad", t0 - dt.timedelta(hours=1), 0.0),
+        (2, 1, "email", t0 - dt.timedelta(hours=1), 0.0),
+        (3, 1, "purchase", t0, 10.0),
+        # user 2: no touches
+        (4, 2, "purchase", t0, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz, value double"
+    )
+    got = {
+        r.channel: r
+        for r in attribution_time_decay(
+            df, "user_id", "event_type", "ts", "event_id"
+        ).collect()
+    }
+    assert got["direct"].attributed_value == 7.0
+    assert abs(got["ad"].attributed_value - 5.0) < 1e-6
+    assert abs(got["email"].attributed_value - 5.0) < 1e-6
+    assert got["ad"].n_credits == 1 and got["direct"].n_credits == 1
+
+
+def test_cuped_reduces_variance_when_pre_post_correlate(spark):
+    """y strongly driven by the pre-period covariate -> the adjusted
+    per-arm variance must drop; user counts and arm split preserved."""
+    from lakehouse_platform_nyc_taxi_spark.operators.stats import (
+        cuped_adjustment,
+    )
+
+    pre = dt.datetime(2024, 1, 10)
+    post = dt.datetime(2024, 1, 20)
+    rows = []
+    for u in range(40):
+        x = float(u % 10)
+        rows.append((u, pre, x))            # pre-period value
+        rows.append((u, post, 2.0 * x + 1)) # post strongly correlated
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, value double")
+    got = cuped_adjustment(df, "user_id", "ts", "value", "2024-01-16").collect()
+    assert len(got) == 2
+    assert sum(r.n_users for r in got) == 40
+    for r in got:
+        assert r.var_post_adjusted < r.var_post
+        assert abs(r.theta - 2.0) < 0.2
+
+
+def test_pareto_share_minimal_prefix_counts(spark, monkeypatch, tmp_path):
+    """orders_pareto_share on a toy orders table: revenues 10/5/3/2 ->
+    1 customer covers 50%, 3 cover 80%, top share 0.5."""
+    from lakehouse_platform_nyc_taxi_spark.harness import registry
+
+    rows = [(1, 10.0), (2, 5.0), (3, 3.0), (4, 2.0)]
+    df = spark.createDataFrame(rows, "o_custkey long, o_totalprice double")
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = registry()["orders_pareto_share"].fn(spark, str(tmp_path)).collect()[0]
+    assert got.n_customers == 4
+    assert got.top50_customers == 1
+    assert got.top80_customers == 3
+    assert got.top1_share == 0.5
