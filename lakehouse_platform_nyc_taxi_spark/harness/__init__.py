@@ -69,17 +69,19 @@ _PRIORITY = [
     # and the tail name moved to the head of _KEEP (1-in-1-out).
     #
     # Composition (VERDICT r11 #2, the attestation rotation):
-    #   1. ELEVEN NEW r12 queries — the extension wave (entropy
+    #   1. TWELVE NEW r12 queries — the extension wave (entropy
     #      l-diversity, Pareto revenue concentration, MAD outliers,
-    #      association rules, time-decay attribution, CUPED) plus the
+    #      association rules, time-decay attribution, CUPED,
+    #      gaps-and-islands streaks) plus the
     #      partsupp-derived TPC-H shapes (Q2/Q9/Q11/Q16/Q20),
     #      completing 22/22 coverage.
     #   2. tpch_q12_shipping_delay — its ORACLE changed this round
     #      (the missing CAST(sum AS BIGINT), VERDICT r11 #1), so its
     #      r11 red row must be re-attested.
-    #   3. The 38 oldest driver-green names (r7-green _KEEP head),
+    #   3. The 37 oldest driver-green names (r7-green _KEEP head),
     #      re-verified locally every pytest run but due a fresh
     #      driver hash. After r12 no green row is older than r8.
+    "events_longest_streak",
     "events_attribution_time_decay",
     "stats_cuped_adjustment",
     "privacy_l_diversity",
@@ -129,7 +131,6 @@ _PRIORITY = [
     "star_extend_projection",
     "union_all_typed_nulls",
     "union_distinct",
-    "validity_filter",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
@@ -141,6 +142,7 @@ _KEEP = [
     # future rotations pull from the HEAD of this list.
     # r7-green, displaced from the r12 window by the r12 extension
     # wave (1-in-1-out per new registration):
+    "validity_filter",
     "window_lead_lag",
     "window_moving_avg",
     "window_running_total",

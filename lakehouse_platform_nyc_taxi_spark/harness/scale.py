@@ -952,9 +952,14 @@ def embedding_kmeans_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import kmeans_semdedup
 
     # k pinned to match the unrolled-SQL oracle; see doc above for the
-    # scale-derived default.
+    # scale-derived default. Plain load measured FASTER than
+    # load_table_parallel here (r12 A/B: 1.5 s vs 2.5 s at sf0.1): the
+    # eval embeddings table is 2k rows x 64 dims, so the forced 32-way
+    # repartition only adds exchanges — the operator's own (cell, dim)
+    # groupBy shuffles redistribute the real work, and production
+    # inputs arrive multi-file and parallelize at the scan.
     return kmeans_semdedup(
-        load_table_parallel(spark, sf_dir, "embeddings"), k=8, iters=2, tau=0.9
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=2, tau=0.9
     )
 
 
@@ -3295,4 +3300,65 @@ def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return stats.cuped_adjustment(
         ev, "user_id", "ts", "value", split_ts="2024-01-16"
+    )
+
+
+@register(
+    "events_longest_streak",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '2024-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS di
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id,
+               di - row_number() OVER (PARTITION BY user_id ORDER BY di)
+                   AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+        FROM islands GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT user_id, max(len) AS longest FROM streaks GROUP BY 1
+    )
+    SELECT longest AS streak_days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM best GROUP BY 1 ORDER BY 1
+    """,
+    doc="Gaps-and-islands: each user's longest run of consecutive active "
+    "days, rolled up into a streak-length histogram. The classic "
+    "row_number-difference idiom — consecutive day indexes minus their "
+    "rank collapse to one island key, so runs become plain groups with "
+    "NO self-join and no per-day window chain. Day indexes are exact "
+    "integers (whole-day date_diff from a fixed epoch, identical on "
+    "both engines); the only windows partition by the high-cardinality "
+    "user key; output is |distinct streak lengths|-bounded.",
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        ).alias("di"),
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("di"))
+    streaks = (
+        days.withColumn("island", F.col("di") - rn)
+        .groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("len"))
+        .groupBy("user_id")
+        .agg(F.max("len").alias("longest"))
+    )
+    return (
+        streaks.groupBy(F.col("longest").alias("streak_days"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("streak_days")
     )
