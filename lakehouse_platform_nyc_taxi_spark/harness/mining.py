@@ -585,7 +585,8 @@ def table_profile_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "co_occurrence_pairs (map-side pair generation from sorted basket "
     "arrays — one basket shuffle + one pair-key shuffle, never a "
     "self-join) with the item-support aggregate of the SAME capped "
-    "item stream; supports broadcast onto the pair table, the basket "
+    "item stream; support joins are item-keyed (AQE broadcasts when "
+    "the catalog-sized support table fits — never forced), the basket "
     "total rides a 1-row cross join, top-100 is TakeOrdered.",
 )
 def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,9 +614,15 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n_baskets") >= 2)
     sa = supp.select(F.col("i").alias("_ia"), F.col("s").alias("_sa"))
     sc = supp.select(F.col("i").alias("_ic"), F.col("s").alias("_sc"))
+    # No broadcast hint on the support joins: supports have one row per
+    # ITEM — eval-sized here but catalog-sized in production, where a
+    # forced broadcast would blow the driver (the lsh_precision lesson,
+    # ADVICE r10 #3). AQE broadcasts when the support table actually
+    # fits; otherwise these are item-keyed shuffles of the (larger)
+    # pair stream, which the support filter already pruned.
     return (
-        pairs.join(F.broadcast(sa), pairs["item_a"] == F.col("_ia"))
-        .join(F.broadcast(sc), pairs["item_b"] == F.col("_ic"))
+        pairs.join(sa, pairs["item_a"] == F.col("_ia"))
+        .join(sc, pairs["item_b"] == F.col("_ic"))
         .crossJoin(F.broadcast(nb))
         .select(
             F.col("item_a").alias("antecedent"),

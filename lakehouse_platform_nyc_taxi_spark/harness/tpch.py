@@ -1080,8 +1080,11 @@ def tpch_q16_supplier_part_relation(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .select("p_partkey", "p_brand", "p_type", "p_size")
     )
+    # no broadcast hint: the excluded-supplier side scales with the
+    # supplier table; AQE broadcasts when it fits, else the anti join
+    # shuffles on the supplier key
     return (
-        pairs.join(F.broadcast(excluded), pairs["suppkey"] == excluded["s_suppkey"], "left_anti")
+        pairs.join(excluded, pairs["suppkey"] == excluded["s_suppkey"], "left_anti")
         .join(p, F.col("partkey") == p["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("suppkey").cast("bigint").alias("supplier_cnt"))
