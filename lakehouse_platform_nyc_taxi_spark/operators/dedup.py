@@ -1022,8 +1022,11 @@ def connected_components(
     shrunk it to near-linear in the duplicate count — not corpus size),
     the iterative loop's ~5 jobs/round fixed overhead dwarfs the work,
     so a single Arrow-batched union-find pass over one coalesced
-    partition computes the same min-id labels in one job. 2M edges is
-    ~32 MB of longs — executor-trivial; the result is order-independent
+    partition computes the same min-id labels in one job. At the 2M cap
+    the pass holds ~32 MB of id arrays plus an int-array parent table
+    (ids are code-compressed via sorted uniques, no per-id Python
+    objects) — sized to one worker, never the driver; the result is
+    order-independent
     (roots only ever decrease, so every component resolves to its min
     id regardless of edge order). Pass ``local_edges=0`` to force the
     distributed loop; graphs above the threshold take it automatically,
@@ -1044,34 +1047,44 @@ def connected_components(
         id_type = edges.schema["src"].dataType.simpleString()
 
         def _union_find(batches):
+            import numpy as np
             import pandas as pd
 
-            parent: dict = {}
+            srcs, dsts = [], []
+            for pdf in batches:
+                srcs.append(pdf["src"].to_numpy())
+                dsts.append(pdf["dst"].to_numpy())
+            if not srcs:
+                return
+            s = np.concatenate(srcs)
+            d = np.concatenate(dsts)
+            # sorted uniques -> code order == id order, so min-code root
+            # IS the min-id root (holds for ints and strings alike)
+            uniq, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+            parent = list(range(len(uniq)))
 
             def find(x):
                 root = x
-                while parent.get(root, root) != root:
+                while parent[root] != root:
                     root = parent[root]
-                while parent.get(x, x) != x:
+                while parent[x] != x:
                     parent[x], x = root, parent[x]
                 return root
 
-            for pdf in batches:
-                for s, d in zip(pdf["src"], pdf["dst"]):
-                    parent.setdefault(s, s)
-                    parent.setdefault(d, d)
-                    rs, rd = find(s), find(d)
-                    if rs != rd:
-                        # attach the larger root under the smaller so the
-                        # final root of every component is its min id
-                        if rs < rd:
-                            parent[rd] = rs
-                        else:
-                            parent[rs] = rd
-            ids = list(parent)
-            yield pd.DataFrame(
-                {"id": ids, "cluster": [find(i) for i in ids]}
+            a, b = inv[: len(s)], inv[len(s):]
+            for i in range(len(a)):
+                ra, rb = find(int(a[i])), find(int(b[i]))
+                if ra != rb:
+                    # attach the larger root under the smaller so the
+                    # final root of every component is its min id
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+            roots = np.fromiter(
+                (find(i) for i in range(len(uniq))), dtype=np.int64
             )
+            yield pd.DataFrame({"id": uniq, "cluster": uniq[roots]})
 
         return edges.coalesce(1).mapInPandas(
             _union_find, schema=f"id {id_type}, cluster {id_type}"

@@ -249,7 +249,9 @@ def two_phase_running_sum(
     min/max. Size ``n_buckets`` ~ cluster parallelism / |keys|; equal-
     width buckets assume ``bucket_on`` is not pathologically clumped
     (if it is, pre-transform it — the running sum itself is unaffected
-    by bucket imbalance, only parallelism is).
+    by bucket imbalance, only parallelism is). ``bucket_on`` must be
+    non-null: a NULL bucket key would drop out of the offset equi-join
+    (callers filter or coalesce first).
     """
     bucket_on = bucket_on or order[0]
     kcols = [F.col(k) for k in keys]
