@@ -228,3 +228,53 @@ def test_winsorize_clips_tails_exactly(spark):
     # clipped: 1..90 plus ten 90s -> (sum(1..90) + 900) / 100
     assert out["mean_winsorized"] == (sum(range(1, 91)) + 900) / 100
     assert out["n_rows"] == 100
+
+
+def test_two_phase_running_sum_equals_single_window(spark):
+    """The skew-safe two-phase cumulative sum must be value-identical to
+    the plain whole-group window it replaces — keyed and unkeyed, with
+    duplicate order values landing inside one bucket."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lakehouse_platform_nyc_taxi_spark.operators.timeseries import (
+        two_phase_running_sum,
+    )
+
+    rows = [
+        (kk, float(((i * 37 + ki * 11) % 100) % 13), ki * 1000 + i,
+         float((i * 37 + ki * 11) % 7))
+        for ki, kk in enumerate(("a", "b", "c"))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double, tb long, wt double")
+    got = {
+        (r.k, r.tb): (r.running, r.running_total)
+        for r in two_phase_running_sum(
+            df, value="wt", order=("v", "tb"), keys=("k",), bucket_on="v",
+            n_buckets=7,
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("k")
+        .orderBy("v", "tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("k")
+    want = {
+        (r.k, r.tb): (r.c, r.t)
+        for r in df.select(
+            "k", "tb", F.sum("wt").over(w).alias("c"), F.sum("wt").over(wt).alias("t")
+        ).collect()
+    }
+    assert got == want
+    # unkeyed: global cumulative ordering, buckets carry the parallelism
+    gu = {
+        r.tb: r.running
+        for r in two_phase_running_sum(
+            df, value="wt", order=("v", "tb"), keys=(), bucket_on="v"
+        ).collect()
+    }
+    wu = Window.orderBy("v", "tb").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wantu = {r.tb: r.c for r in df.select("tb", F.sum("wt").over(wu).alias("c")).collect()}
+    assert gu == wantu
