@@ -141,7 +141,8 @@ _KEEP = [
     # then r10-green, then the 49 r11-green names at the tail —
     # future rotations pull from the HEAD of this list.
     # r7-green, displaced from the r12 window by the r12 extension
-    # wave (1-in-1-out per new registration):
+    # wave (1-in-1-out per new registration) — these seven are the
+    # OLDEST driver rows left and the head of the r13 rotation:
     "validity_filter",
     "window_lead_lag",
     "window_moving_avg",
