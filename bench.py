@@ -59,18 +59,31 @@ def main() -> int:
     # 75 s vs 95 s totals (uniform per-query scaling — ambient host load,
     # not plans). calibration_sec lets any cross-run comparison normalize
     # for that: divide query times by (calibration_sec of their run).
-    cal_runs = []
-    for _ in range(3):
+    #
+    # r13 (VERDICT r12 #2): a single up-front probe once sampled a calm
+    # machine while the queries ran at load ~8, overstating every
+    # calibrated figure ~30% and fabricating a 20-query regression list.
+    # Probes now INTERLEAVE with the query loop (one per ~25 queries,
+    # same fixed workload so the unit stays comparable across rounds)
+    # and calibration_sec is their MEDIAN, so calibration samples the
+    # same contention regime as the measurements it normalizes.
+    def _probe() -> dict[str, float]:
         t0 = time.perf_counter()
         spark.range(200_000_000).selectExpr(
             "avg(xxhash64(id) % 1000000007)", "avg(id * 1.0001)"
         ).collect()
-        cal_runs.append(time.perf_counter() - t0)
-    calibration_sec = round(min(cal_runs), 4)
+        return {
+            "sec": round(time.perf_counter() - t0, 4),
+            "load_avg_1m": round(os.getloadavg()[0], 2),
+        }
+
+    probes = [_probe() for _ in range(2)]
 
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
-    for name, spec in sorted(harness.registry().items()):
+    for qi, (name, spec) in enumerate(sorted(harness.registry().items())):
+        if qi and qi % 25 == 0:
+            probes.append(_probe())
         # Offline setup (e.g. ANN index build) runs untimed — a deployment
         # builds the index once per corpus, not per query.
         if spec.prepare is not None:
@@ -98,6 +111,12 @@ def main() -> int:
         # steady-state claims.
         timings[name] = round(runs[0], 4)
         timings_min[name] = round(min(runs), 4)
+
+    probes.append(_probe())
+    _psecs = sorted(p["sec"] for p in probes)
+    calibration_sec = round(
+        (_psecs[len(_psecs) // 2] + _psecs[(len(_psecs) - 1) // 2]) / 2, 4
+    )
 
     total = round(sum(timings.values()), 4)
     total_min = round(sum(timings_min.values()), 4)
@@ -130,18 +149,28 @@ def main() -> int:
         # produced uniform 1.25x swings between identical-code runs).
         "protocol_version": 2,
         "calibration_sec": calibration_sec,
+        # r13+: calibration_sec is the MEDIAN of probes interleaved with
+        # the query loop (2 up front, 1 per 25 queries, 1 at the end) so
+        # it samples the contention regime the queries actually ran in;
+        # r4-r12 used the MIN of 3 up-front probes, which under bursty
+        # neighbor load overstated calibrated figures by ~30%.
+        "calibration_probes": probes,
         # r9+: 1/5/15-min host load at run end. The VM shares a host with
         # a BURSTY neighbor (observed load 0.1 -> 14 on identical code,
         # totals 118 -> 201 s) that the CPU probe does NOT track; a high
         # load_avg marks the run's numbers as ambient-suspect.
         "load_avg": [round(x, 2) for x in os.getloadavg()],
     }
-    # Regression gate (r8+): compare calibrated min-of-runs against the
-    # PREVIOUS committed BENCH_DETAIL.json (the driver benches a fresh
-    # checkout, so the on-disk file is last round's record). Anything
-    # >1.5x calibrated is recorded in the detail file and printed to
-    # stderr — a plan regression can't slip through unflagged again
-    # (VERDICT r7 #4/#8). Purely advisory: the bench never fails on it.
+    # Regression gate (r8+, reworked r13 per VERDICT r12 #2): compare
+    # RAW min-of-runs against the PREVIOUS committed BENCH_DETAIL.json
+    # (the driver benches a fresh checkout, so the on-disk file is last
+    # round's record). Raw ratios, because dividing two noisy
+    # calibrations multiplies their error — r12's gate fabricated a
+    # 20-query list from a 24% probe swing. A calibration-delta guard
+    # skips the list entirely when the machines aren't comparable
+    # (|probe drift| > 15%): under that much ambient shift any per-query
+    # ratio is noise. Anything > 1.5x raw is recorded in the detail file
+    # and printed to stderr. Purely advisory: the bench never fails on it.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     regressions: dict[str, dict[str, float]] = {}
     try:
@@ -149,19 +178,29 @@ def main() -> int:
             prev = json.load(fh)
         prev_cal = prev.get("calibration_sec") or 1.0
         prev_min = prev.get("queries_min") or prev.get("queries") or {}
-        for q, now_s in timings_min.items():
-            if q not in prev_min:
-                continue
-            now_n, prev_n = now_s / cal, prev_min[q] / prev_cal
-            if prev_n > 0 and now_n > 1.5 * prev_n and now_s > 0.3:
-                regressions[q] = {
-                    "prev_calibrated": round(prev_n, 4),
-                    "now_calibrated": round(now_n, 4),
-                    "ratio": round(now_n / prev_n, 2),
-                }
-        for q, r in sorted(regressions.items(), key=lambda kv: -kv[1]["ratio"]):
-            print(f"BENCH-REGRESSION {q}: {r['prev_calibrated']} -> "
-                  f"{r['now_calibrated']} calibrated ({r['ratio']}x)", file=sys.stderr)
+        drift = cal / prev_cal
+        detail["calibration_drift_vs_prev"] = round(drift, 4)
+        if abs(drift - 1.0) > 0.15:
+            detail["regressions_skipped_calibration_drift"] = round(drift, 4)
+            print(
+                f"BENCH-NOTE probe drift {drift:.2f}x vs previous run — "
+                "machines not comparable, regression list skipped",
+                file=sys.stderr,
+            )
+        else:
+            for q, now_s in timings_min.items():
+                prev_s = prev_min.get(q)
+                if not prev_s:
+                    continue
+                if now_s > 1.5 * prev_s and now_s > 0.3:
+                    regressions[q] = {
+                        "prev_raw": round(prev_s, 4),
+                        "now_raw": round(now_s, 4),
+                        "ratio": round(now_s / prev_s, 2),
+                    }
+            for q, r in sorted(regressions.items(), key=lambda kv: -kv[1]["ratio"]):
+                print(f"BENCH-REGRESSION {q}: {r['prev_raw']} -> "
+                      f"{r['now_raw']} raw ({r['ratio']}x)", file=sys.stderr)
     except (OSError, ValueError):
         pass  # first run / unreadable previous detail
     detail["regressions_vs_prev"] = regressions
@@ -170,13 +209,16 @@ def main() -> int:
     # calibrated min-of-runs by name prefix (first underscore token:
     # tpch_*, dedup_*, streaming_*, ...) so per-family regressions stay
     # one diff away.
-    families: dict[str, dict[str, float]] = {}
+    fam_n: dict[str, int] = {}
+    fam_sec: dict[str, float] = {}
     for q, s in timings_min_cal.items():
         fam = q.split("_", 1)[0]
-        agg = families.setdefault(fam, {"n": 0, "min_calibrated_sec": 0.0})
-        agg["n"] += 1
-        agg["min_calibrated_sec"] = round(agg["min_calibrated_sec"] + s, 4)
-    detail["families"] = families
+        fam_n[fam] = fam_n.get(fam, 0) + 1
+        fam_sec[fam] = fam_sec.get(fam, 0.0) + s  # round once at emit
+    detail["families"] = {
+        fam: {"n": fam_n[fam], "min_calibrated_sec": round(fam_sec[fam], 4)}
+        for fam in fam_n
+    }
     # Per-query map goes to a file (and stderr): the driver captures a
     # bounded tail of stdout, and a single multi-KB line gets truncated
     # mid-JSON (BENCH_r01 "parsed": null). stdout carries exactly ONE

@@ -62,87 +62,29 @@ def register(
 #      Their green rows live in CORRECTNESS_r01.json (kept in-repo), so
 #      rounds jointly cover every query.
 _PRIORITY = [
-    # --- Round-12 window (driver checks the FIRST 50 registered) ---
+    # --- Round-13 window (driver checks the FIRST 50 registered) ---
     # INVARIANT (pinned by tests/test_harness_oracle.py): len(_PRIORITY)
     # is EXACTLY 50 and equals the first 50 names registry() yields. A
     # query added mid-round must be inserted at the head of this list
     # and the tail name moved to the head of _KEEP (1-in-1-out).
     #
-    # Composition (VERDICT r11 #2, the attestation rotation):
-    #   1. TWELVE NEW r12 queries — the extension wave (entropy
-    #      l-diversity, Pareto revenue concentration, MAD outliers,
-    #      association rules, time-decay attribution, CUPED,
-    #      gaps-and-islands streaks) plus the
-    #      partsupp-derived TPC-H shapes (Q2/Q9/Q11/Q16/Q20),
-    #      completing 22/22 coverage.
-    #   2. tpch_q12_shipping_delay — its ORACLE changed this round
-    #      (the missing CAST(sum AS BIGINT), VERDICT r11 #1), so its
-    #      r11 red row must be re-attested.
-    #   3. The 37 oldest driver-green names (r7-green _KEEP head),
-    #      re-verified locally every pytest run but due a fresh
-    #      driver hash. After r12 no green row is older than r8.
-    "events_longest_streak",
-    "events_attribution_time_decay",
-    "stats_cuped_adjustment",
-    "privacy_l_diversity",
-    "orders_pareto_share",
-    "events_anomaly_mad",
-    "basket_association_rules",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_part_relation",
-    "tpch_q20_potential_promotion",
-    "tpch_q12_shipping_delay",
-    "scd2_event_history",
-    "window_ntile_cume",
-    "doc_chunking",
-    "text_winnowing",
-    "sampling_per_group_cap",
-    "sampling_hash_split",
-    "text_fingerprints",
-    "text_language_id",
-    "dq_violation_counts",
-    "datetime_features",
-    "multimodal_metadata",
-    "text_bigram_lm",
-    "privacy_k_anonymity",
-    "sql_running_distinct",
-    "agg_pricing_summary",
-    "similarity_topk_int8",
-    "streaming_windowed_rollup",
-    "streaming_session_windows",
-    "streaming_stream_static_join",
-    "streaming_stateful_user_stats",
-    "text_repetition",
-    "text_rarity_stats",
-    "cast_rename_projection",
-    "join_full_outer",
-    "filter_precedence_quirk",
-    "in_list_between",
-    "incremental_watermark",
-    "join_right_outer",
-    "lateral_explode_tokens",
-    "orderby_limit_topk",
-    "pivot_event_values",
-    "scan_projection_filter",
-    "set_except",
-    "set_intersect",
-    "star_extend_projection",
-    "union_all_typed_nulls",
-    "union_distinct",
-]
-# Any NEW registration not listed anywhere auto-slots directly after
-# _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
-# window, so a query added mid-round must be listed in _PRIORITY
-# explicitly (and a name bumped to _KEEP to make room).
-_KEEP = [
-    # Staleness-ordered (oldest driver row first): r8-green cohort,
-    # then r10-green, then the 49 r11-green names at the tail —
-    # future rotations pull from the HEAD of this list.
-    # r7-green, displaced from the r12 window by the r12 extension
-    # wave (1-in-1-out per new registration) — these seven are the
-    # OLDEST driver rows left and the head of the r13 rotation:
+    # Composition (VERDICT r12 #1, the attestation rotation):
+    #   1. SIX NEW r13 queries — the TPC-DS-shaped wave (Q5 channel
+    #      rollup, Q38 period intersect, Q47 windowed YoY deviation)
+    #      plus weighted reservoir sampling (Efraimidis-Spirakis),
+    #      priority sampling (Duffield-Lund-Thorup), and the
+    #      cluster-level cross-source containment matrix.
+    #   2. ALL TWENTY r7-attested stragglers (the full set, not the
+    #      seven the old _KEEP head comment undercounted — VERDICT
+    #      r12 what's-wrong #2): after r13 no green row predates r8.
+    #   3. The 24 next-stalest names (r8-green cohort, _KEEP head) —
+    #      fills the window to exactly 50.
+    "tpcds_q5_channel_rollup",
+    "tpcds_q38_period_intersect",
+    "tpcds_q47_yoy_ratio",
+    "sampling_reservoir_weighted",
+    "sampling_priority_estimate",
+    "dedup_cluster_containment",
     "validity_filter",
     "window_lead_lag",
     "window_moving_avg",
@@ -187,6 +129,16 @@ _KEEP = [
     "multimodal_features",
     "agg_monthly_rollup",
     "agg_percentiles_approx",
+]
+# Any NEW registration not listed anywhere auto-slots directly after
+# _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
+# window, so a query added mid-round must be listed in _PRIORITY
+# explicitly (and a name bumped to _KEEP to make room).
+_KEEP = [
+    # Staleness-ordered (oldest driver row first): the r8/r10/r11-green
+    # remainder not pulled into the r13 window, then the 50 names of
+    # the r12 window (freshest rows in the registry) at the tail —
+    # future rotations pull from the HEAD of this list.
     "embedding_dim_stats",
     "text_stats",
     "text_corpus_rollup",
@@ -311,13 +263,63 @@ _KEEP = [
     "events_funnel",
     "table_profile_categorical",
     "agg_daily_rollup",
+    "events_longest_streak",
+    "events_attribution_time_decay",
+    "stats_cuped_adjustment",
+    "privacy_l_diversity",
+    "orders_pareto_share",
+    "events_anomaly_mad",
+    "basket_association_rules",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_relation",
+    "tpch_q20_potential_promotion",
+    "tpch_q12_shipping_delay",
+    "scd2_event_history",
+    "window_ntile_cume",
+    "doc_chunking",
+    "text_winnowing",
+    "sampling_per_group_cap",
+    "sampling_hash_split",
+    "text_fingerprints",
+    "text_language_id",
+    "dq_violation_counts",
+    "datetime_features",
+    "multimodal_metadata",
+    "text_bigram_lm",
+    "privacy_k_anonymity",
+    "sql_running_distinct",
+    "agg_pricing_summary",
+    "similarity_topk_int8",
+    "streaming_windowed_rollup",
+    "streaming_session_windows",
+    "streaming_stream_static_join",
+    "streaming_stateful_user_stats",
+    "text_repetition",
+    "text_rarity_stats",
+    "cast_rename_projection",
+    "join_full_outer",
+    "filter_precedence_quirk",
+    "in_list_between",
+    "incremental_watermark",
+    "join_right_outer",
+    "lateral_explode_tokens",
+    "orderby_limit_topk",
+    "pivot_event_values",
+    "scan_projection_filter",
+    "set_except",
+    "set_intersect",
+    "star_extend_projection",
+    "union_all_typed_nulls",
+    "union_distinct",
 ]
 _ROTATE_OUT: list[str] = []
 
 
 def registry() -> dict[str, QuerySpec]:
     # Import for side effects (registration) on first use.
-    from . import analytics, core, llm, mining, scale, streaming, textops, tpch  # noqa: F401
+    from . import analytics, core, llm, mining, scale, streaming, textops, tpcds, tpch  # noqa: F401
 
     listed = set(_PRIORITY) | set(_KEEP) | set(_ROTATE_OUT)
     new = [n for n in _REGISTRY if n not in listed]

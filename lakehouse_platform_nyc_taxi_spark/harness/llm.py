@@ -109,9 +109,25 @@ def shared_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of once per query. In production this is the band table the
     batch dedup job already writes; signatures are per-doc pure
     functions, so banding the full corpus then filtering equals signing
-    a filtered corpus."""
+    a filtered corpus.
+
+    The cache holds AT MOST ONE entry (VERDICT r12 #7): switching to a
+    new (session, sf_dir) evicts the previous index — its checkpoint
+    blocks are released eagerly — so a long-lived session sweeping many
+    sf_dirs never accumulates checkpoint storage. The bench/driver run
+    one sf_dir per process, so eviction never fires there."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BAND_INDEX_CACHE:
+        for old_key in list(_BAND_INDEX_CACHE):
+            old = _BAND_INDEX_CACHE.pop(old_key)
+            try:
+                # free the localCheckpoint's storage now instead of
+                # waiting for the ContextCleaner to notice the dropped
+                # reference
+                old.rdd.unpersist()
+                old.unpersist()
+            except Exception:
+                pass  # session already stopped; nothing to free
         _BAND_INDEX_CACHE[key] = dedup.band_table(
             dedup.minhash_signatures(
                 load_table_parallel(spark, sf_dir, "documents")
@@ -558,6 +574,108 @@ def sampling_per_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_group_cap(docs, "source", 10, "doc_id")
 
 
+@register(
+    "sampling_reservoir_weighted",
+    f"""
+    WITH pr AS (
+        SELECT lang, doc_id, n_chars,
+               CAST({_HB.format(salt='wres')} AS DOUBLE)
+                   / CAST(n_chars AS DOUBLE) AS priority
+        FROM documents
+        WHERE n_chars > 0
+    ),
+    r AS (
+        SELECT lang, doc_id, n_chars, priority,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY priority, doc_id
+               ) AS rk
+        FROM pr
+    )
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           priority
+    FROM r WHERE rk <= 5
+    """,
+    doc="Weighted reservoir with per-key budgets (Efraimidis-Spirakis "
+    "A-ES, hash-determinized): exactly 5 docs per language, inclusion "
+    "biased toward long documents via priority = md5(key)/weight, keep "
+    "the k smallest per group. The division of two exact integers is "
+    "IEEE-correctly-rounded, so the selected set is bit-identical "
+    "across engines (pow/ln, which classic A-ES needs, are not) — "
+    "rank-k windowed top-k per group, never a global sort.",
+)
+def sampling_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_reservoir_per_key
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    kept = weighted_reservoir_per_key(
+        docs, "lang", 5, "doc_id", "n_chars", salt="wres"
+    )
+    # priority is emitted UNROUNDED: it's hash/weight — two exact
+    # integers through one correctly-rounded IEEE division — so the
+    # raw double is already bit-identical across engines (and its
+    # ~1e15 magnitude overflows trino_round's fixed-point path)
+    return kept.select(
+        "lang",
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        "priority",
+    )
+
+
+@register(
+    "sampling_priority_estimate",
+    f"""
+    WITH pr AS (
+        SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+               CAST(n_chars AS DOUBLE) / (
+                   CAST(({_HB.format(salt='psamp')}) + 1 AS DOUBLE)
+                   / 1152921504606846976.0
+               ) AS q
+        FROM documents
+        WHERE n_chars > 0
+    ),
+    top AS (
+        SELECT doc_id, w, q,
+               row_number() OVER (ORDER BY q DESC, doc_id) AS rk
+        FROM (SELECT * FROM pr ORDER BY q DESC, doc_id LIMIT 51) t
+    ),
+    est AS (
+        SELECT max(tau.q) AS tau,
+               CAST(sum(CAST(greatest(s.w, tau.q) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS est_total
+        FROM top s, (SELECT q FROM top WHERE rk = 51) tau
+        WHERE s.rk <= 50
+    ),
+    tt AS (
+        SELECT CAST(sum(CAST(n_chars AS DECIMAL(38,12))) AS DOUBLE)
+               AS true_total
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT CAST(50 AS BIGINT) AS k,
+           round(tau, 6) AS tau,
+           round(est_total, 6) AS est_total,
+           round(true_total, 6) AS true_total,
+           round(abs(est_total - true_total) / true_total, 6) AS rel_err
+    FROM est, tt
+    """,
+    doc="Priority sampling (Duffield-Lund-Thorup 2007): estimate the "
+    "corpus's total weight (chars) from a 50-row sample + the (k+1)-th "
+    "priority threshold tau; each sampled row contributes max(w, tau) "
+    "(Horvitz-Thompson with a data-driven threshold). Priorities are "
+    "w/u with u an md5-derived uniform — exact IEEE divisions, so the "
+    "estimate is engine-reproducible and exact-checkable. Top-(k+1) is "
+    "TakeOrdered, no global sort; the lone k+1-row window runs in one "
+    "tiny task.",
+)
+def sampling_priority_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import priority_sample_estimate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return priority_sample_estimate(docs, "doc_id", "n_chars", 50, salt="psamp")
+
+
 #: Near-dup pair tables, keyed by (session, sf_dir): in a deduplication
 #: pipeline the pairwise stage's output is the *input artifact* of the
 #: clustering stage — bench times the clustering, not a recompute of the
@@ -572,6 +690,24 @@ def _cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _PAIRS_CACHE:
         pairs = dedup.ngram_jaccard_pairs(
             load_table_parallel(spark, sf_dir, "documents"), block_col="source", max_gram_df=100
+        )
+        _PAIRS_CACHE[key] = pairs.localCheckpoint()
+    return _PAIRS_CACHE[key]
+
+
+def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lang-blocked near-dup pairs for the cross-source containment
+    matrix: same inverted-index ngram-Jaccard join as ``_cluster_pairs``
+    but blocked on ``lang`` so components CAN span sources (a
+    source-blocked graph would make every containment 0 by
+    construction). Cached per (session, sf_dir) like the source-blocked
+    table."""
+    key = (spark.sparkContext.applicationId, sf_dir, "lang")
+    if key not in _PAIRS_CACHE:
+        pairs = dedup.ngram_jaccard_pairs(
+            load_table_parallel(spark, sf_dir, "documents"),
+            block_col="lang",
+            max_gram_df=100,
         )
         _PAIRS_CACHE[key] = pairs.localCheckpoint()
     return _PAIRS_CACHE[key]
@@ -613,6 +749,123 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pointer-jumping join would cost more than it saves
     return dedup.connected_components(
         _cluster_pairs(spark, sf_dir), pointer_jumping=False
+    )
+
+
+@register(
+    "dedup_cluster_containment",
+    f"""
+    WITH RECURSIVE lt AS (
+        SELECT doc_id, lang, {TOKS} AS toks FROM documents
+    ),
+    lg AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(toks) >= 3
+                    THEN list_distinct(list_transform(
+                        generate_series(0, len(toks) - 3),
+                        i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))
+                    ELSE CAST([] AS VARCHAR[]) END AS grams
+        FROM lt
+    ),
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM lg a
+        JOIN lg b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE {_NGRAM_JACCARD} >= 0.2
+    ),
+    e AS (
+        SELECT doc_a AS src, doc_b AS dst FROM p
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM p
+    ),
+    reach AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+    ),
+    cl AS (
+        SELECT src AS id, least(src, min(dst)) AS cluster
+        FROM reach GROUP BY src
+    ),
+    lab AS (
+        SELECT d.source, COALESCE(c.cluster, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN cl c ON c.id = d.doc_id
+    ),
+    cs AS (SELECT DISTINCT cluster, source FROM lab),
+    per AS (SELECT source, count(*) AS n FROM cs GROUP BY 1),
+    sh AS (
+        SELECT x.source AS sa, y.source AS sb, count(*) AS shared
+        FROM cs x JOIN cs y ON x.cluster = y.cluster AND x.source <> y.source
+        GROUP BY 1, 2
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(a.n AS BIGINT) AS n_clusters_a,
+           CAST(COALESCE(s.shared, 0) AS BIGINT) AS n_shared,
+           round(CAST(COALESCE(s.shared, 0) AS DOUBLE) / a.n, 6) AS containment
+    FROM per a
+    JOIN per b ON a.source <> b.source
+    LEFT JOIN sh s ON s.sa = a.source AND s.sb = b.source
+    ORDER BY 1, 2
+    """,
+    doc="Cluster-level cross-source containment matrix (VERDICT r12 #8 — "
+    "extends corpus_overlap_matrix's shingle-level view to post-"
+    "clustering content units): docs label with their near-dup "
+    "connected component (singletons = own doc_id), and for each "
+    "ordered source pair containment(a->b) = |a's clusters that also "
+    "contain b docs| / |a's clusters| — the asymmetric 'how much of "
+    "crawl A's content already exists in crawl B' that decides drop "
+    "order when mixing corpora. The cluster self-join emits s(s-1) "
+    "rows per cluster (s = sources present, bounded by the source "
+    "count), never doc pairs; the final |sources|^2 matrix assembles "
+    "from two tiny aggregates. Pairs block on LANGUAGE (not source — "
+    "source-blocked pairs can never span sources, which is the very "
+    "thing this measures); near-dups across crawls share a language, "
+    "so the lang block keeps the posting-list join linear while "
+    "letting clusters cross sources.",
+    prepare=lambda spark, sf_dir: _containment_pairs(spark, sf_dir),
+)
+def dedup_cluster_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    cc = dedup.connected_components(
+        _containment_pairs(spark, sf_dir), pointer_jumping=False
+    )
+    lab = docs.join(cc, docs["doc_id"] == cc["id"], "left").select(
+        "source", F.coalesce(cc["cluster"], docs["doc_id"]).alias("cluster")
+    )
+    cs = lab.select("cluster", "source").distinct()
+    per = cs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    sh = (
+        cs.alias("x")
+        .join(
+            cs.alias("y"),
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("x.source") != F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("sa"), F.col("y.source").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    a = per.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    b = per.select(F.col("source").alias("source_b"))
+    return (
+        a.join(b, F.col("source_a") != F.col("source_b"))
+        .join(
+            sh,
+            (F.col("sa") == F.col("source_a")) & (F.col("sb") == F.col("source_b")),
+            "left",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("na").cast("bigint").alias("n_clusters_a"),
+            F.coalesce(F.col("shared"), F.lit(0)).cast("bigint").alias("n_shared"),
+            trino_round(
+                F.coalesce(F.col("shared"), F.lit(0)).cast("double") / F.col("na"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
     )
 
 

@@ -2878,12 +2878,13 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quantities are integer-valued doubles, so the running and total "
     "sums are exact and the boundary test is bit-identical on both "
     "engines; the unique sort tiebreak pins the running order. The "
-    "running sum is the skew-safe two_phase_running_sum (partition by "
-    "(flag, price-range bucket) + broadcast bucket offsets — r11 "
-    "VERDICT's few-groups caveat): with only 3 return flags a plain "
-    "per-flag window would sort a third of lineitem in one task at "
-    "any scale. The group total rides along from the bucket table, "
-    "saving the second whole-table window the r11 form paid. "
+    "running sum is the skew-safe two_phase_running_sum (above its "
+    "4M-row guard: partition by (flag, price-range bucket) + broadcast "
+    "bucket offsets — r11 VERDICT's few-groups caveat): with only 3 "
+    "return flags a plain per-flag window would sort a third of "
+    "lineitem in one task at any scale. Under the guard (eval scale) "
+    "the single-window form runs — the skew protection is free when "
+    "the whole input fits one task's sort (r12 VERDICT #5). "
     "Complements agg_percentiles (unweighted exact) and "
     "agg_percentiles_approx (sketch).",
 )
@@ -3067,9 +3068,10 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "taken from the top by lifetime revenue, cover 50%% and 80%% of "
     "total revenue, plus the single largest customer's share. The "
     "global running sum is the skew-safe two_phase_running_sum with "
-    "keys=() — revenue-range buckets carry the parallelism, so even "
-    "this GLOBAL cumulative ordering never funnels one task (the "
-    "classic Lorenz-curve scaling trap). Per-customer revenue and all "
+    "keys=() — above its 4M-row guard, revenue-range buckets carry the "
+    "parallelism, so even this GLOBAL cumulative ordering never "
+    "funnels one task (the classic Lorenz-curve scaling trap); under "
+    "the guard the single-window form runs. Per-customer revenue and all "
     "cumulative sums are DECIMAL(38,12)-exact; threshold tests compare "
     "their double casts identically on both engines; a (revenue DESC, "
     "custkey) unique order pins the curve.",

@@ -1,0 +1,260 @@
+"""Round-13 query wave: TPC-DS-shaped decorrelation benchmarks.
+
+TPC-H (22/22, ``tpch.py``) covers the correlated-subquery space; the
+classic shapes the registry still lacked are TPC-DS-style (VERDICT r12
+#6): the multi-channel UNION + ROLLUP with GROUPING()-driven labels
+(Q5), the EXISTS-chain period intersection (Q38), and the windowed
+year-over-year deviation self-comparison (Q47). The testdata has no
+store/catalog/web channel split, so each query adapts to the tables
+that exist the way Q2/Q20 adapted partsupp — the *plan shape* (the
+thing worth benchmarking) is preserved: Q5's union of
+differently-shaped fact scans under one rollup, Q38's three-branch
+INTERSECT feeding a join + aggregate, Q47's per-entity monthly series
+windowed by lag/lead and compared to its own yearly mean.
+
+Determinism fence (repo-wide convention): sums aggregate in
+DECIMAL(38,12) (exact, associative, partition-order-free); means are a
+single correctly-rounded IEEE division of two exact values, never an
+engine-ordered double accumulation; doubles appear only at emit,
+rounded via ``trino_round`` on both engine sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.trino import trino_round
+from ..sources.testdata import load_table, load_table_parallel
+from . import register
+
+_DS_Q5_SQL = """
+WITH ch AS (
+    SELECT 'orders' AS channel, o_orderstatus AS id,
+           CAST(o_totalprice AS DECIMAL(38,12)) AS sales,
+           CAST(0 AS DECIMAL(38,12)) AS returns
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+    UNION ALL
+    SELECT 'lineitem' AS channel, l_linestatus AS id,
+           CAST(CASE WHEN l_returnflag <> 'R'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE 0 END AS DECIMAL(38,12)) AS sales,
+           CAST(CASE WHEN l_returnflag = 'R'
+                     THEN l_extendedprice
+                     ELSE 0 END AS DECIMAL(38,12)) AS returns
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+)
+SELECT CASE WHEN GROUPING(channel) = 1 THEN 'ALL' ELSE channel END AS channel,
+       CASE WHEN GROUPING(id) = 1 THEN 'ALL' ELSE id END AS id,
+       CAST(GROUPING(channel) * 2 + GROUPING(id) AS INTEGER) AS lvl,
+       round(CAST(sum(sales) AS DOUBLE), 6) AS sales,
+       round(CAST(sum(returns) AS DOUBLE), 6) AS returns,
+       round(CAST(sum(sales) - sum(returns) AS DOUBLE), 6) AS profit
+FROM ch
+GROUP BY ROLLUP(channel, id)
+ORDER BY channel, id
+"""
+
+
+@register(
+    "tpcds_q5_channel_rollup",
+    _DS_Q5_SQL,
+    doc="TPC-DS Q5 shape (multi-channel sales/returns rollup): two "
+    "differently-shaped fact scans (orders as the sales-only channel, "
+    "lineitem splitting sales vs returned value on l_returnflag) "
+    "UNION ALL'd into one (channel, id, sales, returns) stream, then "
+    "GROUP BY ROLLUP(channel, id) with GROUPING()-driven 'ALL' labels "
+    "and a grouping-level column — the union+rollup plan the DS "
+    "catalog/store/web split exercises, adapted to this schema "
+    "(reference has no DS queries; shape per the published spec). "
+    "Date fences push to both parquet scans; the rollup is one "
+    "expand+aggregate, no join.",
+)
+def tpcds_q5_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(38,12)"
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date"))
+    )
+    orders_ch = o.select(
+        F.lit("orders").alias("channel"),
+        F.col("o_orderstatus").alias("id"),
+        F.col("o_totalprice").cast(dec).alias("sales"),
+        F.lit(0).cast(dec).alias("returns"),
+    )
+    li = load_table_parallel(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01").cast("date"))
+    )
+    line_ch = li.select(
+        F.lit("lineitem").alias("channel"),
+        F.col("l_linestatus").alias("id"),
+        F.when(
+            F.col("l_returnflag") != "R",
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+        )
+        .otherwise(F.lit(0))
+        .cast(dec)
+        .alias("sales"),
+        F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice"))
+        .otherwise(F.lit(0))
+        .cast(dec)
+        .alias("returns"),
+    )
+    ch = orders_ch.unionAll(line_ch)
+    agg = ch.rollup("channel", "id").agg(
+        F.grouping("channel").alias("_gc"),
+        F.grouping("id").alias("_gi"),
+        F.sum("sales").alias("_s"),
+        F.sum("returns").alias("_r"),
+    )
+    return agg.select(
+        F.when(F.col("_gc") == 1, F.lit("ALL"))
+        .otherwise(F.col("channel"))
+        .alias("channel"),
+        F.when(F.col("_gi") == 1, F.lit("ALL")).otherwise(F.col("id")).alias("id"),
+        (F.col("_gc") * 2 + F.col("_gi")).cast("int").alias("lvl"),
+        trino_round(F.col("_s").cast("double"), 6).alias("sales"),
+        trino_round(F.col("_r").cast("double"), 6).alias("returns"),
+        trino_round((F.col("_s") - F.col("_r")).cast("double"), 6).alias("profit"),
+    ).orderBy("channel", "id")
+
+
+_DS_Q38_SQL = """
+WITH loyal AS (
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1
+)
+SELECT c.c_mktsegment AS mktsegment,
+       CAST(count(*) AS BIGINT) AS n_loyal
+FROM loyal l JOIN customer c ON c.c_custkey = l.o_custkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "tpcds_q38_period_intersect",
+    _DS_Q38_SQL,
+    doc="TPC-DS Q38 shape (multi-branch INTERSECT): customers active in "
+    "EACH of three consecutive years — three distinct-key branches of "
+    "the same fact scan chained through INTERSECT (DS intersects "
+    "store/catalog/web; this schema's repeated dimension is the year), "
+    "then joined to the customer dimension and counted per segment. "
+    "Spark plans each INTERSECT as a left-semi aggregate join; all "
+    "three branches prune to (custkey, orderdate) at the scan.",
+)
+def tpcds_q38_period_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def year_keys(y: int) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == y)
+            .select(F.col("o_custkey"))
+            .distinct()
+        )
+
+    loyal = year_keys(1995).intersect(year_keys(1996)).intersect(year_keys(1997))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        loyal.join(cust, loyal["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_loyal"))
+        .orderBy("mktsegment")
+    )
+
+
+_DS_Q47_SQL = """
+WITH m AS (
+    SELECT o_orderpriority AS priority,
+           year(o_orderdate) AS y, month(o_orderdate) AS mo,
+           sum(CAST(o_totalprice AS DECIMAL(38,12))) AS sales
+    FROM orders
+    GROUP BY 1, 2, 3
+),
+v AS (
+    SELECT priority, y, mo, sales,
+           CAST(sum(sales) OVER (PARTITION BY priority, y) AS DOUBLE)
+               / CAST(count(*) OVER (PARTITION BY priority, y) AS DOUBLE)
+               AS avg_monthly,
+           lag(sales) OVER (PARTITION BY priority ORDER BY y, mo) AS psales,
+           lead(sales) OVER (PARTITION BY priority ORDER BY y, mo) AS nsales
+    FROM m
+)
+SELECT priority, CAST(y AS INTEGER) AS y, CAST(mo AS INTEGER) AS mo,
+       round(CAST(sales AS DOUBLE), 6) AS sales,
+       round(avg_monthly, 6) AS avg_monthly,
+       round(CAST(psales AS DOUBLE), 6) AS prev_sales,
+       round(CAST(nsales AS DOUBLE), 6) AS next_sales
+FROM v
+WHERE y = 1997 AND avg_monthly > 0
+  AND abs(CAST(sales AS DOUBLE) - avg_monthly) / avg_monthly > 0.05
+ORDER BY priority, y, mo
+"""
+
+
+@register(
+    "tpcds_q47_yoy_ratio",
+    _DS_Q47_SQL,
+    doc="TPC-DS Q47 shape (windowed deviation-from-yearly-mean with "
+    "lag/lead neighbors): monthly revenue per order priority, each "
+    "month compared to its (priority, year) mean, months deviating "
+    ">5% emitted with their previous/next month riding along via "
+    "lag/lead over the same series. Monthly sums are DECIMAL-exact; "
+    "the mean is one IEEE division of exact values (sum/count), never "
+    "an engine-ordered double avg, so the >5% threshold decides "
+    "identically on both engines. Windows run over the AGGREGATED "
+    "(priority, month) table — bounded at ~priorities x months rows "
+    "regardless of fact size, so no skew at any scale.",
+)
+def tpcds_q47_yoy_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("mo"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(38,12)")).alias("sales"))
+    wy = Window.partitionBy("priority", "y")
+    ws = Window.partitionBy("priority").orderBy("y", "mo")
+    v = m.select(
+        "priority",
+        "y",
+        "mo",
+        "sales",
+        (
+            F.sum("sales").over(wy).cast("double")
+            / F.count(F.lit(1)).over(wy).cast("double")
+        ).alias("avg_monthly"),
+        F.lag("sales").over(ws).alias("psales"),
+        F.lead("sales").over(ws).alias("nsales"),
+    )
+    return (
+        v.filter(
+            (F.col("y") == 1997)
+            & (F.col("avg_monthly") > 0)
+            & (
+                F.abs(F.col("sales").cast("double") - F.col("avg_monthly"))
+                / F.col("avg_monthly")
+                > 0.05
+            )
+        )
+        .select(
+            "priority",
+            F.col("y").cast("int").alias("y"),
+            F.col("mo").cast("int").alias("mo"),
+            trino_round(F.col("sales").cast("double"), 6).alias("sales"),
+            trino_round(F.col("avg_monthly"), 6).alias("avg_monthly"),
+            trino_round(F.col("psales").cast("double"), 6).alias("prev_sales"),
+            trino_round(F.col("nsales").cast("double"), 6).alias("next_sales"),
+        )
+        .orderBy("priority", "y", "mo")
+    )

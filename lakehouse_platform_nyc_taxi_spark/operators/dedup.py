@@ -1022,10 +1022,13 @@ def connected_components(
     shrunk it to near-linear in the duplicate count — not corpus size),
     the iterative loop's ~5 jobs/round fixed overhead dwarfs the work,
     so a single Arrow-batched union-find pass over one coalesced
-    partition computes the same min-id labels in one job. At the 2M cap
-    the pass holds ~32 MB of id arrays plus an int-array parent table
-    (ids are code-compressed via sorted uniques, no per-id Python
-    objects) — sized to one worker, never the driver; the result is
+    partition computes the same min-id labels in one job. Ids are
+    code-compressed via sorted uniques into an int64 numpy parent
+    array (~8 B/id); the find/union loop itself is pure Python over
+    the edge codes, so at the 2M-edge cap the pass costs a few
+    seconds of one worker's CPU plus the edge/id arrays' memory
+    (tens of MB for int ids; string ids add the unique-string table)
+    — sized to one worker, never the driver; the result is
     order-independent
     (roots only ever decrease, so every component resolves to its min
     id regardless of edge order). Pass ``local_edges=0`` to force the
@@ -1061,19 +1064,23 @@ def connected_components(
             # sorted uniques -> code order == id order, so min-code root
             # IS the min-id root (holds for ints and strings alike)
             uniq, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
-            parent = list(range(len(uniq)))
+            # int64 numpy parent table (~8 B/id, ADVICE r12); the loop
+            # iterates Python ints (.tolist()) to avoid per-access
+            # np.int64 boxing
+            parent = np.arange(len(uniq), dtype=np.int64)
 
             def find(x):
                 root = x
                 while parent[root] != root:
                     root = parent[root]
                 while parent[x] != x:
-                    parent[x], x = root, parent[x]
+                    parent[x], x = root, int(parent[x])
                 return root
 
-            a, b = inv[: len(s)], inv[len(s):]
+            a = inv[: len(s)].tolist()
+            b = inv[len(s):].tolist()
             for i in range(len(a)):
-                ra, rb = find(int(a[i])), find(int(b[i]))
+                ra, rb = find(a[i]), find(b[i])
                 if ra != rb:
                     # attach the larger root under the smaller so the
                     # final root of every component is its min id

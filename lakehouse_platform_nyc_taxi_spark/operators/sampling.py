@@ -453,3 +453,112 @@ def mixture_plan(
         )
         .orderBy(group_col)
     )
+
+
+def weighted_reservoir_per_key(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str,
+    weight_col: str,
+    salt: str = "wres",
+) -> DataFrame:
+    """Per-key-budget weighted reservoir sampling: keep exactly ``k``
+    rows per ``group_col`` value, with inclusion biased toward heavy
+    ``weight_col`` rows — the "5 documents per language, preferring
+    long ones" primitive of corpus curation.
+
+    Deterministic A-ES variant (Efraimidis & Spirakis 2006, weighted
+    reservoir by priority key): classic A-ES draws u~U(0,1] per row and
+    keeps the k largest u^(1/w). Here the random variate is replaced by
+    the md5 hash of the key — priority = hash / weight, keep the k
+    SMALLEST per group (large weight -> small priority -> kept). One
+    IEEE double division of two exact integers, which every engine
+    rounds identically (division is correctly-rounded by IEEE 754;
+    pow/ln are not), so the selected set is bit-reproducible across
+    reruns, engines, and parallelism — same reason every sampler here
+    hashes instead of calling rand().
+
+    Weights must be > 0 (non-positive-weight rows are dropped, matching
+    A-ES's domain). One shuffle on the group key; the per-group sort is
+    a rank-k windowed top-k, never a global sort.
+
+    Output: input columns + ``priority`` (the selection key, so the
+    sample is auditable).
+    """
+    h = md5_long(F.concat(F.col(key_col).cast("string"), F.lit(f"|{salt}")))
+    pri = h.cast("double") / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(pri.asc(), F.col(key_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("priority", pri)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def priority_sample_estimate(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "psamp",
+) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup 2007): a k-row sample
+    that estimates the TOTAL weight of the table with near-optimal
+    variance — "how many tokens does this 100 TB corpus hold" answered
+    from k rows plus one threshold.
+
+    Per row: u = (hash+1)/2^60 in (0,1] (md5-derived, deterministic),
+    priority q = w/u. The k highest-priority rows form the sample;
+    tau = the (k+1)-th priority; each sampled row estimates its own
+    weight as max(w, tau) and the sum of those is an unbiased estimate
+    of total weight (conditioned on tau, P[row sampled] = min(1, w/tau),
+    and max(w,tau) = w / P[sampled] — Horvitz-Thompson with a
+    data-driven threshold). Top-(k+1) selection is TakeOrdered (no
+    global sort); the arithmetic is hash-exact divisions, so the
+    estimate itself is engine-reproducible and exact-checkable, not
+    just bounded.
+
+    Output (one row): ``k, tau, est_total, true_total, rel_err``
+    (rounded to 6; DECIMAL-fenced sums).
+    """
+    from ..functions.trino import trino_round
+
+    h = md5_long(F.concat(F.col(key_col).cast("string"), F.lit(f"|{salt}")))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**60))
+    q = F.col(weight_col).cast("double") / u
+    ranked = (
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(key_col), F.col(weight_col).cast("double").alias("_w"), q.alias("_q"))
+        .orderBy(F.desc("_q"), F.col(key_col))
+        .limit(k + 1)
+    )
+    wk = Window.orderBy(F.desc("_q"), F.col(key_col))  # k+1 rows: one tiny task
+    top = ranked.withColumn("_rk", F.row_number().over(wk))
+    tau = top.filter(F.col("_rk") == k + 1).select(F.col("_q").alias("_tau"))
+    est = (
+        top.filter(F.col("_rk") <= k)
+        .crossJoin(F.broadcast(tau))
+        .agg(
+            F.max("_tau").alias("tau"),
+            F.sum(
+                F.greatest(F.col("_w"), F.col("_tau")).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("est_total"),
+        )
+    )
+    true_tot = df.filter(F.col(weight_col) > 0).agg(
+        F.sum(F.col(weight_col).cast("decimal(38,12)")).cast("double").alias("true_total")
+    )
+    return est.crossJoin(F.broadcast(true_tot)).select(
+        F.lit(k).cast("bigint").alias("k"),
+        trino_round(F.col("tau"), 6).alias("tau"),
+        trino_round(F.col("est_total"), 6).alias("est_total"),
+        trino_round(F.col("true_total"), 6).alias("true_total"),
+        trino_round(
+            F.abs(F.col("est_total") - F.col("true_total")) / F.col("true_total"), 6
+        ).alias("rel_err"),
+    )

@@ -352,8 +352,12 @@ def attribution_time_decay(
         "_w",
         F.round(F.exp(F.lit(-0.6931471805599453) * dt / F.lit(hl_us)), 8),
     )
+    # normalize per (user, conversion): _cid alone would silently pool
+    # weight sums if a caller passed a non-globally-unique tiebreak
+    # column (ADVICE r12); adding _u costs nothing and makes per-user-
+    # unique conversion ids safe too
     sw = F.sum(F.col("_w").cast("decimal(28,8)")).over(
-        Window.partitionBy("_cid")
+        Window.partitionBy("_u", "_cid")
     ).cast("double")
     credit = F.when(
         F.col("_ch").isNotNull(),

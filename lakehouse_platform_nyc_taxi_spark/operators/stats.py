@@ -262,9 +262,15 @@ def cuped_adjustment(
         dsum(F.col("x") * F.col("x")).alias("_sxx"),
         dsum(F.col("x") * F.col("y")).alias("_sxy"),
     )
-    theta = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
-        F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
-    )
+    # theta = cov(x,y)/var(x), guarded: a degenerate pre-period (all
+    # x equal, e.g. split_ts before any data) has var(x) == 0 — fall
+    # back to theta = 0 (no adjustment) instead of propagating NaN
+    # into the adjusted means/variances (ADVICE r12)
+    _den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    theta = F.when(
+        _den != F.lit(0.0),
+        (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / _den,
+    ).otherwise(F.lit(0.0))
     arm = (
         md5_long(F.concat(F.col("_u").cast("string"), F.lit(f"|{salt}"))) % 2
     ).cast("int")

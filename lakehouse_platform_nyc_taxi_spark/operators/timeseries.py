@@ -218,8 +218,9 @@ def two_phase_running_sum(
     order: Sequence[str],
     keys: Sequence[str] = (),
     bucket_on: str | None = None,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     out: str = "running",
+    small_rows: int = 4_000_000,
 ) -> DataFrame:
     """Exact running sum over ``order`` within each ``keys`` group,
     computed skew-safely: partition by (keys, range-bucket) instead of
@@ -230,29 +231,49 @@ def two_phase_running_sum(
     in ONE task — with a 3-value group key that is a third of the table
     per task at any scale. This helper:
 
-    1. range-buckets rows with ``width_bucket`` over the global
-       [min, max] of ``bucket_on`` (must be the leading sort column, so
-       bucket order refines row order; ties stay in one bucket) —
-       min/max come from a keyless aggregate broadcast back, never a
-       driver collect;
-    2. computes per-(keys, bucket) value sums — a table of
+    1. probes min/max of ``bucket_on`` plus the row count in ONE
+       keyless aggregate action (three scalars to the driver — the
+       same class of action as the union-find size guard and the
+       k·d kmeans means, not a data collect);
+    2. range-buckets rows with ``width_bucket`` over [min, max];
+    3. computes per-(keys, bucket) value sums — a table of
        |keys| x n_buckets rows — and prefix-sums THOSE with a window
        over the tiny bucket table;
-    3. runs the full-detail cumulative window inside each
+    4. runs the full-detail cumulative window inside each
        (keys, bucket) partition and adds the broadcast bucket offset.
+
+    Small-input fast path (mirrors the union-find size guard): when the
+    probed row count is at most ``small_rows``, the whole input fits one
+    task's sort comfortably, and the two-phase form's extra shuffle +
+    offset join cost more than they save — the plain single-window form
+    runs instead (value-identical; same addends in the same order).
+    Pass ``small_rows=0`` to force the bucketed path; inputs above the
+    threshold take it automatically, which is the 100 TB path.
+
+    ``bucket_on`` must equal ``order[0]`` (enforced): bucket order must
+    refine row order or running sums silently corrupt, so a differing
+    explicit value raises rather than mis-summing. ``n_buckets``
+    defaults to ``max(64, 2 * defaultParallelism)`` — 64 on local[32],
+    scaling with the cluster so a 1000-executor job never serializes on
+    64 buckets; override per call when |keys| already carries the
+    parallelism. Equal-width buckets assume ``bucket_on`` is not
+    pathologically clumped (if it is, pre-transform it — the running
+    sum itself is unaffected by bucket imbalance, only parallelism is).
+    ``bucket_on`` must be non-null: a NULL bucket key would drop out of
+    the offset equi-join (callers filter or coalesce first).
 
     Output: ``df`` + ``out`` (running sum including current row) +
     ``{out}_total`` (group total). Values are bit-identical to the
     single-window form (partial sums of the same addends; exact for
-    integer-valued doubles/longs). One fact shuffle on (keys, bucket)
-    — same count as before, finer keys — plus one extra scan for the
-    min/max. Size ``n_buckets`` ~ cluster parallelism / |keys|; equal-
-    width buckets assume ``bucket_on`` is not pathologically clumped
-    (if it is, pre-transform it — the running sum itself is unaffected
-    by bucket imbalance, only parallelism is). ``bucket_on`` must be
-    non-null: a NULL bucket key would drop out of the offset equi-join
-    (callers filter or coalesce first).
+    integer-valued doubles/longs and decimals).
     """
+    if bucket_on is not None and order and bucket_on != order[0]:
+        raise ValueError(
+            f"bucket_on={bucket_on!r} must be the leading sort column "
+            f"(order[0]={order[0]!r}): range buckets must refine the row "
+            "order or running sums are silently wrong. Re-order `order` "
+            "or drop bucket_on to default to order[0]."
+        )
     bucket_on = bucket_on or order[0]
     kcols = [F.col(k) for k in keys]
     dt = dict(df.dtypes).get(bucket_on, "")
@@ -264,13 +285,31 @@ def two_phase_running_sum(
         bsrc = F.datediff(F.col(bucket_on), F.lit("1970-01-01")).cast("double")
     else:
         bsrc = F.col(bucket_on).cast("double")
-    stats = df.agg(F.min(bsrc).alias("_lo"), F.max(bsrc).alias("_hi"))
-    b = df.crossJoin(F.broadcast(stats)).withColumn(
+    lo, hi, n_rows = df.agg(
+        F.min(bsrc).alias("_lo"),
+        F.max(bsrc).alias("_hi"),
+        F.count(F.lit(1)).alias("_n"),
+    ).first()
+    if small_rows and n_rows <= small_rows:
+        wcum = (
+            Window.partitionBy(*kcols)
+            .orderBy(*[F.col(c) for c in order])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wtot = Window.partitionBy(*kcols)
+        return df.withColumn(out, F.sum(value).over(wcum)).withColumn(
+            f"{out}_total", F.sum(value).over(wtot)
+        )
+    if n_buckets is None:
+        n_buckets = max(
+            64, 2 * df.sparkSession.sparkContext.defaultParallelism
+        )
+    b = df.withColumn(
         "_bucket",
-        F.when(F.col("_hi") > F.col("_lo"),
-               F.width_bucket(bsrc, F.col("_lo"), F.col("_hi"), F.lit(n_buckets)))
+        F.when(F.lit(hi) > F.lit(lo),
+               F.width_bucket(bsrc, F.lit(lo), F.lit(hi), F.lit(n_buckets)))
         .otherwise(F.lit(1)),
-    ).drop("_lo", "_hi")
+    )
     woff = (
         Window.partitionBy(*kcols)
         .orderBy("_bucket")
@@ -323,10 +362,12 @@ def max_concurrency(
     or end < start are ignored.
 
     Scale: the concurrency curve is a ``two_phase_running_sum`` —
-    boundary points partition by (keys, time-range bucket), each bucket
-    window-sums its own slice and adds a broadcast bucket offset, so no
-    task ever sorts a whole group (the r11 VERDICT's few-groups skew
-    caveat). Unkeyed use (keys=()) parallelizes across the time buckets
+    above its row-count guard, boundary points partition by (keys,
+    time-range bucket), each bucket window-sums its own slice and adds
+    a broadcast bucket offset, so no task ever sorts a whole group (the
+    r11 VERDICT's few-groups skew caveat); under the guard the plain
+    single-window form runs (small inputs sort in one task anyway).
+    Unkeyed use (keys=()) parallelizes across the time buckets
     the same way. Curve values are bit-identical to the single-window
     sweep (same ±1 addends, reassociated at bucket boundaries).
     """

@@ -1978,3 +1978,21 @@ def test_funnel_latency_user_counts_match_funnel_counts(spark):
     }
     for s in stages[1:]:
         assert lat[s] == counts[s], (s, lat[s], counts[s])
+
+
+def test_shared_band_index_cache_caps_at_one_entry(spark):
+    """VERDICT r12 #7: the session-level MinHash band-index cache must
+    hold at most one (session, sf_dir) entry — sweeping sf_dirs in one
+    long-lived session evicts (and unpersists) the previous index
+    instead of accumulating checkpoint storage."""
+    from lakehouse_platform_nyc_taxi_spark.harness import llm
+
+    llm._BAND_INDEX_CACHE.clear()
+    a = llm.shared_band_index(spark, "/root/testdata/sf0.001")
+    assert len(llm._BAND_INDEX_CACHE) == 1
+    assert llm.shared_band_index(spark, "/root/testdata/sf0.001") is a
+    b = llm.shared_band_index(spark, "/root/testdata/sf0.01")
+    assert len(llm._BAND_INDEX_CACHE) == 1
+    assert b is not a
+    assert b.count() > 0  # evicting the old entry left the new one usable
+    llm._BAND_INDEX_CACHE.clear()

@@ -252,7 +252,7 @@ def test_two_phase_running_sum_equals_single_window(spark):
         (r.k, r.tb): (r.running, r.running_total)
         for r in two_phase_running_sum(
             df, value="wt", order=("v", "tb"), keys=("k",), bucket_on="v",
-            n_buckets=7,
+            n_buckets=7, small_rows=0,
         ).collect()
     }
     w = (
@@ -272,9 +272,51 @@ def test_two_phase_running_sum_equals_single_window(spark):
     gu = {
         r.tb: r.running
         for r in two_phase_running_sum(
-            df, value="wt", order=("v", "tb"), keys=(), bucket_on="v"
+            df, value="wt", order=("v", "tb"), keys=(), bucket_on="v",
+            small_rows=0,
         ).collect()
     }
     wu = Window.orderBy("v", "tb").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wantu = {r.tb: r.c for r in df.select("tb", F.sum("wt").over(wu).alias("c")).collect()}
     assert gu == wantu
+    # small-input fast path (default guard): same values, single window
+    fast = {
+        (r.k, r.tb): (r.running, r.running_total)
+        for r in two_phase_running_sum(
+            df, value="wt", order=("v", "tb"), keys=("k",), bucket_on="v"
+        ).collect()
+    }
+    assert fast == want
+
+
+def test_two_phase_running_sum_guards(spark):
+    """The skew-safe form enforces its correctness precondition
+    (bucket_on must lead the sort order — ADVICE r12) and selects the
+    single-window fast path strictly by the probed row count."""
+    import pytest
+
+    from lakehouse_platform_nyc_taxi_spark.operators.timeseries import (
+        two_phase_running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i % 5), i, 1.0) for i in range(20)], "v double, tb long, wt double"
+    )
+    with pytest.raises(ValueError, match="leading sort column"):
+        two_phase_running_sum(df, value="wt", order=("tb", "v"), bucket_on="v")
+    # above the guard -> bucketed plan (detail window partitions by _bucket)
+    bucketed = two_phase_running_sum(
+        df, value="wt", order=("v", "tb"), small_rows=10
+    )
+    plan = bucketed._jdf.queryExecution().optimizedPlan().toString()
+    assert "_bucket" in plan
+    # at/below the guard -> single-window plan, no bucket machinery
+    single = two_phase_running_sum(
+        df, value="wt", order=("v", "tb"), small_rows=20
+    )
+    plan = single._jdf.queryExecution().optimizedPlan().toString()
+    assert "_bucket" not in plan
+    # both paths agree on values
+    kb = {r.tb: (r.running, r.running_total) for r in bucketed.collect()}
+    ks = {r.tb: (r.running, r.running_total) for r in single.collect()}
+    assert kb == ks
