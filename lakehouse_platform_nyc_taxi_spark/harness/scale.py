@@ -952,14 +952,16 @@ def embedding_kmeans_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import kmeans_semdedup
 
     # k pinned to match the unrolled-SQL oracle; see doc above for the
-    # scale-derived default. Plain load measured FASTER than
-    # load_table_parallel here (r12 A/B: 1.5 s vs 2.5 s at sf0.1): the
-    # eval embeddings table is 2k rows x 64 dims, so the forced 32-way
-    # repartition only adds exchanges — the operator's own (cell, dim)
-    # groupBy shuffles redistribute the real work, and production
-    # inputs arrive multi-file and parallelize at the scan.
+    # scale-derived default. Parallel load (r13 A/B under bench.py
+    # conditions — full registry order, min-of-2, sf0.1: parallel
+    # 3.20 s on a ~6%-slower ambient run vs plain 3.31 s, and the
+    # driver agreed across rounds: 2.82 s parallel in r11 vs
+    # 3.61-3.79 s plain in r12). The r12 in-isolation A/B that picked
+    # the plain loader did not reproduce in-bench: Lloyd's two
+    # iterations rescan the cached input, so starting from 32
+    # partitions beats the single-row-group scan even at 2k rows.
     return kmeans_semdedup(
-        load_table(spark, sf_dir, "embeddings"), k=8, iters=2, tau=0.9
+        load_table_parallel(spark, sf_dir, "embeddings"), k=8, iters=2, tau=0.9
     )
 
 

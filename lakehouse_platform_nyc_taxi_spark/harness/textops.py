@@ -276,9 +276,15 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def timeseries_gapfill_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled = gapfill_forward(
-        # parallel load: the generative slot explode is CPU-bound and the
-        # single events row group would pin it to one task (r12 perf pass)
-        load_table_parallel(spark, sf_dir, "events"), step="15 minute"
+        # plain load (r13 A/B under bench.py conditions — full registry
+        # order, min-of-2, sf0.1: plain 2.19 s vs parallel 2.84 s; the
+        # driver's r12 runs agreed, 2.24 s plain in r11 vs 2.67-3.57 s
+        # parallel in r12). The r12 claim that the parallel loader wins
+        # here did not reproduce in-bench: gapfill's per-entity spine
+        # explode redistributes at its own (user) shuffle anyway, so the
+        # up-front 32-way repartition only adds an exchange. Production
+        # inputs arrive multi-file and parallelize at the scan.
+        load_table(spark, sf_dir, "events"), step="15 minute"
     )
     return filled.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_slots"),
