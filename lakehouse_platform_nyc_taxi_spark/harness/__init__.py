@@ -77,8 +77,18 @@ _PRIORITY = [
     #   2. ALL TWENTY r7-attested stragglers (the full set, not the
     #      seven the old _KEEP head comment undercounted — VERDICT
     #      r12 what's-wrong #2): after r13 no green row predates r8.
-    #   3. The 24 next-stalest names (r8-green cohort, _KEEP head) —
+    #   3. The 21 next-stalest names (r8-green cohort, _KEEP head) —
     #      fills the window to exactly 50.
+    #   4. SIX mid-round additions (1-in-1-out per the invariant: the
+    #      six names now at the _KEEP head moved out): decontamination,
+    #      fold-leakage audit, Mann-Whitney U, Poisson bootstrap CI,
+    #      cohort LTV triangle, gram-novelty audit.
+    "dedup_decontamination",
+    "sampling_fold_leakage",
+    "stats_mann_whitney",
+    "stats_bootstrap_ci",
+    "orders_cohort_ltv",
+    "text_gram_novelty",
     "tpcds_q5_channel_rollup",
     "tpcds_q38_period_intersect",
     "tpcds_q47_yoy_ratio",
@@ -122,13 +132,7 @@ _PRIORITY = [
     "conditional_case_nullif",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
-    "dedup_clusters",
-    "corpus_curation",
-    "sequence_packing",
     "text_pii_scrub",
-    "multimodal_features",
-    "agg_monthly_rollup",
-    "agg_percentiles_approx",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
@@ -139,6 +143,13 @@ _KEEP = [
     # remainder not pulled into the r13 window, then the 50 names of
     # the r12 window (freshest rows in the registry) at the tail —
     # future rotations pull from the HEAD of this list.
+    # r8-green, displaced mid-r13 by the wave-2/3 additions (1-in-1-out):
+    "dedup_clusters",
+    "corpus_curation",
+    "sequence_packing",
+    "multimodal_features",
+    "agg_monthly_rollup",
+    "agg_percentiles_approx",
     "embedding_dim_stats",
     "text_stats",
     "text_corpus_rollup",

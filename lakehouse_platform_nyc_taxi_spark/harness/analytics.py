@@ -1589,3 +1589,88 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("o_custkey")
     )
     return o.exceptAll(c)
+
+
+@register(
+    "orders_cohort_ltv",
+    """
+    WITH o AS (
+        SELECT o_custkey AS cust,
+               year(CAST(o_orderdate AS DATE)) * 12
+                   + month(CAST(o_orderdate AS DATE)) - 1 AS mo,
+               CAST(o_totalprice AS DECIMAL(38,12)) AS rev
+        FROM orders
+    ),
+    firsts AS (SELECT cust, min(mo) AS cohort_mo FROM o GROUP BY 1),
+    cells AS (
+        SELECT f.cohort_mo, o.mo - f.cohort_mo AS age,
+               sum(o.rev) AS drev,
+               count(*) AS n_orders,
+               count(DISTINCT o.cust) AS n_customers
+        FROM o JOIN firsts f ON o.cust = f.cust
+        GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_mo // 12 AS INTEGER) AS cohort_year,
+           CAST(cohort_mo % 12 + 1 AS INTEGER) AS cohort_month,
+           CAST(age AS BIGINT) AS age_months,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           round(CAST(drev AS DOUBLE), 6) AS revenue,
+           round(CAST(sum(drev) OVER (
+               PARTITION BY cohort_mo ORDER BY age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 6) AS cum_ltv
+    FROM cells
+    ORDER BY cohort_year, cohort_month, age_months
+    """,
+    doc="Cohort LTV triangle: customers grouped by first-order month, "
+    "revenue cells by months-since-first (integer year*12+month "
+    "arithmetic — no months_between float semantics to diverge), plus "
+    "each cohort's cumulative lifetime value. The running sum windows "
+    "over the BOUNDED months x months cell table (not the fact "
+    "table), partitioned by cohort; revenue stays DECIMAL through the "
+    "cumulative sum, so cells and their prefix sums are exact on both "
+    "engines. Complements cohort_retention (activity counts) with the "
+    "monetary curve.",
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        (
+            F.year(F.col("o_orderdate").cast("date")) * 12
+            + F.month(F.col("o_orderdate").cast("date"))
+            - 1
+        ).alias("mo"),
+        F.col("o_totalprice").cast("decimal(38,12)").alias("rev"),
+    )
+    firsts = o.groupBy("cust").agg(F.min("mo").alias("cohort_mo"))
+    cells = (
+        o.join(firsts, "cust")
+        .groupBy(
+            F.col("cohort_mo"), (F.col("mo") - F.col("cohort_mo")).alias("age")
+        )
+        .agg(
+            F.sum("rev").alias("drev"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("cust").alias("n_customers"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_mo")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.select(
+            F.floor(F.col("cohort_mo") / 12).cast("int").alias("cohort_year"),
+            (F.col("cohort_mo") % 12 + 1).cast("int").alias("cohort_month"),
+            F.col("age").cast("bigint").alias("age_months"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            trino_round(F.col("drev").cast("double"), 6).alias("revenue"),
+            trino_round(
+                F.sum("drev").over(w).cast("double"), 6
+            ).alias("cum_ltv"),
+        )
+        .orderBy("cohort_year", "cohort_month", "age_months")
+    )

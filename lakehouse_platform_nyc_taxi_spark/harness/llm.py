@@ -2009,3 +2009,180 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_lang", "predicted_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 wave 2: decontamination + fold-leakage audit
+# ---------------------------------------------------------------------------
+
+def _grams_n_sql(n: int) -> str:
+    """DuckDB twin of the Spark n-gram window (same whitespace tokens,
+    same de-dup) for arbitrary n — the 3-gram twin lives inline in
+    ``_NGRAM_GRAMS_CTE``."""
+    joins = " || ' ' || ".join(f"toks[i + {k}]" for k in range(1, n + 1))
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN list_distinct(list_transform("
+        f"generate_series(0, len(toks) - {n}), i -> {joins})) "
+        "ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+@register(
+    "dedup_decontamination",
+    f"""
+    WITH t AS (
+        SELECT doc_id, doc_id % 20 = 7 AS ev, {TOKS} AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id, ev, unnest({_grams_n_sql(8)}) AS gram FROM t
+    ),
+    eg AS (SELECT DISTINCT gram FROM g WHERE ev),
+    h AS (
+        SELECT g.doc_id, g.gram FROM g JOIN eg USING (gram) WHERE NOT ev
+    )
+    SELECT CAST((SELECT count(*) FROM t WHERE ev) AS BIGINT) AS n_eval,
+           CAST((SELECT count(*) FROM t WHERE NOT ev) AS BIGINT) AS n_train,
+           CAST((SELECT count(*) FROM eg) AS BIGINT) AS n_eval_grams,
+           CAST((SELECT count(DISTINCT doc_id) FROM h) AS BIGINT)
+               AS n_contaminated,
+           CAST((SELECT count(DISTINCT gram) FROM h) AS BIGINT)
+               AS n_flagged_grams,
+           round((SELECT count(DISTINCT doc_id) FROM h)
+                 / CAST((SELECT count(*) FROM t WHERE NOT ev) AS DOUBLE), 6)
+               AS contamination_rate
+    """,
+    doc="Train/eval decontamination audit (PaLM/GPT-3-style benchmark-"
+    "leak check): docs with doc_id % 20 == 7 stand in for the held-out "
+    "eval set; a training doc is contaminated when it shares any "
+    "distinct 8-word gram with any eval doc. Linear, never doc x doc: "
+    "eval grams collapse to one distinct table and the exploded train "
+    "grams equi-join it (a real eval set is benchmark-sized, so AQE "
+    "broadcasts it under the corpus-side explode) "
+    "(operators/dedup.py::decontamination_report).",
+)
+def dedup_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    return dedup.decontamination_report(
+        docs, F.col("doc_id") % 20 == 7, ngram=8
+    )
+
+
+@register(
+    "sampling_fold_leakage",
+    f"""
+    WITH RECURSIVE lt AS (
+        SELECT doc_id, lang, {TOKS} AS toks FROM documents
+    ),
+    lg AS (
+        SELECT doc_id, lang, {_grams_n_sql(3)} AS grams FROM lt
+    ),
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM lg a
+        JOIN lg b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE {_NGRAM_JACCARD} >= 0.2
+    ),
+    e AS (
+        SELECT doc_a AS src, doc_b AS dst FROM p
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM p
+    ),
+    reach AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+    ),
+    cl AS (
+        SELECT src AS id, least(src, min(dst)) AS cluster
+        FROM reach GROUP BY src
+    ),
+    m AS (
+        SELECT d.doc_id AS id, COALESCE(cl.cluster, d.doc_id) AS cluster,
+               {MD5L.format(x="CAST(d.doc_id AS VARCHAR) || '|fold'")} % 10
+                   AS f,
+               {MD5L.format(x="CAST(COALESCE(cl.cluster, d.doc_id) AS VARCHAR) || '|fold'")} % 10
+                   AS cf
+        FROM documents d LEFT JOIN cl ON cl.id = d.doc_id
+    ),
+    cs AS (
+        SELECT cluster, count(*) AS sz, count(DISTINCT f) AS nf
+        FROM m GROUP BY 1
+    ),
+    agg AS (
+        SELECT count(*) AS n_clusters, sum(sz) AS n_docs,
+               count(*) FILTER (sz > 1) AS n_multi,
+               count(*) FILTER (sz > 1 AND nf > 1) AS n_leaky,
+               COALESCE(sum(sz) FILTER (sz > 1 AND nf > 1), 0)
+                   AS n_docs_in_leaky
+        FROM cs
+    )
+    SELECT CAST(10 AS INTEGER) AS n_folds,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(n_multi AS BIGINT) AS n_multi,
+           CAST(n_leaky AS BIGINT) AS n_leaky,
+           CAST(n_docs_in_leaky AS BIGINT) AS n_docs_in_leaky,
+           COALESCE(round(n_leaky / CAST(nullif(n_multi, 0) AS DOUBLE), 6),
+                    0.0) AS leak_rate,
+           CAST((SELECT count(*) FROM m WHERE f <> cf) AS BIGINT)
+               AS n_docs_reassigned
+    FROM agg
+    """,
+    doc="K-fold leakage audit for near-dup corpora: the naive "
+    "md5(doc_id) % 10 fold split is checked against the lang-blocked "
+    "near-dup components (shared artifact with "
+    "dedup_cluster_containment) — a multi-doc cluster whose members "
+    "land in different folds leaks paraphrased training data into "
+    "validation. Reports leaky clusters, affected docs, and the size "
+    "of the cluster-aware repair (re-fold by cluster min id, which "
+    "every member already carries — no second pass) "
+    "(operators/sampling.py::fold_leakage_audit).",
+    prepare=_containment_pairs,
+)
+def sampling_fold_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import fold_leakage_audit
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cc = dedup.connected_components(
+        _containment_pairs(spark, sf_dir), pointer_jumping=False
+    )
+    return fold_leakage_audit(docs, cc, k=10)
+
+
+@register(
+    "text_gram_novelty",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, {TOKS} AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id, source, unnest({_grams_n_sql(3)}) AS gram FROM t
+    ),
+    first AS (SELECT gram, min(doc_id) AS first_id FROM g GROUP BY 1),
+    per_doc AS (
+        SELECT g.doc_id, g.source,
+               count(*) AS ng,
+               sum(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) AS nn
+        FROM g JOIN first f USING (gram)
+        GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ng) AS BIGINT) AS n_grams,
+           CAST(sum(nn) AS BIGINT) AS n_novel,
+           round(sum(nn) / CAST(sum(ng) AS DOUBLE), 6) AS novelty_rate
+    FROM per_doc GROUP BY 1 ORDER BY 1
+    """,
+    doc="Corpus novelty audit: per document, the share of its distinct "
+    "3-grams appearing FIRST in that document (min doc_id owns the "
+    "gram — deterministic, tie-free), rolled up per source — the "
+    "'is this crawl still adding content' curve that decides when a "
+    "source is mined out. Linear: one gram-keyed groupBy for first "
+    "occurrences, one gram-keyed join back (AQE overlays the shared "
+    "exchange), a per-doc ratio, a |sources|-row rollup; never "
+    "doc x doc; docs shorter than the gram width carry no grams and "
+    "are excluded (operators/dedup.py::gram_novelty).",
+)
+def text_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    return dedup.gram_novelty(docs, group_col="source", ngram=3)

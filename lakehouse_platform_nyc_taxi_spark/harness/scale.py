@@ -3308,6 +3308,72 @@ def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_mann_whitney",
+    f"""
+    WITH per_user AS (
+        SELECT user_id,
+               COALESCE(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE),
+                        0.0) AS y
+        FROM events GROUP BY 1
+    ),
+    a AS (
+        SELECT y, CAST(({_AB_HASH}) % 2 AS INTEGER) AS arm FROM per_user
+    ),
+    v AS (
+        SELECT y, count(*) AS n_v, sum(arm) AS n1_v FROM a GROUP BY 1
+    ),
+    r AS (
+        SELECT *, sum(n_v) OVER (
+            ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cum FROM v
+    ),
+    m AS (
+        SELECT sum(n_v - n1_v) AS n0, sum(n1_v) AS n1,
+               sum(CAST(n1_v * (2 * cum - n_v + 1) AS DECIMAL(38,0)))
+                   AS r1x2,
+               sum(CAST(n_v * n_v * n_v - n_v AS DECIMAL(38,0))) AS tie
+        FROM r
+    ),
+    s AS (
+        SELECT CAST(n0 AS DOUBLE) AS dn0, CAST(n1 AS DOUBLE) AS dn1,
+               CAST(n0 + n1 AS DOUBLE) AS dn,
+               CAST(r1x2 AS DOUBLE) / 2 AS r1,
+               CAST(tie AS DOUBLE) AS dt, n0, n1, tie
+        FROM m
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_ctrl,
+           CAST(n1 AS BIGINT) AS n_treat,
+           round(r1, 6) AS rank_sum_treat,
+           round(r1 - dn1 * (dn1 + 1) / 2, 6) AS u_treat,
+           CAST(tie AS BIGINT) AS tie_term,
+           round(CASE WHEN dn0 * dn1 / 12
+                           * ((dn + 1) - dt / (dn * (dn - 1))) > 0
+                      THEN (r1 - dn1 * (dn1 + 1) / 2 - dn0 * dn1 / 2)
+                           / sqrt(dn0 * dn1 / 12
+                                  * ((dn + 1) - dt / (dn * (dn - 1))))
+                      ELSE 0.0 END, 6) AS z_score
+    FROM s
+    """,
+    doc="Mann-Whitney U rank-sum test between the md5-parity hash-split "
+    "arms on per-user value sums — the non-parametric complement of "
+    "stats_ab_ztest/CUPED for heavy-tailed metrics. Never a global "
+    "row rank: the N-user table collapses to |distinct value| counts, "
+    "midranks come from a running count over THAT table "
+    "(two_phase_running_sum: bucket-parallel above its guard, one "
+    "tiny window under it), and rank sums / the tie term Σ(t³-t) are "
+    "exact integer aggregates — midranks carried DOUBLED in "
+    "DECIMAL(38,0), halved at emit, so z is closed-form IEEE over "
+    "bit-identical integers. Tie-corrected variance, no continuity "
+    "correction (operators/stats.py::mann_whitney_u).",
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return stats.mann_whitney_u(ev, "user_id", "value")
+
+
+@register(
     "events_longest_streak",
     """
     WITH days AS (
@@ -3366,3 +3432,87 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("streak_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 wave 3: Poisson bootstrap CI
+# ---------------------------------------------------------------------------
+
+def _bootstrap_oracle(b: int = 64) -> str:
+    """Oracle twin of operators/stats.py::bootstrap_mean_ci — the CASE
+    chain is generated from the SAME ``POISSON1_CDF`` constants the
+    Spark side compiles, so the inverse-CDF weights match bit-for-bit."""
+    from ..operators.stats import POISSON1_CDF
+
+    h = MD5L.format(x="CAST(u AS VARCHAR) || '|boot#' || CAST(b AS VARCHAR)")
+    u01 = f"CAST({h} AS DOUBLE) / 1152921504606846976.0"
+    chain = " ".join(
+        f"WHEN {u01} < {t!r} THEN {k}" for k, t in enumerate(POISSON1_CDF)
+    )
+    lo_rk = max(1, int(0.025 * b))
+    hi_rk = min(b, int(0.975 * b) + 1)
+    return f"""
+    WITH per_user AS (
+        SELECT user_id AS u,
+               COALESCE(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE),
+                        0.0) AS y
+        FROM events GROUP BY 1
+    ),
+    rep AS (
+        SELECT b, y, CASE {chain} ELSE 8 END AS w
+        FROM per_user CROSS JOIN (
+            SELECT unnest(generate_series(0, {b - 1})) AS b
+        )
+    ),
+    mm AS (
+        SELECT b, round(CAST(sum(CAST(w * y AS DECIMAL(38,12))) AS DOUBLE)
+                        / CAST(sum(w) AS DOUBLE), 8) AS m
+        FROM rep GROUP BY 1
+    ),
+    r AS (
+        SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM mm
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS nb,
+               CAST(sum(CAST(m AS DECIMAL(38,12))) AS DOUBLE) AS sm,
+               CAST(sum(CAST(m * m AS DECIMAL(38,12))) AS DOUBLE) AS smm,
+               min(CASE WHEN rk = {lo_rk} THEN m END) AS lo,
+               min(CASE WHEN rk = {hi_rk} THEN m END) AS hi
+        FROM r
+    ),
+    f AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy
+        FROM per_user
+    )
+    SELECT f.n AS n_users,
+           CAST(s.nb AS BIGINT) AS b_replicates,
+           round(f.sy / CAST(f.n AS DOUBLE), 6) AS mean_full,
+           round(sqrt((s.nb * s.smm - s.sm * s.sm) / (s.nb * (s.nb - 1))), 6)
+               AS se_boot,
+           round(s.lo, 6) AS ci_lo,
+           round(s.hi, 6) AS ci_hi
+    FROM f CROSS JOIN s
+    """
+
+
+@register(
+    "stats_bootstrap_ci",
+    _bootstrap_oracle(64),
+    doc="Poisson bootstrap CI for the mean per-user value sum (Chamandy "
+    "et al. 2012 — the distributed bootstrap): each user enters "
+    "replicate b with weight ~ Poisson(1) via a deterministic "
+    "inverse-CDF lookup on md5(user|boot#b), so no global resampling "
+    "coordination. 64 replicates explode MAP-SIDE and partial "
+    "aggregation collapses them before the shuffle (the wire carries "
+    "~B rows per task, B*N rows never move); per-replicate means are "
+    "round8-fenced before the second-level moments; CI bounds are "
+    "order statistics (row_number picks) over the 64-row mean table — "
+    "no percentile interpolation to diverge between engines "
+    "(operators/stats.py::bootstrap_mean_ci).",
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return stats.bootstrap_mean_ci(ev, "user_id", "value", b_replicates=64)

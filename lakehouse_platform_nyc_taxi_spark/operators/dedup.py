@@ -1299,3 +1299,166 @@ def lsh_precision(
             6,
         ).alias("mean_true_jaccard"),
     )
+
+
+def decontamination_report(
+    df: DataFrame,
+    eval_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+) -> DataFrame:
+    """Train/eval n-gram decontamination check (the PaLM/GPT-3-style
+    benchmark-leak audit, public: Brown et al. 2020 §4, Chowdhery et
+    al. 2022 §6): a training document is CONTAMINATED when it shares at
+    least one distinct ``ngram``-word gram with any document of the
+    held-out eval set (``eval_pred`` marks eval rows). 8 words is the
+    PaLM choice — long enough that boilerplate phrases don't flag, short
+    enough that paraphrase-adjacent copies still do.
+
+    Never doc×doc: eval grams collapse to ONE distinct gram table
+    first, and the exploded train grams equi-join it on the gram — a
+    train gram row meets at most one eval gram row, so cost is linear
+    in corpus grams (no posting-list self-join, no df cap needed). A
+    real eval set is benchmark-sized, so AQE broadcasts its gram table
+    under the big side's explode. Gram construction is byte-identical
+    to :func:`gram_sets` (whitespace tokens, de-duplicated windows),
+    with the same anti-inline projection discipline (see
+    ``_gram_intersections``: size() and the token split must
+    materialize below the explode or Catalyst re-derives the gram
+    pipeline per exploded row).
+
+    Output (one row): ``n_eval, n_train, n_eval_grams,
+    n_contaminated, n_flagged_grams, contamination_rate`` —
+    rate = contaminated / train, round6.
+    """
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= ngram,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - ngram),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + k + 1) for k in range(ngram)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    from .text import tokens
+
+    ex = (
+        df.select(
+            F.col(id_col),
+            eval_pred.cast("boolean").alias("_ev"),
+            tokens(text_col).alias("_toks"),
+        )
+        .select(F.col(id_col), "_ev", grams.alias("grams"))
+        .select(F.col(id_col), "_ev", F.explode_outer("grams").alias("gram"))
+    )
+    eval_grams = (
+        ex.filter(F.col("_ev") & F.col("gram").isNotNull())
+        .select("gram")
+        .distinct()
+    )
+    hits = ex.filter(~F.col("_ev")).join(eval_grams, "gram")
+    counts = df.agg(
+        F.sum(eval_pred.cast("boolean").cast("int")).alias("n_eval"),
+        F.sum((~eval_pred.cast("boolean")).cast("int")).alias("n_train"),
+    )
+    eg = eval_grams.agg(F.count(F.lit(1)).alias("n_eval_grams"))
+    hg = hits.agg(
+        F.countDistinct(id_col).alias("n_contaminated"),
+        F.countDistinct("gram").alias("n_flagged_grams"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(eg))
+        .crossJoin(F.broadcast(hg))
+        .select(
+            F.col("n_eval").cast("bigint").alias("n_eval"),
+            F.col("n_train").cast("bigint").alias("n_train"),
+            F.col("n_eval_grams").cast("bigint").alias("n_eval_grams"),
+            F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+            F.col("n_flagged_grams").cast("bigint").alias("n_flagged_grams"),
+            trino_round(
+                F.col("n_contaminated").cast("double")
+                / F.col("n_train").cast("double"),
+                6,
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+def gram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    ngram: int = 3,
+) -> DataFrame:
+    """Corpus novelty audit: for each document, the share of its
+    distinct word-n-grams that appear HERE FIRST (no document with a
+    smaller ``id_col`` contains them), rolled up per ``group_col`` —
+    the "is this crawl still adding new content or re-serving the
+    web's long tail" curve that decides when to stop ingesting a
+    source. Ingestion order is whatever ``id_col`` encodes (min-id =
+    first occurrence; deterministic, tie-free).
+
+    Linear, two gram-keyed hash shuffles that AQE can overlay: one
+    groupBy computes each gram's first-occurrence id (|distinct
+    grams| rows), the exploded gram table equi-joins it back, and a
+    per-(doc, group) count ratio rolls up to |groups| rows. Never a
+    doc x doc comparison; gram construction is byte-identical to
+    :func:`gram_sets`. Documents shorter than ``ngram`` tokens carry
+    no grams and are excluded (documented; they have no novelty to
+    measure).
+
+    Output per group: ``{group_col}, n_docs, n_grams, n_novel,
+    novelty_rate`` (gram counts are per-doc distinct, summed;
+    rate = novel / grams, round6).
+    """
+    from .text import tokens
+
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= ngram,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - ngram),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + k + 1) for k in range(ngram)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = (
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            tokens(text_col).alias("_toks"),
+        )
+        .select(F.col(id_col), F.col(group_col), grams.alias("grams"))
+        .select(
+            F.col(id_col), F.col(group_col), F.explode("grams").alias("gram")
+        )
+    )
+    first = ex.groupBy("gram").agg(F.min(id_col).alias("_first"))
+    per_doc = (
+        ex.join(first, "gram")
+        .groupBy(F.col(id_col), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("_ng"),
+            F.sum((F.col("_first") == F.col(id_col)).cast("int")).alias("_nn"),
+        )
+    )
+    return (
+        per_doc.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_ng").cast("bigint").alias("n_grams"),
+            F.sum("_nn").cast("bigint").alias("n_novel"),
+            trino_round(
+                F.sum("_nn").cast("double") / F.sum("_ng").cast("double"), 6
+            ).alias("novelty_rate"),
+        )
+        .orderBy(group_col)
+    )

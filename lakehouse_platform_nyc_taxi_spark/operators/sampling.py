@@ -562,3 +562,93 @@ def priority_sample_estimate(
             F.abs(F.col("est_total") - F.col("true_total")) / F.col("true_total"), 6
         ).alias("rel_err"),
     )
+
+
+def fold_leakage_audit(
+    ids: DataFrame,
+    clusters: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    salt: str = "fold",
+) -> DataFrame:
+    """Cross-validation fold audit for near-duplicate corpora: a naive
+    per-document hash split puts members of one near-dup cluster into
+    DIFFERENT folds, so "held-out" validation data is a paraphrase of
+    training data — silent leakage that inflates every fold's score.
+    Given the doc table and a ``(id, cluster)`` assignment (the output
+    of :func:`~..operators.dedup.connected_components`; docs absent
+    from it are singletons), this audits the k-fold md5 split and
+    quantifies the repair.
+
+    Folds are ``md5(id|salt) % k`` (deterministic, engine-exact — the
+    repo's standard hash split); the CLUSTER-AWARE fold of a doc is
+    the fold of its cluster id (= the component's min id, so the
+    repair needs no second pass: hashing the label every member
+    already carries). A multi-doc cluster is LEAKY when its members'
+    naive folds differ; ``n_docs_reassigned`` counts docs whose naive
+    fold differs from their cluster fold — the exact size of the
+    repair diff.
+
+    Shape: one left join docs->clusters on id, one groupBy cluster
+    (bounded by doc count), two single-row aggregates crossJoined by
+    broadcast — no windows, no collects, linear at any scale.
+
+    Output (one row): ``n_folds, n_docs, n_clusters, n_multi,
+    n_leaky, n_docs_in_leaky, leak_rate, n_docs_reassigned``
+    (leak_rate = leaky / multi-doc clusters, round6; 0.0 when the
+    corpus has no multi-doc clusters).
+    """
+    from ..functions.trino import trino_round
+
+    def fold(col):
+        return (
+            md5_long(F.concat(col.cast("string"), F.lit(f"|{salt}"))) % k
+        ).cast("int")
+
+    m = (
+        ids.select(F.col(id_col).alias("_id"))
+        .join(clusters, F.col("_id") == clusters["id"], "left")
+        .select(
+            F.col("_id"),
+            F.coalesce(clusters["cluster"], F.col("_id")).alias("_cl"),
+        )
+        .select(
+            "_id",
+            "_cl",
+            fold(F.col("_id")).alias("_f"),
+            fold(F.col("_cl")).alias("_cf"),
+        )
+    )
+    cs = m.groupBy("_cl").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct("_f").alias("nf"),
+    )
+    multi = F.col("sz") > 1
+    leaky = multi & (F.col("nf") > 1)
+    agg = cs.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("sz")).alias("n_docs"),
+        F.sum(multi.cast("int")).alias("n_multi"),
+        F.sum(leaky.cast("int")).alias("n_leaky"),
+        F.sum(F.when(leaky, F.col("sz")).otherwise(0)).alias("n_docs_in_leaky"),
+    )
+    rea = m.agg(
+        F.sum((F.col("_f") != F.col("_cf")).cast("int")).alias("n_docs_reassigned")
+    )
+    return agg.crossJoin(F.broadcast(rea)).select(
+        F.lit(k).cast("int").alias("n_folds"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_clusters").cast("bigint").alias("n_clusters"),
+        F.col("n_multi").cast("bigint").alias("n_multi"),
+        F.col("n_leaky").cast("bigint").alias("n_leaky"),
+        F.col("n_docs_in_leaky").cast("bigint").alias("n_docs_in_leaky"),
+        F.coalesce(
+            trino_round(
+                F.col("n_leaky").cast("double")
+                / F.nullif(F.col("n_multi").cast("double"), F.lit(0.0)),
+                6,
+            ),
+            F.lit(0.0),
+        ).alias("leak_rate"),
+        F.col("n_docs_reassigned").cast("bigint").alias("n_docs_reassigned"),
+    )

@@ -10,7 +10,7 @@ aggregates joined back by broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.trino import trino_round
@@ -309,3 +309,196 @@ def cuped_adjustment(
         ).alias("var_post_adjusted"),
         trino_round(F.col("_t"), 6).alias("theta"),
     ).orderBy("arm")
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    user: str,
+    value: str,
+    salt: str = "ab",
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Whitney 1947, public)
+    between the two md5-parity hash-split arms (same convention as
+    ``ab_lift``/``cuped_adjustment``), on the per-user sum of
+    ``value`` — the non-parametric complement of the z-test for
+    heavy-tailed per-user metrics where means mislead.
+
+    Rank computation is VALUE-GROUPED, never row-ranked: ranking N
+    users directly is a global sort (the single-task trap), but the
+    midrank of every user with metric v is determined by the counts
+    alone — avg_rank(v) = (#values < v) + (n_v + 1)/2. So the N-row
+    user table collapses to a |distinct v| table first, the running
+    count comes from ``two_phase_running_sum`` (bucket-parallel above
+    its guard, single tiny window under it), and every moment the
+    statistic needs (rank sum, tie term Σ(t³-t)) is an exact integer
+    aggregate of that table. Midranks live in halves, so the rank sum
+    is carried DOUBLED in DECIMAL(38,0) (exact) and halved only at
+    emit; z is then closed-form IEEE arithmetic over bit-identical
+    integers (sqrt is correctly rounded by IEEE 754) — identical on
+    every engine, no ordering sensitivity anywhere.
+
+    Ties use midranks with the standard tie-corrected variance
+    var = n1·n2/12 · ((N+1) − Σ(t³−t)/(N(N−1))); no continuity
+    correction (documented choice, matching the large-sample form).
+
+    Output (one row): ``n_ctrl, n_treat, rank_sum_treat, u_treat,
+    tie_term, z_score`` (round6).
+    """
+    from .timeseries import two_phase_running_sum
+
+    per_user = df.groupBy(F.col(user).alias("_u")).agg(
+        F.coalesce(_fenced_sum(F.col(value)), F.lit(0.0)).alias("y")
+    )
+    arm = (
+        md5_long(F.concat(F.col("_u").cast("string"), F.lit(f"|{salt}"))) % 2
+    ).cast("int")
+    by_value = per_user.select("y", arm.alias("_arm")).groupBy("y").agg(
+        F.count(F.lit(1)).alias("n_v"),
+        F.sum(F.col("_arm")).alias("n1_v"),  # arm 1 = treat
+    )
+    ranked = two_phase_running_sum(
+        by_value, F.col("n_v"), order=["y"], out="cum"
+    )
+    # midrank(v) doubled: 2*avg_rank = 2*(cum - n_v) + n_v + 1
+    ar2 = 2 * F.col("cum") - F.col("n_v") + 1
+    d0 = "decimal(38,0)"
+    m = ranked.agg(
+        F.sum(F.col("n_v") - F.col("n1_v")).alias("_n0"),
+        F.sum("n1_v").alias("_n1"),
+        F.sum((F.col("n1_v") * ar2).cast(d0)).alias("_r1x2"),
+        F.sum(
+            (F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v")).cast(d0)
+        ).alias("_tie"),
+    )
+    n0, n1 = F.col("_n0").cast("double"), F.col("_n1").cast("double")
+    ntot = n0 + n1
+    r1 = F.col("_r1x2").cast("double") / F.lit(2.0)
+    u1 = r1 - n1 * (n1 + 1) / F.lit(2.0)
+    var = (
+        n0
+        * n1
+        / F.lit(12.0)
+        * ((ntot + 1) - F.col("_tie").cast("double") / (ntot * (ntot - 1)))
+    )
+    z = F.when(var > 0, (u1 - n0 * n1 / F.lit(2.0)) / F.sqrt(var)).otherwise(
+        F.lit(0.0)
+    )
+    return m.select(
+        F.col("_n0").cast("bigint").alias("n_ctrl"),
+        F.col("_n1").cast("bigint").alias("n_treat"),
+        trino_round(r1, 6).alias("rank_sum_treat"),
+        trino_round(u1, 6).alias("u_treat"),
+        F.col("_tie").cast("bigint").alias("tie_term"),
+        trino_round(z, 6).alias("z_score"),
+    )
+
+
+#: Poisson(1) CDF, terms 0..7 (clamped at 8): repr'd doubles emitted as
+#: identical literals into both the Spark CASE chain and the oracle SQL,
+#: so the inverse-CDF lookup is bit-equal on every engine.
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    user: str,
+    value: str,
+    b_replicates: int = 64,
+    salt: str = "boot",
+) -> DataFrame:
+    """Poisson bootstrap CI for the mean per-user metric (Chamandy et
+    al. 2012, "Estimating uncertainty for massive data streams",
+    public): the distributed bootstrap — instead of resampling N users
+    with replacement (which needs global coordination), each user
+    enters replicate b with weight ~ Poisson(1), drawn independently
+    per (user, replicate). For large N the replicate totals are
+    distributionally indistinguishable from the classic bootstrap.
+
+    Deterministic: the Poisson draw is an inverse-CDF lookup (a CASE
+    chain over ``POISSON1_CDF``, clamped at 8 — tail mass ~1e-6) on
+    u = md5(user|salt#b)/2^60, the repo's standard hash-uniform; both
+    engines evaluate the identical literal thresholds, so every weight
+    matches bit-for-bit. Replicates explode map-side and partial
+    aggregation collapses them before the shuffle, which therefore
+    carries only ~B rows per task — B·N rows exist only inside the
+    scan stage, never on the wire. Per-replicate means are one IEEE
+    division of decimal-fenced sums, round8-fenced before the
+    second-level moments; the CI bounds are ORDER STATISTICS of the
+    B means (row_number picks ~2.5%/97.5%, exact, no interpolation —
+    engine-proof), computed by a window over the B-row table.
+
+    Output (one row): ``n_users, b_replicates, mean_full, se_boot,
+    ci_lo, ci_hi`` (round6).
+    """
+    per_user = df.groupBy(F.col(user).alias("_u")).agg(
+        F.coalesce(_fenced_sum(F.col(value)), F.lit(0.0)).alias("y")
+    )
+    b = F.col("_b")
+    u01 = (
+        md5_long(
+            F.concat(F.col("_u").cast("string"), F.lit(f"|{salt}#"), b)
+        ).cast("double")
+        / F.lit(float(2**60))
+    )
+    w = F.lit(8)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u01 < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    rep = (
+        per_user.select(
+            "_u",
+            "y",
+            F.explode(F.sequence(F.lit(0), F.lit(b_replicates - 1))).alias("_b"),
+        )
+        .select(b, w.alias("_w"), F.col("y"))
+        .groupBy("_b")
+        .agg(
+            _fenced_sum(F.col("_w") * F.col("y")).alias("_sy"),
+            F.sum("_w").alias("_sw"),
+        )
+        .select(
+            "_b",
+            trino_round(F.col("_sy") / F.col("_sw").cast("double"), 8).alias(
+                "_m"
+            ),
+        )
+    )
+    wk = Window.orderBy("_m", "_b")  # B rows: one tiny task
+    lo_rk = max(1, int(0.025 * b_replicates))
+    hi_rk = min(b_replicates, int(0.975 * b_replicates) + 1)
+    ranked = rep.withColumn("_rk", F.row_number().over(wk))
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("_nb"),
+        _fenced_sum(F.col("_m")).alias("_sm"),
+        _fenced_sum(F.col("_m") * F.col("_m")).alias("_smm"),
+        F.min(F.when(F.col("_rk") == lo_rk, F.col("_m"))).alias("_lo"),
+        F.min(F.when(F.col("_rk") == hi_rk, F.col("_m"))).alias("_hi"),
+    )
+    full = per_user.agg(
+        F.count(F.lit(1)).alias("_n"), _fenced_sum(F.col("y")).alias("_s")
+    )
+    nb = F.col("_nb").cast("double")
+    return full.crossJoin(F.broadcast(stats)).select(
+        F.col("_n").cast("bigint").alias("n_users"),
+        F.col("_nb").cast("bigint").alias("b_replicates"),
+        trino_round(F.col("_s") / F.col("_n").cast("double"), 6).alias(
+            "mean_full"
+        ),
+        trino_round(
+            F.sqrt(
+                (nb * F.col("_smm") - F.col("_sm") * F.col("_sm"))
+                / (nb * (nb - 1))
+            ),
+            6,
+        ).alias("se_boot"),
+        trino_round(F.col("_lo"), 6).alias("ci_lo"),
+        trino_round(F.col("_hi"), 6).alias("ci_hi"),
+    )

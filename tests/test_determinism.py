@@ -40,6 +40,12 @@ QUERIES = [
     "events_rfm_segmentation", # r11: ntile tiebreaks + fenced means
     "tpch_q15_top_supplier",   # r11: rounded-revenue max equality
     "events_markov_transitions",  # r11: lead() tie order + exact ratios
+    "stats_mann_whitney",      # r13: doubled-midrank decimal sums
+    "dedup_decontamination",   # r13: distinct-gram join, pure counts
+    "sampling_fold_leakage",   # r13: md5 folds over CC labels
+    "stats_bootstrap_ci",      # r13: hash-Poisson weights + round8 means
+    "text_gram_novelty",       # r13: min-id gram ownership, pure counts
+    "orders_cohort_ltv",       # r13: decimal cells + exact prefix sums
 ]
 
 

@@ -1996,3 +1996,60 @@ def test_shared_band_index_cache_caps_at_one_entry(spark):
     assert b is not a
     assert b.count() > 0  # evicting the old entry left the new one usable
     llm._BAND_INDEX_CACHE.clear()
+
+
+def test_decontamination_flags_shared_8gram_only(spark):
+    """A train doc sharing an 8-gram with an eval doc is contaminated;
+    a disjoint train doc is not; short docs (<8 tokens) contribute no
+    grams at all."""
+    from lakehouse_platform_nyc_taxi_spark.operators.dedup import (
+        decontamination_report,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [
+        (0, "a b c d e f g h i"),      # eval (2 grams)
+        (1, "x a b c d e f g h"),      # train, shares 'a..h'
+        (2, "p q r s t u v w x y"),    # train, disjoint
+        (3, "a b c"),                  # train, too short -> no grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = decontamination_report(
+        df, F.col("doc_id") == 0, ngram=8
+    ).collect()[0]
+    assert got.n_eval == 1 and got.n_train == 3
+    assert got.n_eval_grams == 2
+    assert got.n_contaminated == 1
+    assert got.n_flagged_grams == 1
+    assert abs(got.contamination_rate - 1 / 3) < 1e-6
+
+
+def test_fold_leakage_audit_counts_and_repair(spark):
+    """Two docs in one cluster with different md5 folds -> one leaky
+    cluster; the repair reassigns exactly the member whose own fold
+    differs from the cluster-min-id fold; singletons never leak."""
+    import hashlib
+
+    from lakehouse_platform_nyc_taxi_spark.operators.sampling import (
+        fold_leakage_audit,
+    )
+
+    def fold(i, k=10):
+        return int(hashlib.md5(f"{i}|fold".encode()).hexdigest()[:15], 16) % k
+
+    # find two ids with DIFFERENT folds so the cluster provably leaks
+    a = 0
+    b = next(i for i in range(1, 50) if fold(i) != fold(a))
+    ids = spark.createDataFrame(
+        [(a,), (b,), (100,), (101,)], "doc_id long"
+    )
+    clusters = spark.createDataFrame(
+        [(a, a), (b, a)], "id long, cluster long"
+    )
+    got = fold_leakage_audit(ids, clusters, k=10).collect()[0]
+    assert got.n_docs == 4 and got.n_clusters == 3
+    assert got.n_multi == 1 and got.n_leaky == 1
+    assert got.n_docs_in_leaky == 2
+    assert got.leak_rate == 1.0
+    # only b differs from the cluster fold (cluster id == a)
+    assert got.n_docs_reassigned == 1

@@ -350,3 +350,95 @@ def test_pareto_share_minimal_prefix_counts(spark, monkeypatch, tmp_path):
     assert got.top50_customers == 1
     assert got.top80_customers == 3
     assert got.top1_share == 0.5
+
+
+def test_mann_whitney_matches_bruteforce_midranks(spark):
+    """mann_whitney_u vs a direct Python computation: same md5 arm
+    split (replicated via hashlib), midranks with ties, tie-corrected
+    variance. Values must match to double precision."""
+    import hashlib
+    import math
+
+    from lakehouse_platform_nyc_taxi_spark.operators.stats import (
+        mann_whitney_u,
+    )
+
+    # one event per user -> per-user sum == value; duplicate values
+    # across users force real midrank ties
+    vals = [1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 5.0, 7.0, 8.0, 8.0, 9.0, 11.0]
+    rows = [(u, v) for u, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    got = mann_whitney_u(df, "user_id", "value").collect()[0]
+
+    def arm(u):
+        return int(hashlib.md5(f"{u}|ab".encode()).hexdigest()[:15], 16) % 2
+
+    ranks = {}
+    s = sorted(vals)
+    for v in set(vals):
+        idx = [i + 1 for i, x in enumerate(s) if x == v]
+        ranks[v] = sum(idx) / len(idx)
+    treat = [v for u, v in rows if arm(u) == 1]
+    ctrl = [v for u, v in rows if arm(u) == 0]
+    n1, n0 = len(treat), len(ctrl)
+    r1 = sum(ranks[v] for v in treat)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    n = n0 + n1
+    tie = sum(
+        (c := s.count(v)) ** 3 - c for v in set(vals)
+    )
+    var = n0 * n1 / 12 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u1 - n0 * n1 / 2) / math.sqrt(var)
+    assert got.n_ctrl == n0 and got.n_treat == n1
+    assert abs(got.rank_sum_treat - r1) < 1e-9
+    assert abs(got.u_treat - u1) < 1e-9
+    assert got.tie_term == tie
+    assert abs(got.z_score - round(z, 6)) < 1e-6
+
+
+def test_bootstrap_ci_brackets_mean_and_matches_weights(spark):
+    """Poisson bootstrap on a constant metric: every replicate mean is
+    exactly that constant, so se_boot == 0 and ci_lo == ci_hi ==
+    mean_full. A second, varied metric must produce a CI that brackets
+    the full-sample mean with positive spread."""
+    from lakehouse_platform_nyc_taxi_spark.operators.stats import (
+        bootstrap_mean_ci,
+    )
+
+    const = spark.createDataFrame(
+        [(u, 5.0) for u in range(30)], "user_id long, value double"
+    )
+    got = bootstrap_mean_ci(const, "user_id", "value", b_replicates=16).collect()[0]
+    assert got.n_users == 30 and got.b_replicates == 16
+    assert got.mean_full == 5.0
+    assert got.se_boot == 0.0
+    assert got.ci_lo == 5.0 and got.ci_hi == 5.0
+
+    varied = spark.createDataFrame(
+        [(u, float(u)) for u in range(60)], "user_id long, value double"
+    )
+    got = bootstrap_mean_ci(varied, "user_id", "value", b_replicates=32).collect()[0]
+    assert got.ci_lo <= got.mean_full <= got.ci_hi
+    assert got.se_boot > 0
+    assert got.ci_lo < got.ci_hi
+
+
+def test_gram_novelty_first_doc_owns_everything(spark):
+    """Doc 0 sees all-novel grams; an identical later doc sees zero
+    novelty; a fresh later doc is fully novel; short docs drop out."""
+    from lakehouse_platform_nyc_taxi_spark.operators.dedup import (
+        gram_novelty,
+    )
+
+    rows = [
+        (0, "a", "w x y z"),
+        (1, "a", "w x y z"),        # exact repeat -> 0 novel
+        (2, "b", "p q r s"),        # new content -> all novel
+        (3, "b", "p q"),            # too short for 3-grams -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.source: r for r in gram_novelty(df, group_col="source").collect()}
+    assert got["a"].n_docs == 2 and got["a"].n_grams == 4
+    assert got["a"].n_novel == 2 and got["a"].novelty_rate == 0.5
+    assert got["b"].n_docs == 1 and got["b"].n_novel == 2
+    assert got["b"].novelty_rate == 1.0
