@@ -79,10 +79,14 @@ _PRIORITY = [
     #      r12 what's-wrong #2): after r13 no green row predates r8.
     #   3. The 21 next-stalest names (r8-green cohort, _KEEP head) —
     #      fills the window to exactly 50.
-    #   4. SIX mid-round additions (1-in-1-out per the invariant: the
-    #      six names now at the _KEEP head moved out): decontamination,
+    #   4. NINE mid-round additions (1-in-1-out per the invariant: the
+    #      nine names now at the _KEEP head moved out): decontamination,
     #      fold-leakage audit, Mann-Whitney U, Poisson bootstrap CI,
-    #      cohort LTV triangle, gram-novelty audit.
+    #      cohort LTV triangle, gram-novelty audit, the Q51/Q67 DS
+    #      shapes, and backbone link prediction.
+    "tpcds_q51_cumulative_join",
+    "tpcds_q67_rollup_topk",
+    "graph_link_prediction",
     "dedup_decontamination",
     "sampling_fold_leakage",
     "stats_mann_whitney",
@@ -130,9 +134,6 @@ _PRIORITY = [
     "timeseries_gapfill",
     "sampling_temperature_mix",
     "conditional_case_nullif",
-    "dedup_exact",
-    "dedup_minhash_lsh_pairs",
-    "text_pii_scrub",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
@@ -143,7 +144,10 @@ _KEEP = [
     # remainder not pulled into the r13 window, then the 50 names of
     # the r12 window (freshest rows in the registry) at the tail —
     # future rotations pull from the HEAD of this list.
-    # r8-green, displaced mid-r13 by the wave-2/3 additions (1-in-1-out):
+    # r8-green, displaced mid-r13 by the wave-2/3/4 additions (1-in-1-out):
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "text_pii_scrub",
     "dedup_clusters",
     "corpus_curation",
     "sequence_packing",

@@ -683,11 +683,30 @@ def sampling_priority_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _evict_pairs_other_sf(spark: SparkSession, sf_dir: str) -> None:
+    """Keep pair tables only for the CURRENT (session, sf_dir) — same
+    storage-hygiene rule as shared_band_index (VERDICT r12 #7): a
+    long-lived session sweeping sf_dirs releases the previous dir's
+    checkpoint blocks instead of accumulating them. Both blocking
+    variants (source / lang) of the current dir stay cached."""
+    app = spark.sparkContext.applicationId
+    for old_key in [
+        k for k in _PAIRS_CACHE if k[0] != app or k[1] != sf_dir
+    ]:
+        old = _PAIRS_CACHE.pop(old_key)
+        try:
+            old.rdd.unpersist()
+            old.unpersist()
+        except Exception:
+            pass  # session already stopped; nothing to free
+
+
 def _cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # applicationId, not id(ctx): CPython can recycle a dead context's id
     # and hand back a checkpoint bound to the dead context (ADVICE r8).
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PAIRS_CACHE:
+        _evict_pairs_other_sf(spark, sf_dir)
         pairs = dedup.ngram_jaccard_pairs(
             load_table_parallel(spark, sf_dir, "documents"), block_col="source", max_gram_df=100
         )
@@ -704,6 +723,7 @@ def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     table."""
     key = (spark.sparkContext.applicationId, sf_dir, "lang")
     if key not in _PAIRS_CACHE:
+        _evict_pairs_other_sf(spark, sf_dir)
         pairs = dedup.ngram_jaccard_pairs(
             load_table_parallel(spark, sf_dir, "documents"),
             block_col="lang",

@@ -43,6 +43,16 @@ _EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _EDGES_CACHE:
+        # at most ONE cached edge table (storage hygiene, same rule as
+        # shared_band_index / _PAIRS_CACHE): sweeping sf_dirs in one
+        # session frees the previous checkpoint instead of accumulating
+        for old_key in [k for k in _EDGES_CACHE if k != key]:
+            old = _EDGES_CACHE.pop(old_key)
+            try:
+                old.rdd.unpersist()
+                old.unpersist()
+            except Exception:
+                pass  # session already stopped; nothing to free
         _EDGES_CACHE[key] = _trade_edges_build(spark, sf_dir).localCheckpoint()
     return _EDGES_CACHE[key]
 
@@ -640,4 +650,85 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("lift"), "antecedent", "consequent")
         .limit(100)
+    )
+
+
+@register(
+    "graph_link_prediction",
+    f"""
+    WITH {_EDGES_SQL},
+    und AS (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+             sum(CAST(w AS DECIMAL(38,12))) AS w
+      FROM edges WHERE src <> dst GROUP BY 1, 2
+    ),
+    bb AS (
+      SELECT a, b FROM und
+      QUALIFY row_number() OVER (ORDER BY w DESC, a, b) <= 100
+    ),
+    adj AS (SELECT a, b FROM bb UNION ALL SELECT b, a FROM bb),
+    deg AS (SELECT a, count(*) AS deg FROM adj GROUP BY 1),
+    wed AS (
+      SELECT m1.a AS x, m2.a AS y, count(*) AS cn
+      FROM adj m1 JOIN adj m2 ON m1.b = m2.b AND m1.a < m2.a
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT x, y, cn FROM wed w
+      WHERE NOT EXISTS (SELECT 1 FROM bb WHERE bb.a = w.x AND bb.b = w.y)
+    ),
+    s AS (
+      SELECT x, y, cn, da.deg AS deg_a, db.deg AS deg_b,
+             round(cn / CAST(da.deg + db.deg - cn AS DOUBLE), 6) AS jaccard
+      FROM cand
+      JOIN deg da ON da.a = x
+      JOIN deg db ON db.a = y
+    )
+    SELECT na.n_name AS nation_a, nb.n_name AS nation_b,
+           CAST(cn AS BIGINT) AS common_neighbors,
+           CAST(deg_a AS BIGINT) AS deg_a,
+           CAST(deg_b AS BIGINT) AS deg_b,
+           jaccard
+    FROM s
+    JOIN nation na ON na.n_nationkey = x
+    JOIN nation nb ON nb.n_nationkey = y
+    ORDER BY jaccard DESC, x, y LIMIT 20
+    """,
+    doc="Common-neighbor / Jaccard link prediction (Liben-Nowell & "
+    "Kleinberg 2003) over the trade graph's top-100-strongest-edge "
+    "backbone (raw nation trade saturates to the complete graph, so "
+    "the deterministic weight-top-k sparsification is what makes "
+    "'missing link' well-defined at any scale). Every structure past "
+    "the first groupBy is k-bounded by construction: adjacency, "
+    "degrees, and the middle-node wedge self-join all derive from the "
+    "100-edge backbone; existing edges drop via an anti-join "
+    "(NOT EXISTS on the oracle side); top-20 by (jaccard DESC, a, b) "
+    "is a TakeOrdered, unique-ordered so both engines cut the same "
+    "rows (operators/graph.py::link_prediction).",
+    prepare=_trade_edges,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import link_prediction
+
+    scored = link_prediction(
+        _trade_edges(spark, sf_dir), weight="w", backbone_k=100, top=20
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    na = nation.select(
+        F.col("n_nationkey").alias("_ka"), F.col("n_name").alias("nation_a")
+    )
+    nb = nation.select(
+        F.col("n_nationkey").alias("_kb"), F.col("n_name").alias("nation_b")
+    )
+    return (
+        scored.join(F.broadcast(na), scored["node_a"] == F.col("_ka"))
+        .join(F.broadcast(nb), scored["node_b"] == F.col("_kb"))
+        .select(
+            "nation_a",
+            "nation_b",
+            "common_neighbors",
+            "deg_a",
+            "deg_b",
+            "jaccard",
+        )
     )

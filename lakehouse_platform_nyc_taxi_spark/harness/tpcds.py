@@ -258,3 +258,188 @@ def tpcds_q47_yoy_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "y", "mo")
     )
+
+
+_DS_Q51_SQL = """
+WITH f AS (
+    SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS ym,
+           sum(CAST(o_totalprice AS DECIMAL(38,12))) AS rev
+    FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+),
+fc AS (
+    SELECT ym, sum(rev) OVER (
+        ORDER BY ym ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS cum FROM f
+),
+o AS (
+    SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS ym,
+           sum(CAST(o_totalprice AS DECIMAL(38,12))) AS rev
+    FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+),
+oc AS (
+    SELECT ym, sum(rev) OVER (
+        ORDER BY ym ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS cum FROM o
+),
+j AS (
+    SELECT COALESCE(fc.ym, oc.ym) AS ym, fc.cum AS fcum, oc.cum AS ocum
+    FROM fc FULL OUTER JOIN oc ON fc.ym = oc.ym
+),
+filled AS (
+    SELECT ym,
+           max(fcum) OVER (
+               ORDER BY ym ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum_f,
+           max(ocum) OVER (
+               ORDER BY ym ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum_o
+    FROM j
+)
+SELECT CAST(ym // 12 AS INTEGER) AS y, CAST(ym % 12 + 1 AS INTEGER) AS mo,
+       round(CAST(cum_f AS DOUBLE), 6) AS cum_f,
+       round(CAST(cum_o AS DOUBLE), 6) AS cum_o
+FROM filled
+WHERE cum_f IS NOT NULL AND cum_o IS NOT NULL AND cum_f > cum_o
+ORDER BY y, mo
+"""
+
+
+@register(
+    "tpcds_q51_cumulative_join",
+    _DS_Q51_SQL,
+    doc="TPC-DS Q51 shape (dual cumulative series, FULL OUTER join, "
+    "window-over-join forward fill): monthly revenue of the 'F' and "
+    "'O' order-status channels each prefix-sum independently, the two "
+    "series FULL OUTER join on month, and a max() window over the "
+    "JOINED series forward-fills months one channel skipped (max of a "
+    "nondecreasing cumulative == last seen value — the DS trick "
+    "verbatim); emit months where the F channel leads. All windows "
+    "run over month-aggregated tables (bounded at |months| rows "
+    "regardless of fact size); cumulative sums stay DECIMAL through "
+    "the fill, so the > comparison decides identically on both "
+    "engines (reference has no DS queries; shape per the published "
+    "spec).",
+)
+def tpcds_q51_cumulative_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    ym = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    ).alias("ym")
+
+    def cum_channel(status: str, out: str) -> DataFrame:
+        w = Window.orderBy("ym").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )  # |months|-bounded: one tiny task by construction
+        return (
+            orders.filter(F.col("o_orderstatus") == status)
+            .groupBy(ym)
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(38,12)")).alias(
+                    "_rev"
+                )
+            )
+            .select("ym", F.sum("_rev").over(w).alias(out))
+        )
+
+    fc = cum_channel("F", "fcum")
+    oc = cum_channel("O", "ocum")
+    j = fc.join(oc, "ym", "full_outer")
+    wf = Window.orderBy("ym").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    filled = j.select(
+        "ym",
+        F.max("fcum").over(wf).alias("cum_f"),
+        F.max("ocum").over(wf).alias("cum_o"),
+    )
+    return (
+        filled.filter(
+            F.col("cum_f").isNotNull()
+            & F.col("cum_o").isNotNull()
+            & (F.col("cum_f") > F.col("cum_o"))
+        )
+        .select(
+            F.floor(F.col("ym") / 12).cast("int").alias("y"),
+            (F.col("ym") % 12 + 1).cast("int").alias("mo"),
+            trino_round(F.col("cum_f").cast("double"), 6).alias("cum_f"),
+            trino_round(F.col("cum_o").cast("double"), 6).alias("cum_o"),
+        )
+        .orderBy("y", "mo")
+    )
+
+
+_DS_Q67_SQL = """
+WITH cells AS (
+    SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+                ELSE o_orderpriority END AS priority,
+           CASE WHEN GROUPING(yy) = 1 THEN 0 ELSE yy END AS y,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(yy) AS INTEGER)
+               AS lvl,
+           sum(rev) AS drev
+    FROM (
+        SELECT o_orderpriority, year(o_orderdate) AS yy,
+               CAST(o_totalprice AS DECIMAL(38,12)) AS rev
+        FROM orders
+    )
+    GROUP BY ROLLUP(o_orderpriority, yy)
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY lvl ORDER BY drev DESC, priority, y
+    ) AS rk
+    FROM cells
+)
+SELECT lvl, priority, CAST(y AS INTEGER) AS y,
+       round(CAST(drev AS DOUBLE), 6) AS revenue,
+       CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= 3
+ORDER BY lvl, rk
+"""
+
+
+@register(
+    "tpcds_q67_rollup_topk",
+    _DS_Q67_SQL,
+    doc="TPC-DS Q67 shape (rank over rollup output): revenue rolls up "
+    "the (priority, year) hierarchy, then a row_number window "
+    "PARTITIONED BY GROUPING LEVEL ranks cells within each level and "
+    "keeps the top 3 — the compose-windows-onto-grouping-sets plan DS "
+    "uses to page hierarchical reports. The window input is the "
+    "rollup OUTPUT (bounded at ~|priorities| x |years| cells), never "
+    "the fact table; DECIMAL cell sums + (revenue DESC, priority, y) "
+    "unique ordering make every rank engine-exact (reference has no "
+    "DS queries; shape per the published spec).",
+)
+def tpcds_q67_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.year("o_orderdate").alias("yy"),
+        F.col("o_totalprice").cast("decimal(38,12)").alias("rev"),
+    )
+    cells = o.rollup("o_orderpriority", "yy").agg(
+        F.grouping("o_orderpriority").alias("_gp"),
+        F.grouping("yy").alias("_gy"),
+        F.sum("rev").alias("drev"),
+    ).select(
+        F.when(F.col("_gp") == 1, F.lit("ALL"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority"),
+        F.when(F.col("_gy") == 1, F.lit(0)).otherwise(F.col("yy")).alias("y"),
+        (F.col("_gp") * 2 + F.col("_gy")).cast("int").alias("lvl"),
+        F.col("drev"),
+    )
+    wk = Window.partitionBy("lvl").orderBy(
+        F.desc("drev"), F.col("priority"), F.col("y")
+    )
+    return (
+        cells.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "lvl",
+            "priority",
+            F.col("y").cast("int").alias("y"),
+            trino_round(F.col("drev").cast("double"), 6).alias("revenue"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("lvl", "rk")
+    )

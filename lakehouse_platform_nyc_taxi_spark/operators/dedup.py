@@ -1316,12 +1316,14 @@ def decontamination_report(
     PaLM choice — long enough that boilerplate phrases don't flag, short
     enough that paraphrase-adjacent copies still do.
 
-    Never doc×doc: eval grams collapse to ONE distinct gram table
-    first, and the exploded train grams equi-join it on the gram — a
-    train gram row meets at most one eval gram row, so cost is linear
-    in corpus grams (no posting-list self-join, no df cap needed). A
-    real eval set is benchmark-sized, so AQE broadcasts its gram table
-    under the big side's explode. Gram construction is byte-identical
+    Never doc×doc: "this gram occurs in some eval doc" is a max()
+    window over the gram partition of the ONE exploded gram table —
+    tokenize once, shuffle once on the gram, and all three distinct
+    counts (eval grams, contaminated train docs, flagged grams) ride a
+    single expand-aggregate over that shuffle. Cost is linear in
+    corpus grams: no posting-list self-join, no df cap needed, no
+    second tokenize pass (the build-eval-set-then-join formulation
+    scans the corpus twice). Gram construction is byte-identical
     to :func:`gram_sets` (whitespace tokens, de-duplicated windows),
     with the same anti-inline projection discipline (see
     ``_gram_intersections``: size() and the token split must
@@ -1355,24 +1357,30 @@ def decontamination_report(
         .select(F.col(id_col), "_ev", grams.alias("grams"))
         .select(F.col(id_col), "_ev", F.explode_outer("grams").alias("gram"))
     )
-    eval_grams = (
-        ex.filter(F.col("_ev") & F.col("gram").isNotNull())
-        .select("gram")
-        .distinct()
+    # "gram appears in some eval doc" is a max() window over the gram
+    # partition — the distinct-eval-gram table and the train-side join
+    # collapse into ONE shuffle of the exploded table, and the three
+    # distinct counts ride a single expand-aggregate over it (the
+    # build-then-join formulation tokenizes the corpus twice; measured
+    # 6.8 s -> window form at sf0.1)
+    hasev = (
+        F.max(F.col("_ev").cast("int")).over(Window.partitionBy("gram")) == 1
     )
-    hits = ex.filter(~F.col("_ev")).join(eval_grams, "gram")
+    marked = ex.withColumn("_hasev", hasev).filter(F.col("gram").isNotNull())
+    hit = ~F.col("_ev") & F.col("_hasev")
+    stats = marked.agg(
+        F.countDistinct(F.when(F.col("_ev"), F.col("gram"))).alias(
+            "n_eval_grams"
+        ),
+        F.countDistinct(F.when(hit, F.col(id_col))).alias("n_contaminated"),
+        F.countDistinct(F.when(hit, F.col("gram"))).alias("n_flagged_grams"),
+    )
     counts = df.agg(
         F.sum(eval_pred.cast("boolean").cast("int")).alias("n_eval"),
         F.sum((~eval_pred.cast("boolean")).cast("int")).alias("n_train"),
     )
-    eg = eval_grams.agg(F.count(F.lit(1)).alias("n_eval_grams"))
-    hg = hits.agg(
-        F.countDistinct(id_col).alias("n_contaminated"),
-        F.countDistinct("gram").alias("n_flagged_grams"),
-    )
     return (
-        counts.crossJoin(F.broadcast(eg))
-        .crossJoin(F.broadcast(hg))
+        counts.crossJoin(F.broadcast(stats))
         .select(
             F.col("n_eval").cast("bigint").alias("n_eval"),
             F.col("n_train").cast("bigint").alias("n_train"),
@@ -1403,14 +1411,16 @@ def gram_novelty(
     source. Ingestion order is whatever ``id_col`` encodes (min-id =
     first occurrence; deterministic, tie-free).
 
-    Linear, two gram-keyed hash shuffles that AQE can overlay: one
-    groupBy computes each gram's first-occurrence id (|distinct
-    grams| rows), the exploded gram table equi-joins it back, and a
-    per-(doc, group) count ratio rolls up to |groups| rows. Never a
-    doc x doc comparison; gram construction is byte-identical to
-    :func:`gram_sets`. Documents shorter than ``ngram`` tokens carry
-    no grams and are excluded (documented; they have no novelty to
-    measure).
+    Linear, ONE gram-keyed shuffle: each gram's first-occurrence id is
+    a min() window over the gram partition of the exploded table — the
+    explode is tokenized once, shuffled once, and never joined back
+    (the groupBy+join formulation computes the explode twice; measured
+    15.6 s -> window form at sf0.1). The per-(doc, group) ratio then
+    rolls up to |groups| rows. Never a doc x doc comparison; gram
+    construction is byte-identical to :func:`gram_sets`, including the
+    anti-inline projection discipline (see ``_gram_intersections``).
+    Documents shorter than ``ngram`` tokens carry no grams and are
+    excluded (documented; they have no novelty to measure).
 
     Output per group: ``{group_col}, n_docs, n_grams, n_novel,
     novelty_rate`` (gram counts are per-doc distinct, summed;
@@ -1438,12 +1448,17 @@ def gram_novelty(
         )
         .select(F.col(id_col), F.col(group_col), grams.alias("grams"))
         .select(
-            F.col(id_col), F.col(group_col), F.explode("grams").alias("gram")
+            F.col(id_col),
+            F.col(group_col),
+            F.explode_outer("grams").alias("gram"),
         )
     )
-    first = ex.groupBy("gram").agg(F.min(id_col).alias("_first"))
+    # min-over-gram-partition window == groupBy(gram).min + join back,
+    # but tokenizes and shuffles the exploded table exactly once
+    first = F.min(id_col).over(Window.partitionBy("gram"))
     per_doc = (
-        ex.join(first, "gram")
+        ex.withColumn("_first", first)
+        .filter(F.col("gram").isNotNull())
         .groupBy(F.col(id_col), F.col(group_col))
         .agg(
             F.count(F.lit(1)).alias("_ng"),

@@ -26,7 +26,7 @@ partitioning / addition order — required for the DuckDB oracle twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -305,3 +305,94 @@ def label_propagation(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    backbone_k: int = 100,
+    top: int = 20,
+) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction (Liben-Nowell &
+    Kleinberg 2003, public) over the BACKBONE of a weighted graph: the
+    ``backbone_k`` strongest undirected edges (deterministic top-k by
+    weight with (a, b) tiebreak — a scale-invariant sparsification,
+    since raw trade graphs saturate to complete). Scores every
+    two-hop-connected NON-edge pair by common-neighbor count and
+    Jaccard(neighborhoods) and returns the ``top`` candidates — "which
+    strong relationship is missing".
+
+    Shape: the undirected collapse is one groupBy; the backbone is a
+    single-task window over ``backbone_k``-bounded rows (by
+    construction the scored graph is k edges, so every downstream
+    structure — adjacency, wedges, degrees — is k-bounded regardless
+    of input scale; the only input-sized step is the first groupBy).
+    Wedge generation self-joins the adjacency on the shared middle
+    node; the anti-join against the backbone removes existing edges.
+    Weights decimal-fenced; jaccard is one IEEE division.
+
+    Output: ``node_a, node_b, common_neighbors, deg_a, deg_b,
+    jaccard`` (round6), ordered by (jaccard desc, node_a, node_b),
+    limited to ``top``.
+    """
+    w = (
+        F.col(weight).cast("decimal(38,12)")
+        if weight
+        else F.lit(1).cast("decimal(38,12)")
+    )
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("a"),
+            F.greatest(src, dst).alias("b"),
+            w.alias("_w"),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("_w").alias("w"))
+    )
+    wk = Window.orderBy(F.desc("w"), "a", "b")  # k-bounded: one tiny task
+    backbone = (
+        und.withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("_rk") <= backbone_k)
+        .select("a", "b")
+    )
+    adj = backbone.union(
+        backbone.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    m1 = adj.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    m2 = adj.select(F.col("a").alias("y"), F.col("b").alias("z2"))
+    wedges = (
+        m1.join(m2, (F.col("z") == F.col("z2")) & (F.col("x") < F.col("y")))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = wedges.join(
+        backbone,
+        (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")),
+        "left_anti",
+    )
+    da = deg.select(F.col("a").alias("x"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("a").alias("y"), F.col("deg").alias("deg_b"))
+    from ..functions.trino import trino_round
+
+    return (
+        cand.join(da, "x")
+        .join(db, "y")
+        .select(
+            F.col("x").alias("node_a"),
+            F.col("y").alias("node_b"),
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+            F.col("deg_a").cast("bigint").alias("deg_a"),
+            F.col("deg_b").cast("bigint").alias("deg_b"),
+            trino_round(
+                F.col("cn").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "node_a", "node_b")
+        .limit(top)
+    )

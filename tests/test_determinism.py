@@ -46,6 +46,8 @@ QUERIES = [
     "stats_bootstrap_ci",      # r13: hash-Poisson weights + round8 means
     "text_gram_novelty",       # r13: min-id gram ownership, pure counts
     "orders_cohort_ltv",       # r13: decimal cells + exact prefix sums
+    "tpcds_q51_cumulative_join",  # r13: decimal cums + window fill
+    "graph_link_prediction",   # r13: backbone top-k + exact ratios
 ]
 
 

@@ -442,3 +442,41 @@ def test_gram_novelty_first_doc_owns_everything(spark):
     assert got["a"].n_novel == 2 and got["a"].novelty_rate == 0.5
     assert got["b"].n_docs == 1 and got["b"].n_novel == 2
     assert got["b"].novelty_rate == 1.0
+
+
+def test_link_prediction_path_graph(spark):
+    """Path a-b-c-d: the two-hop non-edges are (a,c), (b,d) with one
+    common neighbor each, and (a,d) shares none (3 hops) so it never
+    appears; jaccard = 1/(deg sum - cn)."""
+    from lakehouse_platform_nyc_taxi_spark.operators.graph import (
+        link_prediction,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5.0), (2, 3, 4.0), (3, 4, 3.0)], "src long, dst long, w double"
+    )
+    got = {
+        (r.node_a, r.node_b): r
+        for r in link_prediction(edges, weight="w", backbone_k=100).collect()
+    }
+    assert set(got) == {(1, 3), (2, 4)}
+    r13 = got[(1, 3)]
+    assert r13.common_neighbors == 1
+    assert r13.deg_a == 1 and r13.deg_b == 2
+    assert abs(r13.jaccard - 0.5) < 1e-9
+
+
+def test_link_prediction_backbone_cuts_weakest(spark):
+    """backbone_k=2 on a triangle keeps the two strongest edges, so the
+    dropped edge's endpoints become the predicted missing link."""
+    from lakehouse_platform_nyc_taxi_spark.operators.graph import (
+        link_prediction,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 9.0), (2, 3, 8.0), (1, 3, 1.0)], "src long, dst long, w double"
+    )
+    got = link_prediction(edges, weight="w", backbone_k=2).collect()
+    assert len(got) == 1
+    assert (got[0].node_a, got[0].node_b) == (1, 3)
+    assert got[0].common_neighbors == 1

@@ -839,3 +839,30 @@ def test_running_sums_take_small_input_fast_path(spark):
         assert "_bucket" not in plan, (
             f"{name}: small-input fast path not taken at eval scale"
         )
+
+
+def test_gram_novelty_single_pass_no_join(spark):
+    """text_gram_novelty must compute first-occurrence via a window
+    over the gram partition — NO join anywhere in the plan (the
+    groupBy+join formulation tokenizes the corpus twice; measured
+    15.6 s vs 1.5 s at sf0.1)."""
+    plan = plan_of(spark, "text_gram_novelty")
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" in plan
+
+
+def test_decontamination_single_gram_shuffle(spark):
+    """dedup_decontamination: the has-eval flag is a window over ONE
+    exploded gram table; the only join is the 1-row broadcast
+    combiner. Exactly one hashpartitioning exchange may carry the
+    gram column."""
+    import re
+
+    plan = plan_of(spark, "dedup_decontamination")
+    joins = re.findall(r"\w*Join\w*", plan)
+    assert all("BroadcastNestedLoopJoin" in j or j == "Join" for j in joins), joins
+    gram_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "gram" in l
+    ]
+    assert len(gram_exchanges) <= 1, gram_exchanges
