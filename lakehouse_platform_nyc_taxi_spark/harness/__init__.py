@@ -79,11 +79,14 @@ _PRIORITY = [
     #      r12 what's-wrong #2): after r13 no green row predates r8.
     #   3. The 21 next-stalest names (r8-green cohort, _KEEP head) —
     #      fills the window to exactly 50.
-    #   4. NINE mid-round additions (1-in-1-out per the invariant: the
-    #      nine names now at the _KEEP head moved out): decontamination,
-    #      fold-leakage audit, Mann-Whitney U, Poisson bootstrap CI,
-    #      cohort LTV triangle, gram-novelty audit, the Q51/Q67 DS
-    #      shapes, and backbone link prediction.
+    #   4. ELEVEN mid-round additions (1-in-1-out per the invariant:
+    #      the eleven names now at the _KEEP head moved out):
+    #      decontamination + its streaming gate, fold-leakage audit,
+    #      Mann-Whitney U, Poisson bootstrap CI, cohort LTV triangle,
+    #      gram-novelty audit, MMR re-ranking, the Q51/Q67 DS shapes,
+    #      and backbone link prediction.
+    "similarity_mmr_rerank",
+    "streaming_decontamination_gate",
     "tpcds_q51_cumulative_join",
     "tpcds_q67_rollup_topk",
     "graph_link_prediction",
@@ -132,8 +135,6 @@ _PRIORITY = [
     "agg_collect_sorted",
     "timeseries_gapfill_15min",
     "timeseries_gapfill",
-    "sampling_temperature_mix",
-    "conditional_case_nullif",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
@@ -144,7 +145,9 @@ _KEEP = [
     # remainder not pulled into the r13 window, then the 50 names of
     # the r12 window (freshest rows in the registry) at the tail —
     # future rotations pull from the HEAD of this list.
-    # r8-green, displaced mid-r13 by the wave-2/3/4 additions (1-in-1-out):
+    # r8-green, displaced mid-r13 by the wave-2/3/4/5 additions (1-in-1-out):
+    "sampling_temperature_mix",
+    "conditional_case_nullif",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "text_pii_scrub",

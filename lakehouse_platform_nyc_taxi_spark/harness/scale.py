@@ -3516,3 +3516,99 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return stats.bootstrap_mean_ci(ev, "user_id", "value", b_replicates=64)
+
+
+# ---------------------------------------------------------------------------
+# Round-13 wave 5: MMR diversified re-ranking
+# ---------------------------------------------------------------------------
+
+def _mmr_oracle(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
+    """Unrolled MMR selection as DuckDB CTEs (the kmeans/PQ unrolled-
+    iteration precedent): stage i picks argmax(lam*rel - (1-lam)*pen)
+    over candidates not yet selected, with pen = max pairwise sim to
+    the running selection. Ordering uses the UNROUNDED mmr of round6-
+    fenced rel/sim values with literal lambda — bit-identical to the
+    Spark side's window ordering."""
+    dot_nq = _IVF_DOT.format(a="n.e", b="q.qe")
+    dot_ab = _IVF_DOT.format(a="a.e", b="b.e")
+    inv = round(1.0 - lam, 10)
+    stages = [
+        f"""
+    s1 AS (
+        SELECT 1 AS "rank", vec_id, rel AS relevance,
+               0.0 AS max_sim_selected,
+               round({lam} * rel, 6) AS mmr_score
+        FROM cand
+        QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) = 1
+    ),
+    sel1 AS (SELECT vec_id FROM s1)"""
+    ]
+    for i in range(2, k + 1):
+        stages.append(f"""
+    s{i} AS (
+        SELECT {i} AS "rank", c.vec_id, c.rel AS relevance,
+               m.pen AS max_sim_selected,
+               round({lam} * c.rel - {inv} * m.pen, 6) AS mmr_score
+        FROM cand c JOIN (
+            SELECT ida, max(sim) AS pen
+            FROM p JOIN sel{i - 1} s ON p.idb = s.vec_id GROUP BY 1
+        ) m ON m.ida = c.vec_id
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+        QUALIFY row_number() OVER (
+            ORDER BY {lam} * c.rel - {inv} * m.pen DESC, c.vec_id) = 1
+    ),
+    sel{i} AS (SELECT vec_id FROM sel{i - 1}
+               UNION ALL SELECT vec_id FROM s{i})""")
+    union = "\n    UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, k + 1))
+    return (
+        _VEC_CTE
+        + f"""
+    , q AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = 0),
+    cand AS (
+        SELECT vec_id,
+               round({dot_nq} / (sqrt(n.nrm) * sqrt(q.qn)), 6) AS rel,
+               e, nrm
+        FROM n CROSS JOIN q WHERE vec_id <> 0
+        QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) <= {pool}
+    ),
+    p AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb,
+               round({dot_ab} / (sqrt(a.nrm) * sqrt(b.nrm)), 6) AS sim
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),"""
+        + ",".join(stages)
+        + f"""
+    {union}
+    ORDER BY "rank"
+    """
+    )
+
+
+@register(
+    "similarity_mmr_rerank",
+    _mmr_oracle(5, 20, 0.7),
+    doc="Maximal Marginal Relevance re-ranking (Carbonell & Goldstein "
+    "1998): pick 5 of the 20 most-relevant candidates iteratively, "
+    "each step maximizing lam*rel - (1-lam)*max-sim-to-selected — the "
+    "relevance/diversity stage between ANN retrieval and the context "
+    "window. Sequential in k, so the 5 steps unroll (kmeans/PQ "
+    "precedent) over POOL-BOUNDED tables only: the one input-sized "
+    "step is the TakeOrdered candidate scan (localCheckpoint-fenced); "
+    "the pool^2 sim table, <=5-row selection, and each limit(1) "
+    "argmax are all pool-bounded, nothing collects. round6-fenced "
+    "rel/sims + literal lambda + id tiebreaks make the selected "
+    "sequence engine-exact "
+    "(operators/similarity.py::mmr_rerank).",
+)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import mmr_rerank
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
+    )
+    return mmr_rerank(
+        emb.filter(F.col("vec_id") != 0), q, k=5, pool=20, lam=0.7
+    )

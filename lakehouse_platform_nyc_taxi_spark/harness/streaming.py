@@ -502,3 +502,100 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") >= F.col("exact_cnt")).alias("never_underestimates"),
     )
+
+
+_EVAL_GRAMS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _eval_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 8-gram table of the held-out eval docs (doc_id % 20 ==
+    7 — same convention as dedup_decontamination): the persisted
+    artifact a production gate would load. Cached per (session,
+    sf_dir), one entry per process like the band index; gram
+    construction is the exact expression the batch audit compiles."""
+    from pyspark.sql import functions as F
+
+    from ..operators.text import tokens
+    from ..sources.testdata import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EVAL_GRAMS_CACHE:
+        for old_key in list(_EVAL_GRAMS_CACHE):
+            old = _EVAL_GRAMS_CACHE.pop(old_key)
+            try:
+                old.rdd.unpersist()
+                old.unpersist()
+            except Exception:
+                pass  # session already stopped; nothing to free
+        n = 8
+        toks = F.col("_toks")
+        grams = F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 20 == 7
+        )
+        _EVAL_GRAMS_CACHE[key] = (
+            docs.select(tokens("text").alias("_toks"))
+            .select(grams.alias("grams"))
+            .select(F.explode("grams").alias("gram"))
+            .distinct()
+            .localCheckpoint()
+        )
+    return _EVAL_GRAMS_CACHE[key]
+
+
+def _grams8_sql_stream() -> str:
+    joins = " || ' ' || ".join(f"toks[i + {k}]" for k in range(1, 9))
+    return (
+        "CASE WHEN len(toks) >= 8 THEN list_distinct(list_transform("
+        "generate_series(0, len(toks) - 8), i -> " + joins + ")) "
+        "ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+@register(
+    "streaming_decontamination_gate",
+    f"""
+    WITH t AS (
+        SELECT doc_id, doc_id % 20 = 7 AS ev,
+               string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, ev, unnest({_grams8_sql_stream()}) AS gram FROM t
+    ),
+    eg AS (SELECT DISTINCT gram FROM g WHERE ev)
+    SELECT DISTINCT g.doc_id, g.gram
+    FROM g JOIN eg USING (gram)
+    WHERE NOT ev
+    """,
+    doc="Continuous-ingestion decontamination gate: non-eval documents "
+    "arrive as a file stream, explode to distinct 8-grams in-stream "
+    "(stateless projections), and stream-static join the eval set's "
+    "persisted distinct-gram index — one emitted (doc_id, gram) row "
+    "per benchmark overlap, so ingestion can drop contaminated docs "
+    "on arrival. The streaming half of the batch "
+    "dedup_decontamination audit against the same eval-gram artifact; "
+    "only the (doc, gram) dedup keeps state "
+    "(streaming/ops.py::stream_decontamination_gate).",
+    prepare=_eval_gram_index,
+)
+def streaming_decontamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    new_docs = S.read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 20 != 7
+    )
+    out = S.stream_decontamination_gate(
+        new_docs, _eval_gram_index(spark, sf_dir)
+    )
+    return S.run_available_now(out, "append", state_partitions=8)

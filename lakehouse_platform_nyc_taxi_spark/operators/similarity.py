@@ -1356,3 +1356,113 @@ def hard_negatives(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998, public): from the ``pool`` most-relevant candidates, pick
+    ``k`` iteratively, each step maximizing
+    ``lam * rel(q, d) - (1 - lam) * max_{s in S} sim(d, s)`` — the
+    relevance/diversity trade every retrieval stack applies between
+    ANN and the LLM context window.
+
+    MMR is inherently sequential in k, so the k steps UNROLL into k
+    dataframe stages (the kmeans/PQ fixed-iteration precedent) — but
+    every stage operates on the POOL-BOUNDED tables only: the
+    pool-sized candidate set (one TakeOrdered over the corpus scan is
+    the only input-sized step), its pool² pairwise-cosine table, and a
+    ≤k-row selected set; each pick is a limit(1) TakeOrdered, nothing
+    collects. Relevance and pairwise sims are round6-fenced before any
+    comparison, mmr is closed-form IEEE over those fenced values with
+    a literal lambda, and every argmax tie-breaks on the id — so the
+    selected sequence is engine-exact. The first pick's diversity
+    penalty is defined 0.0 (empty S).
+
+    Output: ``rank, {id_col}, relevance, max_sim_selected, mmr_score``
+    (round6), one row per selection in pick order.
+    """
+    base = vec_norms(df, vec_col, [id_col])
+    q = vec_norms(query, "qv", []).select(
+        F.col("v").alias("_qv"), F.col("nrm").alias("_qn")
+    )
+    rel = F.col("_dot") / (F.sqrt("nrm") * F.sqrt("_qn"))
+    cands = (
+        base.join(F.broadcast(q))
+        .withColumn("_dot", dot_product(F.col("v"), F.col("_qv")))
+        .select(
+            F.col(id_col), trino_round(rel, 6).alias("rel"), "v", "nrm"
+        )
+        .orderBy(F.desc("rel"), F.asc(id_col))
+        .limit(pool)
+        .localCheckpoint()  # pool-bounded; fences the corpus scan off
+        # the k unrolled stages (each would otherwise rescan)
+    )
+    a = cands.select(
+        F.col(id_col).alias("_ida"), F.col("v").alias("_va"), F.col("nrm").alias("_na")
+    )
+    b = cands.select(
+        F.col(id_col).alias("_idb"), F.col("v").alias("_vb"), F.col("nrm").alias("_nb")
+    )
+    sims = (
+        a.join(b, F.col("_ida") != F.col("_idb"))
+        .select(
+            "_ida",
+            "_idb",
+            trino_round(
+                dot_product(F.col("_va"), F.col("_vb"))
+                / (F.sqrt("_na") * F.sqrt("_nb")),
+                6,
+            ).alias("_sim"),
+        )
+        .localCheckpoint()  # pool² rows
+    )
+    lam_c, inv_c = F.lit(float(lam)), F.lit(1.0 - float(lam))
+    first = (
+        cands.orderBy(F.desc("rel"), F.asc(id_col))
+        .limit(1)
+        .select(
+            F.lit(1).alias("rank"),
+            F.col(id_col),
+            F.col("rel").alias("relevance"),
+            F.lit(0.0).alias("max_sim_selected"),
+            trino_round(lam_c * F.col("rel"), 6).alias("mmr_score"),
+        )
+    )
+    sel = first
+    for step in range(2, k + 1):
+        pen = (
+            sims.join(
+                sel.select(F.col(id_col).alias("_sid")),
+                F.col("_idb") == F.col("_sid"),
+            )
+            .groupBy("_ida")
+            .agg(F.max("_sim").alias("_pen"))
+        )
+        pick = (
+            cands.join(
+                sel.select(F.col(id_col).alias("_sid")),
+                F.col(id_col) == F.col("_sid"),
+                "left_anti",
+            )
+            .join(pen, F.col(id_col) == F.col("_ida"))
+            .withColumn("_mmr", lam_c * F.col("rel") - inv_c * F.col("_pen"))
+            .orderBy(F.desc("_mmr"), F.asc(id_col))
+            .limit(1)
+            .select(
+                F.lit(step).alias("rank"),
+                F.col(id_col),
+                F.col("rel").alias("relevance"),
+                F.col("_pen").alias("max_sim_selected"),
+                trino_round(F.col("_mmr"), 6).alias("mmr_score"),
+            )
+        )
+        sel = sel.unionAll(pick)
+    return sel

@@ -605,3 +605,50 @@ def stream_cms(
     return cells.groupBy("d", "cell").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
+
+
+def stream_decontamination_gate(
+    stream_docs: DataFrame,
+    eval_grams: DataFrame,
+    ngram: int = 8,
+) -> DataFrame:
+    """Continuous-ingestion decontamination gate: every arriving
+    document explodes to its distinct ``ngram``-word grams IN the
+    stream (pure projections — stateless, no watermark needed) and
+    stream-static joins the held-out eval set's distinct gram table
+    (``eval_grams``: one ``gram`` column — benchmark-sized, the
+    artifact the batch ``decontamination_report`` already derives). A
+    row ``(doc_id, gram)`` is emitted per flagged overlap; downstream
+    ingestion drops any doc that produced one — the streaming half of
+    the batch decontamination audit against the same eval-gram index.
+
+    The only stateful step is the (doc, gram) de-duplication (a gram
+    can repeat across micro-batches only via re-delivery; with
+    availableNow draining, state is bounded by the run). Gram
+    construction is byte-identical to the batch side
+    (operators/dedup.py::decontamination_report).
+    """
+    from ..operators.text import tokens
+
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= ngram,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - ngram),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + k + 1) for k in range(ngram)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = (
+        stream_docs.select(F.col("doc_id"), tokens("text").alias("_toks"))
+        .select(F.col("doc_id"), grams.alias("grams"))
+        .select(F.col("doc_id"), F.explode("grams").alias("gram"))
+    )
+    return (
+        ex.join(eval_grams.select("gram"), "gram")
+        .select("doc_id", "gram")
+        .dropDuplicates(["doc_id", "gram"])
+    )

@@ -48,6 +48,7 @@ QUERIES = [
     "orders_cohort_ltv",       # r13: decimal cells + exact prefix sums
     "tpcds_q51_cumulative_join",  # r13: decimal cums + window fill
     "graph_link_prediction",   # r13: backbone top-k + exact ratios
+    "similarity_mmr_rerank",   # r13: round6 rel/sims + id-tiebroken argmax
 ]
 
 

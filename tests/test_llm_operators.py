@@ -2053,3 +2053,73 @@ def test_fold_leakage_audit_counts_and_repair(spark):
     assert got.leak_rate == 1.0
     # only b differs from the cluster fold (cluster id == a)
     assert got.n_docs_reassigned == 1
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    """Three near-identical high-relevance vectors vs one orthogonal
+    mid-relevance vector: plain top-2 would take two of the clones;
+    MMR's second pick must be the orthogonal one."""
+    from lakehouse_platform_nyc_taxi_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.01]),   # clone pack, rel ~1
+        (2, [1.0, 0.0, 0.02]),
+        (3, [1.0, 0.0, 0.03]),
+        (4, [0.5, 0.866, 0.0]),  # 60 deg away, rel 0.5
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([([1.0, 0.0, 0.0],)], "qv array<double>")
+    got = mmr_rerank(df, q, k=2, pool=4, lam=0.5).collect()
+    assert [r.rank for r in got] == [1, 2]
+    assert got[0].vec_id == 1          # highest rel, lowest id tiebreak
+    assert got[1].vec_id == 4          # diversity beats the clones
+    assert got[1].max_sim_selected < 0.6
+
+
+def test_mmr_rerank_lambda_one_is_pure_relevance(spark):
+    """lam=1.0 disables the diversity penalty: picks must be exactly
+    the relevance top-k in order."""
+    from lakehouse_platform_nyc_taxi_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.8, 0.2]), (4, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([([1.0, 0.0],)], "qv array<double>")
+    got = mmr_rerank(df, q, k=3, pool=4, lam=1.0).collect()
+    assert [r.vec_id for r in got] == [1, 2, 3]
+
+
+def test_pairs_cache_evicts_other_sf_dirs(spark):
+    """_PAIRS_CACHE keeps only the current sf_dir's pair tables (both
+    blocking variants may coexist); entries for other dirs unpersist
+    on the next build — same hygiene rule as the band index."""
+    from lakehouse_platform_nyc_taxi_spark.harness import llm
+
+    llm._PAIRS_CACHE.clear()
+    llm._cluster_pairs(spark, "/root/testdata/sf0.001")
+    app = spark.sparkContext.applicationId
+    assert set(llm._PAIRS_CACHE) == {(app, "/root/testdata/sf0.001")}
+    # same dir, lang variant: coexists
+    llm._containment_pairs(spark, "/root/testdata/sf0.001")
+    assert len(llm._PAIRS_CACHE) == 2
+    # different dir: both prior entries evicted
+    llm._cluster_pairs(spark, "/root/testdata/sf0.01")
+    assert set(llm._PAIRS_CACHE) == {(app, "/root/testdata/sf0.01")}
+    llm._PAIRS_CACHE.clear()
+
+
+def test_trade_edges_cache_caps_at_one_entry(spark):
+    from lakehouse_platform_nyc_taxi_spark.harness import mining
+
+    mining._EDGES_CACHE.clear()
+    mining._trade_edges(spark, "/root/testdata/sf0.001")
+    assert len(mining._EDGES_CACHE) == 1
+    mining._trade_edges(spark, "/root/testdata/sf0.01")
+    assert len(mining._EDGES_CACHE) == 1
+    assert list(mining._EDGES_CACHE)[0][1] == "/root/testdata/sf0.01"
+    mining._EDGES_CACHE.clear()
