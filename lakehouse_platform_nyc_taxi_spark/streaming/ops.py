@@ -645,7 +645,12 @@ def stream_decontamination_gate(
     ex = (
         stream_docs.select(F.col("doc_id"), tokens("text").alias("_toks"))
         .select(F.col("doc_id"), grams.alias("grams"))
-        .select(F.col("doc_id"), F.explode("grams").alias("gram"))
+        # explode_outer, not explode: InferFiltersFromGenerate would add
+        # size(grams) > 0 under an inner explode and predicate pushdown
+        # inlines the entire gram pipeline into a per-row scan filter
+        # (the _gram_intersections blowup — measured 29 s vs ~2 s here);
+        # the inner equi-join on `gram` drops the null rows anyway
+        .select(F.col("doc_id"), F.explode_outer("grams").alias("gram"))
     )
     return (
         ex.join(eval_grams.select("gram"), "gram")

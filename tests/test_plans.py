@@ -866,3 +866,43 @@ def test_decontamination_single_gram_shuffle(spark):
         if "Exchange hashpartitioning" in l and "gram" in l
     ]
     assert len(gram_exchanges) <= 1, gram_exchanges
+
+
+def test_r13_wave_never_cartesian(spark):
+    """No r13 query may plan a CartesianProduct; the 1-row/cell-bounded
+    combiner crossJoins must stay BroadcastNestedLoop over bounded
+    sides (whitelisted per query)."""
+    bounded_bnlj_ok = {
+        # 1-row aggregate combiners / bounded-candidate composers
+        "dedup_decontamination", "sampling_fold_leakage",
+        "stats_bootstrap_ci", "sampling_priority_estimate",
+        "orders_pareto_share", "similarity_mmr_rerank",
+        # |sources|^2 matrix assembly over per-source aggregates
+        "dedup_cluster_containment",
+    }
+    for name in (
+        "tpcds_q5_channel_rollup", "tpcds_q38_period_intersect",
+        "tpcds_q47_yoy_ratio", "tpcds_q51_cumulative_join",
+        "tpcds_q67_rollup_topk", "sampling_reservoir_weighted",
+        "sampling_priority_estimate", "dedup_cluster_containment",
+        "dedup_decontamination", "sampling_fold_leakage",
+        "stats_mann_whitney", "stats_bootstrap_ci", "orders_cohort_ltv",
+        "text_gram_novelty", "graph_link_prediction",
+        "similarity_mmr_rerank",
+    ):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} planned a cartesian"
+        if name not in bounded_bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name} planned a nested-loop join"
+            )
+
+
+def test_bootstrap_replicates_collapse_before_shuffle(spark):
+    """stats_bootstrap_ci: the B-replicate explode must partial-
+    aggregate map-side — the only hashpartitioning exchange over the
+    replicate key carries the 64-row partial table, so no exchange
+    input is B x N rows."""
+    plan = plan_of(spark, "stats_bootstrap_ci")
+    assert "partial" in plan.lower()
+    assert "Generate explode" in plan or "explode" in plan
