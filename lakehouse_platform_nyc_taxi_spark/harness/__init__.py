@@ -79,12 +79,14 @@ _PRIORITY = [
     #      r12 what's-wrong #2): after r13 no green row predates r8.
     #   3. The 21 next-stalest names (r8-green cohort, _KEEP head) —
     #      fills the window to exactly 50.
-    #   4. ELEVEN mid-round additions (1-in-1-out per the invariant:
-    #      the eleven names now at the _KEEP head moved out):
+    #   4. TWELVE mid-round additions (1-in-1-out per the invariant:
+    #      the twelve names now at the _KEEP head moved out):
     #      decontamination + its streaming gate, fold-leakage audit,
     #      Mann-Whitney U, Poisson bootstrap CI, cohort LTV triangle,
     #      gram-novelty audit, MMR re-ranking, the Q51/Q67 DS shapes,
-    #      and backbone link prediction.
+    #      backbone link prediction, and the Holt forecast fold
+    #      (exact-checkable applyInPandas vs a recursive-CTE oracle).
+    "timeseries_holt_forecast",
     "similarity_mmr_rerank",
     "streaming_decontamination_gate",
     "tpcds_q51_cumulative_join",
@@ -134,7 +136,6 @@ _PRIORITY = [
     "embedding_quantize_int8",
     "agg_collect_sorted",
     "timeseries_gapfill_15min",
-    "timeseries_gapfill",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
@@ -145,7 +146,8 @@ _KEEP = [
     # remainder not pulled into the r13 window, then the 50 names of
     # the r12 window (freshest rows in the registry) at the tail —
     # future rotations pull from the HEAD of this list.
-    # r8-green, displaced mid-r13 by the wave-2/3/4/5 additions (1-in-1-out):
+    # r8-green, displaced mid-r13 by the wave-2/3/4/5/6 additions (1-in-1-out):
+    "timeseries_gapfill",
     "sampling_temperature_mix",
     "conditional_case_nullif",
     "dedup_exact",

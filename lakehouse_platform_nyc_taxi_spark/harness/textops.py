@@ -1140,3 +1140,71 @@ def quality_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.rule", "r.docs_failing", "r.tokens_lost", "r.pct_tokens_lost")
         .orderBy("rule")
     )
+
+
+@register(
+    "timeseries_holt_forecast",
+    """
+    WITH RECURSIVE d AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS y
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT user_id, y,
+               row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        FROM d
+    ),
+    mx AS (SELECT user_id, max(rn) AS n FROM s GROUP BY 1),
+    r AS (
+        SELECT user_id, 1 AS rn, y AS l,
+               CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS sse
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT r.user_id, r.rn + 1,
+               round(0.5 * s.y + 0.5 * (r.l + r.b), 8),
+               round(0.25 * (round(0.5 * s.y + 0.5 * (r.l + r.b), 8) - r.l)
+                     + 0.75 * r.b, 8),
+               round(r.sse
+                     + round((s.y - round(r.l + r.b, 8))
+                             * (s.y - round(r.l + r.b, 8)), 8), 8)
+        FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT r.user_id, CAST(mx.n AS BIGINT) AS n_obs,
+           round(r.l, 6) AS level, round(r.b, 6) AS trend,
+           round(round(r.l + r.b, 8), 6) AS forecast_next,
+           round(r.sse, 6) AS sse
+    FROM r JOIN mx ON mx.user_id = r.user_id AND r.rn = mx.n
+    ORDER BY r.user_id
+    """,
+    doc="Holt linear-trend smoothing over each user's daily value "
+    "series: level/trend recurrence + 1-step-ahead forecast + in-"
+    "sample SSE. The fold is inherently sequential per series, so the "
+    "Spark side is the canonical custom-operator seam — Arrow-batched "
+    "applyInPandas per user (series-bounded work inside one task, "
+    "users parallelize, nothing on the driver) — while the oracle is "
+    "a recursive CTE stepping the SAME recurrence. Dyadic alpha/beta "
+    "(0.5/0.25) and a Trino-round8 fence after EVERY step make the "
+    "fold bit-identical across engines and partitionings — a rare "
+    "exact-checkable iterative op, not a rows-only one "
+    "(operators/timeseries.py::holt_smoothing).",
+)
+def timeseries_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import holt_smoothing
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            F.col("user_id"),
+            F.date_trunc("day", F.col("ts")).cast("date").alias("_day"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("_y")
+        )
+    )
+    return holt_smoothing(ev, "user_id", "_day", "_y").orderBy("user_id")

@@ -612,3 +612,82 @@ def cusum_changepoint(
         )
         .orderBy(group_col)
     )
+
+
+def holt_smoothing(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (Holt 1957, public),
+    per key series:
+
+        pred_t  = round8(l + b)                (1-step-ahead forecast)
+        l_t     = round8(alpha*y_t + (1-alpha)*(l + b))
+        b_t     = round8(beta*(l_t - l) + (1-beta)*b)
+        sse    += round8((y_t - pred_t)^2)     (round8-fenced)
+
+    seeded l_1 = y_1, b_1 = 0. The recurrence is inherently sequential
+    in t, so this is the repo's canonical CUSTOM-OPERATOR seam: an
+    Arrow-batched ``applyInPandas`` over the per-key groups — each
+    series sorts and folds inside one worker (bounded by the series
+    length, not the table), keys parallelize across the cluster, and
+    nothing touches the driver. Default alpha/beta are DYADIC (0.5,
+    0.25), and every step result is fenced through the Trino-round8
+    shim (sign*floor(|x|*1e8 + 0.5)/1e8 — the exact IEEE composition
+    ``functions/trino.py::trino_round`` compiles and DuckDB's
+    round(double) implements), so the fold is bit-identical on every
+    engine and partitioning: the oracle twin is a recursive CTE, not a
+    rows-only check.
+
+    Output per key: ``{key}, n_obs, level, trend, forecast_next, sse``
+    (round6; forecast_next = round8(l + b) of the final state).
+    """
+    import math
+
+    import pandas as pd
+
+    a_c, b_c = float(alpha), float(beta)
+
+    def r8(x: float) -> float:
+        return (math.floor(abs(x) * 1e8 + 0.5) / 1e8) * (
+            1.0 if x >= 0 else -1.0
+        )
+
+    def r6(x: float) -> float:
+        return (math.floor(abs(x) * 1e6 + 0.5) / 1e6) * (
+            1.0 if x >= 0 else -1.0
+        )
+
+    out_schema = (
+        f"{key} long, n_obs long, level double, trend double, "
+        "forecast_next double, sse double"
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order)
+        y = pdf[value].to_numpy(dtype="float64")
+        l, b, sse = float(y[0]), 0.0, 0.0
+        for t in range(1, len(y)):
+            yt = float(y[t])
+            pred = r8(l + b)
+            e = yt - pred
+            sse = r8(sse + r8(e * e))
+            l_new = r8(a_c * yt + (1.0 - a_c) * (l + b))
+            b = r8(b_c * (l_new - l) + (1.0 - b_c) * b)
+            l = l_new
+        return pd.DataFrame(
+            {
+                key: [pdf[key].iloc[0]],
+                "n_obs": [len(y)],
+                "level": [r6(l)],
+                "trend": [r6(b)],
+                "forecast_next": [r6(r8(l + b))],
+                "sse": [r6(sse)],
+            }
+        )
+
+    return df.groupBy(key).applyInPandas(fold, out_schema)

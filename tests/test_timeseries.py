@@ -320,3 +320,35 @@ def test_two_phase_running_sum_guards(spark):
     kb = {r.tb: (r.running, r.running_total) for r in bucketed.collect()}
     ks = {r.tb: (r.running, r.running_total) for r in single.collect()}
     assert kb == ks
+
+
+def test_holt_smoothing_hand_fold(spark):
+    """holt_smoothing vs a hand-stepped fold on a 3-point series
+    (alpha=0.5, beta=0.25): y = 10, 20, 30.
+      t=2: pred=10, l=0.5*20+0.5*10=15, b=0.25*5=1.25, sse=100
+      t=3: pred=16.25, l=0.5*30+0.5*16.25=23.125, b=0.25*8.125+0.75*1.25
+           =2.96875, sse=100+189.0625=289.0625
+    """
+    from lakehouse_platform_nyc_taxi_spark.operators.timeseries import (
+        holt_smoothing,
+    )
+
+    rows = [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0)]
+    df = spark.createDataFrame(rows, "user_id long, t long, y double")
+    got = holt_smoothing(df, "user_id", "t", "y").collect()[0]
+    assert got.n_obs == 3
+    assert got.level == 23.125
+    assert got.trend == 2.96875
+    assert got.forecast_next == 26.09375
+    assert got.sse == 289.0625
+
+
+def test_holt_smoothing_single_point(spark):
+    from lakehouse_platform_nyc_taxi_spark.operators.timeseries import (
+        holt_smoothing,
+    )
+
+    df = spark.createDataFrame([(7, 1, 42.5)], "user_id long, t long, y double")
+    got = holt_smoothing(df, "user_id", "t", "y").collect()[0]
+    assert (got.n_obs, got.level, got.trend, got.sse) == (1, 42.5, 0.0, 0.0)
+    assert got.forecast_next == 42.5
