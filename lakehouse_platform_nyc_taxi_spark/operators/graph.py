@@ -324,11 +324,17 @@ def link_prediction(
     Jaccard(neighborhoods) and returns the ``top`` candidates — "which
     strong relationship is missing".
 
-    Shape: the undirected collapse is one groupBy; the backbone is a
-    single-task window over ``backbone_k``-bounded rows (by
-    construction the scored graph is k edges, so every downstream
-    structure — adjacency, wedges, degrees — is k-bounded regardless
-    of input scale; the only input-sized step is the first groupBy).
+    Shape: the undirected collapse is one groupBy; the backbone is an
+    ``orderBy(...).limit(k)`` — Spark plans TakeOrderedAndProject,
+    which keeps a k-row heap PER PARTITION and merges the partial
+    top-ks on the driver, so the full collapsed edge table is never
+    sorted in one task (the row_number()-over-unpartitioned-window
+    formulation of the same top-k WOULD single-task the whole table;
+    the sort key (w desc, a, b) is a total order, so limit ≡
+    row_number ≤ k row-for-row). Downstream the scored graph is k
+    edges, so every structure — adjacency, wedges, degrees — is
+    k-bounded regardless of input scale; the only input-sized steps
+    are the first groupBy and the partial top-k scan.
     Wedge generation self-joins the adjacency on the shared middle
     node; the anti-join against the backbone removes existing edges.
     Weights decimal-fenced; jaccard is one IEEE division.
@@ -352,11 +358,10 @@ def link_prediction(
         .groupBy("a", "b")
         .agg(F.sum("_w").alias("w"))
     )
-    wk = Window.orderBy(F.desc("w"), "a", "b")  # k-bounded: one tiny task
+    # TakeOrderedAndProject: per-partition k-row heaps, never a global
+    # single-task sort of the collapsed edge table (VERDICT r13 #1)
     backbone = (
-        und.withColumn("_rk", F.row_number().over(wk))
-        .filter(F.col("_rk") <= backbone_k)
-        .select("a", "b")
+        und.orderBy(F.desc("w"), "a", "b").limit(backbone_k).select("a", "b")
     )
     adj = backbone.union(
         backbone.select(F.col("b").alias("a"), F.col("a").alias("b"))

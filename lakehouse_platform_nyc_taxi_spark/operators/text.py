@@ -896,22 +896,73 @@ def zipf_fit(
     OCR noise flattens the tail, template spam steepens the head).
 
     One token explode into a map-side-combined vocabulary count (the
-    only corpus-sized shuffle), then a RANK over the vocabulary —
-    vocabulary-sized (≪ corpus; ~10⁷ even at 100 TB of text), the one
-    deliberate global sort, documented rather than hidden. Per-term
-    ``ln`` values are rounded to 8 decimals and all five moment sums
-    accumulate in exact decimal (associative), so the closed-form
-    regression arithmetic runs on bit-identical inputs in any engine.
-    Output: one row (n_vocab, total_tokens, slope, intercept).
+    only corpus-sized shuffle), then the Mann-Whitney MIDRANK trick
+    (VERDICT r13 #5) instead of a global sort: rank(term) = (# terms
+    with strictly greater cnt) + (# same-cnt terms in earlier hash
+    buckets) + row_number within the term's (cnt, bucket) partition.
+    Both offset tables are bounded aggregates (|distinct cnts| and
+    |distinct cnts| x n_buckets rows — counts are heavy-tailed, so
+    distinct cnt cardinality is ~sqrt(total) at worst) joined by
+    broadcast; the ONLY window partitions by (cnt, bucket), so no
+    stage sorts the vocabulary in one task and the cnt=1 half of the
+    vocabulary spreads across buckets. Which same-cnt term gets which
+    rank of the tie block differs from the (cnt desc, token) total
+    order, but the OUTPUT is invariant: y = ln(cnt) is constant
+    within a tie block and the block's rank multiset is fixed, so
+    every moment sum — including the per-row round8 products — is
+    identical addend-for-addend to the sorted form's.
+
+    Per-term ``ln`` values are rounded to 8 decimals and all five
+    moment sums accumulate in exact decimal (associative), so the
+    closed-form regression arithmetic runs on bit-identical inputs in
+    any engine. Output: one row (n_vocab, total_tokens, slope,
+    intercept).
     """
+    sc = df.sparkSession.sparkContext
+    n_buckets = max(64, 2 * sc.defaultParallelism)
     vocab = (
         df.select(F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("_bkt", F.pmod(F.xxhash64("token"), F.lit(n_buckets)))
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    ranked = vocab.select(
-        "cnt", F.row_number().over(w).cast("long").alias("rank")
+    btab = vocab.groupBy("cnt", "_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    cnt_tab = btab.groupBy("cnt").agg(F.sum("_n").alias("_n_at"))
+    # terms with strictly greater cnt: bounded range self-join, not a window
+    cnt_off = (
+        cnt_tab.alias("a")
+        .join(
+            F.broadcast(cnt_tab.alias("b")),
+            F.col("b.cnt") > F.col("a.cnt"),
+            "left",
+        )
+        .groupBy(F.col("a.cnt").alias("cnt"))
+        .agg(F.coalesce(F.sum("b._n_at"), F.lit(0)).alias("_coff"))
+    )
+    # same-cnt terms in earlier buckets: bounded self-join within cnt
+    bkt_off = (
+        btab.alias("a")
+        .join(
+            F.broadcast(btab.alias("b")),
+            (F.col("b.cnt") == F.col("a.cnt"))
+            & (F.col("b._bkt") < F.col("a._bkt")),
+            "left",
+        )
+        .groupBy(
+            F.col("a.cnt").alias("cnt"), F.col("a._bkt").alias("_bkt")
+        )
+        .agg(F.coalesce(F.sum("b._n"), F.lit(0)).alias("_boff"))
+    )
+    wrn = Window.partitionBy("cnt", "_bkt").orderBy("token")
+    ranked = (
+        vocab.join(F.broadcast(cnt_off), "cnt")
+        .join(F.broadcast(bkt_off), ["cnt", "_bkt"])
+        .select(
+            "cnt",
+            (
+                F.col("_coff") + F.col("_boff") + F.row_number().over(wrn)
+            ).cast("long").alias("rank"),
+        )
     )
     x = trino_round(F.log(F.col("rank").cast("double")), 8)
     y = trino_round(F.log(F.col("cnt").cast("double")), 8)

@@ -621,6 +621,7 @@ def holt_smoothing(
     value: str,
     alpha: float = 0.5,
     beta: float = 0.25,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Holt's linear-trend exponential smoothing (Holt 1957, public),
     per key series:
@@ -632,12 +633,16 @@ def holt_smoothing(
 
     seeded l_1 = y_1, b_1 = 0. The recurrence is inherently sequential
     in t, so this is the repo's canonical CUSTOM-OPERATOR seam: an
-    Arrow-batched ``applyInPandas`` over 64 HASH BUCKETS of keys (not
+    Arrow-batched ``applyInPandas`` over HASH BUCKETS of keys (not
     per-key groups — per-group calls pay ~ms of Arrow/pandas fixed
     cost each, measured 6.4 s vs 1.2 s at sf0.1); each bucket's call
     folds its series one by one via numpy boundary slicing, work stays
     bounded by the bucket's rows, buckets parallelize across the
-    cluster, and nothing touches the driver. Default alpha/beta are DYADIC (0.5,
+    cluster, and nothing touches the driver. ``n_buckets`` defaults to
+    ``max(64, 2 * defaultParallelism)`` (the same derivation as
+    :func:`two_phase_running_sum`) so a 1000-executor job never
+    serializes the fold on a local[32]-tuned constant; bucketing never
+    affects per-series math, only parallelism. Default alpha/beta are DYADIC (0.5,
     0.25), and every step result is fenced through the Trino-round8
     shim (sign*floor(|x|*1e8 + 0.5)/1e8 — the exact IEEE composition
     ``functions/trino.py::trino_round`` compiles and DuckDB's
@@ -664,8 +669,9 @@ def holt_smoothing(
             1.0 if x >= 0 else -1.0
         )
 
+    key_type = df.schema[key].dataType.simpleString()
     out_schema = (
-        f"{key} long, n_obs long, level double, trend double, "
+        f"{key} {key_type}, n_obs long, level double, trend double, "
         "forecast_next double, sse double"
     )
 
@@ -704,5 +710,9 @@ def holt_smoothing(
             out["sse"].append(r6(sse))
         return pd.DataFrame(out)
 
-    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(64))
+    if n_buckets is None:
+        n_buckets = max(
+            64, 2 * df.sparkSession.sparkContext.defaultParallelism
+        )
+    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
     return df.groupBy(bucket.alias("_bk")).applyInPandas(fold, out_schema)

@@ -898,6 +898,34 @@ def test_r13_wave_never_cartesian(spark):
             )
 
 
+def test_link_prediction_backbone_is_takeordered_not_global_window(spark):
+    """VERDICT r13 #1: the backbone top-k must plan as
+    TakeOrderedAndProject (per-partition k-row heaps) — the old
+    row_number()-over-unpartitioned-window form moved the ENTIRE
+    collapsed edge table to one partition and sorted it in one task.
+    No windowspecdefinition without a partition spec may appear over
+    the edge table."""
+    plan = plan_of(spark, "graph_link_prediction")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    opt = optimized_of(spark, "graph_link_prediction")
+    assert "windowspecdefinition" not in opt, (
+        "backbone regressed to a window formulation:\n" + opt[:2000]
+    )
+
+
+def test_zipf_rank_has_no_global_sort_window(spark):
+    """VERDICT r13 #5: the vocabulary rank must come from the midrank
+    composition (bounded offset joins + row_number partitioned by
+    (cnt, bucket)) — not a row_number over an unpartitioned window,
+    which sorts the whole vocabulary in one task. Every window spec in
+    the optimized plan must carry a partition list naming cnt."""
+    opt = optimized_of(spark, "text_zipf_fit")
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", opt)
+    assert specs, "expected the (cnt, bucket)-partitioned row_number window"
+    for s in specs:
+        assert "cnt" in s and "_bkt" in s, f"unpartitioned window spec: {s}"
+
+
 def test_bootstrap_replicates_collapse_before_shuffle(spark):
     """stats_bootstrap_ci: the B-replicate explode must partial-
     aggregate map-side — the only hashpartitioning exchange over the
