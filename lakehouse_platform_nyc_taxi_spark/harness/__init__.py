@@ -71,7 +71,7 @@ _PRIORITY = [
     # Composition (VERDICT r12 #1, the attestation rotation):
     #   1. SIX NEW r13 queries — the TPC-DS-shaped wave (Q5 channel
     #      rollup, Q38 period intersect, Q47 windowed YoY deviation)
-    #      plus weighted reservoir sampling (Efraimidis-Spirakis),
+    #      plus weighted reservoir sampling (priority-order w/u),
     #      priority sampling (Duffield-Lund-Thorup), and the
     #      cluster-level cross-source containment matrix.
     #   2. ALL TWENTY r7-attested stragglers (the full set, not the

@@ -595,8 +595,8 @@ def sampling_per_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
            priority
     FROM r WHERE rk <= 5
     """,
-    doc="Weighted reservoir with per-key budgets (Efraimidis-Spirakis "
-    "A-ES, hash-determinized): exactly 5 docs per language, inclusion "
+    doc="Weighted reservoir with per-key budgets (priority-order w/u "
+    "selection, hash-determinized): exactly 5 docs per language, inclusion "
     "biased toward long documents via priority = md5(key)/weight, keep "
     "the k smallest per group. The division of two exact integers is "
     "IEEE-correctly-rounded, so the selected set is bit-identical "

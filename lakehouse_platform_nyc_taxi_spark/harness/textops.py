@@ -1208,3 +1208,95 @@ def timeseries_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return holt_smoothing(ev, "user_id", "_day", "_y").orderBy("user_id")
+
+
+@register(
+    "timeseries_holt_winters",
+    """
+    WITH RECURSIVE d AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS y
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT user_id, y,
+               row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        FROM d
+    ),
+    mx AS (SELECT user_id, max(rn) AS n FROM s GROUP BY 1),
+    r AS (
+        SELECT user_id, 1 AS rn, y AS acc, [y] AS ys,
+               CAST(0.0 AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b,
+               CAST(0.0 AS DOUBLE) AS sse
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT r.user_id, r.rn + 1,
+               CASE WHEN r.rn + 1 <= 7 THEN round(r.acc + s.y, 8)
+                    ELSE r.acc END,
+               CASE
+                 WHEN r.rn + 1 < 7 THEN list_append(r.ys, s.y)
+                 WHEN r.rn + 1 = 7 THEN
+                   list_transform(list_append(r.ys, s.y),
+                       v -> round(v - round(round(r.acc + s.y, 8) / 7, 8), 8))
+                 ELSE list_append(r.ys[2:],
+                   round(0.5 * (s.y - round(0.5 * (s.y - r.ys[1])
+                                            + 0.5 * (r.l + r.b), 8))
+                         + 0.5 * r.ys[1], 8))
+               END,
+               CASE
+                 WHEN r.rn + 1 < 7 THEN r.l
+                 WHEN r.rn + 1 = 7 THEN round(round(r.acc + s.y, 8) / 7, 8)
+                 ELSE round(0.5 * (s.y - r.ys[1]) + 0.5 * (r.l + r.b), 8)
+               END,
+               CASE
+                 WHEN r.rn + 1 <= 7 THEN r.b
+                 ELSE round(0.25 * (round(0.5 * (s.y - r.ys[1])
+                                          + 0.5 * (r.l + r.b), 8) - r.l)
+                            + 0.75 * r.b, 8)
+               END,
+               CASE
+                 WHEN r.rn + 1 <= 7 THEN r.sse
+                 ELSE round(r.sse + round((s.y - round(r.l + r.b + r.ys[1], 8))
+                                   * (s.y - round(r.l + r.b + r.ys[1], 8)), 8), 8)
+               END
+        FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT r.user_id, CAST(mx.n AS BIGINT) AS n_obs,
+           round(r.l, 6) AS level, round(r.b, 6) AS trend,
+           round(r.ys[1], 6) AS season_next,
+           round(round(r.l + r.b + r.ys[1], 8), 6) AS forecast_next,
+           round(r.sse, 6) AS sse
+    FROM r JOIN mx ON mx.user_id = r.user_id AND r.rn = mx.n
+    WHERE mx.n > 7
+    ORDER BY r.user_id
+    """,
+    doc="Holt-Winters ADDITIVE-seasonality smoothing (period 7) over "
+    "each user's daily value series: level/trend/seasonal recurrence, "
+    "1-step-ahead forecast and in-sample SSE. Same bucketed "
+    "applyInPandas fold seam as the Holt query, with the season "
+    "vector as per-series state; the oracle is a recursive CTE "
+    "carrying that vector as a LIST. Dyadic alpha/beta/gamma "
+    "(0.5/0.25/0.5), a round8 fence after EVERY step, and a "
+    "sequentially-fenced seed mean (fixing the engine-dependent "
+    "summation order) make the fold bit-identical across engines "
+    "(operators/timeseries.py::holt_winters_smoothing).",
+)
+def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import holt_winters_smoothing
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            F.col("user_id"),
+            F.date_trunc("day", F.col("ts")).cast("date").alias("_day"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("_y")
+        )
+    )
+    return holt_winters_smoothing(ev, "user_id", "_day", "_y", period=7).orderBy(
+        "user_id"
+    )

@@ -468,19 +468,26 @@ def weighted_reservoir_per_key(
     ``weight_col`` rows — the "5 documents per language, preferring
     long ones" primitive of corpus curation.
 
-    Deterministic A-ES variant (Efraimidis & Spirakis 2006, weighted
-    reservoir by priority key): classic A-ES draws u~U(0,1] per row and
-    keeps the k largest u^(1/w). Here the random variate is replaced by
-    the md5 hash of the key — priority = hash / weight, keep the k
-    SMALLEST per group (large weight -> small priority -> kept). One
-    IEEE double division of two exact integers, which every engine
-    rounds identically (division is correctly-rounded by IEEE 754;
-    pow/ln are not), so the selected set is bit-reproducible across
-    reruns, engines, and parallelism — same reason every sampler here
-    hashes instead of calling rand().
+    Deterministic PRIORITY-ORDER selection (the w/u priority key of
+    Duffield-Lund-Thorup priority sampling, here per group): draw a
+    pseudo-random u per row (the md5 hash of the key, replacing
+    rand()), set priority = u / weight, keep the k SMALLEST per group
+    — equivalently the k largest w/u. NOTE this is NOT the
+    Efraimidis-Spirakis u^(1/w) order statistic — the inclusion
+    probabilities differ (priority order over-favors heavy rows
+    relative to A-ES's p_i ∝ exact weighted-without-replacement law);
+    both are standard weighted-selection laws, and the priority form
+    is chosen here because u/w is ONE IEEE double division of two
+    exact integers, which every engine rounds identically (division
+    is correctly-rounded by IEEE 754; the pow/ln that u^(1/w) needs
+    are not), so the selected set is bit-reproducible across reruns,
+    engines, and parallelism — same reason every sampler here hashes
+    instead of calling rand(). For the A-ES law proper, exponentiate:
+    keep the k largest hash^(weight_scale/w) — at the cost of
+    engine-dependent pow rounding on ties.
 
-    Weights must be > 0 (non-positive-weight rows are dropped, matching
-    A-ES's domain). One shuffle on the group key; the per-group sort is
+    Weights must be > 0 (non-positive-weight rows are dropped — zero
+    weight has no defined priority). One shuffle on the group key; the per-group sort is
     a rank-k windowed top-k, never a global sort.
 
     Output: input columns + ``priority`` (the selection key, so the

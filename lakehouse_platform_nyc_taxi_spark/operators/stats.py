@@ -145,17 +145,38 @@ def rfm_segments(
     ts_col: str,
     value_col: str,
     n_tiles: int = 4,
+    small_users: int = 4_000_000,
 ) -> DataFrame:
     """RFM segmentation: quartile-score every user on Recency (days
     since last event, vs the corpus max timestamp), Frequency (event
     count) and Monetary (fenced value sum), then count users per
     R-F-M segment.
 
-    The corpus max timestamp is a 1-row broadcast (no collect); each
-    ntile is a window over the user-level aggregate (cardinality =
-    users, not events) with a deterministic ``user_col`` tiebreak —
-    ntile's SQL bucket arithmetic is integer-exact, so segments are
-    engine-identical.
+    The corpus max timestamp is a 1-row broadcast (no collect). Tile
+    assignment is scale-guarded (VERDICT r13 #2 — the union-find /
+    two_phase_running_sum precedent), because for a training-data
+    pipeline "users" is document/author cardinality (10⁸–10⁹ at
+    100 TB), not vocab-bounded:
+
+    - **At or under ``small_users``** (probed with one count action on
+      the localCheckpointed user table): three ``ntile`` windows over
+      the user-level aggregate with a deterministic ``user_col``
+      tiebreak — ntile's SQL bucket arithmetic is integer-exact, so
+      segments are engine-identical bit-for-bit.
+    - **Above the guard** (the 100 TB path; ``small_users=0`` forces
+      it): NO global window. Per dimension, the n_tiles−1 tile
+      BOUNDARY VALUES come from a count-grouped running sum
+      (:func:`~..operators.timeseries.two_phase_running_sum` over the
+      |distinct values|-sized count table — skew/scale-safe by its own
+      internal guard), picking the value at ntile's exact cut
+      positions p_t = t·⌊N/n⌋ + min(t, N mod n). The three ≤(n_tiles−1)-
+      row boundary tables collapse to one broadcast row of sorted
+      arrays, and every user's tile is ``1 + #{boundaries < value}``
+      — a row-local array fold, no shuffle. Ties that straddle a cut
+      position land in the lower tile as a block (ntile splits them by
+      the ``user_col`` tiebreak), which is the standard quantile-
+      segmentation semantics; on boundary-tie-free data the two forms
+      are value-identical (property-tested).
 
     Output: ``segment, n_users, avg_monetary`` (round6), ordered by
     segment.
@@ -175,18 +196,26 @@ def rfm_segments(
         ),
         "_freq",
         "_mon",
-    )
+    ).localCheckpoint(eager=True)
+    n_users = scored.count()
     # lower recency = better (tile 1), higher freq/monetary = better
-    r = F.ntile(n_tiles).over(Window.orderBy(F.col("_rec"), F.col("_u")))
-    f_ = F.ntile(n_tiles).over(Window.orderBy(F.desc("_freq"), F.col("_u")))
-    m = F.ntile(n_tiles).over(Window.orderBy(F.desc("_mon"), F.col("_u")))
-    seg = scored.select(
-        "_u",
-        "_mon",
-        F.concat(
-            r.cast("string"), F.lit("-"), f_.cast("string"), F.lit("-"), m.cast("string")
-        ).alias("segment"),
-    )
+    if n_users <= small_users and small_users:
+        r = F.ntile(n_tiles).over(Window.orderBy(F.col("_rec"), F.col("_u")))
+        f_ = F.ntile(n_tiles).over(Window.orderBy(F.desc("_freq"), F.col("_u")))
+        m = F.ntile(n_tiles).over(Window.orderBy(F.desc("_mon"), F.col("_u")))
+        seg = scored.select(
+            "_u",
+            "_mon",
+            F.concat(
+                r.cast("string"),
+                F.lit("-"),
+                f_.cast("string"),
+                F.lit("-"),
+                m.cast("string"),
+            ).alias("segment"),
+        )
+    else:
+        seg = _rfm_boundary_tiles(scored, n_users, n_tiles)
     return (
         seg.groupBy("segment")
         .agg(
@@ -196,6 +225,70 @@ def rfm_segments(
             ).alias("avg_monetary"),
         )
         .orderBy("segment")
+    )
+
+
+def _rfm_boundary_tiles(scored: DataFrame, n_users: int, n_tiles: int) -> DataFrame:
+    """Scale path for :func:`rfm_segments`: per-dimension boundary
+    values at ntile's cut positions from count-grouped running sums,
+    broadcast as one row of sorted arrays, tiles assigned by a
+    row-local array fold. Descending dimensions (freq, monetary) are
+    negated so one ascending rule covers all three."""
+    from .timeseries import two_phase_running_sum
+
+    spark = scored.sparkSession
+    q, r_ = divmod(n_users, n_tiles)
+    cuts = [t * q + min(t, r_) for t in range(1, n_tiles)]
+    pos = F.broadcast(
+        spark.createDataFrame([(p,) for p in cuts], "p long")
+    )
+    dims = [
+        ("_rec", F.col("_rec").cast("double")),
+        ("_negf", (-F.col("_freq")).cast("double")),
+        ("_negm", (-F.col("_mon")).cast("double")),
+    ]
+    with_keys = scored.select(
+        "_u", "_mon", "_rec", *[expr.alias(name) for name, expr in dims[1:]]
+    )
+    bnd_arrays = None
+    for name, _ in dims:
+        grp = (
+            with_keys.select(F.col(name).cast("double").alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        cum = two_phase_running_sum(grp, "n", order=["v"], out="c")
+        # boundary value for cut p: the unique v whose cumulative count
+        # first reaches p (c >= p and c - n < p)
+        b = (
+            cum.join(pos, (F.col("c") >= F.col("p")) & (F.col("c") - F.col("n") < F.col("p")))
+            .groupBy()
+            .agg(F.array_sort(F.collect_list("v")).alias(f"_b{name}"))
+        )
+        bnd_arrays = b if bnd_arrays is None else bnd_arrays.crossJoin(b)
+    withb = with_keys.crossJoin(F.broadcast(bnd_arrays))
+
+    def tile(val: str, arr: str):
+        return (
+            F.lit(1)
+            + F.aggregate(
+                F.col(arr),
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col(val).cast("double") > b, 1).otherwise(0),
+            )
+        ).cast("int")
+
+    return withb.select(
+        "_u",
+        "_mon",
+        F.concat(
+            tile("_rec", "_b_rec").cast("string"),
+            F.lit("-"),
+            tile("_negf", "_b_negf").cast("string"),
+            F.lit("-"),
+            tile("_negm", "_b_negm").cast("string"),
+        ).alias("segment"),
     )
 
 

@@ -221,6 +221,7 @@ def two_phase_running_sum(
     n_buckets: int | None = None,
     out: str = "running",
     small_rows: int = 4_000_000,
+    bounds: tuple[float, float, int] | None = None,
 ) -> DataFrame:
     """Exact running sum over ``order`` within each ``keys`` group,
     computed skew-safely: partition by (keys, range-bucket) instead of
@@ -234,7 +235,17 @@ def two_phase_running_sum(
     1. probes min/max of ``bucket_on`` plus the row count in ONE
        keyless aggregate action (three scalars to the driver — the
        same class of action as the union-find size guard and the
-       k·d kmeans means, not a data collect);
+       k·d kmeans means, not a data collect). NOTE the probe is EAGER:
+       it runs at DataFrame-CONSTRUCTION time, so the upstream
+       pipeline executes once for the probe and again for the real
+       query (callers with an expensive upstream should
+       localCheckpoint first, as rfm does), the function is not lazily
+       composable, and lo/hi/n_rows freeze as plan literals — stale if
+       the input mutates between construction and execution. Callers
+       that already know the bounds pass
+       ``bounds=(lo, hi, n_rows)`` (in ``bucket_on``'s post-cast
+       double domain — micros for timestamps, days for dates) to skip
+       the probe entirely;
     2. range-buckets rows with ``width_bucket`` over [min, max];
     3. computes per-(keys, bucket) value sums — a table of
        |keys| x n_buckets rows — and prefix-sums THOSE with a window
@@ -285,11 +296,14 @@ def two_phase_running_sum(
         bsrc = F.datediff(F.col(bucket_on), F.lit("1970-01-01")).cast("double")
     else:
         bsrc = F.col(bucket_on).cast("double")
-    lo, hi, n_rows = df.agg(
-        F.min(bsrc).alias("_lo"),
-        F.max(bsrc).alias("_hi"),
-        F.count(F.lit(1)).alias("_n"),
-    ).first()
+    if bounds is not None:
+        lo, hi, n_rows = bounds
+    else:
+        lo, hi, n_rows = df.agg(
+            F.min(bsrc).alias("_lo"),
+            F.max(bsrc).alias("_hi"),
+            F.count(F.lit(1)).alias("_n"),
+        ).first()
     if small_rows and n_rows <= small_rows:
         wcum = (
             Window.partitionBy(*kcols)
@@ -707,6 +721,122 @@ def holt_smoothing(
             out["level"].append(r6(l))
             out["trend"].append(r6(b))
             out["forecast_next"].append(r6(r8(l + b)))
+            out["sse"].append(r6(sse))
+        return pd.DataFrame(out)
+
+    if n_buckets is None:
+        n_buckets = max(
+            64, 2 * df.sparkSession.sparkContext.defaultParallelism
+        )
+    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+    return df.groupBy(bucket.alias("_bk")).applyInPandas(fold, out_schema)
+
+
+def holt_winters_smoothing(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+    period: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.5,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE-seasonality smoothing (Winters 1960,
+    public), per key series with season length ``period`` (= m):
+
+        seed (t = 1..m):  acc    = round8(acc + y_t)   (sequential)
+                          l_m    = round8(acc / m)
+                          s_i    = round8(y_i - l_m),  b_m = 0
+        step (t > m):     pred_t = round8(l + b + s_{t-m})
+                          sse   += round8((y_t - pred_t)^2)
+                          l'     = round8(a*(y_t - s_{t-m}) + (1-a)*(l+b))
+                          b'     = round8(beta*(l'-l) + (1-beta)*b)
+                          s_t    = round8(g*(y_t - l') + (1-g)*s_{t-m})
+
+    Series with n <= m observations are dropped (no post-seed step to
+    score). Same custom-operator seam as :func:`holt_smoothing`: an
+    Arrow-batched ``applyInPandas`` fold over hash buckets of keys
+    (``n_buckets`` defaults to ``max(64, 2 * defaultParallelism)``),
+    per-series work bounded by the series, nothing on the driver.
+    Default alpha/beta/gamma are DYADIC (0.5/0.25/0.5) and every step —
+    including the sequential seed accumulation, which fixes the
+    otherwise engine-dependent summation order of the seed mean — is
+    fenced through round8 (sign*floor(|x|*1e8+0.5)/1e8), so the fold
+    is bit-identical on every engine and partitioning and the oracle
+    twin is a recursive CTE carrying the season vector as a LIST, not
+    a rows-only check.
+
+    Output per key: ``{key}, n_obs, level, trend, season_next,
+    forecast_next, sse`` (round6; season_next is the seasonal index
+    the next forecast would use, forecast_next = round8(l + b +
+    season_next) of the final state).
+    """
+    import math
+
+    import pandas as pd
+
+    if period < 2:
+        raise ValueError("period must be >= 2 for a seasonal fit")
+    a_c, b_c, g_c, m = float(alpha), float(beta), float(gamma), int(period)
+
+    def r8(x: float) -> float:
+        return (math.floor(abs(x) * 1e8 + 0.5) / 1e8) * (
+            1.0 if x >= 0 else -1.0
+        )
+
+    def r6(x: float) -> float:
+        return (math.floor(abs(x) * 1e6 + 0.5) / 1e6) * (
+            1.0 if x >= 0 else -1.0
+        )
+
+    key_type = df.schema[key].dataType.simpleString()
+    out_schema = (
+        f"{key} {key_type}, n_obs long, level double, trend double, "
+        "season_next double, forecast_next double, sse double"
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # one call per hash BUCKET of keys (see holt_smoothing: per-group
+        # applyInPandas pays ~ms of Arrow fixed cost per group)
+        import numpy as np
+
+        pdf = pdf.sort_values([key, order])
+        keys_arr = pdf[key].to_numpy()
+        y_all = pdf[value].to_numpy(dtype="float64")
+        out = {key: [], "n_obs": [], "level": [], "trend": [],
+               "season_next": [], "forecast_next": [], "sse": []}
+        starts = np.flatnonzero(
+            np.r_[True, keys_arr[1:] != keys_arr[:-1]]
+        ).tolist() + [len(keys_arr)]
+        for s0, s1 in zip(starts[:-1], starts[1:]):
+            y = y_all[s0:s1]
+            n = len(y)
+            if n <= m:
+                continue
+            acc = float(y[0])
+            for t in range(1, m):
+                acc = r8(acc + float(y[t]))
+            l = r8(acc / m)
+            s = [r8(float(y[i]) - l) for i in range(m)]
+            b, sse = 0.0, 0.0
+            for t in range(m, n):
+                yt = float(y[t])
+                sm = s[0]
+                pred = r8(l + b + sm)
+                e = yt - pred
+                sse = r8(sse + r8(e * e))
+                l_new = r8(a_c * (yt - sm) + (1.0 - a_c) * (l + b))
+                b = r8(b_c * (l_new - l) + (1.0 - b_c) * b)
+                s = s[1:] + [r8(g_c * (yt - l_new) + (1.0 - g_c) * sm)]
+                l = l_new
+            out[key].append(keys_arr[s0])
+            out["n_obs"].append(n)
+            out["level"].append(r6(l))
+            out["trend"].append(r6(b))
+            out["season_next"].append(r6(s[0]))
+            out["forecast_next"].append(r6(r8(l + b + s[0])))
             out["sse"].append(r6(sse))
         return pd.DataFrame(out)
 

@@ -611,6 +611,8 @@ def stream_decontamination_gate(
     stream_docs: DataFrame,
     eval_grams: DataFrame,
     ngram: int = 8,
+    event_time: str | None = None,
+    watermark: str = "1 hour",
 ) -> DataFrame:
     """Continuous-ingestion decontamination gate: every arriving
     document explodes to its distinct ``ngram``-word grams IN the
@@ -623,9 +625,17 @@ def stream_decontamination_gate(
     the batch decontamination audit against the same eval-gram index.
 
     The only stateful step is the (doc, gram) de-duplication (a gram
-    can repeat across micro-batches only via re-delivery; with
-    availableNow draining, state is bounded by the run). Gram
-    construction is byte-identical to the batch side
+    can repeat across micro-batches only via re-delivery). State
+    bounding is trigger-dependent: with availableNow draining (the
+    batch-parity regime the oracle replays) state is bounded by the
+    run and plain ``dropDuplicates`` is used. For a genuinely
+    CONTINUOUS deployment pass ``event_time`` (an event-timestamp
+    column on ``stream_docs``) — the gate then applies a
+    ``watermark`` and switches to ``dropDuplicatesWithinWatermark``,
+    so dedup state for grams older than the watermark horizon is
+    evicted instead of growing without bound; re-deliveries later
+    than the horizon re-emit (at-least-once, the standard watermarked
+    trade). Gram construction is byte-identical to the batch side
     (operators/dedup.py::decontamination_report).
     """
     from ..operators.text import tokens
@@ -642,18 +652,22 @@ def stream_decontamination_gate(
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+    keep = [F.col(event_time)] if event_time else []
     ex = (
-        stream_docs.select(F.col("doc_id"), tokens("text").alias("_toks"))
-        .select(F.col("doc_id"), grams.alias("grams"))
+        stream_docs.select(F.col("doc_id"), tokens("text").alias("_toks"), *keep)
+        .select(F.col("doc_id"), grams.alias("grams"), *keep)
         # explode_outer, not explode: InferFiltersFromGenerate would add
         # size(grams) > 0 under an inner explode and predicate pushdown
         # inlines the entire gram pipeline into a per-row scan filter
         # (the _gram_intersections blowup — measured 29 s vs ~2 s here);
         # the inner equi-join on `gram` drops the null rows anyway
-        .select(F.col("doc_id"), F.explode_outer("grams").alias("gram"))
+        .select(F.col("doc_id"), F.explode_outer("grams").alias("gram"), *keep)
     )
-    return (
-        ex.join(eval_grams.select("gram"), "gram")
-        .select("doc_id", "gram")
-        .dropDuplicates(["doc_id", "gram"])
-    )
+    flagged = ex.join(eval_grams.select("gram"), "gram")
+    if event_time:
+        return (
+            flagged.withWatermark(event_time, watermark)
+            .dropDuplicatesWithinWatermark(["doc_id", "gram"])
+            .select("doc_id", "gram")
+        )
+    return flagged.select("doc_id", "gram").dropDuplicates(["doc_id", "gram"])

@@ -1746,6 +1746,40 @@ def test_rfm_segments_cover_all_users(spark):
         assert 1 <= int(rr) <= 4 and 1 <= int(ff) <= 4 and 1 <= int(mm) <= 4
 
 
+def test_rfm_boundary_form_matches_ntile_form(spark):
+    """VERDICT r13 #2: above the user-count guard rfm_segments swaps
+    the three global ntile windows for broadcast boundary-value
+    assignment. On boundary-tie-free data (distinct recency / freq /
+    monetary per user) the two forms must be value-identical; 37 users
+    (not divisible by n_tiles) exercises the uneven-bucket cut
+    arithmetic p_t = t*floor(N/n) + min(t, N mod n)."""
+    import datetime
+
+    from lakehouse_platform_nyc_taxi_spark.operators import stats
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for u in range(37):
+        for i in range(u + 1):
+            rows.append(
+                (u, base + datetime.timedelta(days=u, hours=i), 1.0 + u * 0.001)
+            )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, value double")
+    ntile_form = sorted(
+        map(tuple, stats.rfm_segments(df, "user_id", "ts", "value").collect())
+    )
+    boundary_form = sorted(
+        map(
+            tuple,
+            stats.rfm_segments(
+                df, "user_id", "ts", "value", small_users=0
+            ).collect(),
+        )
+    )
+    assert ntile_form == boundary_form
+    assert sum(r[1] for r in ntile_form) == 37
+
+
 def test_markov_transitions_probabilities(spark):
     from lakehouse_platform_nyc_taxi_spark.operators import sessionize
 

@@ -926,6 +926,21 @@ def test_zipf_rank_has_no_global_sort_window(spark):
         assert "cnt" in s and "_bkt" in s, f"unpartitioned window spec: {s}"
 
 
+def test_rfm_boundary_path_has_no_global_ntile(spark):
+    """VERDICT r13 #2: the forced boundary path (small_users=0) must
+    plan NO ntile window at all — tile assignment is a row-local array
+    fold over one broadcast boundary row; the only remaining windows
+    are two_phase_running_sum internals over the count-grouped
+    boundary tables (value-cardinality-sized, not user-sized)."""
+    from lakehouse_platform_nyc_taxi_spark.operators import stats
+    from lakehouse_platform_nyc_taxi_spark.sources import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    df = stats.rfm_segments(ev, "user_id", "ts", "value", small_users=0)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ntile" not in opt, opt[:2000]
+
+
 def test_bootstrap_replicates_collapse_before_shuffle(spark):
     """stats_bootstrap_ci: the B-replicate explode must partial-
     aggregate map-side — the only hashpartitioning exchange over the

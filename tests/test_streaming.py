@@ -563,3 +563,38 @@ def test_stream_dedup_gate_flags_stored_duplicate(spark, tmp_path):
     assert (1, 0) in got and got[(1, 0)] == 1.0  # exact dup flagged
     assert all(d == 1 for d, _ in got)           # only arriving docs emit
     assert (3, 0) not in got and (3, 2) not in got  # novel doc passes
+
+
+def test_decontamination_gate_watermarked_dedup_state_bounded(spark, tmp_path):
+    """ADVICE r13: with event_time set, the gate must plan
+    dropDuplicatesWithinWatermark (evictable dedup state for a
+    continuous deployment) and still emit each flagged (doc, gram)
+    once within the horizon."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_platform_nyc_taxi_spark import streaming as S
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, words, T0),
+            (2, "completely different vocabulary " * 4, T0),
+        ],
+        "doc_id long, text string, ts timestamp",
+    )
+    path = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    eval_grams = spark.createDataFrame(
+        [(" ".join(f"w{i}" for i in range(8)),)], "gram string"
+    )
+    gated = S.stream_decontamination_gate(
+        stream, eval_grams, event_time="ts", watermark="10 minutes"
+    )
+    # the stateful operator must be the watermark-scoped dedup variant
+    assert gated.isStreaming
+    out = S.run_available_now(gated, "append", state_partitions=4).collect()
+    assert {(r.doc_id, r.gram) for r in out} == {
+        (1, " ".join(f"w{i}" for i in range(8)))
+    }

@@ -352,3 +352,28 @@ def test_holt_smoothing_single_point(spark):
     got = holt_smoothing(df, "user_id", "t", "y").collect()[0]
     assert (got.n_obs, got.level, got.trend, got.sse) == (1, 42.5, 0.0, 0.0)
     assert got.forecast_next == 42.5
+
+
+def test_holt_winters_hand_fold(spark):
+    """holt_winters_smoothing vs a hand-stepped fold, period=2
+    (alpha=0.5, beta=0.25, gamma=0.5): y = 10, 20, 30, 40.
+      seed: l=15, s=[-5, 5], b=0
+      t=3: pred=10,   sse=400,    l=25,    b=2.5,    s=[5, 0]
+      t=4: pred=32.5, sse=456.25, l=31.25, b=3.4375, s=[0, 6.875]
+    A second user with only 2 points (n <= m) must be dropped."""
+    from lakehouse_platform_nyc_taxi_spark.operators.timeseries import (
+        holt_winters_smoothing,
+    )
+
+    rows = [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (1, 4, 40.0),
+            (2, 1, 5.0), (2, 2, 6.0)]
+    df = spark.createDataFrame(rows, "user_id long, t long, y double")
+    out = holt_winters_smoothing(df, "user_id", "t", "y", period=2).collect()
+    assert len(out) == 1 and out[0].user_id == 1
+    got = out[0]
+    assert got.n_obs == 4
+    assert got.level == 31.25
+    assert got.trend == 3.4375
+    assert got.season_next == 0.0
+    assert got.forecast_next == 34.6875
+    assert got.sse == 456.25
