@@ -62,91 +62,38 @@ def register(
 #      Their green rows live in CORRECTNESS_r01.json (kept in-repo), so
 #      rounds jointly cover every query.
 _PRIORITY = [
-    # --- Round-13 window (driver checks the FIRST 50 registered) ---
+    # --- Round-14 window (driver checks the FIRST 50 registered) ---
     # INVARIANT (pinned by tests/test_harness_oracle.py): len(_PRIORITY)
     # is EXACTLY 50 and equals the first 50 names registry() yields. A
     # query added mid-round must be inserted at the head of this list
     # and the tail name moved to the head of _KEEP (1-in-1-out).
     #
-    # Composition (VERDICT r12 #1, the attestation rotation):
-    #   1. SIX NEW r13 queries — the TPC-DS-shaped wave (Q5 channel
-    #      rollup, Q38 period intersect, Q47 windowed YoY deviation)
-    #      plus weighted reservoir sampling (priority-order w/u),
-    #      priority sampling (Duffield-Lund-Thorup), and the
-    #      cluster-level cross-source containment matrix.
-    #   2. ALL TWENTY r7-attested stragglers (the full set, not the
-    #      seven the old _KEEP head comment undercounted — VERDICT
-    #      r12 what's-wrong #2): after r13 no green row predates r8.
-    #   3. The 21 next-stalest names (r8-green cohort, _KEEP head) —
-    #      fills the window to exactly 50.
-    #   4. TWELVE mid-round additions (1-in-1-out per the invariant:
-    #      the twelve names now at the _KEEP head moved out):
-    #      decontamination + its streaming gate, fold-leakage audit,
-    #      Mann-Whitney U, Poisson bootstrap CI, cohort LTV triangle,
-    #      gram-novelty audit, MMR re-ranking, the Q51/Q67 DS shapes,
-    #      backbone link prediction, and the Holt forecast fold
-    #      (exact-checkable applyInPandas vs a recursive-CTE oracle).
-    "timeseries_holt_forecast",
-    "similarity_mmr_rerank",
-    "streaming_decontamination_gate",
-    "tpcds_q51_cumulative_join",
-    "tpcds_q67_rollup_topk",
+    # Composition (VERDICT r13 #3, the attestation rotation):
+    #   1. EIGHT NEW r14 queries — exact ROC-AUC / KS two-sample /
+    #      Brier decomposition (the calibration-analytics wave),
+    #      Holt-Winters additive seasonality (recursive-CTE oracle),
+    #      the TPC-DS Q35/Q69 EXISTS/NOT-EXISTS gate and Q88
+    #      multi-band single-scan shapes, ECE reliability bins, and
+    #      split-conformal coverage.
+    #   2. FOUR plan-changed r14 re-attestations — link-prediction
+    #      backbone (TakeOrdered swap), RFM (boundary-tile scale
+    #      guard), Zipf (midrank rank, no global sort), Holt (derived
+    #      bucket count + schema-typed key).
+    #   3. The FULL 37-name r8-green cohort (VERDICT r13 missing #1)
+    #      — after r14 no green row predates r10.
+    #   4. quality_gopher_rules (next-stalest) — fills the window.
+    "stats_roc_auc",
+    "stats_ks_two_sample",
+    "stats_brier_decomposition",
+    "timeseries_holt_winters",
+    "tpcds_q69_exists_gate",
+    "tpcds_q88_time_bands",
+    "stats_ece_calibration",
+    "stats_conformal_coverage",
     "graph_link_prediction",
-    "dedup_decontamination",
-    "sampling_fold_leakage",
-    "stats_mann_whitney",
-    "stats_bootstrap_ci",
-    "orders_cohort_ltv",
-    "text_gram_novelty",
-    "tpcds_q5_channel_rollup",
-    "tpcds_q38_period_intersect",
-    "tpcds_q47_yoy_ratio",
-    "sampling_reservoir_weighted",
-    "sampling_priority_estimate",
-    "dedup_cluster_containment",
-    "validity_filter",
-    "window_lead_lag",
-    "window_moving_avg",
-    "window_running_total",
-    "window_time_range_sum",
-    "window_topk_per_group",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_rollup",
-    "agg_arg_extremes",
-    "agg_no_keys",
-    "agg_percentiles",
-    "join_anti",
-    "join_asof",
-    "join_cross_ratio",
-    "join_range",
-    "join_semi",
-    "join_null_safe",
-    "unpivot_charges",
-    "agg_approx_distinct",
-    "dedup_exact_substring",
-    "dedup_strip_spans",
-    "dedup_self_substring",
-    "multimodal_decode_image",
-    "streaming_grouping_sets",
-    "streaming_chained_windows",
-    "agg_hll_mergeable_rollup",
-    "entity_resolution_golden",
-    "basket_pair_histogram",
-    "embedding_quantize_int8",
-    "agg_collect_sorted",
-    "timeseries_gapfill_15min",
-]
-# Any NEW registration not listed anywhere auto-slots directly after
-# _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
-# window, so a query added mid-round must be listed in _PRIORITY
-# explicitly (and a name bumped to _KEEP to make room).
-_KEEP = [
-    # Staleness-ordered (oldest driver row first): the r8/r10/r11-green
-    # remainder not pulled into the r13 window, then the 50 names of
-    # the r12 window (freshest rows in the registry) at the tail —
-    # future rotations pull from the HEAD of this list.
-    # r8-green, displaced mid-r13 by the wave-2/3/4/5/6 additions (1-in-1-out):
+    "events_rfm_segmentation",
+    "text_zipf_fit",
+    "timeseries_holt_forecast",
     "timeseries_gapfill",
     "sampling_temperature_mix",
     "conditional_case_nullif",
@@ -185,6 +132,16 @@ _KEEP = [
     "embedding_random_projection",
     "hybrid_search_rrf",
     "quality_gopher_rules",
+]
+# Any NEW registration not listed anywhere auto-slots directly after
+# _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
+# window, so a query added mid-round must be listed in _PRIORITY
+# explicitly (and a name bumped to _KEEP to make room).
+_KEEP = [
+    # Staleness-ordered (oldest driver row first): the r10/r11-green
+    # remainder not pulled into the r14 window, then the r12 window,
+    # then the 48 r13-window names not re-attested in r14 at the tail
+    # — future rotations pull from the HEAD of this list.
     "corpus_overlap_matrix",
     "embedding_kmeans_semdedup",
     "dedup_cluster_survivors",
@@ -215,7 +172,6 @@ _KEEP = [
     "streaming_stream_stream_left",
     "sql_recursive_chain",
     "dedup_ngram_containment",
-    "text_zipf_fit",
     "agg_histogram",
     "sql_correlated_subquery",
     "cohort_retention",
@@ -253,7 +209,6 @@ _KEEP = [
     "events_markov_transitions",
     "stats_chi_squared",
     "stats_ab_lift",
-    "events_rfm_segmentation",
     "streaming_cms_heavy_hitters",
     "agg_count_min_sketch",
     "sampling_dsir_weights",
@@ -333,6 +288,54 @@ _KEEP = [
     "star_extend_projection",
     "union_all_typed_nulls",
     "union_distinct",
+    "similarity_mmr_rerank",
+    "streaming_decontamination_gate",
+    "tpcds_q51_cumulative_join",
+    "tpcds_q67_rollup_topk",
+    "dedup_decontamination",
+    "sampling_fold_leakage",
+    "stats_mann_whitney",
+    "stats_bootstrap_ci",
+    "orders_cohort_ltv",
+    "text_gram_novelty",
+    "tpcds_q5_channel_rollup",
+    "tpcds_q38_period_intersect",
+    "tpcds_q47_yoy_ratio",
+    "sampling_reservoir_weighted",
+    "sampling_priority_estimate",
+    "dedup_cluster_containment",
+    "validity_filter",
+    "window_lead_lag",
+    "window_moving_avg",
+    "window_running_total",
+    "window_time_range_sum",
+    "window_topk_per_group",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "agg_arg_extremes",
+    "agg_no_keys",
+    "agg_percentiles",
+    "join_anti",
+    "join_asof",
+    "join_cross_ratio",
+    "join_range",
+    "join_semi",
+    "join_null_safe",
+    "unpivot_charges",
+    "agg_approx_distinct",
+    "dedup_exact_substring",
+    "dedup_strip_spans",
+    "dedup_self_substring",
+    "multimodal_decode_image",
+    "streaming_grouping_sets",
+    "streaming_chained_windows",
+    "agg_hll_mergeable_rollup",
+    "entity_resolution_golden",
+    "basket_pair_histogram",
+    "embedding_quantize_int8",
+    "agg_collect_sorted",
+    "timeseries_gapfill_15min",
 ]
 _ROTATE_OUT: list[str] = []
 

@@ -3612,3 +3612,303 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(
         emb.filter(F.col("vec_id") != 0), q, k=5, pool=20, lam=0.7
     )
+
+
+@register(
+    "stats_ece_calibration",
+    """
+    WITH scored AS (
+        SELECT round(least(1.0, CAST(o_totalprice AS DOUBLE) / 500000.0), 8)
+                   AS s,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    binned AS (
+        SELECT least(CAST(floor(s * 10) AS INTEGER), 9) AS bin, s, y
+        FROM scored
+    ),
+    bins AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS conf,
+               CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS acc
+        FROM binned GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS n_total FROM bins),
+    contrib AS (
+        SELECT bin, n_rows, conf, acc,
+               round(abs(acc - conf) * CAST(n_rows AS DOUBLE) / n_total, 8)
+                   AS c
+        FROM bins, tot
+    ),
+    e AS (
+        SELECT round(CAST(sum(CAST(c AS DECIMAL(38,12))) AS DOUBLE), 6)
+                   AS ece
+        FROM contrib
+    )
+    SELECT bin, n_rows, round(conf, 6) AS avg_conf, round(acc, 6) AS avg_acc,
+           round(abs(acc - conf), 6) AS abs_gap, e.ece
+    FROM contrib, e
+    ORDER BY bin
+    """,
+    doc="Expected-calibration-error reliability bins over a "
+    "deterministic (score, outcome) pair — score = clamped "
+    "totalprice/500k as the 'model confidence', outcome = order "
+    "fully shipped ('F'). Ten fixed-width bins from one grouped "
+    "aggregate (map-side partials), a 1-row broadcast combiner for "
+    "N and the n-weighted |acc - conf| sum; round8 fences + decimal "
+    "sums make the table integer-exact across engines "
+    "(operators/stats.py::ece_reliability).",
+)
+def stats_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.trino import trino_round
+    from ..operators.stats import ece_reliability
+
+    o = load_table(spark, sf_dir, "orders").select(
+        trino_round(
+            F.least(
+                F.lit(1.0), F.col("o_totalprice").cast("double") / 500000.0
+            ),
+            8,
+        ).alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("outcome"),
+    )
+    return ece_reliability(o, "score", "outcome", n_bins=10)
+
+
+_CONF_HASH = MD5L.format(x="CAST(event_id AS VARCHAR) || '|conf'")
+
+
+@register(
+    "stats_conformal_coverage",
+    f"""
+    WITH base AS (
+        SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+               ({_CONF_HASH}) % 5 = 0 AS is_test
+        FROM events WHERE value IS NOT NULL
+    ),
+    pred AS (
+        SELECT g,
+               CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS p,
+               CAST(count(*) AS BIGINT) AS n_cal
+        FROM base WHERE NOT is_test GROUP BY 1
+    ),
+    scored AS (
+        SELECT b.g, b.is_test, round(abs(b.v - pred.p), 8) AS s,
+               pred.n_cal
+        FROM base b JOIN pred ON pred.g = b.g
+    ),
+    cal AS (
+        SELECT g, s, n_cal,
+               row_number() OVER (PARTITION BY g ORDER BY s) AS rn
+        FROM scored WHERE NOT is_test
+    ),
+    thr AS (
+        SELECT g, min(s) AS t
+        FROM cal
+        WHERE rn >= least(CAST(ceil(CAST(n_cal + 1 AS DOUBLE) * 0.9)
+                                AS BIGINT), n_cal)
+        GROUP BY 1
+    )
+    SELECT sc.g AS event_type,
+           min(sc.n_cal) AS n_cal,
+           round(min(thr.t), 6) AS threshold,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN sc.s <= thr.t THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_covered,
+           round(CAST(sum(CASE WHEN sc.s <= thr.t THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS coverage
+    FROM scored sc JOIN thr ON thr.g = sc.g
+    WHERE sc.is_test
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Split-conformal calibration over per-event values: md5 hash "
+    "split (80/20 cal/test), trivial per-type mean predictor fit on "
+    "the calibration split, conformal threshold = the "
+    "ceil((n_cal+1)*0.9)-th smallest |value - pred| nonconformity "
+    "score, empirical coverage reported on the held-out split (>= 90% "
+    "in expectation by the conformal guarantee). The rank-k election "
+    "runs through two_phase_running_sum — (group, range-bucket) "
+    "partitioned running counts, never a whole group sorted in one "
+    "task (operators/stats.py::conformal_split_calibrate).",
+)
+def stats_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import conformal_split_calibrate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    return conformal_split_calibrate(
+        ev, "event_type", "event_id", "value", alpha=0.1
+    )
+
+
+@register(
+    "stats_roc_auc",
+    """
+    WITH per AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS v,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    b AS (SELECT v, count(*) AS n_v, sum(y) AS n_pos_v FROM per GROUP BY 1),
+    r AS (
+        SELECT n_v, n_pos_v, sum(n_v) OVER (ORDER BY v) AS cum FROM b
+    ),
+    m AS (
+        SELECT sum(n_v - n_pos_v) AS n0, sum(n_pos_v) AS n1,
+               sum(CAST(n_pos_v * (2 * cum - n_v + 1) AS DECIMAL(38,0)))
+                   AS rx2
+        FROM r
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+           round(CAST(rx2 AS DOUBLE) / 2.0, 6) AS rank_sum_pos,
+           round((CAST(rx2 AS DOUBLE) / 2.0
+                  - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1) / 2.0)
+                 / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6) AS auc,
+           round(2.0 * ((CAST(rx2 AS DOUBLE) / 2.0
+                  - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1) / 2.0)
+                 / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))) - 1.0, 6)
+               AS gini
+    FROM m
+    """,
+    doc="Exact ROC-AUC (Hanley-McNeil rank identity, midranks on "
+    "ties) of order totalprice as a predictor of fully-shipped "
+    "status: value-grouped counts + two-phase running counts — the "
+    "Mann-Whitney single-task dodge — with the positive rank sum "
+    "carried doubled in DECIMAL(38,0); AUC and Gini are IEEE "
+    "divisions of exact integers (operators/stats.py::roc_auc).",
+)
+def stats_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import roc_auc
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return roc_auc(o, "score", "label")
+
+
+@register(
+    "stats_ks_two_sample",
+    """
+    WITH base AS (
+        SELECT CAST(value AS DOUBLE) AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS s1
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+    ),
+    b AS (SELECT v, sum(s1) AS n1_v, sum(1 - s1) AS n2_v FROM base GROUP BY 1),
+    c AS (
+        SELECT v, sum(n1_v) OVER (ORDER BY v) AS cum1,
+               sum(n2_v) OVER (ORDER BY v) AS cum2
+        FROM b
+    ),
+    t AS (SELECT sum(n1_v) AS n1, sum(n2_v) AS n2 FROM b),
+    s AS (
+        SELECT v, abs(CAST(cum1 * t.n2 AS DECIMAL(38,0))
+                      - CAST(cum2 * t.n1 AS DECIMAL(38,0))) AS ds
+        FROM c, t
+    ),
+    m AS (SELECT max(ds) AS md FROM s)
+    SELECT CAST(t.n1 AS BIGINT) AS n_1, CAST(t.n2 AS BIGINT) AS n_2,
+           round(CAST(m.md AS DOUBLE)
+                 / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)), 6)
+               AS ks_stat,
+           min(s.v) AS ks_at
+    FROM s, m, t WHERE s.ds = m.md GROUP BY 1, 2, 3
+    """,
+    doc="Exact two-sample Kolmogorov-Smirnov drift test between the "
+    "click and purchase value distributions: value-grouped counts, "
+    "ONE bounds probe shared by two two-phase running-count passes, "
+    "supremum taken over the INTEGER cross-product |cum1*n2 - "
+    "cum2*n1| (no float comparison anywhere; smallest achieving "
+    "value on ties), divided by n1*n2 only at emit "
+    "(operators/stats.py::ks_two_sample).",
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import ks_two_sample
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return ks_two_sample(ev, "value", F.col("event_type") == "click")
+
+
+@register(
+    "stats_brier_decomposition",
+    """
+    WITH scored AS (
+        SELECT round(least(1.0, CAST(o_totalprice AS DOUBLE) / 500000.0), 8)
+                   AS s,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    binned AS (
+        SELECT least(CAST(floor(s * 10) AS INTEGER), 9) AS bin, s, y
+        FROM scored
+    ),
+    bins AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS conf,
+               CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS acc,
+               CAST(sum(y) AS BIGINT) AS npos,
+               sum(CAST(round((s - CAST(y AS DOUBLE)) * (s - CAST(y AS DOUBLE)),
+                              8) AS DECIMAL(38,12))) AS sqsum
+        FROM binned GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS DOUBLE) AS nt, CAST(sum(npos) AS DOUBLE) AS pt,
+               CAST(sum(sqsum) AS DOUBLE) AS sq
+        FROM bins
+    ),
+    contrib AS (
+        SELECT round(CAST(n AS DOUBLE) / nt * (conf - acc) * (conf - acc), 8)
+                   AS rel,
+               round(CAST(n AS DOUBLE) / nt * (acc - pt / nt)
+                     * (acc - pt / nt), 8) AS res,
+               nt, pt, sq
+        FROM bins, tot
+    ),
+    agg AS (
+        SELECT CAST(sum(CAST(rel AS DECIMAL(38,12))) AS DOUBLE)
+                   AS reliability,
+               CAST(sum(CAST(res AS DECIMAL(38,12))) AS DOUBLE)
+                   AS resolution,
+               max(nt) AS n, max(pt) AS p, max(sq) AS s2
+        FROM contrib
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           round(s2 / n, 6) AS brier,
+           round(reliability - resolution + (p / n) * (1.0 - p / n), 6)
+               AS brier_binned,
+           round(reliability, 6) AS reliability,
+           round(resolution, 6) AS resolution,
+           round((p / n) * (1.0 - p / n), 6) AS uncertainty
+    FROM agg
+    """,
+    doc="Murphy decomposition of the Brier score over the same ten "
+    "fixed-width bins as the ECE query (reliability - resolution + "
+    "uncertainty = binned Brier, raw Brier alongside): one grouped "
+    "aggregate to <=10 rows + a 1-row broadcast combiner; round8 "
+    "fences on per-row squares and per-bin contributions make every "
+    "term engine-identical "
+    "(operators/stats.py::brier_decomposition).",
+)
+def stats_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.trino import trino_round
+    from ..operators.stats import brier_decomposition
+
+    o = load_table(spark, sf_dir, "orders").select(
+        trino_round(
+            F.least(
+                F.lit(1.0), F.col("o_totalprice").cast("double") / 500000.0
+            ),
+            8,
+        ).alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("outcome"),
+    )
+    return brier_decomposition(o, "score", "outcome", n_bins=10)

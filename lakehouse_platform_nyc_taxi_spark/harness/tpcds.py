@@ -443,3 +443,128 @@ def tpcds_q67_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lvl", "rk")
     )
+
+
+_DS_Q69_SQL = """
+SELECT c.c_mktsegment AS mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS avg_acctbal
+FROM customer c
+WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND year(o.o_orderdate) = 1997
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND year(o.o_orderdate) = 1998
+      )
+  AND NOT EXISTS (
+        SELECT 1
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey = c.c_custkey
+          AND year(o.o_orderdate) = 1997
+          AND l.l_returnflag = 'R'
+      )
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "tpcds_q69_exists_gate",
+    _DS_Q69_SQL,
+    doc="TPC-DS Q35/Q69 shape (correlated EXISTS chained with NOT "
+    "EXISTS feeding a grouped rollup): customers who ordered in 1997 "
+    "(EXISTS), did NOT order in 1998 (NOT EXISTS on the same fact), "
+    "and had NO 1997 order with a returned line (NOT EXISTS through a "
+    "two-table correlated join) — counted per market segment with "
+    "mean account balance. Spark decorrelates each gate to a "
+    "LeftSemi / LeftAnti hash join on the customer key (the year "
+    "fences push to the orders scans; the return gate pre-joins "
+    "orders->lineitem then anti-joins its distinct custkeys), so the "
+    "chain is three key-partitioned joins, never a per-customer "
+    "subquery loop.",
+)
+def tpcds_q69_exists_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    o97 = o.filter(F.year("o_orderdate") == 1997).select(
+        "o_custkey", "o_orderkey"
+    )
+    o98 = o.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    li_r = (
+        load_table_parallel(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    returned97 = o97.join(
+        li_r, o97["o_orderkey"] == li_r["l_orderkey"]
+    ).select("o_custkey")
+    gated = (
+        cust.join(o97, cust["c_custkey"] == o97["o_custkey"], "left_semi")
+        .join(o98, cust["c_custkey"] == o98["o_custkey"], "left_anti")
+        .join(
+            returned97,
+            cust["c_custkey"] == returned97["o_custkey"],
+            "left_anti",
+        )
+    )
+    return (
+        gated.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            trino_round(
+                F.sum(F.col("c_acctbal").cast("decimal(38,12)"))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_acctbal"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+_DS_Q88_SQL = """
+SELECT
+    CAST(count(CASE WHEN h = 8  AND value >= 100 THEN 1 END) AS BIGINT) AS h8,
+    CAST(count(CASE WHEN h = 9  AND value >= 100 THEN 1 END) AS BIGINT) AS h9,
+    CAST(count(CASE WHEN h = 10 AND value >= 100 THEN 1 END) AS BIGINT) AS h10,
+    CAST(count(CASE WHEN h = 11 AND value >= 100 THEN 1 END) AS BIGINT) AS h11,
+    CAST(count(CASE WHEN h = 12 AND value >= 100 THEN 1 END) AS BIGINT) AS h12,
+    CAST(count(CASE WHEN h = 13 AND value >= 100 THEN 1 END) AS BIGINT) AS h13,
+    CAST(count(CASE WHEN h = 14 AND value >= 100 THEN 1 END) AS BIGINT) AS h14,
+    CAST(count(CASE WHEN h = 15 AND value >= 100 THEN 1 END) AS BIGINT) AS h15
+FROM (SELECT hour(ts) AS h, value FROM events WHERE value IS NOT NULL) t
+"""
+
+
+@register(
+    "tpcds_q88_time_bands",
+    _DS_Q88_SQL,
+    doc="TPC-DS Q88 shape (multi-band single-scan counts): eight "
+    "hour-of-day band counts over qualifying events, emitted as one "
+    "wide row. DS's published form is eight scalar subqueries — eight "
+    "full fact scans — cross-joined 1x1; the Spark-first plan folds "
+    "all eight bands into ONE scan with conditional aggregates "
+    "(map-side partials, a single 1-row reduce, no join at all), the "
+    "rewrite a 100 TB fact table forces. Value/hour predicates are "
+    "integer-exact so counts are engine-identical.",
+)
+def tpcds_q88_time_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    h = F.hour("ts")
+    qual = F.col("value") >= 100
+
+    def band(hr: int):
+        return F.count(
+            F.when((h == hr) & qual, F.lit(1))
+        ).cast("bigint").alias(f"h{hr}")
+
+    return ev.agg(*[band(hr) for hr in range(8, 16)])

@@ -595,3 +595,402 @@ def bootstrap_mean_ci(
         trino_round(F.col("_lo"), 6).alias("ci_lo"),
         trino_round(F.col("_hi"), 6).alias("ci_hi"),
     )
+
+
+def ece_reliability(
+    df: DataFrame,
+    score_col: str,
+    outcome_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected-calibration-error reliability table (Naeini et al. 2015
+    / Guo et al. 2017, public): bucket predicted scores in [0, 1] into
+    ``n_bins`` fixed-width bins, compare each bin's mean confidence to
+    its empirical accuracy, and report the n-weighted absolute gap sum
+    — the standard quality-classifier calibration audit before a score
+    threshold goes into a data-filtering pipeline.
+
+    One grouped aggregate to the ≤ n_bins-row bin table (map-side
+    partials; integer-exact bin ids via floor(score*n), top bin closed),
+    then a 1-row broadcast combiner for N and the ECE — the raw data is
+    scanned once, nothing user-sized shuffles. Determinism: scores are
+    round8-fenced before the decimal sum, every mean is a single IEEE
+    division of exact values, and each bin's ECE contribution is
+    round8(|acc − conf| · n_b / N) summed in exact decimal.
+
+    Output per non-empty bin: ``bin, n_rows, avg_conf, avg_acc,
+    abs_gap, ece`` (round6; ``ece`` is the same corpus-level value on
+    every row), ordered by bin.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(outcome_col).cast("int")
+    binned = df.select(
+        F.least(
+            F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)
+        ).alias("bin"),
+        trino_round(s, 8).alias("_s"),
+        y.alias("_y"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (
+            F.sum(F.col("_s").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_conf"),
+        (
+            F.sum(F.col("_y")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_acc"),
+    )
+    tot = bins.agg(F.sum("n_rows").cast("double").alias("_n_total"))
+    withgap = bins.crossJoin(F.broadcast(tot)).withColumn(
+        "_contrib",
+        trino_round(
+            F.abs(F.col("_acc") - F.col("_conf"))
+            * F.col("n_rows").cast("double")
+            / F.col("_n_total"),
+            8,
+        ),
+    )
+    ece = withgap.agg(
+        trino_round(
+            F.sum(F.col("_contrib").cast("decimal(38,12)")).cast("double"), 6
+        ).alias("ece")
+    )
+    return (
+        withgap.crossJoin(F.broadcast(ece))
+        .select(
+            "bin",
+            "n_rows",
+            trino_round(F.col("_conf"), 6).alias("avg_conf"),
+            trino_round(F.col("_acc"), 6).alias("avg_acc"),
+            trino_round(F.abs(F.col("_acc") - F.col("_conf")), 6).alias(
+                "abs_gap"
+            ),
+            "ece",
+        )
+        .orderBy("bin")
+    )
+
+
+def conformal_split_calibrate(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    alpha: float = 0.1,
+    salt: str = "conf",
+    test_mod: int = 5,
+) -> DataFrame:
+    """Split-conformal calibration (Papadopoulos et al. 2002 / Vovk,
+    public): hash-split rows into calibration (md5 parity — reproducible,
+    no RNG) and test; fit the trivial per-group mean predictor on the
+    CALIBRATION split only; take each group's conformal threshold as
+    the ⌈(n_cal+1)(1−α)⌉-th smallest nonconformity score |value − pred|
+    (clipped to n_cal — the finite-sample split-conformal quantile);
+    report empirical coverage of {score ≤ threshold} on the held-out
+    TEST split, which is ≥ 1−α in expectation by the conformal
+    guarantee.
+
+    Scale shape: the per-group k-th order statistic comes from
+    :func:`~..operators.timeseries.two_phase_running_sum` over the
+    calibration scores (running COUNT partitioned by (group,
+    range-bucket) — never a whole group in one task, unlike a bare
+    ntile/row_number window; the RFM boundary-swap precedent), then
+    threshold = min score whose running count reaches k. The threshold
+    table is groups-sized and broadcasts back over the test split.
+    Determinism: the predictor mean is one IEEE division of a decimal
+    sum; scores are round8-fenced; rank-k election on exact integer
+    running counts.
+
+    Output per group: ``{group_col}, n_cal, threshold, n_test,
+    n_covered, coverage`` (round6), ordered by group.
+    """
+    from .hashing import md5_long
+    from .timeseries import two_phase_running_sum
+
+    g = F.col(group_col)
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        g.alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+        (
+            md5_long(
+                F.concat(F.col(key_col).cast("string"), F.lit(f"|{salt}"))
+            )
+            % test_mod
+            == 0
+        ).alias("_is_test"),
+    )
+    pred = (
+        base.filter(~F.col("_is_test"))
+        .groupBy("_g")
+        .agg(
+            (
+                F.sum(F.col("_v").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("_pred"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+        )
+    )
+    scored = base.join(F.broadcast(pred), "_g").withColumn(
+        "_s", trino_round(F.abs(F.col("_v") - F.col("_pred")), 8)
+    )
+    cal = scored.filter(~F.col("_is_test")).withColumn("_one", F.lit(1))
+    cum = two_phase_running_sum(
+        cal, "_one", order=["_s"], keys=["_g"], out="_c"
+    )
+    k = F.least(
+        F.ceil((F.col("n_cal") + F.lit(1)).cast("double") * F.lit(1.0 - alpha)),
+        F.col("n_cal"),
+    )
+    thr = (
+        cum.filter(F.col("_c") >= k)
+        .groupBy("_g")
+        .agg(F.min("_s").alias("_thr"))
+    )
+    test = scored.filter(F.col("_is_test")).join(F.broadcast(thr), "_g")
+    return (
+        test.groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.min("n_cal").alias("n_cal"),
+            trino_round(F.min("_thr"), 6).alias("threshold"),
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(F.col("_s") <= F.col("_thr"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+            trino_round(
+                F.sum(F.when(F.col("_s") <= F.col("_thr"), 1).otherwise(0))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC of a score against a binary label via the
+    rank-statistic identity AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋) with
+    MIDRANKS for tied scores (Hanley & McNeil 1982; equivalent to the
+    Mann-Whitney U normalization) — the ranking-quality audit for any
+    quality-classifier score before it drives corpus filtering.
+
+    Same single-task-dodge as :func:`mann_whitney_u`: never row-ranks N
+    rows. The table collapses to |distinct score| value-grouped counts
+    (n at the value, positives at the value); the running count rides
+    :func:`~..operators.timeseries.two_phase_running_sum`; the positive
+    rank sum is an exact integer aggregate of that table carried
+    DOUBLED in DECIMAL(38,0) (midranks live in halves). AUC is then
+    one IEEE division of exact integers — engine-identical, no
+    ordering sensitivity.
+
+    Output (one row): ``n_pos, n_neg, rank_sum_pos, auc, gini``
+    (round6; gini = 2·AUC − 1).
+    """
+    from .timeseries import two_phase_running_sum
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    by_v = df.select(s.alias("v"), y.alias("_y")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("n_v"),
+        F.sum("_y").alias("n_pos_v"),
+    )
+    ranked = two_phase_running_sum(by_v, F.col("n_v"), order=["v"], out="cum")
+    ar2 = 2 * F.col("cum") - F.col("n_v") + 1  # doubled midrank
+    d0 = "decimal(38,0)"
+    m = ranked.agg(
+        F.sum(F.col("n_v") - F.col("n_pos_v")).alias("_n0"),
+        F.sum("n_pos_v").alias("_n1"),
+        F.sum((F.col("n_pos_v") * ar2).cast(d0)).alias("_rx2"),
+    )
+    n0, n1 = F.col("_n0").cast("double"), F.col("_n1").cast("double")
+    r1 = F.col("_rx2").cast("double") / F.lit(2.0)
+    auc = F.try_divide(r1 - n1 * (n1 + 1) / F.lit(2.0), n1 * n0)
+    return m.select(
+        F.col("_n1").cast("bigint").alias("n_pos"),
+        F.col("_n0").cast("bigint").alias("n_neg"),
+        trino_round(r1, 6).alias("rank_sum_pos"),
+        trino_round(auc, 6).alias("auc"),
+        trino_round(F.lit(2.0) * auc - F.lit(1.0), 6).alias("gini"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    in_sample_1: Column,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic
+    D = max_x |F₁(x) − F₂(x)| between the rows where ``in_sample_1``
+    holds and the rest — the standard distribution-drift test between
+    two corpus slices.
+
+    Integer-exact formulation: collapse to value-grouped counts
+    (n₁ at v, n₂ at v), take ONE bounds probe then two
+    :func:`~..operators.timeseries.two_phase_running_sum` passes
+    sharing it (running counts per sample), and maximize the INTEGER
+    cross-product |cum₁·n₂ − cum₂·n₁| — D and its achieving value
+    (smallest on ties) divide by n₁·n₂ only at emit, so the argmax is
+    engine-identical with no float comparison anywhere. The max is a
+    1-row broadcast combiner (no global sort).
+
+    Output (one row): ``n_1, n_2, ks_stat, ks_at`` (round6; ``ks_at``
+    is the smallest value achieving the supremum).
+    """
+    from .timeseries import two_phase_running_sum
+
+    v = F.col(value_col).cast("double")
+    by_v = (
+        df.filter(v.isNotNull())
+        .select(v.alias("v"), in_sample_1.cast("int").alias("_s1"))
+        .groupBy("v")
+        .agg(
+            F.sum("_s1").alias("n1_v"),
+            F.sum(F.lit(1) - F.col("_s1")).alias("n2_v"),
+        )
+        .localCheckpoint()
+    )
+    lo, hi, n_rows = by_v.agg(
+        F.min("v"), F.max("v"), F.count(F.lit(1))
+    ).first()
+    bounds = (float(lo), float(hi), int(n_rows))
+    c1 = two_phase_running_sum(
+        by_v, F.col("n1_v"), order=["v"], out="cum1", bounds=bounds
+    )
+    c2 = two_phase_running_sum(
+        c1, F.col("n2_v"), order=["v"], out="cum2", bounds=bounds
+    )
+    tot = c2.agg(
+        F.max("cum1_total").alias("_n1"), F.max("cum2_total").alias("_n2")
+    )
+    d0 = "decimal(38,0)"
+    scored = c2.crossJoin(F.broadcast(tot)).select(
+        "v",
+        F.abs(
+            (F.col("cum1") * F.col("_n2")).cast(d0)
+            - (F.col("cum2") * F.col("_n1")).cast(d0)
+        ).alias("_ds"),
+        "_n1",
+        "_n2",
+    )
+    mx = scored.agg(F.max("_ds").alias("_md"))
+    return (
+        scored.crossJoin(F.broadcast(mx))
+        .filter(F.col("_ds") == F.col("_md"))
+        .groupBy()
+        .agg(
+            F.max("_n1").cast("bigint").alias("n_1"),
+            F.max("_n2").cast("bigint").alias("n_2"),
+            trino_round(
+                F.max("_md").cast("double")
+                / (
+                    F.max("_n1").cast("double")
+                    * F.max("_n2").cast("double")
+                ),
+                6,
+            ).alias("ks_stat"),
+            F.min("v").alias("ks_at"),
+        )
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str,
+    outcome_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Murphy decomposition of the (binned) Brier score (Murphy 1973,
+    public): over the same fixed-width score bins as
+    :func:`ece_reliability`,
+
+        reliability  = Σ n_b/N · (conf_b − acc_b)²   (miscalibration)
+        resolution   = Σ n_b/N · (acc_b − ȳ)²        (discrimination)
+        uncertainty  = ȳ(1 − ȳ)
+        brier_binned = reliability − resolution + uncertainty
+
+    plus the RAW Brier score Σ(s − y)²/N for reference (the identity
+    holds exactly for the binned forecast, approximately for the raw
+    one — the gap is the within-bin variance). Same scale shape as
+    ECE: one grouped aggregate to ≤ n_bins rows, a 1-row broadcast
+    combiner, nothing user-sized after the scan. Round8 fences on
+    per-row squares and per-bin contributions; base rate ȳ is one
+    IEEE division of exact integers.
+
+    Output (one row): ``n_rows, brier, brier_binned, reliability,
+    resolution, uncertainty`` (round6).
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(outcome_col).cast("int")
+    binned = df.select(
+        F.least(
+            F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)
+        ).alias("bin"),
+        trino_round(s, 8).alias("_s"),
+        y.alias("_y"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        (
+            F.sum(F.col("_s").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_conf"),
+        (
+            F.sum("_y").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("_acc"),
+        F.sum("_y").cast("bigint").alias("_npos"),
+        F.sum(
+            trino_round(
+                (F.col("_s") - F.col("_y").cast("double"))
+                * (F.col("_s") - F.col("_y").cast("double")),
+                8,
+            ).cast("decimal(38,12)")
+        ).alias("_sqsum"),
+    )
+    tot = bins.agg(
+        F.sum("_n").cast("double").alias("_nt"),
+        F.sum("_npos").cast("double").alias("_pt"),
+        F.sum("_sqsum").cast("double").alias("_sq"),
+    )
+    ybar = F.col("_pt") / F.col("_nt")
+    wb = F.col("_n").cast("double") / F.col("_nt")
+    contrib = bins.crossJoin(F.broadcast(tot)).select(
+        trino_round(
+            wb * (F.col("_conf") - F.col("_acc"))
+            * (F.col("_conf") - F.col("_acc")),
+            8,
+        ).alias("_rel"),
+        trino_round(
+            wb * (F.col("_acc") - ybar) * (F.col("_acc") - ybar), 8
+        ).alias("_res"),
+        "_nt",
+        "_pt",
+        "_sq",
+    )
+    dsum = lambda c: F.sum(F.col(c).cast("decimal(38,12)")).cast("double")  # noqa: E731
+    agg = contrib.agg(
+        dsum("_rel").alias("_reliability"),
+        dsum("_res").alias("_resolution"),
+        F.max("_nt").alias("_n"),
+        F.max("_pt").alias("_p"),
+        F.max("_sq").alias("_s2"),
+    )
+    yb = F.col("_p") / F.col("_n")
+    unc = yb * (F.lit(1.0) - yb)
+    return agg.select(
+        F.col("_n").cast("bigint").alias("n_rows"),
+        trino_round(F.col("_s2") / F.col("_n"), 6).alias("brier"),
+        trino_round(
+            F.col("_reliability") - F.col("_resolution") + unc, 6
+        ).alias("brier_binned"),
+        trino_round(F.col("_reliability"), 6).alias("reliability"),
+        trino_round(F.col("_resolution"), 6).alias("resolution"),
+        trino_round(unc, 6).alias("uncertainty"),
+    )

@@ -2157,3 +2157,118 @@ def test_trade_edges_cache_caps_at_one_entry(spark):
     assert len(mining._EDGES_CACHE) == 1
     assert list(mining._EDGES_CACHE)[0][1] == "/root/testdata/sf0.01"
     mining._EDGES_CACHE.clear()
+
+
+def test_ece_reliability_hand_computed(spark):
+    """Two occupied bins, hand-checkable: bin0 (conf .05, acc 0) and
+    bin9 (conf .95, acc .5) over 4 rows -> ECE = .05*2/4 + .45*2/4."""
+    from lakehouse_platform_nyc_taxi_spark.operators import stats
+
+    rows = [(0.05, 0), (0.05, 0), (0.95, 1), (0.95, 0)]
+    df = spark.createDataFrame(rows, "score double, outcome int")
+    out = {r.bin: r for r in stats.ece_reliability(df, "score", "outcome").collect()}
+    assert set(out) == {0, 9}
+    assert out[0].n_rows == 2 and out[0].avg_conf == 0.05 and out[0].avg_acc == 0.0
+    assert out[9].n_rows == 2 and out[9].avg_conf == 0.95 and out[9].avg_acc == 0.5
+    assert out[0].abs_gap == 0.05 and out[9].abs_gap == 0.45
+    assert out[0].ece == 0.25 and out[9].ece == 0.25
+    # score exactly 1.0 must land in the TOP bin, not bin 10
+    df2 = spark.createDataFrame([(1.0, 1)], "score double, outcome int")
+    assert stats.ece_reliability(df2, "score", "outcome").collect()[0].bin == 9
+
+
+def test_conformal_calibrate_matches_python_replay(spark):
+    """conformal_split_calibrate vs an exact Python replay of the same
+    md5 split + mean predictor + ceil((n+1)(1-a))-th order statistic."""
+    import hashlib
+    import math
+
+    from lakehouse_platform_nyc_taxi_spark.operators import stats
+
+    keys = list(range(1, 201))
+    rows = [("a", k, float(k % 37) + 0.25) for k in keys]
+    df = spark.createDataFrame(rows, "g string, k long, v double")
+    got = stats.conformal_split_calibrate(
+        df, "g", "k", "v", alpha=0.1, salt="conf", test_mod=5
+    ).collect()[0]
+
+    def is_test(k):
+        h = int(hashlib.md5(f"{k}|conf".encode()).hexdigest()[:15], 16)
+        return h % 5 == 0
+
+    def r8(x):
+        return (math.floor(abs(x) * 1e8 + 0.5) / 1e8) * (1.0 if x >= 0 else -1.0)
+
+    cal = [v for (_, k, v) in rows if not is_test(k)]
+    test = [v for (_, k, v) in rows if is_test(k)]
+    pred = sum(cal) / len(cal)  # integer-ish values: exact either way
+    cal_s = sorted(r8(abs(v - pred)) for v in cal)
+    k_rank = min(math.ceil((len(cal) + 1) * 0.9), len(cal))
+    thr = cal_s[k_rank - 1]
+    covered = sum(1 for v in test if r8(abs(v - pred)) <= thr)
+    assert got.n_cal == len(cal)
+    assert got.n_test == len(test)
+    assert got.n_covered == covered
+    assert abs(got.threshold - thr) < 1e-6
+
+
+def test_roc_auc_hand_computed(spark):
+    """AUC with ties, hand-checkable: scores/labels
+    (1,0) (2,0) (2,1) (3,1): midranks 1, 2.5, 2.5, 4.
+    R+ = 2.5 + 4 = 6.5, U = 6.5 - 2*3/2 = 3.5, AUC = 3.5/(2*2)."""
+    from lakehouse_platform_nyc_taxi_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (2.0, 1), (3.0, 1)], "s double, y int"
+    )
+    got = stats.roc_auc(df, "s", "y").collect()[0]
+    assert (got.n_pos, got.n_neg) == (2, 2)
+    assert got.rank_sum_pos == 6.5
+    assert got.auc == 0.875
+    assert got.gini == 0.75
+    # perfect separation -> AUC 1
+    df2 = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)], "s double, y int"
+    )
+    assert stats.roc_auc(df2, "s", "y").collect()[0].auc == 1.0
+
+
+def test_ks_two_sample_hand_computed(spark):
+    """Sample1 = {1,2,3}, sample2 = {2,3,4}: F1-F2 is maximal at v=1
+    (1/3 - 0 = 1/3); ks_at must be the smallest value achieving it."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_platform_nyc_taxi_spark.operators import stats
+
+    rows = [(1.0, "a"), (2.0, "a"), (3.0, "a"), (2.0, "b"), (3.0, "b"), (4.0, "b")]
+    df = spark.createDataFrame(rows, "v double, g string")
+    got = stats.ks_two_sample(df, "v", F.col("g") == "a").collect()[0]
+    assert (got.n_1, got.n_2) == (3, 3)
+    assert got.ks_stat == round(1 / 3, 6)
+    assert got.ks_at == 1.0
+    # identical samples -> D = 0
+    same = spark.createDataFrame(
+        [(1.0, "a"), (1.0, "b"), (2.0, "a"), (2.0, "b")], "v double, g string"
+    )
+    got0 = stats.ks_two_sample(same, "v", F.col("g") == "a").collect()[0]
+    assert got0.ks_stat == 0.0
+
+
+def test_brier_decomposition_identity(spark):
+    """When every score is exactly its bin's midpoint-free constant
+    (one distinct score per bin), binned Brier equals raw Brier and
+    the Murphy identity is exact: rel - res + unc = brier."""
+    from lakehouse_platform_nyc_taxi_spark.operators import stats
+
+    rows = [(0.25, 1), (0.25, 0), (0.25, 0), (0.25, 0),
+            (0.75, 1), (0.75, 1), (0.75, 1), (0.75, 0)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    got = stats.brier_decomposition(df, "s", "y", n_bins=10).collect()[0]
+    # acc bins: .25 and .75 == conf -> reliability 0
+    assert got.reliability == 0.0
+    assert got.n_rows == 8
+    assert got.brier == got.brier_binned
+    assert (
+        round(got.reliability - got.resolution + got.uncertainty, 6)
+        == got.brier_binned
+    )

@@ -949,3 +949,32 @@ def test_bootstrap_replicates_collapse_before_shuffle(spark):
     plan = plan_of(spark, "stats_bootstrap_ci")
     assert "partial" in plan.lower()
     assert "Generate explode" in plan or "explode" in plan
+
+
+def test_r14_wave_plan_shapes(spark):
+    """r14 additions: no cartesians anywhere; Q69's EXISTS/NOT-EXISTS
+    chain decorrelates to semi/anti hash joins; Q88 is one scan with
+    NO join; ECE's only joins are 1-row broadcast combiners; the
+    conformal rank-k election never plans an unpartitioned row_number
+    over the calibration split."""
+    for name in (
+        "tpcds_q69_exists_gate", "tpcds_q88_time_bands",
+        "stats_ece_calibration", "stats_conformal_coverage",
+        "timeseries_holt_winters",
+    ):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} planned a cartesian"
+    q69 = plan_of(spark, "tpcds_q69_exists_gate")
+    assert "LeftSemi" in q69 and "LeftAnti" in q69
+    q88 = plan_of(spark, "tpcds_q88_time_bands")
+    assert "Join" not in q88, q88[:1500]
+    assert "partial" in q88.lower()  # map-side conditional-count partials
+    conf = optimized_of(spark, "stats_conformal_coverage")
+    for s in re.findall(r"windowspecdefinition\([^)]*\)", conf):
+        assert "_g" in s, f"unpartitioned window in conformal plan: {s}"
+    for name in ("stats_roc_auc", "stats_ks_two_sample",
+                 "stats_brier_decomposition"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} planned a cartesian"
+        assert "SortMergeJoin" not in plan, f"{name}: non-broadcast join"
+        assert "partial" in plan.lower(), f"{name}: no map-side partials"
