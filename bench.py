@@ -180,6 +180,22 @@ def main() -> int:
         prev_min = prev.get("queries_min") or prev.get("queries") or {}
         drift = cal / prev_cal
         detail["calibration_drift_vs_prev"] = round(drift, 4)
+        # r14: the median probe can match the previous run while load
+        # SPIKES mid-run inflate whichever queries ran inside the spike
+        # (observed: probes 1.1-6.1 s in one run, load 1.8 -> 11.3, a
+        # 60-query phantom regression list on untouched code). Flag the
+        # run ambient-suspect when the probe IQR is wide — the list is
+        # still recorded (it is advisory), but carries the context.
+        _iqr = _psecs[(3 * len(_psecs)) // 4] - _psecs[len(_psecs) // 4]
+        detail["probe_iqr_over_median"] = round(_iqr / cal, 4)
+        if _iqr / cal > 0.35:
+            detail["ambient_suspect"] = True
+            print(
+                f"BENCH-NOTE probe IQR/median {_iqr / cal:.2f} — load "
+                "spiked mid-run; treat the regression list as "
+                "ambient-suspect",
+                file=sys.stderr,
+            )
         if abs(drift - 1.0) > 0.15:
             detail["regressions_skipped_calibration_drift"] = round(drift, 4)
             print(

@@ -920,11 +920,16 @@ def zipf_fit(
     """
     sc = df.sparkSession.sparkContext
     n_buckets = max(64, 2 * sc.defaultParallelism)
+    # localCheckpoint (the lm_surprisal precedent): vocab feeds BOTH the
+    # offset tables and the rank join — without the fence the corpus is
+    # tokenized twice (measured 1.32 s vs 0.86 s at sf0.1); the
+    # checkpoint is vocabulary-sized, not corpus-sized
     vocab = (
         df.select(F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("_bkt", F.pmod(F.xxhash64("token"), F.lit(n_buckets)))
+        .localCheckpoint()
     )
     btab = vocab.groupBy("cnt", "_bkt").agg(F.count(F.lit(1)).alias("_n"))
     cnt_tab = btab.groupBy("cnt").agg(F.sum("_n").alias("_n_at"))
