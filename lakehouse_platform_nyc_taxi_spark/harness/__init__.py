@@ -69,19 +69,23 @@ _PRIORITY = [
     # and the tail name moved to the head of _KEEP (1-in-1-out).
     #
     # Composition (VERDICT r13 #3, the attestation rotation):
-    #   1. EIGHT NEW r14 queries — exact ROC-AUC / KS two-sample /
-    #      Brier decomposition (the calibration-analytics wave),
-    #      Holt-Winters additive seasonality (recursive-CTE oracle),
-    #      the TPC-DS Q35/Q69 EXISTS/NOT-EXISTS gate and Q88
-    #      multi-band single-scan shapes, ECE reliability bins, and
+    #   1. TEN NEW r14 queries — lift/gain deciles, the TPC-DS Q97
+    #      overlap shape, exact ROC-AUC / KS two-sample / Brier
+    #      decomposition (the calibration-analytics wave), Holt-Winters
+    #      additive seasonality (recursive-CTE oracle), the TPC-DS
+    #      Q35/Q69 EXISTS/NOT-EXISTS gate and Q88 multi-band
+    #      single-scan shapes, ECE reliability bins, and
     #      split-conformal coverage.
-    #   2. FOUR plan-changed r14 re-attestations — link-prediction
+    #   2. THREE plan-changed r14 re-attestations — link-prediction
     #      backbone (TakeOrdered swap), RFM (boundary-tile scale
-    #      guard), Zipf (midrank rank, no global sort), Holt (derived
-    #      bucket count + schema-typed key).
+    #      guard), Zipf (midrank rank, no global sort). (Holt's
+    #      bucket-count/key-type change cannot affect per-series math
+    #      and is locally oracle-exact; it sits at the _KEEP head for
+    #      the r15 window.)
     #   3. The FULL 37-name r8-green cohort (VERDICT r13 missing #1)
     #      — after r14 no green row predates r10.
-    #   4. quality_gopher_rules (next-stalest) — fills the window.
+    "stats_lift_gain",
+    "tpcds_q97_overlap",
     "stats_roc_auc",
     "stats_ks_two_sample",
     "stats_brier_decomposition",
@@ -93,7 +97,6 @@ _PRIORITY = [
     "graph_link_prediction",
     "events_rfm_segmentation",
     "text_zipf_fit",
-    "timeseries_holt_forecast",
     "timeseries_gapfill",
     "sampling_temperature_mix",
     "conditional_case_nullif",
@@ -131,7 +134,6 @@ _PRIORITY = [
     "text_lm_surprisal",
     "embedding_random_projection",
     "hybrid_search_rrf",
-    "quality_gopher_rules",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
@@ -142,6 +144,8 @@ _KEEP = [
     # remainder not pulled into the r14 window, then the r12 window,
     # then the 48 r13-window names not re-attested in r14 at the tail
     # — future rotations pull from the HEAD of this list.
+    "timeseries_holt_forecast",
+    "quality_gopher_rules",
     "corpus_overlap_matrix",
     "embedding_kmeans_semdedup",
     "dedup_cluster_survivors",

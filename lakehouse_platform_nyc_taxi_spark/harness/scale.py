@@ -3912,3 +3912,66 @@ def stats_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderstatus") == "F").cast("int").alias("outcome"),
     )
     return brier_decomposition(o, "score", "outcome", n_bins=10)
+
+
+@register(
+    "stats_lift_gain",
+    """
+    WITH per AS (
+        SELECT -CAST(o_totalprice AS DOUBLE) AS nv,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    b AS (SELECT nv, count(*) AS n_v, sum(y) AS np_v FROM per GROUP BY 1),
+    c AS (
+        SELECT nv, n_v, np_v, sum(n_v) OVER (ORDER BY nv) AS c FROM b
+    ),
+    tot AS (SELECT sum(n_v) AS n, sum(np_v) AS p FROM b),
+    cuts AS (
+        SELECT t, t * (n // 10) + least(t, n % 10) AS p
+        FROM generate_series(1, 9) AS g(t), tot
+    ),
+    bnd AS (
+        SELECT c.nv AS v FROM c JOIN cuts
+        ON c.c >= cuts.p AND c.c - c.n_v < cuts.p
+    ),
+    asg AS (
+        SELECT b.nv, b.n_v, b.np_v,
+               1 + (SELECT count(*) FROM bnd WHERE b.nv > bnd.v) AS bucket
+        FROM b
+    ),
+    per_bucket AS (
+        SELECT bucket, CAST(sum(n_v) AS BIGINT) AS n_rows,
+               CAST(sum(np_v) AS BIGINT) AS n_pos
+        FROM asg GROUP BY 1
+    ),
+    o AS (
+        SELECT bucket, n_rows, n_pos,
+               CAST(sum(n_pos) OVER (ORDER BY bucket) AS BIGINT) AS cum_pos,
+               sum(n_rows) OVER (ORDER BY bucket) AS cum_n
+        FROM per_bucket
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket, n_rows, n_pos, cum_pos,
+           round(CAST(cum_pos AS DOUBLE) / CAST(t.p AS DOUBLE), 6) AS gain,
+           round((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))
+                 / (CAST(t.p AS DOUBLE) / CAST(t.n AS DOUBLE)), 6) AS lift
+    FROM o, tot t ORDER BY bucket
+    """,
+    doc="Cumulative gains / lift table at population deciles of order "
+    "totalprice (descending) against fully-shipped status — the "
+    "model-targeting report for a volume-budgeted quality gate. The "
+    "RFM boundary machinery end-to-end: value-grouped counts, "
+    "two-phase running-count boundary election at ntile's exact cut "
+    "positions, broadcast boundary array, row-local fold assignment "
+    "on the VALUE-grouped table (raw rows never touched after the "
+    "first groupBy); gains cumulate over the 10-row output "
+    "(operators/stats.py::lift_gain_table).",
+)
+def stats_lift_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import lift_gain_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return lift_gain_table(o, "score", "label", n_buckets=10)

@@ -568,3 +568,61 @@ def tpcds_q88_time_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias(f"h{hr}")
 
     return ev.agg(*[band(hr) for hr in range(8, 16)])
+
+
+_DS_Q97_SQL = """
+WITH a AS (
+    SELECT DISTINCT o_custkey AS k FROM orders
+    WHERE year(o_orderdate) = 1995
+),
+b AS (
+    SELECT DISTINCT o_custkey AS k FROM orders
+    WHERE year(o_orderdate) = 1996
+)
+SELECT CAST(count(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                       THEN 1 END) AS BIGINT) AS both_years,
+       CAST(count(CASE WHEN b.k IS NULL THEN 1 END) AS BIGINT)
+           AS only_1995,
+       CAST(count(CASE WHEN a.k IS NULL THEN 1 END) AS BIGINT)
+           AS only_1996
+FROM a FULL OUTER JOIN b ON a.k = b.k
+"""
+
+
+@register(
+    "tpcds_q97_overlap",
+    _DS_Q97_SQL,
+    doc="TPC-DS Q97 shape (channel-overlap counts): two distinct-key "
+    "extracts of the same fact (1995 vs 1996 buyers standing in for "
+    "store vs catalog), FULL OUTER joined on the key, three "
+    "conditional counts in one pass — the both/left-only/right-only "
+    "audience split. Each branch is a pruned scan + distinct "
+    "aggregate; the join carries only distinct keys, and the final "
+    "aggregate is a 1-row reduce with map-side partials.",
+)
+def tpcds_q97_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def year_keys(y: int, alias: str) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == y)
+            .select(F.col("o_custkey").alias(alias))
+            .distinct()
+        )
+
+    a = year_keys(1995, "ka")
+    b = year_keys(1996, "kb")
+    j = a.join(b, a["ka"] == b["kb"], "full_outer")
+    return j.agg(
+        F.count(
+            F.when(F.col("ka").isNotNull() & F.col("kb").isNotNull(), 1)
+        )
+        .cast("bigint")
+        .alias("both_years"),
+        F.count(F.when(F.col("kb").isNull(), 1)).cast("bigint").alias(
+            "only_1995"
+        ),
+        F.count(F.when(F.col("ka").isNull(), 1)).cast("bigint").alias(
+            "only_1996"
+        ),
+    )

@@ -994,3 +994,112 @@ def brier_decomposition(
         trino_round(F.col("_resolution"), 6).alias("resolution"),
         trino_round(unc, 6).alias("uncertainty"),
     )
+
+
+def lift_gain_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table (the classic model-targeting
+    report): rank rows by score DESCENDING, cut into ``n_buckets``
+    population-equal buckets, and report per bucket the positives
+    captured, the cumulative gain (share of all positives reached) and
+    the lift vs random targeting — the go/no-go readout for a quality
+    classifier that will gate corpus admission at some volume budget.
+
+    Scale shape (the RFM boundary-swap machinery end-to-end): rows
+    collapse to |distinct score| value-grouped counts FIRST, a
+    :func:`~..operators.timeseries.two_phase_running_sum` running
+    count elects the bucket boundary VALUES at the exact cut positions
+    p_t = t·⌊N/n⌋ + min(t, N mod n), boundaries broadcast as one sorted
+    array, and bucket assignment is a row-local array fold over the
+    value-grouped table — raw rows are never touched after the first
+    groupBy and nothing row-scale is ever sorted. Ties that straddle a
+    cut land in the better (lower-numbered) bucket as a block, on both
+    engines, because assignment is by VALUE. Gains cumulate over the
+    ≤ n_buckets-row output with a window; every count is an exact
+    integer, lift/gain are IEEE divisions at emit.
+
+    Output per bucket: ``bucket, n_rows, n_pos, cum_pos, gain, lift``
+    (round6), ordered by bucket.
+    """
+    from .timeseries import two_phase_running_sum
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    # negate: descending score order becomes ascending nv order
+    by_v = df.select((-s).alias("nv"), y.alias("_y")).groupBy("nv").agg(
+        F.count(F.lit(1)).alias("n_v"),
+        F.sum("_y").alias("np_v"),
+    ).localCheckpoint()
+    cum = two_phase_running_sum(by_v, F.col("n_v"), order=["nv"], out="c")
+    tot = by_v.agg(
+        F.sum("n_v").alias("_n"), F.sum("np_v").alias("_p")
+    )
+    spark = df.sparkSession
+    tiles = F.broadcast(
+        spark.createDataFrame([(t,) for t in range(1, n_buckets)], "t int")
+    )
+    cuts = tiles.crossJoin(F.broadcast(tot)).select(
+        "t",
+        (
+            F.col("t") * F.floor(F.col("_n") / n_buckets)
+            + F.least(F.col("t").cast("bigint"), F.col("_n") % n_buckets)
+        ).alias("p"),
+    )
+    bnd = (
+        cum.join(
+            F.broadcast(cuts),
+            (F.col("c") >= F.col("p"))
+            & (F.col("c") - F.col("n_v") < F.col("p")),
+        )
+        .groupBy()
+        .agg(F.array_sort(F.collect_list("nv")).alias("_bnd"))
+    )
+    assigned = by_v.crossJoin(F.broadcast(bnd)).select(
+        (
+            F.lit(1)
+            + F.aggregate(
+                F.col("_bnd"),
+                F.lit(0),
+                lambda acc, b: acc + F.when(F.col("nv") > b, 1).otherwise(0),
+            )
+        ).alias("bucket"),
+        "n_v",
+        "np_v",
+    )
+    per = assigned.groupBy("bucket").agg(
+        F.sum("n_v").cast("bigint").alias("n_rows"),
+        F.sum("np_v").cast("bigint").alias("n_pos"),
+    )
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the window runs over the <= n_buckets-row output table
+    out = per.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_rows",
+        "n_pos",
+        F.sum("n_pos").over(w).cast("bigint").alias("cum_pos"),
+        F.sum("n_rows").over(w).alias("_cum_n"),
+        "_n",
+        "_p",
+    )
+    gain = F.try_divide(
+        F.col("cum_pos").cast("double"), F.col("_p").cast("double")
+    )
+    lift = F.try_divide(
+        F.col("cum_pos").cast("double") / F.col("_cum_n").cast("double"),
+        F.col("_p").cast("double") / F.col("_n").cast("double"),
+    )
+    return out.select(
+        "bucket",
+        "n_rows",
+        "n_pos",
+        "cum_pos",
+        trino_round(gain, 6).alias("gain"),
+        trino_round(lift, 6).alias("lift"),
+    ).orderBy("bucket")

@@ -2272,3 +2272,20 @@ def test_brier_decomposition_identity(spark):
         round(got.reliability - got.resolution + got.uncertainty, 6)
         == got.brier_binned
     )
+
+
+def test_lift_gain_table_hand_computed(spark):
+    """20 rows, scores 20..1 (desc = row order), positives at the top
+    8 scores. Deciles of 2: buckets 1-4 fully positive, 5-10 empty.
+    gain at bucket 4 = 1.0; lift at bucket 1 = (2/2)/(8/20) = 2.5."""
+    from lakehouse_platform_nyc_taxi_spark.operators import stats
+
+    rows = [(float(s), 1 if s > 12 else 0) for s in range(20, 0, -1)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {r.bucket: r for r in stats.lift_gain_table(df, "score", "label").collect()}
+    assert len(out) == 10
+    assert all(out[b].n_rows == 2 for b in out)
+    assert [out[b].n_pos for b in range(1, 11)] == [2, 2, 2, 2, 0, 0, 0, 0, 0, 0]
+    assert out[1].lift == 2.5
+    assert out[4].gain == 1.0 and out[4].cum_pos == 8
+    assert out[10].gain == 1.0 and out[10].lift == 1.0

@@ -978,3 +978,14 @@ def test_r14_wave_plan_shapes(spark):
         assert "CartesianProduct" not in plan, f"{name} planned a cartesian"
         assert "SortMergeJoin" not in plan, f"{name}: non-broadcast join"
         assert "partial" in plan.lower(), f"{name}: no map-side partials"
+
+
+def test_lift_gain_no_row_scale_sort(spark):
+    """stats_lift_gain: bucket assignment happens on the VALUE-grouped
+    table via a broadcast boundary array — no ntile, and every window
+    is either two_phase internals or the 10-row output cumsum."""
+    opt = optimized_of(spark, "stats_lift_gain")
+    assert "ntile" not in opt
+    plan = plan_of(spark, "tpcds_q97_overlap")
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
