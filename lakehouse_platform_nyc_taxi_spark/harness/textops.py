@@ -1300,3 +1300,110 @@ def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_winters_smoothing(ev, "user_id", "_day", "_y", period=7).orderBy(
         "user_id"
     )
+
+
+@register(
+    "timeseries_ewma_chart",
+    """
+    WITH RECURSIVE d AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS y
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT user_id, y,
+               row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        FROM d
+    ),
+    mx AS (SELECT user_id, max(rn) AS n FROM s GROUP BY 1),
+    st AS (
+        SELECT user_id,
+               round(CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE)
+                     / count(*), 8) AS mu,
+               round(sqrt(greatest(
+                   CAST(sum(CAST(round(y * y, 8) AS DECIMAL(38,12)))
+                        AS DOUBLE) / count(*)
+                   - round(CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE)
+                           / count(*), 8)
+                     * round(CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE)
+                             / count(*), 8),
+                   0.0)), 8) AS sg
+        FROM d GROUP BY 1
+    ),
+    r AS (
+        SELECT s.user_id, 1 AS rn,
+               round(0.5 * s.y + 0.5 * st.mu, 8) AS z,
+               round(1.0 * 0.25, 8) AS q,
+               CASE WHEN abs(round(0.5 * s.y + 0.5 * st.mu, 8) - st.mu)
+                         > round(3.0 * st.sg
+                                 * sqrt(round((0.5 / 1.5)
+                                              * (1 - round(1.0 * 0.25, 8)),
+                                        8)), 8)
+                    THEN 1 ELSE 0 END AS alarms,
+               CASE WHEN abs(round(0.5 * s.y + 0.5 * st.mu, 8) - st.mu)
+                         > round(3.0 * st.sg
+                                 * sqrt(round((0.5 / 1.5)
+                                              * (1 - round(1.0 * 0.25, 8)),
+                                        8)), 8)
+                    THEN 1 ELSE 0 END AS first_alarm
+        FROM s JOIN st USING (user_id) WHERE s.rn = 1
+        UNION ALL
+        SELECT r.user_id, r.rn + 1,
+               round(0.5 * s.y + 0.5 * r.z, 8),
+               round(r.q * 0.25, 8),
+               r.alarms
+               + CASE WHEN abs(round(0.5 * s.y + 0.5 * r.z, 8) - st.mu)
+                           > round(3.0 * st.sg
+                                   * sqrt(round((0.5 / 1.5)
+                                                * (1 - round(r.q * 0.25, 8)),
+                                          8)), 8)
+                      THEN 1 ELSE 0 END,
+               CASE WHEN r.first_alarm > 0 THEN r.first_alarm
+                    WHEN abs(round(0.5 * s.y + 0.5 * r.z, 8) - st.mu)
+                         > round(3.0 * st.sg
+                                 * sqrt(round((0.5 / 1.5)
+                                              * (1 - round(r.q * 0.25, 8)),
+                                        8)), 8)
+                    THEN r.rn + 1 ELSE 0 END
+        FROM r
+        JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+        JOIN st ON st.user_id = r.user_id
+    )
+    SELECT r.user_id, CAST(mx.n AS BIGINT) AS n_obs,
+           round(st.mu, 6) AS mean, round(st.sg, 6) AS sigma,
+           round(r.z, 6) AS ewma_final,
+           CAST(r.alarms AS BIGINT) AS n_alarms,
+           CAST(r.first_alarm AS BIGINT) AS first_alarm
+    FROM r
+    JOIN mx ON mx.user_id = r.user_id AND r.rn = mx.n
+    JOIN st ON st.user_id = r.user_id
+    ORDER BY r.user_id
+    """,
+    doc="EWMA control chart (Roberts 1959) over each user's daily "
+    "value series: smoothed statistic seeded at the series mean, "
+    "time-varying control limits L*sigma*sqrt(f*(1-(1-lam)^2t)) with "
+    "the power carried as round8-fenced state (exact for dyadic "
+    "lam=0.5), alarm count and first-exceedance index. Pass 1 is one "
+    "decimal-fenced grouped aggregate; the fold rides the bucketed "
+    "applyInPandas seam; the oracle is a recursive CTE stepping the "
+    "SAME recurrence — a third exact-checkable iterative operator "
+    "alongside Holt and Holt-Winters "
+    "(operators/timeseries.py::ewma_control_chart).",
+)
+def timeseries_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import ewma_control_chart
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            F.col("user_id"),
+            F.date_trunc("day", F.col("ts")).cast("date").alias("_day"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("_y")
+        )
+    )
+    return ewma_control_chart(ev, "user_id", "_day", "_y").orderBy("user_id")

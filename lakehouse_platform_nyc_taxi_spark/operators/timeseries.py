@@ -846,3 +846,126 @@ def holt_winters_smoothing(
         )
     bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
     return df.groupBy(bucket.alias("_bk")).applyInPandas(fold, out_schema)
+
+
+def ewma_control_chart(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+    lam: float = 0.5,
+    L: float = 3.0,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """EWMA control chart (Roberts 1959, public): per key series, run
+    the smoothed statistic z_t = round8(lam*y_t + (1-lam)*z_{t-1})
+    seeded z_0 = series mean, and alarm whenever |z_t - mean| exceeds
+    the time-varying control limit
+
+        width_t = round8(L * sigma * sqrt(round8(f * (1 - q_t))))
+        f = lam / (2 - lam),  q_t = (1-lam)^(2t)  (carried as state:
+        q_t = round8(q_{t-1} * (1-lam)^2), exact for dyadic lam)
+
+    — the standard small-shift drift monitor that complements the CUSUM
+    changepoint locator. Pass 1 is one distributed grouped aggregate
+    (decimal-fenced mean and population sigma per key — order-free);
+    the sequential fold rides the same bucketed ``applyInPandas`` seam
+    as Holt/Holt-Winters. Every step is round8-fenced, lam is DYADIC
+    by default so q_t stays exact, the single non-dyadic constant
+    f = lam/(2-lam) is ONE correctly-rounded IEEE division, and sqrt
+    is IEEE-correctly-rounded — so alarm sets are bit-identical across
+    engines and the oracle twin is a recursive CTE, not a rows-only
+    check.
+
+    Output per key: ``{key}, n_obs, mean, sigma, ewma_final,
+    n_alarms, first_alarm`` (round6; ``first_alarm`` is the 1-based
+    observation index of the first exceedance, 0 if none).
+    """
+    import math
+
+    import pandas as pd
+
+    lam_c, L_c = float(lam), float(L)
+    c2 = (1.0 - lam_c) * (1.0 - lam_c)
+    f_c = lam_c / (2.0 - lam_c)
+
+    def r8(x: float) -> float:
+        return (math.floor(abs(x) * 1e8 + 0.5) / 1e8) * (
+            1.0 if x >= 0 else -1.0
+        )
+
+    def r6(x: float) -> float:
+        return (math.floor(abs(x) * 1e6 + 0.5) / 1e6) * (
+            1.0 if x >= 0 else -1.0
+        )
+
+    stats = df.groupBy(F.col(key)).agg(
+        (
+            F.sum(F.col(value).cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_mean"),
+        (
+            F.sum(
+                trino_round(F.col(value) * F.col(value), 8).cast(
+                    "decimal(38,12)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_m2"),
+    )
+    mean8 = trino_round(F.col("_mean"), 8)
+    sigma8 = trino_round(
+        F.sqrt(F.greatest(F.col("_m2") - mean8 * mean8, F.lit(0.0))), 8
+    )
+    joined = df.join(
+        F.broadcast(stats.select(key, mean8.alias("_mu"), sigma8.alias("_sg"))),
+        key,
+    )
+
+    key_type = df.schema[key].dataType.simpleString()
+    out_schema = (
+        f"{key} {key_type}, n_obs long, mean double, sigma double, "
+        "ewma_final double, n_alarms long, first_alarm long"
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values([key, order])
+        keys_arr = pdf[key].to_numpy()
+        y_all = pdf[value].to_numpy(dtype="float64")
+        mu_all = pdf["_mu"].to_numpy(dtype="float64")
+        sg_all = pdf["_sg"].to_numpy(dtype="float64")
+        out = {key: [], "n_obs": [], "mean": [], "sigma": [],
+               "ewma_final": [], "n_alarms": [], "first_alarm": []}
+        starts = np.flatnonzero(
+            np.r_[True, keys_arr[1:] != keys_arr[:-1]]
+        ).tolist() + [len(keys_arr)]
+        for s0, s1 in zip(starts[:-1], starts[1:]):
+            y = y_all[s0:s1]
+            mu, sg = float(mu_all[s0]), float(sg_all[s0])
+            z, q = mu, 1.0
+            alarms, first = 0, 0
+            for t in range(len(y)):
+                z = r8(lam_c * float(y[t]) + (1.0 - lam_c) * z)
+                q = r8(q * c2)
+                width = r8(L_c * sg * math.sqrt(r8(f_c * (1.0 - q))))
+                if abs(z - mu) > width:
+                    alarms += 1
+                    if first == 0:
+                        first = t + 1
+            out[key].append(keys_arr[s0])
+            out["n_obs"].append(s1 - s0)
+            out["mean"].append(r6(mu))
+            out["sigma"].append(r6(sg))
+            out["ewma_final"].append(r6(z))
+            out["n_alarms"].append(alarms)
+            out["first_alarm"].append(first)
+        return pd.DataFrame(out)
+
+    if n_buckets is None:
+        n_buckets = max(
+            64, 2 * df.sparkSession.sparkContext.defaultParallelism
+        )
+    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+    return joined.groupBy(bucket.alias("_bk")).applyInPandas(fold, out_schema)

@@ -377,3 +377,31 @@ def test_holt_winters_hand_fold(spark):
     assert got.season_next == 0.0
     assert got.forecast_next == 34.6875
     assert got.sse == 456.25
+
+
+def test_ewma_control_chart_hand_fold(spark):
+    """Two-point series, hand-stepped (lam=.5, L=3): mu=15, sigma=5;
+    z1=12.5 (width 7.5), z2=16.25 — no alarms. A level-shift series
+    (ten 0s then ten 10s, mu=5 sigma=5) at L=1 alarms on BOTH flats:
+    z dips to 1.25 at t=2 (width 5*sqrt(f*(1-.25^2))=2.795 < 3.75)
+    and stays out of band as it climbs toward 10 — 17 of 20 points."""
+    from lakehouse_platform_nyc_taxi_spark.operators.timeseries import (
+        ewma_control_chart,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0)], "user_id long, t long, y double"
+    )
+    got = ewma_control_chart(df, "user_id", "t", "y").collect()[0]
+    assert (got.n_obs, got.mean, got.sigma) == (2, 15.0, 5.0)
+    assert got.ewma_final == 16.25
+    assert got.n_alarms == 0 and got.first_alarm == 0
+
+    shift = [(2, t, 0.0) for t in range(1, 11)] + [
+        (2, t, 10.0) for t in range(11, 21)
+    ]
+    df2 = spark.createDataFrame(shift, "user_id long, t long, y double")
+    got2 = ewma_control_chart(df2, "user_id", "t", "y", L=1.0).collect()[0]
+    assert got2.mean == 5.0 and got2.sigma == 5.0
+    assert got2.n_alarms == 17
+    assert got2.first_alarm == 2
