@@ -599,3 +599,135 @@ def streaming_decontamination_gate(spark: SparkSession, sf_dir: str) -> DataFram
         new_docs, _eval_gram_index(spark, sf_dir)
     )
     return S.run_available_now(out, "append", state_partitions=8)
+
+
+_CONF_THR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _conformal_threshold_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group conformal threshold artifact (event_type, _pred, _thr):
+    the calibration-split mean predictor and the ⌈(n_cal+1)·0.9⌉-th
+    smallest nonconformity score, derived exactly like the batch
+    stats_conformal_coverage query (same md5 split, same
+    two_phase_running_sum rank election). Session-cached + localCheckpoint
+    (one entry, evicted on session change — the eval-gram index pattern)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.hashing import md5_long
+    from ..operators.timeseries import two_phase_running_sum
+    from ..sources.testdata import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CONF_THR_CACHE:
+        for old_key in list(_CONF_THR_CACHE):
+            old = _CONF_THR_CACHE.pop(old_key)
+            try:
+                old.rdd.unpersist()
+                old.unpersist()
+            except Exception:
+                pass  # session already stopped; nothing to free
+        from ..functions.trino import trino_round
+
+        base = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull())
+            .select(
+                F.col("event_type").alias("_g"),
+                F.col("value").cast("double").alias("_v"),
+                (
+                    md5_long(
+                        F.concat(F.col("event_id").cast("string"), F.lit("|conf"))
+                    )
+                    % 5
+                    == 0
+                ).alias("_is_test"),
+            )
+        )
+        cal0 = base.filter(~F.col("_is_test"))
+        pred = cal0.groupBy("_g").agg(
+            (
+                F.sum(F.col("_v").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("_pred"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+        )
+        cal = (
+            cal0.join(F.broadcast(pred), "_g")
+            .withColumn(
+                "_s", trino_round(F.abs(F.col("_v") - F.col("_pred")), 8)
+            )
+            .withColumn("_one", F.lit(1))
+        )
+        cum = two_phase_running_sum(cal, "_one", order=["_s"], keys=["_g"], out="_c")
+        k = F.least(
+            F.ceil((F.col("n_cal") + F.lit(1)).cast("double") * F.lit(0.9)),
+            F.col("n_cal"),
+        )
+        thr = (
+            cum.filter(F.col("_c") >= k).groupBy("_g").agg(F.min("_s").alias("_thr"))
+        )
+        _CONF_THR_CACHE[key] = (
+            pred.join(thr, "_g")
+            .select(F.col("_g").alias("event_type"), "_pred", "_thr")
+            .localCheckpoint()
+        )
+    return _CONF_THR_CACHE[key]
+
+
+_CONF_HASH_STREAM = "('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|conf'), 1, 15))::BIGINT"
+
+
+@register(
+    "streaming_conformal_gate",
+    f"""
+    WITH base AS (
+        SELECT event_id, event_type AS g, CAST(value AS DOUBLE) AS v,
+               ({_CONF_HASH_STREAM}) % 5 = 0 AS is_test
+        FROM events WHERE value IS NOT NULL
+    ),
+    pred AS (
+        SELECT g,
+               CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS p,
+               CAST(count(*) AS BIGINT) AS n_cal
+        FROM base WHERE NOT is_test GROUP BY 1
+    ),
+    cal AS (
+        SELECT b.g, round(abs(b.v - pred.p), 8) AS s, pred.n_cal,
+               row_number() OVER (PARTITION BY b.g ORDER BY round(abs(b.v - pred.p), 8)) AS rn
+        FROM base b JOIN pred ON pred.g = b.g
+        WHERE NOT b.is_test
+    ),
+    thr AS (
+        SELECT g, min(s) AS t
+        FROM cal
+        WHERE rn >= least(CAST(ceil(CAST(n_cal + 1 AS DOUBLE) * 0.9)
+                                AS BIGINT), n_cal)
+        GROUP BY 1
+    )
+    SELECT b.event_id, b.g AS event_type,
+           round(round(abs(b.v - pred.p), 8), 6) AS score,
+           round(thr.t, 6) AS threshold
+    FROM base b
+    JOIN pred ON pred.g = b.g
+    JOIN thr ON thr.g = b.g
+    WHERE round(abs(b.v - pred.p), 8) > thr.t
+    """,
+    doc="Continuous conformal outlier gate: arriving events stream-"
+    "static join the per-type conformal threshold artifact (the "
+    "calibration-split predictor + rank-k nonconformity threshold the "
+    "batch stats_conformal_coverage derives) and exceedances emit for "
+    "quarantine — arrive-time drift flagging with a finite-sample "
+    "<=10% false-alarm guarantee under exchangeability. Entirely "
+    "stateless (projection + broadcast join + filter, no state "
+    "store); round8-fenced scores make the flagged set engine-exact, "
+    "so the oracle is a full batch replay "
+    "(streaming/ops.py::stream_conformal_gate).",
+    prepare=_conformal_threshold_index,
+)
+def streaming_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = S.read_events_stream(spark, sf_dir)
+    out = S.stream_conformal_gate(
+        stream, _conformal_threshold_index(spark, sf_dir)
+    )
+    return S.run_available_now(out, "append", state_partitions=8)

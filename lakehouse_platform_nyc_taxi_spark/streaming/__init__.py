@@ -25,6 +25,7 @@ from .ops import (
     session_windows,
     stateful_user_stats,
     stream_cms,
+    stream_conformal_gate,
     stream_decontamination_gate,
     stream_dedup_gate,
     stream_static_enrich,
@@ -39,6 +40,7 @@ __all__ = [
     "read_documents_stream",
     "read_events_stream",
     "stream_cms",
+    "stream_conformal_gate",
     "stream_decontamination_gate",
     "stream_dedup_gate",
     "run_available_now",

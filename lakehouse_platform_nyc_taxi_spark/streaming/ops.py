@@ -671,3 +671,50 @@ def stream_decontamination_gate(
             .select("doc_id", "gram")
         )
     return flagged.select("doc_id", "gram").dropDuplicates(["doc_id", "gram"])
+
+
+def stream_conformal_gate(
+    stream_events: DataFrame,
+    thresholds: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Continuous conformal outlier gate: every arriving event joins the
+    per-group conformal threshold artifact (``thresholds``: one row per
+    group with ``_pred`` — the calibration-split predictor — and
+    ``_thr`` — the ⌈(n_cal+1)(1−α)⌉-th smallest calibration
+    nonconformity score, the table the batch
+    ``conformal_split_calibrate`` derives), and rows whose score
+    round8(|value − pred|) exceeds the threshold emit for quarantine —
+    distribution-shifted points arrive-time-flagged with a finite-sample
+    false-alarm guarantee of ≤ α under exchangeability.
+
+    Entirely STATELESS: pure projections + a stream-static broadcast
+    join + a filter — no watermark, no state store, so the gate adds no
+    per-batch overhead beyond the scan (the streaming sibling of the
+    decontamination gate's stream-static shape). Scores and the
+    comparison are round8-fenced exactly like the batch side, so the
+    flagged SET is engine-identical and the oracle is a full batch
+    replay, not a rows-only check.
+
+    Output per flagged event: ``{id_col}, {group_col}, score,
+    threshold`` (round6 at emit; the comparison uses unrounded values).
+    """
+    from ..functions.trino import trino_round
+
+    s = trino_round(
+        F.abs(F.col(value_col).cast("double") - F.col("_pred")), 8
+    )
+    return (
+        stream_events.filter(F.col(value_col).isNotNull())
+        .join(F.broadcast(thresholds), group_col)
+        .withColumn("_s", s)
+        .filter(F.col("_s") > F.col("_thr"))
+        .select(
+            id_col,
+            group_col,
+            trino_round(F.col("_s"), 6).alias("score"),
+            trino_round(F.col("_thr"), 6).alias("threshold"),
+        )
+    )

@@ -598,3 +598,29 @@ def test_decontamination_gate_watermarked_dedup_state_bounded(spark, tmp_path):
     assert {(r.doc_id, r.gram) for r in out} == {
         (1, " ".join(f"w{i}" for i in range(8)))
     }
+
+
+def test_conformal_gate_flags_only_exceedances(spark, tmp_path):
+    """Gate vs a hand-built threshold table: group 'a' pred=10, thr=2 —
+    values 11 (score 1, pass) and 15 (score 5, flag); stateless plan
+    (no state store operator in the drained query)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_platform_nyc_taxi_spark import streaming as S
+
+    ev = spark.createDataFrame(
+        [(1, "a", 11.0), (2, "a", 15.0), (3, "b", 100.0)],
+        "event_id long, event_type string, value double",
+    )
+    path = str(tmp_path / "ev")
+    ev.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    thr = spark.createDataFrame(
+        [("a", 10.0, 2.0), ("b", 99.0, 2.0)],
+        "event_type string, _pred double, _thr double",
+    )
+    out = S.run_available_now(
+        S.stream_conformal_gate(stream, thr), "append", state_partitions=4
+    ).collect()
+    got = {(r.event_id): (r.score, r.threshold) for r in out}
+    assert got == {2: (5.0, 2.0)}
