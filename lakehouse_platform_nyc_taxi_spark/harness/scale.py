@@ -3975,3 +3975,76 @@ def stats_lift_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderstatus") == "F").cast("int").alias("label"),
     )
     return lift_gain_table(o, "score", "label", n_buckets=10)
+
+
+@register(
+    "stats_psi_drift",
+    """
+    WITH base AS (
+        SELECT CAST(value AS DOUBLE) AS v,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS r
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')
+    ),
+    b AS (
+        SELECT v, sum(r) AS nr_v, sum(1 - r) AS nc_v FROM base GROUP BY 1
+    ),
+    c AS (SELECT v, nr_v, nc_v, sum(nr_v) OVER (ORDER BY v) AS c FROM b),
+    tot AS (SELECT sum(nr_v) AS nr, sum(nc_v) AS nc FROM b),
+    cuts AS (
+        SELECT t, t * (nr // 10) + least(t, nr % 10) AS p
+        FROM generate_series(1, 9) AS g(t), tot
+    ),
+    bnd AS (
+        SELECT c.v AS bv FROM c JOIN cuts
+        ON c.c >= cuts.p AND c.c - c.nr_v < cuts.p
+    ),
+    asg AS (
+        SELECT b.v, b.nr_v, b.nc_v,
+               1 + (SELECT count(*) FROM bnd WHERE b.v > bnd.bv) AS bin
+        FROM b
+    ),
+    per AS (
+        SELECT bin, CAST(sum(nr_v) AS BIGINT) AS n_ref,
+               CAST(sum(nc_v) AS BIGINT) AS n_cmp
+        FROM asg GROUP BY 1
+    ),
+    wide AS (
+        SELECT bin, n_ref, n_cmp,
+               (CAST(n_ref AS DOUBLE) + 0.5)
+                   / (CAST(t.nr AS DOUBLE) + 5.0) AS p,
+               (CAST(n_cmp AS DOUBLE) + 0.5)
+                   / (CAST(t.nc AS DOUBLE) + 5.0) AS q
+        FROM per, tot t
+    ),
+    scored AS (
+        SELECT bin, n_ref, n_cmp, p, q,
+               round((p - q) * ln(p / q), 8) AS ct
+        FROM wide
+    ),
+    e AS (
+        SELECT round(CAST(sum(CAST(ct AS DECIMAL(38,12))) AS DOUBLE), 6)
+                   AS psi
+        FROM scored
+    )
+    SELECT CAST(bin AS INTEGER) AS bin, n_ref, n_cmp,
+           round(p, 6) AS p_ref, round(q, 6) AS p_cmp,
+           round(ct, 6) AS contrib, e.psi
+    FROM scored, e
+    ORDER BY bin
+    """,
+    doc="Population Stability Index of the purchase-value distribution "
+    "against view-value as the reference: reference-decile bins from "
+    "the two-phase boundary election, one value-grouped pass carrying "
+    "both slices, Laplace-smoothed proportions (+0.5 per bin), "
+    "round8-fenced (p-q)ln(p/q) terms decimal-summed — the standard "
+    "drift monitor between corpus slices "
+    "(operators/stats.py::psi_drift).",
+)
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import psi_drift
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    return psi_drift(ev, "value", F.col("event_type") == "view", n_bins=10)

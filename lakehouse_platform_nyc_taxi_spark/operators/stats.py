@@ -1103,3 +1103,119 @@ def lift_gain_table(
         trino_round(gain, 6).alias("gain"),
         trino_round(lift, 6).alias("lift"),
     ).orderBy("bucket")
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    in_ref: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a REFERENCE slice and a
+    comparison slice of the same column — the standard score-drift
+    monitor (banking/scoring practice; PSI < 0.1 stable, > 0.25
+    shifted):
+
+        PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)
+
+    over ``n_bins`` population-equal bins of the REFERENCE distribution
+    (its own deciles, the standard binning), with Laplace-smoothed
+    proportions p_b = (n_b + 0.5) / (N + 0.5·B) so an empty comparison
+    bin contributes a large-but-finite term instead of ∞ (documented
+    smoothing; both engines compute it identically).
+
+    Scale shape: ONE value-grouped count pass carries both slices
+    (two conditional counts per distinct value); the reference decile
+    boundaries come from a
+    :func:`~..operators.timeseries.two_phase_running_sum` running count
+    at the exact cut positions (the lift/gain machinery), broadcast as
+    an array; bin assignment is a row-local fold over the value-grouped
+    table. Per-bin ln terms are round8-fenced and decimal-summed —
+    B ≤ n_bins addends, order-free. Reference slice must have at least
+    ``n_bins`` rows.
+
+    Output per bin: ``bin, n_ref, n_cmp, p_ref, p_cmp, contrib, psi``
+    (round6; ``psi`` is the same corpus-level value on every row),
+    ordered by bin.
+    """
+    from .timeseries import two_phase_running_sum
+
+    v = F.col(value_col).cast("double")
+    r = in_ref.cast("int")
+    by_v = (
+        df.filter(v.isNotNull())
+        .select(v.alias("v"), r.alias("_r"))
+        .groupBy("v")
+        .agg(
+            F.sum("_r").alias("nr_v"),
+            F.sum(F.lit(1) - F.col("_r")).alias("nc_v"),
+        )
+        .localCheckpoint()
+    )
+    cum = two_phase_running_sum(by_v, F.col("nr_v"), order=["v"], out="c")
+    tot = by_v.agg(
+        F.sum("nr_v").alias("_nr"), F.sum("nc_v").alias("_nc")
+    )
+    spark = df.sparkSession
+    tiles = F.broadcast(
+        spark.createDataFrame([(t,) for t in range(1, n_bins)], "t int")
+    )
+    cuts = tiles.crossJoin(F.broadcast(tot)).select(
+        "t",
+        (
+            F.col("t") * F.floor(F.col("_nr") / n_bins)
+            + F.least(F.col("t").cast("bigint"), F.col("_nr") % n_bins)
+        ).alias("p"),
+    )
+    bnd = (
+        cum.join(
+            F.broadcast(cuts),
+            (F.col("c") >= F.col("p"))
+            & (F.col("c") - F.col("nr_v") < F.col("p")),
+        )
+        .groupBy()
+        .agg(F.array_sort(F.collect_list("v")).alias("_bnd"))
+    )
+    assigned = by_v.crossJoin(F.broadcast(bnd)).select(
+        (
+            F.lit(1)
+            + F.aggregate(
+                F.col("_bnd"),
+                F.lit(0),
+                lambda acc, b: acc + F.when(F.col("v") > b, 1).otherwise(0),
+            )
+        ).alias("bin"),
+        "nr_v",
+        "nc_v",
+    )
+    per = assigned.groupBy("bin").agg(
+        F.sum("nr_v").cast("bigint").alias("n_ref"),
+        F.sum("nc_v").cast("bigint").alias("n_cmp"),
+    )
+    wide = per.crossJoin(F.broadcast(tot))
+    p = (F.col("n_ref").cast("double") + F.lit(0.5)) / (
+        F.col("_nr").cast("double") + F.lit(0.5 * n_bins)
+    )
+    q = (F.col("n_cmp").cast("double") + F.lit(0.5)) / (
+        F.col("_nc").cast("double") + F.lit(0.5 * n_bins)
+    )
+    contrib = trino_round((p - q) * F.log(p / q), 8)
+    scored = wide.withColumn("_ct", contrib)
+    psi = scored.agg(
+        trino_round(
+            F.sum(F.col("_ct").cast("decimal(38,12)")).cast("double"), 6
+        ).alias("psi")
+    )
+    return (
+        scored.crossJoin(F.broadcast(psi))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cmp",
+            trino_round(p, 6).alias("p_ref"),
+            trino_round(q, 6).alias("p_cmp"),
+            trino_round(F.col("_ct"), 6).alias("contrib"),
+            "psi",
+        )
+        .orderBy("bin")
+    )

@@ -2289,3 +2289,25 @@ def test_lift_gain_table_hand_computed(spark):
     assert out[1].lift == 2.5
     assert out[4].gain == 1.0 and out[4].cum_pos == 8
     assert out[10].gain == 1.0 and out[10].lift == 1.0
+
+
+def test_psi_drift_detects_shift(spark):
+    """Identical slices => psi ~= 0 (exactly 0 when counts mirror);
+    a shifted comparison slice => psi well above the 0.25 alarm line."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_platform_nyc_taxi_spark.operators import stats
+
+    same = [(float(i % 100), g) for i in range(1000) for g in ("r", "c")]
+    df = spark.createDataFrame(same, "v double, g string")
+    out = stats.psi_drift(df, "v", F.col("g") == "r").collect()
+    assert len(out) == 10
+    assert sum(r.n_ref for r in out) == 1000
+    assert abs(out[0].psi) < 1e-9  # mirrored counts -> every p_b == q_b
+
+    shifted = [(float(i % 100), "r") for i in range(1000)] + [
+        (float(i % 100) + 80.0, "c") for i in range(1000)
+    ]
+    df2 = spark.createDataFrame(shifted, "v double, g string")
+    out2 = stats.psi_drift(df2, "v", F.col("g") == "r").collect()
+    assert out2[0].psi > 0.25
