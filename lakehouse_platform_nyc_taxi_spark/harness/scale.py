@@ -4048,3 +4048,54 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isin("view", "purchase")
     )
     return psi_drift(ev, "value", F.col("event_type") == "view", n_bins=10)
+
+
+@register(
+    "stats_cvm_two_sample",
+    """
+    WITH base AS (
+        SELECT CAST(value AS DOUBLE) AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS s1
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+    ),
+    b AS (SELECT v, sum(s1) AS n1_v, sum(1 - s1) AS n2_v FROM base GROUP BY 1),
+    c AS (
+        SELECT v, n1_v, n2_v, sum(n1_v) OVER (ORDER BY v) AS cum1,
+               sum(n2_v) OVER (ORDER BY v) AS cum2
+        FROM b
+    ),
+    t AS (SELECT sum(n1_v) AS n1, sum(n2_v) AS n2 FROM b),
+    s AS (
+        SELECT round(CAST(n1_v + n2_v AS DOUBLE)
+                     * (CAST(cum1 AS DOUBLE) / CAST(t.n1 AS DOUBLE)
+                        - CAST(cum2 AS DOUBLE) / CAST(t.n2 AS DOUBLE))
+                     * (CAST(cum1 AS DOUBLE) / CAST(t.n1 AS DOUBLE)
+                        - CAST(cum2 AS DOUBLE) / CAST(t.n2 AS DOUBLE)), 8)
+                   AS ct,
+               t.n1, t.n2
+        FROM c, t
+    )
+    SELECT CAST(max(n1) AS BIGINT) AS n_1, CAST(max(n2) AS BIGINT) AS n_2,
+           round(CAST(sum(CAST(ct AS DECIMAL(38,12))) AS DOUBLE)
+                 * CAST(max(n1) AS DOUBLE)
+                 / (CAST(max(n1) AS DOUBLE) + CAST(max(n2) AS DOUBLE))
+                 * CAST(max(n2) AS DOUBLE)
+                 / (CAST(max(n1) AS DOUBLE) + CAST(max(n2) AS DOUBLE)), 6)
+               AS cvm_stat
+    FROM s
+    """,
+    doc="Two-sample Cramér-von Mises statistic between the click and "
+    "purchase value distributions — the integral companion to the KS "
+    "supremum, same value-grouped collapse and shared bounds probe; "
+    "per-value m_v*(F1-F2)^2 contributions round8-fenced and "
+    "decimal-summed, fixed-order double scaling at emit "
+    "(operators/stats.py::cvm_two_sample).",
+)
+def stats_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import cvm_two_sample
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return cvm_two_sample(ev, "value", F.col("event_type") == "click")

@@ -2311,3 +2311,24 @@ def test_psi_drift_detects_shift(spark):
     df2 = spark.createDataFrame(shifted, "v double, g string")
     out2 = stats.psi_drift(df2, "v", F.col("g") == "r").collect()
     assert out2[0].psi > 0.25
+
+
+def test_cvm_two_sample_hand_computed(spark):
+    """Identical samples -> T = 0; disjoint samples {1,2} vs {3,4}:
+    pooled values contribute m*(F1-F2)^2 = 1*(.5)^2 + 1*(1)^2 +
+    1*(.5)^2 = 1.5, T = (4/16)*1.5 = 0.375."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_platform_nyc_taxi_spark.operators import stats
+
+    same = spark.createDataFrame(
+        [(1.0, "a"), (1.0, "b"), (2.0, "a"), (2.0, "b")], "v double, g string"
+    )
+    got0 = stats.cvm_two_sample(same, "v", F.col("g") == "a").collect()[0]
+    assert got0.cvm_stat == 0.0
+    dis = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (3.0, "b"), (4.0, "b")], "v double, g string"
+    )
+    got = stats.cvm_two_sample(dis, "v", F.col("g") == "a").collect()[0]
+    assert (got.n_1, got.n_2) == (2, 2)
+    assert got.cvm_stat == 0.375

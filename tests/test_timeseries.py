@@ -405,3 +405,71 @@ def test_ewma_control_chart_hand_fold(spark):
     assert got2.mean == 5.0 and got2.sigma == 5.0
     assert got2.n_alarms == 17
     assert got2.first_alarm == 2
+
+
+def test_holt_winters_property_matches_python_fold(spark):
+    """Property check: the bucketed applyInPandas fold must equal a
+    pure-Python replay of the documented recurrence for arbitrary
+    series (values on a 0.25 grid so seed sums stay exact-comparable),
+    any period, any bucket count — bucketing and Arrow batching must
+    never change per-series math. One batched Spark job for a corpus
+    of adversarial series shapes."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lakehouse_platform_nyc_taxi_spark.operators.timeseries import (
+        holt_winters_smoothing,
+    )
+
+    def r8(x):
+        return (math.floor(abs(x) * 1e8 + 0.5) / 1e8) * (1.0 if x >= 0 else -1.0)
+
+    def py_fold(y, m):
+        if len(y) <= m:
+            return None
+        acc = y[0]
+        for t in range(1, m):
+            acc = r8(acc + y[t])
+        l = r8(acc / m)
+        s = [r8(y[i] - l) for i in range(m)]
+        b, sse = 0.0, 0.0
+        for t in range(m, len(y)):
+            yt, sm = y[t], s[0]
+            pred = r8(l + b + sm)
+            sse = r8(sse + r8((yt - pred) * (yt - pred)))
+            l_new = r8(0.5 * (yt - sm) + 0.5 * (l + b))
+            b = r8(0.25 * (l_new - l) + 0.75 * b)
+            s = s[1:] + [r8(0.5 * (yt - l_new) + 0.5 * sm)]
+            l = l_new
+        return (len(y), l, b, s[0], r8(l + b + s[0]), sse)
+
+    grid = st.integers(-400, 400).map(lambda i: i * 0.25)
+    series = st.lists(grid, min_size=1, max_size=15)
+
+    @given(st.lists(series, min_size=1, max_size=6), st.integers(2, 4))
+    @settings(max_examples=8, deadline=None)
+    def run(corpus, m):
+        rows = [
+            (k, t, v) for k, ys in enumerate(corpus) for t, v in enumerate(ys)
+        ]
+        df = spark.createDataFrame(rows, "k long, t long, y double")
+        got = {
+            r.k: (r.n_obs, r.level, r.trend, r.season_next,
+                  r.forecast_next, r.sse)
+            for r in holt_winters_smoothing(
+                df, "k", "t", "y", period=m, n_buckets=3
+            ).collect()
+        }
+        def r6(x):
+            return (math.floor(abs(x) * 1e6 + 0.5) / 1e6) * (1.0 if x >= 0 else -1.0)
+        want = {}
+        for k, ys in enumerate(corpus):
+            ref = py_fold([float(v) for v in ys], m)
+            if ref is not None:
+                n, l, b, sn, fc, sse = ref
+                want[k] = (n, r6(l), r6(b), r6(sn), r6(fc), r6(sse))
+        assert got == want
+
+    run()
