@@ -473,3 +473,32 @@ def test_holt_winters_property_matches_python_fold(spark):
         assert got == want
 
     run()
+
+
+def test_sequential_folds_handle_empty_and_short_input(spark):
+    """Empty input -> empty output with the declared schema; series at
+    exactly the period length drop from Holt-Winters; a single point
+    is a valid EWMA series (one in-band observation, no alarm)."""
+    from lakehouse_platform_nyc_taxi_spark.operators.timeseries import (
+        ewma_control_chart,
+        holt_smoothing,
+        holt_winters_smoothing,
+    )
+
+    empty = spark.createDataFrame([], "user_id long, t long, y double")
+    assert holt_smoothing(empty, "user_id", "t", "y").count() == 0
+    assert holt_winters_smoothing(empty, "user_id", "t", "y", period=2).count() == 0
+    assert ewma_control_chart(empty, "user_id", "t", "y").count() == 0
+
+    exact_period = spark.createDataFrame(
+        [(1, 1, 5.0), (1, 2, 6.0)], "user_id long, t long, y double"
+    )
+    assert (
+        holt_winters_smoothing(exact_period, "user_id", "t", "y", period=2).count()
+        == 0
+    )
+
+    single = spark.createDataFrame([(1, 1, 5.0)], "user_id long, t long, y double")
+    got = ewma_control_chart(single, "user_id", "t", "y").collect()[0]
+    # z_1 = mean = 5, sigma = 0, width = 0: |z - mu| = 0 is NOT > 0
+    assert (got.n_obs, got.n_alarms, got.first_alarm) == (1, 0, 0)
