@@ -3759,7 +3759,8 @@ def stats_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
         SELECT sum(n_v - n_pos_v) AS n0, sum(n_pos_v) AS n1,
-               sum(CAST(n_pos_v * (2 * cum - n_v + 1) AS DECIMAL(38,0)))
+               sum(CAST(n_pos_v AS DECIMAL(19,0))
+                   * CAST(2 * cum - n_v + 1 AS DECIMAL(19,0)))
                    AS rx2
         FROM r
     )
@@ -3808,8 +3809,9 @@ def stats_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t AS (SELECT sum(n1_v) AS n1, sum(n2_v) AS n2 FROM b),
     s AS (
-        SELECT v, abs(CAST(cum1 * t.n2 AS DECIMAL(38,0))
-                      - CAST(cum2 * t.n1 AS DECIMAL(38,0))) AS ds
+        SELECT v, abs(CAST(cum1 AS DECIMAL(19,0)) * CAST(t.n2 AS DECIMAL(19,0))
+                      - CAST(cum2 AS DECIMAL(19,0)) * CAST(t.n1 AS DECIMAL(19,0)))
+                   AS ds
         FROM c, t
     ),
     m AS (SELECT max(ds) AS md FROM s)

@@ -606,15 +606,11 @@ _CONF_THR_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def _conformal_threshold_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group conformal threshold artifact (event_type, _pred, _thr):
-    the calibration-split mean predictor and the ⌈(n_cal+1)·0.9⌉-th
-    smallest nonconformity score, derived exactly like the batch
-    stats_conformal_coverage query (same md5 split, same
-    two_phase_running_sum rank election). Session-cached + localCheckpoint
-    (one entry, evicted on session change — the eval-gram index pattern)."""
-    from pyspark.sql import functions as F
-
-    from ..operators.hashing import md5_long
-    from ..operators.timeseries import two_phase_running_sum
+    the public ``operators.stats.conformal_threshold_artifact`` (same
+    md5 split / rank election as the batch stats_conformal_coverage
+    query) over events, session-cached + localCheckpoint (one entry,
+    evicted on session change — the eval-gram index pattern)."""
+    from ..operators.stats import conformal_threshold_artifact
     from ..sources.testdata import load_table
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -626,49 +622,15 @@ def _conformal_threshold_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 old.unpersist()
             except Exception:
                 pass  # session already stopped; nothing to free
-        from ..functions.trino import trino_round
-
-        base = (
-            load_table(spark, sf_dir, "events")
-            .filter(F.col("value").isNotNull())
-            .select(
-                F.col("event_type").alias("_g"),
-                F.col("value").cast("double").alias("_v"),
-                (
-                    md5_long(
-                        F.concat(F.col("event_id").cast("string"), F.lit("|conf"))
-                    )
-                    % 5
-                    == 0
-                ).alias("_is_test"),
-            )
-        )
-        cal0 = base.filter(~F.col("_is_test"))
-        pred = cal0.groupBy("_g").agg(
-            (
-                F.sum(F.col("_v").cast("decimal(38,12)")).cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("_pred"),
-            F.count(F.lit(1)).cast("bigint").alias("n_cal"),
-        )
-        cal = (
-            cal0.join(F.broadcast(pred), "_g")
-            .withColumn(
-                "_s", trino_round(F.abs(F.col("_v") - F.col("_pred")), 8)
-            )
-            .withColumn("_one", F.lit(1))
-        )
-        cum = two_phase_running_sum(cal, "_one", order=["_s"], keys=["_g"], out="_c")
-        k = F.least(
-            F.ceil((F.col("n_cal") + F.lit(1)).cast("double") * F.lit(0.9)),
-            F.col("n_cal"),
-        )
-        thr = (
-            cum.filter(F.col("_c") >= k).groupBy("_g").agg(F.min("_s").alias("_thr"))
-        )
         _CONF_THR_CACHE[key] = (
-            pred.join(thr, "_g")
-            .select(F.col("_g").alias("event_type"), "_pred", "_thr")
+            conformal_threshold_artifact(
+                load_table(spark, sf_dir, "events"),
+                "event_type",
+                "event_id",
+                "value",
+                alpha=0.1,
+            )
+            .select("event_type", "_pred", "_thr")
             .localCheckpoint()
         )
     return _CONF_THR_CACHE[key]

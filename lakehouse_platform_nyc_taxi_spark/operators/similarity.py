@@ -293,6 +293,25 @@ def cosine_topk_batch(
     )
 
 
+def _require_bounded_query_batch(
+    queries: DataFrame, max_queries: int, op: str
+) -> None:
+    """Enforce the batch-ANN contract that the query frame is bounded
+    metadata (it is collected and/or force-broadcast). The probe is one
+    ``limit(max+1).count()`` job — the limit caps the probe itself, so
+    an oversized frame raises cleanly instead of OOMing the driver
+    (the ``temperature_resample`` max_groups pattern,
+    operators/sampling.py)."""
+    n = queries.limit(max_queries + 1).count()
+    if n > max_queries:
+        raise ValueError(
+            f"{op} saw more than max_queries={max_queries} query rows — "
+            "the query batch is materialized driver-side / broadcast and "
+            "is meant for training-batch cardinalities; chunk the query "
+            "frame or raise max_queries explicitly"
+        )
+
+
 def ivf_probe_batch(
     index: IvfIndex,
     queries: DataFrame,
@@ -300,13 +319,18 @@ def ivf_probe_batch(
     n_probe: int = 2,
     qid_col: str = "qid",
     qvec_col: str = "qv",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Batch IVF probe: per query, rank centroids, keep the best
     ``n_probe`` cells, join the (qid, cell) probe list to the assignment
     on cell, exact re-rank per qid. Candidate volume per query is
     ~n_probe/n_cells of the corpus, so the ranking shuffle is
-    B×N×(n_probe/n_cells) slim rows — the scale path for batch ANN."""
+    B×N×(n_probe/n_cells) slim rows — the scale path for batch ANN.
+    The query frame is force-broadcast, so it must stay bounded:
+    frames past ``max_queries`` raise (guarded, not assumed)."""
     from pyspark.sql import Window
+
+    _require_bounded_query_batch(queries, max_queries, "ivf_probe_batch")
 
     q = vec_norms(queries, qvec_col, [qid_col]).select(
         qid_col, F.col("v").alias("qv_d"), F.col("nrm").alias("qnrm")
@@ -1117,12 +1141,17 @@ def pq_adc_topk_batch(
     id_col: str = "vec_id",
     qid_col: str = "qid",
     qvec_col: str = "qv",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Batch ADC: precompute each query's lookup table driver-side (the
     query batch is bounded metadata — m*k scalars per query), broadcast
     the LUT table, and score EVERY query against the code scan in one
     pass: per (vector, query) cost is m array lookups, no join on data
     keys, one window shuffle on qid for the per-query top-k.
+
+    The "bounded metadata" contract is ENFORCED, not assumed: the
+    collect is limit-capped at ``max_queries + 1`` rows and raises
+    cleanly past the cap instead of OOMing the driver.
 
     Output: ``qid, vec_id, score`` — k rows per query, ranked by
     (rounded score DESC, vec_id) like every other search path.
@@ -1132,7 +1161,16 @@ def pq_adc_topk_batch(
     from pyspark.sql import Window
 
     m, kk = codebook.m, codebook.k
-    qrows = queries.select(qid_col, qvec_col).collect()
+    qrows = (
+        queries.select(qid_col, qvec_col).limit(max_queries + 1).collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_adc_topk_batch saw more than max_queries={max_queries} "
+            "query rows — the per-query LUT precompute is driver-side "
+            "and meant for training-batch cardinalities; chunk the "
+            "query frame or raise max_queries explicitly"
+        )
     data = []
     for r in qrows:
         lut, cnr, qn = _pq_query_lut(codebook, [float(x) for x in r[qvec_col]])

@@ -673,6 +673,82 @@ def ece_reliability(
     )
 
 
+def conformal_threshold_artifact(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    alpha: float = 0.1,
+    salt: str = "conf",
+    test_mod: int = 5,
+) -> DataFrame:
+    """Per-group split-conformal threshold ARTIFACT — the groups-sized
+    table a serving-time gate (batch filter or
+    :func:`~..streaming.ops.stream_conformal_gate`) broadcasts against
+    arriving rows. One row per group:
+
+        ``{group_col}, _pred, _thr, n_cal``
+
+    where ``_pred`` is the calibration-split mean predictor and
+    ``_thr`` the ⌈(n_cal+1)(1−α)⌉-th smallest round8 nonconformity
+    score |value − pred| (clipped to n_cal). Same md5 hash-split,
+    decimal-fenced mean, and two-phase rank-k election as
+    :func:`conformal_split_calibrate` (which composes this artifact
+    with a held-out-coverage readout); derivation is fully
+    distributed — the per-group k-th order statistic rides
+    :func:`~..operators.timeseries.two_phase_running_sum`, never a
+    whole group in one window task.
+    """
+    from .hashing import md5_long
+    from .timeseries import two_phase_running_sum
+
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+        (
+            md5_long(
+                F.concat(F.col(key_col).cast("string"), F.lit(f"|{salt}"))
+            )
+            % test_mod
+            == 0
+        ).alias("_is_test"),
+    )
+    pred = (
+        base.filter(~F.col("_is_test"))
+        .groupBy("_g")
+        .agg(
+            (
+                F.sum(F.col("_v").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("_pred"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+        )
+    )
+    cal = (
+        base.filter(~F.col("_is_test"))
+        .join(F.broadcast(pred), "_g")
+        .withColumn(
+            "_s", trino_round(F.abs(F.col("_v") - F.col("_pred")), 8)
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    cum = two_phase_running_sum(
+        cal, "_one", order=["_s"], keys=["_g"], out="_c"
+    )
+    k = F.least(
+        F.ceil((F.col("n_cal") + F.lit(1)).cast("double") * F.lit(1.0 - alpha)),
+        F.col("n_cal"),
+    )
+    thr = (
+        cum.filter(F.col("_c") >= k)
+        .groupBy("_g")
+        .agg(F.min("_s").alias("_thr"))
+    )
+    return pred.join(thr, "_g").select(
+        F.col("_g").alias(group_col), "_pred", "_thr", "n_cal"
+    )
+
+
 def conformal_split_calibrate(
     df: DataFrame,
     group_col: str,
@@ -704,10 +780,11 @@ def conformal_split_calibrate(
     running counts.
 
     Output per group: ``{group_col}, n_cal, threshold, n_test,
-    n_covered, coverage`` (round6), ordered by group.
+    n_covered, coverage`` (round6), ordered by group. The threshold
+    table itself (for a serving-time gate) is
+    :func:`conformal_threshold_artifact`, which this composes.
     """
     from .hashing import md5_long
-    from .timeseries import two_phase_running_sum
 
     g = F.col(group_col)
     base = df.filter(F.col(value_col).isNotNull()).select(
@@ -721,34 +798,22 @@ def conformal_split_calibrate(
             == 0
         ).alias("_is_test"),
     )
-    pred = (
-        base.filter(~F.col("_is_test"))
-        .groupBy("_g")
-        .agg(
-            (
-                F.sum(F.col("_v").cast("decimal(38,12)")).cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("_pred"),
-            F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+    art = conformal_threshold_artifact(
+        df,
+        group_col,
+        key_col,
+        value_col,
+        alpha=alpha,
+        salt=salt,
+        test_mod=test_mod,
+    ).withColumnRenamed(group_col, "_g")
+    test = (
+        base.filter(F.col("_is_test"))
+        .join(F.broadcast(art), "_g")
+        .withColumn(
+            "_s", trino_round(F.abs(F.col("_v") - F.col("_pred")), 8)
         )
     )
-    scored = base.join(F.broadcast(pred), "_g").withColumn(
-        "_s", trino_round(F.abs(F.col("_v") - F.col("_pred")), 8)
-    )
-    cal = scored.filter(~F.col("_is_test")).withColumn("_one", F.lit(1))
-    cum = two_phase_running_sum(
-        cal, "_one", order=["_s"], keys=["_g"], out="_c"
-    )
-    k = F.least(
-        F.ceil((F.col("n_cal") + F.lit(1)).cast("double") * F.lit(1.0 - alpha)),
-        F.col("n_cal"),
-    )
-    thr = (
-        cum.filter(F.col("_c") >= k)
-        .groupBy("_g")
-        .agg(F.min("_s").alias("_thr"))
-    )
-    test = scored.filter(F.col("_is_test")).join(F.broadcast(thr), "_g")
     return (
         test.groupBy(F.col("_g").alias(group_col))
         .agg(
@@ -804,11 +869,16 @@ def roc_auc(
     )
     ranked = two_phase_running_sum(by_v, F.col("n_v"), order=["v"], out="cum")
     ar2 = 2 * F.col("cum") - F.col("n_v") + 1  # doubled midrank
-    d0 = "decimal(38,0)"
+    # Cast each OPERAND to decimal(19,0) before multiplying: n_pos_v·ar2
+    # reaches ~2·N·n_pos_v, which wraps int64 silently (non-ANSI Spark)
+    # around a few 1e9 rows if the product is formed in bigint first.
+    # 19-digit operands multiply exactly into DECIMAL(38,0) on both
+    # Spark and DuckDB (38+38 would exceed DuckDB's max width).
+    d19 = "decimal(19,0)"
     m = ranked.agg(
         F.sum(F.col("n_v") - F.col("n_pos_v")).alias("_n0"),
         F.sum("n_pos_v").alias("_n1"),
-        F.sum((F.col("n_pos_v") * ar2).cast(d0)).alias("_rx2"),
+        F.sum(F.col("n_pos_v").cast(d19) * ar2.cast(d19)).alias("_rx2"),
     )
     n0, n1 = F.col("_n0").cast("double"), F.col("_n1").cast("double")
     r1 = F.col("_rx2").cast("double") / F.lit(2.0)
@@ -860,6 +930,12 @@ def ks_two_sample(
     lo, hi, n_rows = by_v.agg(
         F.min("v"), F.max("v"), F.count(F.lit(1))
     ).first()
+    if int(n_rows) == 0:
+        # Empty / all-null input: min/max are None — return the empty
+        # result shape rather than TypeError-ing on float(None).
+        return df.sparkSession.createDataFrame(
+            [], "n_1 bigint, n_2 bigint, ks_stat double, ks_at double"
+        )
     bounds = (float(lo), float(hi), int(n_rows))
     c1 = two_phase_running_sum(
         by_v, F.col("n1_v"), order=["v"], out="cum1", bounds=bounds
@@ -870,12 +946,16 @@ def ks_two_sample(
     tot = c2.agg(
         F.max("cum1_total").alias("_n1"), F.max("cum2_total").alias("_n2")
     )
-    d0 = "decimal(38,0)"
+    # Operand-first decimal(19,0) casts: cum·n reaches n1·n2 ≈ N²/4,
+    # past int64 around ~6e9 pooled rows if multiplied in bigint first;
+    # 19-digit operands multiply exactly into DECIMAL(38,0) on both
+    # engines (38+38 would exceed DuckDB's max decimal width).
+    d19 = "decimal(19,0)"
     scored = c2.crossJoin(F.broadcast(tot)).select(
         "v",
         F.abs(
-            (F.col("cum1") * F.col("_n2")).cast(d0)
-            - (F.col("cum2") * F.col("_n1")).cast(d0)
+            F.col("cum1").cast(d19) * F.col("_n2").cast(d19)
+            - F.col("cum2").cast(d19) * F.col("_n1").cast(d19)
         ).alias("_ds"),
         "_n1",
         "_n2",
@@ -1260,6 +1340,11 @@ def cvm_two_sample(
     lo, hi, n_rows = by_v.agg(
         F.min("v"), F.max("v"), F.count(F.lit(1))
     ).first()
+    if int(n_rows) == 0:
+        # Empty / all-null input: return the empty shape (see ks_two_sample).
+        return df.sparkSession.createDataFrame(
+            [], "n_1 bigint, n_2 bigint, cvm_stat double"
+        )
     bounds = (float(lo), float(hi), int(n_rows))
     c1 = two_phase_running_sum(
         by_v, F.col("n1_v"), order=["v"], out="cum1", bounds=bounds

@@ -917,8 +917,13 @@ def ewma_control_chart(
     sigma8 = trino_round(
         F.sqrt(F.greatest(F.col("_m2") - mean8 * mean8, F.lit(0.0))), 8
     )
+    # No broadcast hint: `stats` is key-cardinality (user-sized in the
+    # harness usage), so a forced broadcast would blow the 8GB limit at
+    # 1e8+ keys. AQE auto-broadcasts when the probe side is actually
+    # small; otherwise this is a shuffle join on the same key the fold
+    # buckets by.
     joined = df.join(
-        F.broadcast(stats.select(key, mean8.alias("_mu"), sigma8.alias("_sg"))),
+        stats.select(key, mean8.alias("_mu"), sigma8.alias("_sg")),
         key,
     )
 

@@ -684,8 +684,9 @@ def stream_conformal_gate(
     per-group conformal threshold artifact (``thresholds``: one row per
     group with ``_pred`` — the calibration-split predictor — and
     ``_thr`` — the ⌈(n_cal+1)(1−α)⌉-th smallest calibration
-    nonconformity score, the table the batch
-    ``conformal_split_calibrate`` derives), and rows whose score
+    nonconformity score, the table
+    :func:`~..operators.stats.conformal_threshold_artifact` produces;
+    extra columns such as its ``n_cal`` are ignored), and rows whose score
     round8(|value − pred|) exceeds the threshold emit for quarantine —
     distribution-shifted points arrive-time-flagged with a finite-sample
     false-alarm guarantee of ≤ α under exchangeability.

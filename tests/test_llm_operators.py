@@ -2332,3 +2332,87 @@ def test_cvm_two_sample_hand_computed(spark):
     got = stats.cvm_two_sample(dis, "v", F.col("g") == "a").collect()[0]
     assert (got.n_1, got.n_2) == (2, 2)
     assert got.cvm_stat == 0.375
+
+
+def test_ks_cvm_empty_input_returns_empty_shape(spark):
+    """Empty / all-null value inputs return the empty result shape
+    instead of TypeError-ing on the float(None) bounds probe
+    (ADVICE r14 #3)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_platform_nyc_taxi_spark.operators import stats
+
+    empty = spark.createDataFrame([], "v double, g string")
+    allnull = spark.createDataFrame(
+        [(None, "a"), (None, "b")], "v double, g string"
+    )
+    for df in (empty, allnull):
+        ks = stats.ks_two_sample(df, "v", F.col("g") == "a")
+        assert ks.columns == ["n_1", "n_2", "ks_stat", "ks_at"]
+        assert ks.count() == 0
+        cvm = stats.cvm_two_sample(df, "v", F.col("g") == "a")
+        assert cvm.columns == ["n_1", "n_2", "cvm_stat"]
+        assert cvm.count() == 0
+
+
+def test_batch_query_collect_guards_raise_on_oversized(spark):
+    """The batch ANN paths materialize / broadcast the query frame;
+    the bounded-metadata contract is enforced with a limit-capped probe
+    that raises cleanly past max_queries (VERDICT r14 #4)."""
+    import pytest
+
+    from lakehouse_platform_nyc_taxi_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_batch,
+        pq_adc_topk_batch,
+        pq_train_encode,
+    )
+
+    rows, df = _pq_fixture(spark)
+    codes, book = pq_train_encode(df, dims=4, m=2, k=2, iters=1, seed="t")
+    queries = spark.createDataFrame(
+        [(i, rows[i][1]) for i in (0, 1, 2)], "qid long, qv array<float>"
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_adc_topk_batch(codes, book, queries, k=2, max_queries=2)
+    index = build_ivf_index(
+        df.select(F.col("vec_id"), F.col("embedding")), n_cells=2
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        ivf_probe_batch(index, queries, k=2, max_queries=2)
+    # at exactly the cap both paths still run
+    assert pq_adc_topk_batch(
+        codes, book, queries, k=2, max_queries=3
+    ).count() > 0
+    assert ivf_probe_batch(index, queries, k=2, max_queries=3).count() > 0
+
+
+def test_conformal_threshold_artifact_is_calibrates_threshold_table(spark):
+    """The public artifact (group, _pred, _thr, n_cal) is exactly the
+    threshold table conformal_split_calibrate composes: per group,
+    round6(_thr) == calibrate's threshold and n_cal matches — and its
+    columns are the ones stream_conformal_gate's docstring promises
+    (ADVICE r14 #5)."""
+    from lakehouse_platform_nyc_taxi_spark.operators import stats
+
+    rows = [
+        (i, "a" if i % 2 == 0 else "b", float(i % 17) + 0.25) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, g string, value double")
+    art = {
+        r.g: r
+        for r in stats.conformal_threshold_artifact(
+            df, "g", "event_id", "value", alpha=0.1
+        ).collect()
+    }
+    cal = {
+        r.g: r
+        for r in stats.conformal_split_calibrate(
+            df, "g", "event_id", "value", alpha=0.1
+        ).collect()
+    }
+    assert set(art) == set(cal)
+    for g, c in cal.items():
+        assert round(art[g]._thr, 6) == c.threshold
+        assert art[g].n_cal == c.n_cal
+    assert {"_pred", "_thr"} <= set(art["a"].asDict())
