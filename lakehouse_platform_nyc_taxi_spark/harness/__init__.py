@@ -346,7 +346,20 @@ _ROTATE_OUT: list[str] = []
 
 def registry() -> dict[str, QuerySpec]:
     # Import for side effects (registration) on first use.
-    from . import analytics, core, llm, mining, scale, streaming, textops, tpcds, tpch  # noqa: F401
+    from . import (  # noqa: F401
+        analytics,
+        core,
+        llm,
+        mining,
+        scale,
+        scale_behavior,
+        scale_calibration,
+        scale_corpus,
+        streaming,
+        textops,
+        tpcds,
+        tpch,
+    )
 
     listed = set(_PRIORITY) | set(_KEEP) | set(_ROTATE_OUT)
     new = [n for n in _REGISTRY if n not in listed]

@@ -1,5 +1,8 @@
-"""Round-9 query wave: data-layout / file-skipping analytics and
-incremental (stored-index) near-dup detection.
+"""Data-layout / stored-index query wave: file-skipping analytics,
+incremental (stored-index) near-dup detection, mergeable sketch
+rollups, SemDeDup k-means, product quantization, and LSH precision.
+(The later waves this file once held moved to scale_corpus.py,
+scale_behavior.py, and scale_calibration.py in r15.)
 
 Every query pairs a Spark-first implementation (operators/*) with a
 DuckDB-runnable oracle twin; column names and rounding are aligned on
@@ -17,13 +20,11 @@ from ..sources.testdata import load_table, load_table_parallel
 from . import register
 from .llm import (
     MD5L,
-    _cluster_pairs,
     _AGREE_SQL,
     _BANDS_SQL,
     _IVF_CTES,
     _IVF_DOT,
     _NGRAM_GRAMS_CTE,
-    _NGRAM_JACCARD,
     _VEC_CTE,
     _ivf_index,
     _ivf_probe_sql,
@@ -1300,2804 +1301,3 @@ def _lsh_precision_oracle_sql() -> str:
 def dedup_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_parallel(spark, sf_dir, "documents")
     return dedup.lsh_precision(docs, candidates=_lsh_cands(spark, sf_dir))
-
-
-@register(
-    "embedding_source_drift",
-    """
-    WITH x AS (
-        SELECT label, unnest(generate_series(1, len(embedding))) AS dim,
-               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v
-        FROM embeddings
-    ),
-    c AS (
-        SELECT label, dim,
-               CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mu
-        FROM x GROUP BY label, dim
-    ),
-    nn AS (
-        SELECT label, CAST(sum(CAST(mu * mu AS DECIMAL(38,12))) AS DOUBLE) AS nrm
-        FROM c GROUP BY label
-    ),
-    d AS (
-        SELECT a.label AS label_a, b.label AS label_b,
-               CAST(sum(CAST(a.mu * b.mu AS DECIMAL(38,12))) AS DOUBLE) AS dt
-        FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
-        GROUP BY a.label, b.label
-    ),
-    cnt AS (
-        SELECT label, CAST(count(*) AS BIGINT) AS n
-        FROM embeddings GROUP BY label
-    )
-    SELECT d.label_a, d.label_b,
-           round(d.dt / (sqrt(na.nrm) * sqrt(nb.nrm)), 6) AS centroid_cosine,
-           ca.n AS n_a, cb.n AS n_b
-    FROM d
-    JOIN nn na ON na.label = d.label_a
-    JOIN nn nb ON nb.label = d.label_b
-    JOIN cnt ca ON ca.label = d.label_a
-    JOIN cnt cb ON cb.label = d.label_b
-    """,
-    doc="Embedding drift audit: pairwise cosine between per-label "
-    "centroids (labels stand in for sources / shards / time slices) — "
-    "the pre-mix check that two corpus slices occupy the same region "
-    "of embedding space. One data-sized decimal-fenced partial-agg "
-    "shuffle for the per-(label, dim) means; every later step runs on "
-    "labels x dims rows. No collect anywhere; dots and norms are "
-    "decimal-fenced sums of mean products, bit-reproducible in SQL "
-    "(operators/similarity.py::centroid_drift).",
-)
-def embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import centroid_drift
-
-    return centroid_drift(load_table_parallel(spark, sf_dir, "embeddings"))
-
-
-@register(
-    "sampling_bernoulli_estimate",
-    f"""
-    WITH s AS (
-        SELECT event_type, value FROM events
-        WHERE ({MD5L.format(x="CAST(event_id AS VARCHAR) || '|est'")}) % 10000 < 1000
-    ),
-    e AS (
-        SELECT event_type,
-               count(*) * 10.0 AS ne,
-               CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) * 10.0 AS se
-        FROM s GROUP BY event_type
-    ),
-    x AS (
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact,
-               CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sx
-        FROM events GROUP BY event_type
-    )
-    SELECT x.event_type, x.n_exact,
-           round(coalesce(e.ne, 0.0), 6) AS n_est,
-           round(x.sx, 6) AS sum_exact,
-           round(coalesce(e.se, 0.0), 6) AS sum_est,
-           round(CASE WHEN x.n_exact != 0
-                      THEN abs(coalesce(e.ne, 0.0) - CAST(x.n_exact AS DOUBLE))
-                           / abs(CAST(x.n_exact AS DOUBLE)) END, 6) AS rel_err_n,
-           round(CASE WHEN x.sx != 0
-                      THEN abs(coalesce(e.se, 0.0) - x.sx) / abs(x.sx) END, 6)
-               AS rel_err_sum
-    FROM x LEFT JOIN e ON e.event_type = x.event_type
-    """,
-    doc="Horvitz-Thompson estimates from a 10% deterministic hash-"
-    "Bernoulli sample: per event_type, count and decimal-fenced value "
-    "sum scaled by 1/rate, alongside the exact aggregates and the "
-    "measured relative errors. Because membership is a key hash (not "
-    "RNG), the estimate is a pure function of the data — every engine "
-    "gets the SAME numbers, so the errors are hash-checkable, not "
-    "just bounded. This is the answer-from-1%-of-the-bytes pattern "
-    "that turns a 100 TB sweep into a sample-sized one "
-    "(operators/sampling.py::sampled_estimate).",
-)
-def sampling_bernoulli_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sampling import sampled_estimate
-
-    return sampled_estimate(
-        load_table(spark, sf_dir, "events"),
-        key_col="event_id",
-        value_col="value",
-        group_col="event_type",
-        rate=0.1,
-        salt="est",
-    )
-
-
-def _skew_block_sql(col: str, top_k: int = 10) -> str:
-    return f"""
-    SELECT '{col}' AS key_name, s.n_keys, s.n_rows,
-           round(s.ss / (CAST(s.n_rows AS DOUBLE) * CAST(s.n_rows AS DOUBLE)), 6)
-               AS hhi,
-           round((CAST(s.n_rows AS DOUBLE) * CAST(s.n_rows AS DOUBLE)) / s.ss, 6)
-               AS effective_keys,
-           round(CAST(s.mx AS DOUBLE) / CAST(s.n_rows AS DOUBLE), 6) AS top1_share,
-           round(CAST(t.tk AS DOUBLE) / CAST(s.n_rows AS DOUBLE), 6) AS topk_share,
-           round(CAST(s.mx AS DOUBLE) * CAST(s.n_keys AS DOUBLE)
-                 / CAST(s.n_rows AS DOUBLE), 6) AS skew_factor
-    FROM (
-        SELECT CAST(count(*) AS BIGINT) AS n_keys,
-               CAST(sum(c) AS BIGINT) AS n_rows,
-               CAST(sum(CAST(c AS DECIMAL(19,0)) * c) AS DOUBLE) AS ss,
-               CAST(max(c) AS BIGINT) AS mx
-        FROM (SELECT CAST({col} AS VARCHAR) AS k, count(*) AS c
-              FROM events GROUP BY 1)
-    ) s
-    CROSS JOIN (
-        SELECT CAST(sum(c) AS BIGINT) AS tk FROM (
-            SELECT count(*) AS c
-            FROM (SELECT CAST({col} AS VARCHAR) AS k FROM events)
-            GROUP BY k ORDER BY count(*) DESC, k LIMIT {top_k})
-    ) t
-    """
-
-
-@register(
-    "profile_key_skew",
-    _skew_block_sql("user_id") + "\nUNION ALL\n" + _skew_block_sql("event_type"),
-    doc="Shuffle-skew pre-flight over candidate keys: per column, the "
-    "Herfindahl concentration index, effective key count (1/HHI), "
-    "max-key and top-10 shares, and the max/mean skew factor that "
-    "sizes the salting decision before a 100 TB job hashes on the "
-    "key. Deliberately HHI and not Gini: HHI is a pure decimal-fenced "
-    "sum over the distinct-key-sized count table (one partial-agg "
-    "shuffle per column, no global rank); top-k shares come from "
-    "TakeOrdered, never a global sort "
-    "(operators/profile.py::key_skew).",
-)
-def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.profile import key_skew
-
-    return key_skew(
-        load_table(spark, sf_dir, "events"), ["user_id", "event_type"]
-    )
-
-
-@register(
-    "similarity_hard_negatives",
-    _VEC_CTE
-    + f"""
-    , q AS (
-        SELECT vec_id AS qid, label AS qlabel, e AS qe, nrm AS qn
-        FROM n WHERE vec_id < 20
-    )
-    , sc AS (
-        SELECT q.qid, n.vec_id,
-               round({_IVF_DOT.format(a='n.e', b='q.qe')}
-                     / (sqrt(n.nrm) * sqrt(q.qn)), 6) AS score
-        FROM n JOIN q ON n.label != q.qlabel
-    )
-    SELECT qid, vec_id, score FROM (
-        SELECT qid, vec_id, score,
-               row_number() OVER (PARTITION BY qid
-                                  ORDER BY score DESC, vec_id) AS rk
-        FROM sc) WHERE rk <= 5
-    """,
-    doc="Hard-negative mining for contrastive embedding training: per "
-    "query (a 20-vector batch with labels), the top-5 most-similar "
-    "corpus vectors of a DIFFERENT label — the near-misses a triplet/"
-    "InfoNCE loss learns from. The class-mismatch predicate applies at "
-    "the broadcast join, before scoring, so same-class rows never "
-    "enter the B x N score stream; ranks tie-break on (rounded score "
-    "DESC, vec_id) in both engines "
-    "(operators/similarity.py::hard_negatives).",
-)
-def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import hard_negatives
-
-    emb = load_table_parallel(spark, sf_dir, "embeddings")
-    qs = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 20)
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("embedding").alias("qv"),
-            F.col("label").alias("qlabel"),
-        )
-    )
-    return hard_negatives(emb, qs, k=5)
-
-
-@register(
-    "events_winsorize",
-    """
-    WITH b AS (
-        SELECT event_type AS g, value AS v FROM events WHERE value IS NOT NULL
-    ),
-    r AS (
-        SELECT g, v,
-               count(*) OVER (PARTITION BY g ORDER BY v) AS cum,
-               count(*) OVER (PARTITION BY g) AS n
-        FROM b
-    ),
-    lo AS (SELECT g, min(v) AS p_lo FROM r WHERE cum >= ceil(0.01 * n) GROUP BY g),
-    hi AS (SELECT g, min(v) AS p_hi FROM r WHERE cum >= ceil(0.99 * n) GROUP BY g),
-    c AS (
-        SELECT b.g, b.v, lo.p_lo, hi.p_hi,
-               greatest(lo.p_lo, least(hi.p_hi, b.v)) AS w
-        FROM b JOIN lo ON lo.g = b.g JOIN hi ON hi.g = b.g
-    )
-    SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_rows,
-           min(p_lo) AS p_lo, min(p_hi) AS p_hi,
-           CAST(sum(CASE WHEN v < p_lo THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_clipped_lo,
-           CAST(sum(CASE WHEN v > p_hi THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_clipped_hi,
-           round(CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
-               AS mean_raw,
-           round(CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
-               AS mean_winsorized
-    FROM c GROUP BY g
-    """,
-    doc="Winsorized robust stats per event_type: DISCRETE p1/p99 bounds "
-    "(smallest value whose tie-stable running count reaches ceil(p*n) "
-    "— actual data points, integer-rank parity, no interpolation), "
-    "values clipped to the bounds, decimal-fenced raw vs winsorized "
-    "means and per-tail clamp counts. The bound election is the honest "
-    "exact-percentile sort; at 100 TB swap the KLL sketch twin in for "
-    "the bounds and keep the clip pass "
-    "(operators/timeseries.py::winsorize_stats).",
-)
-def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.timeseries import winsorize_stats
-
-    return winsorize_stats(
-        load_table(spark, sf_dir, "events"), value_col="value",
-        group_col="event_type",
-    )
-
-
-@register(
-    "tpch_q3_shipping_priority",
-    """
-    SELECT l.l_orderkey,
-           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                               AS DECIMAL(38,12))) AS DOUBLE), 6) AS revenue,
-           CAST(CAST(o.o_orderdate AS DATE) AS TIMESTAMP) AS o_orderdate,
-           o.o_orderpriority
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-      AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
-      AND CAST(l.l_shipdate AS DATE) > DATE '1998-03-15'
-    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
-    ORDER BY revenue DESC, o_orderdate, l_orderkey
-    LIMIT 10
-    """,
-    doc="TPC-H Q3 (shipping priority): the classic 3-way join + grouped "
-    "revenue + top-10, date-shifted to this testdata's range and keyed on its o_orderpriority column (it ships no o_shippriority). Filters "
-    "reach all three parquet scans before any join; the customer "
-    "dimension broadcasts; revenue is the decimal-fenced sum of "
-    "extendedprice*(1-discount); the top-10 is TakeOrdered on "
-    "(rounded revenue DESC, orderdate, orderkey) — deterministic "
-    "boundary. The most judge-recognizable star-join shape there is.",
-)
-def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.trino import trino_round
-
-    c = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    )
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate").cast("date") < F.lit("1998-03-15").cast("date")
-    )
-    li = load_table_parallel(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate").cast("date") > F.lit("1998-03-15").cast("date")
-    )
-    rev = F.sum(
-        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
-            "decimal(38,12)"
-        )
-    ).cast("double")
-    return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .groupBy(
-            "l_orderkey",
-            F.col("o_orderdate").cast("date").alias("_od"),
-            "o_orderpriority",
-        )
-        .agg(trino_round(rev, 6).alias("revenue"))
-        .select(
-            "l_orderkey",
-            "revenue",
-            F.col("_od").cast("timestamp_ntz").alias("o_orderdate"),
-            "o_orderpriority",
-        )
-        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
-        .limit(10)
-    )
-
-
-@register(
-    "tpch_q5_local_supplier_volume",
-    """
-    SELECT n.n_name,
-           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                               AS DECIMAL(38,12))) AS DOUBLE), 6) AS revenue
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey
-                   AND c.c_nationkey = s.s_nationkey
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    WHERE r.r_name = 'ASIA'
-      AND CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
-      AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
-    GROUP BY n.n_name
-    ORDER BY revenue DESC, n_name
-    """,
-    doc="TPC-H Q5 (local supplier volume): the classic 6-way star join "
-    "with the customer-nation = supplier-nation locality constraint, "
-    "one fiscal year, revenue per ASIA nation. region/nation/supplier/"
-    "customer all broadcast; the date filter prunes orders at the "
-    "scan; revenue is decimal-fenced. Exercises join ordering exactly "
-    "the way the CBO plan tests pin it.",
-)
-def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.trino import trino_round
-
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate").cast("date") >= F.lit("1997-01-01").cast("date"))
-        & (F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date"))
-    )
-    li = load_table_parallel(spark, sf_dir, "lineitem")
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    rev = F.sum(
-        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
-            "decimal(38,12)"
-        )
-    ).cast("double")
-    return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(
-            s,
-            (li["l_suppkey"] == s["s_suppkey"])
-            & (c["c_nationkey"] == s["s_nationkey"]),
-        )
-        .join(n, s["s_nationkey"] == n["n_nationkey"])
-        .join(r, n["n_regionkey"] == r["r_regionkey"])
-        .groupBy("n_name")
-        .agg(trino_round(rev, 6).alias("revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
-    )
-
-
-@register(
-    "tpch_q10_returned_items",
-    """
-    SELECT c.c_custkey, c.c_name,
-           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                               AS DECIMAL(38,12))) AS DOUBLE), 6) AS revenue,
-           c.c_acctbal, n.n_name
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
-      AND CAST(o.o_orderdate AS DATE) < DATE '1997-04-01'
-      AND l.l_returnflag = 'R'
-    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
-    ORDER BY revenue DESC, c_custkey
-    LIMIT 20
-    """,
-    doc="TPC-H Q10 (returned-item reporting): lost revenue per customer "
-    "from one quarter's returns, top-20 — join order matters (the "
-    "returnflag + date filters prune lineitem/orders at the scan "
-    "before the customer join; nation broadcasts), and the top-20 is "
-    "TakeOrdered on (rounded revenue DESC, custkey). Third classic "
-    "star-join anchor next to Q3/Q5 (Q1 is agg_pricing_summary).",
-)
-def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.trino import trino_round
-
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate").cast("date") >= F.lit("1997-01-01").cast("date"))
-        & (F.col("o_orderdate").cast("date") < F.lit("1997-04-01").cast("date"))
-    )
-    li = load_table_parallel(spark, sf_dir, "lineitem").filter(
-        F.col("l_returnflag") == "R"
-    )
-    n = load_table(spark, sf_dir, "nation")
-    rev = F.sum(
-        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
-            "decimal(38,12)"
-        )
-    ).cast("double")
-    return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(n, c["c_nationkey"] == n["n_nationkey"])
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(trino_round(rev, 6).alias("revenue"))
-        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
-        .orderBy(F.desc("revenue"), "c_custkey")
-        .limit(20)
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round-11 wave: DSIR importance resampling + training-mixture planning.
-# ---------------------------------------------------------------------------
-
-from ..operators import sampling as _sampling  # noqa: E402
-from .llm import TOKS  # noqa: E402
-
-_DSIR_B = 4096
-_DSIR_AB = 0.5 * _DSIR_B  # alpha * n_buckets
-
-_DSIR_CTES = f"""
-    tok AS (
-        SELECT doc_id, lang = 'en' AS is_t,
-               ({MD5L.format(x='token')}) % {_DSIR_B} AS b
-        FROM (SELECT doc_id, lang, unnest({TOKS}) AS token FROM documents)
-    ),
-    cnt AS (
-        SELECT b, CAST(count(*) AS BIGINT) AS cr,
-               CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
-        FROM tok GROUP BY 1
-    ),
-    tot AS (
-        SELECT CAST(sum(cr) AS DOUBLE) AS tr, CAST(sum(ct) AS DOUBLE) AS tt
-        FROM cnt
-    ),
-    lr AS (
-        SELECT b,
-               round(ln(((CAST(ct AS DOUBLE) + 0.5) / (tt + {_DSIR_AB}))
-                        / ((CAST(cr AS DOUBLE) + 0.5) / (tr + {_DSIR_AB}))),
-                     8) AS w
-        FROM cnt CROSS JOIN tot
-    ),
-    dsir AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-               round(CAST(sum(CAST(w AS DECIMAL(28,8))) AS DOUBLE), 6)
-                   AS dsir_weight,
-               round(CAST(sum(CAST(w AS DECIMAL(28,8))) AS DOUBLE)
-                     / CAST(count(*) AS DOUBLE), 6) AS dsir_per_token
-        FROM tok JOIN lr USING (b)
-        GROUP BY doc_id
-    )
-"""
-
-
-@register(
-    "sampling_dsir_weights",
-    f"WITH {_DSIR_CTES} SELECT * FROM dsir",
-    doc="DSIR importance weights (Xie et al. 2023): per-document "
-    "target-vs-raw log-likelihood ratio over hash-bucketed token "
-    "features (md5 mod 4096), target = English docs. The learned "
-    "'model' is one bounded 4096-row log-ratio table (broadcast), "
-    "counts for raw AND target come from a single conditional "
-    "aggregation scan, and per-doc weights are decimal-fenced sums "
-    "of round8 ratios — bit-stable at any partitioning. At 100 TB "
-    "this is two token-level shuffles + one doc-level, no driver "
-    "state beyond 4096 scalars.",
-)
-def sampling_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table_parallel(spark, sf_dir, "documents")
-    return _sampling.dsir_importance(
-        docs, F.col("lang") == "en", n_buckets=_DSIR_B
-    )
-
-
-@register(
-    "sampling_dsir_select",
-    f"""
-    WITH {_DSIR_CTES},
-    ranked AS (
-        SELECT d.lang, s.doc_id, s.n_tokens, s.dsir_weight, s.dsir_per_token,
-               row_number() OVER (PARTITION BY d.lang
-                                  ORDER BY s.dsir_per_token DESC, s.doc_id)
-                   AS rn
-        FROM dsir s JOIN documents d USING (doc_id)
-    )
-    SELECT lang, doc_id, n_tokens, dsir_weight, dsir_per_token
-    FROM ranked WHERE rn <= 5
-    """,
-    doc="DSIR selection stage: keep the 5 most-English-like documents "
-    "per language by per-token importance weight (deterministic "
-    "ties: lowest doc_id). The weights table joins back to the "
-    "corpus for the group key, then one window shuffle ranks within "
-    "language — stratified top-k, the standard coreset pick before "
-    "a weighted rebuild.",
-)
-def sampling_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table_parallel(spark, sf_dir, "documents")
-    w = _sampling.dsir_importance(docs, F.col("lang") == "en", n_buckets=_DSIR_B)
-    labeled = w.join(docs.select("doc_id", "lang"), "doc_id")
-    return _sampling.dsir_select_topk(labeled, "lang", 5).select(
-        "lang", "doc_id", "n_tokens", "dsir_weight", "dsir_per_token"
-    )
-
-
-_MIX_WEIGHTS = {"en": 0.4, "de": 0.2, "fr": 0.15, "es": 0.15, "zh": 0.1}
-_MIX_BUDGET = 100_000
-_MIX_CASE = " ".join(
-    f"WHEN '{g}' THEN CAST({w} AS DOUBLE)" for g, w in sorted(_MIX_WEIGHTS.items())
-)
-
-
-@register(
-    "corpus_mixture_plan",
-    f"""
-    WITH avail AS (
-        SELECT lang,
-               CAST(sum(len({TOKS})) AS BIGINT) AS available_tokens,
-               CAST(count(*) AS BIGINT) AS n_docs
-        FROM documents GROUP BY 1
-    )
-    SELECT lang, available_tokens, n_docs,
-           round(CASE lang {_MIX_CASE} ELSE 0.0 END, 6) AS target_share,
-           round(round(CASE lang {_MIX_CASE} ELSE 0.0 END, 6)
-                 * {float(_MIX_BUDGET)}, 6) AS planned_tokens,
-           round(least(round(CASE lang {_MIX_CASE} ELSE 0.0 END, 6)
-                       * {float(_MIX_BUDGET)}
-                       / CAST(available_tokens AS DOUBLE), 1.0), 6)
-               AS sample_rate,
-           round(round(CASE lang {_MIX_CASE} ELSE 0.0 END, 6)
-                 * {float(_MIX_BUDGET)}
-                 / CAST(available_tokens AS DOUBLE), 6) AS epochs
-    FROM avail ORDER BY lang
-    """,
-    doc="Training-mixture planner: per-language token availability vs "
-    "a target mixture (en .4 / de .2 / fr .15 / es .15 / zh .1) and "
-    "a 100k-token budget — the DoReMi-style bookkeeping pass that "
-    "yields each group's sampling rate (capped at 1) and epoch count "
-    "(>1 = the mixture needs data repetition). Token counts are "
-    "row-local size(split(...)) — ONE grouped aggregate over the "
-    "corpus, no explode, no token-level shuffle; everything after is "
-    "arithmetic on a group-cardinality table.",
-)
-def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table_parallel(spark, sf_dir, "documents")
-    return _sampling.mixture_plan(docs, _MIX_WEIGHTS, _MIX_BUDGET)
-
-
-_CMS_D, _CMS_W = 4, 1024
-_CMS_HASH = MD5L.format(
-    x="CAST(user_id AS VARCHAR) || '#' || CAST(d AS VARCHAR)"
-)
-
-
-@register(
-    "agg_count_min_sketch",
-    f"""
-    WITH exact AS (
-        SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
-        FROM events GROUP BY 1
-        ORDER BY exact_cnt DESC, user_id LIMIT 10
-    ),
-    depths AS (SELECT unnest([0, 1, 2, 3]) AS d),
-    cells AS (
-        SELECT d, ({_CMS_HASH}) % {_CMS_W} AS cell
-        FROM events CROSS JOIN depths
-    ),
-    cms AS (
-        SELECT d, cell, CAST(count(*) AS BIGINT) AS cnt
-        FROM cells GROUP BY 1, 2
-    ),
-    pc AS (
-        SELECT user_id, exact_cnt, d, ({_CMS_HASH}) % {_CMS_W} AS cell
-        FROM exact CROSS JOIN depths
-    ),
-    est AS (
-        SELECT user_id, exact_cnt,
-               CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS cms_est
-        FROM pc LEFT JOIN cms USING (d, cell)
-        GROUP BY 1, 2
-    )
-    SELECT user_id, exact_cnt, cms_est,
-           cms_est >= exact_cnt AS never_underestimates
-    FROM est
-    """,
-    doc="Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005): "
-    "a hand-rolled 4x1024 CMS over event user_ids (Spark 4's "
-    "DataSketches surface has no CMS) probed at the exact top-10 "
-    "users. Because the sketch is pure integer Catalyst arithmetic "
-    "over the repo's md5 hash family, the oracle REPLAYS it cell for "
-    "cell — estimates hash-match exactly rather than hiding behind "
-    "pinned bound flags; the structural CMS guarantee (never "
-    "underestimates) is emitted as a checked column. Build: one "
-    "explode + one groupBy with state bounded at depth*width cells; "
-    "sharded sketches merge by cell addition "
-    "(operators/sketch.py::cms_merge).",
-)
-def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import sketch
-
-    ev = load_table(spark, sf_dir, "events")
-    cms = sketch.cms_build(ev, "user_id", depth=_CMS_D, width=_CMS_W)
-    exact = (
-        ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
-        .orderBy(F.desc("exact_cnt"), "user_id")
-        .limit(10)
-    )
-    est = sketch.cms_estimate(cms, exact, "user_id", depth=_CMS_D, width=_CMS_W)
-    return (
-        exact.join(F.broadcast(est), "user_id")
-        .select(
-            "user_id",
-            "exact_cnt",
-            "cms_est",
-            (F.col("cms_est") >= F.col("exact_cnt")).alias(
-                "never_underestimates"
-            ),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round-11 wave: distributed statistical tests / segmentation.
-# ---------------------------------------------------------------------------
-
-_AB_HASH = MD5L.format(x="CAST(user_id AS VARCHAR) || '|ab'")
-
-
-@register(
-    "stats_chi_squared",
-    """
-    WITH cells AS (
-        SELECT event_type, day(ts) AS m, CAST(count(*) AS BIGINT) AS o
-        FROM events GROUP BY 1, 2
-    ),
-    r AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
-    c AS (SELECT m, sum(o) AS ct FROM cells GROUP BY 1),
-    t AS (SELECT sum(o) AS n, count(DISTINCT event_type) AS nr,
-                 count(DISTINCT m) AS nc
-          FROM cells),
-    grid AS (
-        SELECT r.event_type, r.rt, c.m, c.ct, coalesce(cells.o, 0) AS o
-        FROM r CROSS JOIN c
-        LEFT JOIN cells USING (event_type, m)
-    ),
-    contrib AS (
-        SELECT round((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
-                     * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
-                     / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)), 8) AS x,
-               n, nr, nc
-        FROM grid CROSS JOIN t
-    )
-    SELECT round(CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE), 6) AS chi2,
-           CAST((max(nr) - 1) * (max(nc) - 1) AS BIGINT) AS dof,
-           round(sqrt(CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE)
-                      / (CAST(max(n) AS DOUBLE)
-                         * CAST(least(max(nr) - 1, max(nc) - 1) AS DOUBLE))),
-                 6) AS cramers_v,
-           CAST(max(n) AS BIGINT) AS n
-    FROM contrib
-    """,
-    doc="Chi-squared independence test (event_type x day-of-month) with "
-    "Cramér's V: contingency cells from ONE groupBy, margins as "
-    "aggregates of the cell table broadcast back, per-cell "
-    "contributions round8 then decimal-summed (partition-order-free), "
-    "sqrt correctly rounded by IEEE — the whole statistic is "
-    "bit-stable cross-engine. Cell table is category-cardinality-"
-    "bounded, so at 100 TB the only event-scale work is the first "
-    "groupBy (operators/stats.py::chi_squared).",
-)
-def stats_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import stats
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.dayofmonth("ts").alias("m")
-    )
-    return stats.chi_squared(ev, "event_type", "m")
-
-
-@register(
-    "stats_ab_lift",
-    f"""
-    WITH per_user AS (
-        SELECT user_id,
-               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-        FROM events GROUP BY 1
-    ),
-    armed AS (
-        SELECT CAST(({_AB_HASH}) % 2 AS INTEGER) AS arm, conv FROM per_user
-    ),
-    arms AS (
-        SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
-        FROM armed GROUP BY 1
-    ),
-    wide AS (
-        SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a,
-               max(CASE WHEN arm = 0 THEN c END) AS conv_a,
-               max(CASE WHEN arm = 1 THEN n END) AS n_b,
-               max(CASE WHEN arm = 1 THEN c END) AS conv_b
-        FROM arms
-    )
-    SELECT n_a, n_b, conv_a, conv_b,
-           round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
-           round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
-           round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
-                 - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS lift,
-           round((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
-                  - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
-                 / sqrt((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
-                        * (1.0 - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
-                        / CAST(n_a AS DOUBLE)
-                        + (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-                        * (1.0 - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-                        / CAST(n_b AS DOUBLE)), 6) AS z_score
-    FROM wide
-    """,
-    doc="Two-proportion A/B z-test on deterministic hash-split arms "
-    "(md5 parity of user_id — reproducible, no RNG): per-user "
-    "purchase-conversion flags, arm aggregates, unpooled-SE z-score. "
-    "One user-level aggregate + one 2-row aggregate; division and "
-    "sqrt on identical doubles are bit-stable cross-engine "
-    "(operators/stats.py::ab_lift).",
-)
-def stats_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import stats
-
-    ev = load_table(spark, sf_dir, "events")
-    return stats.ab_lift(ev, "user_id", F.col("event_type") == "purchase")
-
-
-@register(
-    "events_rfm_segmentation",
-    """
-    WITH per_user AS (
-        SELECT user_id AS u, max(ts) AS last_ts,
-               CAST(count(*) AS BIGINT) AS freq,
-               CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS mon
-        FROM events GROUP BY 1
-    ),
-    g AS (SELECT max(ts) AS gmax FROM events),
-    scored AS (
-        SELECT u, date_diff('day', CAST(last_ts AS DATE), CAST(gmax AS DATE))
-                   AS rec,
-               freq, mon
-        FROM per_user CROSS JOIN g
-    ),
-    tiled AS (
-        SELECT u, mon,
-               CAST(ntile(4) OVER (ORDER BY rec, u) AS VARCHAR) || '-' ||
-               CAST(ntile(4) OVER (ORDER BY freq DESC, u) AS VARCHAR) || '-' ||
-               CAST(ntile(4) OVER (ORDER BY mon DESC, u) AS VARCHAR) AS segment
-        FROM scored
-    )
-    SELECT segment, CAST(count(*) AS BIGINT) AS n_users,
-           round(CAST(sum(CAST(mon AS DECIMAL(38,12))) AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE), 6) AS avg_monetary
-    FROM tiled GROUP BY 1 ORDER BY 1
-    """,
-    doc="RFM segmentation: quartile scores on recency/frequency/"
-    "monetary per user, user counts + fenced mean spend per R-F-M "
-    "segment. The ntile windows run over the USER-level aggregate "
-    "(users << events — the same bounded-cardinality global-window "
-    "precedent as text_zipf_fit's vocab ranking) with user-id "
-    "tiebreaks, so bucket assignment is integer-exact on both "
-    "engines (operators/stats.py::rfm_segments).",
-)
-def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import stats
-
-    ev = load_table(spark, sf_dir, "events")
-    return stats.rfm_segments(ev, "user_id", "ts", "value")
-
-
-@register(
-    "events_markov_transitions",
-    """
-    WITH pairs AS (
-        SELECT event_type AS cur,
-               lead(event_type) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS nxt
-        FROM events
-    ),
-    counts AS (
-        SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n_transitions
-        FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2
-    )
-    SELECT cur, nxt, n_transitions,
-           round(CAST(n_transitions AS DOUBLE)
-                 / CAST(sum(n_transitions) OVER (PARTITION BY cur) AS DOUBLE),
-                 6) AS p
-    FROM counts ORDER BY cur, nxt
-    """,
-    doc="First-order Markov transition matrix over per-user event "
-    "streams: P(next event type | current), with event_id breaking "
-    "same-timestamp ties so the sequence is engine-identical. One "
-    "window shuffle on user, a |types|^2-bounded pair table, row "
-    "totals as a window over that table (no second scan); "
-    "probabilities are exact integer ratios "
-    "(operators/sessionize.py::markov_transitions).",
-)
-def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import sessionize
-
-    ev = load_table(spark, sf_dir, "events")
-    return sessionize.markov_transitions(
-        ev, "user_id", "event_type", "ts", "event_id"
-    )
-
-
-@register(
-    "events_attribution_last_touch",
-    """
-    WITH carried AS (
-        SELECT event_type, value,
-               last_value(CASE WHEN event_type <> 'purchase'
-                               THEN struct_pack(t := ts, ch := event_type)
-                          END IGNORE NULLS)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                   AS lt,
-               ts
-        FROM events
-    ),
-    conv AS (
-        SELECT CASE WHEN lt IS NOT NULL
-                     AND date_diff('microsecond', lt.t, ts)
-                         <= CAST(604800000000 AS BIGINT)
-                    THEN lt.ch ELSE 'direct' END AS channel,
-               value
-        FROM carried WHERE event_type = 'purchase'
-    )
-    SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
-           round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 6)
-               AS total_value
-    FROM conv GROUP BY 1 ORDER BY 1
-    """,
-    doc="Last-touch attribution: each purchase credits the user's most "
-    "recent preceding non-purchase event within 7 days ('direct' when "
-    "none) — ONE user-keyed window with an ignoreNulls last_value "
-    "carry, no self-join, no per-conversion scan; same-timestamp "
-    "order pinned by event_id, window arithmetic microsecond-exact "
-    "on both engines. Output is channel-bounded "
-    "(operators/sessionize.py::attribution_last_touch).",
-)
-def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import sessionize
-
-    ev = load_table(spark, sf_dir, "events")
-    return sessionize.attribution_last_touch(
-        ev, "user_id", "event_type", "ts", "event_id"
-    )
-
-
-@register(
-    "timeseries_cusum_changepoint",
-    """
-    WITH daily AS (
-        SELECT event_type, date_trunc('day', ts) AS b,
-               CAST(count(*) AS BIGINT) AS cnt
-        FROM events GROUP BY 1, 2
-    ),
-    stats AS (
-        SELECT event_type,
-               CAST(sum(CAST(cnt AS DECIMAL(38,12))) AS DOUBLE)
-                   / CAST(count(*) AS DOUBLE) AS m,
-               CAST(count(*) AS BIGINT) AS n_buckets
-        FROM daily GROUP BY 1
-    ),
-    cus AS (
-        SELECT d.event_type, d.b, s.n_buckets,
-               CAST(sum(CAST(round(CAST(d.cnt AS DOUBLE) - s.m, 8)
-                             AS DECIMAL(28,8)))
-                    OVER (PARTITION BY d.event_type ORDER BY d.b
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS DOUBLE) AS cusum
-        FROM daily d JOIN stats s USING (event_type)
-    ),
-    ranked AS (
-        SELECT event_type, n_buckets, b, cusum,
-               row_number() OVER (PARTITION BY event_type
-                                  ORDER BY round(abs(cusum), 6) DESC, b)
-                   AS rn,
-               max(round(cusum, 6)) OVER (PARTITION BY event_type)
-                   - min(round(cusum, 6)) OVER (PARTITION BY event_type)
-                   AS rng
-        FROM cus
-    )
-    SELECT event_type, n_buckets, CAST(b AS TIMESTAMP) AS peak_bucket,
-           round(cusum, 6) AS peak_cusum, round(rng, 6) AS cusum_range
-    FROM ranked WHERE rn = 1 ORDER BY event_type
-    """,
-    doc="CUSUM change-point detection on daily event counts per type: "
-    "cumulative deviation from the per-type mean, peak |CUSUM| bucket "
-    "elected with earliest-bucket tiebreak. Everything after the "
-    "first groupBy runs at bucket cardinality; deviations are round8 "
-    "decimal-summed in bucket order so the running sum — and thus "
-    "the peak — is bit-identical on any engine "
-    "(operators/timeseries.py::cusum_changepoint).",
-)
-def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import timeseries
-
-    ev = load_table(spark, sf_dir, "events")
-    return timeseries.cusum_changepoint(ev, "event_type", "ts")
-
-
-@register(
-    "dedup_cluster_purge",
-    f"""
-    WITH RECURSIVE {_NGRAM_GRAMS_CTE},
-    p AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM g a
-        JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
-        WHERE {_NGRAM_JACCARD} >= 0.2
-    ),
-    e AS (
-        SELECT doc_a AS src, doc_b AS dst FROM p
-        UNION
-        SELECT doc_b AS src, doc_a AS dst FROM p
-    ),
-    reach AS (
-        SELECT src, dst FROM e
-        UNION
-        SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
-    ),
-    cc AS (
-        SELECT src AS id, least(src, min(dst)) AS cluster
-        FROM reach GROUP BY src
-    ),
-    assigned AS (
-        SELECT d.doc_id, d.source, coalesce(cc.cluster, d.doc_id) AS cluster
-        FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
-    ),
-    purged AS (
-        SELECT DISTINCT cluster FROM assigned WHERE doc_id % 97 = 0
-    )
-    SELECT a.source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(CASE WHEN p.cluster IS NOT NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_purged
-    FROM assigned a LEFT JOIN purged p ON a.cluster = p.cluster
-    GROUP BY a.source ORDER BY a.source
-    """,
-    doc="GDPR-style cluster purge: a takedown of seed documents "
-    "(doc_id % 97 = 0 stands in for the request list) must also remove "
-    "their near-duplicate cluster members, or the content survives as "
-    "a paraphrase. Cluster assignment reuses the session-cached "
-    "n-gram-Jaccard pair artifact + min-label CC (docs outside the "
-    "pair graph are their own singleton cluster via coalesce); the "
-    "purged-cluster set is a DISTINCT projection joined back "
-    "broadcast-side. Output: per-source doc and purge counts "
-    "(operators/dedup.py::connected_components).",
-    prepare=_cluster_pairs,
-)
-def dedup_cluster_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table_parallel(spark, sf_dir, "documents").select(
-        "doc_id", "source"
-    )
-    cc = dedup.connected_components(
-        _cluster_pairs(spark, sf_dir), pointer_jumping=False
-    )
-    assigned = (
-        docs.join(cc, docs["doc_id"] == cc["id"], "left")
-        .select(
-            "doc_id",
-            "source",
-            F.coalesce(F.col("cluster"), F.col("doc_id")).alias("_cl"),
-        )
-    )
-    purged = (
-        assigned.filter(F.col("doc_id") % 97 == 0)
-        .select(F.col("_cl").alias("_pcl"))
-        .distinct()
-    )
-    return (
-        assigned.join(F.broadcast(purged), assigned["_cl"] == F.col("_pcl"), "left")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum(F.when(F.col("_pcl").isNotNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_purged"),
-        )
-        .orderBy("source")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round-11 wave: normalization audit + corpus-distribution divergences.
-# ---------------------------------------------------------------------------
-
-from ..functions.trino import trino_round  # noqa: E402
-
-
-@register(
-    "embedding_standardize",
-    """
-    WITH v AS (
-        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        FROM embeddings
-    ),
-    x AS (
-        SELECT unnest(list_transform(generate_series(1, len(e)),
-                                     i -> {'dim': i - 1, 'val': e[i]}),
-                      recursive := true)
-        FROM v
-    ),
-    stats AS (
-        SELECT dim,
-               CAST(sum(CAST(val AS DECIMAL(28,8))) AS DOUBLE)
-                   / count(val) AS m,
-               sqrt(CAST(sum(CAST(val * val AS DECIMAL(28,8))) AS DOUBLE)
-                    / count(val)
-                    - (CAST(sum(CAST(val AS DECIMAL(28,8))) AS DOUBLE)
-                       / count(val))
-                      * (CAST(sum(CAST(val AS DECIMAL(28,8))) AS DOUBLE)
-                         / count(val))) AS s,
-               CAST(count(val) AS BIGINT) AS n
-        FROM x GROUP BY dim
-    ),
-    z AS (
-        SELECT x.dim, round((val - m) / s, 8) AS zv, n
-        FROM x JOIN stats USING (dim)
-    )
-    SELECT dim, n,
-           round(CAST(sum(CAST(zv AS DECIMAL(28,8))) AS DOUBLE)
-                 / CAST(n AS DOUBLE), 6) AS mean_z,
-           round(min(zv), 6) AS min_z,
-           round(max(zv), 6) AS max_z
-    FROM z GROUP BY dim, n ORDER BY dim
-    """,
-    doc="Embedding standardization audit: z-score every dimension "
-    "against its corpus mean/std (population variance via fenced "
-    "E[x^2]-mean^2, IEEE-exact sqrt) and verify the result per dim "
-    "(mean_z ~ 0, extreme z values for outlier triage). The dim-stats "
-    "table (d rows) broadcasts back onto the exploded stream; z "
-    "values are round8 then decimal-summed. The normalization "
-    "pre-pass every embedding pipeline runs before whitening/PCA.",
-)
-def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table_parallel(spark, sf_dir, "embeddings")
-    x = emb.select(
-        F.posexplode(
-            F.transform("embedding", lambda v: v.cast("double"))
-        ).alias("dim", "val")
-    )
-    dsum = lambda c: F.sum(c.cast("decimal(28,8)")).cast("double")  # noqa: E731
-    stats = x.groupBy("dim").agg(
-        (dsum(F.col("val")) / F.count("val")).alias("_m"),
-        F.sqrt(
-            dsum(F.col("val") * F.col("val")) / F.count("val")
-            - (dsum(F.col("val")) / F.count("val"))
-            * (dsum(F.col("val")) / F.count("val"))
-        ).alias("_s"),
-        F.count("val").cast("bigint").alias("n"),
-    )
-    z = x.join(F.broadcast(stats), "dim").select(
-        "dim",
-        "n",
-        F.round((F.col("val") - F.col("_m")) / F.col("_s"), 8).alias("_z"),
-    )
-    return (
-        z.groupBy("dim", "n")
-        .agg(
-            trino_round(dsum(F.col("_z")) / F.col("n").cast("double"), 6).alias(
-                "mean_z"
-            ),
-            trino_round(F.min("_z"), 6).alias("min_z"),
-            trino_round(F.max("_z"), 6).alias("max_z"),
-        )
-        .orderBy("dim")
-    )
-
-
-@register(
-    "corpus_kl_to_global",
-    f"""
-    WITH t AS (
-        SELECT source, unnest({TOKS}) AS token FROM documents
-    ),
-    sc AS (
-        SELECT source, token, CAST(count(*) AS BIGINT) AS c
-        FROM t GROUP BY 1, 2
-    ),
-    st AS (SELECT source, sum(c) AS ns FROM sc GROUP BY 1),
-    gc AS (SELECT token, sum(c) AS g FROM sc GROUP BY 1),
-    gt AS (SELECT sum(c) AS ng FROM sc),
-    contrib AS (
-        SELECT sc.source,
-               round((CAST(sc.c AS DOUBLE) / CAST(st.ns AS DOUBLE))
-                     * ln((CAST(sc.c AS DOUBLE) / CAST(st.ns AS DOUBLE))
-                          / (CAST(gc.g AS DOUBLE) / CAST(gt.ng AS DOUBLE))),
-                     8) AS x
-        FROM sc JOIN st USING (source) JOIN gc USING (token) CROSS JOIN gt
-    )
-    SELECT source,
-           round(CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE), 6)
-               AS kl_nats
-    FROM contrib GROUP BY source ORDER BY source
-    """,
-    doc="Per-source KL divergence to the global token distribution — "
-    "the distribution-shift score that flags a source whose language "
-    "no longer matches the corpus (mixture drift, scraping bugs). "
-    "One token-level count shuffle; the global vocab counts join the "
-    "per-source counts ON THE TOKEN KEY (vocab-sized, not corpus-"
-    "sized) and totals broadcast; per-term contributions are round8 "
-    "decimal-summed. Source terms are a subset of global terms, so "
-    "q > 0 always and the sum is finite.",
-)
-def corpus_kl_to_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.text import tokens
-
-    docs = load_table_parallel(spark, sf_dir, "documents")
-    t = docs.select("source", F.explode(tokens("text")).alias("token"))
-    sc = t.groupBy("source", "token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_c")
-    )
-    st = sc.groupBy("source").agg(F.sum("_c").alias("_ns"))
-    gc = sc.groupBy("token").agg(F.sum("_c").alias("_g"))
-    gt = sc.agg(F.sum("_c").alias("_ng"))
-    ps = F.col("_c").cast("double") / F.col("_ns").cast("double")
-    q = F.col("_g").cast("double") / F.col("_ng").cast("double")
-    contrib = (
-        sc.join(F.broadcast(st), "source")
-        .join(gc, "token")
-        .crossJoin(F.broadcast(gt))
-        .select("source", F.round(ps * F.log(ps / q), 8).alias("_x"))
-    )
-    return (
-        contrib.groupBy("source")
-        .agg(
-            trino_round(
-                F.sum(F.col("_x").cast("decimal(28,8)")).cast("double"), 6
-            ).alias("kl_nats")
-        )
-        .orderBy("source")
-    )
-
-
-_LO_A = 0.01  # per-term Dirichlet prior
-
-
-@register(
-    "text_log_odds_terms",
-    f"""
-    WITH t AS (
-        SELECT source, unnest({TOKS}) AS token FROM documents
-    ),
-    sc AS (
-        SELECT source, token, CAST(count(*) AS BIGINT) AS y
-        FROM t GROUP BY 1, 2
-    ),
-    st AS (SELECT source, sum(y) AS ns FROM sc GROUP BY 1),
-    gc AS (SELECT token, sum(y) AS g FROM sc GROUP BY 1),
-    gt AS (SELECT sum(g) AS n, count(*) AS vocab FROM gc),
-    z AS (
-        SELECT sc.source, sc.token,
-               round((ln((CAST(sc.y AS DOUBLE) + {_LO_A})
-                         / (CAST(st.ns AS DOUBLE) + {_LO_A} * vocab
-                            - CAST(sc.y AS DOUBLE) - {_LO_A}))
-                      - ln((CAST(gc.g - sc.y AS DOUBLE) + {_LO_A})
-                           / (CAST(gt.n - st.ns AS DOUBLE) + {_LO_A} * vocab
-                              - CAST(gc.g - sc.y AS DOUBLE) - {_LO_A})))
-                     / sqrt(1.0 / (CAST(sc.y AS DOUBLE) + {_LO_A})
-                            + 1.0 / (CAST(gc.g - sc.y AS DOUBLE) + {_LO_A})),
-                     6) AS zscore
-        FROM sc JOIN st USING (source) JOIN gc USING (token) CROSS JOIN gt
-    ),
-    ranked AS (
-        SELECT source, token, zscore,
-               row_number() OVER (PARTITION BY source
-                                  ORDER BY zscore DESC, token) AS rn
-        FROM z
-    )
-    SELECT source, token, zscore FROM ranked WHERE rn <= 3
-    ORDER BY source, zscore DESC, token
-    """,
-    doc="Informative terms per source by Dirichlet-prior log-odds z-score "
-    "(Monroe et al. 2008, 'Fightin' Words' — the comparative-corpus "
-    "alternative to tf-idf that accounts for variance on rare terms): "
-    "source-vs-rest odds from the SAME vocab-keyed count tables the "
-    "KL query builds (per-source counts join global counts on the "
-    "token key; totals and vocab size broadcast), z-scores round6, "
-    "top-3 per source via one window on the vocab-sized table. ln and "
-    "sqrt on identical doubles are engine-stable (the repo's "
-    "transcendental fence).",
-)
-def text_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from ..operators.text import tokens
-
-    docs = load_table_parallel(spark, sf_dir, "documents")
-    t = docs.select("source", F.explode(tokens("text")).alias("token"))
-    sc = t.groupBy("source", "token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_y")
-    )
-    st = sc.groupBy("source").agg(F.sum("_y").alias("_ns"))
-    gc = sc.groupBy("token").agg(F.sum("_y").alias("_g"))
-    gt = gc.agg(F.sum("_g").alias("_n"), F.count(F.lit(1)).alias("_vocab"))
-    a = F.lit(_LO_A)
-    y = F.col("_y").cast("double")
-    ns = F.col("_ns").cast("double")
-    yr = (F.col("_g") - F.col("_y")).cast("double")
-    nr = (F.col("_n") - F.col("_ns")).cast("double")
-    a0 = a * F.col("_vocab")
-    delta = F.log((y + a) / (ns + a0 - y - a)) - F.log(
-        (yr + a) / (nr + a0 - yr - a)
-    )
-    zscore = F.round(
-        delta / F.sqrt(F.lit(1.0) / (y + a) + F.lit(1.0) / (yr + a)), 6
-    )
-    z = (
-        sc.join(F.broadcast(st), "source")
-        .join(gc, "token")
-        .crossJoin(F.broadcast(gt))
-        .select("source", "token", zscore.alias("zscore"))
-    )
-    w = Window.partitionBy("source").orderBy(F.desc("zscore"), "token")
-    return (
-        z.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 3)
-        .select("source", "token", "zscore")
-        .orderBy("source", F.desc("zscore"), "token")
-    )
-
-
-@register(
-    "sql_having_above_average",
-    """
-    WITH g AS (
-        SELECT o_custkey,
-               round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,12)))
-                     AS DOUBLE), 6) AS spend
-        FROM orders GROUP BY o_custkey
-    )
-    SELECT o_custkey, spend
-    FROM g
-    WHERE spend > (SELECT CAST(sum(CAST(spend AS DECIMAL(38,12))) AS DOUBLE)
-                          / count(*) FROM g)
-    ORDER BY spend DESC, o_custkey
-    LIMIT 25
-    """,
-    doc="HAVING-above-average (groups whose total beats the mean group "
-    "total): the scalar subquery decorrelates into a 1-row aggregate "
-    "OF the grouped table broadcast-joined back — the group table is "
-    "computed once and reused for both roles (no second orders scan), "
-    "the same reuse shape as TPC-H Q15's max. Spend is decimal-fenced "
-    "+ round6 BEFORE the threshold compare, so membership at the "
-    "boundary is bit-identical cross-engine; top-25 is TakeOrdered.",
-)
-def sql_having_above_average(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    g = o.groupBy("o_custkey").agg(
-        trino_round(
-            F.sum(F.col("o_totalprice").cast("decimal(38,12)")).cast("double"),
-            6,
-        ).alias("spend")
-    )
-    thr = g.agg(
-        (
-            F.sum(F.col("spend").cast("decimal(38,12)")).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("_avg")
-    )
-    return (
-        g.crossJoin(F.broadcast(thr))
-        .filter(F.col("spend") > F.col("_avg"))
-        .select("o_custkey", "spend")
-        .orderBy(F.desc("spend"), "o_custkey")
-        .limit(25)
-    )
-
-
-@register(
-    "events_funnel_latency",
-    """
-    WITH r0 AS (
-      SELECT user_id, min(ts) AS t FROM events
-      WHERE event_type = 'view' GROUP BY user_id
-    ),
-    r1 AS (
-      SELECT e.user_id, min(e.ts) AS t, min(r0.t) AS prev
-      FROM events e JOIN r0 ON e.user_id = r0.user_id AND e.ts > r0.t
-      WHERE e.event_type = 'click' GROUP BY e.user_id
-    ),
-    r2 AS (
-      SELECT e.user_id, min(e.ts) AS t, min(r1.t) AS prev
-      FROM events e JOIN r1 ON e.user_id = r1.user_id AND e.ts > r1.t
-      WHERE e.event_type = 'purchase' GROUP BY e.user_id
-    ),
-    l1 AS (SELECT date_diff('microsecond', prev, t) AS us FROM r1),
-    l2 AS (SELECT date_diff('microsecond', prev, t) AS us FROM r2)
-    SELECT 'click' AS stage, CAST(0 + 1 AS INTEGER) AS stage_idx,
-           CAST((SELECT count(*) FROM l1) AS BIGINT) AS n_users,
-           round((SELECT CAST(sum(CAST(us AS DECIMAL(38,12))) AS DOUBLE)
-                         / count(*) / 1000000.0 FROM l1), 6)
-               AS mean_latency_s,
-           round((SELECT CAST(max(us) AS DOUBLE) / 1000000.0 FROM l1), 6)
-               AS max_latency_s
-    UNION ALL
-    SELECT 'purchase', 2,
-           CAST((SELECT count(*) FROM l2) AS BIGINT),
-           round((SELECT CAST(sum(CAST(us AS DECIMAL(38,12))) AS DOUBLE)
-                         / count(*) / 1000000.0 FROM l2), 6),
-           round((SELECT CAST(max(us) AS DOUBLE) / 1000000.0 FROM l2), 6)
-    """,
-    doc="Funnel stage-transition latency (view -> click -> purchase): "
-    "among users who reached a stage, mean/max seconds since reaching "
-    "the previous stage — computed from the SAME single-scan greedy "
-    "fold as events_funnel (reach times identical by construction), "
-    "one user-keyed shuffle + a 1-row aggregate. Latencies are exact "
-    "microsecond integers decimal-summed; the oracle is the 3-pass "
-    "join chain (operators/sessionize.py::funnel_latency).",
-)
-def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sessionize import funnel_latency
-
-    ev = load_table(spark, sf_dir, "events")
-    return funnel_latency(
-        ev, user="user_id", event_type="event_type", ts="ts",
-        stages=["view", "click", "purchase"],
-    )
-
-
-@register(
-    "privacy_t_closeness",
-    """
-    WITH cells AS (
-        SELECT lang, source, CAST(count(*) AS BIGINT) AS c
-        FROM documents GROUP BY 1, 2
-    ),
-    grp AS (SELECT lang, CAST(sum(c) AS BIGINT) AS group_size
-            FROM cells GROUP BY 1),
-    gdist AS (SELECT source, sum(c) AS g FROM cells GROUP BY 1),
-    tot AS (SELECT sum(c) AS n FROM cells),
-    agg AS (
-        SELECT cells.lang, grp.group_size,
-               CAST(sum(CAST(round(abs(CAST(c AS DOUBLE)
-                                       / CAST(group_size AS DOUBLE)
-                                       - CAST(g AS DOUBLE)
-                                         / CAST(n AS DOUBLE)), 8)
-                             AS DECIMAL(28,8))) AS DOUBLE) AS present,
-               CAST(sum(CAST(round(CAST(g AS DOUBLE) / CAST(n AS DOUBLE), 8)
-                             AS DECIMAL(28,8))) AS DOUBLE) AS qpres
-        FROM cells JOIN grp USING (lang) JOIN gdist USING (source)
-        CROSS JOIN tot
-        GROUP BY 1, 2
-    )
-    SELECT lang, group_size,
-           round((present + 1.0 - qpres) / 2.0, 6) AS tvd,
-           round((present + 1.0 - qpres) / 2.0, 6) <= 0.3 AS t_close
-    FROM agg ORDER BY lang
-    """,
-    doc="t-closeness audit (Li et al. 2007): per language group, "
-    "total-variation distance between the group's source distribution "
-    "and the global one — the release gate that catches large-but-"
-    "skewed groups k-anonymity/l-diversity pass. One groupBy to the "
-    "(QI, sensitive) cube; margins are aggregates of that table "
-    "broadcast back; absent-value mass folds in as 1 - present-q "
-    "arithmetic (no grid join); round8 terms decimal-summed "
-    "(operators/privacy.py::t_closeness).",
-)
-def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.privacy import t_closeness
-
-    docs = load_table_parallel(spark, sf_dir, "documents")
-    return t_closeness(docs, ["lang"], "source", t=0.3)
-
-
-@register(
-    "orders_interarrival_stats",
-    """
-    WITH gaps AS (
-        SELECT date_diff('day',
-                         CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
-                               ORDER BY o_orderdate, o_orderkey) AS DATE),
-                         CAST(o_orderdate AS DATE)) AS gap_days
-        FROM orders
-    ),
-    g AS (SELECT gap_days FROM gaps WHERE gap_days IS NOT NULL)
-    SELECT CAST(count(*) AS BIGINT) AS n_gaps,
-           round(CAST(sum(CAST(gap_days AS DECIMAL(38,12))) AS DOUBLE)
-                 / count(*), 6) AS mean_gap_days,
-           CAST(min(gap_days) AS BIGINT) AS min_gap_days,
-           CAST(max(gap_days) AS BIGINT) AS max_gap_days
-    FROM g
-    """,
-    doc="Repeat-purchase cadence: whole-day gaps between a customer's "
-    "consecutive orders (lag over (orderdate, orderkey) — the key "
-    "tiebreak makes same-day order sequence engine-identical), "
-    "fenced mean + integer extremes in one pass. One customer-keyed "
-    "window shuffle + a 1-row aggregate; DATE-cast day difference is "
-    "whole-unit on both engines.",
-)
-def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    gap = F.datediff(
-        F.col("o_orderdate").cast("date"),
-        F.lag(F.col("o_orderdate")).over(w).cast("date"),
-    )
-    g = o.select(gap.alias("gap_days")).filter(F.col("gap_days").isNotNull())
-    return g.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
-        trino_round(
-            F.sum(F.col("gap_days").cast("decimal(38,12)")).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("mean_gap_days"),
-        F.min("gap_days").cast("bigint").alias("min_gap_days"),
-        F.max("gap_days").cast("bigint").alias("max_gap_days"),
-    )
-
-
-@register(
-    "text_tokenizer_fertility",
-    f"""
-    WITH d AS (
-        SELECT lang,
-               CAST(len({TOKS}) AS BIGINT) AS words,
-               CAST(len(regexp_extract_all(text,
-                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS toks
-        FROM documents
-    )
-    SELECT lang,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(words) AS BIGINT) AS n_words,
-           CAST(sum(toks) AS BIGINT) AS n_tokens,
-           round(CAST(sum(toks) AS DOUBLE) / CAST(sum(words) AS DOUBLE), 6)
-               AS fertility
-    FROM d GROUP BY lang ORDER BY lang
-    """,
-    doc="Tokenizer fertility per language: BPE-style segment count over "
-    "whitespace-word count — the cost multiplier that decides how many "
-    "training tokens a language's text actually produces (fertility "
-    "near 1 = cheap; high fertility = the tokenizer fragments the "
-    "language). Both counts are row-local regex/size projections "
-    "fused into the scan (no explode); one grouped aggregate of exact "
-    "integers, ratio computed once per group "
-    "(operators/text.py::bpe_ish_token_count).",
-)
-def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.text import bpe_ish_token_count, token_count
-
-    docs = load_table_parallel(spark, sf_dir, "documents")
-    d = docs.select(
-        "lang",
-        token_count("text").cast("bigint").alias("_w"),
-        bpe_ish_token_count("text").cast("bigint").alias("_t"),
-    )
-    return (
-        d.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("_w").cast("bigint").alias("n_words"),
-            F.sum("_t").cast("bigint").alias("n_tokens"),
-            trino_round(
-                F.sum("_t").cast("double") / F.sum("_w").cast("double"), 6
-            ).alias("fertility"),
-        )
-        .orderBy("lang")
-    )
-
-
-@register(
-    "events_dau_wau_stickiness",
-    """
-    WITH ud AS (
-        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
-        FROM events
-    ),
-    dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
-    contrib AS (
-        SELECT user_id, unnest(generate_series(d, d + INTERVAL 6 DAY,
-                                               INTERVAL 1 DAY)) AS w
-        FROM ud
-    ),
-    wau AS (
-        SELECT CAST(w AS DATE) AS d, CAST(count(DISTINCT user_id) AS BIGINT)
-                   AS wau
-        FROM contrib GROUP BY 1
-    ),
-    span AS (SELECT min(d) AS lo, max(d) AS hi FROM ud)
-    SELECT CAST(dau.d AS TIMESTAMP) AS day, dau.dau, wau.wau,
-           round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
-               AS stickiness
-    FROM dau JOIN wau ON dau.d = wau.d CROSS JOIN span
-    WHERE dau.d >= span.lo + INTERVAL 6 DAY
-    ORDER BY day
-    """,
-    doc="DAU/WAU stickiness per day (trailing 7-day window): instead of "
-    "a sliding count-distinct (quadratic re-scan or heavyweight "
-    "window state), each active (user, day) EXPLODES to the <= 7 "
-    "future days it keeps the user 'weekly active' for — the "
-    "classic contribution-inversion that turns a sliding distinct "
-    "into a plain grouped distinct at 7x the (already user-day-"
-    "deduped) row count. Days before a full trailing window are "
-    "dropped. At 100 TB the explode input is |active user-days|, "
-    "not |events|.",
-)
-def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
-    ).distinct()
-    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
-    contrib = ud.select(
-        "user_id",
-        F.explode(
-            F.sequence(
-                F.col("d"), F.date_add(F.col("d"), 6), F.expr("INTERVAL 1 DAY")
-            )
-        ).alias("w"),
-    )
-    wau = contrib.groupBy(F.col("w").alias("d")).agg(
-        F.count_distinct("user_id").cast("bigint").alias("wau")
-    )
-    span = ud.agg(F.min("d").alias("_lo"))
-    return (
-        dau.join(wau, "d")
-        .crossJoin(F.broadcast(span))
-        .filter(F.col("d") >= F.date_add(F.col("_lo"), 6))
-        .select(
-            F.col("d").cast("timestamp_ntz").alias("day"),
-            "dau",
-            "wau",
-            trino_round(
-                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
-            ).alias("stickiness"),
-        )
-        .orderBy("day")
-    )
-
-
-@register(
-    "agg_weighted_median",
-    """
-    WITH w AS (
-        SELECT l_returnflag, l_extendedprice AS v, l_quantity AS wt,
-               sum(l_quantity) OVER (PARTITION BY l_returnflag
-                    ORDER BY l_extendedprice, l_orderkey, l_linenumber
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS cumw,
-               sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
-        FROM lineitem
-    )
-    SELECT l_returnflag,
-           round(min(v), 6) AS weighted_median_price,
-           CAST(max(tot) AS DOUBLE) AS total_weight
-    FROM w
-    WHERE cumw >= tot / 2.0
-    GROUP BY l_returnflag
-    ORDER BY l_returnflag
-    """,
-    doc="Weighted median (lower weighted-median convention): the first "
-    "value, in (value, orderkey, linenumber) order, whose cumulative "
-    "weight reaches half the group total — quantity-weighted median "
-    "extended price per return flag. Exact arithmetic throughout: "
-    "quantities are integer-valued doubles, so the running and total "
-    "sums are exact and the boundary test is bit-identical on both "
-    "engines; the unique sort tiebreak pins the running order. The "
-    "running sum is the skew-safe two_phase_running_sum (above its "
-    "4M-row guard: partition by (flag, price-range bucket) + broadcast "
-    "bucket offsets — r11 VERDICT's few-groups caveat): with only 3 "
-    "return flags a plain per-flag window would sort a third of "
-    "lineitem in one task at any scale. Under the guard (eval scale) "
-    "the single-window form runs — the skew protection is free when "
-    "the whole input fits one task's sort (r12 VERDICT #5). "
-    "Complements agg_percentiles (unweighted exact) and "
-    "agg_percentiles_approx (sketch).",
-)
-def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.timeseries import two_phase_running_sum
-
-    li = load_table_parallel(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.col("l_extendedprice").alias("v"),
-        "l_orderkey",
-        "l_linenumber",
-        "l_quantity",
-    )
-    w = two_phase_running_sum(
-        li,
-        value="l_quantity",
-        order=("v", "l_orderkey", "l_linenumber"),
-        keys=("l_returnflag",),
-        bucket_on="v",
-        out="cumw",
-    )
-    return (
-        w.filter(F.col("cumw") >= F.col("cumw_total") / 2.0)
-        .groupBy("l_returnflag")
-        .agg(
-            trino_round(F.min("v"), 6).alias("weighted_median_price"),
-            F.max("cumw_total").cast("double").alias("total_weight"),
-        )
-        .orderBy("l_returnflag")
-    )
-
-
-@register(
-    "window_nth_value_session",
-    """
-    WITH w AS (
-        SELECT user_id, event_id, value,
-               nth_value(value, 2) OVER (PARTITION BY user_id
-                    ORDER BY ts, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND UNBOUNDED FOLLOWING)
-                   AS second_value,
-               first_value(event_type) OVER (PARTITION BY user_id
-                    ORDER BY ts, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS first_type,
-               last_value(event_type) OVER (PARTITION BY user_id
-                    ORDER BY ts, event_id
-                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-                   AS last_type,
-               row_number() OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id) AS rn
-        FROM events
-    )
-    SELECT user_id, first_type, last_type,
-           round(second_value, 6) AS second_event_value
-    FROM w WHERE rn = 1
-    ORDER BY user_id
-    """,
-    doc="first/last/nth_value window coverage: per user, the first and "
-    "final event types over the whole ordered history plus the "
-    "second event's value (nth_value over the full-partition frame — "
-    "NULL for single-event users, the frame-semantics edge worth "
-    "pinning). "
-    "last_value uses the CURRENT ROW..UNBOUNDED FOLLOWING frame (the "
-    "default frame's classic trap); (ts, event_id) ordering makes "
-    "same-timestamp results engine-identical. One user-keyed window "
-    "shuffle, one row kept per user.",
-)
-def window_nth_value_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    ev = load_table(spark, sf_dir, "events")
-    grow = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    full = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    shrink = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w = ev.select(
-        "user_id",
-        F.nth_value("value", 2).over(full).alias("_sv"),
-        F.first("event_type").over(grow).alias("first_type"),
-        F.last("event_type").over(shrink).alias("last_type"),
-        F.row_number().over(order).alias("_rn"),
-    )
-    return (
-        w.filter(F.col("_rn") == 1)
-        .select(
-            "user_id",
-            "first_type",
-            "last_type",
-            trino_round(F.col("_sv"), 6).alias("second_event_value"),
-        )
-        .orderBy("user_id")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round-12 wave: entropy l-diversity, Pareto revenue concentration,
-# MAD-robust outliers.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "privacy_l_diversity",
-    """
-    WITH cells AS (
-        SELECT lang, source, CAST(count(*) AS BIGINT) AS c
-        FROM documents GROUP BY 1, 2
-    ),
-    grp AS (SELECT lang, CAST(sum(c) AS BIGINT) AS group_size
-            FROM cells GROUP BY 1),
-    agg AS (
-        SELECT cells.lang, grp.group_size,
-               CAST(sum(CAST(round(
-                   (CAST(c AS DOUBLE) / CAST(group_size AS DOUBLE))
-                   * ln(1.0 / (CAST(c AS DOUBLE)
-                               / CAST(group_size AS DOUBLE))), 8)
-                   AS DECIMAL(28,8))) AS DOUBLE) AS h
-        FROM cells JOIN grp USING (lang)
-        GROUP BY 1, 2
-    )
-    SELECT lang, group_size, round(h, 6) AS entropy,
-           round(h, 6) >= 0.693147 AS entropy_l_diverse
-    FROM agg ORDER BY lang
-    """,
-    doc="Entropy l-diversity audit (Machanavajjhala et al. 2007): per "
-    "language group, Shannon entropy of the source distribution must "
-    "reach ln(2) — the gate a 99%%-one-source group passes on "
-    "distinct-count l-diversity but fails here. Completes the privacy "
-    "trio (k-anonymity r6, t-closeness r11). One groupBy to the "
-    "(QI, sensitive) cube, group sizes broadcast back, per-cell "
-    "p*ln(1/p) terms round8 decimal-summed so float-log last-ulp "
-    "engine differences can't move the sum "
-    "(operators/privacy.py::entropy_l_diversity).",
-)
-def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.privacy import entropy_l_diversity
-
-    docs = load_table_parallel(spark, sf_dir, "documents")
-    return entropy_l_diversity(docs, ["lang"], "source", l=2)
-
-
-@register(
-    "orders_pareto_share",
-    """
-    WITH cust AS (
-        SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(38,12))) AS rev
-        FROM orders GROUP BY 1
-    ),
-    w AS (
-        SELECT rev,
-               sum(rev) OVER (ORDER BY rev DESC, o_custkey
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-               sum(rev) OVER () AS tot
-        FROM cust
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_customers,
-           CAST(sum(CASE WHEN CAST(cum - rev AS DOUBLE)
-                              < 0.5 * CAST(tot AS DOUBLE)
-                    THEN 1 ELSE 0 END) AS BIGINT) AS top50_customers,
-           CAST(sum(CASE WHEN CAST(cum - rev AS DOUBLE)
-                              < 0.8 * CAST(tot AS DOUBLE)
-                    THEN 1 ELSE 0 END) AS BIGINT) AS top80_customers,
-           round(CAST(max(rev) AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6)
-               AS top1_share
-    FROM w
-    """,
-    doc="Revenue concentration (Pareto/Lorenz): how many customers, "
-    "taken from the top by lifetime revenue, cover 50%% and 80%% of "
-    "total revenue, plus the single largest customer's share. The "
-    "global running sum is the skew-safe two_phase_running_sum with "
-    "keys=() — above its 4M-row guard, revenue-range buckets carry the "
-    "parallelism, so even this GLOBAL cumulative ordering never "
-    "funnels one task (the classic Lorenz-curve scaling trap); under "
-    "the guard the single-window form runs. Per-customer revenue and all "
-    "cumulative sums are DECIMAL(38,12)-exact; threshold tests compare "
-    "their double casts identically on both engines; a (revenue DESC, "
-    "custkey) unique order pins the curve.",
-)
-def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.timeseries import two_phase_running_sum
-
-    cust = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(38,12)")).alias("rev")
-        )
-        .withColumn("rev_neg", -F.col("rev").cast("double"))
-    )
-    w = two_phase_running_sum(
-        cust,
-        value="rev",
-        order=("rev_neg", "o_custkey"),
-        keys=(),
-        bucket_on="rev_neg",
-        out="cum",
-    )
-    before = (F.col("cum") - F.col("rev")).cast("double")
-    tot = F.col("cum_total").cast("double")
-    return w.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-        F.sum(F.when(before < F.lit(0.5) * tot, 1).otherwise(0))
-        .cast("bigint")
-        .alias("top50_customers"),
-        F.sum(F.when(before < F.lit(0.8) * tot, 1).otherwise(0))
-        .cast("bigint")
-        .alias("top80_customers"),
-        trino_round(
-            F.max("rev").cast("double") / F.max("cum_total").cast("double"), 6
-        ).alias("top1_share"),
-    )
-
-
-@register(
-    "events_anomaly_mad",
-    """
-    WITH med AS (
-        SELECT event_type, round(quantile_cont(value, 0.5), 9) AS med
-        FROM events GROUP BY 1
-    ),
-    dev AS (
-        SELECT e.event_type, e.value, m.med,
-               abs(e.value - m.med) AS adev
-        FROM events e JOIN med m USING (event_type)
-    ),
-    mad AS (
-        SELECT event_type, round(quantile_cont(adev, 0.5), 9) AS mad
-        FROM dev GROUP BY 1
-    )
-    SELECT d.event_type,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           max(d.med) AS median_value,
-           max(m.mad) AS mad,
-           CAST(sum(CASE WHEN abs(d.value - d.med)
-                              > 3 * 1.4826 * m.mad
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-    FROM dev d JOIN mad m USING (event_type)
-    GROUP BY 1 ORDER BY 1
-    """,
-    doc="Robust outlier detection: per event type, median + median "
-    "absolute deviation (both exact interpolated 0.5-quantiles, "
-    "round9-fenced like agg_mode_median), outliers = values beyond "
-    "3 sigma-equivalents (1.4826*MAD) — the robust twin of the "
-    "z-score/winsorize family, immune to the outliers it hunts. "
-    "Exact MAD is inherently two order statistics deep, so the plan "
-    "is two grouped-percentile passes with the tiny per-type medians "
-    "broadcast between them — no window, no sort of a whole type.",
-)
-def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    med = ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5D)"), 9).alias("med")
-    )
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(adev, 0.5D)"), 9).alias("mad")
-    )
-    return (
-        dev.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.max("med").alias("median_value"),
-            F.max("mad").alias("mad"),
-            F.sum(
-                F.when(
-                    F.abs(F.col("value") - F.col("med"))
-                    > F.lit(3) * F.lit(1.4826) * F.col("mad"),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_outliers"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@register(
-    "events_attribution_time_decay",
-    """
-    WITH conv AS (
-        SELECT user_id AS u, event_id AS cid, ts AS ct, value AS v
-        FROM events WHERE event_type = 'purchase'
-    ),
-    touch AS (
-        SELECT user_id AS tu, event_type AS ch, ts AS tt
-        FROM events WHERE event_type <> 'purchase'
-    ),
-    j AS (
-        SELECT c.cid, c.v, t.ch,
-               round(exp(-0.6931471805599453
-                         * date_diff('microsecond', t.tt, c.ct)
-                         / 302400000000.0), 8) AS w
-        FROM conv c LEFT JOIN touch t
-          ON t.tu = c.u AND t.tt < c.ct
-         AND date_diff('microsecond', t.tt, c.ct) <= 604800000000
-    ),
-    sw AS (
-        SELECT cid, v, ch, w,
-               CAST(sum(CAST(w AS DECIMAL(28,8)))
-                    OVER (PARTITION BY cid) AS DOUBLE) AS s
-        FROM j
-    ),
-    credits AS (
-        SELECT COALESCE(ch, 'direct') AS channel,
-               CASE WHEN ch IS NULL THEN round(v, 8)
-                    ELSE round(v * w / s, 8) END AS credit
-        FROM sw
-    )
-    SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
-           round(CAST(sum(CAST(credit AS DECIMAL(28,8))) AS DOUBLE), 6)
-               AS attributed_value
-    FROM credits GROUP BY 1 ORDER BY 1
-    """,
-    doc="Time-decay multi-touch attribution: every touch in the 7-day "
-    "window before a purchase shares its value, weighted "
-    "exp(-ln2 * age / 3.5d) and normalized per conversion; "
-    "no-touch purchases credit 'direct'. Multi-touch complement of "
-    "events_attribution_last_touch: per-user range join (keyed on "
-    "user, window residual — never cartesian), per-conversion "
-    "normalization over the high-cardinality conversion id, "
-    "|channels|-bounded rollup. exp() last-ulp differences are fenced "
-    "by round8 before BOTH decimal-exact sums "
-    "(operators/sessionize.py::attribution_time_decay).",
-)
-def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import sessionize
-
-    ev = load_table(spark, sf_dir, "events")
-    return sessionize.attribution_time_decay(
-        ev, "user_id", "event_type", "ts", "event_id"
-    )
-
-
-@register(
-    "stats_cuped_adjustment",
-    f"""
-    WITH per_user AS (
-        SELECT user_id,
-               COALESCE(CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
-                        THEN CAST(value AS DECIMAL(38,12)) END) AS DOUBLE),
-                        0.0) AS x,
-               COALESCE(CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
-                        THEN CAST(value AS DECIMAL(38,12)) END) AS DOUBLE),
-                        0.0) AS y
-        FROM events GROUP BY 1
-    ),
-    m AS (
-        SELECT CAST(count(*) AS DOUBLE) AS n,
-               CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
-               CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
-               CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
-               CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
-        FROM per_user
-    ),
-    adj AS (
-        SELECT CAST(({_AB_HASH}) % 2 AS INTEGER) AS arm,
-               y,
-               (m.n * m.sxy - m.sx * m.sy)
-                   / (m.n * m.sxx - m.sx * m.sx) AS theta,
-               y - ((m.n * m.sxy - m.sx * m.sy)
-                    / (m.n * m.sxx - m.sx * m.sx))
-                   * (x - m.sx / m.n) AS ya
-        FROM per_user CROSS JOIN m
-    )
-    SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
-           round(CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE), 6) AS mean_post,
-           round(CAST(sum(CAST(ya AS DECIMAL(38,12))) AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE), 6) AS mean_post_adjusted,
-           round((CAST(count(*) AS DOUBLE)
-                  * CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE)
-                  - CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE)
-                    * CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE))
-                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)), 6)
-               AS var_post,
-           round((CAST(count(*) AS DOUBLE)
-                  * CAST(sum(CAST(ya * ya AS DECIMAL(38,12))) AS DOUBLE)
-                  - CAST(sum(CAST(ya AS DECIMAL(38,12))) AS DOUBLE)
-                    * CAST(sum(CAST(ya AS DECIMAL(38,12))) AS DOUBLE))
-                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)), 6)
-               AS var_post_adjusted,
-           round(max(theta), 6) AS theta
-    FROM adj GROUP BY 1 ORDER BY 1
-    """,
-    doc="CUPED variance reduction (Deng et al. 2013): each user's "
-    "post-period value sum adjusted by their pre-period sum as a "
-    "control variate (theta = pooled cov/var), reported per md5-parity "
-    "experiment arm with before/after variances so the sensitivity "
-    "gain is visible. Pre/post split at 2024-01-16 (the testdata's "
-    "event-range midpoint). Two shuffles: the per-user rollup and the "
-    "2-row arm rollup; the five pooled moments ride ONE broadcast row; "
-    "all sums decimal-fenced, closed forms in IEEE doubles over "
-    "bit-identical moments (operators/stats.py::cuped_adjustment).",
-)
-def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import stats
-
-    ev = load_table(spark, sf_dir, "events")
-    return stats.cuped_adjustment(
-        ev, "user_id", "ts", "value", split_ts="2024-01-16"
-    )
-
-
-@register(
-    "stats_mann_whitney",
-    f"""
-    WITH per_user AS (
-        SELECT user_id,
-               COALESCE(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE),
-                        0.0) AS y
-        FROM events GROUP BY 1
-    ),
-    a AS (
-        SELECT y, CAST(({_AB_HASH}) % 2 AS INTEGER) AS arm FROM per_user
-    ),
-    v AS (
-        SELECT y, count(*) AS n_v, sum(arm) AS n1_v FROM a GROUP BY 1
-    ),
-    r AS (
-        SELECT *, sum(n_v) OVER (
-            ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ) AS cum FROM v
-    ),
-    m AS (
-        SELECT sum(n_v - n1_v) AS n0, sum(n1_v) AS n1,
-               sum(CAST(n1_v * (2 * cum - n_v + 1) AS DECIMAL(38,0)))
-                   AS r1x2,
-               sum(CAST(n_v * n_v * n_v - n_v AS DECIMAL(38,0))) AS tie
-        FROM r
-    ),
-    s AS (
-        SELECT CAST(n0 AS DOUBLE) AS dn0, CAST(n1 AS DOUBLE) AS dn1,
-               CAST(n0 + n1 AS DOUBLE) AS dn,
-               CAST(r1x2 AS DOUBLE) / 2 AS r1,
-               CAST(tie AS DOUBLE) AS dt, n0, n1, tie
-        FROM m
-    )
-    SELECT CAST(n0 AS BIGINT) AS n_ctrl,
-           CAST(n1 AS BIGINT) AS n_treat,
-           round(r1, 6) AS rank_sum_treat,
-           round(r1 - dn1 * (dn1 + 1) / 2, 6) AS u_treat,
-           CAST(tie AS BIGINT) AS tie_term,
-           round(CASE WHEN dn0 * dn1 / 12
-                           * ((dn + 1) - dt / (dn * (dn - 1))) > 0
-                      THEN (r1 - dn1 * (dn1 + 1) / 2 - dn0 * dn1 / 2)
-                           / sqrt(dn0 * dn1 / 12
-                                  * ((dn + 1) - dt / (dn * (dn - 1))))
-                      ELSE 0.0 END, 6) AS z_score
-    FROM s
-    """,
-    doc="Mann-Whitney U rank-sum test between the md5-parity hash-split "
-    "arms on per-user value sums — the non-parametric complement of "
-    "stats_ab_ztest/CUPED for heavy-tailed metrics. Never a global "
-    "row rank: the N-user table collapses to |distinct value| counts, "
-    "midranks come from a running count over THAT table "
-    "(two_phase_running_sum: bucket-parallel above its guard, one "
-    "tiny window under it), and rank sums / the tie term Σ(t³-t) are "
-    "exact integer aggregates — midranks carried DOUBLED in "
-    "DECIMAL(38,0), halved at emit, so z is closed-form IEEE over "
-    "bit-identical integers. Tie-corrected variance, no continuity "
-    "correction (operators/stats.py::mann_whitney_u).",
-)
-def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import stats
-
-    ev = load_table(spark, sf_dir, "events")
-    return stats.mann_whitney_u(ev, "user_id", "value")
-
-
-@register(
-    "events_longest_streak",
-    """
-    WITH days AS (
-        SELECT DISTINCT user_id,
-               date_diff('day', DATE '2024-01-01',
-                         CAST(date_trunc('day', ts) AS DATE)) AS di
-        FROM events
-    ),
-    islands AS (
-        SELECT user_id,
-               di - row_number() OVER (PARTITION BY user_id ORDER BY di)
-                   AS island
-        FROM days
-    ),
-    streaks AS (
-        SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
-        FROM islands GROUP BY 1, 2
-    ),
-    best AS (
-        SELECT user_id, max(len) AS longest FROM streaks GROUP BY 1
-    )
-    SELECT longest AS streak_days,
-           CAST(count(*) AS BIGINT) AS n_users
-    FROM best GROUP BY 1 ORDER BY 1
-    """,
-    doc="Gaps-and-islands: each user's longest run of consecutive active "
-    "days, rolled up into a streak-length histogram. The classic "
-    "row_number-difference idiom — consecutive day indexes minus their "
-    "rank collapse to one island key, so runs become plain groups with "
-    "NO self-join and no per-day window chain. Day indexes are exact "
-    "integers (whole-day date_diff from a fixed epoch, identical on "
-    "both engines); the only windows partition by the high-cardinality "
-    "user key; output is |distinct streak lengths|-bounded.",
-)
-def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    ev = load_table(spark, sf_dir, "events")
-    days = ev.select(
-        "user_id",
-        F.datediff(
-            F.date_trunc("day", "ts").cast("date"),
-            F.lit("2024-01-01").cast("date"),
-        ).alias("di"),
-    ).distinct()
-    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("di"))
-    streaks = (
-        days.withColumn("island", F.col("di") - rn)
-        .groupBy("user_id", "island")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("len"))
-        .groupBy("user_id")
-        .agg(F.max("len").alias("longest"))
-    )
-    return (
-        streaks.groupBy(F.col("longest").alias("streak_days"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
-        .orderBy("streak_days")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round-13 wave 3: Poisson bootstrap CI
-# ---------------------------------------------------------------------------
-
-def _bootstrap_oracle(b: int = 64) -> str:
-    """Oracle twin of operators/stats.py::bootstrap_mean_ci — the CASE
-    chain is generated from the SAME ``POISSON1_CDF`` constants the
-    Spark side compiles, so the inverse-CDF weights match bit-for-bit."""
-    from ..operators.stats import POISSON1_CDF
-
-    h = MD5L.format(x="CAST(u AS VARCHAR) || '|boot#' || CAST(b AS VARCHAR)")
-    u01 = f"CAST({h} AS DOUBLE) / 1152921504606846976.0"
-    chain = " ".join(
-        f"WHEN {u01} < {t!r} THEN {k}" for k, t in enumerate(POISSON1_CDF)
-    )
-    lo_rk = max(1, int(0.025 * b))
-    hi_rk = min(b, int(0.975 * b) + 1)
-    return f"""
-    WITH per_user AS (
-        SELECT user_id AS u,
-               COALESCE(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE),
-                        0.0) AS y
-        FROM events GROUP BY 1
-    ),
-    rep AS (
-        SELECT b, y, CASE {chain} ELSE 8 END AS w
-        FROM per_user CROSS JOIN (
-            SELECT unnest(generate_series(0, {b - 1})) AS b
-        )
-    ),
-    mm AS (
-        SELECT b, round(CAST(sum(CAST(w * y AS DECIMAL(38,12))) AS DOUBLE)
-                        / CAST(sum(w) AS DOUBLE), 8) AS m
-        FROM rep GROUP BY 1
-    ),
-    r AS (
-        SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM mm
-    ),
-    s AS (
-        SELECT CAST(count(*) AS DOUBLE) AS nb,
-               CAST(sum(CAST(m AS DECIMAL(38,12))) AS DOUBLE) AS sm,
-               CAST(sum(CAST(m * m AS DECIMAL(38,12))) AS DOUBLE) AS smm,
-               min(CASE WHEN rk = {lo_rk} THEN m END) AS lo,
-               min(CASE WHEN rk = {hi_rk} THEN m END) AS hi
-        FROM r
-    ),
-    f AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy
-        FROM per_user
-    )
-    SELECT f.n AS n_users,
-           CAST(s.nb AS BIGINT) AS b_replicates,
-           round(f.sy / CAST(f.n AS DOUBLE), 6) AS mean_full,
-           round(sqrt((s.nb * s.smm - s.sm * s.sm) / (s.nb * (s.nb - 1))), 6)
-               AS se_boot,
-           round(s.lo, 6) AS ci_lo,
-           round(s.hi, 6) AS ci_hi
-    FROM f CROSS JOIN s
-    """
-
-
-@register(
-    "stats_bootstrap_ci",
-    _bootstrap_oracle(64),
-    doc="Poisson bootstrap CI for the mean per-user value sum (Chamandy "
-    "et al. 2012 — the distributed bootstrap): each user enters "
-    "replicate b with weight ~ Poisson(1) via a deterministic "
-    "inverse-CDF lookup on md5(user|boot#b), so no global resampling "
-    "coordination. 64 replicates explode MAP-SIDE and partial "
-    "aggregation collapses them before the shuffle (the wire carries "
-    "~B rows per task, B*N rows never move); per-replicate means are "
-    "round8-fenced before the second-level moments; CI bounds are "
-    "order statistics (row_number picks) over the 64-row mean table — "
-    "no percentile interpolation to diverge between engines "
-    "(operators/stats.py::bootstrap_mean_ci).",
-)
-def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import stats
-
-    ev = load_table(spark, sf_dir, "events")
-    return stats.bootstrap_mean_ci(ev, "user_id", "value", b_replicates=64)
-
-
-# ---------------------------------------------------------------------------
-# Round-13 wave 5: MMR diversified re-ranking
-# ---------------------------------------------------------------------------
-
-def _mmr_oracle(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
-    """Unrolled MMR selection as DuckDB CTEs (the kmeans/PQ unrolled-
-    iteration precedent): stage i picks argmax(lam*rel - (1-lam)*pen)
-    over candidates not yet selected, with pen = max pairwise sim to
-    the running selection. Ordering uses the UNROUNDED mmr of round6-
-    fenced rel/sim values with literal lambda — bit-identical to the
-    Spark side's window ordering."""
-    dot_nq = _IVF_DOT.format(a="n.e", b="q.qe")
-    dot_ab = _IVF_DOT.format(a="a.e", b="b.e")
-    inv = round(1.0 - lam, 10)
-    stages = [
-        f"""
-    s1 AS (
-        SELECT 1 AS "rank", vec_id, rel AS relevance,
-               0.0 AS max_sim_selected,
-               round({lam} * rel, 6) AS mmr_score
-        FROM cand
-        QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) = 1
-    ),
-    sel1 AS (SELECT vec_id FROM s1)"""
-    ]
-    for i in range(2, k + 1):
-        stages.append(f"""
-    s{i} AS (
-        SELECT {i} AS "rank", c.vec_id, c.rel AS relevance,
-               m.pen AS max_sim_selected,
-               round({lam} * c.rel - {inv} * m.pen, 6) AS mmr_score
-        FROM cand c JOIN (
-            SELECT ida, max(sim) AS pen
-            FROM p JOIN sel{i - 1} s ON p.idb = s.vec_id GROUP BY 1
-        ) m ON m.ida = c.vec_id
-        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
-        QUALIFY row_number() OVER (
-            ORDER BY {lam} * c.rel - {inv} * m.pen DESC, c.vec_id) = 1
-    ),
-    sel{i} AS (SELECT vec_id FROM sel{i - 1}
-               UNION ALL SELECT vec_id FROM s{i})""")
-    union = "\n    UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, k + 1))
-    return (
-        _VEC_CTE
-        + f"""
-    , q AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = 0),
-    cand AS (
-        SELECT vec_id,
-               round({dot_nq} / (sqrt(n.nrm) * sqrt(q.qn)), 6) AS rel,
-               e, nrm
-        FROM n CROSS JOIN q WHERE vec_id <> 0
-        QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) <= {pool}
-    ),
-    p AS (
-        SELECT a.vec_id AS ida, b.vec_id AS idb,
-               round({dot_ab} / (sqrt(a.nrm) * sqrt(b.nrm)), 6) AS sim
-        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
-    ),"""
-        + ",".join(stages)
-        + f"""
-    {union}
-    ORDER BY "rank"
-    """
-    )
-
-
-@register(
-    "similarity_mmr_rerank",
-    _mmr_oracle(5, 20, 0.7),
-    doc="Maximal Marginal Relevance re-ranking (Carbonell & Goldstein "
-    "1998): pick 5 of the 20 most-relevant candidates iteratively, "
-    "each step maximizing lam*rel - (1-lam)*max-sim-to-selected — the "
-    "relevance/diversity stage between ANN retrieval and the context "
-    "window. Sequential in k, so the 5 steps unroll (kmeans/PQ "
-    "precedent) over POOL-BOUNDED tables only: the one input-sized "
-    "step is the TakeOrdered candidate scan (localCheckpoint-fenced); "
-    "the pool^2 sim table, <=5-row selection, and each limit(1) "
-    "argmax are all pool-bounded, nothing collects. round6-fenced "
-    "rel/sims + literal lambda + id tiebreaks make the selected "
-    "sequence engine-exact "
-    "(operators/similarity.py::mmr_rerank).",
-)
-def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import mmr_rerank
-
-    emb = load_table_parallel(spark, sf_dir, "embeddings")
-    q = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == 0)
-        .select(F.col("embedding").alias("qv"))
-    )
-    return mmr_rerank(
-        emb.filter(F.col("vec_id") != 0), q, k=5, pool=20, lam=0.7
-    )
-
-
-@register(
-    "stats_ece_calibration",
-    """
-    WITH scored AS (
-        SELECT round(least(1.0, CAST(o_totalprice AS DOUBLE) / 500000.0), 8)
-                   AS s,
-               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
-        FROM orders
-    ),
-    binned AS (
-        SELECT least(CAST(floor(s * 10) AS INTEGER), 9) AS bin, s, y
-        FROM scored
-    ),
-    bins AS (
-        SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
-               CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE)
-                   / CAST(count(*) AS DOUBLE) AS conf,
-               CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS acc
-        FROM binned GROUP BY 1
-    ),
-    tot AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS n_total FROM bins),
-    contrib AS (
-        SELECT bin, n_rows, conf, acc,
-               round(abs(acc - conf) * CAST(n_rows AS DOUBLE) / n_total, 8)
-                   AS c
-        FROM bins, tot
-    ),
-    e AS (
-        SELECT round(CAST(sum(CAST(c AS DECIMAL(38,12))) AS DOUBLE), 6)
-                   AS ece
-        FROM contrib
-    )
-    SELECT bin, n_rows, round(conf, 6) AS avg_conf, round(acc, 6) AS avg_acc,
-           round(abs(acc - conf), 6) AS abs_gap, e.ece
-    FROM contrib, e
-    ORDER BY bin
-    """,
-    doc="Expected-calibration-error reliability bins over a "
-    "deterministic (score, outcome) pair — score = clamped "
-    "totalprice/500k as the 'model confidence', outcome = order "
-    "fully shipped ('F'). Ten fixed-width bins from one grouped "
-    "aggregate (map-side partials), a 1-row broadcast combiner for "
-    "N and the n-weighted |acc - conf| sum; round8 fences + decimal "
-    "sums make the table integer-exact across engines "
-    "(operators/stats.py::ece_reliability).",
-)
-def stats_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.trino import trino_round
-    from ..operators.stats import ece_reliability
-
-    o = load_table(spark, sf_dir, "orders").select(
-        trino_round(
-            F.least(
-                F.lit(1.0), F.col("o_totalprice").cast("double") / 500000.0
-            ),
-            8,
-        ).alias("score"),
-        (F.col("o_orderstatus") == "F").cast("int").alias("outcome"),
-    )
-    return ece_reliability(o, "score", "outcome", n_bins=10)
-
-
-_CONF_HASH = MD5L.format(x="CAST(event_id AS VARCHAR) || '|conf'")
-
-
-@register(
-    "stats_conformal_coverage",
-    f"""
-    WITH base AS (
-        SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
-               ({_CONF_HASH}) % 5 = 0 AS is_test
-        FROM events WHERE value IS NOT NULL
-    ),
-    pred AS (
-        SELECT g,
-               CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
-                   / CAST(count(*) AS DOUBLE) AS p,
-               CAST(count(*) AS BIGINT) AS n_cal
-        FROM base WHERE NOT is_test GROUP BY 1
-    ),
-    scored AS (
-        SELECT b.g, b.is_test, round(abs(b.v - pred.p), 8) AS s,
-               pred.n_cal
-        FROM base b JOIN pred ON pred.g = b.g
-    ),
-    cal AS (
-        SELECT g, s, n_cal,
-               row_number() OVER (PARTITION BY g ORDER BY s) AS rn
-        FROM scored WHERE NOT is_test
-    ),
-    thr AS (
-        SELECT g, min(s) AS t
-        FROM cal
-        WHERE rn >= least(CAST(ceil(CAST(n_cal + 1 AS DOUBLE) * 0.9)
-                                AS BIGINT), n_cal)
-        GROUP BY 1
-    )
-    SELECT sc.g AS event_type,
-           min(sc.n_cal) AS n_cal,
-           round(min(thr.t), 6) AS threshold,
-           CAST(count(*) AS BIGINT) AS n_test,
-           CAST(sum(CASE WHEN sc.s <= thr.t THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_covered,
-           round(CAST(sum(CASE WHEN sc.s <= thr.t THEN 1 ELSE 0 END)
-                      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS coverage
-    FROM scored sc JOIN thr ON thr.g = sc.g
-    WHERE sc.is_test
-    GROUP BY 1
-    ORDER BY 1
-    """,
-    doc="Split-conformal calibration over per-event values: md5 hash "
-    "split (80/20 cal/test), trivial per-type mean predictor fit on "
-    "the calibration split, conformal threshold = the "
-    "ceil((n_cal+1)*0.9)-th smallest |value - pred| nonconformity "
-    "score, empirical coverage reported on the held-out split (>= 90% "
-    "in expectation by the conformal guarantee). The rank-k election "
-    "runs through two_phase_running_sum — (group, range-bucket) "
-    "partitioned running counts, never a whole group sorted in one "
-    "task (operators/stats.py::conformal_split_calibrate).",
-)
-def stats_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.stats import conformal_split_calibrate
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "event_id", "value"
-    )
-    return conformal_split_calibrate(
-        ev, "event_type", "event_id", "value", alpha=0.1
-    )
-
-
-@register(
-    "stats_roc_auc",
-    """
-    WITH per AS (
-        SELECT CAST(o_totalprice AS DOUBLE) AS v,
-               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
-        FROM orders
-    ),
-    b AS (SELECT v, count(*) AS n_v, sum(y) AS n_pos_v FROM per GROUP BY 1),
-    r AS (
-        SELECT n_v, n_pos_v, sum(n_v) OVER (ORDER BY v) AS cum FROM b
-    ),
-    m AS (
-        SELECT sum(n_v - n_pos_v) AS n0, sum(n_pos_v) AS n1,
-               sum(CAST(n_pos_v AS DECIMAL(19,0))
-                   * CAST(2 * cum - n_v + 1 AS DECIMAL(19,0)))
-                   AS rx2
-        FROM r
-    )
-    SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
-           round(CAST(rx2 AS DOUBLE) / 2.0, 6) AS rank_sum_pos,
-           round((CAST(rx2 AS DOUBLE) / 2.0
-                  - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1) / 2.0)
-                 / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6) AS auc,
-           round(2.0 * ((CAST(rx2 AS DOUBLE) / 2.0
-                  - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1) / 2.0)
-                 / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))) - 1.0, 6)
-               AS gini
-    FROM m
-    """,
-    doc="Exact ROC-AUC (Hanley-McNeil rank identity, midranks on "
-    "ties) of order totalprice as a predictor of fully-shipped "
-    "status: value-grouped counts + two-phase running counts — the "
-    "Mann-Whitney single-task dodge — with the positive rank sum "
-    "carried doubled in DECIMAL(38,0); AUC and Gini are IEEE "
-    "divisions of exact integers (operators/stats.py::roc_auc).",
-)
-def stats_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.stats import roc_auc
-
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_totalprice").alias("score"),
-        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
-    )
-    return roc_auc(o, "score", "label")
-
-
-@register(
-    "stats_ks_two_sample",
-    """
-    WITH base AS (
-        SELECT CAST(value AS DOUBLE) AS v,
-               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS s1
-        FROM events
-        WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
-    ),
-    b AS (SELECT v, sum(s1) AS n1_v, sum(1 - s1) AS n2_v FROM base GROUP BY 1),
-    c AS (
-        SELECT v, sum(n1_v) OVER (ORDER BY v) AS cum1,
-               sum(n2_v) OVER (ORDER BY v) AS cum2
-        FROM b
-    ),
-    t AS (SELECT sum(n1_v) AS n1, sum(n2_v) AS n2 FROM b),
-    s AS (
-        SELECT v, abs(CAST(cum1 AS DECIMAL(19,0)) * CAST(t.n2 AS DECIMAL(19,0))
-                      - CAST(cum2 AS DECIMAL(19,0)) * CAST(t.n1 AS DECIMAL(19,0)))
-                   AS ds
-        FROM c, t
-    ),
-    m AS (SELECT max(ds) AS md FROM s)
-    SELECT CAST(t.n1 AS BIGINT) AS n_1, CAST(t.n2 AS BIGINT) AS n_2,
-           round(CAST(m.md AS DOUBLE)
-                 / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)), 6)
-               AS ks_stat,
-           min(s.v) AS ks_at
-    FROM s, m, t WHERE s.ds = m.md GROUP BY 1, 2, 3
-    """,
-    doc="Exact two-sample Kolmogorov-Smirnov drift test between the "
-    "click and purchase value distributions: value-grouped counts, "
-    "ONE bounds probe shared by two two-phase running-count passes, "
-    "supremum taken over the INTEGER cross-product |cum1*n2 - "
-    "cum2*n1| (no float comparison anywhere; smallest achieving "
-    "value on ties), divided by n1*n2 only at emit "
-    "(operators/stats.py::ks_two_sample).",
-)
-def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.stats import ks_two_sample
-
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "purchase")
-    )
-    return ks_two_sample(ev, "value", F.col("event_type") == "click")
-
-
-@register(
-    "stats_brier_decomposition",
-    """
-    WITH scored AS (
-        SELECT round(least(1.0, CAST(o_totalprice AS DOUBLE) / 500000.0), 8)
-                   AS s,
-               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
-        FROM orders
-    ),
-    binned AS (
-        SELECT least(CAST(floor(s * 10) AS INTEGER), 9) AS bin, s, y
-        FROM scored
-    ),
-    bins AS (
-        SELECT bin, CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE)
-                   / CAST(count(*) AS DOUBLE) AS conf,
-               CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS acc,
-               CAST(sum(y) AS BIGINT) AS npos,
-               sum(CAST(round((s - CAST(y AS DOUBLE)) * (s - CAST(y AS DOUBLE)),
-                              8) AS DECIMAL(38,12))) AS sqsum
-        FROM binned GROUP BY 1
-    ),
-    tot AS (
-        SELECT CAST(sum(n) AS DOUBLE) AS nt, CAST(sum(npos) AS DOUBLE) AS pt,
-               CAST(sum(sqsum) AS DOUBLE) AS sq
-        FROM bins
-    ),
-    contrib AS (
-        SELECT round(CAST(n AS DOUBLE) / nt * (conf - acc) * (conf - acc), 8)
-                   AS rel,
-               round(CAST(n AS DOUBLE) / nt * (acc - pt / nt)
-                     * (acc - pt / nt), 8) AS res,
-               nt, pt, sq
-        FROM bins, tot
-    ),
-    agg AS (
-        SELECT CAST(sum(CAST(rel AS DECIMAL(38,12))) AS DOUBLE)
-                   AS reliability,
-               CAST(sum(CAST(res AS DECIMAL(38,12))) AS DOUBLE)
-                   AS resolution,
-               max(nt) AS n, max(pt) AS p, max(sq) AS s2
-        FROM contrib
-    )
-    SELECT CAST(n AS BIGINT) AS n_rows,
-           round(s2 / n, 6) AS brier,
-           round(reliability - resolution + (p / n) * (1.0 - p / n), 6)
-               AS brier_binned,
-           round(reliability, 6) AS reliability,
-           round(resolution, 6) AS resolution,
-           round((p / n) * (1.0 - p / n), 6) AS uncertainty
-    FROM agg
-    """,
-    doc="Murphy decomposition of the Brier score over the same ten "
-    "fixed-width bins as the ECE query (reliability - resolution + "
-    "uncertainty = binned Brier, raw Brier alongside): one grouped "
-    "aggregate to <=10 rows + a 1-row broadcast combiner; round8 "
-    "fences on per-row squares and per-bin contributions make every "
-    "term engine-identical "
-    "(operators/stats.py::brier_decomposition).",
-)
-def stats_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.trino import trino_round
-    from ..operators.stats import brier_decomposition
-
-    o = load_table(spark, sf_dir, "orders").select(
-        trino_round(
-            F.least(
-                F.lit(1.0), F.col("o_totalprice").cast("double") / 500000.0
-            ),
-            8,
-        ).alias("score"),
-        (F.col("o_orderstatus") == "F").cast("int").alias("outcome"),
-    )
-    return brier_decomposition(o, "score", "outcome", n_bins=10)
-
-
-@register(
-    "stats_lift_gain",
-    """
-    WITH per AS (
-        SELECT -CAST(o_totalprice AS DOUBLE) AS nv,
-               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
-        FROM orders
-    ),
-    b AS (SELECT nv, count(*) AS n_v, sum(y) AS np_v FROM per GROUP BY 1),
-    c AS (
-        SELECT nv, n_v, np_v, sum(n_v) OVER (ORDER BY nv) AS c FROM b
-    ),
-    tot AS (SELECT sum(n_v) AS n, sum(np_v) AS p FROM b),
-    cuts AS (
-        SELECT t, t * (n // 10) + least(t, n % 10) AS p
-        FROM generate_series(1, 9) AS g(t), tot
-    ),
-    bnd AS (
-        SELECT c.nv AS v FROM c JOIN cuts
-        ON c.c >= cuts.p AND c.c - c.n_v < cuts.p
-    ),
-    asg AS (
-        SELECT b.nv, b.n_v, b.np_v,
-               1 + (SELECT count(*) FROM bnd WHERE b.nv > bnd.v) AS bucket
-        FROM b
-    ),
-    per_bucket AS (
-        SELECT bucket, CAST(sum(n_v) AS BIGINT) AS n_rows,
-               CAST(sum(np_v) AS BIGINT) AS n_pos
-        FROM asg GROUP BY 1
-    ),
-    o AS (
-        SELECT bucket, n_rows, n_pos,
-               CAST(sum(n_pos) OVER (ORDER BY bucket) AS BIGINT) AS cum_pos,
-               sum(n_rows) OVER (ORDER BY bucket) AS cum_n
-        FROM per_bucket
-    )
-    SELECT CAST(bucket AS INTEGER) AS bucket, n_rows, n_pos, cum_pos,
-           round(CAST(cum_pos AS DOUBLE) / CAST(t.p AS DOUBLE), 6) AS gain,
-           round((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))
-                 / (CAST(t.p AS DOUBLE) / CAST(t.n AS DOUBLE)), 6) AS lift
-    FROM o, tot t ORDER BY bucket
-    """,
-    doc="Cumulative gains / lift table at population deciles of order "
-    "totalprice (descending) against fully-shipped status — the "
-    "model-targeting report for a volume-budgeted quality gate. The "
-    "RFM boundary machinery end-to-end: value-grouped counts, "
-    "two-phase running-count boundary election at ntile's exact cut "
-    "positions, broadcast boundary array, row-local fold assignment "
-    "on the VALUE-grouped table (raw rows never touched after the "
-    "first groupBy); gains cumulate over the 10-row output "
-    "(operators/stats.py::lift_gain_table).",
-)
-def stats_lift_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.stats import lift_gain_table
-
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_totalprice").alias("score"),
-        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
-    )
-    return lift_gain_table(o, "score", "label", n_buckets=10)
-
-
-@register(
-    "stats_psi_drift",
-    """
-    WITH base AS (
-        SELECT CAST(value AS DOUBLE) AS v,
-               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS r
-        FROM events
-        WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')
-    ),
-    b AS (
-        SELECT v, sum(r) AS nr_v, sum(1 - r) AS nc_v FROM base GROUP BY 1
-    ),
-    c AS (SELECT v, nr_v, nc_v, sum(nr_v) OVER (ORDER BY v) AS c FROM b),
-    tot AS (SELECT sum(nr_v) AS nr, sum(nc_v) AS nc FROM b),
-    cuts AS (
-        SELECT t, t * (nr // 10) + least(t, nr % 10) AS p
-        FROM generate_series(1, 9) AS g(t), tot
-    ),
-    bnd AS (
-        SELECT c.v AS bv FROM c JOIN cuts
-        ON c.c >= cuts.p AND c.c - c.nr_v < cuts.p
-    ),
-    asg AS (
-        SELECT b.v, b.nr_v, b.nc_v,
-               1 + (SELECT count(*) FROM bnd WHERE b.v > bnd.bv) AS bin
-        FROM b
-    ),
-    per AS (
-        SELECT bin, CAST(sum(nr_v) AS BIGINT) AS n_ref,
-               CAST(sum(nc_v) AS BIGINT) AS n_cmp
-        FROM asg GROUP BY 1
-    ),
-    wide AS (
-        SELECT bin, n_ref, n_cmp,
-               (CAST(n_ref AS DOUBLE) + 0.5)
-                   / (CAST(t.nr AS DOUBLE) + 5.0) AS p,
-               (CAST(n_cmp AS DOUBLE) + 0.5)
-                   / (CAST(t.nc AS DOUBLE) + 5.0) AS q
-        FROM per, tot t
-    ),
-    scored AS (
-        SELECT bin, n_ref, n_cmp, p, q,
-               round((p - q) * ln(p / q), 8) AS ct
-        FROM wide
-    ),
-    e AS (
-        SELECT round(CAST(sum(CAST(ct AS DECIMAL(38,12))) AS DOUBLE), 6)
-                   AS psi
-        FROM scored
-    )
-    SELECT CAST(bin AS INTEGER) AS bin, n_ref, n_cmp,
-           round(p, 6) AS p_ref, round(q, 6) AS p_cmp,
-           round(ct, 6) AS contrib, e.psi
-    FROM scored, e
-    ORDER BY bin
-    """,
-    doc="Population Stability Index of the purchase-value distribution "
-    "against view-value as the reference: reference-decile bins from "
-    "the two-phase boundary election, one value-grouped pass carrying "
-    "both slices, Laplace-smoothed proportions (+0.5 per bin), "
-    "round8-fenced (p-q)ln(p/q) terms decimal-summed — the standard "
-    "drift monitor between corpus slices "
-    "(operators/stats.py::psi_drift).",
-)
-def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.stats import psi_drift
-
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("view", "purchase")
-    )
-    return psi_drift(ev, "value", F.col("event_type") == "view", n_bins=10)
-
-
-@register(
-    "stats_cvm_two_sample",
-    """
-    WITH base AS (
-        SELECT CAST(value AS DOUBLE) AS v,
-               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS s1
-        FROM events
-        WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
-    ),
-    b AS (SELECT v, sum(s1) AS n1_v, sum(1 - s1) AS n2_v FROM base GROUP BY 1),
-    c AS (
-        SELECT v, n1_v, n2_v, sum(n1_v) OVER (ORDER BY v) AS cum1,
-               sum(n2_v) OVER (ORDER BY v) AS cum2
-        FROM b
-    ),
-    t AS (SELECT sum(n1_v) AS n1, sum(n2_v) AS n2 FROM b),
-    s AS (
-        SELECT round(CAST(n1_v + n2_v AS DOUBLE)
-                     * (CAST(cum1 AS DOUBLE) / CAST(t.n1 AS DOUBLE)
-                        - CAST(cum2 AS DOUBLE) / CAST(t.n2 AS DOUBLE))
-                     * (CAST(cum1 AS DOUBLE) / CAST(t.n1 AS DOUBLE)
-                        - CAST(cum2 AS DOUBLE) / CAST(t.n2 AS DOUBLE)), 8)
-                   AS ct,
-               t.n1, t.n2
-        FROM c, t
-    )
-    SELECT CAST(max(n1) AS BIGINT) AS n_1, CAST(max(n2) AS BIGINT) AS n_2,
-           round(CAST(sum(CAST(ct AS DECIMAL(38,12))) AS DOUBLE)
-                 * CAST(max(n1) AS DOUBLE)
-                 / (CAST(max(n1) AS DOUBLE) + CAST(max(n2) AS DOUBLE))
-                 * CAST(max(n2) AS DOUBLE)
-                 / (CAST(max(n1) AS DOUBLE) + CAST(max(n2) AS DOUBLE)), 6)
-               AS cvm_stat
-    FROM s
-    """,
-    doc="Two-sample Cramér-von Mises statistic between the click and "
-    "purchase value distributions — the integral companion to the KS "
-    "supremum, same value-grouped collapse and shared bounds probe; "
-    "per-value m_v*(F1-F2)^2 contributions round8-fenced and "
-    "decimal-summed, fixed-order double scaling at emit "
-    "(operators/stats.py::cvm_two_sample).",
-)
-def stats_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.stats import cvm_two_sample
-
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "purchase")
-    )
-    return cvm_two_sample(ev, "value", F.col("event_type") == "click")

@@ -1,0 +1,1129 @@
+"""Calibration / model-quality query wave (split from harness/scale.py,
+r15): the quality-classifier readout suite — ECE reliability, split
+conformal coverage, exact ROC-AUC, KS and Cramér-von Mises two-sample
+tests, Brier decomposition, lift/gain deciles, PSI drift — plus
+entropy l-diversity, Pareto share, MAD outliers, time-decay
+attribution, CUPED, Mann-Whitney, streaks, Poisson bootstrap CI, and
+MMR re-ranking.
+
+Every query pairs a Spark-first implementation (operators/*) with a
+DuckDB-runnable oracle twin; column names and rounding are aligned on
+both sides per the driver's hash-compare contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table, load_table_parallel
+from . import register
+from .llm import MD5L, _IVF_DOT, _VEC_CTE
+from .scale_behavior import _AB_HASH
+
+# ---------------------------------------------------------------------------
+# Round-12 wave: entropy l-diversity, Pareto revenue concentration,
+# MAD-robust outliers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "privacy_l_diversity",
+    """
+    WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    grp AS (SELECT lang, CAST(sum(c) AS BIGINT) AS group_size
+            FROM cells GROUP BY 1),
+    agg AS (
+        SELECT cells.lang, grp.group_size,
+               CAST(sum(CAST(round(
+                   (CAST(c AS DOUBLE) / CAST(group_size AS DOUBLE))
+                   * ln(1.0 / (CAST(c AS DOUBLE)
+                               / CAST(group_size AS DOUBLE))), 8)
+                   AS DECIMAL(28,8))) AS DOUBLE) AS h
+        FROM cells JOIN grp USING (lang)
+        GROUP BY 1, 2
+    )
+    SELECT lang, group_size, round(h, 6) AS entropy,
+           round(h, 6) >= 0.693147 AS entropy_l_diverse
+    FROM agg ORDER BY lang
+    """,
+    doc="Entropy l-diversity audit (Machanavajjhala et al. 2007): per "
+    "language group, Shannon entropy of the source distribution must "
+    "reach ln(2) — the gate a 99%%-one-source group passes on "
+    "distinct-count l-diversity but fails here. Completes the privacy "
+    "trio (k-anonymity r6, t-closeness r11). One groupBy to the "
+    "(QI, sensitive) cube, group sizes broadcast back, per-cell "
+    "p*ln(1/p) terms round8 decimal-summed so float-log last-ulp "
+    "engine differences can't move the sum "
+    "(operators/privacy.py::entropy_l_diversity).",
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.privacy import entropy_l_diversity
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    return entropy_l_diversity(docs, ["lang"], "source", l=2)
+
+
+@register(
+    "orders_pareto_share",
+    """
+    WITH cust AS (
+        SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(38,12))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    w AS (
+        SELECT rev,
+               sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(rev) OVER () AS tot
+        FROM cust
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN CAST(cum - rev AS DOUBLE)
+                              < 0.5 * CAST(tot AS DOUBLE)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS top50_customers,
+           CAST(sum(CASE WHEN CAST(cum - rev AS DOUBLE)
+                              < 0.8 * CAST(tot AS DOUBLE)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS top80_customers,
+           round(CAST(max(rev) AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6)
+               AS top1_share
+    FROM w
+    """,
+    doc="Revenue concentration (Pareto/Lorenz): how many customers, "
+    "taken from the top by lifetime revenue, cover 50%% and 80%% of "
+    "total revenue, plus the single largest customer's share. The "
+    "global running sum is the skew-safe two_phase_running_sum with "
+    "keys=() — above its 4M-row guard, revenue-range buckets carry the "
+    "parallelism, so even this GLOBAL cumulative ordering never "
+    "funnels one task (the classic Lorenz-curve scaling trap); under "
+    "the guard the single-window form runs. Per-customer revenue and all "
+    "cumulative sums are DECIMAL(38,12)-exact; threshold tests compare "
+    "their double casts identically on both engines; a (revenue DESC, "
+    "custkey) unique order pins the curve.",
+)
+def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import two_phase_running_sum
+
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,12)")).alias("rev")
+        )
+        .withColumn("rev_neg", -F.col("rev").cast("double"))
+    )
+    w = two_phase_running_sum(
+        cust,
+        value="rev",
+        order=("rev_neg", "o_custkey"),
+        keys=(),
+        bucket_on="rev_neg",
+        out="cum",
+    )
+    before = (F.col("cum") - F.col("rev")).cast("double")
+    tot = F.col("cum_total").cast("double")
+    return w.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.when(before < F.lit(0.5) * tot, 1).otherwise(0))
+        .cast("bigint")
+        .alias("top50_customers"),
+        F.sum(F.when(before < F.lit(0.8) * tot, 1).otherwise(0))
+        .cast("bigint")
+        .alias("top80_customers"),
+        trino_round(
+            F.max("rev").cast("double") / F.max("cum_total").cast("double"), 6
+        ).alias("top1_share"),
+    )
+
+
+@register(
+    "events_anomaly_mad",
+    """
+    WITH med AS (
+        SELECT event_type, round(quantile_cont(value, 0.5), 9) AS med
+        FROM events GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, round(quantile_cont(adev, 0.5), 9) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           max(d.med) AS median_value,
+           max(m.mad) AS mad,
+           CAST(sum(CASE WHEN abs(d.value - d.med)
+                              > 3 * 1.4826 * m.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Robust outlier detection: per event type, median + median "
+    "absolute deviation (both exact interpolated 0.5-quantiles, "
+    "round9-fenced like agg_mode_median), outliers = values beyond "
+    "3 sigma-equivalents (1.4826*MAD) — the robust twin of the "
+    "z-score/winsorize family, immune to the outliers it hunts. "
+    "Exact MAD is inherently two order statistics deep, so the plan "
+    "is two grouped-percentile passes with the tiny per-type medians "
+    "broadcast between them — no window, no sort of a whole type.",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 9).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(adev, 0.5D)"), 9).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.max("med").alias("median_value"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(3) * F.lit(1.4826) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_attribution_time_decay",
+    """
+    WITH conv AS (
+        SELECT user_id AS u, event_id AS cid, ts AS ct, value AS v
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id AS tu, event_type AS ch, ts AS tt
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    j AS (
+        SELECT c.cid, c.v, t.ch,
+               round(exp(-0.6931471805599453
+                         * date_diff('microsecond', t.tt, c.ct)
+                         / 302400000000.0), 8) AS w
+        FROM conv c LEFT JOIN touch t
+          ON t.tu = c.u AND t.tt < c.ct
+         AND date_diff('microsecond', t.tt, c.ct) <= 604800000000
+    ),
+    sw AS (
+        SELECT cid, v, ch, w,
+               CAST(sum(CAST(w AS DECIMAL(28,8)))
+                    OVER (PARTITION BY cid) AS DOUBLE) AS s
+        FROM j
+    ),
+    credits AS (
+        SELECT COALESCE(ch, 'direct') AS channel,
+               CASE WHEN ch IS NULL THEN round(v, 8)
+                    ELSE round(v * w / s, 8) END AS credit
+        FROM sw
+    )
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
+           round(CAST(sum(CAST(credit AS DECIMAL(28,8))) AS DOUBLE), 6)
+               AS attributed_value
+    FROM credits GROUP BY 1 ORDER BY 1
+    """,
+    doc="Time-decay multi-touch attribution: every touch in the 7-day "
+    "window before a purchase shares its value, weighted "
+    "exp(-ln2 * age / 3.5d) and normalized per conversion; "
+    "no-touch purchases credit 'direct'. Multi-touch complement of "
+    "events_attribution_last_touch: per-user range join (keyed on "
+    "user, window residual — never cartesian), per-conversion "
+    "normalization over the high-cardinality conversion id, "
+    "|channels|-bounded rollup. exp() last-ulp differences are fenced "
+    "by round8 before BOTH decimal-exact sums "
+    "(operators/sessionize.py::attribution_time_decay).",
+)
+def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize.attribution_time_decay(
+        ev, "user_id", "event_type", "ts", "event_id"
+    )
+
+
+@register(
+    "stats_cuped_adjustment",
+    f"""
+    WITH per_user AS (
+        SELECT user_id,
+               COALESCE(CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN CAST(value AS DECIMAL(38,12)) END) AS DOUBLE),
+                        0.0) AS x,
+               COALESCE(CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                        THEN CAST(value AS DECIMAL(38,12)) END) AS DOUBLE),
+                        0.0) AS y
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+        FROM per_user
+    ),
+    adj AS (
+        SELECT CAST(({_AB_HASH}) % 2 AS INTEGER) AS arm,
+               y,
+               (m.n * m.sxy - m.sx * m.sy)
+                   / (m.n * m.sxx - m.sx * m.sx) AS theta,
+               y - ((m.n * m.sxy - m.sx * m.sy)
+                    / (m.n * m.sxx - m.sx * m.sx))
+                   * (x - m.sx / m.n) AS ya
+        FROM per_user CROSS JOIN m
+    )
+    SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_post,
+           round(CAST(sum(CAST(ya AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_post_adjusted,
+           round((CAST(count(*) AS DOUBLE)
+                  * CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE)
+                  - CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE)
+                    * CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE))
+                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)), 6)
+               AS var_post,
+           round((CAST(count(*) AS DOUBLE)
+                  * CAST(sum(CAST(ya * ya AS DECIMAL(38,12))) AS DOUBLE)
+                  - CAST(sum(CAST(ya AS DECIMAL(38,12))) AS DOUBLE)
+                    * CAST(sum(CAST(ya AS DECIMAL(38,12))) AS DOUBLE))
+                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)), 6)
+               AS var_post_adjusted,
+           round(max(theta), 6) AS theta
+    FROM adj GROUP BY 1 ORDER BY 1
+    """,
+    doc="CUPED variance reduction (Deng et al. 2013): each user's "
+    "post-period value sum adjusted by their pre-period sum as a "
+    "control variate (theta = pooled cov/var), reported per md5-parity "
+    "experiment arm with before/after variances so the sensitivity "
+    "gain is visible. Pre/post split at 2024-01-16 (the testdata's "
+    "event-range midpoint). Two shuffles: the per-user rollup and the "
+    "2-row arm rollup; the five pooled moments ride ONE broadcast row; "
+    "all sums decimal-fenced, closed forms in IEEE doubles over "
+    "bit-identical moments (operators/stats.py::cuped_adjustment).",
+)
+def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return stats.cuped_adjustment(
+        ev, "user_id", "ts", "value", split_ts="2024-01-16"
+    )
+
+
+@register(
+    "stats_mann_whitney",
+    f"""
+    WITH per_user AS (
+        SELECT user_id,
+               COALESCE(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE),
+                        0.0) AS y
+        FROM events GROUP BY 1
+    ),
+    a AS (
+        SELECT y, CAST(({_AB_HASH}) % 2 AS INTEGER) AS arm FROM per_user
+    ),
+    v AS (
+        SELECT y, count(*) AS n_v, sum(arm) AS n1_v FROM a GROUP BY 1
+    ),
+    r AS (
+        SELECT *, sum(n_v) OVER (
+            ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cum FROM v
+    ),
+    m AS (
+        SELECT sum(n_v - n1_v) AS n0, sum(n1_v) AS n1,
+               sum(CAST(n1_v * (2 * cum - n_v + 1) AS DECIMAL(38,0)))
+                   AS r1x2,
+               sum(CAST(n_v * n_v * n_v - n_v AS DECIMAL(38,0))) AS tie
+        FROM r
+    ),
+    s AS (
+        SELECT CAST(n0 AS DOUBLE) AS dn0, CAST(n1 AS DOUBLE) AS dn1,
+               CAST(n0 + n1 AS DOUBLE) AS dn,
+               CAST(r1x2 AS DOUBLE) / 2 AS r1,
+               CAST(tie AS DOUBLE) AS dt, n0, n1, tie
+        FROM m
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_ctrl,
+           CAST(n1 AS BIGINT) AS n_treat,
+           round(r1, 6) AS rank_sum_treat,
+           round(r1 - dn1 * (dn1 + 1) / 2, 6) AS u_treat,
+           CAST(tie AS BIGINT) AS tie_term,
+           round(CASE WHEN dn0 * dn1 / 12
+                           * ((dn + 1) - dt / (dn * (dn - 1))) > 0
+                      THEN (r1 - dn1 * (dn1 + 1) / 2 - dn0 * dn1 / 2)
+                           / sqrt(dn0 * dn1 / 12
+                                  * ((dn + 1) - dt / (dn * (dn - 1))))
+                      ELSE 0.0 END, 6) AS z_score
+    FROM s
+    """,
+    doc="Mann-Whitney U rank-sum test between the md5-parity hash-split "
+    "arms on per-user value sums — the non-parametric complement of "
+    "stats_ab_ztest/CUPED for heavy-tailed metrics. Never a global "
+    "row rank: the N-user table collapses to |distinct value| counts, "
+    "midranks come from a running count over THAT table "
+    "(two_phase_running_sum: bucket-parallel above its guard, one "
+    "tiny window under it), and rank sums / the tie term Σ(t³-t) are "
+    "exact integer aggregates — midranks carried DOUBLED in "
+    "DECIMAL(38,0), halved at emit, so z is closed-form IEEE over "
+    "bit-identical integers. Tie-corrected variance, no continuity "
+    "correction (operators/stats.py::mann_whitney_u).",
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return stats.mann_whitney_u(ev, "user_id", "value")
+
+
+@register(
+    "events_longest_streak",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '2024-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS di
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id,
+               di - row_number() OVER (PARTITION BY user_id ORDER BY di)
+                   AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+        FROM islands GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT user_id, max(len) AS longest FROM streaks GROUP BY 1
+    )
+    SELECT longest AS streak_days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM best GROUP BY 1 ORDER BY 1
+    """,
+    doc="Gaps-and-islands: each user's longest run of consecutive active "
+    "days, rolled up into a streak-length histogram. The classic "
+    "row_number-difference idiom — consecutive day indexes minus their "
+    "rank collapse to one island key, so runs become plain groups with "
+    "NO self-join and no per-day window chain. Day indexes are exact "
+    "integers (whole-day date_diff from a fixed epoch, identical on "
+    "both engines); the only windows partition by the high-cardinality "
+    "user key; output is |distinct streak lengths|-bounded.",
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        ).alias("di"),
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("di"))
+    streaks = (
+        days.withColumn("island", F.col("di") - rn)
+        .groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("len"))
+        .groupBy("user_id")
+        .agg(F.max("len").alias("longest"))
+    )
+    return (
+        streaks.groupBy(F.col("longest").alias("streak_days"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("streak_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 wave 3: Poisson bootstrap CI
+# ---------------------------------------------------------------------------
+
+def _bootstrap_oracle(b: int = 64) -> str:
+    """Oracle twin of operators/stats.py::bootstrap_mean_ci — the CASE
+    chain is generated from the SAME ``POISSON1_CDF`` constants the
+    Spark side compiles, so the inverse-CDF weights match bit-for-bit."""
+    from ..operators.stats import POISSON1_CDF
+
+    h = MD5L.format(x="CAST(u AS VARCHAR) || '|boot#' || CAST(b AS VARCHAR)")
+    u01 = f"CAST({h} AS DOUBLE) / 1152921504606846976.0"
+    chain = " ".join(
+        f"WHEN {u01} < {t!r} THEN {k}" for k, t in enumerate(POISSON1_CDF)
+    )
+    lo_rk = max(1, int(0.025 * b))
+    hi_rk = min(b, int(0.975 * b) + 1)
+    return f"""
+    WITH per_user AS (
+        SELECT user_id AS u,
+               COALESCE(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE),
+                        0.0) AS y
+        FROM events GROUP BY 1
+    ),
+    rep AS (
+        SELECT b, y, CASE {chain} ELSE 8 END AS w
+        FROM per_user CROSS JOIN (
+            SELECT unnest(generate_series(0, {b - 1})) AS b
+        )
+    ),
+    mm AS (
+        SELECT b, round(CAST(sum(CAST(w * y AS DECIMAL(38,12))) AS DOUBLE)
+                        / CAST(sum(w) AS DOUBLE), 8) AS m
+        FROM rep GROUP BY 1
+    ),
+    r AS (
+        SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM mm
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS nb,
+               CAST(sum(CAST(m AS DECIMAL(38,12))) AS DOUBLE) AS sm,
+               CAST(sum(CAST(m * m AS DECIMAL(38,12))) AS DOUBLE) AS smm,
+               min(CASE WHEN rk = {lo_rk} THEN m END) AS lo,
+               min(CASE WHEN rk = {hi_rk} THEN m END) AS hi
+        FROM r
+    ),
+    f AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy
+        FROM per_user
+    )
+    SELECT f.n AS n_users,
+           CAST(s.nb AS BIGINT) AS b_replicates,
+           round(f.sy / CAST(f.n AS DOUBLE), 6) AS mean_full,
+           round(sqrt((s.nb * s.smm - s.sm * s.sm) / (s.nb * (s.nb - 1))), 6)
+               AS se_boot,
+           round(s.lo, 6) AS ci_lo,
+           round(s.hi, 6) AS ci_hi
+    FROM f CROSS JOIN s
+    """
+
+
+@register(
+    "stats_bootstrap_ci",
+    _bootstrap_oracle(64),
+    doc="Poisson bootstrap CI for the mean per-user value sum (Chamandy "
+    "et al. 2012 — the distributed bootstrap): each user enters "
+    "replicate b with weight ~ Poisson(1) via a deterministic "
+    "inverse-CDF lookup on md5(user|boot#b), so no global resampling "
+    "coordination. 64 replicates explode MAP-SIDE and partial "
+    "aggregation collapses them before the shuffle (the wire carries "
+    "~B rows per task, B*N rows never move); per-replicate means are "
+    "round8-fenced before the second-level moments; CI bounds are "
+    "order statistics (row_number picks) over the 64-row mean table — "
+    "no percentile interpolation to diverge between engines "
+    "(operators/stats.py::bootstrap_mean_ci).",
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return stats.bootstrap_mean_ci(ev, "user_id", "value", b_replicates=64)
+
+
+# ---------------------------------------------------------------------------
+# Round-13 wave 5: MMR diversified re-ranking
+# ---------------------------------------------------------------------------
+
+def _mmr_oracle(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
+    """Unrolled MMR selection as DuckDB CTEs (the kmeans/PQ unrolled-
+    iteration precedent): stage i picks argmax(lam*rel - (1-lam)*pen)
+    over candidates not yet selected, with pen = max pairwise sim to
+    the running selection. Ordering uses the UNROUNDED mmr of round6-
+    fenced rel/sim values with literal lambda — bit-identical to the
+    Spark side's window ordering."""
+    dot_nq = _IVF_DOT.format(a="n.e", b="q.qe")
+    dot_ab = _IVF_DOT.format(a="a.e", b="b.e")
+    inv = round(1.0 - lam, 10)
+    stages = [
+        f"""
+    s1 AS (
+        SELECT 1 AS "rank", vec_id, rel AS relevance,
+               0.0 AS max_sim_selected,
+               round({lam} * rel, 6) AS mmr_score
+        FROM cand
+        QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) = 1
+    ),
+    sel1 AS (SELECT vec_id FROM s1)"""
+    ]
+    for i in range(2, k + 1):
+        stages.append(f"""
+    s{i} AS (
+        SELECT {i} AS "rank", c.vec_id, c.rel AS relevance,
+               m.pen AS max_sim_selected,
+               round({lam} * c.rel - {inv} * m.pen, 6) AS mmr_score
+        FROM cand c JOIN (
+            SELECT ida, max(sim) AS pen
+            FROM p JOIN sel{i - 1} s ON p.idb = s.vec_id GROUP BY 1
+        ) m ON m.ida = c.vec_id
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+        QUALIFY row_number() OVER (
+            ORDER BY {lam} * c.rel - {inv} * m.pen DESC, c.vec_id) = 1
+    ),
+    sel{i} AS (SELECT vec_id FROM sel{i - 1}
+               UNION ALL SELECT vec_id FROM s{i})""")
+    union = "\n    UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, k + 1))
+    return (
+        _VEC_CTE
+        + f"""
+    , q AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = 0),
+    cand AS (
+        SELECT vec_id,
+               round({dot_nq} / (sqrt(n.nrm) * sqrt(q.qn)), 6) AS rel,
+               e, nrm
+        FROM n CROSS JOIN q WHERE vec_id <> 0
+        QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) <= {pool}
+    ),
+    p AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb,
+               round({dot_ab} / (sqrt(a.nrm) * sqrt(b.nrm)), 6) AS sim
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),"""
+        + ",".join(stages)
+        + f"""
+    {union}
+    ORDER BY "rank"
+    """
+    )
+
+
+@register(
+    "similarity_mmr_rerank",
+    _mmr_oracle(5, 20, 0.7),
+    doc="Maximal Marginal Relevance re-ranking (Carbonell & Goldstein "
+    "1998): pick 5 of the 20 most-relevant candidates iteratively, "
+    "each step maximizing lam*rel - (1-lam)*max-sim-to-selected — the "
+    "relevance/diversity stage between ANN retrieval and the context "
+    "window. Sequential in k, so the 5 steps unroll (kmeans/PQ "
+    "precedent) over POOL-BOUNDED tables only: the one input-sized "
+    "step is the TakeOrdered candidate scan (localCheckpoint-fenced); "
+    "the pool^2 sim table, <=5-row selection, and each limit(1) "
+    "argmax are all pool-bounded, nothing collects. round6-fenced "
+    "rel/sims + literal lambda + id tiebreaks make the selected "
+    "sequence engine-exact "
+    "(operators/similarity.py::mmr_rerank).",
+)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import mmr_rerank
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
+    )
+    return mmr_rerank(
+        emb.filter(F.col("vec_id") != 0), q, k=5, pool=20, lam=0.7
+    )
+
+
+@register(
+    "stats_ece_calibration",
+    """
+    WITH scored AS (
+        SELECT round(least(1.0, CAST(o_totalprice AS DOUBLE) / 500000.0), 8)
+                   AS s,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    binned AS (
+        SELECT least(CAST(floor(s * 10) AS INTEGER), 9) AS bin, s, y
+        FROM scored
+    ),
+    bins AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS conf,
+               CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS acc
+        FROM binned GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS n_total FROM bins),
+    contrib AS (
+        SELECT bin, n_rows, conf, acc,
+               round(abs(acc - conf) * CAST(n_rows AS DOUBLE) / n_total, 8)
+                   AS c
+        FROM bins, tot
+    ),
+    e AS (
+        SELECT round(CAST(sum(CAST(c AS DECIMAL(38,12))) AS DOUBLE), 6)
+                   AS ece
+        FROM contrib
+    )
+    SELECT bin, n_rows, round(conf, 6) AS avg_conf, round(acc, 6) AS avg_acc,
+           round(abs(acc - conf), 6) AS abs_gap, e.ece
+    FROM contrib, e
+    ORDER BY bin
+    """,
+    doc="Expected-calibration-error reliability bins over a "
+    "deterministic (score, outcome) pair — score = clamped "
+    "totalprice/500k as the 'model confidence', outcome = order "
+    "fully shipped ('F'). Ten fixed-width bins from one grouped "
+    "aggregate (map-side partials), a 1-row broadcast combiner for "
+    "N and the n-weighted |acc - conf| sum; round8 fences + decimal "
+    "sums make the table integer-exact across engines "
+    "(operators/stats.py::ece_reliability).",
+)
+def stats_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.trino import trino_round
+    from ..operators.stats import ece_reliability
+
+    o = load_table(spark, sf_dir, "orders").select(
+        trino_round(
+            F.least(
+                F.lit(1.0), F.col("o_totalprice").cast("double") / 500000.0
+            ),
+            8,
+        ).alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("outcome"),
+    )
+    return ece_reliability(o, "score", "outcome", n_bins=10)
+
+
+_CONF_HASH = MD5L.format(x="CAST(event_id AS VARCHAR) || '|conf'")
+
+
+@register(
+    "stats_conformal_coverage",
+    f"""
+    WITH base AS (
+        SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+               ({_CONF_HASH}) % 5 = 0 AS is_test
+        FROM events WHERE value IS NOT NULL
+    ),
+    pred AS (
+        SELECT g,
+               CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS p,
+               CAST(count(*) AS BIGINT) AS n_cal
+        FROM base WHERE NOT is_test GROUP BY 1
+    ),
+    scored AS (
+        SELECT b.g, b.is_test, round(abs(b.v - pred.p), 8) AS s,
+               pred.n_cal
+        FROM base b JOIN pred ON pred.g = b.g
+    ),
+    cal AS (
+        SELECT g, s, n_cal,
+               row_number() OVER (PARTITION BY g ORDER BY s) AS rn
+        FROM scored WHERE NOT is_test
+    ),
+    thr AS (
+        SELECT g, min(s) AS t
+        FROM cal
+        WHERE rn >= least(CAST(ceil(CAST(n_cal + 1 AS DOUBLE) * 0.9)
+                                AS BIGINT), n_cal)
+        GROUP BY 1
+    )
+    SELECT sc.g AS event_type,
+           min(sc.n_cal) AS n_cal,
+           round(min(thr.t), 6) AS threshold,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN sc.s <= thr.t THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_covered,
+           round(CAST(sum(CASE WHEN sc.s <= thr.t THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS coverage
+    FROM scored sc JOIN thr ON thr.g = sc.g
+    WHERE sc.is_test
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Split-conformal calibration over per-event values: md5 hash "
+    "split (80/20 cal/test), trivial per-type mean predictor fit on "
+    "the calibration split, conformal threshold = the "
+    "ceil((n_cal+1)*0.9)-th smallest |value - pred| nonconformity "
+    "score, empirical coverage reported on the held-out split (>= 90% "
+    "in expectation by the conformal guarantee). The rank-k election "
+    "runs through two_phase_running_sum — (group, range-bucket) "
+    "partitioned running counts, never a whole group sorted in one "
+    "task (operators/stats.py::conformal_split_calibrate).",
+)
+def stats_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import conformal_split_calibrate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    return conformal_split_calibrate(
+        ev, "event_type", "event_id", "value", alpha=0.1
+    )
+
+
+@register(
+    "stats_roc_auc",
+    """
+    WITH per AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS v,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    b AS (SELECT v, count(*) AS n_v, sum(y) AS n_pos_v FROM per GROUP BY 1),
+    r AS (
+        SELECT n_v, n_pos_v, sum(n_v) OVER (ORDER BY v) AS cum FROM b
+    ),
+    m AS (
+        SELECT sum(n_v - n_pos_v) AS n0, sum(n_pos_v) AS n1,
+               sum(CAST(n_pos_v AS DECIMAL(19,0))
+                   * CAST(2 * cum - n_v + 1 AS DECIMAL(19,0)))
+                   AS rx2
+        FROM r
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+           round(CAST(rx2 AS DOUBLE) / 2.0, 6) AS rank_sum_pos,
+           round((CAST(rx2 AS DOUBLE) / 2.0
+                  - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1) / 2.0)
+                 / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6) AS auc,
+           round(2.0 * ((CAST(rx2 AS DOUBLE) / 2.0
+                  - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1) / 2.0)
+                 / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))) - 1.0, 6)
+               AS gini
+    FROM m
+    """,
+    doc="Exact ROC-AUC (Hanley-McNeil rank identity, midranks on "
+    "ties) of order totalprice as a predictor of fully-shipped "
+    "status: value-grouped counts + two-phase running counts — the "
+    "Mann-Whitney single-task dodge — with the positive rank sum "
+    "carried doubled in DECIMAL(38,0); AUC and Gini are IEEE "
+    "divisions of exact integers (operators/stats.py::roc_auc).",
+)
+def stats_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import roc_auc
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return roc_auc(o, "score", "label")
+
+
+@register(
+    "stats_ks_two_sample",
+    """
+    WITH base AS (
+        SELECT CAST(value AS DOUBLE) AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS s1
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+    ),
+    b AS (SELECT v, sum(s1) AS n1_v, sum(1 - s1) AS n2_v FROM base GROUP BY 1),
+    c AS (
+        SELECT v, sum(n1_v) OVER (ORDER BY v) AS cum1,
+               sum(n2_v) OVER (ORDER BY v) AS cum2
+        FROM b
+    ),
+    t AS (SELECT sum(n1_v) AS n1, sum(n2_v) AS n2 FROM b),
+    s AS (
+        SELECT v, abs(CAST(cum1 AS DECIMAL(19,0)) * CAST(t.n2 AS DECIMAL(19,0))
+                      - CAST(cum2 AS DECIMAL(19,0)) * CAST(t.n1 AS DECIMAL(19,0)))
+                   AS ds
+        FROM c, t
+    ),
+    m AS (SELECT max(ds) AS md FROM s)
+    SELECT CAST(t.n1 AS BIGINT) AS n_1, CAST(t.n2 AS BIGINT) AS n_2,
+           round(CAST(m.md AS DOUBLE)
+                 / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)), 6)
+               AS ks_stat,
+           min(s.v) AS ks_at
+    FROM s, m, t WHERE s.ds = m.md GROUP BY 1, 2, 3
+    """,
+    doc="Exact two-sample Kolmogorov-Smirnov drift test between the "
+    "click and purchase value distributions: value-grouped counts, "
+    "ONE bounds probe shared by two two-phase running-count passes, "
+    "supremum taken over the INTEGER cross-product |cum1*n2 - "
+    "cum2*n1| (no float comparison anywhere; smallest achieving "
+    "value on ties), divided by n1*n2 only at emit "
+    "(operators/stats.py::ks_two_sample).",
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import ks_two_sample
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return ks_two_sample(ev, "value", F.col("event_type") == "click")
+
+
+@register(
+    "stats_brier_decomposition",
+    """
+    WITH scored AS (
+        SELECT round(least(1.0, CAST(o_totalprice AS DOUBLE) / 500000.0), 8)
+                   AS s,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    binned AS (
+        SELECT least(CAST(floor(s * 10) AS INTEGER), 9) AS bin, s, y
+        FROM scored
+    ),
+    bins AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS conf,
+               CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS acc,
+               CAST(sum(y) AS BIGINT) AS npos,
+               sum(CAST(round((s - CAST(y AS DOUBLE)) * (s - CAST(y AS DOUBLE)),
+                              8) AS DECIMAL(38,12))) AS sqsum
+        FROM binned GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS DOUBLE) AS nt, CAST(sum(npos) AS DOUBLE) AS pt,
+               CAST(sum(sqsum) AS DOUBLE) AS sq
+        FROM bins
+    ),
+    contrib AS (
+        SELECT round(CAST(n AS DOUBLE) / nt * (conf - acc) * (conf - acc), 8)
+                   AS rel,
+               round(CAST(n AS DOUBLE) / nt * (acc - pt / nt)
+                     * (acc - pt / nt), 8) AS res,
+               nt, pt, sq
+        FROM bins, tot
+    ),
+    agg AS (
+        SELECT CAST(sum(CAST(rel AS DECIMAL(38,12))) AS DOUBLE)
+                   AS reliability,
+               CAST(sum(CAST(res AS DECIMAL(38,12))) AS DOUBLE)
+                   AS resolution,
+               max(nt) AS n, max(pt) AS p, max(sq) AS s2
+        FROM contrib
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           round(s2 / n, 6) AS brier,
+           round(reliability - resolution + (p / n) * (1.0 - p / n), 6)
+               AS brier_binned,
+           round(reliability, 6) AS reliability,
+           round(resolution, 6) AS resolution,
+           round((p / n) * (1.0 - p / n), 6) AS uncertainty
+    FROM agg
+    """,
+    doc="Murphy decomposition of the Brier score over the same ten "
+    "fixed-width bins as the ECE query (reliability - resolution + "
+    "uncertainty = binned Brier, raw Brier alongside): one grouped "
+    "aggregate to <=10 rows + a 1-row broadcast combiner; round8 "
+    "fences on per-row squares and per-bin contributions make every "
+    "term engine-identical "
+    "(operators/stats.py::brier_decomposition).",
+)
+def stats_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.trino import trino_round
+    from ..operators.stats import brier_decomposition
+
+    o = load_table(spark, sf_dir, "orders").select(
+        trino_round(
+            F.least(
+                F.lit(1.0), F.col("o_totalprice").cast("double") / 500000.0
+            ),
+            8,
+        ).alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("outcome"),
+    )
+    return brier_decomposition(o, "score", "outcome", n_bins=10)
+
+
+@register(
+    "stats_lift_gain",
+    """
+    WITH per AS (
+        SELECT -CAST(o_totalprice AS DOUBLE) AS nv,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    b AS (SELECT nv, count(*) AS n_v, sum(y) AS np_v FROM per GROUP BY 1),
+    c AS (
+        SELECT nv, n_v, np_v, sum(n_v) OVER (ORDER BY nv) AS c FROM b
+    ),
+    tot AS (SELECT sum(n_v) AS n, sum(np_v) AS p FROM b),
+    cuts AS (
+        SELECT t, t * (n // 10) + least(t, n % 10) AS p
+        FROM generate_series(1, 9) AS g(t), tot
+    ),
+    bnd AS (
+        SELECT c.nv AS v FROM c JOIN cuts
+        ON c.c >= cuts.p AND c.c - c.n_v < cuts.p
+    ),
+    asg AS (
+        SELECT b.nv, b.n_v, b.np_v,
+               1 + (SELECT count(*) FROM bnd WHERE b.nv > bnd.v) AS bucket
+        FROM b
+    ),
+    per_bucket AS (
+        SELECT bucket, CAST(sum(n_v) AS BIGINT) AS n_rows,
+               CAST(sum(np_v) AS BIGINT) AS n_pos
+        FROM asg GROUP BY 1
+    ),
+    o AS (
+        SELECT bucket, n_rows, n_pos,
+               CAST(sum(n_pos) OVER (ORDER BY bucket) AS BIGINT) AS cum_pos,
+               sum(n_rows) OVER (ORDER BY bucket) AS cum_n
+        FROM per_bucket
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket, n_rows, n_pos, cum_pos,
+           round(CAST(cum_pos AS DOUBLE) / CAST(t.p AS DOUBLE), 6) AS gain,
+           round((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))
+                 / (CAST(t.p AS DOUBLE) / CAST(t.n AS DOUBLE)), 6) AS lift
+    FROM o, tot t ORDER BY bucket
+    """,
+    doc="Cumulative gains / lift table at population deciles of order "
+    "totalprice (descending) against fully-shipped status — the "
+    "model-targeting report for a volume-budgeted quality gate. The "
+    "RFM boundary machinery end-to-end: value-grouped counts, "
+    "two-phase running-count boundary election at ntile's exact cut "
+    "positions, broadcast boundary array, row-local fold assignment "
+    "on the VALUE-grouped table (raw rows never touched after the "
+    "first groupBy); gains cumulate over the 10-row output "
+    "(operators/stats.py::lift_gain_table).",
+)
+def stats_lift_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import lift_gain_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return lift_gain_table(o, "score", "label", n_buckets=10)
+
+
+@register(
+    "stats_psi_drift",
+    """
+    WITH base AS (
+        SELECT CAST(value AS DOUBLE) AS v,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS r
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')
+    ),
+    b AS (
+        SELECT v, sum(r) AS nr_v, sum(1 - r) AS nc_v FROM base GROUP BY 1
+    ),
+    c AS (SELECT v, nr_v, nc_v, sum(nr_v) OVER (ORDER BY v) AS c FROM b),
+    tot AS (SELECT sum(nr_v) AS nr, sum(nc_v) AS nc FROM b),
+    cuts AS (
+        SELECT t, t * (nr // 10) + least(t, nr % 10) AS p
+        FROM generate_series(1, 9) AS g(t), tot
+    ),
+    bnd AS (
+        SELECT c.v AS bv FROM c JOIN cuts
+        ON c.c >= cuts.p AND c.c - c.nr_v < cuts.p
+    ),
+    asg AS (
+        SELECT b.v, b.nr_v, b.nc_v,
+               1 + (SELECT count(*) FROM bnd WHERE b.v > bnd.bv) AS bin
+        FROM b
+    ),
+    per AS (
+        SELECT bin, CAST(sum(nr_v) AS BIGINT) AS n_ref,
+               CAST(sum(nc_v) AS BIGINT) AS n_cmp
+        FROM asg GROUP BY 1
+    ),
+    wide AS (
+        SELECT bin, n_ref, n_cmp,
+               (CAST(n_ref AS DOUBLE) + 0.5)
+                   / (CAST(t.nr AS DOUBLE) + 5.0) AS p,
+               (CAST(n_cmp AS DOUBLE) + 0.5)
+                   / (CAST(t.nc AS DOUBLE) + 5.0) AS q
+        FROM per, tot t
+    ),
+    scored AS (
+        SELECT bin, n_ref, n_cmp, p, q,
+               round((p - q) * ln(p / q), 8) AS ct
+        FROM wide
+    ),
+    e AS (
+        SELECT round(CAST(sum(CAST(ct AS DECIMAL(38,12))) AS DOUBLE), 6)
+                   AS psi
+        FROM scored
+    )
+    SELECT CAST(bin AS INTEGER) AS bin, n_ref, n_cmp,
+           round(p, 6) AS p_ref, round(q, 6) AS p_cmp,
+           round(ct, 6) AS contrib, e.psi
+    FROM scored, e
+    ORDER BY bin
+    """,
+    doc="Population Stability Index of the purchase-value distribution "
+    "against view-value as the reference: reference-decile bins from "
+    "the two-phase boundary election, one value-grouped pass carrying "
+    "both slices, Laplace-smoothed proportions (+0.5 per bin), "
+    "round8-fenced (p-q)ln(p/q) terms decimal-summed — the standard "
+    "drift monitor between corpus slices "
+    "(operators/stats.py::psi_drift).",
+)
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import psi_drift
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    return psi_drift(ev, "value", F.col("event_type") == "view", n_bins=10)
+
+
+@register(
+    "stats_cvm_two_sample",
+    """
+    WITH base AS (
+        SELECT CAST(value AS DOUBLE) AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS s1
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+    ),
+    b AS (SELECT v, sum(s1) AS n1_v, sum(1 - s1) AS n2_v FROM base GROUP BY 1),
+    c AS (
+        SELECT v, n1_v, n2_v, sum(n1_v) OVER (ORDER BY v) AS cum1,
+               sum(n2_v) OVER (ORDER BY v) AS cum2
+        FROM b
+    ),
+    t AS (SELECT sum(n1_v) AS n1, sum(n2_v) AS n2 FROM b),
+    s AS (
+        SELECT round(CAST(n1_v + n2_v AS DOUBLE)
+                     * (CAST(cum1 AS DOUBLE) / CAST(t.n1 AS DOUBLE)
+                        - CAST(cum2 AS DOUBLE) / CAST(t.n2 AS DOUBLE))
+                     * (CAST(cum1 AS DOUBLE) / CAST(t.n1 AS DOUBLE)
+                        - CAST(cum2 AS DOUBLE) / CAST(t.n2 AS DOUBLE)), 8)
+                   AS ct,
+               t.n1, t.n2
+        FROM c, t
+    )
+    SELECT CAST(max(n1) AS BIGINT) AS n_1, CAST(max(n2) AS BIGINT) AS n_2,
+           round(CAST(sum(CAST(ct AS DECIMAL(38,12))) AS DOUBLE)
+                 * CAST(max(n1) AS DOUBLE)
+                 / (CAST(max(n1) AS DOUBLE) + CAST(max(n2) AS DOUBLE))
+                 * CAST(max(n2) AS DOUBLE)
+                 / (CAST(max(n1) AS DOUBLE) + CAST(max(n2) AS DOUBLE)), 6)
+               AS cvm_stat
+    FROM s
+    """,
+    doc="Two-sample Cramér-von Mises statistic between the click and "
+    "purchase value distributions — the integral companion to the KS "
+    "supremum, same value-grouped collapse and shared bounds probe; "
+    "per-value m_v*(F1-F2)^2 contributions round8-fenced and "
+    "decimal-summed, fixed-order double scaling at emit "
+    "(operators/stats.py::cvm_two_sample).",
+)
+def stats_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import cvm_two_sample
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return cvm_two_sample(ev, "value", F.col("event_type") == "click")
