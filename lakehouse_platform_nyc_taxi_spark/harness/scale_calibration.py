@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.trino import trino_round
 from ..sources.testdata import load_table, load_table_parallel
 from . import register
 from .llm import MD5L, _IVF_DOT, _VEC_CTE
@@ -1127,3 +1128,63 @@ def stats_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isin("click", "purchase")
     )
     return cvm_two_sample(ev, "value", F.col("event_type") == "click")
+
+
+# ---------------------------------------------------------------------------
+# Round-15 wave: exact precision-recall curve (the missing calibration
+# readout next to ROC/ECE/Brier/lift/KS/CvM/PSI).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_pr_curve",
+    """
+    WITH per AS (
+        SELECT round(CAST(o_totalprice AS DOUBLE) / 1000.0, 0) AS s,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    b AS (SELECT s, count(*) AS n_v, sum(y) AS np_v FROM per GROUP BY 1),
+    c AS (
+        SELECT s, sum(n_v) OVER (ORDER BY s DESC) AS cum_n,
+               sum(np_v) OVER (ORDER BY s DESC) AS cum_p
+        FROM b
+    ),
+    t AS (SELECT sum(np_v) AS p FROM b),
+    pr AS (
+        SELECT s AS threshold,
+               CAST(cum_n AS BIGINT) AS n_pred,
+               CAST(cum_p AS BIGINT) AS tp,
+               round(CAST(cum_p AS DOUBLE) / CAST(cum_n AS DOUBLE), 6)
+                   AS precision,
+               CASE WHEN t.p > 0 THEN
+                   round(CAST(cum_p AS DOUBLE) / CAST(t.p AS DOUBLE), 6)
+               END AS recall
+        FROM c, t
+    )
+    SELECT threshold, n_pred, tp, precision, recall,
+           CASE WHEN precision + recall > 0 THEN
+               round(2.0 * precision * recall / (precision + recall), 6)
+           END AS f1
+    FROM pr ORDER BY threshold DESC
+    """,
+    doc="Exact precision-recall curve of (totalprice/1000 rounded) as "
+    "a predictor of fully-shipped status: one operating point per "
+    "distinct threshold, descending. Value-grouped collapse + two "
+    "shared-bounds two-phase running-count passes over the negated "
+    "score — raw rows are never sorted; counts are exact integers, "
+    "precision/recall/F1 are IEEE divisions at emit with F1 derived "
+    "from the round6 operands on both engines "
+    "(operators/stats.py::pr_curve).",
+)
+def stats_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.trino import trino_round
+    from ..operators.stats import pr_curve
+
+    o = load_table(spark, sf_dir, "orders").select(
+        trino_round(F.col("o_totalprice").cast("double") / 1000.0, 0).alias(
+            "score"
+        ),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return pr_curve(o, "score", "label")

@@ -892,6 +892,91 @@ def roc_auc(
     )
 
 
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact precision-recall curve: one point per DISTINCT score
+    threshold v (predict positive when score ≥ v), descending — the
+    operating-point table a quality classifier is actually tuned on
+    (pick the threshold whose precision meets the corpus-admission
+    bar, read off the recall you paid for it). Completes the
+    calibration suite next to :func:`roc_auc` (ranking),
+    :func:`ece_reliability` (calibration), and :func:`lift_gain_table`
+    (volume-budget deciles).
+
+    Scale shape (the roc_auc collapse): rows collapse to |distinct
+    score| value-grouped counts FIRST; the descending cumulative
+    counts (n_pred, tp at each cut) are two
+    :func:`~..operators.timeseries.two_phase_running_sum` passes over
+    the NEGATED score sharing one bounds probe — raw rows are never
+    ranked or sorted, and the output is value-grouped-sized. All
+    counts are exact integers; precision/recall/F1 are IEEE divisions
+    at emit (F1 from the round6 precision/recall so both engines
+    derive it from identical inputs).
+
+    Output per threshold (descending): ``threshold, n_pred, tp,
+    precision, recall, f1`` (round6; recall/f1 are NULL when the input
+    has no positives).
+    """
+    from .timeseries import two_phase_running_sum
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    # negate: descending score order becomes ascending nv order
+    by_v = (
+        df.filter(s.isNotNull())
+        .select((-s).alias("nv"), y.alias("_y"))
+        .groupBy("nv")
+        .agg(
+            F.count(F.lit(1)).alias("n_v"),
+            F.sum("_y").alias("np_v"),
+        )
+        .localCheckpoint()
+    )
+    lo, hi, n_rows = by_v.agg(
+        F.min("nv"), F.max("nv"), F.count(F.lit(1))
+    ).first()
+    if int(n_rows) == 0:
+        return df.sparkSession.createDataFrame(
+            [],
+            "threshold double, n_pred bigint, tp bigint, "
+            "precision double, recall double, f1 double",
+        )
+    bounds = (float(lo), float(hi), int(n_rows))
+    c1 = two_phase_running_sum(
+        by_v, F.col("n_v"), order=["nv"], out="cum_n", bounds=bounds
+    )
+    c2 = two_phase_running_sum(
+        c1, F.col("np_v"), order=["nv"], out="cum_p", bounds=bounds
+    )
+    prec = trino_round(
+        F.col("cum_p").cast("double") / F.col("cum_n").cast("double"), 6
+    )
+    rec = trino_round(
+        F.try_divide(
+            F.col("cum_p").cast("double"), F.col("cum_p_total").cast("double")
+        ),
+        6,
+    )
+    staged = c2.select(
+        (-F.col("nv")).alias("threshold"),
+        F.col("cum_n").cast("bigint").alias("n_pred"),
+        F.col("cum_p").cast("bigint").alias("tp"),
+        prec.alias("precision"),
+        rec.alias("recall"),
+    )
+    f1 = trino_round(
+        F.try_divide(
+            F.lit(2.0) * F.col("precision") * F.col("recall"),
+            F.col("precision") + F.col("recall"),
+        ),
+        6,
+    )
+    return staged.withColumn("f1", f1).orderBy(F.desc("threshold"))
+
+
 def ks_two_sample(
     df: DataFrame,
     value_col: str,

@@ -2416,3 +2416,32 @@ def test_conformal_threshold_artifact_is_calibrates_threshold_table(spark):
         assert round(art[g]._thr, 6) == c.threshold
         assert art[g].n_cal == c.n_cal
     assert {"_pred", "_thr"} <= set(art["a"].asDict())
+
+
+def test_pr_curve_hand_computed(spark):
+    """Scores 4,3,2,1 with labels 1,1,0,1 (P=3):
+    thr=4: n_pred=1 tp=1 prec=1 rec=1/3;
+    thr=3: 2,2,1.0,2/3; thr=2: 3,2,2/3,2/3; thr=1: 4,3,0.75,1.0.
+    F1 at thr=1 = 2*.75*1/(1.75)."""
+    from lakehouse_platform_nyc_taxi_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [(4.0, 1), (3.0, 1), (2.0, 0), (1.0, 1)], "score double, label int"
+    )
+    out = stats.pr_curve(df, "score", "label").collect()
+    got = [(r.threshold, r.n_pred, r.tp, r.precision, r.recall) for r in out]
+    assert got == [
+        (4.0, 1, 1, 1.0, round(1 / 3, 6)),
+        (3.0, 2, 2, 1.0, round(2 / 3, 6)),
+        (2.0, 3, 2, round(2 / 3, 6), round(2 / 3, 6)),
+        (1.0, 4, 3, 0.75, 1.0),
+    ]
+    assert out[3].f1 == round(2 * 0.75 * 1.0 / 1.75, 6)
+    # no positives -> recall/f1 NULL, precision still defined
+    neg = spark.createDataFrame([(1.0, 0), (2.0, 0)], "score double, label int")
+    rows = stats.pr_curve(neg, "score", "label").collect()
+    assert all(r.recall is None and r.f1 is None for r in rows)
+    assert rows[0].precision == 0.0
+    # empty input -> empty shape
+    empty = spark.createDataFrame([], "score double, label int")
+    assert stats.pr_curve(empty, "score", "label").count() == 0
