@@ -1303,6 +1303,93 @@ def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "timeseries_backtest_accuracy",
+    """
+    WITH RECURSIVE d AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS y
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT user_id, y,
+               row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        FROM d
+    ),
+    mx AS (SELECT user_id, max(rn) AS n FROM s GROUP BY 1),
+    r AS (
+        SELECT user_id, 1 AS rn, y AS l, CAST(0.0 AS DOUBLE) AS b,
+               y AS prev,
+               CAST(0.0 AS DOUBLE) AS sum_ae, CAST(0.0 AS DOUBLE) AS sum_ape,
+               0 AS n_ape, CAST(0.0 AS DOUBLE) AS sum_sm, 0 AS n_sm,
+               CAST(0.0 AS DOUBLE) AS sum_nv
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT r.user_id, r.rn + 1,
+               round(0.5 * s.y + 0.5 * (r.l + r.b), 8),
+               round(0.25 * (round(0.5 * s.y + 0.5 * (r.l + r.b), 8) - r.l)
+                     + 0.75 * r.b, 8),
+               s.y,
+               round(r.sum_ae
+                     + round(abs(s.y - round(r.l + r.b, 8)), 8), 8),
+               CASE WHEN s.y <> 0 THEN
+                   round(r.sum_ape
+                         + round(round(abs(s.y - round(r.l + r.b, 8)), 8)
+                                 / abs(s.y), 8), 8)
+               ELSE r.sum_ape END,
+               r.n_ape + (CASE WHEN s.y <> 0 THEN 1 ELSE 0 END),
+               CASE WHEN abs(s.y) + abs(round(r.l + r.b, 8)) <> 0 THEN
+                   round(r.sum_sm
+                         + round(2.0 * round(abs(s.y - round(r.l + r.b, 8)), 8)
+                                 / (abs(s.y) + abs(round(r.l + r.b, 8))), 8),
+                         8)
+               ELSE r.sum_sm END,
+               r.n_sm + (CASE WHEN abs(s.y) + abs(round(r.l + r.b, 8)) <> 0
+                         THEN 1 ELSE 0 END),
+               round(r.sum_nv + round(abs(s.y - r.prev), 8), 8)
+        FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT r.user_id, CAST(mx.n AS BIGINT) AS n_obs,
+           round(r.sum_ae / (mx.n - 1), 6) AS mae,
+           CASE WHEN r.n_ape > 0 THEN round(r.sum_ape / r.n_ape, 6) END
+               AS mape,
+           CASE WHEN r.n_sm > 0 THEN round(r.sum_sm / r.n_sm, 6) END
+               AS smape,
+           CASE WHEN r.sum_nv > 0 THEN round(r.sum_ae / r.sum_nv, 6) END
+               AS mase
+    FROM r JOIN mx ON mx.user_id = r.user_id AND r.rn = mx.n
+    WHERE mx.n > 1
+    ORDER BY r.user_id
+    """,
+    doc="One-step-ahead Holt forecast backtest per user: MAE, MAPE, "
+    "sMAPE, and MASE (Hyndman-Koehler naive-1 scaling) of every "
+    "post-seed observation against its 1-step-ahead forecast — the "
+    "accuracy gate the forecasting family was missing (fits existed, "
+    "scores didn't). Same bucketed applyInPandas fold seam and "
+    "round8-fence-per-step contract as the Holt/Holt-Winters "
+    "queries; the oracle is a recursive CTE carrying the four error "
+    "accumulators, so the check is exact, not rows-only "
+    "(operators/timeseries.py::holt_backtest).",
+)
+def timeseries_backtest_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import holt_backtest
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            F.col("user_id"),
+            F.date_trunc("day", F.col("ts")).cast("date").alias("_day"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("_y")
+        )
+    )
+    return holt_backtest(ev, "user_id", "_day", "_y").orderBy("user_id")
+
+
+@register(
     "timeseries_ewma_chart",
     """
     WITH RECURSIVE d AS (

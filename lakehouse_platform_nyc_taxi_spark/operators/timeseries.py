@@ -732,6 +732,117 @@ def holt_smoothing(
     return df.groupBy(bucket.alias("_bk")).applyInPandas(fold, out_schema)
 
 
+def holt_backtest(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """One-step-ahead forecast-accuracy backtest over the Holt
+    recurrence (the readout a metrics-over-training-runs pipeline
+    actually gates on — :func:`holt_smoothing` emits the FIT, this
+    scores it). Per key series, walk the same round8-fenced Holt
+    recurrence (seeded l₁ = y₁, b₁ = 0; dyadic alpha/beta) and score
+    every post-seed observation against its 1-step-ahead forecast
+    pred_t = round8(l + b):
+
+        ae_t    = round8(|y_t − pred_t|)            (absolute error)
+        ape_t   = round8(ae_t / |y_t|)              (skipped when y_t = 0)
+        sm_t    = round8(2·ae_t / (|y_t| + |pred_t|))  (skipped when denom 0)
+        naive_t = round8(|y_t − y_{t−1}|)           (naive-1 scale)
+
+    each accumulated through its own round8 fence, then
+
+        mae   = sum_ae / (n−1)
+        mape  = sum_ape / n_ape          (NULL when every y_t = 0)
+        smape = sum_sm / n_sm            (NULL when every denom = 0)
+        mase  = sum_ae / sum_naive       (Hyndman & Koehler 2006;
+                                          NULL for a constant series)
+
+    Series with a single observation have no scored step and are
+    dropped. Same custom-operator seam and determinism contract as
+    :func:`holt_smoothing` (bucketed Arrow ``applyInPandas`` fold,
+    every step round8-fenced), so the oracle twin is a recursive CTE
+    carrying the error accumulators — exact, not rows-only.
+
+    Output per key: ``{key}, n_obs, mae, mape, smape, mase`` (round6).
+    """
+    import math
+
+    import pandas as pd
+
+    a_c, b_c = float(alpha), float(beta)
+
+    def r8(x: float) -> float:
+        return (math.floor(abs(x) * 1e8 + 0.5) / 1e8) * (
+            1.0 if x >= 0 else -1.0
+        )
+
+    def r6(x: float) -> float:
+        return (math.floor(abs(x) * 1e6 + 0.5) / 1e6) * (
+            1.0 if x >= 0 else -1.0
+        )
+
+    key_type = df.schema[key].dataType.simpleString()
+    out_schema = (
+        f"{key} {key_type}, n_obs long, mae double, mape double, "
+        "smape double, mase double"
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values([key, order])
+        keys_arr = pdf[key].to_numpy()
+        y_all = pdf[value].to_numpy(dtype="float64")
+        out = {key: [], "n_obs": [], "mae": [], "mape": [], "smape": [],
+               "mase": []}
+        starts = np.flatnonzero(
+            np.r_[True, keys_arr[1:] != keys_arr[:-1]]
+        ).tolist() + [len(keys_arr)]
+        for s0, s1 in zip(starts[:-1], starts[1:]):
+            y = y_all[s0:s1]
+            n = len(y)
+            if n < 2:
+                continue
+            l, b = float(y[0]), 0.0
+            sum_ae = sum_ape = sum_sm = sum_nv = 0.0
+            n_ape = n_sm = 0
+            for t in range(1, n):
+                yt, yp = float(y[t]), float(y[t - 1])
+                pred = r8(l + b)
+                ae = r8(abs(yt - pred))
+                sum_ae = r8(sum_ae + ae)
+                if yt != 0.0:
+                    sum_ape = r8(sum_ape + r8(ae / abs(yt)))
+                    n_ape += 1
+                den = abs(yt) + abs(pred)
+                if den != 0.0:
+                    sum_sm = r8(sum_sm + r8(2.0 * ae / den))
+                    n_sm += 1
+                sum_nv = r8(sum_nv + r8(abs(yt - yp)))
+                l_new = r8(a_c * yt + (1.0 - a_c) * (l + b))
+                b = r8(b_c * (l_new - l) + (1.0 - b_c) * b)
+                l = l_new
+            out[key].append(keys_arr[s0])
+            out["n_obs"].append(n)
+            out["mae"].append(r6(sum_ae / (n - 1)))
+            out["mape"].append(r6(sum_ape / n_ape) if n_ape else None)
+            out["smape"].append(r6(sum_sm / n_sm) if n_sm else None)
+            out["mase"].append(r6(sum_ae / sum_nv) if sum_nv > 0.0 else None)
+        return pd.DataFrame(out)
+
+    if n_buckets is None:
+        n_buckets = max(
+            64, 2 * df.sparkSession.sparkContext.defaultParallelism
+        )
+    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+    return df.groupBy(bucket.alias("_bk")).applyInPandas(fold, out_schema)
+
+
 def holt_winters_smoothing(
     df: DataFrame,
     key: str,

@@ -502,3 +502,37 @@ def test_sequential_folds_handle_empty_and_short_input(spark):
     got = ewma_control_chart(single, "user_id", "t", "y").collect()[0]
     # z_1 = mean = 5, sigma = 0, width = 0: |z - mu| = 0 is NOT > 0
     assert (got.n_obs, got.n_alarms, got.first_alarm) == (1, 0, 0)
+
+
+def test_holt_backtest_hand_computed(spark):
+    """y=[10,12,14], alpha=.5 beta=.25: step2 pred=10 (ae 2), step3
+    pred=11.25 (ae 2.75) -> mae 2.375, mase 4.75/4; mape/smape from the
+    round8-fenced per-step terms."""
+    from lakehouse_platform_nyc_taxi_spark.operators.timeseries import (
+        holt_backtest,
+    )
+
+    rows = [(1, t, y) for t, y in enumerate([10.0, 12.0, 14.0])]
+    df = spark.createDataFrame(rows, "user_id long, t int, y double")
+    got = holt_backtest(df, "user_id", "t", "y").collect()[0]
+    assert got.n_obs == 3
+    assert got.mae == 2.375
+    assert got.mase == 1.1875
+    assert got.mape == 0.181548  # r6((r8(2/12) + r8(2.75/14)) / 2)
+    assert got.smape == 0.19982  # r6((r8(4/22) + r8(5.5/25.25)) / 2)
+
+    # constant series: perfect naive -> mase NULL, mae 0
+    const = spark.createDataFrame(
+        [(2, t, 5.0) for t in range(4)], "user_id long, t int, y double"
+    )
+    g2 = holt_backtest(const, "user_id", "t", "y").collect()[0]
+    assert g2.mae == 0.0 and g2.mase is None and g2.mape == 0.0
+
+    # all-zero series: mape/smape NULL; single-obs series dropped
+    zero = spark.createDataFrame(
+        [(3, t, 0.0) for t in range(3)] + [(4, 0, 1.0)],
+        "user_id long, t int, y double",
+    )
+    out = {r.user_id: r for r in holt_backtest(zero, "user_id", "t", "y").collect()}
+    assert set(out) == {3}
+    assert out[3].mape is None and out[3].smape is None and out[3].mase is None
