@@ -626,3 +626,107 @@ def tpcds_q97_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "only_1996"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-15: Q36 lochierarchy shape — rank() WITHIN each rollup parent,
+# the one composition (window over GROUPING()-labeled rollup) the other
+# eight DS shapes don't exercise.
+# ---------------------------------------------------------------------------
+
+_DS_Q36_SQL = """
+WITH base AS (
+    SELECT n.n_name AS nat,
+           CAST(EXTRACT(month FROM CAST(o.o_orderdate AS DATE)) AS INTEGER)
+               AS mon,
+           CAST(o.o_totalprice AS DECIMAL(38,12)) AS price,
+           CAST(CASE WHEN o.o_orderstatus = 'F' THEN o.o_totalprice
+                     ELSE 0 END AS DECIMAL(38,12)) AS price_f
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+agg AS (
+    SELECT CASE WHEN GROUPING(nat) = 1 THEN 'ALL' ELSE nat END AS nation,
+           CASE WHEN GROUPING(mon) = 1 THEN 'ALL'
+                ELSE lpad(CAST(mon AS VARCHAR), 2, '0') END AS month,
+           CAST(GROUPING(nat) + GROUPING(mon) AS INTEGER) AS lochierarchy,
+           round(CAST(sum(price_f) AS DOUBLE)
+                 / CAST(sum(price) AS DOUBLE), 6) AS fulfilled_share,
+           CASE WHEN GROUPING(mon) = 0 THEN nat END AS parent
+    FROM base GROUP BY ROLLUP(nat, mon)
+)
+SELECT nation, month, lochierarchy, fulfilled_share,
+       CAST(rank() OVER (PARTITION BY lochierarchy, parent
+                         ORDER BY fulfilled_share ASC)
+            AS BIGINT) AS rank_within_parent
+FROM agg
+ORDER BY lochierarchy DESC, nation, month
+"""
+
+
+@register(
+    "tpcds_q36_lochierarchy",
+    _DS_Q36_SQL,
+    doc="TPC-DS Q36 shape (gross-margin lochierarchy ranking): fact "
+    "joined to its dimension chain (orders -> customer -> nation, the "
+    "store_sales -> item/store adaptation), ROLLUP over the "
+    "(nation, order-month) hierarchy with GROUPING()-driven labels, "
+    "then rank() WITHIN EACH ROLLUP PARENT — partition by "
+    "(grouping-level, parent nation) over the ratio metric, the "
+    "window-over-rollup composition the registry's other DS shapes "
+    "lack (reference has no DS queries; shape per the published "
+    "spec). The ratio is one IEEE division of two DECIMAL(38,12) "
+    "sums rounded at emit, so ranks tie identically on both engines; "
+    "the window runs over the dims-sized rollup output "
+    "(|nations|x12 + |nations| + 1 rows), never the fact table.",
+)
+def tpcds_q36_lochierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(38,12)"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.month(F.col("o_orderdate").cast("date")).cast("int").alias("mon"),
+        F.col("o_totalprice").cast(dec).alias("price"),
+        F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+        .otherwise(F.lit(0))
+        .cast(dec)
+        .alias("price_f"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nat"), "mon", "price", "price_f")
+    )
+    rolled = base.rollup("nat", "mon").agg(
+        F.sum("price_f").alias("_sf"),
+        F.sum("price").alias("_sp"),
+        F.grouping("nat").alias("_gn"),
+        F.grouping("mon").alias("_gm"),
+    )
+    agg = rolled.select(
+        F.when(F.col("_gn") == 1, F.lit("ALL"))
+        .otherwise(F.col("nat"))
+        .alias("nation"),
+        F.when(F.col("_gm") == 1, F.lit("ALL"))
+        .otherwise(F.lpad(F.col("mon").cast("string"), 2, "0"))
+        .alias("month"),
+        (F.col("_gn") + F.col("_gm")).cast("int").alias("lochierarchy"),
+        trino_round(
+            F.col("_sf").cast("double") / F.col("_sp").cast("double"), 6
+        ).alias("fulfilled_share"),
+        F.when(F.col("_gm") == 0, F.col("nat")).alias("parent"),
+    )
+    # the window input is the rollup OUTPUT (|nations|x12 + |nations| + 1
+    # rows) — dims-sized by construction, never the fact table
+    w = Window.partitionBy("lochierarchy", "parent").orderBy(
+        F.asc("fulfilled_share")
+    )
+    return (
+        agg.withColumn(
+            "rank_within_parent", F.rank().over(w).cast("bigint")
+        )
+        .drop("parent")
+        .orderBy(F.desc("lochierarchy"), "nation", "month")
+    )
