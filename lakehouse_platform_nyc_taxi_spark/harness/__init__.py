@@ -62,89 +62,32 @@ def register(
 #      Their green rows live in CORRECTNESS_r01.json (kept in-repo), so
 #      rounds jointly cover every query.
 _PRIORITY = [
-    # --- Round-14 window (driver checks the FIRST 50 registered) ---
+    # --- Round-15 window (driver checks the FIRST 50 registered) ---
     # INVARIANT (pinned by tests/test_harness_oracle.py): len(_PRIORITY)
     # is EXACTLY 50 and equals the first 50 names registry() yields. A
     # query added mid-round must be inserted at the head of this list
     # and the tail name moved to the head of _KEEP (1-in-1-out).
     #
-    # Composition (VERDICT r13 #3, the attestation rotation):
-    #   1. TEN NEW r14 queries — lift/gain deciles, the TPC-DS Q97
-    #      overlap shape, exact ROC-AUC / KS two-sample / Brier
-    #      decomposition (the calibration-analytics wave), Holt-Winters
-    #      additive seasonality (recursive-CTE oracle), the TPC-DS
-    #      Q35/Q69 EXISTS/NOT-EXISTS gate and Q88 multi-band
-    #      single-scan shapes, ECE reliability bins, and
-    #      split-conformal coverage.
-    #   2. THREE plan-changed r14 re-attestations — link-prediction
-    #      backbone (TakeOrdered swap), RFM (boundary-tile scale
-    #      guard), Zipf (midrank rank, no global sort). (Holt's
-    #      bucket-count/key-type change cannot affect per-series math
-    #      and is locally oracle-exact; it sits at the _KEEP head for
-    #      the r15 window.)
-    #   3. The FULL 37-name r8-green cohort (VERDICT r13 missing #1)
-    #      — after r14 no green row predates r10.
-    "stats_lift_gain",
-    "tpcds_q97_overlap",
-    "stats_roc_auc",
-    "stats_ks_two_sample",
-    "stats_brier_decomposition",
-    "timeseries_holt_winters",
-    "tpcds_q69_exists_gate",
-    "tpcds_q88_time_bands",
-    "stats_ece_calibration",
-    "stats_conformal_coverage",
-    "graph_link_prediction",
-    "events_rfm_segmentation",
-    "text_zipf_fit",
-    "timeseries_gapfill",
-    "sampling_temperature_mix",
-    "conditional_case_nullif",
-    "dedup_exact",
-    "dedup_minhash_lsh_pairs",
-    "text_pii_scrub",
-    "dedup_clusters",
-    "corpus_curation",
-    "sequence_packing",
-    "multimodal_features",
-    "agg_monthly_rollup",
-    "agg_percentiles_approx",
-    "embedding_dim_stats",
-    "text_stats",
-    "text_corpus_rollup",
-    "text_tfidf_topk",
-    "similarity_topk_bruteforce",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "dedup_embedding_cosine",
-    "sql_adhoc_interactive",
-    "dedup_minhash_signatures",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "sampling_stratified_resample",
-    "sessionize_events",
-    "text_decontamination",
-    "text_heavy_hitters",
-    "join_broadcast_dims",
-    "join_left_outer",
-    "embedding_covariance",
-    "text_collocations",
-    "sampling_weighted",
-    "text_bm25_topk",
-    "text_lm_surprisal",
-    "embedding_random_projection",
-    "hybrid_search_rrf",
-]
-# Any NEW registration not listed anywhere auto-slots directly after
-# _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
-# window, so a query added mid-round must be listed in _PRIORITY
-# explicitly (and a name bumped to _KEEP to make room).
-_KEEP = [
-    # Staleness-ordered (oldest driver row first): the r10/r11-green
-    # remainder not pulled into the r14 window, then the r12 window,
-    # then the 48 r13-window names not re-attested in r14 at the tail
-    # — future rotations pull from the HEAD of this list.
-    "timeseries_holt_forecast",
+    # Composition (VERDICT r14 #1/#2 + ADVICE r14 #2):
+    #   1. SEVEN unattested queries — the four registered after the
+    #      r14 window was cut (PSI, Cramer-von Mises, the stateless
+    #      conformal gate, the EWMA chart) plus the three NEW r15
+    #      queries (exact PR curve, Holt backtest accuracy, the
+    #      TPC-DS Q36 lochierarchy shape). All locally exact-value
+    #      green; the driver row is the contract's hard signal.
+    #   2. FORTY-THREE of the 49-name r10 staleness cohort (the
+    #      cross-round-union head) — the oldest 43 in list order; the
+    #      remaining six (sampling_token_budget, agg_corr_regression,
+    #      scd2_point_in_time_join, json_extract_rollup,
+    #      json_variant_histogram, window_rank_trio) lead the r16
+    #      window from the head of _KEEP.
+    "stats_psi_drift",
+    "stats_cvm_two_sample",
+    "stats_pr_curve",
+    "streaming_conformal_gate",
+    "timeseries_backtest_accuracy",
+    "timeseries_ewma_chart",
+    "tpcds_q36_lochierarchy",
     "quality_gopher_rules",
     "corpus_overlap_matrix",
     "embedding_kmeans_semdedup",
@@ -188,6 +131,16 @@ _KEEP = [
     "timeseries_ohlc",
     "sql_lateral_topn",
     "dedup_latest_record",
+]
+# Any NEW registration not listed anywhere auto-slots directly after
+# _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
+# window, so a query added mid-round must be listed in _PRIORITY
+# explicitly (and a name bumped to _KEEP to make room).
+_KEEP = [
+    # Staleness-ordered (oldest driver row first): the six r10-green
+    # names that did not fit the r15 window, then the r11 cohort, then
+    # r12, r13, and the 50 r14-window names at the tail — future
+    # rotations pull from the HEAD of this list.
     "sampling_token_budget",
     "agg_corr_regression",
     "scd2_point_in_time_join",
@@ -292,6 +245,7 @@ _KEEP = [
     "star_extend_projection",
     "union_all_typed_nulls",
     "union_distinct",
+    "timeseries_holt_forecast",
     "similarity_mmr_rerank",
     "streaming_decontamination_gate",
     "tpcds_q51_cumulative_join",
@@ -340,6 +294,56 @@ _KEEP = [
     "embedding_quantize_int8",
     "agg_collect_sorted",
     "timeseries_gapfill_15min",
+    "stats_lift_gain",
+    "tpcds_q97_overlap",
+    "stats_roc_auc",
+    "stats_ks_two_sample",
+    "stats_brier_decomposition",
+    "timeseries_holt_winters",
+    "tpcds_q69_exists_gate",
+    "tpcds_q88_time_bands",
+    "stats_ece_calibration",
+    "stats_conformal_coverage",
+    "graph_link_prediction",
+    "events_rfm_segmentation",
+    "text_zipf_fit",
+    "timeseries_gapfill",
+    "sampling_temperature_mix",
+    "conditional_case_nullif",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "text_pii_scrub",
+    "dedup_clusters",
+    "corpus_curation",
+    "sequence_packing",
+    "multimodal_features",
+    "agg_monthly_rollup",
+    "agg_percentiles_approx",
+    "embedding_dim_stats",
+    "text_stats",
+    "text_corpus_rollup",
+    "text_tfidf_topk",
+    "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "dedup_embedding_cosine",
+    "sql_adhoc_interactive",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "sampling_stratified_resample",
+    "sessionize_events",
+    "text_decontamination",
+    "text_heavy_hitters",
+    "join_broadcast_dims",
+    "join_left_outer",
+    "embedding_covariance",
+    "text_collocations",
+    "sampling_weighted",
+    "text_bm25_topk",
+    "text_lm_surprisal",
+    "embedding_random_projection",
+    "hybrid_search_rrf",
 ]
 _ROTATE_OUT: list[str] = []
 
