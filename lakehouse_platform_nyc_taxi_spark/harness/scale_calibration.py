@@ -1188,3 +1188,53 @@ def stats_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderstatus") == "F").cast("int").alias("label"),
     )
     return pr_curve(o, "score", "label")
+
+
+@register(
+    "stats_spearman_corr",
+    """
+    WITH per AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS x,
+               CAST(l_extendedprice AS DOUBLE) AS y
+        FROM lineitem
+    ),
+    bx AS (SELECT x, count(*) AS n FROM per GROUP BY 1),
+    rx AS (SELECT x, 2 * sum(n) OVER (ORDER BY x) - n + 1 AS dx FROM bx),
+    byv AS (SELECT y, count(*) AS n FROM per GROUP BY 1),
+    ry AS (SELECT y, 2 * sum(n) OVER (ORDER BY y) - n + 1 AS dy FROM byv),
+    j AS (SELECT dx, dy FROM per JOIN rx USING (x) JOIN ry USING (y)),
+    m AS (
+        SELECT count(*) AS nn,
+               sum(CAST(dx AS DECIMAL(19,0))) AS sx,
+               sum(CAST(dy AS DECIMAL(19,0))) AS sy,
+               sum(CAST(dx AS DECIMAL(19,0)) * CAST(dx AS DECIMAL(19,0)))
+                   AS sxx,
+               sum(CAST(dy AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0)))
+                   AS syy,
+               sum(CAST(dx AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0)))
+                   AS sxy
+        FROM j
+    )
+    SELECT CAST(nn AS BIGINT) AS n,
+           round((CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(nn AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               AS rho
+    FROM m
+    """,
+    doc="Exact tie-correct Spearman rank correlation between lineitem "
+    "quantity and extended price: midranks from value-grouped counts "
+    "+ two-phase running sums (carried doubled, never a global row "
+    "rank), ranks joined back by value, five Pearson moments as "
+    "DECIMAL(38,0)-exact sums of decimal(19,0) operand products, one "
+    "fixed-order IEEE combination at emit "
+    "(operators/stats.py::spearman_corr).",
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import spearman_corr
+
+    li = load_table_parallel(spark, sf_dir, "lineitem")
+    return spearman_corr(li, "l_quantity", "l_extendedprice")

@@ -1463,3 +1463,74 @@ def cvm_two_sample(
         F.col("_n2x").cast("bigint").alias("n_2"),
         trino_round(F.col("_s") * n1d / nd * n2d / nd, 6).alias("cvm_stat"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact Spearman rank correlation (Spearman 1904, public) between
+    two numeric columns — Pearson correlation of MIDRANKS, the
+    tie-correct definition — for monotone-association audits where
+    Pearson's linearity assumption misleads (heavy-tailed quality
+    scores, token counts, latencies).
+
+    Never row-ranks N rows: each column collapses to its |distinct
+    value| count table, midranks come from
+    :func:`~..operators.timeseries.two_phase_running_sum` running
+    counts (midrank = cum − n/2 + 1/2, carried DOUBLED so it stays
+    integer), and the doubled ranks join back to rows by value — two
+    value-keyed shuffles, no global sort. The five Pearson moments
+    (Σdx, Σdy, Σdx², Σdy², Σdx·dy) are exact DECIMAL(38,0) aggregates
+    of decimal(19,0) operand products (the roc_auc overflow
+    discipline; exact to ~1e12 rows), and the doubling cancels in the
+    correlation ratio. The final combination is a fixed-order IEEE
+    chain over the exact sums' double casts — engine-identical.
+
+    Output (one row): ``n, rho`` (round6; rho NULL when either column
+    is constant).
+    """
+    from .timeseries import two_phase_running_sum
+
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        x.alias("_x"), y.alias("_y")
+    )
+
+    def doubled_ranks(col: str, out: str) -> DataFrame:
+        # localCheckpoint: two_phase_running_sum's bounds probe is eager,
+        # so without the fence the groupBy would execute twice
+        by_v = (
+            base.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .localCheckpoint()
+        )
+        cum = two_phase_running_sum(by_v, F.col("_n"), order=[col], out="_c")
+        return cum.select(
+            col, (2 * F.col("_c") - F.col("_n") + 1).alias(out)
+        )
+
+    rx = doubled_ranks("_x", "_dx")
+    ry = doubled_ranks("_y", "_dy")
+    d19 = "decimal(19,0)"
+    joined = base.join(rx, "_x").join(ry, "_y")
+    m = joined.agg(
+        F.count(F.lit(1)).alias("_nn"),
+        F.sum(F.col("_dx").cast(d19)).alias("_sx"),
+        F.sum(F.col("_dy").cast(d19)).alias("_sy"),
+        F.sum(F.col("_dx").cast(d19) * F.col("_dx").cast(d19)).alias("_sxx"),
+        F.sum(F.col("_dy").cast(d19) * F.col("_dy").cast(d19)).alias("_syy"),
+        F.sum(F.col("_dx").cast(d19) * F.col("_dy").cast(d19)).alias("_sxy"),
+    )
+    nd = F.col("_nn").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    num = nd * sxy - sx * sy
+    den = F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    return m.select(
+        F.col("_nn").cast("bigint").alias("n"),
+        trino_round(F.try_divide(num, den), 6).alias("rho"),
+    )

@@ -2445,3 +2445,31 @@ def test_pr_curve_hand_computed(spark):
     # empty input -> empty shape
     empty = spark.createDataFrame([], "score double, label int")
     assert stats.pr_curve(empty, "score", "label").count() == 0
+
+
+def test_spearman_corr_hand_computed(spark):
+    """Monotone map -> 1, reverse -> -1, one swap in 4 -> 0.8
+    (Pearson of ranks), ties via midranks, constant column -> NULL."""
+    from lakehouse_platform_nyc_taxi_spark.operators import stats
+
+    mono = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 4.0), (3.0, 9.0)], "x double, y double"
+    )
+    assert stats.spearman_corr(mono, "x", "y").collect()[0].rho == 1.0
+    rev = spark.createDataFrame(
+        [(1.0, 3.0), (2.0, 2.0), (3.0, 1.0)], "x double, y double"
+    )
+    assert stats.spearman_corr(rev, "x", "y").collect()[0].rho == -1.0
+    swap = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (4.0, 4.0)], "x double, y double"
+    )
+    got = stats.spearman_corr(swap, "x", "y").collect()[0]
+    assert (got.n, got.rho) == (4, 0.8)
+    tied = spark.createDataFrame(
+        [(1.0, 3.0), (1.0, 3.0), (2.0, 5.0)], "x double, y double"
+    )
+    assert stats.spearman_corr(tied, "x", "y").collect()[0].rho == 1.0
+    const = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 2.0)], "x double, y double"
+    )
+    assert stats.spearman_corr(const, "x", "y").collect()[0].rho is None
