@@ -1078,3 +1078,93 @@ def window_nth_value_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id")
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Round-15: Kaplan-Meier survival (time-to-conversion with censoring).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_kaplan_meier",
+    """
+    WITH RECURSIVE per AS (
+        SELECT user_id, min(ts) AS t0,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+               max(ts) AS tend
+        FROM events GROUP BY 1
+    ),
+    subj AS (
+        SELECT strftime(t0, '%Y-%m') AS g,
+               CAST(CASE WHEN tp IS NOT NULL
+                    THEN date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+                    ELSE date_diff('day', CAST(t0 AS DATE), CAST(tend AS DATE))
+               END AS INTEGER) AS t,
+               CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM per
+    ),
+    b AS (SELECT g, t, CAST(sum(ev) AS BIGINT) AS d,
+                 CAST(sum(1 - ev) AS BIGINT) AS c
+          FROM subj GROUP BY 1, 2),
+    s AS (SELECT g, t, d, c,
+                 row_number() OVER (PARTITION BY g ORDER BY t) AS rn
+          FROM b),
+    tot AS (SELECT g, sum(d + c) AS n0 FROM b GROUP BY 1),
+    r AS (
+        SELECT s.g, s.rn, s.t, s.d, s.c, tot.n0 AS n_risk,
+               CASE WHEN s.d > 0 THEN
+                   round(1.0 * round(1.0 - CAST(s.d AS DOUBLE)
+                                     / CAST(tot.n0 AS DOUBLE), 8), 8)
+               ELSE 1.0 END AS surv
+        FROM s JOIN tot ON tot.g = s.g WHERE s.rn = 1
+        UNION ALL
+        SELECT r.g, s.rn, s.t, s.d, s.c, r.n_risk - r.d - r.c,
+               CASE WHEN s.d > 0 THEN
+                   round(r.surv * round(1.0 - CAST(s.d AS DOUBLE)
+                         / CAST(r.n_risk - r.d - r.c AS DOUBLE), 8), 8)
+               ELSE r.surv END
+        FROM r JOIN s ON s.g = r.g AND s.rn = r.rn + 1
+    )
+    SELECT g AS cohort, t AS duration_days,
+           CAST(n_risk AS BIGINT) AS n_risk, d AS n_event,
+           c AS n_censored, round(surv, 6) AS survival
+    FROM r ORDER BY cohort, duration_days
+    """,
+    doc="Kaplan-Meier product-limit survival curves per first-activity "
+    "month cohort: time from a user's first event to first purchase, "
+    "right-censored at their last observed day. Subjects collapse to "
+    "(cohort, duration) event/censor counts in ONE grouped aggregate; "
+    "the sequential product-limit fold runs per cohort on the bucketed "
+    "applyInPandas seam with every step round8-fenced, so the curve is "
+    "bit-identical and the oracle is a recursive CTE stepping the same "
+    "product — the survival-analytics readout (churn, conversion, "
+    "job-failure lifetimes) the events family lacked "
+    "(operators/stats.py::kaplan_meier).",
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import kaplan_meier
+
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.min("ts").alias("_t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("_tp"),
+        F.max("ts").alias("_tend"),
+    )
+    subj = per.select(
+        F.date_format(F.col("_t0"), "yyyy-MM").alias("cohort"),
+        F.when(
+            F.col("_tp").isNotNull(),
+            F.datediff(F.col("_tp").cast("date"), F.col("_t0").cast("date")),
+        )
+        .otherwise(
+            F.datediff(F.col("_tend").cast("date"), F.col("_t0").cast("date"))
+        )
+        .cast("int")
+        .alias("duration_days"),
+        F.col("_tp").isNotNull().cast("int").alias("converted"),
+    )
+    return kaplan_meier(subj, "cohort", "duration_days", "converted").orderBy(
+        "cohort", "duration_days"
+    )

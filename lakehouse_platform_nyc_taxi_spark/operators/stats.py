@@ -1534,3 +1534,102 @@ def spearman_corr(
         F.col("_nn").cast("bigint").alias("n"),
         trino_round(F.try_divide(num, den), 6).alias("rho"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator (Kaplan & Meier
+    1958, public) with right censoring, per group — time-to-event
+    analytics (churn, time-to-conversion, job-failure survival) over
+    the same exact-sequential seam as the forecasting folds:
+
+        at distinct duration t:  d_t events, c_t censored,
+                                 n_t = subjects with duration ≥ t
+        S(t) = Π_{u ≤ t, d_u > 0} round8(1 − d_u / n_u)
+               (each product step round8-fenced)
+
+    Scale shape: subjects collapse to |group × distinct duration|
+    (duration, d, c) counts FIRST (one grouped aggregate); the
+    sequential product then folds the COLLAPSED table per group on the
+    bucketed Arrow ``applyInPandas`` seam (:func:`~..operators.
+    timeseries.holt_smoothing`'s contract: buckets parallelize,
+    per-group work is bounded by its distinct durations, nothing on
+    the driver). Every step is round8-fenced, so the curve is
+    bit-identical across engines and the oracle twin is a recursive
+    CTE stepping the same product — exact, not rows-only.
+
+    Output per (group, distinct duration), ascending: ``{group_col},
+    {duration_col}, n_risk, n_event, n_censored, survival`` (round6).
+    """
+    import math
+
+    import pandas as pd
+
+    g, t = F.col(group_col), F.col(duration_col)
+    ev = F.col(event_col).cast("int")
+    per_t = (
+        df.filter(t.isNotNull())
+        .groupBy(g.alias("_g"), t.alias("_t"))
+        .agg(
+            F.sum(ev).cast("long").alias("_d"),
+            F.sum(F.lit(1) - ev).cast("long").alias("_c"),
+        )
+    )
+
+    def r8(x: float) -> float:
+        return (math.floor(abs(x) * 1e8 + 0.5) / 1e8) * (
+            1.0 if x >= 0 else -1.0
+        )
+
+    def r6(x: float) -> float:
+        return (math.floor(abs(x) * 1e6 + 0.5) / 1e6) * (
+            1.0 if x >= 0 else -1.0
+        )
+
+    g_type = df.schema[group_col].dataType.simpleString()
+    t_type = df.schema[duration_col].dataType.simpleString()
+    out_schema = (
+        f"{group_col} {g_type}, {duration_col} {t_type}, n_risk long, "
+        "n_event long, n_censored long, survival double"
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values(["_g", "_t"])
+        g_arr = pdf["_g"].to_numpy()
+        t_arr = pdf["_t"].to_numpy()
+        d_arr = pdf["_d"].to_numpy(dtype="int64")
+        c_arr = pdf["_c"].to_numpy(dtype="int64")
+        out = {group_col: [], duration_col: [], "n_risk": [],
+               "n_event": [], "n_censored": [], "survival": []}
+        starts = np.flatnonzero(
+            np.r_[True, g_arr[1:] != g_arr[:-1]]
+        ).tolist() + [len(g_arr)]
+        for s0, s1 in zip(starts[:-1], starts[1:]):
+            n_risk = int(d_arr[s0:s1].sum() + c_arr[s0:s1].sum())
+            surv = 1.0
+            for i in range(s0, s1):
+                d, c = int(d_arr[i]), int(c_arr[i])
+                if d > 0:
+                    surv = r8(surv * r8(1.0 - d / n_risk))
+                out[group_col].append(g_arr[i])
+                out[duration_col].append(t_arr[i])
+                out["n_risk"].append(n_risk)
+                out["n_event"].append(d)
+                out["n_censored"].append(c)
+                out["survival"].append(r6(surv))
+                n_risk -= d + c
+        return pd.DataFrame(out)
+
+    if n_buckets is None:
+        n_buckets = max(
+            64, 2 * df.sparkSession.sparkContext.defaultParallelism
+        )
+    bucket = F.pmod(F.xxhash64(F.col("_g")), F.lit(n_buckets))
+    return per_t.groupBy(bucket.alias("_bk")).applyInPandas(fold, out_schema)

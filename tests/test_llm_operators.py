@@ -2473,3 +2473,27 @@ def test_spearman_corr_hand_computed(spark):
         [(1.0, 2.0), (2.0, 2.0)], "x double, y double"
     )
     assert stats.spearman_corr(const, "x", "y").collect()[0].rho is None
+
+
+def test_kaplan_meier_hand_computed(spark):
+    """Subjects (t, event): (1,1),(2,0),(3,1),(3,1),(4,0):
+    S(1)=0.8; censor at 2 leaves S; t=3 has n_risk 3, d=2 ->
+    S=r8(0.8*r8(1/3))=0.266667 (round6); censor at 4 carries it."""
+    from lakehouse_platform_nyc_taxi_spark.operators import stats
+
+    rows = [("a", 1, 1), ("a", 2, 0), ("a", 3, 1), ("a", 3, 1), ("a", 4, 0)]
+    df = spark.createDataFrame(rows, "g string, t int, ev int")
+    out = {r.t: r for r in stats.kaplan_meier(df, "g", "t", "ev").collect()}
+    assert [out[t].n_risk for t in (1, 2, 3, 4)] == [5, 4, 3, 1]
+    assert out[1].survival == 0.8
+    assert out[2].survival == 0.8
+    assert out[3].survival == 0.266667 and out[3].n_event == 2
+    assert out[4].survival == 0.266667 and out[4].n_censored == 1
+    # two groups fold independently
+    two = spark.createDataFrame(
+        rows + [("b", 1, 1), ("b", 2, 1)], "g string, t int, ev int"
+    )
+    got = {(r.g, r.t): r for r in stats.kaplan_meier(two, "g", "t", "ev").collect()}
+    assert got[("b", 1)].survival == 0.5
+    assert got[("b", 2)].survival == 0.0
+    assert got[("a", 3)].survival == 0.266667
