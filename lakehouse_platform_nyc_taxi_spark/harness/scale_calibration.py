@@ -1238,3 +1238,74 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table_parallel(spark, sf_dir, "lineitem")
     return spearman_corr(li, "l_quantity", "l_extendedprice")
+
+
+@register(
+    "stats_isotonic_calibration",
+    """
+    WITH per AS (
+        SELECT o_orderpriority AS g,
+               round(least(CAST(o_totalprice AS DOUBLE) / 500000.0, 1.0), 2)
+                   AS s,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    b AS (
+        SELECT g, s, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS p,
+               row_number() OVER (PARTITION BY g ORDER BY s) AS rn
+        FROM per GROUP BY 1, 2
+    ),
+    pre AS (
+        SELECT g, s, n, p, rn,
+               sum(n) OVER (PARTITION BY g ORDER BY rn) AS pn,
+               sum(p) OVER (PARTITION BY g ORDER BY rn) AS pp
+        FROM b
+    ),
+    iv AS (
+        SELECT j.g, j.rn AS j, k.rn AS k,
+               CAST(k.pp - j.pp + j.p AS DOUBLE)
+               / CAST(k.pn - j.pn + j.n AS DOUBLE) AS a
+        FROM pre j JOIN pre k ON k.g = j.g AND k.rn >= j.rn
+    ),
+    mn AS (
+        SELECT iv.g, pos.rn AS i, iv.j, min(iv.a) AS m
+        FROM iv JOIN b pos ON pos.g = iv.g
+             AND iv.j <= pos.rn AND iv.k >= pos.rn
+        GROUP BY 1, 2, 3
+    ),
+    fit AS (SELECT g, i, max(m) AS yhat FROM mn GROUP BY 1, 2)
+    SELECT b.g AS priority, b.s AS score, b.n, b.p AS n_pos,
+           round(CAST(b.p AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS pos_rate,
+           round(fit.yhat, 6) AS calibrated
+    FROM b JOIN fit ON fit.g = b.g AND fit.i = b.rn
+    ORDER BY priority, score
+    """,
+    doc="Isotonic (PAV) score->probability calibration of the round2 "
+    "totalprice ratio against fully-shipped status, fitted per order "
+    "priority: rows collapse to distinct-score (n, positives) counts, "
+    "the PAV merge runs ALL-INTEGER (violation test is the "
+    "s_prev*n_new > s_new*n_prev cross-product — no float anywhere in "
+    "the fit) on the bucketed applyInPandas seam, calibrated values "
+    "are IEEE divisions of exact integers at emit. The oracle "
+    "evaluates the closed-form minimax identity max_j<=i min_k>=i "
+    "avg(j..k) over the same collapsed table, which IEEE-monotone "
+    "rounding makes bit-equal to the PAV block means "
+    "(operators/stats.py::isotonic_calibration).",
+)
+def stats_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import isotonic_calibration
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        trino_round(
+            F.least(
+                F.col("o_totalprice").cast("double") / 500000.0, F.lit(1.0)
+            ),
+            2,
+        ).alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return isotonic_calibration(o, "priority", "score", "label").orderBy(
+        "priority", "score"
+    )

@@ -1633,3 +1633,106 @@ def kaplan_meier(
         )
     bucket = F.pmod(F.xxhash64(F.col("_g")), F.lit(n_buckets))
     return per_t.groupBy(bucket.alias("_bk")).applyInPandas(fold, out_schema)
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Isotonic regression calibration via pool-adjacent-violators
+    (Ayer et al. 1955 / Robertson-Wright-Dykstra, public), per group —
+    the standard monotone score→probability calibrator (the
+    non-parametric alternative to Platt scaling) fitted to a binary
+    label.
+
+    EXACT-INTEGER formulation: rows collapse to |distinct score|
+    (n at score, positives at score) counts FIRST; PAV then merges
+    adjacent blocks while the mean DECREASES, and because block means
+    are rationals s/n of integer sums, every violation test is the
+    integer cross-product ``s_prev·n_last > s_last·n_prev`` — no float
+    comparison anywhere in the fit, so block boundaries are
+    engine-identical by construction. The sequential merge folds the
+    COLLAPSED table per group on the bucketed Arrow ``applyInPandas``
+    seam (bounded by the group's distinct scores); calibrated values
+    are one IEEE division of exact integers at emit.
+
+    The oracle twin is the minimax identity ŷᵢ = max_{j≤i} min_{k≥i}
+    avg(y_j..y_k) over interval averages of the same collapsed table —
+    a closed form SQL can evaluate, which equals the PAV block mean at
+    every position (saddle attained at the block boundaries).
+
+    Output per (group, distinct score), ascending: ``{group_col},
+    {score_col}, n, n_pos, pos_rate, calibrated`` (round6;
+    ``calibrated`` is non-decreasing in score within each group).
+    """
+    import math
+
+    import pandas as pd
+
+    g = F.col(group_col)
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    by_v = (
+        df.filter(s.isNotNull())
+        .groupBy(g.alias("_g"), s.alias("_s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(y).cast("long").alias("_p"),
+        )
+    )
+
+    def r6(x: float) -> float:
+        return (math.floor(abs(x) * 1e6 + 0.5) / 1e6) * (
+            1.0 if x >= 0 else -1.0
+        )
+
+    g_type = df.schema[group_col].dataType.simpleString()
+    out_schema = (
+        f"{group_col} {g_type}, {score_col} double, n long, n_pos long, "
+        "pos_rate double, calibrated double"
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values(["_g", "_s"])
+        g_arr = pdf["_g"].to_numpy()
+        s_arr = pdf["_s"].to_numpy(dtype="float64")
+        n_arr = pdf["_n"].to_numpy(dtype="int64")
+        p_arr = pdf["_p"].to_numpy(dtype="int64")
+        out = {group_col: [], score_col: [], "n": [], "n_pos": [],
+               "pos_rate": [], "calibrated": []}
+        starts = np.flatnonzero(
+            np.r_[True, g_arr[1:] != g_arr[:-1]]
+        ).tolist() + [len(g_arr)]
+        for s0, s1 in zip(starts[:-1], starts[1:]):
+            # PAV stack of (n, s, width): all-integer violation tests
+            stack: list[list[int]] = []
+            for i in range(s0, s1):
+                n_b, p_b, w_b = int(n_arr[i]), int(p_arr[i]), 1
+                while stack and stack[-1][1] * n_b > p_b * stack[-1][0]:
+                    pn, pp, pw = stack.pop()
+                    n_b, p_b, w_b = n_b + pn, p_b + pp, w_b + pw
+                stack.append([n_b, p_b, w_b])
+            i = s0
+            for n_b, p_b, w_b in stack:
+                cal = r6(p_b / n_b)
+                for _ in range(w_b):
+                    out[group_col].append(g_arr[i])
+                    out[score_col].append(float(s_arr[i]))
+                    out["n"].append(int(n_arr[i]))
+                    out["n_pos"].append(int(p_arr[i]))
+                    out["pos_rate"].append(r6(int(p_arr[i]) / int(n_arr[i])))
+                    out["calibrated"].append(cal)
+                    i += 1
+        return pd.DataFrame(out)
+
+    if n_buckets is None:
+        n_buckets = max(
+            64, 2 * df.sparkSession.sparkContext.defaultParallelism
+        )
+    bucket = F.pmod(F.xxhash64(F.col("_g")), F.lit(n_buckets))
+    return by_v.groupBy(bucket.alias("_bk")).applyInPandas(fold, out_schema)

@@ -2497,3 +2497,38 @@ def test_kaplan_meier_hand_computed(spark):
     assert got[("b", 1)].survival == 0.5
     assert got[("b", 2)].survival == 0.0
     assert got[("a", 3)].survival == 0.266667
+
+
+def test_isotonic_calibration_pav_hand_computed(spark):
+    """Scores 1..4 with per-score rates (1.0, 0.0, 0.5, 1.0):
+    PAV pools the violating (1.0, 0.0) prefix -> 0.5, then 0.5 stays,
+    then 1.0 — fitted curve (0.5, 0.5, 0.5, 1.0), non-decreasing."""
+    from lakehouse_platform_nyc_taxi_spark.operators import stats
+
+    rows = (
+        [("g", 1.0, 1), ("g", 1.0, 1)]      # score 1: rate 1.0
+        + [("g", 2.0, 0), ("g", 2.0, 0)]    # score 2: rate 0.0
+        + [("g", 3.0, 1), ("g", 3.0, 0)]    # score 3: rate 0.5
+        + [("g", 4.0, 1)]                   # score 4: rate 1.0
+    )
+    df = spark.createDataFrame(rows, "grp string, score double, y int")
+    out = {
+        r.score: r
+        for r in stats.isotonic_calibration(df, "grp", "score", "y").collect()
+    }
+    assert [out[s].calibrated for s in (1.0, 2.0, 3.0, 4.0)] == [
+        0.5, 0.5, 0.5, 1.0
+    ]
+    assert [out[s].pos_rate for s in (1.0, 2.0, 3.0, 4.0)] == [
+        1.0, 0.0, 0.5, 1.0
+    ]
+    # monotone input passes through untouched
+    mono = spark.createDataFrame(
+        [("g", 1.0, 0), ("g", 2.0, 1), ("g", 2.0, 0), ("g", 3.0, 1)],
+        "grp string, score double, y int",
+    )
+    got = {
+        r.score: r.calibrated
+        for r in stats.isotonic_calibration(mono, "grp", "score", "y").collect()
+    }
+    assert got == {1.0: 0.0, 2.0: 0.5, 3.0: 1.0}
