@@ -732,3 +732,86 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-15: HITS hubs & authorities over the nation trade graph.
+# ---------------------------------------------------------------------------
+
+
+def _hits_oracle(iters: int = 3) -> str:
+    """Unrolled fixed-iteration HITS as DuckDB CTEs, mirroring
+    operators/graph.py::hits term for term (decimal-fenced sums,
+    IEEE double normalizer divisions)."""
+    sql = f"""
+    WITH {_EDGES_SQL},
+    nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION
+      SELECT DISTINCT dst AS node FROM edges
+    ),
+    hs0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    araw{i} AS (
+      SELECT e.dst AS node,
+             CAST(sum(CAST(e.w * s.h AS DECIMAL(28,8))) AS DOUBLE) AS x
+      FROM edges e JOIN hs{i - 1} s ON e.src = s.node GROUP BY 1
+    ),
+    atot{i} AS (
+      SELECT CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS t FROM araw{i}
+    ),
+    a{i} AS (
+      SELECT nd.node, coalesce(r.x, CAST(0 AS DOUBLE)) / t.t AS a
+      FROM nodes nd CROSS JOIN atot{i} t
+      LEFT JOIN araw{i} r ON r.node = nd.node
+    ),
+    hraw{i} AS (
+      SELECT e.src AS node,
+             CAST(sum(CAST(e.w * a.a AS DECIMAL(28,8))) AS DOUBLE) AS x
+      FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY 1
+    ),
+    htot{i} AS (
+      SELECT CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS t FROM hraw{i}
+    ),
+    hs{i} AS (
+      SELECT nd.node, coalesce(r.x, CAST(0 AS DOUBLE)) / t.t AS h
+      FROM nodes nd CROSS JOIN htot{i} t
+      LEFT JOIN hraw{i} r ON r.node = nd.node
+    )"""
+    sql += f"""
+    SELECT n.n_name AS nation, s.h AS hub, a.a AS authority
+    FROM hs{iters} s
+    JOIN a{iters} a USING (node)
+    JOIN nation n ON n.n_nationkey = s.node
+    """
+    return sql
+
+
+def _hits_prepare(spark: SparkSession, sf_dir: str):
+    return _trade_edges(spark, sf_dir)
+
+
+@register(
+    "graph_hits",
+    _hits_oracle(3),
+    doc="Weighted HITS hubs & authorities (Kleinberg 1999; 3 fixed "
+    "iterations, L1-normalized per half-step) over the supplier-nation "
+    "-> customer-nation trade graph — separates exporter hubs from "
+    "importer authorities, the two roles one PageRank conflates. Same "
+    "iterative-DataFrame pattern as graph_pagerank: one join+groupBy "
+    "shuffle per direction per iteration, 1-row normalizers broadcast "
+    "via crossJoin, decimal-fenced sums make the fixpoint "
+    "bit-identical to the unrolled-CTE oracle "
+    "(operators/graph.py::hits).",
+    prepare=_hits_prepare,
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import hits
+
+    edges = _trade_edges(spark, sf_dir)
+    scores = hits(edges, iterations=3, weight="w")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return scores.join(
+        F.broadcast(nation), scores.node == nation.n_nationkey
+    ).select(F.col("n_name").alias("nation"), "hub", "authority")

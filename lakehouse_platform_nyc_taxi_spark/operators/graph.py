@@ -401,3 +401,108 @@ def link_prediction(
         .orderBy(F.desc("jaccard"), "node_a", "node_b")
         .limit(top)
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Weighted HITS hubs-and-authorities (Kleinberg 1999, public) with
+    L1 normalization per half-step — PageRank's bipartite companion:
+    a node is a good AUTHORITY if good hubs point at it, a good HUB if
+    it points at good authorities. On a trade graph the pair separates
+    "who everyone buys from" from "who buys from everyone" — two roles
+    one PageRank score conflates.
+
+    ``edges`` is (src, dst[, weight]); multi-edges merge by summing
+    weights. ``iterations`` is fixed (no convergence test) so the
+    result is a deterministic function of the input — the oracle is
+    the unrolled-CTE twin, same contract as :func:`pagerank`. Per-edge
+    terms are IEEE doubles, every sum (neighbor aggregation AND the
+    L1 normalizers) is decimal-fenced so partition order can't move a
+    bit, and each iteration is one join+groupBy shuffle per direction
+    with the 1-row normalizer broadcast via crossJoin. Lineage is
+    truncated every ``checkpoint_every`` iterations (the pagerank
+    plan-explosion fix).
+
+    Output: ``node, hub, authority`` (raw doubles; each column sums to
+    1 up to the decimal fence).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    w = (
+        F.col(weight).cast("double")
+        if weight is not None
+        else F.lit(1.0)
+    )
+    e = (
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+        )
+        .groupBy("src", "dst")
+        .agg(_dsum("w").alias("w"))
+    )
+    if checkpoint_every:
+        e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if checkpoint_every:
+        nodes = nodes.localCheckpoint(eager=True)
+    scores = nodes.select(
+        "node", F.lit(1.0).alias("h"), F.lit(1.0).alias("a")
+    )
+
+    for i in range(iterations):
+        a_raw = (
+            e.join(
+                scores.select(F.col("node").alias("_u"), "h"),
+                e.src == F.col("_u"),
+            )
+            .select(F.col("dst").alias("node"), (F.col("w") * F.col("h")).alias("_t"))
+            .groupBy("node")
+            .agg(_dsum("_t").alias("_x"))
+        )
+        a_tot = a_raw.agg(_dsum("_x").alias("_ta"))
+        a_s = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(a_tot)
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("_x"), F.lit(0.0)) / F.col("_ta")
+                ).alias("a"),
+            )
+        )
+        h_raw = (
+            e.join(
+                a_s.select(F.col("node").alias("_v"), "a"),
+                e.dst == F.col("_v"),
+            )
+            .select(F.col("src").alias("node"), (F.col("w") * F.col("a")).alias("_t"))
+            .groupBy("node")
+            .agg(_dsum("_t").alias("_x"))
+        )
+        h_tot = h_raw.agg(_dsum("_x").alias("_th"))
+        h_s = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(h_tot)
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("_x"), F.lit(0.0)) / F.col("_th")
+                ).alias("h"),
+            )
+        )
+        scores = h_s.join(a_s, "node")
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            scores = scores.localCheckpoint(eager=True)
+    return scores.select("node", "h", "a").withColumnsRenamed(
+        {"h": "hub", "a": "authority"}
+    )

@@ -317,3 +317,27 @@ def test_key_skew_flags_hot_key(spark):
     # max/mean factor: 90 / (100/11)
     assert abs(r["skew_factor"] - 90 * 11 / 100) < 1e-9
     assert r["topk_share"] == 0.99  # hot + 9 singles of the 10
+
+
+def test_hits_hand_computed_one_iteration(spark):
+    """Edges 1->3, 2->3, 1->4, one iteration: authorities 2/3 and 1/3
+    at nodes 3/4; hubs 0.6 / 0.4 at nodes 1/2; sources have zero
+    authority, sinks zero hub; each column L1-sums to 1."""
+    from lakehouse_platform_nyc_taxi_spark.operators.graph import hits
+
+    e = spark.createDataFrame(
+        [(1, 3), (2, 3), (1, 4)], "src long, dst long"
+    )
+    out = {r.node: r for r in hits(e, iterations=1).collect()}
+    # decimal(28,8)-fenced sums quantize per-term at 1e-8 by design
+    assert abs(out[3].authority - 2 / 3) < 1e-7
+    assert abs(out[4].authority - 1 / 3) < 1e-7
+    assert abs(out[1].hub - 0.6) < 1e-7
+    assert abs(out[2].hub - 0.4) < 1e-7
+    assert out[1].authority == 0.0 and out[3].hub == 0.0
+    assert abs(sum(r.hub for r in out.values()) - 1.0) < 1e-7
+    assert abs(sum(r.authority for r in out.values()) - 1.0) < 1e-7
+    # more iterations stay normalized and keep the ordering
+    out3 = {r.node: r for r in hits(e, iterations=3).collect()}
+    assert out3[3].authority > out3[4].authority
+    assert out3[1].hub > out3[2].hub
