@@ -650,3 +650,126 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Round-15: profiling extensions — Benford first-digit audit and
+# functional-dependency discovery metrics.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+
+def _bexp(d: int) -> float:
+    # round8-fenced Benford mass, embedded as the SAME literal on both
+    # engine sides so libm log10 differences can't matter
+    return _math.floor(abs(_math.log10(1.0 + 1.0 / d)) * 1e8 + 0.5) / 1e8
+
+
+_BENFORD_VALUES = ", ".join(f"({d}, {_bexp(d)!r})" for d in range(1, 10))
+
+
+@register(
+    "profile_benford",
+    f"""
+    WITH m AS (
+        SELECT CAST(floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)
+                    AS BIGINT) AS m
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    d AS (
+        SELECT CAST(substr(CAST(m AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+               CAST(count(*) AS BIGINT) AS n
+        FROM m WHERE m > 0 GROUP BY 1
+    ),
+    ex AS (SELECT * FROM (VALUES {_BENFORD_VALUES}) AS t(digit, expected)),
+    tot AS (SELECT sum(n) AS tot FROM d),
+    per AS (
+        SELECT ex.digit, CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+               round(CAST(coalesce(d.n, 0) AS DOUBLE)
+                     / CAST(tot.tot AS DOUBLE), 6) AS observed,
+               round(ex.expected, 6) AS expected,
+               round(abs(CAST(coalesce(d.n, 0) AS DOUBLE)
+                         / CAST(tot.tot AS DOUBLE) - ex.expected), 6)
+                   AS abs_dev
+        FROM ex LEFT JOIN d USING (digit) CROSS JOIN tot
+    ),
+    mad AS (
+        SELECT round(CAST(sum(CAST(abs_dev AS DECIMAL(28,8))) AS DOUBLE)
+                     / 9.0, 6) AS mad
+        FROM per
+    )
+    SELECT per.digit, per.n, per.observed, per.expected, per.abs_dev, mad.mad
+    FROM per CROSS JOIN mad ORDER BY per.digit
+    """,
+    doc="Benford's-law first-digit audit of lineitem extended price "
+    "(the fabricated-data / broken-feed screen for financial "
+    "amounts): integer-mantissa digit extraction — floor(|x|*100+.5) "
+    "then first character of the integer's decimal string, NO log10 "
+    "in the data path — one grouped count per digit, Benford masses "
+    "embedded as identical round8 literals on both engines, Nigrini "
+    "MAD conformity statistic alongside "
+    "(operators/profile.py::benford_audit).",
+)
+def profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import benford_audit
+
+    li = load_table_parallel(spark, sf_dir, "lineitem")
+    return benford_audit(li, "l_extendedprice", scale=100)
+
+
+@register(
+    "profile_fd_violations",
+    """
+    WITH p1 AS (SELECT o_orderkey AS a, o_custkey AS b, count(*) AS n
+                FROM orders GROUP BY 1, 2),
+    d1 AS (SELECT a, sum(n) AS rws, count(*) AS deps, max(n) AS maj
+           FROM p1 GROUP BY 1),
+    r1 AS (SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent,
+                  CAST(sum(rws) AS BIGINT) AS n_rows,
+                  CAST(count(*) AS BIGINT) AS n_groups,
+                  CAST(sum(CASE WHEN deps > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_violating,
+                  CAST(sum(rws - maj) AS BIGINT) AS repair_deletes,
+                  max(deps) <= 1 AS holds
+           FROM d1),
+    p2 AS (SELECT o_custkey AS a, o_orderstatus AS b, count(*) AS n
+                FROM orders GROUP BY 1, 2),
+    d2 AS (SELECT a, sum(n) AS rws, count(*) AS deps, max(n) AS maj
+           FROM p2 GROUP BY 1),
+    r2 AS (SELECT 'o_custkey', 'o_orderstatus', CAST(sum(rws) AS BIGINT),
+                  CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN deps > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(sum(rws - maj) AS BIGINT), max(deps) <= 1
+           FROM d2),
+    p3 AS (SELECT o_custkey AS a, o_orderpriority AS b, count(*) AS n
+                FROM orders GROUP BY 1, 2),
+    d3 AS (SELECT a, sum(n) AS rws, count(*) AS deps, max(n) AS maj
+           FROM p3 GROUP BY 1),
+    r3 AS (SELECT 'o_custkey', 'o_orderpriority', CAST(sum(rws) AS BIGINT),
+                  CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN deps > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(sum(rws - maj) AS BIGINT), max(deps) <= 1
+           FROM d3)
+    SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+    """,
+    doc="Functional-dependency audit of three candidate FDs on orders "
+    "(orderkey->custkey holds; custkey->status and custkey->priority "
+    "are violated): per candidate ONE (det, dep) grouped count, then "
+    "per-determinant majority election gives violating-group counts "
+    "and the minimum-deletion repair cost — the key-discovery metrics "
+    "(Papenbrock et al.) a profiling pass runs before modeling; all "
+    "exact integers (operators/profile.py::fd_audit).",
+)
+def profile_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import fd_audit
+
+    o = load_table(spark, sf_dir, "orders")
+    return fd_audit(
+        o,
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderstatus"),
+            ("o_custkey", "o_orderpriority"),
+        ],
+    )

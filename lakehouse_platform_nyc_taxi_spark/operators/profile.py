@@ -165,3 +165,137 @@ def key_skew(df: DataFrame, cols: Sequence[str], top_k: int = 10) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def benford_audit(
+    df: DataFrame, value_col: str, scale: int = 100
+) -> DataFrame:
+    """Benford's-law first-digit audit (Newcomb 1881 / Benford 1938,
+    public) of a positive amount column — the standard fabricated-data
+    / broken-feed screen for financial-style values: genuinely
+    multiplicative quantities put digit d first with probability
+    log10(1 + 1/d); hand-entered or truncated feeds don't.
+
+    Engine-exact digit extraction: the value maps to an integer
+    mantissa ``floor(|x|·scale + 0.5)`` (IEEE-identical everywhere),
+    zero mantissas drop, and the leading digit is the first character
+    of the INTEGER's decimal string — no log10 on doubles anywhere in
+    the data path (libm log10 is not guaranteed correctly rounded at
+    power-of-ten boundaries; integer-to-string is exact on every
+    engine). One grouped count per digit; expected shares are the
+    round8-fenced Benford masses.
+
+    Output per digit 1-9: ``digit, n, observed, expected, abs_dev``
+    (round6) plus the audit-level ``mad`` (mean absolute deviation —
+    Nigrini's conformity statistic, same value on every row), ordered
+    by digit.
+    """
+    import math
+
+    from ..functions.trino import trino_round
+
+    x = F.col(value_col).cast("double")
+    m = F.floor(F.abs(x) * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+    digits = (
+        df.filter(x.isNotNull())
+        .select(m.alias("_m"))
+        .filter(F.col("_m") > 0)
+        .select(
+            F.substring(F.col("_m").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    spark = df.sparkSession
+    def _r8(v: float) -> float:
+        return math.floor(abs(v) * 1e8 + 0.5) / 1e8
+
+    expected = spark.createDataFrame(
+        [(d, _r8(math.log10(1.0 + 1.0 / d))) for d in range(1, 10)],
+        "digit int, expected double",
+    )
+    tot = digits.agg(F.sum("n").alias("_tot"))
+    per = (
+        F.broadcast(expected)
+        .join(digits, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            trino_round(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                / F.col("_tot").cast("double"),
+                6,
+            ).alias("observed"),
+            trino_round(F.col("expected"), 6).alias("expected"),
+            trino_round(
+                F.abs(
+                    F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                    / F.col("_tot").cast("double")
+                    - F.col("expected")
+                ),
+                6,
+            ).alias("abs_dev"),
+        )
+    )
+    mad = per.agg(
+        trino_round(
+            F.sum(F.col("abs_dev").cast("decimal(28,8)")).cast("double")
+            / F.lit(9.0),
+            6,
+        ).alias("mad")
+    )
+    return per.crossJoin(F.broadcast(mad)).orderBy("digit")
+
+
+def fd_audit(
+    df: DataFrame, candidates: Sequence[tuple[str, str]]
+) -> DataFrame:
+    """Functional-dependency audit: for each candidate FD
+    ``determinant -> dependent``, measure how far the table is from
+    satisfying it — the key-discovery / normalization-readiness check
+    a profiling pass runs before modeling a new table (Papenbrock et
+    al.'s FD-discovery metrics, public).
+
+    Per candidate: collapse to (det, dep) counts (one grouped
+    aggregate — the only data-scale work), then per determinant take
+    row count, distinct dependents, and the majority dependent's
+    count; aggregate to ``n_groups``, ``n_violating`` (determinants
+    with >1 dependent), and ``repair_deletes`` = Σ (rows − majority) —
+    the minimum deletions that make the FD hold. All exact integers.
+
+    Output per candidate: ``determinant, dependent, n_rows, n_groups,
+    n_violating, repair_deletes, holds``, in input order.
+    """
+    outs = []
+    for det, dep in candidates:
+        per_pair = (
+            df.groupBy(F.col(det).alias("_a"), F.col(dep).alias("_b"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        per_det = per_pair.groupBy("_a").agg(
+            F.sum("_n").alias("_rows"),
+            F.count(F.lit(1)).alias("_deps"),
+            F.max("_n").alias("_maj"),
+        )
+        outs.append(
+            per_det.agg(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                F.sum("_rows").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                F.sum(F.when(F.col("_deps") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating"),
+                F.sum(F.col("_rows") - F.col("_maj"))
+                .cast("bigint")
+                .alias("repair_deletes"),
+                (F.max("_deps") <= 1).alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

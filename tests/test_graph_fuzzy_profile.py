@@ -341,3 +341,40 @@ def test_hits_hand_computed_one_iteration(spark):
     out3 = {r.node: r for r in hits(e, iterations=3).collect()}
     assert out3[3].authority > out3[4].authority
     assert out3[1].hub > out3[2].hub
+
+
+def test_benford_audit_digit_extraction_and_mad(spark):
+    """Values 1.0, 19.99, 0.02, 900.0 (scale 100 -> mantissas 100,
+    1999, 2, 90000) -> leading digits 1, 1, 2, 9. Zero and null drop."""
+    from lakehouse_platform_nyc_taxi_spark.operators.profile import (
+        benford_audit,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (19.99,), (0.02,), (900.0,), (0.0,), (None,)],
+        "v double",
+    )
+    out = {r.digit: r for r in benford_audit(df, "v").collect()}
+    assert len(out) == 9
+    assert [out[d].n for d in range(1, 10)] == [2, 1, 0, 0, 0, 0, 0, 0, 1]
+    assert out[1].observed == 0.5
+    assert out[1].expected == 0.30103
+    assert out[2].mad == out[7].mad and out[2].mad > 0
+
+
+def test_fd_audit_holds_and_repair_cost(spark):
+    """a->b holds on unique a; c->d violated: c=1 maps to {x,x,y} ->
+    1 violating group, repair deletes the minority row (cost 1)."""
+    from lakehouse_platform_nyc_taxi_spark.operators.profile import fd_audit
+
+    df = spark.createDataFrame(
+        [(1, 10, 1, "x"), (2, 20, 1, "x"), (3, 30, 1, "y"), (4, 40, 2, "z")],
+        "a int, b int, c int, d string",
+    )
+    out = {r.determinant: r for r in fd_audit(df, [("a", "b"), ("c", "d")]).collect()}
+    assert out["a"].holds and out["a"].n_violating == 0
+    assert out["a"].repair_deletes == 0 and out["a"].n_groups == 4
+    assert not out["c"].holds
+    assert out["c"].n_violating == 1
+    assert out["c"].repair_deletes == 1
+    assert out["c"].n_groups == 2 and out["c"].n_rows == 4
