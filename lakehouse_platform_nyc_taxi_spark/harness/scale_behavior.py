@@ -1168,3 +1168,51 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(subj, "cohort", "duration_days", "converted").orderBy(
         "cohort", "duration_days"
     )
+
+
+@register(
+    "events_sequence_mining",
+    """
+    WITH seq AS (
+        SELECT user_id AS u, event_type AS e0,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS e1,
+               lead(event_type, 2) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS e2
+        FROM events
+    ),
+    tot AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS t FROM events),
+    p AS (
+        SELECT e0 || '>' || e1 AS pattern, 2 AS length, u
+        FROM seq WHERE e1 IS NOT NULL
+        UNION ALL
+        SELECT e0 || '>' || e1 || '>' || e2, 3, u
+        FROM seq WHERE e2 IS NOT NULL
+    ),
+    agg AS (
+        SELECT pattern, length, CAST(count(DISTINCT u) AS BIGINT) AS n_users
+        FROM p GROUP BY 1, 2
+    )
+    SELECT pattern, length, n_users,
+           round(CAST(n_users AS DOUBLE) / tot.t, 6) AS support
+    FROM agg CROSS JOIN tot
+    WHERE n_users >= 5
+    ORDER BY length, n_users DESC, pattern
+    """,
+    doc="Frequent contiguous event-sequence mining (the n-gram special "
+    "case of PrefixSpan/GSP): every 2- and 3-step event-type path "
+    "walked by at least 5 distinct users, with its user-reach share — "
+    "the multi-step companion to events_markov_transitions. Per-user "
+    "lead windows (bounded per-user, no global sort) build forward "
+    "n-grams; support counts DISTINCT users (map-side partial dedup), "
+    "so loops can't fake popularity; the alphabet bounds the output "
+    "(operators/sessionize.py::sequence_mining).",
+)
+def events_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import sequence_mining
+
+    ev = load_table(spark, sf_dir, "events")
+    return sequence_mining(
+        ev, "user_id", "ts", "event_type",
+        tiebreak_col="event_id", max_len=3, min_support=5,
+    )

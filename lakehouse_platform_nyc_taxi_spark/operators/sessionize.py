@@ -445,3 +445,81 @@ def funnel_latency(
         "r.stage", "r.stage_idx", "r.n_users", "r.mean_latency_s",
         "r.max_latency_s",
     )
+
+
+def sequence_mining(
+    df: DataFrame,
+    user_col: str,
+    order_col: str,
+    event_col: str,
+    tiebreak_col: str | None = None,
+    max_len: int = 3,
+    min_support: int = 2,
+) -> DataFrame:
+    """Frequent CONTIGUOUS event-sequence mining (the n-gram special
+    case of PrefixSpan / GSP, public): which 2-step and 3-step
+    event-type paths do at least ``min_support`` distinct users walk?
+    The product-analytics companion to :func:`markov_transitions` —
+    transitions give one-step probabilities, this surfaces the actual
+    multi-step paths with their user reach.
+
+    Plan shape: per-user ``lead`` windows (partitioned by user —
+    bounded per-user work, no global sort) build each row's length-2..
+    ``max_len`` forward n-gram; support counts DISTINCT users per
+    pattern (map-side partial dedup on (pattern, user)), never
+    occurrences, so one looping user can't fake popularity. Patterns
+    below ``min_support`` drop before the final ordering; output is
+    pattern-cardinality-sized.
+
+    Output: ``pattern`` ('a>b>c'), ``length``, ``n_users``,
+    ``support`` (share of all users, round6), ordered by
+    (length, n_users desc, pattern).
+    """
+    if max_len < 2:
+        raise ValueError("max_len must be >= 2")
+    from ..functions.trino import trino_round
+
+    order_cols = [F.col(order_col)]
+    if tiebreak_col is not None:
+        order_cols.append(F.col(tiebreak_col))
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    base = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(event_col).alias("_e0"),
+        *[
+            F.lead(F.col(event_col), i).over(w).alias(f"_e{i}")
+            for i in range(1, max_len)
+        ],
+    )
+    # one bounded-metadata scalar (user count) — off the RAW frame so
+    # the probe never evaluates the lead windows
+    tot = df.select(F.col(user_col)).distinct().count()
+    pats = []
+    for ln in range(2, max_len + 1):
+        cols = [F.col(f"_e{i}") for i in range(ln)]
+        cond = cols[ln - 1].isNotNull()
+        pats.append(
+            base.filter(cond)
+            .select(
+                F.concat_ws(">", *cols).alias("pattern"),
+                F.lit(ln).alias("length"),
+                "_u",
+            )
+        )
+    allp = pats[0]
+    for p in pats[1:]:
+        allp = allp.unionAll(p)
+    return (
+        allp.groupBy("pattern", "length")
+        .agg(F.count_distinct("_u").cast("bigint").alias("n_users"))
+        .filter(F.col("n_users") >= min_support)
+        .select(
+            "pattern",
+            "length",
+            "n_users",
+            trino_round(
+                F.col("n_users").cast("double") / F.lit(float(tot)), 6
+            ).alias("support"),
+        )
+        .orderBy("length", F.desc("n_users"), "pattern")
+    )

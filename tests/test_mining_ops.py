@@ -480,3 +480,36 @@ def test_link_prediction_backbone_cuts_weakest(spark):
     assert len(got) == 1
     assert (got[0].node_a, got[0].node_b) == (1, 3)
     assert got[0].common_neighbors == 1
+
+
+def test_sequence_mining_contiguous_support(spark):
+    """User 1 walks a>b>c, user 2 loops a>b ten times, user 3 walks
+    b>a: min_support=2 keeps 'a>b' (users 1,2) and 'b>a' (user 2's
+    loop + user 3); a user repeating a pattern still counts once."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_platform_nyc_taxi_spark.operators.sessionize import (
+        sequence_mining,
+    )
+
+    rows = (
+        [(1, t, e) for t, e in enumerate(["a", "b", "c"])]
+        + [(2, t, e) for t, e in enumerate(["a", "b"] * 10)]
+        + [(3, t, e) for t, e in enumerate(["b", "a"])]
+    )
+    df = spark.createDataFrame(rows, "u long, t long, e string")
+    out = sequence_mining(
+        df, "u", "t", "e", max_len=3, min_support=2
+    ).collect()
+    assert [(r.pattern, r.n_users) for r in out] == [("a>b", 2), ("b>a", 2)]
+    assert out[0].support == round(2 / 3, 6)
+    # min_support=1 surfaces the 3-gram for user 1 and the loops of 2
+    all_p = {
+        (r.pattern, r.length): r.n_users
+        for r in sequence_mining(
+            df, "u", "t", "e", max_len=3, min_support=1
+        ).collect()
+    }
+    assert all_p[("a>b>c", 3)] == 1
+    assert all_p[("b>a>b", 3)] == 1  # user 2's loop, counted once
+    assert all_p[("b>a", 2)] == 2  # users 2 (loop) and 3
