@@ -1309,3 +1309,67 @@ def stats_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isotonic_calibration(o, "priority", "score", "label").orderBy(
         "priority", "score"
     )
+
+
+@register(
+    "stats_ols_two_features",
+    """
+    WITH m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x1 AS DECIMAL(28,8))) AS DOUBLE) AS sx1,
+             CAST(sum(CAST(x2 AS DECIMAL(28,8))) AS DOUBLE) AS sx2,
+             CAST(sum(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x1 * x1 AS DECIMAL(28,8))) AS DOUBLE) AS s11,
+             CAST(sum(CAST(x2 * x2 AS DECIMAL(28,8))) AS DOUBLE) AS s22,
+             CAST(sum(CAST(x1 * x2 AS DECIMAL(28,8))) AS DOUBLE) AS s12,
+             CAST(sum(CAST(x1 * y AS DECIMAL(28,8))) AS DOUBLE) AS s1y,
+             CAST(sum(CAST(x2 * y AS DECIMAL(28,8))) AS DOUBLE) AS s2y,
+             CAST(sum(CAST(y * y AS DECIMAL(28,8))) AS DOUBLE) AS syy
+      FROM (
+        SELECT CAST(l_quantity AS DOUBLE) AS x1,
+               CAST(l_discount AS DOUBLE) AS x2,
+               CAST(l_extendedprice AS DOUBLE) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+          AND l_extendedprice IS NOT NULL
+      )
+    ),
+    solved AS (
+      SELECT n,
+             (n * (s11 * s22 - s12 * s12)
+              - sx1 * (sx1 * s22 - sx2 * s12)
+              + sx2 * (sx1 * s12 - sx2 * s11)) AS det,
+             (sy * (s11 * s22 - s12 * s12)
+              - s1y * (sx1 * s22 - sx2 * s12)
+              + s2y * (sx1 * s12 - sx2 * s11)) AS det0,
+             (n * (s1y * s22 - s12 * s2y)
+              - sx1 * (sy * s22 - sx2 * s2y)
+              + sx2 * (sy * s12 - sx2 * s1y)) AS det1,
+             (n * (s11 * s2y - s1y * s12)
+              - sx1 * (sx1 * s2y - s1y * sx2)
+              + sy * (sx1 * s12 - s11 * sx2)) AS det2,
+             sy, s1y, s2y, syy
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(det0 / det, 6) AS intercept,
+           round(det1 / det, 6) AS beta1,
+           round(det2 / det, 6) AS beta2,
+           round(1.0 - (syy - (det0 / det) * sy - (det1 / det) * s1y
+                        - (det2 / det) * s2y)
+                       / (syy - sy * sy / n), 6) AS r2
+    FROM solved
+    """,
+    doc="Two-feature OLS (extended price ~ quantity + discount) in "
+    "closed form: nine decimal-fenced moment sums from ONE "
+    "partial-aggregated scan, then Cramer's-rule 3x3 solve and "
+    "normal-equation R-squared as fixed-order IEEE arithmetic on the "
+    "bit-identical moments — the mergeable regression shape (no "
+    "iterative solver, nothing collected) "
+    "(operators/stats.py::ols_two_features).",
+)
+def stats_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import ols_two_features
+
+    li = load_table_parallel(spark, sf_dir, "lineitem")
+    return ols_two_features(li, "l_extendedprice", "l_quantity", "l_discount")

@@ -1736,3 +1736,85 @@ def isotonic_calibration(
         )
     bucket = F.pmod(F.xxhash64(F.col("_g")), F.lit(n_buckets))
     return by_v.groupBy(bucket.alias("_bk")).applyInPandas(fold, out_schema)
+
+
+def ols_two_features(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+) -> DataFrame:
+    """Two-feature OLS with intercept, solved in CLOSED FORM from the
+    normal equations via Cramer's rule — the mergeable-moment shape a
+    100 TB regression needs (one partial-aggregated shuffle produces
+    nine moment sums; the 3×3 solve is scalar arithmetic on the
+    1-row aggregate, the same contract as ``agg_corr_regression``'s
+    single-feature form). No iterative solver, no collect of data.
+
+    Determinism: every moment is a decimal-fenced sum (order-free);
+    the Cramer determinants and R² = 1 − SSE/SST (with
+    SSE = Syy − b₀Sy − b₁Sx₁y − b₂Sx₂y from the normal-equation
+    identity) are a fixed-order IEEE chain over the bit-identical
+    moments, with output rounding absorbing the one compiler-level
+    FMA ulp the single-feature query documents.
+
+    Output (one row): ``n, intercept, beta1, beta2, r2`` (round6;
+    NULLs when the design matrix is singular).
+    """
+    y = F.col(y_col).cast("double")
+    x1 = F.col(x1_col).cast("double")
+    x2 = F.col(x2_col).cast("double")
+    base = df.filter(
+        y.isNotNull() & x1.isNotNull() & x2.isNotNull()
+    ).select(y.alias("_y"), x1.alias("_x1"), x2.alias("_x2"))
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(28,8)")).cast("double")
+
+    m = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(F.col("_x1")).alias("sx1"),
+        dsum(F.col("_x2")).alias("sx2"),
+        dsum(F.col("_y")).alias("sy"),
+        dsum(F.col("_x1") * F.col("_x1")).alias("s11"),
+        dsum(F.col("_x2") * F.col("_x2")).alias("s22"),
+        dsum(F.col("_x1") * F.col("_x2")).alias("s12"),
+        dsum(F.col("_x1") * F.col("_y")).alias("s1y"),
+        dsum(F.col("_x2") * F.col("_y")).alias("s2y"),
+        dsum(F.col("_y") * F.col("_y")).alias("syy"),
+    )
+    n, sx1, sx2, sy = F.col("n"), F.col("sx1"), F.col("sx2"), F.col("sy")
+    s11, s22, s12 = F.col("s11"), F.col("s22"), F.col("s12")
+    s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - sx1 * (sx1 * s22 - sx2 * s12)
+        + sx2 * (sx1 * s12 - sx2 * s11)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1y * (sx1 * s22 - sx2 * s12)
+        + s2y * (sx1 * s12 - sx2 * s11)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sx1 * (sy * s22 - sx2 * s2y)
+        + sx2 * (sy * s12 - sx2 * s1y)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - sx1 * (sx1 * s2y - s1y * sx2)
+        + sy * (sx1 * s12 - s11 * sx2)
+    )
+    b0 = F.try_divide(det0, det)
+    b1 = F.try_divide(det1, det)
+    b2 = F.try_divide(det2, det)
+    sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    sst = syy - sy * sy / n
+    return m.select(
+        n.cast("bigint").alias("n"),
+        trino_round(b0, 6).alias("intercept"),
+        trino_round(b1, 6).alias("beta1"),
+        trino_round(b2, 6).alias("beta2"),
+        trino_round(F.lit(1.0) - F.try_divide(sse, sst), 6).alias("r2"),
+    )

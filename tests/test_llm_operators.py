@@ -2532,3 +2532,30 @@ def test_isotonic_calibration_pav_hand_computed(spark):
         for r in stats.isotonic_calibration(mono, "grp", "score", "y").collect()
     }
     assert got == {1.0: 0.0, 2.0: 0.5, 3.0: 1.0}
+
+
+def test_ols_two_features_recovers_exact_plane(spark):
+    """y = 2 + 3*x1 - 0.5*x2 exactly -> coefficients recovered, r2=1;
+    collinear features -> singular design, NULL coefficients."""
+    from lakehouse_platform_nyc_taxi_spark.operators.stats import (
+        ols_two_features,
+    )
+
+    rows = [
+        (float(x1), float(x2), 2.0 + 3.0 * x1 - 0.5 * x2)
+        for x1 in range(5)
+        for x2 in range(4)
+    ]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    got = ols_two_features(df, "y", "x1", "x2").collect()[0]
+    assert got.n == 20
+    assert got.intercept == 2.0
+    assert got.beta1 == 3.0
+    assert got.beta2 == -0.5
+    assert got.r2 == 1.0
+    sing = spark.createDataFrame(
+        [(1.0, 2.0, 5.0), (2.0, 4.0, 7.0), (3.0, 6.0, 9.0)],
+        "x1 double, x2 double, y double",
+    )
+    g2 = ols_two_features(sing, "y", "x1", "x2").collect()[0]
+    assert g2.intercept is None and g2.beta1 is None
