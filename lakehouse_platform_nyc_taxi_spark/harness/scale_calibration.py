@@ -1373,3 +1373,50 @@ def stats_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table_parallel(spark, sf_dir, "lineitem")
     return ols_two_features(li, "l_extendedprice", "l_quantity", "l_discount")
+
+
+@register(
+    "orders_gini",
+    """
+    WITH cust AS (
+        SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE)
+            AS v
+        FROM orders GROUP BY o_custkey
+    ),
+    b AS (SELECT v, count(*) AS n FROM cust GROUP BY 1),
+    c AS (
+        SELECT v, n, 2 * sum(n) OVER (ORDER BY v) - n + 1 AS d FROM b
+    ),
+    m AS (
+        SELECT CAST(sum(n) AS DOUBLE) AS nn,
+               CAST(sum(CAST((CAST(d AS DOUBLE) * CAST(n AS DOUBLE)) * v
+                             AS DECIMAL(38,8))) AS DOUBLE) AS sdx,
+               CAST(sum(CAST(v * CAST(n AS DOUBLE)
+                             AS DECIMAL(38,8))) AS DOUBLE) AS sx
+        FROM c
+    )
+    SELECT CAST(nn AS BIGINT) AS n, round(sx, 6) AS total,
+           round((sdx - (nn + 1.0) * sx) / (nn * sx), 6) AS gini
+    FROM m
+    """,
+    doc="Exact tie-correct Gini coefficient of per-customer lifetime "
+    "revenue — the single-number Lorenz summary next to "
+    "orders_pareto_share's top-k cut points. Customer revenues "
+    "collapse to distinct-value counts, doubled midranks ride the "
+    "two-phase running count (never a global row sort), both weighted "
+    "sums are decimal(38,8)-fenced fixed-order double terms "
+    "(operators/stats.py::gini_coefficient).",
+)
+def orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import gini_coefficient
+
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    return gini_coefficient(cust, "rev")

@@ -1818,3 +1818,59 @@ def ols_two_features(
         trino_round(b2, 6).alias("beta2"),
         trino_round(F.lit(1.0) - F.try_divide(sse, sst), 6).alias("r2"),
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Exact Gini concentration coefficient (Gini 1912, public) of a
+    non-negative value column, tie-correct via midranks:
+
+        G = (Σ dᵥ·v·nᵥ − (n+1)·Σx) / (n·Σx),   dᵥ = doubled midrank
+
+    — the single-number Lorenz summary next to ``orders_pareto_share``'s
+    top-k cut points (0 = perfect equality, →1 = one unit holds all).
+
+    Never sorts rows: values collapse to |distinct v| counts, doubled
+    midranks ride :func:`~..operators.timeseries.two_phase_running_sum`
+    (the Mann-Whitney/Spearman machinery), and both weighted sums are
+    decimal(38,8)-fenced aggregates of fixed-order double terms — the
+    final ratio is one IEEE chain over bit-identical sums.
+
+    Output (one row): ``n, total, gini`` (round6; gini NULL when the
+    total is 0).
+    """
+    from .timeseries import two_phase_running_sum
+
+    v = F.col(value_col).cast("double")
+    by_v = (
+        df.filter(v.isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint()
+    )
+    cum = two_phase_running_sum(by_v, F.col("_n"), order=["_v"], out="_c")
+    d = (2 * F.col("_c") - F.col("_n") + 1).cast("double")
+    d38 = "decimal(38,8)"
+    m = cum.agg(
+        F.sum("_n").cast("double").alias("_nn"),
+        F.sum(
+            ((d * F.col("_n").cast("double")) * F.col("_v")).cast(d38)
+        )
+        .cast("double")
+        .alias("_sdx"),
+        F.sum(
+            (F.col("_v") * F.col("_n").cast("double")).cast(d38)
+        )
+        .cast("double")
+        .alias("_sx"),
+    )
+    nn, sdx, sx = F.col("_nn"), F.col("_sdx"), F.col("_sx")
+    return m.select(
+        nn.cast("bigint").alias("n"),
+        trino_round(sx, 6).alias("total"),
+        trino_round(
+            F.try_divide(sdx - (nn + F.lit(1.0)) * sx, nn * sx), 6
+        ).alias("gini"),
+    )

@@ -2559,3 +2559,19 @@ def test_ols_two_features_recovers_exact_plane(spark):
     )
     g2 = ols_two_features(sing, "y", "x1", "x2").collect()[0]
     assert g2.intercept is None and g2.beta1 is None
+
+
+def test_gini_coefficient_hand_computed(spark):
+    """Equal values -> 0; [0,0,0,1] -> G = (sum d*v - 5*1)/(4*1):
+    d at v=1 is 2*4-1+1=8 -> (8-5)/4 = 0.75; all-zero -> NULL."""
+    from lakehouse_platform_nyc_taxi_spark.operators.stats import (
+        gini_coefficient,
+    )
+
+    eq = spark.createDataFrame([(5.0,)] * 4, "v double")
+    assert gini_coefficient(eq, "v").collect()[0].gini == 0.0
+    conc = spark.createDataFrame([(0.0,), (0.0,), (0.0,), (1.0,)], "v double")
+    got = gini_coefficient(conc, "v").collect()[0]
+    assert (got.n, got.total, got.gini) == (4, 1.0, 0.75)
+    zero = spark.createDataFrame([(0.0,), (0.0,)], "v double")
+    assert gini_coefficient(zero, "v").collect()[0].gini is None
