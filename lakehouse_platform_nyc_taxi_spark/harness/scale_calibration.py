@@ -1420,3 +1420,76 @@ def orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return gini_coefficient(cust, "rev")
+
+
+@register(
+    "events_ips_offpolicy",
+    """
+    WITH base AS (
+        SELECT CAST(dayofweek(ts) AS INTEGER) AS x, event_type AS a,
+               CAST(value AS DOUBLE) AS r
+        FROM events WHERE value IS NOT NULL
+    ),
+    per_xa AS (
+        SELECT x, a, CAST(count(*) AS BIGINT) AS nxa,
+               round(CAST(sum(CAST(r AS DECIMAL(38,12))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 8) AS mu
+        FROM base GROUP BY 1, 2
+    ),
+    per_x AS (SELECT x, CAST(sum(nxa) AS BIGINT) AS nx
+              FROM per_xa GROUP BY 1),
+    pol AS (
+        SELECT x, a AS pi FROM (
+            SELECT x, a, row_number() OVER (PARTITION BY x
+                         ORDER BY mu DESC, a ASC) AS rk
+            FROM per_xa
+        ) WHERE rk = 1
+    ),
+    scored AS (
+        SELECT b.r, CASE WHEN b.a = pol.pi THEN 1 ELSE 0 END AS hit,
+               CAST(per_x.nx AS DOUBLE) / CAST(per_xa.nxa AS DOUBLE) AS invp
+        FROM base b
+        JOIN per_xa ON per_xa.x = b.x AND per_xa.a = b.a
+        JOIN per_x ON per_x.x = b.x
+        JOIN pol ON pol.x = b.x
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(hit) AS BIGINT) AS n_matched,
+               CAST(sum(CAST(CASE WHEN hit = 1
+                             THEN round(r * invp, 8) ELSE 0.0 END
+                             AS DECIMAL(38,8))) AS DOUBLE) AS sw,
+               CAST(sum(CAST(CASE WHEN hit = 1
+                             THEN round(invp, 8) ELSE 0.0 END
+                             AS DECIMAL(38,8))) AS DOUBLE) AS sp
+        FROM scored
+    )
+    SELECT n, n_matched,
+           round(CAST(n_matched AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS match_rate,
+           round(sw / CAST(n AS DOUBLE), 6) AS ips_value,
+           round(sw / sp, 6) AS snips_value
+    FROM m
+    """,
+    doc="Off-policy bandit replay over the event log: contexts are "
+    "days-of-week, actions are event types, rewards are values; the "
+    "greedy (argmax round8 mean-reward) target policy is scored by "
+    "inverse-propensity IPS and self-normalized SNIPS against the "
+    "empirical logging propensities. One contexts-x-actions grouped "
+    "aggregate, bounded propensity/policy tables broadcast back, "
+    "round8-fenced fixed-order weight terms — both estimators "
+    "engine-identical (operators/stats.py::ips_offpolicy).",
+)
+def events_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import ips_offpolicy
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.dayofweek("ts").cast("int").alias("dow"),
+            F.col("event_type"),
+            F.col("value"),
+        )
+    )
+    return ips_offpolicy(ev, "dow", "event_type", "value")

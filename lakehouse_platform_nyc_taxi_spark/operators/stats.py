@@ -1874,3 +1874,98 @@ def gini_coefficient(
             F.try_divide(sdx - (nn + F.lit(1.0)) * sx, nn * sx), 6
         ).alias("gini"),
     )
+
+
+def ips_offpolicy(
+    df: DataFrame,
+    context_col: str,
+    action_col: str,
+    reward_col: str,
+) -> DataFrame:
+    """Off-policy evaluation of the greedy target policy by inverse
+    propensity scoring (Horvitz-Thompson 1952 / Li et al. 2011 bandit
+    replay, public): from a log of (context, action, reward),
+    estimate what the argmax-mean-reward policy WOULD earn, without
+    deploying it.
+
+        p(a|x)  = n_{x,a} / n_x           (empirical logging propensity)
+        π(x)    = argmax_a round8(mean reward)   (ties → smallest action)
+        IPS     = (1/N) Σ 1{aᵢ=π(xᵢ)} rᵢ/p(aᵢ|xᵢ)
+        SNIPS   = Σ 1{·} rᵢ/pᵢ  ÷  Σ 1{·} 1/pᵢ   (self-normalized)
+
+    Plan shape: ONE (context, action) grouped aggregate produces
+    counts and decimal-fenced mean rewards; the argmax ranks the
+    contexts×actions table (bounded, never rows); propensities and
+    the policy broadcast back over the log for one more aggregate.
+    Per-row weights are fixed-order IEEE terms round8-fenced into
+    decimal sums, so both estimators are engine-identical.
+
+    Output (one row): ``n, n_matched, match_rate, ips_value,
+    snips_value`` (round6; with zero matched rows IPS is 0 and SNIPS
+    is NULL — the self-normalizer has nothing to normalize).
+    """
+    from pyspark.sql import Window
+
+    x = F.col(context_col)
+    a = F.col(action_col)
+    r = F.col(reward_col).cast("double")
+    base = df.filter(r.isNotNull()).select(
+        x.alias("_x"), a.alias("_a"), r.alias("_r")
+    )
+    per_xa = base.groupBy("_x", "_a").agg(
+        F.count(F.lit(1)).alias("_nxa"),
+        trino_round(
+            F.sum(F.col("_r").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            8,
+        ).alias("_mu"),
+    )
+    per_x = per_xa.groupBy("_x").agg(F.sum("_nxa").alias("_nx"))
+    w = Window.partitionBy("_x").orderBy(F.desc("_mu"), F.asc("_a"))
+    pol = (
+        per_xa.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("_x", F.col("_a").alias("_pi"))
+    )
+    d38 = "decimal(38,8)"
+    ips_w = F.col("_r") * (
+        F.col("_nx").cast("double") / F.col("_nxa").cast("double")
+    )
+    inv_p = F.col("_nx").cast("double") / F.col("_nxa").cast("double")
+    scored = (
+        base.join(F.broadcast(per_xa.select("_x", "_a", "_nxa")), ["_x", "_a"])
+        .join(F.broadcast(per_x), "_x")
+        .join(F.broadcast(pol), "_x")
+        .withColumn("_hit", (F.col("_a") == F.col("_pi")).cast("int"))
+    )
+    m = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_hit").cast("bigint").alias("n_matched"),
+        F.sum(
+            F.when(F.col("_hit") == 1, trino_round(ips_w, 8))
+            .otherwise(F.lit(0.0))
+            .cast(d38)
+        )
+        .cast("double")
+        .alias("_sw"),
+        F.sum(
+            F.when(F.col("_hit") == 1, trino_round(inv_p, 8))
+            .otherwise(F.lit(0.0))
+            .cast(d38)
+        )
+        .cast("double")
+        .alias("_sp"),
+    )
+    return m.select(
+        "n",
+        "n_matched",
+        trino_round(
+            F.col("n_matched").cast("double") / F.col("n").cast("double"), 6
+        ).alias("match_rate"),
+        trino_round(
+            F.try_divide(F.col("_sw"), F.col("n").cast("double")), 6
+        ).alias("ips_value"),
+        trino_round(F.try_divide(F.col("_sw"), F.col("_sp")), 6).alias(
+            "snips_value"
+        ),
+    )

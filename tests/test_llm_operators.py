@@ -2575,3 +2575,28 @@ def test_gini_coefficient_hand_computed(spark):
     assert (got.n, got.total, got.gini) == (4, 1.0, 0.75)
     zero = spark.createDataFrame([(0.0,), (0.0,)], "v double")
     assert gini_coefficient(zero, "v").collect()[0].gini is None
+
+
+def test_ips_offpolicy_hand_computed(spark):
+    """One context, actions a (rewards 1,1) and b (rewards 0,0):
+    greedy policy picks a, p(a)=0.5 -> IPS = (2+2)/4 = 1.0 = SNIPS;
+    match_rate 0.5. Tie on means -> smallest action wins."""
+    from lakehouse_platform_nyc_taxi_spark.operators.stats import (
+        ips_offpolicy,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "a", 1.0), (1, "b", 0.0), (1, "b", 0.0)],
+        "x int, a string, r double",
+    )
+    got = ips_offpolicy(df, "x", "a", "r").collect()[0]
+    assert (got.n, got.n_matched, got.match_rate) == (4, 2, 0.5)
+    assert got.ips_value == 1.0
+    assert got.snips_value == 1.0
+    tie = spark.createDataFrame(
+        [(1, "z", 1.0), (1, "c", 1.0)], "x int, a string, r double"
+    )
+    g2 = ips_offpolicy(tie, "x", "a", "r").collect()[0]
+    assert g2.n_matched == 1  # 'c' wins the tie, one matched row
+    # no reward signal at all -> policy still picks smallest action
+    assert g2.ips_value == 1.0  # 1.0 * (2/1) / 2
