@@ -214,3 +214,121 @@ def hilbert_sql_ctes(
         f"hil AS (SELECT {cols}, hd{bits} AS {out} FROM h{bits})"
     )
     return ",\n    ".join(parts)
+
+
+def bloom_skipping_audit(
+    df: DataFrame,
+    file_col: str,
+    key_col: str,
+    probes: list[int],
+    m_bits: int = 1024,
+    k: int = 3,
+) -> DataFrame:
+    """File-level Bloom-filter skipping audit for POINT predicates —
+    the companion to the zone-map audits: on a column uncorrelated
+    with write order every file's min/max spans the whole domain and
+    zone maps prune nothing, while a tiny per-file Bloom filter
+    (Bloom 1970, public; the Parquet/Delta bloom-filter-index idea)
+    prunes every file that provably lacks the key, at a measurable
+    false-positive cost this audit reports.
+
+    Per file: the filter is the distinct set of bit positions
+    ``seeded_md5(key, i) % m_bits`` (i < k) over the file's distinct
+    keys — built as one (file, bit) distinct aggregate, ≤ files ×
+    m_bits rows total. A probe scans a file iff ALL of its (distinct)
+    required bits are set. Everything is exact integer arithmetic on
+    the cross-engine md5 family — no xxhash, no RNG.
+
+    Output per probe (ascending): ``probe, n_files, files_bloom,
+    files_zonemap, files_true`` — bloom vs zone-map vs ground-truth
+    scan counts; ``files_bloom − files_true`` is the false-positive
+    cost of ``m_bits``/``k`` at this file size.
+    """
+    import hashlib
+
+    from .hashing import seeded_md5_long
+
+    fcol = F.col(file_col).alias("_f")
+    key = F.col(key_col).cast("long")
+    fk = df.select(fcol, key.alias("_k")).distinct().localCheckpoint()
+    bit_arr = F.array(
+        *[
+            (seeded_md5_long(F.col("_k").cast("string"), i) % m_bits).cast(
+                "int"
+            )
+            for i in range(k)
+        ]
+    )
+    bits = (
+        fk.select("_f", F.explode(bit_arr).alias("bit"))
+        .distinct()
+    )
+
+    def _pbits(p: int) -> list[int]:
+        out = set()
+        for i in range(k):
+            h = hashlib.md5(f"{p}#{i}".encode()).hexdigest()[:15]
+            out.add(int(h, 16) % m_bits)
+        return sorted(out)
+
+    spark = df.sparkSession
+    probe_bits = spark.createDataFrame(
+        [(int(p), b) for p in probes for b in _pbits(int(p))],
+        "probe long, bit int",
+    )
+    need = probe_bits.groupBy("probe").agg(
+        F.count_distinct("bit").alias("_nreq")
+    )
+    hit = (
+        F.broadcast(probe_bits)
+        .join(bits, "bit")
+        .groupBy("probe", "_f")
+        .agg(F.count_distinct("bit").alias("_nhit"))
+    )
+    bloom_scan = (
+        hit.join(F.broadcast(need), "probe")
+        .filter(F.col("_nhit") == F.col("_nreq"))
+        .groupBy("probe")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("files_bloom"))
+    )
+    zm = fk.groupBy("_f").agg(
+        F.min("_k").alias("_kmin"), F.max("_k").alias("_kmax")
+    )
+    probe_df = spark.createDataFrame(
+        [(int(p),) for p in probes], "probe long"
+    )
+    z_scan = (
+        F.broadcast(probe_df)
+        .join(
+            zm,
+            (F.col("probe") >= F.col("_kmin"))
+            & (F.col("probe") <= F.col("_kmax")),
+        )
+        .groupBy("probe")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("files_zonemap"))
+    )
+    truth = (
+        fk.join(F.broadcast(probe_df), fk._k == F.col("probe"))
+        .groupBy("probe")
+        .agg(F.count_distinct("_f").cast("bigint").alias("files_true"))
+    )
+    n_files = fk.select("_f").distinct().count()
+    return (
+        probe_df.join(bloom_scan, "probe", "left")
+        .join(z_scan, "probe", "left")
+        .join(truth, "probe", "left")
+        .select(
+            "probe",
+            F.lit(n_files).cast("bigint").alias("n_files"),
+            F.coalesce(F.col("files_bloom"), F.lit(0))
+            .cast("bigint")
+            .alias("files_bloom"),
+            F.coalesce(F.col("files_zonemap"), F.lit(0))
+            .cast("bigint")
+            .alias("files_zonemap"),
+            F.coalesce(F.col("files_true"), F.lit(0))
+            .cast("bigint")
+            .alias("files_true"),
+        )
+        .orderBy("probe")
+    )

@@ -225,3 +225,29 @@ def test_hilbert_matches_reference_random(spark):
     got = {(r.x, r.y): r.h for r in with_hilbert(df, "x", "y", out="h").collect()}
     for x, y in cases:
         assert got[(x, y)] == _hilbert_ref(x, y), (x, y)
+
+
+def test_bloom_skipping_audit_exact_and_fp_bounded(spark):
+    """Two files with disjoint keys: a present key bloom-scans only
+    file(s) that could hold it and truth matches; an absent key has
+    files_true == 0 and bloom <= zonemap when zone maps are wide."""
+    from lakehouse_platform_nyc_taxi_spark.operators.layout import (
+        bloom_skipping_audit,
+    )
+
+    rows = [(0, k) for k in (1, 100)] + [(1, k) for k in (50, 150)]
+    df = spark.createDataFrame(rows, "file int, key long")
+    out = {
+        r.probe: r
+        for r in bloom_skipping_audit(
+            df, "file", "key", [1, 150, 999], m_bits=256, k=3
+        ).collect()
+    }
+    assert out[1].n_files == 2
+    assert out[1].files_true == 1 and out[1].files_bloom >= 1
+    assert out[150].files_true == 1
+    # 999 exists nowhere: zone maps exclude it (out of both ranges)
+    assert out[999].files_true == 0 and out[999].files_zonemap == 0
+    # bloom never misses a containing file
+    for p in (1, 150):
+        assert out[p].files_bloom >= out[p].files_true
