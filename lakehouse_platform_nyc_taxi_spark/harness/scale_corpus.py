@@ -773,3 +773,52 @@ def profile_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("o_custkey", "o_orderpriority"),
         ],
     )
+
+
+@register(
+    "embedding_outlier_scores",
+    f"""
+    WITH x AS (
+        SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE)))
+                   AS val
+        FROM embeddings
+    ),
+    st AS (
+        SELECT dim,
+               CAST(sum(CAST(val AS DECIMAL(28,8))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS m,
+               CAST(sum(CAST(val * val AS DECIMAL(28,8))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE)
+               - (CAST(sum(CAST(val AS DECIMAL(28,8))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE))
+                 * (CAST(sum(CAST(val AS DECIMAL(28,8))) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE)) AS var
+        FROM x GROUP BY 1
+    ),
+    t AS (
+        SELECT x.vec_id,
+               round(CASE WHEN st.var > 0
+                     THEN (x.val - st.m) * (x.val - st.m) / st.var
+                     ELSE 0.0 END, 8) AS t
+        FROM x JOIN st USING (dim)
+    )
+    SELECT vec_id,
+           round(CAST(sum(CAST(t AS DECIMAL(28,8))) AS DOUBLE), 6) AS md_sq
+    FROM t GROUP BY 1
+    ORDER BY md_sq DESC, vec_id ASC LIMIT 10
+    """,
+    doc="Top-10 embedding-space outliers by diagonal Mahalanobis "
+    "distance: one posexplode pass builds the d-row per-dimension "
+    "mean/variance table (decimal-fenced population moments), "
+    "broadcast back over the exploded stream; round8-fenced "
+    "standardized terms decimal-sum per vector and the ranking is a "
+    "TakeOrderedAndProject — the corpus is never sorted. The "
+    "first-pass outlier screen before density models "
+    "(operators/similarity.py::mahalanobis_diag_outliers).",
+)
+def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import mahalanobis_diag_outliers
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    return mahalanobis_diag_outliers(emb, "embedding", "vec_id", k=10)

@@ -1504,3 +1504,60 @@ def mmr_rerank(
         )
         sel = sel.unionAll(pick)
     return sel
+
+
+def mahalanobis_diag_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k embedding outliers by DIAGONAL Mahalanobis distance
+    (per-dimension standardized squared distance, Mahalanobis 1936 —
+    the covariance restricted to its diagonal, the standard first-pass
+    embedding-space outlier screen before any expensive density
+    model): d²(x) = Σ_i (x_i − μ_i)² / σ²_i.
+
+    One posexplode pass computes the d-row per-dimension mean/variance
+    table (decimal-fenced, population variance); it broadcasts back
+    over the exploded stream, per-term contributions are round8-fenced
+    and decimal-summed per vector (order-free), and the top-k ranking
+    is a TakeOrderedAndProject on (distance DESC, id) — the corpus is
+    scanned twice and never sorted. Zero-variance dimensions
+    contribute 0 (they carry no outlier signal).
+
+    Output: ``{id_col}, md_sq`` (round6) — k rows, ranked by
+    (md_sq DESC, id ASC).
+    """
+    x = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda v: v.cast("double"))
+        ).alias("dim", "val"),
+    )
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(28,8)")).cast("double")
+
+    cnt = F.count("val").cast("double")
+    m = dsum(F.col("val")) / cnt
+    stats = x.groupBy("dim").agg(
+        m.alias("_m"),
+        (dsum(F.col("val") * F.col("val")) / cnt - m * m).alias("_var"),
+    )
+    term = trino_round(
+        F.when(
+            F.col("_var") > 0,
+            (F.col("val") - F.col("_m"))
+            * (F.col("val") - F.col("_m"))
+            / F.col("_var"),
+        ).otherwise(F.lit(0.0)),
+        8,
+    )
+    scored = (
+        x.join(F.broadcast(stats), "dim")
+        .select(id_col, term.alias("_t"))
+        .groupBy(id_col)
+        .agg(trino_round(dsum(F.col("_t")), 6).alias("md_sq"))
+    )
+    return scored.orderBy(F.desc("md_sq"), F.asc(id_col)).limit(k)

@@ -2600,3 +2600,25 @@ def test_ips_offpolicy_hand_computed(spark):
     assert g2.n_matched == 1  # 'c' wins the tie, one matched row
     # no reward signal at all -> policy still picks smallest action
     assert g2.ips_value == 1.0  # 1.0 * (2/1) / 2
+
+
+def test_mahalanobis_diag_outliers_flags_the_far_vector(spark):
+    """Three near-origin vectors + one far on dim 0 -> the far vector
+    tops the ranking; constant dim contributes 0 (no NaN/NULL)."""
+    from lakehouse_platform_nyc_taxi_spark.operators.similarity import (
+        mahalanobis_diag_outliers,
+    )
+
+    rows = [
+        (1, [0.0, 5.0]),
+        (2, [1.0, 5.0]),
+        (3, [0.5, 5.0]),
+        (4, [10.0, 5.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = mahalanobis_diag_outliers(df, k=4).collect()
+    assert out[0].vec_id == 4
+    assert out[0].md_sq > out[1].md_sq
+    assert all(r.md_sq is not None and r.md_sq >= 0 for r in out)
+    # k limits the output with (md_sq DESC, id) tiebreak
+    assert len(mahalanobis_diag_outliers(df, k=2).collect()) == 2
