@@ -69,18 +69,17 @@ _PRIORITY = [
     # and the tail name moved to the head of _KEEP (1-in-1-out).
     #
     # Composition (VERDICT r14 #1/#2 + ADVICE r14 #2):
-    #   1. SEVEN unattested queries — the four registered after the
+    #   1. NINETEEN unattested queries — the four registered after the
     #      r14 window was cut (PSI, Cramer-von Mises, the stateless
-    #      conformal gate, the EWMA chart) plus the three NEW r15
-    #      queries (exact PR curve, Holt backtest accuracy, the
-    #      TPC-DS Q36 lochierarchy shape). All locally exact-value
+    #      conformal gate, the EWMA chart) plus the fifteen NEW r15
+    #      queries (PR curve, Holt backtest, TPC-DS Q36, HITS, Bloom
+    #      skipping, Kaplan-Meier, sequence mining, Spearman, isotonic
+    #      calibration, two-feature OLS, Gini, IPS off-policy, Benford,
+    #      FD audit, Mahalanobis outliers). All locally exact-value
     #      green; the driver row is the contract's hard signal.
-    #   2. FORTY-THREE of the 49-name r10 staleness cohort (the
-    #      cross-round-union head) — the oldest 43 in list order; the
-    #      remaining six (sampling_token_budget, agg_corr_regression,
-    #      scd2_point_in_time_join, json_extract_rollup,
-    #      json_variant_histogram, window_rank_trio) lead the r16
-    #      window from the head of _KEEP.
+    #   2. THIRTY-ONE of the 49-name r10 staleness cohort (the
+    #      cross-round-union head), oldest-first; the remaining 18
+    #      lead the r16 window from the head of _KEEP.
     "stats_psi_drift",
     "stats_cvm_two_sample",
     "stats_pr_curve",
@@ -88,6 +87,18 @@ _PRIORITY = [
     "timeseries_backtest_accuracy",
     "timeseries_ewma_chart",
     "tpcds_q36_lochierarchy",
+    "graph_hits",
+    "layout_bloom_skipping",
+    "events_kaplan_meier",
+    "events_sequence_mining",
+    "stats_spearman_corr",
+    "stats_isotonic_calibration",
+    "stats_ols_two_features",
+    "orders_gini",
+    "events_ips_offpolicy",
+    "profile_benford",
+    "profile_fd_violations",
+    "embedding_outlier_scores",
     "quality_gopher_rules",
     "corpus_overlap_matrix",
     "embedding_kmeans_semdedup",
@@ -119,6 +130,16 @@ _PRIORITY = [
     "streaming_stream_stream_left",
     "sql_recursive_chain",
     "dedup_ngram_containment",
+]
+# Any NEW registration not listed anywhere auto-slots directly after
+# _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
+# window, so a query added mid-round must be listed in _PRIORITY
+# explicitly (and a name bumped to _KEEP to make room).
+_KEEP = [
+    # Staleness-ordered (oldest driver row first): the 18 r10-green
+    # names that did not fit the r15 window, then the r11 cohort, then
+    # r12, r13, and the 50 r14-window names at the tail — future
+    # rotations pull from the HEAD of this list.
     "agg_histogram",
     "sql_correlated_subquery",
     "cohort_retention",
@@ -131,16 +152,6 @@ _PRIORITY = [
     "timeseries_ohlc",
     "sql_lateral_topn",
     "dedup_latest_record",
-]
-# Any NEW registration not listed anywhere auto-slots directly after
-# _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
-# window, so a query added mid-round must be listed in _PRIORITY
-# explicitly (and a name bumped to _KEEP to make room).
-_KEEP = [
-    # Staleness-ordered (oldest driver row first): the six r10-green
-    # names that did not fit the r15 window, then the r11 cohort, then
-    # r12, r13, and the 50 r14-window names at the tail — future
-    # rotations pull from the HEAD of this list.
     "sampling_token_budget",
     "agg_corr_regression",
     "scd2_point_in_time_join",
