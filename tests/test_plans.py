@@ -989,3 +989,35 @@ def test_lift_gain_no_row_scale_sort(spark):
     plan = plan_of(spark, "tpcds_q97_overlap")
     assert "CartesianProduct" not in plan
     assert "partial" in plan.lower()
+
+
+def test_r15_wave_plan_shapes(spark):
+    """r15 additions: no cartesians; PR curve / Spearman / Gini never
+    plan an ntile or unpartitioned row_number over row-scale data
+    (two-phase running sums only); Q36's rank window partitions on the
+    grouping level + parent over the rollup output; the Mahalanobis
+    outlier top-k is a TakeOrderedAndProject, not a global sort."""
+    for name in (
+        "stats_pr_curve", "stats_spearman_corr", "orders_gini",
+        "timeseries_backtest_accuracy", "events_kaplan_meier",
+        "stats_isotonic_calibration", "stats_ols_two_features",
+        "events_ips_offpolicy", "profile_benford",
+        "profile_fd_violations", "events_sequence_mining",
+        "layout_bloom_skipping", "embedding_outlier_scores",
+        "tpcds_q36_lochierarchy",
+    ):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} planned a cartesian"
+    for name in ("stats_pr_curve", "stats_spearman_corr", "orders_gini"):
+        opt = optimized_of(spark, name)
+        assert "ntile" not in opt, f"{name} planned an ntile"
+    q36 = optimized_of(spark, "tpcds_q36_lochierarchy")
+    for s in re.findall(r"windowspecdefinition\([^)]*\)", q36):
+        assert "lochierarchy" in s, f"unpartitioned Q36 window: {s}"
+    out = plan_of(spark, "embedding_outlier_scores")
+    assert "TakeOrderedAndProject" in out
+    seq = optimized_of(spark, "events_sequence_mining")
+    for s in re.findall(r"windowspecdefinition\([^)]*\)", seq):
+        assert "user_id" in s, f"unpartitioned lead window: {s}"
+    ols = plan_of(spark, "stats_ols_two_features")
+    assert "partial" in ols.lower()  # mergeable moment partials
