@@ -1494,3 +1494,103 @@ def timeseries_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ewma_control_chart(ev, "user_id", "_day", "_y").orderBy("user_id")
+
+
+@register(
+    "timeseries_acf",
+    """
+    WITH d AS (
+        SELECT event_type AS g, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS y
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    mu AS (
+        SELECT g, round(CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE), 8) AS m
+        FROM d GROUP BY 1
+    ),
+    led AS (
+        SELECT d.g, (d.y - mu.m) AS d0,
+           lead(d.y, 1) OVER (PARTITION BY d.g ORDER BY d.day) - mu.m AS d1,
+           lead(d.y, 2) OVER (PARTITION BY d.g ORDER BY d.day) - mu.m AS d2,
+           lead(d.y, 3) OVER (PARTITION BY d.g ORDER BY d.day) - mu.m AS d3,
+           lead(d.y, 4) OVER (PARTITION BY d.g ORDER BY d.day) - mu.m AS d4,
+           lead(d.y, 5) OVER (PARTITION BY d.g ORDER BY d.day) - mu.m AS d5,
+           lead(d.y, 6) OVER (PARTITION BY d.g ORDER BY d.day) - mu.m AS d6,
+           lead(d.y, 7) OVER (PARTITION BY d.g ORDER BY d.day) - mu.m AS d7
+        FROM d JOIN mu ON mu.g = d.g
+    ),
+    agg AS (
+        SELECT g,
+        CAST(sum(CAST(round(d0 * d0, 8) AS DECIMAL(38,8))) AS DOUBLE) AS den,
+        CAST(sum(CAST(round(d0 * d1, 8) AS DECIMAL(38,8))) AS DOUBLE) AS n1,
+        CAST(count(d1) AS BIGINT) AS c1,
+        CAST(sum(CAST(round(d0 * d2, 8) AS DECIMAL(38,8))) AS DOUBLE) AS n2,
+        CAST(count(d2) AS BIGINT) AS c2,
+        CAST(sum(CAST(round(d0 * d3, 8) AS DECIMAL(38,8))) AS DOUBLE) AS n3,
+        CAST(count(d3) AS BIGINT) AS c3,
+        CAST(sum(CAST(round(d0 * d4, 8) AS DECIMAL(38,8))) AS DOUBLE) AS n4,
+        CAST(count(d4) AS BIGINT) AS c4,
+        CAST(sum(CAST(round(d0 * d5, 8) AS DECIMAL(38,8))) AS DOUBLE) AS n5,
+        CAST(count(d5) AS BIGINT) AS c5,
+        CAST(sum(CAST(round(d0 * d6, 8) AS DECIMAL(38,8))) AS DOUBLE) AS n6,
+        CAST(count(d6) AS BIGINT) AS c6,
+        CAST(sum(CAST(round(d0 * d7, 8) AS DECIMAL(38,8))) AS DOUBLE) AS n7,
+        CAST(count(d7) AS BIGINT) AS c7
+        FROM led GROUP BY 1
+    )
+    SELECT g AS event_type, lag, n_pairs, acf_value FROM (
+    SELECT g, 1 AS lag, c1 AS n_pairs,
+           round(CASE WHEN den <> 0 THEN n1 / den END, 6) AS acf_value
+    FROM agg
+    UNION ALL
+    SELECT g, 2 AS lag, c2 AS n_pairs,
+           round(CASE WHEN den <> 0 THEN n2 / den END, 6) AS acf_value
+    FROM agg
+    UNION ALL
+    SELECT g, 3 AS lag, c3 AS n_pairs,
+           round(CASE WHEN den <> 0 THEN n3 / den END, 6) AS acf_value
+    FROM agg
+    UNION ALL
+    SELECT g, 4 AS lag, c4 AS n_pairs,
+           round(CASE WHEN den <> 0 THEN n4 / den END, 6) AS acf_value
+    FROM agg
+    UNION ALL
+    SELECT g, 5 AS lag, c5 AS n_pairs,
+           round(CASE WHEN den <> 0 THEN n5 / den END, 6) AS acf_value
+    FROM agg
+    UNION ALL
+    SELECT g, 6 AS lag, c6 AS n_pairs,
+           round(CASE WHEN den <> 0 THEN n6 / den END, 6) AS acf_value
+    FROM agg
+    UNION ALL
+    SELECT g, 7 AS lag, c7 AS n_pairs,
+           round(CASE WHEN den <> 0 THEN n7 / den END, 6) AS acf_value
+    FROM agg
+    ) ORDER BY event_type, lag
+""",
+    doc="Sample autocorrelation (lags 1-7) of each event type's daily "
+    "value series — the Box-Jenkins memory/seasonality diagnostic read "
+    "before choosing Holt vs Holt-Winters. Per-key lead windows "
+    "(bounded per key, no global sort), shared full-series round8 "
+    "mean, decimal-fenced round8 cross-product sums; one shuffle each "
+    "for the mean, the windows, and the collapse "
+    "(operators/timeseries.py::acf).",
+)
+def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import acf
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            F.col("event_type"),
+            F.date_trunc("day", F.col("ts")).cast("date").alias("_day"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("_y")
+        )
+    )
+    return acf(ev, "event_type", "_day", "_y", max_lag=7)

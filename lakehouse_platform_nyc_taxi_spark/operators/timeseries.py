@@ -1085,3 +1085,85 @@ def ewma_control_chart(
         )
     bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
     return joined.groupBy(bucket.alias("_bk")).applyInPandas(fold, out_schema)
+
+
+def acf(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation function (Box-Jenkins, public) per key
+    series at lags 1..``max_lag`` — the seasonality/memory diagnostic
+    read before choosing a Holt vs Holt-Winters fit (a spike at lag m
+    says "seasonal with period m"):
+
+        acf(ℓ) = Σₜ (yₜ−ȳ)(yₜ₊ℓ−ȳ) / Σₜ (yₜ−ȳ)²
+
+    with the full-series mean in both factors (the standard biased
+    estimator — denominators shared across lags so acf(0)=1).
+
+    Plan shape: ``max_lag`` lead windows per key (partitioned by key —
+    bounded per-key work, no global sort), the per-key mean joins back
+    from a grouped aggregate, and every lag's numerator is a
+    decimal-fenced sum of round8 cross products — one shuffle for the
+    mean, one for the windows, one for the per-(key, lag) collapse.
+
+    Output per (key, lag): ``{key}, lag, n_pairs, acf_value``
+    (round6; NULL for a constant series), ordered by (key, lag).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(order)
+    mean8 = trino_round(
+        F.sum(F.col(value).cast("decimal(38,12)")).cast("double")
+        / F.count(F.lit(1)).cast("double"),
+        8,
+    )
+    stats = df.groupBy(key).agg(mean8.alias("_mu"))
+    led = df.join(stats, key).select(
+        key,
+        (F.col(value).cast("double") - F.col("_mu")).alias("_d0"),
+        *[
+            (
+                F.lead(F.col(value).cast("double"), lag).over(w)
+                - F.col("_mu")
+            ).alias(f"_d{lag}")
+            for lag in range(1, max_lag + 1)
+        ],
+    )
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(38,8)")).cast("double")
+
+    agg = led.groupBy(key).agg(
+        dsum(trino_round(F.col("_d0") * F.col("_d0"), 8)).alias("_den"),
+        *[
+            dsum(
+                trino_round(F.col("_d0") * F.col(f"_d{lag}"), 8)
+            ).alias(f"_n{lag}")
+            for lag in range(1, max_lag + 1)
+        ],
+        *[
+            F.count(F.col(f"_d{lag}")).cast("bigint").alias(f"_c{lag}")
+            for lag in range(1, max_lag + 1)
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(lag).alias("lag"),
+                F.col(f"_c{lag}").alias("n_pairs"),
+                trino_round(
+                    F.try_divide(F.col(f"_n{lag}"), F.col("_den")), 6
+                ).alias("acf_value"),
+            )
+            for lag in range(1, max_lag + 1)
+        ]
+    )
+    return (
+        agg.select(key, F.explode(rows).alias("_r"))
+        .select(key, "_r.lag", "_r.n_pairs", "_r.acf_value")
+        .orderBy(key, "lag")
+    )

@@ -536,3 +536,23 @@ def test_holt_backtest_hand_computed(spark):
     out = {r.user_id: r for r in holt_backtest(zero, "user_id", "t", "y").collect()}
     assert set(out) == {3}
     assert out[3].mape is None and out[3].smape is None and out[3].mase is None
+
+
+def test_acf_hand_computed(spark):
+    """Alternating series [1,-1,1,-1,...] (mean 0): acf(1) = -1 up to
+    the unshared-endpoint bias (num has n-1 terms, den n), acf(2) > 0;
+    constant series -> NULL acf."""
+    from lakehouse_platform_nyc_taxi_spark.operators.timeseries import acf
+
+    rows = [("a", t, 1.0 if t % 2 == 0 else -1.0) for t in range(10)]
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    out = {r.lag: r for r in acf(df, "g", "t", "y", max_lag=3).collect()}
+    assert out[1].n_pairs == 9 and out[2].n_pairs == 8
+    assert out[1].acf_value == -0.9  # -(n-1)/n with mean exactly 0
+    assert out[2].acf_value == 0.8
+    assert out[3].acf_value == -0.7
+    const = spark.createDataFrame(
+        [("c", t, 5.0) for t in range(6)], "g string, t int, y double"
+    )
+    got = acf(const, "g", "t", "y", max_lag=2).collect()
+    assert all(r.acf_value is None for r in got)
