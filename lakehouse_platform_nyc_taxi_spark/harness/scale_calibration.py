@@ -1457,10 +1457,10 @@ def orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(count(*) AS BIGINT) AS n,
                CAST(sum(hit) AS BIGINT) AS n_matched,
                CAST(sum(CAST(CASE WHEN hit = 1
-                             THEN round(r * invp, 8) ELSE 0.0 END
+                             THEN r * invp ELSE 0.0 END
                              AS DECIMAL(38,8))) AS DOUBLE) AS sw,
                CAST(sum(CAST(CASE WHEN hit = 1
-                             THEN round(invp, 8) ELSE 0.0 END
+                             THEN invp ELSE 0.0 END
                              AS DECIMAL(38,8))) AS DOUBLE) AS sp
         FROM scored
     )
@@ -1477,7 +1477,7 @@ def orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inverse-propensity IPS and self-normalized SNIPS against the "
     "empirical logging propensities. One contexts-x-actions grouped "
     "aggregate, bounded propensity/policy tables broadcast back, "
-    "round8-fenced fixed-order weight terms — both estimators "
+    "decimal-fenced fixed-order weight terms — both estimators "
     "engine-identical (operators/stats.py::ips_offpolicy).",
 )
 def events_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:

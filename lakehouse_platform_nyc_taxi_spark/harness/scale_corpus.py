@@ -822,3 +822,61 @@ def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table_parallel(spark, sf_dir, "embeddings")
     return mahalanobis_diag_outliers(emb, "embedding", "vec_id", k=10)
+
+
+@register(
+    "sampling_neyman_allocation",
+    """
+    WITH per AS (
+        SELECT o_orderpriority AS stratum,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(sqrt(greatest(
+                   CAST(sum(CAST(CAST(o_totalprice AS DOUBLE)
+                                      * CAST(o_totalprice AS DOUBLE)
+                                 AS DECIMAL(38,8))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE)
+                   - (CAST(sum(CAST(CAST(o_totalprice AS DOUBLE)
+                                    AS DECIMAL(38,8))) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE))
+                     * (CAST(sum(CAST(CAST(o_totalprice AS DOUBLE)
+                                      AS DECIMAL(38,8))) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE)), 0.0)), 8) AS sd8
+        FROM orders WHERE o_totalprice IS NOT NULL
+        GROUP BY 1
+    ),
+    wt AS (
+        SELECT stratum, n_rows, sd8,
+               round(CAST(n_rows AS DOUBLE) * sd8, 8) AS w
+        FROM per
+    ),
+    tot AS (
+        SELECT CAST(sum(CAST(w AS DECIMAL(38,8))) AS DOUBLE) AS tw,
+               CAST(sum(n_rows) AS DOUBLE) AS tn
+        FROM wt
+    )
+    SELECT stratum, n_rows, round(sd8, 6) AS sd,
+           round(w / tot.tw, 6) AS weight_share,
+           least(CAST(floor(10000.0 * w / tot.tw + 0.5) AS BIGINT), n_rows)
+               AS neyman_alloc,
+           least(CAST(floor(10000.0 * CAST(n_rows AS DOUBLE) / tot.tn + 0.5)
+                      AS BIGINT), n_rows) AS proportional_alloc
+    FROM wt CROSS JOIN tot
+    ORDER BY stratum
+    """,
+    doc="Neyman-optimal stratified-sampling allocation of a 10k budget "
+    "across order priorities: per-stratum counts + decimal-fenced "
+    "round8 population SDs from one grouped pass, N_h*sigma_h weights "
+    "normalized on the strata-sized table, half-away-rounded "
+    "allocations clamped to stratum size, proportional allocation "
+    "alongside for the variance-win comparison — the planning step "
+    "before stratified_resample draws the sample "
+    "(operators/sampling.py::neyman_allocation).",
+)
+def sampling_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import neyman_allocation
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("stratum"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    return neyman_allocation(o, "stratum", "v", budget=10_000)

@@ -1522,20 +1522,20 @@ def timeseries_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
         SELECT g,
-        CAST(sum(CAST(round(d0 * d0, 8) AS DECIMAL(38,8))) AS DOUBLE) AS den,
-        CAST(sum(CAST(round(d0 * d1, 8) AS DECIMAL(38,8))) AS DOUBLE) AS n1,
+        CAST(sum(CAST(d0 * d0 AS DECIMAL(38,8))) AS DOUBLE) AS den,
+        CAST(sum(CAST(d0 * d1 AS DECIMAL(38,8))) AS DOUBLE) AS n1,
         CAST(count(d1) AS BIGINT) AS c1,
-        CAST(sum(CAST(round(d0 * d2, 8) AS DECIMAL(38,8))) AS DOUBLE) AS n2,
+        CAST(sum(CAST(d0 * d2 AS DECIMAL(38,8))) AS DOUBLE) AS n2,
         CAST(count(d2) AS BIGINT) AS c2,
-        CAST(sum(CAST(round(d0 * d3, 8) AS DECIMAL(38,8))) AS DOUBLE) AS n3,
+        CAST(sum(CAST(d0 * d3 AS DECIMAL(38,8))) AS DOUBLE) AS n3,
         CAST(count(d3) AS BIGINT) AS c3,
-        CAST(sum(CAST(round(d0 * d4, 8) AS DECIMAL(38,8))) AS DOUBLE) AS n4,
+        CAST(sum(CAST(d0 * d4 AS DECIMAL(38,8))) AS DOUBLE) AS n4,
         CAST(count(d4) AS BIGINT) AS c4,
-        CAST(sum(CAST(round(d0 * d5, 8) AS DECIMAL(38,8))) AS DOUBLE) AS n5,
+        CAST(sum(CAST(d0 * d5 AS DECIMAL(38,8))) AS DOUBLE) AS n5,
         CAST(count(d5) AS BIGINT) AS c5,
-        CAST(sum(CAST(round(d0 * d6, 8) AS DECIMAL(38,8))) AS DOUBLE) AS n6,
+        CAST(sum(CAST(d0 * d6 AS DECIMAL(38,8))) AS DOUBLE) AS n6,
         CAST(count(d6) AS BIGINT) AS c6,
-        CAST(sum(CAST(round(d0 * d7, 8) AS DECIMAL(38,8))) AS DOUBLE) AS n7,
+        CAST(sum(CAST(d0 * d7 AS DECIMAL(38,8))) AS DOUBLE) AS n7,
         CAST(count(d7) AS BIGINT) AS c7
         FROM led GROUP BY 1
     )
@@ -1573,7 +1573,7 @@ def timeseries_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value series — the Box-Jenkins memory/seasonality diagnostic read "
     "before choosing Holt vs Holt-Winters. Per-key lead windows "
     "(bounded per key, no global sort), shared full-series round8 "
-    "mean, decimal-fenced round8 cross-product sums; one shuffle each "
+    "mean, decimal-cast-fenced cross-product sums; one shuffle each "
     "for the mean, the windows, and the collapse "
     "(operators/timeseries.py::acf).",
 )

@@ -659,3 +659,88 @@ def fold_leakage_audit(
         ).alias("leak_rate"),
         F.col("n_docs_reassigned").cast("bigint").alias("n_docs_reassigned"),
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    budget: int,
+) -> DataFrame:
+    """Neyman-optimal allocation of a sampling budget across strata
+    (Neyman 1934, public): sample stratum h in proportion to
+    ``N_h · σ_h`` — the variance-minimizing design for estimating the
+    population mean of ``value_col``, and the planning step a
+    corpus-curation pipeline runs before drawing a stratified sample
+    (the execution step is ``stratified_resample``). Reported next to
+    the naive proportional allocation so the variance win is visible.
+
+    One grouped pass computes per-stratum counts and decimal-fenced
+    population SDs (round8 at the SD, cast-fenced moments); weights, shares, and allocations are
+    fixed-order IEEE arithmetic over the strata-sized table with
+    half-away rounding, each clamped to the stratum size. Rounded
+    allocations can differ from ``budget`` by a few units (no
+    largest-remainder pass — documented, deterministic).
+
+    Output per stratum: ``{stratum_col}, n_rows, sd, weight_share,
+    neyman_alloc, proportional_alloc`` (round6), ordered by stratum.
+    """
+    from ..functions.trino import trino_round
+
+    v = F.col(value_col).cast("double")
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(38,8)")).cast("double")
+
+    cnt = F.count(F.lit(1)).cast("double")
+    m = dsum(v) / cnt
+    per = df.filter(v.isNotNull()).groupBy(stratum_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        trino_round(
+            F.sqrt(
+                F.greatest(
+                    # direct decimal cast, NOT round8: v*v can exceed
+                    # trino_round's |x|*1e8 < 2^63 floor domain; the
+                    # double->decimal(38,8) cast quantizes identically
+                    # on both engines (embedding_standardize precedent)
+                    dsum(v * v) / cnt - m * m,
+                    F.lit(0.0),
+                )
+            ),
+            8,
+        ).alias("_sd"),
+    )
+    w = trino_round(F.col("n_rows").cast("double") * F.col("_sd"), 8)
+    tot = per.agg(
+        dsum(w).alias("_tw"),
+        F.sum("n_rows").cast("double").alias("_tn"),
+    )
+    alloc = F.least(
+        F.floor(
+            F.lit(float(budget)) * w / F.col("_tw") + F.lit(0.5)
+        ).cast("bigint"),
+        F.col("n_rows"),
+    )
+    prop = F.least(
+        F.floor(
+            F.lit(float(budget))
+            * F.col("n_rows").cast("double")
+            / F.col("_tn")
+            + F.lit(0.5)
+        ).cast("bigint"),
+        F.col("n_rows"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            stratum_col,
+            "n_rows",
+            trino_round(F.col("_sd"), 6).alias("sd"),
+            trino_round(F.try_divide(w, F.col("_tw")), 6).alias(
+                "weight_share"
+            ),
+            alloc.alias("neyman_alloc"),
+            prop.alias("proportional_alloc"),
+        )
+        .orderBy(stratum_col)
+    )

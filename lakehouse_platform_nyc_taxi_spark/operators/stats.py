@@ -1897,8 +1897,10 @@ def ips_offpolicy(
     counts and decimal-fenced mean rewards; the argmax ranks the
     contexts×actions table (bounded, never rows); propensities and
     the policy broadcast back over the log for one more aggregate.
-    Per-row weights are fixed-order IEEE terms round8-fenced into
-    decimal sums, so both estimators are engine-identical.
+    Per-row weights are fixed-order IEEE terms fenced into decimal
+    sums via the double→decimal(38,8) cast (quantizes identically on
+    both engines, no floor-domain limit), so both estimators are
+    engine-identical.
 
     Output (one row): ``n, n_matched, match_rate, ips_value,
     snips_value`` (round6; with zero matched rows IPS is 0 and SNIPS
@@ -1941,15 +1943,18 @@ def ips_offpolicy(
     m = scored.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("_hit").cast("bigint").alias("n_matched"),
+        # direct decimal casts, NOT round8: r/p weights can exceed
+        # trino_round's floor domain at extreme propensities; the
+        # double->decimal(38,8) cast quantizes identically both engines
         F.sum(
-            F.when(F.col("_hit") == 1, trino_round(ips_w, 8))
+            F.when(F.col("_hit") == 1, ips_w)
             .otherwise(F.lit(0.0))
             .cast(d38)
         )
         .cast("double")
         .alias("_sw"),
         F.sum(
-            F.when(F.col("_hit") == 1, trino_round(inv_p, 8))
+            F.when(F.col("_hit") == 1, inv_p)
             .otherwise(F.lit(0.0))
             .cast(d38)
         )

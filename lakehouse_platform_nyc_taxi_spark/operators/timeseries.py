@@ -1107,7 +1107,7 @@ def acf(
     Plan shape: ``max_lag`` lead windows per key (partitioned by key —
     bounded per-key work, no global sort), the per-key mean joins back
     from a grouped aggregate, and every lag's numerator is a
-    decimal-fenced sum of round8 cross products — one shuffle for the
+    decimal(38,8)-cast-fenced sum of cross products — one shuffle for the
     mean, one for the windows, one for the per-(key, lag) collapse.
 
     Output per (key, lag): ``{key}, lag, n_pairs, acf_value``
@@ -1137,12 +1137,14 @@ def acf(
     def dsum(c):
         return F.sum(c.cast("decimal(38,8)")).cast("double")
 
+    # cross products fence through the double->decimal(38,8) cast
+    # directly (NOT round8: deviation products can exceed trino_round's
+    # |x|*1e8 < 2^63 floor domain at scale; the cast quantizes
+    # identically on both engines)
     agg = led.groupBy(key).agg(
-        dsum(trino_round(F.col("_d0") * F.col("_d0"), 8)).alias("_den"),
+        dsum(F.col("_d0") * F.col("_d0")).alias("_den"),
         *[
-            dsum(
-                trino_round(F.col("_d0") * F.col(f"_d{lag}"), 8)
-            ).alias(f"_n{lag}")
+            dsum(F.col("_d0") * F.col(f"_d{lag}")).alias(f"_n{lag}")
             for lag in range(1, max_lag + 1)
         ],
         *[

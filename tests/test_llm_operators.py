@@ -2622,3 +2622,21 @@ def test_mahalanobis_diag_outliers_flags_the_far_vector(spark):
     assert all(r.md_sq is not None and r.md_sq >= 0 for r in out)
     # k limits the output with (md_sq DESC, id) tiebreak
     assert len(mahalanobis_diag_outliers(df, k=2).collect()) == 2
+
+
+def test_neyman_allocation_favors_high_variance_strata(spark):
+    """Stratum 'a': constant values (sd 0) -> Neyman allocates ~0;
+    stratum 'b': spread values -> gets ~the whole budget; proportional
+    splits by size regardless. Allocations clamp to stratum size."""
+    from lakehouse_platform_nyc_taxi_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    rows = [("a", 100.0)] * 6 + [("b", float(v)) for v in (0, 200) * 3]
+    df = spark.createDataFrame(rows, "s string, v double")
+    out = {r.s: r for r in neyman_allocation(df, "s", "v", budget=6).collect()}
+    assert out["a"].sd == 0.0 and out["a"].neyman_alloc == 0
+    assert out["b"].neyman_alloc == 6  # clamped to stratum size
+    assert out["a"].proportional_alloc == 3
+    assert out["b"].proportional_alloc == 3
+    assert out["b"].weight_share == 1.0
