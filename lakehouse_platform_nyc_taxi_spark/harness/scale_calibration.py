@@ -1493,3 +1493,112 @@ def events_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ips_offpolicy(ev, "dow", "event_type", "value")
+
+
+@register(
+    "stats_wilson_intervals",
+    """
+    WITH per AS (
+        SELECT o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_success
+        FROM orders GROUP BY 1
+    )
+    SELECT priority, n, n_success,
+           round(CAST(n_success AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+           round(greatest(
+               ((CAST(n_success AS DOUBLE) / CAST(n AS DOUBLE))
+                + 3.841458820694126 / (2.0 * CAST(n AS DOUBLE)))
+               / (1.0 + 3.841458820694126 / CAST(n AS DOUBLE))
+               - 1.959963984540054
+                 * sqrt((CAST(n_success AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (1.0 - CAST(n_success AS DOUBLE)
+                                 / CAST(n AS DOUBLE))
+                        / CAST(n AS DOUBLE)
+                        + 3.841458820694126
+                          / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 / (1.0 + 3.841458820694126 / CAST(n AS DOUBLE)),
+               0.0), 6) AS ci_low,
+           round(least(
+               ((CAST(n_success AS DOUBLE) / CAST(n AS DOUBLE))
+                + 3.841458820694126 / (2.0 * CAST(n AS DOUBLE)))
+               / (1.0 + 3.841458820694126 / CAST(n AS DOUBLE))
+               + 1.959963984540054
+                 * sqrt((CAST(n_success AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (1.0 - CAST(n_success AS DOUBLE)
+                                 / CAST(n AS DOUBLE))
+                        / CAST(n AS DOUBLE)
+                        + 3.841458820694126
+                          / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 / (1.0 + 3.841458820694126 / CAST(n AS DOUBLE)),
+               1.0), 6) AS ci_high
+    FROM per ORDER BY priority
+    """,
+    doc="Wilson score 95%% confidence intervals for the fully-shipped "
+    "share per order priority — the proportion interval that stays in "
+    "[0,1] at small n / extreme rates where Wald collapses. One "
+    "grouped count pass; the interval is a fixed-order IEEE chain "
+    "with the z and z^2 constants embedded as identical literals on "
+    "both engines (operators/stats.py::wilson_intervals).",
+)
+def stats_wilson_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import wilson_intervals
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("o_orderstatus") == "F").alias("_s"),
+    )
+    return wilson_intervals(o, "priority", F.col("_s"))
+
+
+@register(
+    "stats_skew_kurtosis",
+    """
+    WITH pre AS (
+        SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    sc AS (
+        SELECT g, round(greatest(
+                   CAST(sum(CAST(abs(v) AS DECIMAL(38,8))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 1.0), 8) AS s
+        FROM pre GROUP BY 1
+    ),
+    m AS (
+        SELECT pre.g, CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(v / s AS DECIMAL(38,8))) AS DOUBLE) AS s1,
+               CAST(sum(CAST((v / s) * (v / s) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS s2,
+               CAST(sum(CAST((v / s) * (v / s) * (v / s) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS s3,
+               CAST(sum(CAST((v / s) * (v / s) * (v / s) * (v / s)
+                             AS DECIMAL(38,8))) AS DOUBLE) AS s4
+        FROM pre JOIN sc ON sc.g = pre.g GROUP BY 1
+    )
+    SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+           round((s3 / n - 3.0 * (s1 / n) * s2 / n
+                  + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / (sqrt(s2 / n - (s1 / n) * (s1 / n))
+                    * (s2 / n - (s1 / n) * (s1 / n))), 6) AS skewness,
+           round((s4 / n - 4.0 * (s1 / n) * s3 / n
+                  + 6.0 * (s1 / n) * (s1 / n) * s2 / n
+                  - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / ((s2 / n - (s1 / n) * (s1 / n))
+                    * (s2 / n - (s1 / n) * (s1 / n))) - 3.0, 6)
+               AS kurtosis
+    FROM m ORDER BY l_returnflag
+    """,
+    doc="Per-returnflag skewness and excess kurtosis of extended price "
+    "from the first four decimal-fenced raw moments (mergeable shape; "
+    "values pre-scaled by the round8 mean magnitude so x^4 stays "
+    "inside the decimal fence at any price scale), combined in one "
+    "fixed-order IEEE chain — the distribution-shape profile next to "
+    "mean/variance in a drift audit "
+    "(operators/stats.py::skew_kurtosis).",
+)
+def stats_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import skew_kurtosis
+
+    li = load_table_parallel(spark, sf_dir, "lineitem")
+    return skew_kurtosis(li, "l_returnflag", "l_extendedprice")

@@ -1974,3 +1974,127 @@ def ips_offpolicy(
             "snips_value"
         ),
     )
+
+
+def wilson_intervals(
+    df: DataFrame,
+    group_col: str,
+    success: Column,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Wilson score confidence interval (Wilson 1927, public) for a
+    per-group binomial proportion — the interval that stays inside
+    [0, 1] and behaves at small n / extreme rates where the Wald
+    interval collapses; the readout a conversion/defect-rate dashboard
+    should gate on:
+
+        center = (p̂ + z²/2n) / (1 + z²/n)
+        half   = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+
+    One grouped count pass (n, successes — exact integers); the
+    interval is a fixed-order IEEE chain per group with the z constant
+    embedded as the same literal on both engines.
+
+    Output per group: ``{group_col}, n, n_success, rate, ci_low,
+    ci_high`` (round6), ordered by group.
+    """
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(success.cast("int")).cast("bigint").alias("n_success"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("n_success").cast("double") / nd
+    z2 = F.lit(z * z)
+    denom = F.lit(1.0) + z2 / nd
+    center = (p + z2 / (F.lit(2.0) * nd)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / nd
+            + z2 / (F.lit(4.0) * nd * nd)
+        )
+        / denom
+    )
+    return per.select(
+        group_col,
+        "n",
+        "n_success",
+        trino_round(p, 6).alias("rate"),
+        trino_round(F.greatest(center - half, F.lit(0.0)), 6).alias(
+            "ci_low"
+        ),
+        trino_round(F.least(center + half, F.lit(1.0)), 6).alias("ci_high"),
+    ).orderBy(group_col)
+
+
+def skew_kurtosis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group skewness and excess kurtosis from the first four
+    decimal-fenced raw moments (the mergeable-moment shape —
+    Fisher-Pearson g₁ = m₃/m₂^1.5 and g₂ = m₄/m₂² − 3 with population
+    central moments expanded from Σx, Σx², Σx³, Σx⁴) — the shape
+    profile a distribution-drift audit reads next to mean/variance.
+
+    Raw values are pre-scaled by the per-group round8 MEAN MAGNITUDE
+    before the power sums (skewness/kurtosis are scale-invariant, and
+    unscaled x⁴ overflows the decimal(38,8) fence for prices at
+    corpus scale); moments combine in one fixed-order IEEE chain.
+
+    Output per group: ``{group_col}, n, skewness, kurtosis`` (round6;
+    NULLs for a constant group), ordered by group.
+    """
+    v = F.col(value_col).cast("double")
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(38,8)")).cast("double")
+
+    pre = df.filter(v.isNotNull()).select(
+        F.col(group_col).alias("_g"), v.alias("_v")
+    )
+    scale = pre.groupBy("_g").agg(
+        trino_round(
+            F.greatest(
+                F.sum(F.abs(F.col("_v")).cast("decimal(38,8)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double"),
+                F.lit(1.0),
+            ),
+            8,
+        ).alias("_sc")
+    )
+    x = F.col("_v") / F.col("_sc")
+    m = (
+        pre.join(scale, "_g")
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            dsum(x).alias("s1"),
+            dsum(x * x).alias("s2"),
+            dsum(x * x * x).alias("s3"),
+            dsum(x * x * x * x).alias("s4"),
+        )
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - F.lit(3.0) * mu * F.col("s2") / n + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - F.lit(4.0) * mu * F.col("s3") / n
+        + F.lit(6.0) * mu * mu * F.col("s2") / n
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    return m.select(
+        F.col("_g").alias(group_col),
+        n.cast("bigint").alias("n"),
+        trino_round(
+            F.try_divide(m3, F.sqrt(m2) * m2), 6
+        ).alias("skewness"),
+        trino_round(
+            F.try_divide(m4, m2 * m2) - F.lit(3.0), 6
+        ).alias("kurtosis"),
+    ).orderBy(group_col)

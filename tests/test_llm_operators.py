@@ -2640,3 +2640,43 @@ def test_neyman_allocation_favors_high_variance_strata(spark):
     assert out["a"].proportional_alloc == 3
     assert out["b"].proportional_alloc == 3
     assert out["b"].weight_share == 1.0
+
+
+def test_wilson_intervals_hand_case(spark):
+    """5/10 successes: interval brackets 0.5 symmetrically and stays in
+    [0,1]; 0/10 gives ci_low exactly 0 with a positive upper bound."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_platform_nyc_taxi_spark.operators.stats import (
+        wilson_intervals,
+    )
+
+    rows = [("a", i < 5) for i in range(10)] + [("b", False)] * 10
+    df = spark.createDataFrame(rows, "g string, s boolean")
+    out = {r.g: r for r in wilson_intervals(df, "g", F.col("s")).collect()}
+    a = out["a"]
+    assert a.rate == 0.5 and a.ci_low < 0.5 < a.ci_high
+    assert abs((0.5 - a.ci_low) - (a.ci_high - 0.5)) < 1e-9  # symmetric at p=.5
+    b = out["b"]
+    assert b.rate == 0.0 and b.ci_low == 0.0 and 0 < b.ci_high < 0.35
+
+
+def test_skew_kurtosis_known_shapes(spark):
+    """Symmetric two-point mass at +-1: skewness 0, excess kurtosis -2
+    (the minimum); a right-tailed group has positive skew; constant
+    group -> NULLs."""
+    from lakehouse_platform_nyc_taxi_spark.operators.stats import (
+        skew_kurtosis,
+    )
+
+    rows = (
+        [("sym", v) for v in (1.0, -1.0) * 4]
+        + [("tail", v) for v in (0.0, 0.0, 0.0, 0.0, 0.0, 10.0)]
+        + [("const", 3.0)] * 4
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in skew_kurtosis(df, "g", "v").collect()}
+    assert out["sym"].skewness == 0.0
+    assert out["sym"].kurtosis == -2.0
+    assert out["tail"].skewness > 1.0
+    assert out["const"].skewness is None and out["const"].kurtosis is None
