@@ -1594,3 +1594,64 @@ def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return acf(ev, "event_type", "_day", "_y", max_lag=7)
+
+
+@register(
+    "text_rake_keywords",
+    """
+    WITH tk AS (
+        SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
+               unnest(toks) AS tok
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents)
+    ),
+    seg AS (
+        SELECT doc_id, pos, lower(tok) AS tok,
+               sum(CASE WHEN lower(tok) IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'that') THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS pid,
+               lower(tok) IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'that') AS stop
+        FROM tk WHERE tok <> ''
+    ),
+    occ AS (
+        SELECT string_agg(tok, ' ' ORDER BY pos) AS phrase,
+               CAST(count(*) AS BIGINT) AS len
+        FROM seg WHERE NOT stop GROUP BY doc_id, pid
+    ),
+    ws AS (
+        SELECT w, round(CAST(sum(len) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE), 8) AS wscore
+        FROM (SELECT unnest(string_split(phrase, ' ')) AS w, len FROM occ)
+        GROUP BY 1
+    ),
+    ph AS (
+        SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(max(len) AS BIGINT) AS n_words
+        FROM occ GROUP BY 1
+    ),
+    px AS (
+        SELECT phrase, n_words, n_occurrences,
+               unnest(string_split(phrase, ' ')) AS w
+        FROM ph
+    )
+    SELECT px.phrase, px.n_words, px.n_occurrences,
+           round(CAST(sum(CAST(ws.wscore AS DECIMAL(28,8))) AS DOUBLE), 6)
+               AS score
+    FROM px JOIN ws ON ws.w = px.w
+    GROUP BY 1, 2, 3
+    ORDER BY score DESC, px.phrase LIMIT 20
+""",
+    doc="RAKE keyphrase extraction over the corpus: maximal "
+    "stopword-free token runs are candidate phrases, words score "
+    "degree/frequency across all phrase occurrences, phrases sum "
+    "their member-word scores; top-20 by (score, phrase). Per-doc "
+    "running-stopword-count segmentation (doc-bounded window), one "
+    "grouped pass for word stats, vocabulary-bounded scoring join, "
+    "TakeOrdered top-k — round8 word scores and decimal-fenced "
+    "phrase sums keep both engines exact "
+    "(operators/text.py::rake_keywords).",
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import rake_keywords
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    return rake_keywords(docs, "text", "doc_id", k=20)

@@ -1174,3 +1174,94 @@ def corpus_novelty(
             6,
         ).alias("novelty_rate"),
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    k: int = 20,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, public): candidate
+    phrases are the maximal stopword-free token runs; each word scores
+    degree/frequency (degree = Σ lengths of phrases containing it,
+    frequency = its occurrence count across phrases) and a phrase
+    scores the sum of its member-word scores — the classic
+    corpus-level keyphrase surfacing pass, no model needed.
+
+    Plan shape: one posexplode pass; phrase segmentation is a running
+    stopword count windowed PER DOCUMENT (bounded by doc length, no
+    global sort); word statistics are one grouped aggregate of the
+    phrase-occurrence stream; scores join back over the
+    distinct-phrase table (vocabulary-bounded). Word scores are
+    round8-fenced IEEE divisions of exact integers; phrase scores are
+    decimal-fenced sums; the top-k is a TakeOrderedAndProject with a
+    lexicographic tiebreak.
+
+    Output: ``phrase, n_words, n_occurrences, score`` (round6) — k
+    rows by (score DESC, phrase).
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("_pos", "_tok"),
+    ).filter(F.col("_tok") != "")
+    is_stop = F.col("_tok").isin(*stopwords)
+    w = Window.partitionBy("_id").orderBy("_pos")
+    seg = toks.select(
+        "_id",
+        "_pos",
+        "_tok",
+        F.sum(F.when(is_stop, 1).otherwise(0)).over(w).alias("_pid"),
+        is_stop.alias("_stop"),
+    ).filter(~F.col("_stop"))
+    occ = (
+        seg.groupBy("_id", "_pid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_pos", "_tok"))
+            ).alias("_ws")
+        )
+        .select(
+            F.concat_ws(
+                " ", F.transform("_ws", lambda s: s["_tok"])
+            ).alias("phrase"),
+            F.size("_ws").alias("_len"),
+        )
+    )
+    word_stats = (
+        occ.select(F.explode(F.split("phrase", " ")).alias("_w"), "_len")
+        .groupBy("_w")
+        .agg(
+            F.count(F.lit(1)).alias("_freq"),
+            F.sum("_len").alias("_deg"),
+        )
+        .select(
+            "_w",
+            trino_round(
+                F.col("_deg").cast("double") / F.col("_freq").cast("double"),
+                8,
+            ).alias("_wscore"),
+        )
+    )
+    phrases = occ.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.max("_len").cast("bigint").alias("n_words"),
+    )
+    scored = (
+        phrases.select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            F.explode(F.split("phrase", " ")).alias("_w"),
+        )
+        .join(word_stats, "_w")
+        .groupBy("phrase", "n_words", "n_occurrences")
+        .agg(
+            trino_round(
+                F.sum(F.col("_wscore").cast("decimal(28,8)")).cast("double"),
+                6,
+            ).alias("score")
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("phrase")).limit(k)

@@ -303,3 +303,24 @@ def test_corpus_novelty_first_source_owns_shared_shingles(spark):
     # c shares the 3 shingles of the base text and adds 2 sliding ones
     assert out["c"]["n_novel"] == 2
     assert out["c"]["n_shingles"] == 5
+
+
+def test_rake_keywords_hand_computed(spark):
+    """Doc 'red fox the red fox jumps': phrases 'red fox' and
+    'red fox jumps'. freq(red)=2 deg(red)=2+3=5 -> wscore 2.5; fox
+    same; jumps 3/1=3. score('red fox') = 5.0; 'red fox jumps' = 8.0."""
+    from lakehouse_platform_nyc_taxi_spark.operators.text import rake_keywords
+
+    df = spark.createDataFrame(
+        [(1, "red fox the red fox jumps")], "doc_id long, text string"
+    )
+    out = {r.phrase: r for r in rake_keywords(df, k=10).collect()}
+    assert set(out) == {"red fox", "red fox jumps"}
+    assert out["red fox"].score == 5.0
+    assert out["red fox jumps"].score == 8.0
+    assert out["red fox"].n_occurrences == 1
+    assert out["red fox jumps"].n_occurrences == 1
+    assert out["red fox jumps"].n_words == 3
+    # stopword-only doc yields nothing; ranking is score desc
+    ranked = rake_keywords(df, k=1).collect()
+    assert ranked[0].phrase == "red fox jumps"
