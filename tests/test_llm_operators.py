@@ -2680,3 +2680,168 @@ def test_skew_kurtosis_known_shapes(spark):
     assert out["sym"].kurtosis == -2.0
     assert out["tail"].skewness > 1.0
     assert out["const"].skewness is None and out["const"].kurtosis is None
+
+
+def test_kaplan_meier_property_matches_python_replay(spark):
+    """Property check: the bucketed product-limit fold equals a pure
+    Python replay for arbitrary (duration, event) corpora — grouping,
+    bucketing, and tied/censor-only times never change the curve."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lakehouse_platform_nyc_taxi_spark.operators import stats
+
+    def r8(x):
+        return math.floor(abs(x) * 1e8 + 0.5) / 1e8
+
+    def r6(x):
+        return math.floor(abs(x) * 1e6 + 0.5) / 1e6
+
+    def py_km(subjects):
+        from collections import Counter
+
+        d = Counter()
+        c = Counter()
+        for t, ev in subjects:
+            (d if ev else c)[t] += 1
+        n_risk = len(subjects)
+        surv, out = 1.0, {}
+        for t in sorted(set(d) | set(c)):
+            if d[t] > 0:
+                surv = r8(surv * r8(1.0 - d[t] / n_risk))
+            out[t] = (n_risk, d[t], c[t], r6(surv))
+            n_risk -= d[t] + c[t]
+        return out
+
+    subject = st.tuples(st.integers(0, 8), st.booleans())
+    group = st.lists(subject, min_size=1, max_size=12)
+
+    @given(st.lists(group, min_size=1, max_size=4))
+    @settings(max_examples=8, deadline=None)
+    def run(groups):
+        rows = [
+            (g, t, int(ev))
+            for g, subs in enumerate(groups)
+            for t, ev in subs
+        ]
+        df = spark.createDataFrame(rows, "g long, t int, ev int")
+        got = {
+            (r.g, r.t): (r.n_risk, r.n_event, r.n_censored, r.survival)
+            for r in stats.kaplan_meier(df, "g", "t", "ev").collect()
+        }
+        want = {}
+        for g, subs in enumerate(groups):
+            for t, vals in py_km(subs).items():
+                want[(g, t)] = vals
+        assert got == want
+
+    run()
+
+
+def test_isotonic_calibration_property_matches_python_pav(spark):
+    """Property check: the all-integer PAV fold equals a pure Python
+    PAV for arbitrary per-score (n, positives) tables, and the fitted
+    curve is always non-decreasing."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lakehouse_platform_nyc_taxi_spark.operators import stats
+
+    def r6(x):
+        return math.floor(abs(x) * 1e6 + 0.5) / 1e6
+
+    def py_pav(cells):
+        # cells: list of (score, n, pos) ascending by score
+        stack = []
+        for _, n, p in cells:
+            n_b, p_b, w_b = n, p, 1
+            while stack and stack[-1][1] * n_b > p_b * stack[-1][0]:
+                pn, pp, pw = stack.pop()
+                n_b, p_b, w_b = n_b + pn, p_b + pp, w_b + pw
+            stack.append((n_b, p_b, w_b))
+        fitted = []
+        for n_b, p_b, w_b in stack:
+            fitted += [r6(p_b / n_b)] * w_b
+        return fitted
+
+    cell = st.tuples(st.integers(1, 6), st.integers(0, 6))
+
+    @given(st.lists(cell, min_size=1, max_size=10))
+    @settings(max_examples=8, deadline=None)
+    def run(raw):
+        cells = [
+            (float(i), n, min(p, n)) for i, (n, p) in enumerate(raw)
+        ]
+        rows = [
+            ("g", s, 1 if j < p else 0)
+            for s, n, p in cells
+            for j in range(n)
+        ]
+        df = spark.createDataFrame(rows, "g string, score double, y int")
+        out = sorted(
+            stats.isotonic_calibration(df, "g", "score", "y").collect(),
+            key=lambda r: r.score,
+        )
+        got = [r.calibrated for r in out]
+        assert got == py_pav(cells)
+        assert got == sorted(got)  # isotonic by construction
+
+    run()
+
+
+def test_spearman_property_matches_python_midranks(spark):
+    """Property check: spearman_corr equals Pearson over Python-computed
+    midranks for arbitrary tied data (round6)."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lakehouse_platform_nyc_taxi_spark.operators import stats
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            mid = (i + j) / 2 + 1
+            for t in range(i, j + 1):
+                ranks[order[t]] = mid
+            i = j + 1
+        return ranks
+
+    def py_spearman(xs, ys):
+        rx, ry = midranks(xs), midranks(ys)
+        n = len(xs)
+        sx, sy = sum(rx), sum(ry)
+        sxx = sum(r * r for r in rx)
+        syy = sum(r * r for r in ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        num = n * sxy - sx * sy
+        den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        if den == 0:
+            return None
+        return math.floor(abs(num / den) * 1e6 + 0.5) / 1e6 * (
+            1.0 if num / den >= 0 else -1.0
+        )
+
+    pair = st.tuples(st.integers(-5, 5), st.integers(-5, 5))
+
+    @given(st.lists(pair, min_size=2, max_size=25))
+    @settings(max_examples=10, deadline=None)
+    def run(pairs):
+        df = spark.createDataFrame(
+            [(float(x), float(y)) for x, y in pairs], "x double, y double"
+        )
+        got = stats.spearman_corr(df, "x", "y").collect()[0].rho
+        want = py_spearman([x for x, _ in pairs], [y for _, y in pairs])
+        assert got == want, (pairs, got, want)
+
+    run()

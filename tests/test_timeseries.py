@@ -556,3 +556,78 @@ def test_acf_hand_computed(spark):
     )
     got = acf(const, "g", "t", "y", max_lag=2).collect()
     assert all(r.acf_value is None for r in got)
+
+
+def test_holt_backtest_property_matches_python_fold(spark):
+    """Property check: the backtest fold equals a pure-Python replay of
+    the documented error recurrences for arbitrary series — bucketing
+    and Arrow batching never change per-series accounting, including
+    the zero-y MAPE skip and the constant-series MASE NULL."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lakehouse_platform_nyc_taxi_spark.operators.timeseries import (
+        holt_backtest,
+    )
+
+    def r8(x):
+        return (math.floor(abs(x) * 1e8 + 0.5) / 1e8) * (1.0 if x >= 0 else -1.0)
+
+    def r6(x):
+        return (math.floor(abs(x) * 1e6 + 0.5) / 1e6) * (1.0 if x >= 0 else -1.0)
+
+    def py_backtest(y):
+        n = len(y)
+        if n < 2:
+            return None
+        l, b = y[0], 0.0
+        sum_ae = sum_ape = sum_sm = sum_nv = 0.0
+        n_ape = n_sm = 0
+        for t in range(1, n):
+            yt, yp = y[t], y[t - 1]
+            pred = r8(l + b)
+            ae = r8(abs(yt - pred))
+            sum_ae = r8(sum_ae + ae)
+            if yt != 0.0:
+                sum_ape = r8(sum_ape + r8(ae / abs(yt)))
+                n_ape += 1
+            den = abs(yt) + abs(pred)
+            if den != 0.0:
+                sum_sm = r8(sum_sm + r8(2.0 * ae / den))
+                n_sm += 1
+            sum_nv = r8(sum_nv + r8(abs(yt - yp)))
+            l_new = r8(0.5 * yt + 0.5 * (l + b))
+            b = r8(0.25 * (l_new - l) + 0.75 * b)
+            l = l_new
+        return (
+            n,
+            r6(sum_ae / (n - 1)),
+            r6(sum_ape / n_ape) if n_ape else None,
+            r6(sum_sm / n_sm) if n_sm else None,
+            r6(sum_ae / sum_nv) if sum_nv > 0.0 else None,
+        )
+
+    grid = st.integers(-400, 400).map(lambda i: i * 0.25)
+    series = st.lists(grid, min_size=1, max_size=14)
+
+    @given(st.lists(series, min_size=1, max_size=6))
+    @settings(max_examples=8, deadline=None)
+    def run(corpus):
+        rows = [
+            (k, t, v) for k, ys in enumerate(corpus) for t, v in enumerate(ys)
+        ]
+        df = spark.createDataFrame(rows, "k long, t long, y double")
+        got = {
+            r.k: (r.n_obs, r.mae, r.mape, r.smape, r.mase)
+            for r in holt_backtest(df, "k", "t", "y", n_buckets=3).collect()
+        }
+        want = {}
+        for k, ys in enumerate(corpus):
+            ref = py_backtest([float(v) for v in ys])
+            if ref is not None:
+                want[k] = ref
+        assert got == want
+
+    run()
