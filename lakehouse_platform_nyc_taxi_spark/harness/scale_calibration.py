@@ -1602,3 +1602,101 @@ def stats_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table_parallel(spark, sf_dir, "lineitem")
     return skew_kurtosis(li, "l_returnflag", "l_extendedprice")
+
+
+@register(
+    "stats_tost_equivalence",
+    f"""
+    WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' AND value > 180
+                        THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY 1
+    ),
+    armed AS (
+        SELECT CAST(({_AB_HASH}) % 2 AS INTEGER) AS arm, conv FROM per_user
+    ),
+    wide AS (
+        SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a,
+               max(CASE WHEN arm = 0 THEN c END) AS conv_a,
+               max(CASE WHEN arm = 1 THEN n END) AS n_b,
+               max(CASE WHEN arm = 1 THEN c END) AS conv_b
+        FROM (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(conv) AS BIGINT) AS c
+              FROM armed GROUP BY 1)
+    )
+    SELECT n_a, n_b,
+           round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+           round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+           round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                 - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS diff,
+           round(sqrt((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                      * (1.0 - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                      / CAST(n_a AS DOUBLE)
+                      + (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                        * (1.0 - CAST(conv_b AS DOUBLE)
+                                 / CAST(n_b AS DOUBLE))
+                        / CAST(n_b AS DOUBLE)), 6) AS se,
+           round(((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                   - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) + 0.02)
+                 / sqrt((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                        * (1.0 - CAST(conv_a AS DOUBLE)
+                                 / CAST(n_a AS DOUBLE))
+                        / CAST(n_a AS DOUBLE)
+                        + (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                          * (1.0 - CAST(conv_b AS DOUBLE)
+                                   / CAST(n_b AS DOUBLE))
+                          / CAST(n_b AS DOUBLE)), 6) AS z_lower,
+           round((0.02 - (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                          - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+                 / sqrt((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                        * (1.0 - CAST(conv_a AS DOUBLE)
+                                 / CAST(n_a AS DOUBLE))
+                        / CAST(n_a AS DOUBLE)
+                        + (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                          * (1.0 - CAST(conv_b AS DOUBLE)
+                                   / CAST(n_b AS DOUBLE))
+                          / CAST(n_b AS DOUBLE)), 6) AS z_upper,
+           least(((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                   - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) + 0.02)
+                 / sqrt((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                        * (1.0 - CAST(conv_a AS DOUBLE)
+                                 / CAST(n_a AS DOUBLE))
+                        / CAST(n_a AS DOUBLE)
+                        + (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                          * (1.0 - CAST(conv_b AS DOUBLE)
+                                   / CAST(n_b AS DOUBLE))
+                          / CAST(n_b AS DOUBLE)),
+                 (0.02 - (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                          - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+                 / sqrt((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                        * (1.0 - CAST(conv_a AS DOUBLE)
+                                 / CAST(n_a AS DOUBLE))
+                        / CAST(n_a AS DOUBLE)
+                        + (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                          * (1.0 - CAST(conv_b AS DOUBLE)
+                                   / CAST(n_b AS DOUBLE))
+                          / CAST(n_b AS DOUBLE)))
+               > 1.6448536269514722 AS equivalent
+    FROM wide
+    """,
+    doc="Schuirmann TOST equivalence gate between the md5 hash-split "
+    "arms on purchase conversion: both one-sided z's against a "
+    "+-0.02 margin must clear z_0.05 — the non-inferiority readout a "
+    "migration ships on, complementing stats_ab_lift's difference "
+    "test. Same arm machinery and unpooled SE; margin and z_alpha "
+    "embedded as identical literals on both engines "
+    "(operators/stats.py::tost_equivalence).",
+)
+def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import tost_equivalence
+
+    ev = load_table(spark, sf_dir, "events")
+    # high-value purchases: a conversion rate strictly inside (0, 1) so
+    # the SE is positive at every SF (every user has SOME purchase)
+    return tost_equivalence(
+        ev,
+        "user_id",
+        (F.col("event_type") == "purchase") & (F.col("value") > 180),
+        margin=0.02,
+    )

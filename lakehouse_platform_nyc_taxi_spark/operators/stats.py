@@ -2098,3 +2098,73 @@ def skew_kurtosis(
             F.try_divide(m4, m2 * m2) - F.lit(3.0), 6
         ).alias("kurtosis"),
     ).orderBy(group_col)
+
+
+def tost_equivalence(
+    df: DataFrame,
+    user_col: str,
+    convert: Column,
+    margin: float = 0.02,
+    salt: str = "ab",
+    z_alpha: float = 1.6448536269514722,
+) -> DataFrame:
+    """Two-one-sided-tests (TOST, Schuirmann 1987, public) EQUIVALENCE
+    check between the md5 hash-split arms — the non-inferiority gate a
+    refactor/migration ships on: unlike :func:`ab_lift`'s difference
+    test ("is B different?"), TOST demands evidence that |rate_B −
+    rate_A| < ``margin`` (both one-sided z's must clear z_α; failing
+    to reject difference is NOT evidence of equivalence).
+
+        z_lower = (diff + margin) / SE     (H₀: diff ≤ −margin)
+        z_upper = (margin − diff) / SE     (H₀: diff ≥ +margin)
+        equivalent ⇔ min(z_lower, z_upper) > z_α
+
+    Same arm machinery and unpooled SE as ``ab_lift`` (one user-level
+    aggregate + one 2-row aggregate); z_α embedded as the same literal
+    on both engines.
+
+    Output (1 row): ``n_a, n_b, rate_a, rate_b, diff, se, z_lower,
+    z_upper, equivalent`` (round6).
+    """
+    from .hashing import md5_long as _md5
+
+    per_user = df.groupBy(F.col(user_col).alias("_u")).agg(
+        F.max(convert.cast("int")).alias("_conv")
+    )
+    armed = per_user.select(
+        (_md5(F.concat(F.col("_u").cast("string"), F.lit(f"|{salt}"))) % 2)
+        .cast("int")
+        .alias("_arm"),
+        "_conv",
+    )
+    wide = armed.groupBy("_arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_conv").cast("bigint").alias("_c"),
+    ).agg(
+        F.max(F.when(F.col("_arm") == 0, F.col("_n"))).alias("n_a"),
+        F.max(F.when(F.col("_arm") == 0, F.col("_c"))).alias("conv_a"),
+        F.max(F.when(F.col("_arm") == 1, F.col("_n"))).alias("n_b"),
+        F.max(F.when(F.col("_arm") == 1, F.col("_c"))).alias("conv_b"),
+    )
+    pa = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    diff = pb - pa
+    se = F.sqrt(
+        pa * (F.lit(1.0) - pa) / F.col("n_a").cast("double")
+        + pb * (F.lit(1.0) - pb) / F.col("n_b").cast("double")
+    )
+    # try_divide: degenerate arms (rate 0 or 1 on both sides) have
+    # SE = 0 — z's and the verdict are NULL, the ab_lift convention
+    zl = F.try_divide(diff + F.lit(margin), se)
+    zu = F.try_divide(F.lit(margin) - diff, se)
+    return wide.select(
+        "n_a",
+        "n_b",
+        trino_round(pa, 6).alias("rate_a"),
+        trino_round(pb, 6).alias("rate_b"),
+        trino_round(diff, 6).alias("diff"),
+        trino_round(se, 6).alias("se"),
+        trino_round(zl, 6).alias("z_lower"),
+        trino_round(zu, 6).alias("z_upper"),
+        (F.least(zl, zu) > F.lit(z_alpha)).alias("equivalent"),
+    )

