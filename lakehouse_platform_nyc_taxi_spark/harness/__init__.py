@@ -69,16 +69,17 @@ _PRIORITY = [
     # and the tail name moved to the head of _KEEP (1-in-1-out).
     #
     # Composition (VERDICT r14 #1/#2 + ADVICE r14 #2):
-    #   1. NINETEEN unattested queries — the four registered after the
-    #      r14 window was cut (PSI, Cramer-von Mises, the stateless
-    #      conformal gate, the EWMA chart) plus the fifteen NEW r15
+    #   1. TWENTY-FIVE unattested queries — the four registered after
+    #      the r14 window was cut (PSI, Cramer-von Mises, the stateless
+    #      conformal gate, the EWMA chart) plus the twenty-one NEW r15
     #      queries (PR curve, Holt backtest, TPC-DS Q36, HITS, Bloom
     #      skipping, Kaplan-Meier, sequence mining, Spearman, isotonic
     #      calibration, two-feature OLS, Gini, IPS off-policy, Benford,
-    #      FD audit, Mahalanobis outliers). All locally exact-value
-    #      green; the driver row is the contract's hard signal.
-    #   2. THIRTY-ONE of the 49-name r10 staleness cohort (the
-    #      cross-round-union head), oldest-first; the remaining 18
+    #      FD audit, Mahalanobis outliers, ACF, Neyman allocation,
+    #      RAKE, Wilson intervals, skew/kurtosis, TOST). All locally
+    #      exact-value green; the driver row is the hard signal.
+    #   2. TWENTY-FIVE of the 49-name r10 staleness cohort (the
+    #      cross-round-union head), oldest-first; the remaining 24
     #      lead the r16 window from the head of _KEEP.
     "stats_psi_drift",
     "stats_cvm_two_sample",
@@ -99,6 +100,12 @@ _PRIORITY = [
     "profile_benford",
     "profile_fd_violations",
     "embedding_outlier_scores",
+    "stats_wilson_intervals",
+    "stats_skew_kurtosis",
+    "stats_tost_equivalence",
+    "sampling_neyman_allocation",
+    "timeseries_acf",
+    "text_rake_keywords",
     "quality_gopher_rules",
     "corpus_overlap_matrix",
     "embedding_kmeans_semdedup",
@@ -124,22 +131,22 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "agg_approx_top_k_rollup",
     "agg_kll_quantile_rollup",
-    "agg_theta_set_ops",
-    "agg_histogram_percentile_rollup",
-    "streaming_stream_stream_join",
-    "streaming_stream_stream_left",
-    "sql_recursive_chain",
-    "dedup_ngram_containment",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
 # window, so a query added mid-round must be listed in _PRIORITY
 # explicitly (and a name bumped to _KEEP to make room).
 _KEEP = [
-    # Staleness-ordered (oldest driver row first): the 18 r10-green
+    # Staleness-ordered (oldest driver row first): the 24 r10-green
     # names that did not fit the r15 window, then the r11 cohort, then
     # r12, r13, and the 50 r14-window names at the tail — future
     # rotations pull from the HEAD of this list.
+    "agg_theta_set_ops",
+    "agg_histogram_percentile_rollup",
+    "streaming_stream_stream_join",
+    "streaming_stream_stream_left",
+    "sql_recursive_chain",
+    "dedup_ngram_containment",
     "agg_histogram",
     "sql_correlated_subquery",
     "cohort_retention",
