@@ -693,3 +693,56 @@ def streaming_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, _conformal_threshold_index(spark, sf_dir)
     )
     return S.run_available_now(out, "append", state_partitions=8)
+
+
+@register(
+    "streaming_attributed_rollup",
+    """
+    WITH wm AS (
+        SELECT least(
+            (SELECT max(ts) FROM events WHERE event_type = 'view'),
+            (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+        ) - INTERVAL 1 HOUR AS cutoff
+    ),
+    m AS (
+        SELECT b.purchase_ts, b.pv FROM
+        (SELECT user_id, ts AS view_ts FROM events
+         WHERE event_type = 'view') a
+        JOIN (SELECT user_id, ts AS purchase_ts, value AS pv FROM events
+              WHERE event_type = 'purchase') b
+          ON a.user_id = b.user_id AND b.purchase_ts > a.view_ts
+         AND b.purchase_ts <= a.view_ts + INTERVAL 2 HOUR
+    ),
+    agg AS (
+        SELECT CAST(date_trunc('day', purchase_ts) AS TIMESTAMP)
+                   AS window_start,
+               CAST(date_trunc('day', purchase_ts) + INTERVAL 1 DAY
+                    AS TIMESTAMP) AS window_end,
+               CAST(count(*) AS BIGINT) AS n_attributed,
+               CAST(sum(CAST(pv AS DECIMAL(28,8))) AS DOUBLE)
+                   AS attributed_value
+        FROM m GROUP BY 1, 2
+    )
+    SELECT agg.* FROM agg, wm WHERE agg.window_end <= wm.cutoff
+    """,
+    doc="Stream-stream attribution join CHAINED into a daily windowed "
+    "rollup — join state feeding aggregation state in one query (the "
+    "two-stateful-operator composition the streaming family lacked): "
+    "per day of purchase time, attribution pairs within the 2h "
+    "horizon and their pair-weighted decimal-fenced value. Both join "
+    "buffers stay watermark+horizon-bounded; append mode finalizes a "
+    "window once min(both sides' max event time) - 1h passes its end, "
+    "which is exactly the oracle's batch cutoff predicate "
+    "(streaming/ops.py::stream_attributed_rollup).",
+)
+def streaming_attributed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = S.read_events_stream(spark, sf_dir)
+    out = S.stream_attributed_rollup(ev).select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+        "n_attributed",
+        "attributed_value",
+    )
+    return S.run_available_now(out, "append", state_partitions=8)

@@ -28,6 +28,7 @@ from .ops import (
     stream_conformal_gate,
     stream_decontamination_gate,
     stream_dedup_gate,
+    stream_attributed_rollup,
     stream_static_enrich,
     stream_stream_attribution,
     chained_window_rollup,
@@ -49,6 +50,7 @@ __all__ = [
     "windowed_rollup",
     "dedup_counts",
     "session_windows",
+    "stream_attributed_rollup",
     "stream_static_enrich",
     "stream_stream_attribution",
     "stateful_user_stats",

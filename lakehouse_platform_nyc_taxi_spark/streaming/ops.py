@@ -719,3 +719,72 @@ def stream_conformal_gate(
             trino_round(F.col("_thr"), 6).alias("threshold"),
         )
     )
+
+
+def stream_attributed_rollup(
+    events: DataFrame,
+    view_type: str = "view",
+    purchase_type: str = "purchase",
+    horizon: str = "2 hours",
+    watermark: str = "1 hour",
+    coarse: str = "1 day",
+) -> DataFrame:
+    """Stream-stream interval join CHAINED into a windowed rollup — the
+    two-stateful-operator composition (join state feeding aggregation
+    state, Spark 3.5+/4) the funnel dashboards actually run: per
+    ``coarse`` window of PURCHASE time, how many (view, purchase)
+    attribution pairs landed and how much pair-weighted purchase value
+    they carried. A purchase matched by several prior views counts
+    once per pair — the view-weighted exposure convention (distinct
+    aggregations are unsupported on streams; dedupe upstream for
+    per-purchase semantics).
+
+    State bounds compose: each join buffer holds watermark+horizon per
+    side (the ``stream_stream_attribution`` contract) and the rollup
+    holds one row per open window. Append mode emits a window only
+    once the final watermark — min of both sides' max event time,
+    minus the delay — passes its end, so the availableNow drain equals
+    the batch interval-join + grouped rollup with that cutoff
+    predicate, and value sums are decimal-fenced.
+
+    Output per finalized window: ``window_start, window_end,
+    n_attributed, attributed_value``.
+    """
+    v = (
+        events.filter(F.col("event_type") == view_type)
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", watermark)
+    )
+    p = (
+        events.filter(F.col("event_type") == purchase_type)
+        .select(
+            F.col("user_id").alias("_p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("_pv"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("_p_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")
+        )
+    )
+    return (
+        v.join(p, cond, "inner")
+        .groupBy(F.window("purchase_ts", coarse))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_attributed"),
+            F.sum(F.col("_pv").cast("decimal(28,8)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_attributed",
+            "attributed_value",
+        )
+    )

@@ -624,3 +624,42 @@ def test_conformal_gate_flags_only_exceedances(spark, tmp_path):
     ).collect()
     got = {(r.event_id): (r.score, r.threshold) for r in out}
     assert got == {2: (5.0, 2.0)}
+
+
+def test_attributed_rollup_chains_join_into_windowed_agg(spark, tmp_path):
+    """Hand-built stream: user 1 views at 10:00, purchases at 11:00
+    (in-horizon) and at 13:30 (outside 2h); watermark cutoff =
+    min(max view, max purchase) - 1h finalizes day 1 only when a
+    late sentinel day exists. The drained result equals the batch
+    interval join + daily rollup with that cutoff."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_platform_nyc_taxi_spark import streaming as S
+
+    d = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, "view", d.replace(hour=10), 0.0),
+        (2, 1, "purchase", d.replace(hour=11), 50.0),   # attributed
+        (3, 1, "purchase", d.replace(hour=13, minute=30), 70.0),  # outside 2h
+        (4, 2, "view", d.replace(hour=12), 0.0),
+        # next-day sentinels advance both sides' watermarks past day 1
+        (5, 9, "view", d + dt.timedelta(days=1, hours=6), 0.0),
+        (6, 9, "purchase", d + dt.timedelta(days=1, hours=6), 1.0),
+    ]
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    ).coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(
+        spark.read.parquet(path).schema
+    ).parquet(path)
+    out = S.run_available_now(
+        S.stream_attributed_rollup(stream), "append", state_partitions=4
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.window_start == d
+    assert r.n_attributed == 1
+    assert r.attributed_value == 50.0
