@@ -69,18 +69,19 @@ _PRIORITY = [
     # and the tail name moved to the head of _KEEP (1-in-1-out).
     #
     # Composition (VERDICT r14 #1/#2 + ADVICE r14 #2):
-    #   1. TWENTY-FIVE unattested queries — the four registered after
+    #   1. TWENTY-SIX unattested (incl. the chained streaming rollup) queries — the four registered after
     #      the r14 window was cut (PSI, Cramer-von Mises, the stateless
-    #      conformal gate, the EWMA chart) plus the twenty-one NEW r15
+    #      conformal gate, the EWMA chart) plus the twenty-two NEW r15
     #      queries (PR curve, Holt backtest, TPC-DS Q36, HITS, Bloom
     #      skipping, Kaplan-Meier, sequence mining, Spearman, isotonic
     #      calibration, two-feature OLS, Gini, IPS off-policy, Benford,
     #      FD audit, Mahalanobis outliers, ACF, Neyman allocation,
     #      RAKE, Wilson intervals, skew/kurtosis, TOST). All locally
     #      exact-value green; the driver row is the hard signal.
-    #   2. TWENTY-FIVE of the 49-name r10 staleness cohort (the
-    #      cross-round-union head), oldest-first; the remaining 24
+    #   2. TWENTY-FOUR of the 49-name r10 staleness cohort (the
+    #      cross-round-union head), oldest-first; the remaining 25
     #      lead the r16 window from the head of _KEEP.
+        "streaming_attributed_rollup",
     "stats_psi_drift",
     "stats_cvm_two_sample",
     "stats_pr_curve",
@@ -130,17 +131,17 @@ _PRIORITY = [
     "similarity_ivf_recall",
     "multimodal_frame_sample",
     "agg_approx_top_k_rollup",
-    "agg_kll_quantile_rollup",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
 # window, so a query added mid-round must be listed in _PRIORITY
 # explicitly (and a name bumped to _KEEP to make room).
 _KEEP = [
-    # Staleness-ordered (oldest driver row first): the 24 r10-green
+    # Staleness-ordered (oldest driver row first): the 25 r10-green
     # names that did not fit the r15 window, then the r11 cohort, then
     # r12, r13, and the 50 r14-window names at the tail — future
     # rotations pull from the HEAD of this list.
+    "agg_kll_quantile_rollup",
     "agg_theta_set_ops",
     "agg_histogram_percentile_rollup",
     "streaming_stream_stream_join",
