@@ -313,10 +313,13 @@ def bloom_skipping_audit(
         .agg(F.count_distinct("_f").cast("bigint").alias("files_true"))
     )
     n_files = fk.select("_f").distinct().count()
+    # broadcast the probe-sized summaries: the local probe frame has
+    # no stats pre-AQE, so the 4-row assembly joins would otherwise
+    # plan as SortMergeJoins with three needless exchanges
     return (
-        probe_df.join(bloom_scan, "probe", "left")
-        .join(z_scan, "probe", "left")
-        .join(truth, "probe", "left")
+        probe_df.join(F.broadcast(bloom_scan), "probe", "left")
+        .join(F.broadcast(z_scan), "probe", "left")
+        .join(F.broadcast(truth), "probe", "left")
         .select(
             "probe",
             F.lit(n_files).cast("bigint").alias("n_files"),
