@@ -62,85 +62,33 @@ def register(
 #      Their green rows live in CORRECTNESS_r01.json (kept in-repo), so
 #      rounds jointly cover every query.
 _PRIORITY = [
-    # --- Round-15 window (driver checks the FIRST 50 registered) ---
+    # --- Round-16 window (driver checks the FIRST 50 registered) ---
     # INVARIANT (pinned by tests/test_harness_oracle.py): len(_PRIORITY)
     # is EXACTLY 50 and equals the first 50 names registry() yields. A
     # query added mid-round must be inserted at the head of this list
     # and the tail name moved to the head of _KEEP (1-in-1-out).
     #
-    # Composition (VERDICT r14 #1/#2 + ADVICE r14 #2):
-    #   1. TWENTY-SIX unattested (incl. the chained streaming rollup) queries — the four registered after
-    #      the r14 window was cut (PSI, Cramer-von Mises, the stateless
-    #      conformal gate, the EWMA chart) plus the twenty-two NEW r15
-    #      queries (PR curve, Holt backtest, TPC-DS Q36, HITS, Bloom
-    #      skipping, Kaplan-Meier, sequence mining, Spearman, isotonic
-    #      calibration, two-feature OLS, Gini, IPS off-policy, Benford,
-    #      FD audit, Mahalanobis outliers, ACF, Neyman allocation,
-    #      RAKE, Wilson intervals, skew/kurtosis, TOST). All locally
-    #      exact-value green; the driver row is the hard signal.
-    #   2. TWENTY-FOUR of the 49-name r10 staleness cohort (the
-    #      cross-round-union head), oldest-first; the remaining 25
-    #      lead the r16 window from the head of _KEEP.
-        "streaming_attributed_rollup",
-    "stats_psi_drift",
-    "stats_cvm_two_sample",
-    "stats_pr_curve",
-    "streaming_conformal_gate",
-    "timeseries_backtest_accuracy",
-    "timeseries_ewma_chart",
-    "tpcds_q36_lochierarchy",
-    "graph_hits",
-    "layout_bloom_skipping",
-    "events_kaplan_meier",
-    "events_sequence_mining",
-    "stats_spearman_corr",
-    "stats_isotonic_calibration",
-    "stats_ols_two_features",
-    "orders_gini",
-    "events_ips_offpolicy",
-    "profile_benford",
-    "profile_fd_violations",
-    "embedding_outlier_scores",
-    "stats_wilson_intervals",
-    "stats_skew_kurtosis",
-    "stats_tost_equivalence",
-    "sampling_neyman_allocation",
-    "timeseries_acf",
-    "text_rake_keywords",
-    "quality_gopher_rules",
-    "corpus_overlap_matrix",
-    "embedding_kmeans_semdedup",
-    "dedup_cluster_survivors",
-    "similarity_pq_adc_topk",
-    "similarity_pq_recall",
-    "dedup_lsh_precision",
-    "embedding_source_drift",
-    "sampling_bernoulli_estimate",
-    "profile_key_skew",
-    "similarity_hard_negatives",
-    "corpus_novelty",
-    "events_winsorize",
-    "streaming_dedup_gate",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q10_returned_items",
-    "layout_zorder_skipping",
-    "dedup_incremental_minhash",
-    "graph_label_propagation",
-    "layout_hilbert_skipping",
-    "similarity_ivf_recall",
-    "multimodal_frame_sample",
-    "agg_approx_top_k_rollup",
-]
-# Any NEW registration not listed anywhere auto-slots directly after
-# _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
-# window, so a query added mid-round must be listed in _PRIORITY
-# explicitly (and a name bumped to _KEEP to make room).
-_KEEP = [
-    # Staleness-ordered (oldest driver row first): the 25 r10-green
-    # names that did not fit the r15 window, then the r11 cohort, then
-    # r12, r13, and the 50 r14-window names at the tail — future
-    # rotations pull from the HEAD of this list.
+    # Composition (VERDICT r15 #1/#2/#5/#6/#7):
+    #   1. FIVE re-attestation targets flagged by tools/rotation_audit.py
+    #      (code changed after their last green row): the judge's three
+    #      (agg_weighted_median r12 rewrite, agg_corr_regression /
+    #      table_profile_numeric read-path change) plus two the audit
+    #      found that the judge missed (stats_ks_two_sample /
+    #      stats_roc_auc — r15 decimal-fence edits after their r14
+    #      attestation).
+    #   2. TWO new queries: incremental_delete_insert (closes the last
+    #      pytest-only SURVEY §2 ID, S9) and multimodal_phash_neardup
+    #      (perceptual-hash image near-dup).
+    #   3. FORTY-THREE oldest-stale names from the head of _KEEP (the
+    #      25 remaining r10 cohort, then r11) — keeps the r10 tail
+    #      inside the 6-round freshness horizon.
+    "agg_weighted_median",
+    "agg_corr_regression",
+    "table_profile_numeric",
+    "stats_ks_two_sample",
+    "stats_roc_auc",
+    "incremental_delete_insert",
+    "multimodal_phash_neardup",
     "agg_kll_quantile_rollup",
     "agg_theta_set_ops",
     "agg_histogram_percentile_rollup",
@@ -156,18 +104,15 @@ _KEEP = [
     "graph_pagerank",
     "fuzzy_join_suppliers",
     "events_max_concurrency",
-    "table_profile_numeric",
     "timeseries_ohlc",
     "sql_lateral_topn",
     "dedup_latest_record",
     "sampling_token_budget",
-    "agg_corr_regression",
     "scd2_point_in_time_join",
     "json_extract_rollup",
     "json_variant_histogram",
     "window_rank_trio",
     "window_nth_value_session",
-    "agg_weighted_median",
     "text_langid_confusion",
     "quality_rule_ablation",
     "events_dau_wau_stickiness",
@@ -187,6 +132,15 @@ _KEEP = [
     "stats_ab_lift",
     "streaming_cms_heavy_hitters",
     "agg_count_min_sketch",
+]
+# Any NEW registration not listed anywhere auto-slots directly after
+# _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
+# window, so a query added mid-round must be listed in _PRIORITY
+# explicitly (and a name bumped to _KEEP to make room).
+_KEEP = [
+    # Staleness-ordered (oldest driver row first): the r11 cohort
+    # remainder, then r12, r13, r14, and the 50 r15-window names at the
+    # tail — future rotations pull from the HEAD of this list.
     "sampling_dsir_weights",
     "sampling_dsir_select",
     "corpus_mixture_plan",
@@ -315,8 +269,6 @@ _KEEP = [
     "timeseries_gapfill_15min",
     "stats_lift_gain",
     "tpcds_q97_overlap",
-    "stats_roc_auc",
-    "stats_ks_two_sample",
     "stats_brier_decomposition",
     "timeseries_holt_winters",
     "tpcds_q69_exists_gate",
@@ -363,6 +315,56 @@ _KEEP = [
     "text_lm_surprisal",
     "embedding_random_projection",
     "hybrid_search_rrf",
+    "streaming_attributed_rollup",
+    "stats_psi_drift",
+    "stats_cvm_two_sample",
+    "stats_pr_curve",
+    "streaming_conformal_gate",
+    "timeseries_backtest_accuracy",
+    "timeseries_ewma_chart",
+    "tpcds_q36_lochierarchy",
+    "graph_hits",
+    "layout_bloom_skipping",
+    "events_kaplan_meier",
+    "events_sequence_mining",
+    "stats_spearman_corr",
+    "stats_isotonic_calibration",
+    "stats_ols_two_features",
+    "orders_gini",
+    "events_ips_offpolicy",
+    "profile_benford",
+    "profile_fd_violations",
+    "embedding_outlier_scores",
+    "stats_wilson_intervals",
+    "stats_skew_kurtosis",
+    "stats_tost_equivalence",
+    "sampling_neyman_allocation",
+    "timeseries_acf",
+    "text_rake_keywords",
+    "quality_gopher_rules",
+    "corpus_overlap_matrix",
+    "embedding_kmeans_semdedup",
+    "dedup_cluster_survivors",
+    "similarity_pq_adc_topk",
+    "similarity_pq_recall",
+    "dedup_lsh_precision",
+    "embedding_source_drift",
+    "sampling_bernoulli_estimate",
+    "profile_key_skew",
+    "similarity_hard_negatives",
+    "corpus_novelty",
+    "events_winsorize",
+    "streaming_dedup_gate",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "layout_zorder_skipping",
+    "dedup_incremental_minhash",
+    "graph_label_propagation",
+    "layout_hilbert_skipping",
+    "similarity_ivf_recall",
+    "multimodal_frame_sample",
+    "agg_approx_top_k_rollup",
 ]
 _ROTATE_OUT: list[str] = []
 

@@ -992,3 +992,87 @@ def dq_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").isNotNull() & ~F.col("l_quantity").between(1, 50)
         ).alias("out_of_range_quantities"),
     )
+
+
+# --------------------------------------------------------------------------
+# S9: incremental delete+insert, attested through the REAL sink
+# --------------------------------------------------------------------------
+
+
+@register(
+    "incremental_delete_insert",
+    """
+    WITH b1 AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(year(o_orderdate) AS INTEGER) AS year,
+               CAST(month(o_orderdate) AS INTEGER) AS month
+        FROM orders WHERE o_orderkey % 10 < 8
+    ),
+    b2base AS (
+        SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice,
+               CAST(year(o_orderdate) AS INTEGER) AS year,
+               CAST(month(o_orderdate) AS INTEGER) AS month
+        FROM orders WHERE o_orderkey % 10 BETWEEN 6 AND 8
+    ),
+    b2 AS (
+        SELECT * FROM b2base
+        UNION ALL
+        SELECT * FROM b2base WHERE o_orderkey % 97 = 0
+    ),
+    final AS (
+        SELECT * FROM b1
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+        UNION ALL
+        SELECT * FROM b2
+    )
+    SELECT year, month,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS sum_price
+    FROM final
+    GROUP BY year, month
+    """,
+    doc="S9: dbt incremental_strategy='delete+insert' replayed through the "
+    "REAL partitioned-parquet sink (sources/writers.py:94): batch 1 (keys "
+    "%10<8) lands as CTAS, batch 2 (keys 6-8, corrected price, keys %97==0 "
+    "re-delivered TWICE) delete+inserts into the touched (year, month) "
+    "partitions via dynamic partition overwrite. The faithful quirk under "
+    "test: within-batch duplicates SURVIVE (dbt deletes by key against the "
+    "target, never dedupes the incoming batch — "
+    "stg_nyc_taxi__yellow_trips.sql:2-8), so n_rows > n_keys exactly where "
+    "%97 keys land. Oracle replays delete+insert relationally "
+    "(anti-join UNION ALL batch). Returned state is the per-partition "
+    "rollup of the files actually written and re-read.",
+)
+def incremental_delete_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..sources import writers
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("year"),
+        F.month("o_orderdate").cast("int").alias("month"),
+    )
+    batch1 = base.filter(F.col("o_orderkey") % 10 < 8)
+    b2base = base.filter((F.col("o_orderkey") % 10).between(6, 8)).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
+    )
+    batch2 = b2base.unionByName(b2base.filter(F.col("o_orderkey") % 97 == 0))
+
+    path = f"/tmp/spark_graft_s9/{os.path.basename(sf_dir.rstrip('/'))}/orders"
+    shutil.rmtree(path, ignore_errors=True)
+    writers.incremental_delete_insert(spark, batch1, path, unique_key=["o_orderkey"])
+    writers.incremental_delete_insert(spark, batch2, path, unique_key=["o_orderkey"])
+
+    state = spark.read.parquet(path)
+    return state.groupBy(
+        F.col("year").cast("int").alias("year"),
+        F.col("month").cast("int").alias("month"),
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        dsum("o_totalprice").alias("sum_price"),
+    )

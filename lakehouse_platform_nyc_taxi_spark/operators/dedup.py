@@ -30,6 +30,8 @@ reproducible in the DuckDB oracle.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1476,4 +1478,86 @@ def gram_novelty(
             ).alias("novelty_rate"),
         )
         .orderBy(group_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hamming-banded near-dup pairs (perceptual hashes, SimHash digests)
+# ---------------------------------------------------------------------------
+
+
+def hamming_banded_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    band_cols: Sequence[str],
+    bits_per_band: int,
+    max_hamming: int,
+    max_band_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs under Hamming distance over a banded bit-hash
+    (perceptual image hash, SimHash): explode the band columns, equi-join
+    ids that share any (band, value) bucket, then filter candidates by
+    exact Hamming distance (``bit_count(xor)`` summed across bands).
+
+    Recall contract (pigeonhole): with ``B`` bands, any pair within
+    Hamming distance ``B - 1`` differs in at most ``B - 1`` bands, so at
+    least one band matches exactly and the pair IS a candidate. Past that
+    the bucket join is approximate-recall in the usual LSH sense.
+
+    Never a cartesian product: candidates only meet inside a
+    (band, value) bucket (same plan shape as ``minhash_lsh_pairs``;
+    plan-asserted by tests/test_plans.py). The Hamming distance is
+    computed BEFORE the distinct so the dedup exchange carries 3 narrow
+    columns, not 2 x len(band_cols) hash ints.
+
+    ``max_band_df`` is the skew valve (same trade as ``max_gram_df`` in
+    the set-similarity joins): a degenerate bucket — e.g. band value 0
+    from blank images — self-joins O(df^2). Capping drops buckets with
+    more than ``max_band_df`` members from candidate generation only;
+    pairs that ALSO share a rarer band are still found, so recall
+    degrades last for genuinely similar images. ``None`` = exact banding.
+    """
+    total_bits = bits_per_band * len(band_cols)
+    if not 0 <= max_hamming < total_bits:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must lie in [0, {total_bits}) — at or "
+            "past the hash width every pair passes and the banding prunes nothing"
+        )
+    exploded = hashes.select(
+        F.col(id_col),
+        *[F.col(c) for c in band_cols],
+        F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
+            "band", "band_val"
+        ),
+    )
+    if max_band_df is not None:
+        bucket_df = (
+            exploded.groupBy("band", "band_val")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_band_df)
+            .select("band", "band_val")
+        )
+        exploded = exploded.join(bucket_df, ["band", "band_val"])
+    left = exploded.select(
+        F.col(id_col).alias("id_a"),
+        "band",
+        "band_val",
+        *[F.col(c).alias(f"a_{c}") for c in band_cols],
+    )
+    right = exploded.select(
+        F.col(id_col).alias("id_b"),
+        "band",
+        "band_val",
+        *[F.col(c).alias(f"b_{c}") for c in band_cols],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
+        for c in band_cols
+    )
+    return (
+        left.join(right, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -175,6 +175,58 @@ def test_multimodal_real_decode_executes_on_pnm(spark):
     assert (got[2].byte_sum_mod, got[2].mean_byte) == (s1, m1)
 
 
+def test_phash_bands_match_reference(spark):
+    w, h = 16, 12
+    gray = [(x * 7 + y * 13) % 256 for y in range(h) for x in range(w)]
+    assets = spark.createDataFrame(
+        [(1, bytearray(_encode_pgm(w, h, gray)))], "asset_id long, content binary"
+    )
+    row = multimodal.phash_bands(assets).first()
+
+    thumb = [
+        gray[min(int((j + 0.5) * h / 8), h - 1) * w + min(int((i + 0.5) * w / 8), w - 1)]
+        for j in range(8) for i in range(8)
+    ]
+    mean = sum(thumb) / 64.0
+    expected = [
+        sum((1 << k) for k in range(16) if thumb[16 * j + k] > mean) for j in range(4)
+    ]
+    assert [row.b0, row.b1, row.b2, row.b3] == expected
+
+
+def test_hamming_banded_pairs_guarantee_and_valve(spark):
+    # A/B differ in 2 bits (<= bands-1=3: candidate generation GUARANTEED
+    # by pigeonhole), C differs from both in every band.
+    rows = [
+        (1, 0x0F0F, 0x1234, 0x00FF, 0x7777),
+        (2, 0x0F0E, 0x1234, 0x00FF, 0x7775),  # 1 bit off in b0, 1 in b3
+        (3, 0x7000, 0x0001, 0x5500, 0x0008),
+    ]
+    hashes = spark.createDataFrame(rows, "id long, b0 int, b1 int, b2 int, b3 int")
+    got = dedup.hamming_banded_pairs(
+        hashes, "id", ["b0", "b1", "b2", "b3"], bits_per_band=16, max_hamming=8
+    ).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 2)]
+
+    # the df valve drops an oversized bucket from candidate generation:
+    # give every row the same b1 so that bucket has df=3 > cap=2; the
+    # (1,2) pair must still surface through its OTHER matching bands
+    same_b1 = spark.createDataFrame(
+        [(1, 0x0F0F, 7, 0x00FF, 0x7777), (2, 0x0F0E, 7, 0x00FF, 0x7775), (3, 0x7000, 7, 0x5500, 0x0008)],
+        "id long, b0 int, b1 int, b2 int, b3 int",
+    )
+    capped = dedup.hamming_banded_pairs(
+        same_b1, "id", ["b0", "b1", "b2", "b3"],
+        bits_per_band=16, max_hamming=8, max_band_df=2,
+    ).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in capped] == [(1, 2, 2)]
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.hamming_banded_pairs(
+            hashes, "id", ["b0", "b1", "b2", "b3"], bits_per_band=16, max_hamming=64
+        )
+
+
 def test_multimodal_decode_rejects_unknown_format(spark):
     # default path pins the pure-Python codec regardless of PIL presence
     assets = spark.createDataFrame(

@@ -79,6 +79,7 @@ def test_pairwise_operators_never_cartesian(spark):
         "dedup_embedding_cosine",
         "dedup_exact_substring",
         "dedup_incremental_minhash",
+        "multimodal_phash_neardup",
         "join_asof",
         "join_range",
     ):
