@@ -76,10 +76,13 @@ _PRIORITY = [
     #      found that the judge missed (stats_ks_two_sample /
     #      stats_roc_auc — r15 decimal-fence edits after their r14
     #      attestation).
-    #   2. TWO new queries: incremental_delete_insert (closes the last
-    #      pytest-only SURVEY §2 ID, S9) and multimodal_phash_neardup
-    #      (perceptual-hash image near-dup).
-    #   3. FORTY-THREE oldest-stale names from the head of _KEEP (the
+    #   2. FIFTEEN new r16 queries: incremental_delete_insert (closes the
+    #      last pytest-only SURVEY §2 ID, S9), multimodal_phash_neardup +
+    #      dedup_simhash_neardup (Hamming-banded near-dup family),
+    #      quality_c4_rules, events_session_entropy, timeseries_ljung_box,
+    #      stats_brown_forsythe, graph_adamic_adar, text_vocab_coverage,
+    #      tpcds_q73/q93, stats_cochran_armitage, orders_herfindahl, events_nelson_aalen, streaming_phash_gate.
+    #   3. THIRTY oldest-stale names from the head of _KEEP (the
     #      25 remaining r10 cohort, then r11) — keeps the r10 tail
     #      inside the 6-round freshness horizon.
     "agg_weighted_median",
@@ -89,6 +92,19 @@ _PRIORITY = [
     "stats_roc_auc",
     "incremental_delete_insert",
     "multimodal_phash_neardup",
+    "dedup_simhash_neardup",
+    "quality_c4_rules",
+    "events_session_entropy",
+    "timeseries_ljung_box",
+    "stats_brown_forsythe",
+    "graph_adamic_adar",
+    "text_vocab_coverage",
+    "tpcds_q73_frequent_buyers",
+    "tpcds_q93_returns_adjusted",
+    "stats_cochran_armitage",
+    "orders_herfindahl",
+    "events_nelson_aalen",
+    "streaming_phash_gate",
     "agg_kll_quantile_rollup",
     "agg_theta_set_ops",
     "agg_histogram_percentile_rollup",
@@ -119,6 +135,15 @@ _PRIORITY = [
     "text_tokenizer_fertility",
     "orders_interarrival_stats",
     "privacy_t_closeness",
+]
+# Any NEW registration not listed anywhere auto-slots directly after
+# _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
+# window, so a query added mid-round must be listed in _PRIORITY
+# explicitly (and a name bumped to _KEEP to make room).
+_KEEP = [
+    # Staleness-ordered (oldest driver row first): the r11 cohort
+    # remainder, then r12, r13, r14, and the 50 r15-window names at the
+    # tail — future rotations pull from the HEAD of this list.
     "events_funnel_latency",
     "sql_having_above_average",
     "text_log_odds_terms",
@@ -132,15 +157,6 @@ _PRIORITY = [
     "stats_ab_lift",
     "streaming_cms_heavy_hitters",
     "agg_count_min_sketch",
-]
-# Any NEW registration not listed anywhere auto-slots directly after
-# _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
-# window, so a query added mid-round must be listed in _PRIORITY
-# explicitly (and a name bumped to _KEEP to make room).
-_KEEP = [
-    # Staleness-ordered (oldest driver row first): the r11 cohort
-    # remainder, then r12, r13, r14, and the 50 r15-window names at the
-    # tail — future rotations pull from the HEAD of this list.
     "sampling_dsir_weights",
     "sampling_dsir_select",
     "corpus_mixture_plan",

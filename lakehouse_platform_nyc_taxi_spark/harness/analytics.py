@@ -1674,3 +1674,150 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_year", "cohort_month", "age_months")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-16: behavioral entropy + Ljung-Box whiteness test
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_session_entropy",
+    """
+    WITH uc AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    ut AS (SELECT user_id, sum(c) AS n FROM uc GROUP BY 1),
+    contrib AS (
+        SELECT uc.user_id, ut.n,
+               round(-(CAST(uc.c AS DOUBLE) / ut.n)
+                     * ln(CAST(uc.c AS DOUBLE) / ut.n), 8) AS x
+        FROM uc JOIN ut USING (user_id)
+    )
+    SELECT user_id,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE), 6)
+               AS entropy_nats
+    FROM contrib GROUP BY user_id
+    """,
+    doc="Per-user Shannon entropy of the event-type distribution — the "
+    "behavioral-diversity feature (bot traffic shows near-zero entropy, "
+    "engaged users near-uniform). Two group-keyed shuffles (type counts, "
+    "user totals) with map-side combine; per-term contributions round8 "
+    "then decimal-fenced, the corpus_kl_to_global determinism recipe.",
+)
+def events_session_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    uc = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ut = uc.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    contrib = uc.join(ut, "user_id").select(
+        "user_id", "n", trino_round(-p * F.log(p), 8).alias("x")
+    )
+    return contrib.groupBy("user_id").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        trino_round(
+            F.sum(F.col("x").cast("decimal(28,8)")).cast("double"), 6
+        ).alias("entropy_nats"),
+    )
+
+
+def _ljung_box_sql(max_lag: int = 7) -> str:
+    # Recomputes the timeseries_acf CTE chain (kept byte-independent so
+    # neither oracle's attestation churns when the other evolves), then
+    # folds the round6 autocorrelations into the Ljung-Box Q statistic.
+    lags = range(1, max_lag + 1)
+    leads = ",\n           ".join(
+        f"lead(d.y, {k}) OVER (PARTITION BY d.g ORDER BY d.day) - mu.m AS d{k}"
+        for k in lags
+    )
+    sums = ",\n        ".join(
+        f"CAST(sum(CAST(d0 * d{k} AS DECIMAL(38,8))) AS DOUBLE) AS n{k},\n"
+        f"        CAST(count(d{k}) AS BIGINT) AS c{k}"
+        for k in lags
+    )
+    terms = " + ".join(
+        f"CAST(CASE WHEN c{k} > 0 AND den <> 0 THEN "
+        f"round(round(n{k} / den, 6) * round(n{k} / den, 6) / c{k}, 8) "
+        f"ELSE 0 END AS DECIMAL(28,8))"
+        for k in lags
+    )
+    return f"""
+    WITH d AS (
+        SELECT event_type AS g, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS y
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    mu AS (
+        SELECT g, round(CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE), 8) AS m
+        FROM d GROUP BY 1
+    ),
+    led AS (
+        SELECT d.g, count(*) OVER (PARTITION BY d.g) AS n, (d.y - mu.m) AS d0,
+           {leads}
+        FROM d JOIN mu ON mu.g = d.g
+    ),
+    agg AS (
+        SELECT g, CAST(max(n) AS BIGINT) AS n,
+        CAST(sum(CAST(d0 * d0 AS DECIMAL(38,8))) AS DOUBLE) AS den,
+        {sums}
+        FROM led GROUP BY 1
+    )
+    SELECT g AS event_type, n,
+           {max_lag} AS lb_df,
+           round(n * (n + 2) * CAST(({terms}) AS DOUBLE), 6) AS q_stat,
+           (n * (n + 2) * CAST(({terms}) AS DOUBLE) > 14.0671) AS reject_05
+    FROM agg
+    """
+
+
+@register(
+    "timeseries_ljung_box",
+    _ljung_box_sql(),
+    doc="Ljung-Box portmanteau whiteness test over each event type's "
+    "daily series: Q = n(n+2) * sum_k rho_k^2/(n-k) for lags 1-7 with "
+    "the chi-square(7) 5% critical value — the residual-autocorrelation "
+    "gate run after fitting Holt/Holt-Winters (Box-Jenkins diagnostics). "
+    "Builds on the attested operators/timeseries.py::acf output (round6 "
+    "autocorrelations, decimal-fenced cross-product sums); one extra "
+    "7-row-per-group collapse on top of the ACF's shuffles.",
+)
+def timeseries_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import acf
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            F.col("event_type"),
+            F.date_trunc("day", F.col("ts")).cast("date").alias("_day"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,12)")).cast("double").alias("_y")
+        )
+    )
+    rho = acf(ev, "event_type", "_day", "_y", max_lag=7)
+    term = F.when(
+        (F.col("n_pairs") > 0) & F.col("acf_value").isNotNull(),
+        trino_round(
+            F.col("acf_value") * F.col("acf_value") / F.col("n_pairs"), 8
+        ),
+    ).otherwise(F.lit(0.0))
+    per_group = rho.groupBy("event_type").agg(
+        F.max(F.col("n_pairs") + F.col("lag")).cast("bigint").alias("n"),
+        F.sum(term.cast("decimal(28,8)")).cast("double").alias("_s"),
+    )
+    q = F.col("n") * (F.col("n") + F.lit(2)) * F.col("_s")
+    return per_group.select(
+        "event_type",
+        "n",
+        F.lit(7).alias("lb_df"),
+        trino_round(q, 6).alias("q_stat"),
+        (q > F.lit(14.0671)).alias("reject_05"),
+    )

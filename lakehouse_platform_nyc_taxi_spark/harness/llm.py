@@ -217,6 +217,84 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table_parallel(spark, sf_dir, "documents"))
 
 
+def _simhash_neardup_sql(bits: int = 32, max_hamming: int = 3) -> str:
+    # Same token-md5 bit sums as _simhash_sql, packed into 4 8-bit bands
+    # (band j = digest bits 8j..8j+7) for the Hamming-banded pair join.
+    sums = ",\n               ".join(
+        f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    band_exprs = []
+    for j in range(4):
+        terms = " + ".join(
+            f"(CASE WHEN s{8 * j + k} >= 0 THEN {2**k} ELSE 0 END)" for k in range(8)
+        )
+        band_exprs.append(f"CAST({terms} AS INTEGER) AS b{j}")
+    bands = ",\n               ".join(band_exprs)
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({TOKS}) AS token FROM documents
+    ),
+    h AS (SELECT doc_id, {MD5L.format(x='token')} AS th FROM tok),
+    s AS (
+        SELECT doc_id,
+               {sums}
+        FROM h GROUP BY doc_id
+    ),
+    b AS (
+        SELECT doc_id,
+               {bands}
+        FROM s
+    ),
+    e AS (
+        SELECT doc_id, b0, b1, b2, b3, 0 AS band, b0 AS band_val FROM b
+        UNION ALL SELECT doc_id, b0, b1, b2, b3, 1, b1 FROM b
+        UNION ALL SELECT doc_id, b0, b1, b2, b3, 2, b2 FROM b
+        UNION ALL SELECT doc_id, b0, b1, b2, b3, 3, b3 FROM b
+    ),
+    p AS (
+        SELECT DISTINCT a.doc_id AS doc_a, z.doc_id AS doc_b,
+               CAST(bit_count(xor(a.b0, z.b0)) + bit_count(xor(a.b1, z.b1))
+                  + bit_count(xor(a.b2, z.b2)) + bit_count(xor(a.b3, z.b3))
+                    AS INTEGER) AS hamming
+        FROM e a
+        JOIN e z ON a.band = z.band AND a.band_val = z.band_val
+                AND a.doc_id < z.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= {max_hamming}
+    """
+
+
+@register(
+    "dedup_simhash_neardup",
+    _simhash_neardup_sql(),
+    doc="SimHash near-dup pairs via the Hamming-banded candidate join "
+    "(the text twin of multimodal_phash_neardup, same "
+    "operators/dedup.py::hamming_banded_pairs machinery): 32-bit token "
+    "SimHash split into 4 8-bit bands — (band, value) equi-join, exact "
+    "bit_count(xor) distance filter at <= 3 — inside the pigeonhole "
+    "guarantee (bands-1), so the returned pair set is EXACT, not "
+    "approximate-recall. The 32/8 geometry keeps the "
+    "oracle replayable; production would run 64/16 through the same "
+    "operator with the max_band_df skew valve.",
+)
+def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup.simhash(load_table_parallel(spark, sf_dir, "documents"), bits=32)
+    bands = sh.select(
+        "doc_id",
+        *[
+            F.shiftright("simhash", 8 * j).bitwiseAND(F.lit(255)).cast("int").alias(f"b{j}")
+            for j in range(4)
+        ],
+    )
+    pairs = dedup.hamming_banded_pairs(
+        bands, "doc_id", ["b0", "b1", "b2", "b3"], bits_per_band=8, max_hamming=3
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+    )
+
+
 # Shared gram CTE + pair predicate for the ngram-Jaccard family. The
 # max_gram_df=100 cap in the Spark calls is the skew valve for the
 # posting-list join (see operators.dedup); measured gram df tops out at
@@ -1351,9 +1429,12 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_features(assets)
 
 
-def _phash_neardup_sql(max_hamming: int = 8) -> str:
-    # Same fixed 16x12 -> 8x8 NEAREST sampling grid as _decode_image_sql;
-    # the aHash bit k is thumb[k] > mean(thumb), bands pack 16 bits each.
+def _phash_bands_cte() -> str:
+    """The doc->P5->8x8-thumbnail->aHash band replay as shared oracle
+    CTEs (c/t/tm/b, b = doc_id, b0..b3) — used by both the batch
+    near-dup oracle and the streaming gate oracle so the decode
+    semantics can never diverge. Same fixed 16x12 -> 8x8 NEAREST
+    sampling grid as _decode_image_sql; bit k is thumb[k] > mean."""
     w, h = 16, 12
     rowmap = [min(int((j + 0.5) * h / 8), h - 1) for j in range(8)]
     colmap = [min(int((i + 0.5) * w / 8), w - 1) for i in range(8)]
@@ -1384,7 +1465,11 @@ def _phash_neardup_sql(max_hamming: int = 8) -> str:
         SELECT doc_id,
            {bands}
         FROM tm
-    ),
+    )"""
+
+
+def _phash_neardup_sql(max_hamming: int = 8) -> str:
+    return _phash_bands_cte() + f""",
     e AS (
         SELECT doc_id, b0, b1, b2, b3, 0 AS band, b0 AS band_val FROM b
         UNION ALL SELECT doc_id, b0, b1, b2, b3, 1, b1 FROM b

@@ -734,6 +734,85 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_adamic_adar",
+    f"""
+    WITH {_EDGES_SQL},
+    und AS (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+             sum(CAST(w AS DECIMAL(38,12))) AS w
+      FROM edges WHERE src <> dst GROUP BY 1, 2
+    ),
+    bb AS (
+      SELECT a, b FROM und
+      QUALIFY row_number() OVER (ORDER BY w DESC, a, b) <= 100
+    ),
+    adj AS (SELECT a, b FROM bb UNION ALL SELECT b, a FROM bb),
+    deg AS (SELECT a, count(*) AS deg FROM adj GROUP BY 1),
+    wed AS (
+      SELECT m1.a AS x, m2.a AS y, m1.b AS z
+      FROM adj m1 JOIN adj m2 ON m1.b = m2.b AND m1.a < m2.a
+    ),
+    wt AS (
+      SELECT x, y,
+             round(1.0 / ln(d.deg), 8) AS aa_t,
+             round(1.0 / d.deg, 8) AS ra_t
+      FROM wed JOIN deg d ON d.a = wed.z
+    ),
+    g AS (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS common_neighbors,
+             round(CAST(sum(CAST(aa_t AS DECIMAL(28,8))) AS DOUBLE), 6)
+                 AS adamic_adar,
+             round(CAST(sum(CAST(ra_t AS DECIMAL(28,8))) AS DOUBLE), 6)
+                 AS resource_alloc
+      FROM wt GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT * FROM g
+      WHERE NOT EXISTS (SELECT 1 FROM bb WHERE bb.a = g.x AND bb.b = g.y)
+    )
+    SELECT na.n_name AS nation_a, nb.n_name AS nation_b,
+           common_neighbors, adamic_adar, resource_alloc
+    FROM cand
+    JOIN nation na ON na.n_nationkey = x
+    JOIN nation nb ON nb.n_nationkey = y
+    ORDER BY adamic_adar DESC, x, y LIMIT 20
+    """,
+    doc="Adamic-Adar + resource-allocation link prediction over the "
+    "trade-graph backbone: common neighbors weighted by 1/ln(deg) and "
+    "1/deg of the MIDDLE node, so hub-mediated coincidences score lower "
+    "than niche shared partners — the standard refinement over raw "
+    "common-neighbor counts (same k-bounded backbone machinery as "
+    "graph_link_prediction; operators/graph.py::adamic_adar; per-wedge "
+    "terms round8 + decimal-fenced, TakeOrdered with unique tiebreak).",
+    prepare=_trade_edges,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import adamic_adar
+
+    scored = adamic_adar(
+        _trade_edges(spark, sf_dir), weight="w", backbone_k=100, top=20
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    na = nation.select(
+        F.col("n_nationkey").alias("_ka"), F.col("n_name").alias("nation_a")
+    )
+    nb = nation.select(
+        F.col("n_nationkey").alias("_kb"), F.col("n_name").alias("nation_b")
+    )
+    return (
+        scored.join(F.broadcast(na), scored["node_a"] == F.col("_ka"))
+        .join(F.broadcast(nb), scored["node_b"] == F.col("_kb"))
+        .select(
+            "nation_a",
+            "nation_b",
+            "common_neighbors",
+            "adamic_adar",
+            "resource_alloc",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-15: HITS hubs & authorities over the nation trade graph.
 # ---------------------------------------------------------------------------

@@ -1216,3 +1216,112 @@ def events_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts", "event_type",
         tiebreak_col="event_id", max_len=3, min_support=5,
     )
+
+
+@register(
+    "events_nelson_aalen",
+    """
+    WITH per AS (
+        SELECT user_id, min(ts) AS t0,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+               max(ts) AS tend
+        FROM events GROUP BY 1
+    ),
+    subj AS (
+        SELECT strftime(t0, '%Y-%m') AS g,
+               CAST(CASE WHEN tp IS NOT NULL
+                    THEN date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+                    ELSE date_diff('day', CAST(t0 AS DATE), CAST(tend AS DATE))
+               END AS INTEGER) AS t,
+               CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM per
+    ),
+    b AS (SELECT g, t, CAST(sum(ev) AS BIGINT) AS d,
+                 CAST(sum(1 - ev) AS BIGINT) AS c
+          FROM subj GROUP BY 1, 2),
+    tot AS (SELECT g, sum(d + c) AS n0 FROM b GROUP BY 1),
+    w AS (
+        SELECT b.g, b.t, b.d,
+               tot.n0 - COALESCE(sum(b.d + b.c) OVER (
+                   PARTITION BY b.g ORDER BY b.t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+        FROM b JOIN tot ON tot.g = b.g
+    ),
+    h AS (
+        SELECT g, t, d, n_risk,
+               sum(CAST(CASE WHEN d > 0
+                             THEN round(CAST(d AS DOUBLE) / n_risk, 8)
+                             ELSE 0 END AS DECIMAL(28,8)))
+                   OVER (PARTITION BY g ORDER BY t
+                         ROWS UNBOUNDED PRECEDING) AS ch
+        FROM w
+    )
+    SELECT g AS cohort, t AS duration_days,
+           CAST(n_risk AS BIGINT) AS n_risk, d AS n_event,
+           round(CAST(ch AS DOUBLE), 6) AS cum_hazard
+    FROM h WHERE d > 0
+    """,
+    doc="Nelson-Aalen cumulative hazard per first-activity month cohort "
+    "— the estimator twin of events_kaplan_meier (additive d/n hazard "
+    "increments instead of the multiplicative product limit), preferred "
+    "for small risk sets and for hazard-ratio eyeballing. Pure window "
+    "algebra: the risk set is n0 minus the exclusive running (d+c), the "
+    "hazard is a per-cohort cumulative window of round8 d/n terms "
+    "decimal-fenced — NO recursion and no Python seam, each cohort's "
+    "window bounded by its distinct durations.",
+)
+def events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.min("ts").alias("_t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("_tp"),
+        F.max("ts").alias("_tend"),
+    )
+    subj = per.select(
+        F.date_format(F.col("_t0"), "yyyy-MM").alias("cohort"),
+        F.when(
+            F.col("_tp").isNotNull(),
+            F.datediff(F.col("_tp").cast("date"), F.col("_t0").cast("date")),
+        )
+        .otherwise(
+            F.datediff(F.col("_tend").cast("date"), F.col("_t0").cast("date"))
+        )
+        .cast("int")
+        .alias("t"),
+        F.col("_tp").isNotNull().cast("int").alias("ev"),
+    )
+    b = subj.groupBy("cohort", "t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("c"),
+    )
+    tot = b.groupBy("cohort").agg(F.sum(F.col("d") + F.col("c")).alias("n0"))
+    w_prev = (
+        Window.partitionBy("cohort")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("cohort")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = b.join(tot, "cohort").withColumn(
+        "n_risk",
+        F.col("n0")
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
+    )
+    term = F.when(
+        F.col("d") > 0,
+        trino_round(F.col("d").cast("double") / F.col("n_risk"), 8),
+    ).otherwise(F.lit(0.0))
+    h = risk.withColumn(
+        "ch", F.sum(term.cast("decimal(28,8)")).over(w_cum).cast("double")
+    )
+    return h.filter(F.col("d") > 0).select(
+        "cohort",
+        F.col("t").alias("duration_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").alias("n_event"),
+        trino_round(F.col("ch"), 6).alias("cum_hazard"),
+    )

@@ -1700,3 +1700,266 @@ def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase") & (F.col("value") > 180),
         margin=0.02,
     )
+
+
+# --------------------------------------------------------------------------
+# Round-16: Brown-Forsythe variance-homogeneity test
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stats_brown_forsythe",
+    """
+    WITH v AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+        SELECT event_type, round(quantile_cont(value, 0.5), 9) AS med9
+        FROM v GROUP BY 1
+    ),
+    z AS (
+        SELECT v.event_type, abs(v.value - med.med9) AS z
+        FROM v JOIN med USING (event_type)
+    ),
+    zg AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_g,
+               round(CAST(sum(CAST(z AS DECIMAL(38,12))) AS DOUBLE)
+                     / count(*), 8) AS zbar_g
+        FROM z GROUP BY 1
+    ),
+    grand AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS k,
+               round(CAST(sum(CAST(z AS DECIMAL(38,12))) AS DOUBLE)
+                     / count(*), 8) AS zbar
+        FROM z
+    ),
+    den AS (
+        SELECT CAST(sum(CAST((z.z - zg.zbar_g) * (z.z - zg.zbar_g)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS ss_within
+        FROM z JOIN zg USING (event_type)
+    ),
+    num AS (
+        SELECT CAST(sum(CAST(zg.n_g * (zg.zbar_g - grand.zbar)
+                             * (zg.zbar_g - grand.zbar)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS ss_between
+        FROM zg CROSS JOIN grand
+    )
+    SELECT grand.n, grand.k,
+           round((CAST(grand.n - grand.k AS DOUBLE) / (grand.k - 1))
+                 * num.ss_between / den.ss_within, 6) AS f_stat,
+           ((CAST(grand.n - grand.k AS DOUBLE) / (grand.k - 1))
+                 * num.ss_between / den.ss_within > 2.3719) AS reject_05
+    FROM grand CROSS JOIN num CROSS JOIN den
+    """,
+    doc="Brown-Forsythe variance-homogeneity test across event types "
+    "(Levene's test with the median center — robust to non-normality): "
+    "z = |x - group median9|, F = ((N-k)/(k-1)) * between-SS / within-SS "
+    "over the z's, gated at the F(4, inf) 5% critical value. The "
+    "pre-ANOVA check before pooled-variance A/B math. Two passes "
+    "(median, then centered sums), decimal-fenced squares, k-row "
+    "broadcast joins; grand/num/den are 1-row combiner cross joins.",
+)
+def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    med = v.groupBy("event_type").agg(
+        trino_round(F.expr("percentile(value, 0.5)"), 9).alias("med9")
+    )
+    z = v.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med9")).alias("z")
+    )
+    zdec = F.sum(F.col("z").cast("decimal(38,12)")).cast("double")
+    zg = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        trino_round(zdec / F.count(F.lit(1)), 8).alias("zbar_g"),
+    )
+    grand = z.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("event_type").cast("bigint").alias("k"),
+        trino_round(zdec / F.count(F.lit(1)), 8).alias("zbar"),
+    )
+    dz = F.col("z") - F.col("zbar_g")
+    den = (
+        z.join(F.broadcast(zg), "event_type")
+        .agg(F.sum((dz * dz).cast("decimal(38,12)")).cast("double").alias("ss_within"))
+    )
+    db = F.col("zbar_g") - F.col("zbar")
+    num = (
+        zg.crossJoin(F.broadcast(grand.select("zbar")))
+        .agg(
+            F.sum((F.col("n_g") * db * db).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("ss_between")
+        )
+    )
+    f_stat = (
+        (F.col("n") - F.col("k")).cast("double")
+        / (F.col("k") - 1)
+        * F.col("ss_between")
+        / F.col("ss_within")
+    )
+    return (
+        grand.crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(den))
+        .select(
+            "n",
+            "k",
+            trino_round(f_stat, 6).alias("f_stat"),
+            (f_stat > F.lit(2.3719)).alias("reject_05"),
+        )
+    )
+
+
+@register(
+    "stats_cochran_armitage",
+    """
+    WITH ret AS (
+        SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    o AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS dose,
+               CASE WHEN ret.l_orderkey IS NOT NULL THEN 1 ELSE 0 END AS y
+        FROM orders LEFT JOIN ret ON ret.l_orderkey = orders.o_orderkey
+    ),
+    g AS (
+        SELECT dose,
+               CAST(count(*) AS BIGINT) AS n_i,
+               CAST(sum(y) AS BIGINT) AS r_i
+        FROM o GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(sum(n_i) AS BIGINT) AS n,
+               CAST(sum(r_i) AS BIGINT) AS r,
+               CAST(sum(dose * r_i) AS BIGINT) AS sxr,
+               CAST(sum(dose * n_i) AS BIGINT) AS sxn,
+               CAST(sum(dose * dose * n_i) AS BIGINT) AS sxxn
+        FROM g
+    )
+    SELECT n, r,
+           round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * sxr - CAST(r AS DOUBLE) * sxn)
+                 * (CAST(n AS DOUBLE) * sxr - CAST(r AS DOUBLE) * sxn)
+                 / (CAST(r AS DOUBLE) * (n - r)
+                    * (CAST(n AS DOUBLE) * sxxn - CAST(sxn AS DOUBLE) * sxn)), 6)
+               AS ca_chi2,
+           (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * sxr - CAST(r AS DOUBLE) * sxn)
+                 * (CAST(n AS DOUBLE) * sxr - CAST(r AS DOUBLE) * sxn)
+                 / (CAST(r AS DOUBLE) * (n - r)
+                    * (CAST(n AS DOUBLE) * sxxn - CAST(sxn AS DOUBLE) * sxn)) > 3.8415)
+               AS reject_05
+    FROM t
+    """,
+    doc="Cochran-Armitage trend test: does return probability trend "
+    "monotonically across the ordered order-priority doses (1-URGENT .. "
+    "5-LOW)? chi2_trend = N[N*Sxr - R*Sxn]^2 / (R(N-R)[N*Sxxn - Sxn^2]) "
+    "against the chi-square(1) 5% critical value. Every sum is an exact "
+    "integer (dose scores, group sizes, success counts), so the "
+    "statistic is one deterministic double expression — no fences "
+    "needed. One fact semi-side distinct + one left join + a 5-row "
+    "collapse.",
+)
+def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table_parallel(spark, sf_dir, "lineitem")
+    ret = li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("dose"),
+        "o_orderkey",
+    )
+    flagged = o.join(
+        ret.withColumn("_ret", F.lit(1)),
+        o["o_orderkey"] == ret["l_orderkey"],
+        "left",
+    ).select("dose", F.coalesce(F.col("_ret"), F.lit(0)).alias("y"))
+    g = flagged.groupBy("dose").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum("y").cast("bigint").alias("r_i"),
+    )
+    t = g.agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("r_i").cast("bigint").alias("r"),
+        F.sum(F.col("dose") * F.col("r_i")).cast("bigint").alias("sxr"),
+        F.sum(F.col("dose") * F.col("n_i")).cast("bigint").alias("sxn"),
+        F.sum(F.col("dose") * F.col("dose") * F.col("n_i")).cast("bigint").alias("sxxn"),
+    )
+    nd, rd = F.col("n").cast("double"), F.col("r").cast("double")
+    num = nd * F.col("sxr") - rd * F.col("sxn")
+    chi2 = (
+        nd * num * num
+        / (rd * (F.col("n") - F.col("r"))
+           * (nd * F.col("sxxn") - F.col("sxn").cast("double") * F.col("sxn")))
+    )
+    return t.select(
+        "n",
+        "r",
+        trino_round(chi2, 6).alias("ca_chi2"),
+        (chi2 > F.lit(3.8415)).alias("reject_05"),
+    )
+
+
+@register(
+    "orders_herfindahl",
+    """
+    WITH spend AS (
+        SELECT c.c_mktsegment AS mktsegment, o.o_custkey,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,12))) AS DOUBLE)
+                   AS cust_spend
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    seg AS (
+        SELECT mktsegment,
+               CAST(sum(CAST(cust_spend AS DECIMAL(38,12))) AS DOUBLE)
+                   AS seg_spend,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM spend GROUP BY 1
+    ),
+    sh AS (
+        SELECT s.mktsegment, seg.n_customers,
+               round((s.cust_spend / seg.seg_spend)
+                     * (s.cust_spend / seg.seg_spend), 10) AS sq
+        FROM spend s JOIN seg USING (mktsegment)
+    )
+    SELECT mktsegment, CAST(max(n_customers) AS BIGINT) AS n_customers,
+           round(CAST(sum(CAST(sq AS DECIMAL(28,10))) AS DOUBLE), 6) AS hhi,
+           round(CAST(sum(CAST(sq AS DECIMAL(28,10))) AS DOUBLE)
+                 * max(n_customers), 6) AS hhi_normalized
+    FROM sh GROUP BY 1
+    """,
+    doc="Herfindahl-Hirschman concentration of customer spend within "
+    "each market segment: HHI = sum of squared revenue shares (1/n = "
+    "perfectly even, 1 = monopsony; hhi_normalized = HHI * n for "
+    "cross-segment comparison) — the concentration twin of orders_gini. "
+    "Two key-partitioned aggregations + a segment-keyed share join "
+    "(segment totals are 5 rows, AQE broadcasts); share-squared terms "
+    "round10 then decimal-fenced.",
+)
+def orders_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"), "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("cust_spend")
+        )
+    )
+    seg = spend.groupBy("mktsegment").agg(
+        F.sum(F.col("cust_spend").cast("decimal(38,12)")).cast("double").alias("seg_spend"),
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+    )
+    share = F.col("cust_spend") / F.col("seg_spend")
+    sh = spend.join(F.broadcast(seg), "mktsegment").select(
+        "mktsegment", "n_customers", trino_round(share * share, 10).alias("sq")
+    )
+    hhi = F.sum(F.col("sq").cast("decimal(28,10)")).cast("double")
+    return sh.groupBy("mktsegment").agg(
+        F.max("n_customers").cast("bigint").alias("n_customers"),
+        trino_round(hhi, 6).alias("hhi"),
+        trino_round(hhi * F.max("n_customers"), 6).alias("hhi_normalized"),
+    )

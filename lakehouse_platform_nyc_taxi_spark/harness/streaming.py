@@ -746,3 +746,99 @@ def streaming_attributed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "attributed_value",
     )
     return S.run_available_now(out, "append", state_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# Round-16: streaming perceptual-hash image dedup gate
+# ---------------------------------------------------------------------------
+
+_PHASH_GATE_CACHE: dict = {}
+
+
+def _phash_payload(df: DataFrame) -> DataFrame:
+    """The document->binary-P5-image projection shared by the stored
+    index and the stream side (identical to multimodal_phash_neardup's
+    payload so the oracle's byte replay covers both)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col("doc_id").alias("asset_id"),
+        F.concat(
+            F.lit(b"P5 16 12 255\n"),
+            F.expr(
+                "rpad(encode(substring(coalesce(text, ''), 1, 192), 'UTF-8'),"
+                " 192, X'00')"
+            ),
+        ).alias("content"),
+    )
+
+
+def _phash_gate_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached perceptual-hash band index of the even-id (stored)
+    image corpus — 4 ints + an id per image, the persisted artifact
+    batch image dedup already writes."""
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import phash_bands
+    from ..sources.testdata import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PHASH_GATE_CACHE:
+        stored = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 2 == 0
+        )
+        _PHASH_GATE_CACHE[key] = phash_bands(
+            _phash_payload(stored)
+        ).localCheckpoint()
+    return _PHASH_GATE_CACHE[key]
+
+
+def _phash_gate_oracle(max_hamming: int = 3) -> str:
+    from .llm import _phash_bands_cte
+
+    return (
+        _phash_bands_cte()
+        + f""",
+    p AS (
+        SELECT n.doc_id AS asset_id, s.doc_id AS matched_id,
+               CAST(bit_count(xor(n.b0, s.b0)) + bit_count(xor(n.b1, s.b1))
+                  + bit_count(xor(n.b2, s.b2)) + bit_count(xor(n.b3, s.b3))
+                    AS INTEGER) AS hamming
+        FROM b n JOIN b s
+          ON (n.b0 = s.b0 OR n.b1 = s.b1 OR n.b2 = s.b2 OR n.b3 = s.b3)
+         AND n.doc_id % 2 = 1 AND s.doc_id % 2 = 0
+    )
+    SELECT DISTINCT CAST(asset_id AS BIGINT) AS asset_id,
+           CAST(matched_id AS BIGINT) AS matched_id, hamming
+    FROM p WHERE hamming <= {max_hamming}
+    """
+    )
+
+
+@register(
+    "streaming_phash_gate",
+    _phash_gate_oracle(),
+    doc="Streaming IMAGE near-dup ingest gate: odd-id documents arrive "
+    "as a file stream, are rendered to binary P5 payloads and decoded + "
+    "aHashed IN the stream (stateless Arrow mapInPandas through the "
+    "real PNM seam), then stream-static joined against the stored "
+    "even-id corpus's perceptual-hash band index — one emitted row per "
+    "(new image, stored near-dup) within Hamming distance 3, where "
+    "recall is EXACT by pigeonhole (<= bands-1). The multimodal twin of "
+    "streaming_dedup_gate; only the cross-band pair dedup keeps state "
+    "(streaming/ops.py::stream_phash_gate). The oracle replays the "
+    "decode byte arithmetic and the positional band match in SQL.",
+    prepare=_phash_gate_index,
+)
+def streaming_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    new_docs = S.read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 2 == 1
+    )
+    out = S.stream_phash_gate(
+        _phash_payload(new_docs),
+        _phash_gate_index(spark, sf_dir),
+        max_hamming=3,
+    )
+    return S.run_available_now(out, "append", state_partitions=8)

@@ -950,6 +950,39 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_c4_rules",
+    f"""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(len(regexp_replace(text, '[^.!?]', '', 'g')) AS INTEGER)
+                   AS n_sentences,
+               CAST(len({TOKS}) AS INTEGER) AS n_words,
+               right(rtrim(text), 1) IN ('.', '!', '?', '"') AS r_ends_terminal,
+               NOT contains(lower(text), 'lorem ipsum') AS r_no_lorem,
+               NOT contains(text, '{{') AS r_no_brace,
+               NOT contains(lower(text), 'javascript') AS r_no_javascript
+        FROM documents
+    )
+    SELECT doc_id, n_sentences, n_words,
+           r_ends_terminal,
+           (n_sentences >= 3) AS r_min_sentences,
+           (n_words >= 5) AS r_min_words,
+           r_no_lorem, r_no_brace, r_no_javascript,
+           (r_ends_terminal AND n_sentences >= 3 AND n_words >= 5
+            AND r_no_lorem AND r_no_brace AND r_no_javascript) AS keep
+    FROM f
+    """,
+    doc="C4-style structural cleaning gate (Raffel et al. 2020): terminal "
+    "punctuation, sentence/word floors, and the lorem-ipsum / curly-brace "
+    "/ javascript blocklist rules, each independently reportable plus the "
+    "conjunction as keep — the second standard public filter set next to "
+    "quality_gopher_rules. Single codegen projection, zero shuffles.",
+)
+def quality_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.c4_rules(load_table_parallel(spark, sf_dir, "documents"))
+
+
+@register(
     "corpus_overlap_matrix",
     f"""
     WITH t AS (SELECT source AS g, {TOKS} AS toks FROM documents),
@@ -1655,3 +1688,78 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table_parallel(spark, sf_dir, "documents")
     return rake_keywords(docs, "text", "doc_id", k=20)
+
+
+# ---------------------------------------------------------------------------
+# Round-16: vocabulary coverage curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_vocab_coverage",
+    f"""
+    WITH tok AS (
+        SELECT unnest({TOKS}) AS token FROM documents
+    ),
+    vocab AS (
+        SELECT token, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY 1
+    ),
+    w AS (
+        SELECT token, c,
+               sum(c) OVER (ORDER BY c DESC, token
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER () AS total
+        FROM vocab
+    ),
+    q AS (SELECT CAST(unnest([0.5, 0.75, 0.9]) AS DOUBLE) AS coverage_target)
+    SELECT coverage_target,
+           CAST(sum(CASE WHEN cum - c < coverage_target * total
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(max(total) AS BIGINT) AS total_tokens
+    FROM w CROSS JOIN q
+    GROUP BY 1
+    """,
+    doc="Vocabulary coverage curve: the smallest top-k token prefix (by "
+    "frequency, unique token tiebreak) covering 50/75/90% of corpus "
+    "token mass — the tokenizer-vocab-sizing readout next to the Zipf "
+    "fit. Counts are integer-valued doubles so every cumulative "
+    "comparison is exact on both engines. The global running sum is "
+    "the skew-safe two_phase_running_sum (partition by frequency "
+    "range-bucket + broadcast offsets above its 4M-row guard — a "
+    "vocabulary never sorts in one task at 100 TB); thresholds join as "
+    "a 3-row broadcast, never a driver loop.",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+    from ..operators.timeseries import two_phase_running_sum
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .withColumn("neg_c", -F.col("c"))
+    )
+    w = two_phase_running_sum(
+        vocab,
+        value="c",
+        order=("neg_c", "token"),
+        bucket_on="neg_c",
+        out="cum",
+    )
+    thr = spark.createDataFrame(
+        [(0.5,), (0.75,), (0.9,)], "coverage_target double"
+    )
+    reached = F.when(
+        F.col("cum") - F.col("c") < F.col("coverage_target") * F.col("cum_total"), 1
+    ).otherwise(0)
+    return (
+        w.crossJoin(F.broadcast(thr))
+        .groupBy("coverage_target")
+        .agg(
+            F.sum(reached).cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+            F.max("cum_total").cast("bigint").alias("total_tokens"),
+        )
+    )

@@ -730,3 +730,120 @@ def tpcds_q36_lochierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("parent")
         .orderBy(F.desc("lochierarchy"), "nation", "month")
     )
+
+
+_DS_Q73_SQL = """
+WITH cnt AS (
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE year(o_orderdate) BETWEEN 1995 AND 1996
+    GROUP BY 1
+    HAVING count(*) BETWEEN 4 AND 6
+)
+SELECT c.c_custkey AS custkey, c.c_name AS name,
+       c.c_mktsegment AS mktsegment, cnt.n_orders
+FROM cnt JOIN customer c ON c.c_custkey = cnt.o_custkey
+ORDER BY n_orders DESC, custkey
+LIMIT 50
+"""
+
+
+@register(
+    "tpcds_q73_frequent_buyers",
+    _DS_Q73_SQL,
+    doc="TPC-DS Q34/Q73 shape (HAVING-banded frequent buyers joined "
+    "back to the dimension): count orders per customer inside a date "
+    "window, keep customers in a target frequency band, decorate from "
+    "the customer dim. One fact groupBy with the year fence pushed to "
+    "the scan, the HAVING band applied to the aggregate (customer-key "
+    "cardinality, not fact cardinality), then a broadcast dim join and "
+    "TakeOrdered top-50 with unique custkey tiebreak.",
+)
+def tpcds_q73_frequent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").between(1995, 1996)
+    )
+    cnt = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .filter(F.col("n_orders").between(4, 6))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return (
+        cnt.join(cust, cnt["o_custkey"] == cust["c_custkey"])
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            "n_orders",
+        )
+        .orderBy(F.desc("n_orders"), "custkey")
+        .limit(50)
+    )
+
+
+_DS_Q93_SQL = """
+WITH net AS (
+    SELECT l_orderkey,
+           CAST(sum(CAST(CASE WHEN l_returnflag = 'R' THEN 0.0
+                              ELSE l_extendedprice * (1 - l_discount) END
+                         AS DECIMAL(38,12))) AS DOUBLE) AS net_revenue
+    FROM lineitem GROUP BY 1
+),
+per_cust AS (
+    SELECT o.o_custkey,
+           CAST(sum(CAST(net.net_revenue AS DECIMAL(38,12))) AS DOUBLE)
+               AS total_net
+    FROM net JOIN orders o ON o.o_orderkey = net.l_orderkey
+    GROUP BY 1
+)
+SELECT c.c_custkey AS custkey, c.c_name AS name,
+       round(p.total_net, 2) AS total_net
+FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey
+ORDER BY round(p.total_net, 2) DESC, custkey
+LIMIT 20
+"""
+
+
+@register(
+    "tpcds_q93_returns_adjusted",
+    _DS_Q93_SQL,
+    doc="TPC-DS Q93 shape (returns-adjusted customer revenue): net out "
+    "returned lines (returnflag='R' contributes zero) at the line "
+    "level, roll up to orders then customers, top-20 by adjusted "
+    "spend. Two key-partitioned aggregations with map-side partials + "
+    "one fact-to-fact equi-join on the order key; decimal-fenced money "
+    "sums, round2 display with the unique custkey tiebreak pinning the "
+    "TakeOrdered cut.",
+)
+def tpcds_q93_returns_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table_parallel(spark, sf_dir, "lineitem")
+    net_line = F.when(F.col("l_returnflag") == "R", F.lit(0.0)).otherwise(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    net = li.groupBy("l_orderkey").agg(
+        F.sum(net_line.cast("decimal(38,12)")).cast("double").alias("net_revenue")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        net.join(o, net["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("net_revenue").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("total_net")
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        per_cust.join(cust, per_cust["o_custkey"] == cust["c_custkey"])
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            trino_round(F.col("total_net"), 2).alias("total_net"),
+        )
+        .orderBy(F.desc("total_net"), "custkey")
+        .limit(20)
+    )

@@ -403,6 +403,96 @@ def link_prediction(
     )
 
 
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    backbone_k: int = 100,
+    top: int = 20,
+) -> DataFrame:
+    """Adamic-Adar + resource-allocation link prediction (Adamic & Adar
+    2003; Zhou et al. 2009, public) over the same top-``backbone_k``
+    edge backbone as :func:`link_prediction`: each candidate non-edge
+    (x, y) scores the sum over common neighbors z of ``1/ln(deg(z))``
+    (AA) and ``1/deg(z)`` (RA) — common neighbors that are themselves
+    hubs count for less, the refinement plain common-neighbor counting
+    misses.
+
+    The backbone construction is duplicated from ``link_prediction``
+    rather than shared, deliberately: that function's body is
+    oracle-attested and the rotation audit fingerprints bodies, so the
+    variants evolve independently. Every post-backbone structure is
+    k-bounded; a middle node z always has deg(z) >= 2 (it neighbors
+    both x and y), so ``ln(deg)`` never hits zero. Per-wedge terms are
+    round8 then decimal-summed (deterministic under any partitioning);
+    output ordered by (adamic_adar desc, node_a, node_b) — a
+    TakeOrdered, unique tiebreak.
+    """
+    from ..functions.trino import trino_round
+
+    w = (
+        F.col(weight).cast("decimal(38,12)")
+        if weight
+        else F.lit(1).cast("decimal(38,12)")
+    )
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("a"),
+            F.greatest(src, dst).alias("b"),
+            w.alias("_w"),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("_w").alias("w"))
+    )
+    backbone = (
+        und.orderBy(F.desc("w"), "a", "b").limit(backbone_k).select("a", "b")
+    )
+    adj = backbone.union(
+        backbone.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    m1 = adj.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    m2 = adj.select(F.col("a").alias("y"), F.col("b").alias("z2"))
+    dz = deg.select(F.col("a").alias("z"), F.col("deg").alias("deg_z"))
+    wedges = (
+        m1.join(m2, (F.col("z") == F.col("z2")) & (F.col("x") < F.col("y")))
+        .join(dz, "z")
+        .select(
+            "x",
+            "y",
+            trino_round(F.lit(1.0) / F.log(F.col("deg_z")), 8).alias("aa_t"),
+            trino_round(F.lit(1.0) / F.col("deg_z"), 8).alias("ra_t"),
+        )
+    )
+    scored = wedges.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+        trino_round(
+            F.sum(F.col("aa_t").cast("decimal(28,8)")).cast("double"), 6
+        ).alias("adamic_adar"),
+        trino_round(
+            F.sum(F.col("ra_t").cast("decimal(28,8)")).cast("double"), 6
+        ).alias("resource_alloc"),
+    )
+    cand = scored.join(
+        backbone,
+        (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")),
+        "left_anti",
+    )
+    return (
+        cand.select(
+            F.col("x").alias("node_a"),
+            F.col("y").alias("node_b"),
+            "common_neighbors",
+            "adamic_adar",
+            "resource_alloc",
+        )
+        .orderBy(F.desc("adamic_adar"), "node_a", "node_b")
+        .limit(top)
+    )
+
+
 def hits(
     edges: DataFrame,
     iterations: int = 3,

@@ -362,6 +362,57 @@ def gopher_rules(
     )
 
 
+def c4_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_sentences: int = 3,
+    min_words: int = 5,
+) -> DataFrame:
+    """C4-style heuristic cleaning gate (Raffel et al. 2020, public):
+    per-document rule verdicts + the conjunction as ``keep``.
+
+    Complements :func:`gopher_rules` (statistical thresholds) with C4's
+    *structural* filters: terminal punctuation at the end, a minimum
+    sentence count (terminal-punctuation marks as the proxy), minimum
+    word count, and the three hard blocklist rules — "lorem ipsum"
+    placeholder text, curly braces (code, not prose), and the word
+    "javascript" (boilerplate warning banners).
+
+    Dataflow: one whole-stage-codegen projection, zero shuffles — a
+    single mapper pass at any corpus size, same as the Gopher gate.
+    """
+    text = F.col(text_col)
+    lower = F.lower(text)
+    n_sentences = F.length(F.regexp_replace(text, r"[^.!?]", ""))
+    last_char = F.substring(F.rtrim(text), -1, 1)
+    ends_terminal = last_char.isin(".", "!", "?", '"')
+    n_words = F.size(tokens(text_col))
+    has_lorem = lower.contains("lorem ipsum")
+    has_brace = text.contains("{")
+    has_javascript = lower.contains("javascript")
+    r_terminal = ends_terminal
+    r_sentences = n_sentences >= min_sentences
+    r_words = n_words >= min_words
+    r_lorem = ~has_lorem
+    r_brace = ~has_brace
+    r_javascript = ~has_javascript
+    return df.select(
+        id_col,
+        n_sentences.cast("int").alias("n_sentences"),
+        n_words.alias("n_words"),
+        r_terminal.alias("r_ends_terminal"),
+        r_sentences.alias("r_min_sentences"),
+        r_words.alias("r_min_words"),
+        r_lorem.alias("r_no_lorem"),
+        r_brace.alias("r_no_brace"),
+        r_javascript.alias("r_no_javascript"),
+        (r_terminal & r_sentences & r_words & r_lorem & r_brace & r_javascript).alias(
+            "keep"
+        ),
+    )
+
+
 def corpus_overlap(
     df: DataFrame,
     group_col: str = "source",

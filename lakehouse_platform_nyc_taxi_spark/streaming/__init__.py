@@ -28,6 +28,7 @@ from .ops import (
     stream_conformal_gate,
     stream_decontamination_gate,
     stream_dedup_gate,
+    stream_phash_gate,
     stream_attributed_rollup,
     stream_static_enrich,
     stream_stream_attribution,
@@ -44,6 +45,7 @@ __all__ = [
     "stream_conformal_gate",
     "stream_decontamination_gate",
     "stream_dedup_gate",
+    "stream_phash_gate",
     "run_available_now",
     "chained_window_rollup",
     "grouping_sets_rollup",

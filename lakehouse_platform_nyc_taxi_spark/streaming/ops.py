@@ -788,3 +788,55 @@ def stream_attributed_rollup(
             "attributed_value",
         )
     )
+
+
+def stream_phash_gate(
+    stream_assets: DataFrame,
+    stored_bands: DataFrame,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Streaming IMAGE near-dup gate — the multimodal twin of
+    :func:`stream_dedup_gate`: every arriving binary image payload is
+    decoded and aHashed IN the stream (stateless Arrow ``mapInPandas``
+    through the real PNM seam — supported on streaming frames because it
+    carries no state), band-bucketed, and stream-static joined against
+    the stored corpus's perceptual-hash band index
+    (``operators.multimodal.phash_bands`` output); a row ``(asset_id,
+    matched_id, hamming)`` is emitted for each stored image within
+    ``max_hamming`` bits. At ``max_hamming <= bands - 1`` (default 3 of
+    4 bands) the gate's recall is EXACT by pigeonhole — a near-dup
+    image cannot slip past the ingest gate.
+
+    The only stateful step is the pair de-duplication (one pair can
+    collide in several bands); with availableNow draining its state is
+    bounded by the run. The stored index is 4 ints + an id per corpus
+    image — the persisted artifact batch image-dedup already writes.
+    """
+    from ..operators.multimodal import phash_bands
+
+    band_cols = ["b0", "b1", "b2", "b3"]
+    new_b = phash_bands(stream_assets)
+    new_e = new_b.select(
+        "asset_id",
+        *[F.col(c).alias(f"n_{c}") for c in band_cols],
+        F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
+            "band", "band_val"
+        ),
+    )
+    idx_e = stored_bands.select(
+        F.col("asset_id").alias("matched_id"),
+        *[F.col(c).alias(f"s_{c}") for c in band_cols],
+        F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
+            "band", "band_val"
+        ),
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"n_{c}").bitwiseXOR(F.col(f"s_{c}")))
+        for c in band_cols
+    )
+    return (
+        new_e.join(idx_e, ["band", "band_val"])
+        .select("asset_id", "matched_id", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["asset_id", "matched_id"])
+    )

@@ -80,6 +80,7 @@ def test_pairwise_operators_never_cartesian(spark):
         "dedup_exact_substring",
         "dedup_incremental_minhash",
         "multimodal_phash_neardup",
+        "dedup_simhash_neardup",
         "join_asof",
         "join_range",
     ):
@@ -656,6 +657,12 @@ def test_round10_operators_plan_shapes(spark):
     plan = plan_of(spark, "quality_gopher_rules")
     assert "hashpartitioning" not in plan.lower(), (
         "gopher_rules should be a shuffle-free projection"
+    )
+    # C4 gate: same contract — a single codegen projection, zero keyed
+    # shuffles.
+    plan = plan_of(spark, "quality_c4_rules")
+    assert "hashpartitioning" not in plan.lower(), (
+        "c4_rules should be a shuffle-free projection"
     )
     # SemDeDup: the within-cluster pair join is keyed on cell (equi),
     # never a nested loop / cartesian over the corpus.

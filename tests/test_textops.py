@@ -252,6 +252,25 @@ def test_gopher_rules_verdicts_and_keep(spark):
     assert not out[3]["r_stopwords"] and out[3]["stopword_kinds"] == 0
 
 
+def test_c4_rules_verdicts_and_keep(spark):
+    good = "This is a fine document. It has several sentences. It ends well."
+    no_terminal = "this one just trails off into nothing"
+    lorem = "Lorem ipsum dolor sit amet. Filler text here. More filler."
+    code = 'function f() { return 1; } Done. Yes. Sure.'
+    js = "Please enable JavaScript to view this page. Thanks. Bye."
+    df = _docs(
+        spark,
+        [(1, good), (2, no_terminal), (3, lorem), (4, code), (5, js)],
+    )
+    out = {r["doc_id"]: r.asDict() for r in text.c4_rules(df).collect()}
+    assert out[1]["keep"] and out[1]["n_sentences"] == 3 and out[1]["r_ends_terminal"]
+    assert not out[2]["keep"] and not out[2]["r_ends_terminal"]
+    assert not out[2]["r_min_sentences"] and out[2]["n_sentences"] == 0
+    assert not out[3]["keep"] and not out[3]["r_no_lorem"] and out[3]["r_ends_terminal"]
+    assert not out[4]["keep"] and not out[4]["r_no_brace"]
+    assert not out[5]["keep"] and not out[5]["r_no_javascript"] and out[5]["r_no_brace"]
+
+
 def test_gopher_symbol_and_mean_len_rules(spark):
     hashy = " ".join(["#tag"] * 40)  # symbol ratio 1.0 -> fails
     tiny_words = " ".join(["a b"] * 20) + " the of"  # mean len ~1 -> fails
