@@ -1741,6 +1741,11 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
         .withColumn("neg_c", -F.col("c"))
     )
+    # two_phase_running_sum's bounds probe executes its input once at
+    # construction time; checkpoint the (vocab-sized, tiny vs corpus)
+    # count table so the corpus explode+groupBy runs once, not twice —
+    # the same eager trade minhash_lsh_pairs documents.
+    vocab = vocab.localCheckpoint()
     w = two_phase_running_sum(
         vocab,
         value="c",

@@ -157,6 +157,15 @@ def incremental_delete_insert(
     survivors = touched.join(keys, on=list(unique_key), how="left_anti")
     # Align column order for the positional union.
     result = survivors.select(*batch.columns).unionByName(batch)
+    # Co-locate each output partition into one task before the write:
+    # without this every write task touches every (year, month) directory
+    # and an incremental sink fragments into O(tasks) files per partition
+    # per run — the small-files debt compact_table exists to repair.
+    # Cheaper to not create it: one shuffle keyed on the partition columns,
+    # one file per touched partition. (Partition sizes here are one month
+    # of one table; if a single month ever outgrows a task, salt the
+    # repartition — see compact_table.)
+    result = result.repartition(*[F.col(c) for c in partition_by])
     (
         result.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
