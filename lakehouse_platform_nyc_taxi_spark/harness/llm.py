@@ -1507,8 +1507,22 @@ def _phash_neardup_sql(max_hamming: int = 8) -> str:
     "a genuinely executed decode + LSH pipeline.",
 )
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table_parallel(spark, sf_dir, "documents")
-    assets = docs.select(
+    bands = multimodal.phash_bands(
+        _phash_assets(load_table_parallel(spark, sf_dir, "documents"))
+    )
+    pairs = dedup.hamming_banded_pairs(
+        bands, "asset_id", ["b0", "b1", "b2", "b3"], bits_per_band=16, max_hamming=8
+    )
+    return pairs.select(
+        F.col("id_a").alias("asset_a"), F.col("id_b").alias("asset_b"), "hamming"
+    )
+
+
+def _phash_assets(docs: DataFrame) -> DataFrame:
+    """documents -> binary P5 image payloads (the harness's multimodal
+    source projection, shared by the batch phash family and the
+    streaming gate so every oracle replays the same bytes)."""
+    return docs.select(
         F.col("doc_id").alias("asset_id"),
         F.concat(
             F.lit(b"P5 16 12 255\n"),
@@ -1518,12 +1532,53 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("content"),
     )
-    bands = multimodal.phash_bands(assets)
+
+
+@register(
+    "dedup_phash_clusters",
+    _phash_bands_cte().replace("WITH c AS", "WITH RECURSIVE c AS", 1)
+    + """,
+    p AS (
+        SELECT a.doc_id AS doc_a, z.doc_id AS doc_b
+        FROM b a JOIN b z
+          ON (a.b0 = z.b0 OR a.b1 = z.b1 OR a.b2 = z.b2 OR a.b3 = z.b3)
+         AND a.doc_id < z.doc_id
+        WHERE bit_count(xor(a.b0, z.b0)) + bit_count(xor(a.b1, z.b1))
+            + bit_count(xor(a.b2, z.b2)) + bit_count(xor(a.b3, z.b3)) <= 8
+    ),
+    e AS (
+        SELECT doc_a AS src, doc_b AS dst FROM p
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM p
+    ),
+    reach AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+    )
+    SELECT src AS id, least(src, min(dst)) AS cluster
+    FROM reach
+    GROUP BY src
+    """,
+    doc="Image near-dup CLUSTERS end-to-end: perceptual-hash banded "
+    "pairs (Hamming <= 8) -> connected components (min-label union-find "
+    "under the 2M-edge local guard, iterative propagation above it) -> "
+    "(image, canonical-image) assignment — the keep/drop decision table "
+    "batch image dedup feeds to the curation pipeline, completing the "
+    "image family: pairs (multimodal_phash_neardup), streaming gate "
+    "(streaming_phash_gate), clusters (this). Oracle: recursive "
+    "transitive closure over the same byte-replayed pair set.",
+)
+def dedup_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = multimodal.phash_bands(
+        _phash_assets(load_table_parallel(spark, sf_dir, "documents"))
+    )
     pairs = dedup.hamming_banded_pairs(
         bands, "asset_id", ["b0", "b1", "b2", "b3"], bits_per_band=16, max_hamming=8
     )
-    return pairs.select(
-        F.col("id_a").alias("asset_a"), F.col("id_b").alias("asset_b"), "hamming"
+    # image near-dup clusters are dense and shallow, same as text
+    return dedup.connected_components(
+        pairs, id_a="id_a", id_b="id_b", pointer_jumping=False
     )
 
 

@@ -1963,3 +1963,212 @@ def orders_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
         trino_round(hhi, 6).alias("hhi"),
         trino_round(hhi * F.max("n_customers"), 6).alias("hhi_normalized"),
     )
+
+
+@register(
+    "stats_anova_oneway",
+    """
+    WITH v AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    xg AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_g,
+               round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+                     / count(*), 8) AS xbar_g
+        FROM v GROUP BY 1
+    ),
+    grand AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS k,
+               round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+                     / count(*), 8) AS xbar
+        FROM v
+    ),
+    den AS (
+        SELECT CAST(sum(CAST((v.value - xg.xbar_g) * (v.value - xg.xbar_g)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS ss_within
+        FROM v JOIN xg USING (event_type)
+    ),
+    num AS (
+        SELECT CAST(sum(CAST(xg.n_g * (xg.xbar_g - grand.xbar)
+                             * (xg.xbar_g - grand.xbar)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS ss_between
+        FROM xg CROSS JOIN grand
+    )
+    SELECT grand.n, grand.k,
+           round((CAST(grand.n - grand.k AS DOUBLE) / (grand.k - 1))
+                 * num.ss_between / den.ss_within, 6) AS f_stat,
+           ((CAST(grand.n - grand.k AS DOUBLE) / (grand.k - 1))
+                 * num.ss_between / den.ss_within > 2.3719) AS reject_05
+    FROM grand CROSS JOIN num CROSS JOIN den
+    """,
+    doc="One-way ANOVA F across event types (equal-means test on the "
+    "raw values — the location twin of stats_brown_forsythe's scale "
+    "test; run the pair together: BF validates ANOVA's homogeneity "
+    "assumption). Same two-pass decimal-fenced sums-of-squares shape: "
+    "k-row broadcast mean join, 1-row combiner cross joins, F(4, inf) "
+    "5% gate.",
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    vdec = F.sum(F.col("value").cast("decimal(38,12)")).cast("double")
+    xg = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        trino_round(vdec / F.count(F.lit(1)), 8).alias("xbar_g"),
+    )
+    grand = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("event_type").cast("bigint").alias("k"),
+        trino_round(vdec / F.count(F.lit(1)), 8).alias("xbar"),
+    )
+    dx = F.col("value") - F.col("xbar_g")
+    den = v.join(F.broadcast(xg), "event_type").agg(
+        F.sum((dx * dx).cast("decimal(38,12)")).cast("double").alias("ss_within")
+    )
+    db = F.col("xbar_g") - F.col("xbar")
+    num = xg.crossJoin(F.broadcast(grand.select("xbar"))).agg(
+        F.sum((F.col("n_g") * db * db).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("ss_between")
+    )
+    f_stat = (
+        (F.col("n") - F.col("k")).cast("double")
+        / (F.col("k") - 1)
+        * F.col("ss_between")
+        / F.col("ss_within")
+    )
+    return (
+        grand.crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(den))
+        .select(
+            "n",
+            "k",
+            trino_round(f_stat, 6).alias("f_stat"),
+            (f_stat > F.lit(2.3719)).alias("reject_05"),
+        )
+    )
+
+
+@register(
+    "stats_kruskal_wallis",
+    """
+    WITH v AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    dv AS (
+        SELECT value, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1
+    ),
+    rk AS (
+        SELECT value, c,
+               COALESCE(sum(c) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c + 1) / 2.0 AS avg_rank
+        FROM dv
+    ),
+    gv AS (
+        SELECT event_type, value, CAST(count(*) AS BIGINT) AS c_g
+        FROM v GROUP BY 1, 2
+    ),
+    rg AS (
+        SELECT gv.event_type,
+               CAST(sum(gv.c_g) AS BIGINT) AS n_g,
+               CAST(sum(CAST(gv.c_g * rk.avg_rank AS DECIMAL(38,6)))
+                    AS DOUBLE) AS r_g
+        FROM gv JOIN rk USING (value)
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n_g) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(CAST(r_g * r_g / n_g AS DECIMAL(38,4))) AS DOUBLE)
+                   AS sum_r2n
+        FROM rg
+    ),
+    ties AS (
+        SELECT CAST(sum(CAST((CAST(c AS DOUBLE) * c * c - c)
+                             AS DECIMAL(38,4))) AS DOUBLE) AS t
+        FROM dv
+    )
+    SELECT n, k,
+           round(12.0 * sum_r2n / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1), 6)
+               AS h_stat,
+           round((12.0 * sum_r2n / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))
+                 / (1.0 - ties.t / (CAST(n AS DOUBLE) * n * n - n)), 6)
+               AS h_corrected,
+           ((12.0 * sum_r2n / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))
+                 / (1.0 - ties.t / (CAST(n AS DOUBLE) * n * n - n)) > 9.4877)
+               AS reject_05
+    FROM tot CROSS JOIN ties
+    """,
+    doc="Kruskal-Wallis rank ANOVA across event types (the "
+    "distribution-free twin of stats_anova_oneway, with the tie "
+    "correction): average ranks come from the DISTINCT-VALUE count "
+    "table — an exclusive running count plus (c+1)/2 — so no "
+    "row-level global sort ever happens; rank sums are exact "
+    "multiples of 0.5 decimal-fenced, per-group R^2/n terms "
+    "decimal-fenced, N^3 computed in doubles (never bigint — "
+    "overflow past 2^63). Gate at chi-square(4) 5%. The Spark side "
+    "runs the distinct-value running count through the skew-safe "
+    "two_phase_running_sum.",
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import two_phase_running_sum
+
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    dv = v.groupBy("value").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    dv = dv.localCheckpoint()  # rank probe + two uses; cut the re-scan
+    w = two_phase_running_sum(
+        dv, value="c", order=("value",), bucket_on="value", out="cum"
+    )
+    rk = w.select(
+        "value",
+        (
+            (F.col("cum") - F.col("c")).cast("double")
+            + (F.col("c") + 1) / F.lit(2.0)
+        ).alias("avg_rank"),
+    )
+    gv = v.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_g")
+    )
+    rg = (
+        gv.join(rk, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c_g").cast("bigint").alias("n_g"),
+            F.sum((F.col("c_g") * F.col("avg_rank")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("r_g"),
+        )
+    )
+    tot = rg.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum((F.col("r_g") * F.col("r_g") / F.col("n_g")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sum_r2n"),
+    )
+    cd = F.col("c").cast("double")
+    ties = dv.agg(
+        F.sum((cd * F.col("c") * F.col("c") - F.col("c")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("t")
+    )
+    nd = F.col("n").cast("double")
+    h = 12.0 * F.col("sum_r2n") / (nd * (F.col("n") + 1)) - 3.0 * (F.col("n") + 1)
+    corr = 1.0 - F.col("t") / (nd * F.col("n") * F.col("n") - F.col("n"))
+    return tot.crossJoin(F.broadcast(ties)).select(
+        "n",
+        "k",
+        trino_round(h, 6).alias("h_stat"),
+        trino_round(h / corr, 6).alias("h_corrected"),
+        (h / corr > F.lit(9.4877)).alias("reject_05"),
+    )
