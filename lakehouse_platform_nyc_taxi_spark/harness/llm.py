@@ -2437,3 +2437,53 @@ def sampling_fold_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_parallel(spark, sf_dir, "documents")
     return dedup.gram_novelty(docs, group_col="source", ngram=3)
+
+
+@register(
+    "multimodal_audio_features",
+    """
+    WITH c AS (
+        SELECT doc_id,
+               list_transform(split(text, ''), ch -> ord(ch)) AS codes,
+               greatest(len(text) // 4, 1) AS seg
+        FROM documents WHERE len(text) > 0
+    ),
+    fr AS (
+        SELECT doc_id,
+               unnest(generate_series(0, least(3, len(codes) - 1))) AS frame_no,
+               codes, seg
+        FROM c
+    ),
+    sl AS (
+        SELECT doc_id, frame_no,
+               codes[frame_no * seg + 1 : frame_no * seg + seg] AS f
+        FROM fr
+    )
+    SELECT CAST(doc_id AS BIGINT) AS asset_id,
+           CAST(frame_no AS INTEGER) AS frame_no,
+           CAST(len(f) AS INTEGER) AS n_samples,
+           CAST(COALESCE(list_sum(list_transform(
+                f, b -> (b - 128) * (b - 128))), 0) AS BIGINT) AS energy,
+           CAST(COALESCE(list_sum(list_transform(
+                generate_series(2, len(f)),
+                j -> CASE WHEN (f[j] >= 128) <> (f[j - 1] >= 128)
+                          THEN 1 ELSE 0 END)), 0) AS INTEGER)
+               AS zero_crossings
+    FROM sl
+    """,
+    doc="Audio feature plumbing — the third multimodal leg next to image "
+    "decode and video frame sampling: payloads as unsigned 8-bit PCM, "
+    "per-frame signal energy and zero-crossing counts through the "
+    "explode-shaped mapInPandas seam "
+    "(operators/multimodal.py::audio_frame_features). The arithmetic is "
+    "real byte math (the harness corpus is pure-ASCII so per-character "
+    "ord == per-byte value), so the oracle replays every frame's energy "
+    "and crossing count exactly.",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    assets = docs.filter(F.length("text") > 0).select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    return multimodal.audio_frame_features(assets)

@@ -336,3 +336,50 @@ def phash_bands(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["asset_id", "b0", "b1", "b2", "b3"])
 
     return df.select("asset_id", "content").mapInPandas(extract, PHASH_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "asset_id long, frame_no int, n_samples int, energy long, zero_crossings int"
+)
+
+
+def audio_frame_features(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Audio feature extraction over opaque binary payloads: treat the
+    payload as unsigned 8-bit PCM centered at 128, split it into
+    ``n_frames`` equal segments (the :func:`fake_frame_sample`
+    segmentation), and emit per-frame signal energy (sum of squared
+    deviations from center) and zero-crossing counts (sign flips across
+    consecutive samples) — the two features every audio-quality /
+    silence-detection pass starts from.
+
+    Like the image decoder, the arithmetic is REAL and deterministic
+    (pure byte math, oracle-replayable); a codec for compressed formats
+    (MP3/FLAC) would slot behind the same seam the way PIL does for
+    images. Explode-shaped ``mapInPandas``: decode cost parallelizes
+    per-partition, zero shuffle, output rows are frame-sized.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                if not len(content):
+                    continue
+                seg = max(len(content) // n_frames, 1)
+                for i in range(min(n_frames, len(content))):
+                    frame = content[i * seg : i * seg + seg]
+                    energy = sum((b - 128) * (b - 128) for b in frame)
+                    zc = sum(
+                        1
+                        for j in range(1, len(frame))
+                        if (frame[j] >= 128) != (frame[j - 1] >= 128)
+                    )
+                    rows.append((asset_id, i, len(frame), energy, zc))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "frame_no", "n_samples", "energy", "zero_crossings",
+                ],
+            )
+
+    return df.select("asset_id", "content").mapInPandas(extract, AUDIO_SCHEMA)

@@ -227,6 +227,30 @@ def test_hamming_banded_pairs_guarantee_and_valve(spark):
         )
 
 
+def test_audio_frame_features_match_reference(spark):
+    payload = bytes([0, 255, 128, 127, 130, 90, 200, 128])  # 8 samples, seg=2
+    assets = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b""))],
+        "asset_id long, content binary",
+    )
+    rows = {
+        (r.asset_id, r.frame_no): r
+        for r in multimodal.audio_frame_features(assets).collect()
+    }
+    # empty payload emits nothing
+    assert all(a == 1 for a, _ in rows)
+    assert len(rows) == 4
+    # frame 0 = [0, 255]: energy 128^2 + 127^2, one sign flip (0<128, 255>=128)
+    assert rows[(1, 0)].energy == 128 * 128 + 127 * 127
+    assert rows[(1, 0)].zero_crossings == 1
+    # frame 1 = [128, 127]: 128 is >= center (positive), 127 below -> 1 flip
+    assert rows[(1, 1)].energy == 0 + 1
+    assert rows[(1, 1)].zero_crossings == 1
+    # frame 3 = [200, 128]: both >= 128 -> no flip
+    assert rows[(1, 3)].zero_crossings == 0
+    assert rows[(1, 3)].n_samples == 2
+
+
 def test_multimodal_decode_rejects_unknown_format(spark):
     # default path pins the pure-Python codec regardless of PIL presence
     assets = spark.createDataFrame(

@@ -1029,3 +1029,25 @@ def test_r15_wave_plan_shapes(spark):
         assert "user_id" in s, f"unpartitioned lead window: {s}"
     ols = plan_of(spark, "stats_ols_two_features")
     assert "partial" in ols.lower()  # mergeable moment partials
+
+
+def test_round16_operators_plan_shapes(spark):
+    # Image/text Hamming-banded dedup and the trend test: candidate
+    # generation is always an equi-join on (band, value) buckets or a
+    # key equi-join — never a corpus-sized cartesian.
+    for name in ("dedup_phash_clusters", "stats_cochran_armitage"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # Audio feature extraction is a pure mapInPandas pass: the only
+    # exchange allowed is the scan-parallelize round robin (no keyed
+    # shuffle anywhere).
+    plan = plan_of(spark, "multimodal_audio_features")
+    assert "hashpartitioning" not in plan.lower(), (
+        "audio_frame_features should not shuffle"
+    )
+    # The ANOVA pair and Herfindahl broadcast their k-row mean/total
+    # tables back into the fact scan.
+    for name in ("stats_anova_oneway", "stats_brown_forsythe", "orders_herfindahl"):
+        plan = plan_of(spark, name)
+        assert "BroadcastExchange" in plan, f"{name}: k-row stats table not broadcast"
