@@ -76,14 +76,15 @@ _PRIORITY = [
     #      found that the judge missed (stats_ks_two_sample /
     #      stats_roc_auc — r15 decimal-fence edits after their r14
     #      attestation).
-    #   2. NINETEEN new r16 queries: incremental_delete_insert (closes the
+    #   2. TWENTY new r16 queries: incremental_delete_insert (closes the
     #      last pytest-only SURVEY §2 ID, S9), multimodal_phash_neardup +
     #      dedup_simhash_neardup (Hamming-banded near-dup family),
     #      quality_c4_rules, events_session_entropy, timeseries_ljung_box,
     #      stats_brown_forsythe, graph_adamic_adar, text_vocab_coverage,
     #      tpcds_q73/q93, stats_cochran_armitage, orders_herfindahl, events_nelson_aalen, streaming_phash_gate,
-    #      dedup_phash_clusters, stats_anova_oneway, stats_kruskal_wallis, multimodal_audio_features.
-    #   3. TWENTY-SIX oldest-stale names from the head of _KEEP (the
+    #      dedup_phash_clusters, stats_anova_oneway, stats_kruskal_wallis, multimodal_audio_features,
+    #      multimodal_resize_thumbnail.
+    #   3. TWENTY-FIVE oldest-stale names from the head of _KEEP (the
     #      25 remaining r10 cohort, then r11) — keeps the r10 tail
     #      inside the 6-round freshness horizon.
     "agg_weighted_median",
@@ -110,6 +111,7 @@ _PRIORITY = [
     "stats_anova_oneway",
     "stats_kruskal_wallis",
     "multimodal_audio_features",
+    "multimodal_resize_thumbnail",
     "agg_kll_quantile_rollup",
     "agg_theta_set_ops",
     "agg_histogram_percentile_rollup",
@@ -135,7 +137,6 @@ _PRIORITY = [
     "window_rank_trio",
     "window_nth_value_session",
     "text_langid_confusion",
-    "quality_rule_ablation",
 ]
 # Any NEW registration not listed anywhere auto-slots directly after
 # _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
@@ -145,6 +146,7 @@ _KEEP = [
     # Staleness-ordered (oldest driver row first): the r11 cohort
     # remainder, then r12, r13, r14, and the 50 r15-window names at the
     # tail — future rotations pull from the HEAD of this list.
+    "quality_rule_ablation",
     "events_dau_wau_stickiness",
     "text_tokenizer_fertility",
     "orders_interarrival_stats",

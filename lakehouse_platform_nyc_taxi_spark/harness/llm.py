@@ -2487,3 +2487,52 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("content"),
     )
     return multimodal.audio_frame_features(assets)
+
+
+@register(
+    "multimodal_resize_thumbnail",
+    """
+    WITH c AS (
+        SELECT doc_id,
+               list_transform(split(text, ''), ch -> ord(ch)) AS codes,
+               len(text) AS n
+        FROM documents WHERE len(text) > 0
+    ),
+    t AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 63),
+                              i -> codes[least(i * greatest(n // 64, 1), n - 1) + 1])
+                   AS thumb
+        FROM c
+    )
+    SELECT CAST(doc_id AS BIGINT) AS asset_id,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(64 AS BIGINT) AS byte_length,
+           list_aggregate(list_transform(thumb, b -> printf('%02x', b)),
+                          'string_agg', '') AS thumb_hex
+    FROM t
+    """,
+    doc="Thumbnail resize plumbing as a verified query: the strided "
+    "byte-sampling resize (operators/multimodal.py::fake_resize — the "
+    "exact mapInPandas signature/batch shape of a PIL resize, output "
+    "bounded at thumbnail size) followed by binary_metadata's digest "
+    "projection. The oracle reconstructs each 64-byte thumbnail from "
+    "the same sampled positions, emits its hex — byte-for-byte "
+    "parity on the binary payload itself, not just derived stats.",
+)
+def multimodal_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    assets = docs.filter(F.length("text") > 0).select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.lit("text/plain").alias("media_type"),
+    )
+    resized = multimodal.fake_resize(assets, width=8, height=8)
+    return resized.select(
+        "asset_id",
+        "width",
+        "height",
+        F.length("content").cast("bigint").alias("byte_length"),
+        F.lower(F.hex("content")).alias("thumb_hex"),
+    )
