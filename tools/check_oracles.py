@@ -13,6 +13,7 @@ only the first N registered queries.
 from __future__ import annotations
 
 import argparse
+import decimal
 import math
 import sys
 import time
@@ -40,6 +41,12 @@ class UncanonicalizableCell(TypeError):
 def _norm(v):
     if v is None:
         return None
+    if isinstance(v, decimal.Decimal):
+        # DuckDB emits DECIMAL cells for decimal-typed expressions; the
+        # driver's pandas canonicalizer coerces them numerically (e.g.
+        # profile_benford is driver-green with a Decimal column), so the
+        # mirror must too.
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
