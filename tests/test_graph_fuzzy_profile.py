@@ -343,6 +343,30 @@ def test_hits_hand_computed_one_iteration(spark):
     assert out3[1].hub > out3[2].hub
 
 
+def test_adamic_adar_hand_computed(spark):
+    """Backbone 1-2, 1-3, 2-3, 1-4, 4-5. Non-edge candidates with a
+    common neighbor: (1,5) through 4 (deg 2) -> AA = 1/ln 2; (2,4) and
+    (3,4) through 1 (deg 3) -> AA = 1/ln 3. The hub-discount ranks
+    (1,5) first even though all have one common neighbor."""
+    import math
+
+    from lakehouse_platform_nyc_taxi_spark.operators.graph import adamic_adar
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (4, 5)], "src long, dst long"
+    )
+    rows = adamic_adar(e, backbone_k=100, top=10).collect()
+    got = {(r.node_a, r.node_b): r for r in rows}
+    assert set(got) == {(1, 5), (2, 4), (3, 4)}
+    assert all(r.common_neighbors == 1 for r in rows)
+    assert abs(got[(1, 5)].adamic_adar - 1 / math.log(2)) < 1e-6
+    assert abs(got[(2, 4)].adamic_adar - 1 / math.log(3)) < 1e-6
+    assert abs(got[(1, 5)].resource_alloc - 0.5) < 1e-6
+    assert abs(got[(2, 4)].resource_alloc - 1 / 3) < 1e-6
+    # ordering: hub-discounted (1,5) outranks the (2,4)/(3,4) pair
+    assert (rows[0].node_a, rows[0].node_b) == (1, 5)
+
+
 def test_benford_audit_digit_extraction_and_mad(spark):
     """Values 1.0, 19.99, 0.02, 900.0 (scale 100 -> mantissas 100,
     1999, 2, 90000) -> leading digits 1, 1, 2, 9. Zero and null drop."""
