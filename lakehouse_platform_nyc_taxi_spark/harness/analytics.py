@@ -1809,8 +1809,16 @@ def timeseries_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("acf_value") * F.col("acf_value") / F.col("n_pairs"), 8
         ),
     ).otherwise(F.lit(0.0))
+    # n recovery: acf always emits a lag=1 row with n_pairs = n-1 (0 for a
+    # single-point series), so n_pairs(lag=1)+1 is exact for every length.
+    # max(n_pairs + lag) over all lags is WRONG for n < max_lag+1 series:
+    # zero-pair lags contribute a bare `lag`, inflating n to max_lag.
     per_group = rho.groupBy("event_type").agg(
-        F.max(F.col("n_pairs") + F.col("lag")).cast("bigint").alias("n"),
+        F.max(
+            F.when(F.col("lag") == 1, F.col("n_pairs") + F.lit(1))
+        )
+        .cast("bigint")
+        .alias("n"),
         F.sum(term.cast("decimal(28,8)")).cast("double").alias("_s"),
     )
     q = F.col("n") * (F.col("n") + F.lit(2)) * F.col("_s")

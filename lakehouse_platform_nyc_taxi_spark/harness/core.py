@@ -1062,7 +1062,16 @@ def incremental_delete_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch2 = b2base.unionByName(b2base.filter(F.col("o_orderkey") % 97 == 0))
 
-    path = f"/tmp/spark_graft_s9/{os.path.basename(sf_dir.rstrip('/'))}/orders"
+    # Per-application staging dir: two concurrent harness runs against the
+    # same sf_dir must not race on delete-vs-write (ADVICE r16). The
+    # returned DataFrame is collected lazily by the caller, so the files
+    # must outlive this function — uniqueness, not eager cleanup, is the
+    # isolation mechanism; /tmp lifecycle reclaims old app dirs.
+    app_id = spark.sparkContext.applicationId
+    path = (
+        f"/tmp/spark_graft_s9/{app_id}/"
+        f"{os.path.basename(sf_dir.rstrip('/'))}/orders"
+    )
     shutil.rmtree(path, ignore_errors=True)
     writers.incremental_delete_insert(spark, batch1, path, unique_key=["o_orderkey"])
     writers.incremental_delete_insert(spark, batch2, path, unique_key=["o_orderkey"])

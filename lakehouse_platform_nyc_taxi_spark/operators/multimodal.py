@@ -293,7 +293,7 @@ def fake_frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
 PHASH_SCHEMA = "asset_id long, b0 int, b1 int, b2 int, b3 int"
 
 
-def phash_bands(df: DataFrame) -> DataFrame:
+def phash_bands(df: DataFrame, passthrough: list[str] | None = None) -> DataFrame:
     """Perceptual hash (aHash) over binary image payloads, emitted as 4
     16-bit band integers — the image analogue of MinHash signatures.
 
@@ -310,7 +310,17 @@ def phash_bands(df: DataFrame) -> DataFrame:
     Scale: decode runs in Arrow-batched ``mapInPandas`` (zero shuffle,
     payloads never leave the executors); the output is 4 ints + an id per
     image — ~20 bytes/image of index state for a 100 TB image corpus.
+
+    ``passthrough`` names extra input columns to carry verbatim onto the
+    output (appended after the bands, original types preserved) — the
+    streaming gate uses it to keep its event-time column alive across
+    the decode so a watermark can bound dedup state.
     """
+    passthrough = list(passthrough or [])
+    pass_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in df.select(*passthrough).schema.fields
+    )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def bands(content: bytes) -> tuple[int, int, int, int]:
@@ -328,14 +338,22 @@ def phash_bands(df: DataFrame) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+            for i, (asset_id, content) in enumerate(
+                zip(pdf["asset_id"], pdf["content"])
+            ):
                 try:
-                    rows.append((asset_id, *bands(content)))
+                    extra = tuple(pdf[c].iloc[i] for c in passthrough)
+                    rows.append((asset_id, *bands(content), *extra))
                 except (ValueError, IndexError) as exc:
                     raise ValueError(f"asset {asset_id}: {exc}") from exc
-            yield pd.DataFrame(rows, columns=["asset_id", "b0", "b1", "b2", "b3"])
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "b0", "b1", "b2", "b3", *passthrough],
+            )
 
-    return df.select("asset_id", "content").mapInPandas(extract, PHASH_SCHEMA)
+    return df.select("asset_id", "content", *passthrough).mapInPandas(
+        extract, PHASH_SCHEMA + pass_schema
+    )
 
 
 AUDIO_SCHEMA = (

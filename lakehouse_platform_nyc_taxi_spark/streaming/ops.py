@@ -794,6 +794,7 @@ def stream_phash_gate(
     stream_assets: DataFrame,
     stored_bands: DataFrame,
     max_hamming: int = 3,
+    watermark: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Streaming IMAGE near-dup gate — the multimodal twin of
     :func:`stream_dedup_gate`: every arriving binary image payload is
@@ -809,15 +810,30 @@ def stream_phash_gate(
 
     The only stateful step is the pair de-duplication (one pair can
     collide in several bands); with availableNow draining its state is
-    bounded by the run. The stored index is 4 ints + an id per corpus
-    image — the persisted artifact batch image-dedup already writes.
+    bounded by the run. For a CONTINUOUS stream pass ``watermark=
+    ("<event_time_col>", "<delay>")`` (e.g. ``("ingest_ts", "10
+    minutes")``): the event-time column is carried through the decode,
+    a watermark is declared on it, and the pair dedup switches to
+    ``dropDuplicatesWithinWatermark`` so state past the watermark is
+    evicted instead of growing without bound (ADVICE r16); the output
+    then also carries the event-time column. The stored index is 4
+    ints + an id per corpus image — the persisted artifact batch
+    image-dedup already writes.
     """
     from ..operators.multimodal import phash_bands
 
     band_cols = ["b0", "b1", "b2", "b3"]
-    new_b = phash_bands(stream_assets)
+    wm_cols: list[str] = []
+    new_b = phash_bands(
+        stream_assets, passthrough=[watermark[0]] if watermark else None
+    )
+    if watermark is not None:
+        col, delay = watermark
+        new_b = new_b.withWatermark(col, delay)
+        wm_cols = [col]
     new_e = new_b.select(
         "asset_id",
+        *wm_cols,
         *[F.col(c).alias(f"n_{c}") for c in band_cols],
         F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
             "band", "band_val"
@@ -834,9 +850,16 @@ def stream_phash_gate(
         F.bit_count(F.col(f"n_{c}").bitwiseXOR(F.col(f"s_{c}")))
         for c in band_cols
     )
-    return (
+    pairs = (
         new_e.join(idx_e, ["band", "band_val"])
-        .select("asset_id", "matched_id", hamming.cast("int").alias("hamming"))
+        .select(
+            "asset_id",
+            "matched_id",
+            hamming.cast("int").alias("hamming"),
+            *wm_cols,
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["asset_id", "matched_id"])
     )
+    if watermark is not None:
+        return pairs.dropDuplicatesWithinWatermark(["asset_id", "matched_id"])
+    return pairs.dropDuplicates(["asset_id", "matched_id"])

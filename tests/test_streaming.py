@@ -663,3 +663,59 @@ def test_attributed_rollup_chains_join_into_windowed_agg(spark, tmp_path):
     assert r.window_start == d
     assert r.n_attributed == 1
     assert r.attributed_value == 50.0
+
+
+def test_stream_phash_gate_watermark_bounds_state(spark, tmp_path):
+    """Continuous-stream mode (ADVICE r16): with watermark=(col, delay)
+    the gate carries the event-time column through the decode, declares
+    a watermark on it, and pair-dedups via dropDuplicatesWithinWatermark
+    so state is evicted past the watermark. availableNow drain still
+    yields the exact pair set, now with the event-time column attached."""
+    import datetime as dtm
+
+    from lakehouse_platform_nyc_taxi_spark.operators.multimodal import (
+        phash_bands,
+    )
+    from lakehouse_platform_nyc_taxi_spark.streaming import (
+        run_available_now,
+        stream_phash_gate,
+    )
+
+    def payload(txt: str) -> bytes:
+        body = txt.encode()[:192].ljust(192, b"\x00")
+        return b"P5 16 12 255\n" + body
+
+    stored_rows = [
+        (0, payload("the quick brown fox jumps over the lazy dog " * 5)),
+        (2, payload("zzzz completely different corpus payload %$#@ " * 5)),
+    ]
+    stored = spark.createDataFrame(
+        stored_rows, "asset_id long, content binary"
+    )
+    index = phash_bands(stored)
+
+    t0 = dtm.datetime(2024, 1, 1, 12, 0, 0)
+    new_rows = [
+        # exact copy of stored 0 -> hamming 0 match, via several bands
+        # (the dedup must collapse the multi-band collisions to one row)
+        (1, payload("the quick brown fox jumps over the lazy dog " * 5), t0),
+        (3, payload("no relation to anything stored 0123456789ab " * 5), t0),
+    ]
+    src = tmp_path / "assets"
+    spark.createDataFrame(
+        new_rows, "asset_id long, content binary, ingest_ts timestamp"
+    ).coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "asset_id long, content binary, ingest_ts timestamp"
+    ).parquet(str(src))
+
+    out = stream_phash_gate(
+        stream, index, max_hamming=3, watermark=("ingest_ts", "10 minutes")
+    )
+    got = run_available_now(out, "append", state_partitions=4)
+    assert "ingest_ts" in got.columns
+    rows = got.collect()
+    pairs = {(r.asset_id, r.matched_id): r.hamming for r in rows}
+    assert pairs.get((1, 0)) == 0
+    assert len(rows) == len(pairs), "multi-band collisions must dedup"
+    assert all(r.ingest_ts == t0 for r in rows)

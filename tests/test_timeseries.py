@@ -631,3 +631,41 @@ def test_holt_backtest_property_matches_python_fold(spark):
         assert got == want
 
     run()
+
+
+def test_ljung_box_short_series_recovers_true_n(spark, tmp_path):
+    """Regression (ADVICE r16): for a series shorter than max_lag+1 days,
+    zero-pair lags must not inflate n — q_stat/reject_05 then diverge
+    from the oracle's count(*) OVER (PARTITION BY g). Builds a fixture
+    with 1-, 3-, and 10-day series and runs the registered query against
+    its own DuckDB oracle on that fixture."""
+    import duckdb
+    import pandas as pd
+
+    from lakehouse_platform_nyc_taxi_spark import harness
+
+    from .oracle_utils import assert_matches_oracle
+
+    rows = []
+    for i, (etype, ndays) in enumerate([("s1", 1), ("s3", 3), ("s10", 10)]):
+        for d in range(ndays):
+            rows.append(
+                {
+                    "event_id": i * 100 + d,
+                    "ts": T(2024, 1, 1 + d, 12, 0, 0),
+                    "user_id": 1,
+                    "event_type": etype,
+                    "value": float((d * 7) % 5) + 0.25 * (d % 3),
+                    "props": "",
+                }
+            )
+    pd.DataFrame(rows).to_parquet(str(tmp_path / "events.parquet"))
+    duck = duckdb.connect()
+    duck.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    spec = harness.registry()["timeseries_ljung_box"]
+    df = spec.fn(spark, str(tmp_path))
+    ns = {r.event_type: r.n for r in df.collect()}
+    assert ns == {"s1": 1, "s3": 3, "s10": 10}
+    assert_matches_oracle(df, duck, spec.oracle, name="ljung_box_short")

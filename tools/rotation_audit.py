@@ -131,7 +131,11 @@ class _TreeSearch:
                 "ls-tree", "-r", "--name-only", sha, "--",
                 "lakehouse_platform_nyc_taxi_spark",
             )
-            self._files[sha] = [p for p in out.split() if p.endswith(".py")]
+            # one path per line: split() would break paths containing
+            # whitespace and silently mis-list them (ADVICE r16)
+            self._files[sha] = [
+                p for p in out.splitlines() if p.endswith(".py")
+            ]
         return self._files[sha]
 
     def src(self, sha: str, path: str) -> str | None:
@@ -219,7 +223,11 @@ def main() -> int:
     # Informational: which registry modules changed since the newest boundary.
     newest = boundaries[max(boundaries)]
     mod_files = sorted({os.path.relpath(inspect.getsourcefile(s.fn), REPO) for s in reg.values()})
-    diff = _git("diff", "--name-only", newest, "--", *mod_files).split()
+    diff = [
+        p
+        for p in _git("diff", "--name-only", newest, "--", *mod_files).splitlines()
+        if p
+    ]
     print(f"\nregistry modules changed since r{max(boundaries)} boundary: {diff or 'none'}")
     return 0 if ok else 1
 
