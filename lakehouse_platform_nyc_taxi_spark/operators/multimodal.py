@@ -323,18 +323,21 @@ def phash_bands(df: DataFrame, passthrough: list[str] | None = None) -> DataFram
     )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # bit k of band j <- thumbnail position 16j+k (bit-identical to
+        # the per-pixel fold it replaced; the mean is the same float —
+        # int64 sum of 64 bytes divided by 64.0)
+        weights = np.left_shift(np.int64(1), np.arange(16, dtype=np.int64))
+
         def bands(content: bytes) -> tuple[int, int, int, int]:
             w, h, px = _decode_pnm(bytes(content))
-            thumb = _nearest_resize(px, w, h)
-            mean = sum(thumb) / 64.0
-            out = []
-            for j in range(4):
-                v = 0
-                for k in range(16):
-                    if thumb[16 * j + k] > mean:
-                        v |= 1 << k
-                out.append(v)
-            return tuple(out)
+            thumb = np.asarray(_nearest_resize(px, w, h), dtype=np.int64)
+            bits = thumb > (thumb.sum() / 64.0)
+            return tuple(
+                int((bits[16 * j : 16 * (j + 1)] * weights).sum())
+                for j in range(4)
+            )
 
         for pdf in batches:
             rows = []
@@ -378,20 +381,25 @@ def audio_frame_features(df: DataFrame, n_frames: int = 4) -> DataFrame:
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
                 if not len(content):
                     continue
-                seg = max(len(content) // n_frames, 1)
-                for i in range(min(n_frames, len(content))):
-                    frame = content[i * seg : i * seg + seg]
-                    energy = sum((b - 128) * (b - 128) for b in frame)
-                    zc = sum(
-                        1
-                        for j in range(1, len(frame))
-                        if (frame[j] >= 128) != (frame[j - 1] >= 128)
-                    )
+                # Vectorized byte math (bit-identical to the per-byte
+                # Python fold it replaced — pure integer arithmetic, so
+                # the SQL oracle replay is untouched): at 100 TB of audio
+                # the per-sample interpreter cost would dominate the scan.
+                samples = np.frombuffer(bytes(content), dtype=np.uint8)
+                seg = max(len(samples) // n_frames, 1)
+                for i in range(min(n_frames, len(samples))):
+                    frame = samples[i * seg : i * seg + seg]
+                    dev = frame.astype(np.int64) - 128
+                    energy = int((dev * dev).sum())
+                    hi = frame >= 128
+                    zc = int(np.count_nonzero(hi[1:] != hi[:-1]))
                     rows.append((asset_id, i, len(frame), energy, zc))
             yield pd.DataFrame(
                 rows,
