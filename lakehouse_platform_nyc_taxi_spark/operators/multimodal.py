@@ -409,3 +409,60 @@ def audio_frame_features(df: DataFrame, n_frames: int = 4) -> DataFrame:
             )
 
     return df.select("asset_id", "content").mapInPandas(extract, AUDIO_SCHEMA)
+
+
+def audio_energy_bands(df: DataFrame) -> DataFrame:
+    """Acoustic fingerprint over binary audio payloads, emitted as 4
+    16-bit band integers — the audio analogue of :func:`phash_bands`
+    (chromaprint-style energy-envelope hashing, public: Haitsma &
+    Kalker's 'A Highly Robust Audio Fingerprinting System', ISMIR 2002,
+    simplified to a mean-threshold envelope).
+
+    Treats the payload as unsigned 8-bit PCM centered at 128 (the
+    :func:`audio_frame_features` convention), splits it into 64 equal
+    sub-segments, computes each sub-segment's signal energy (sum of
+    squared deviations from center — integer-exact), and sets bit ``k``
+    of band ``j`` iff ``energy[16j+k] > mean(energy)``. The banding
+    contract is identical to the image hash: within Hamming distance 3
+    two clips are GUARANTEED to share a whole band (pigeonhole), so
+    :func:`operators.dedup.hamming_banded_pairs` finds them with exact
+    recall; larger thresholds get LSH-style approximate recall.
+
+    Payloads shorter than 64 samples energy-pad with zeros (empty
+    sub-segments carry zero energy), mirroring the image path's
+    fixed-64-position thumbnail. Scale: Arrow-batched ``mapInPandas``
+    decode, zero shuffle; the index is 4 ints + an id per clip.
+    """
+    import numpy as np
+
+    n_seg = 64
+    weights = np.left_shift(np.int64(1), np.arange(16, dtype=np.int64))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                if not len(content):
+                    continue
+                samples = np.frombuffer(bytes(content), dtype=np.uint8)
+                seg = max(len(samples) // n_seg, 1)
+                dev = samples[: n_seg * seg].astype(np.int64) - 128
+                sq = dev * dev
+                padded = np.zeros(n_seg * seg, dtype=np.int64)
+                padded[: len(sq)] = sq
+                e = padded.reshape(n_seg, seg).sum(axis=1)
+                bits = e > (e.sum() / float(n_seg))
+                rows.append(
+                    (
+                        asset_id,
+                        *(
+                            int((bits[16 * j : 16 * (j + 1)] * weights).sum())
+                            for j in range(4)
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return df.select("asset_id", "content").mapInPandas(extract, PHASH_SCHEMA)

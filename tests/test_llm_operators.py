@@ -2951,3 +2951,46 @@ def test_tost_equivalence_verdicts(spark):
     )
     d = tost_equivalence(allc, "user_id", F.col("conv")).collect()[0]
     assert d.z_lower is None and d.equivalent is None
+
+
+def test_audio_energy_bands_match_pure_python_reference(spark):
+    """audio_energy_bands vs an independent per-byte Python fold: 64
+    sub-segment energies, mean threshold, little-endian 16-bit band
+    packing — including the short-payload zero-energy padding and the
+    truncated tail past 64*seg."""
+    import random
+
+    rng = random.Random(7)
+    payloads = [
+        bytes(rng.randrange(256) for _ in range(n))
+        for n in (1, 63, 64, 65, 130, 700)
+    ]
+
+    def ref_bands(payload: bytes) -> tuple[int, int, int, int]:
+        seg = max(len(payload) // 64, 1)
+        e = [
+            sum((b - 128) * (b - 128) for b in payload[i * seg : i * seg + seg])
+            for i in range(64)
+        ]
+        mean = sum(e) / 64.0
+        out = []
+        for j in range(4):
+            v = 0
+            for k in range(16):
+                if e[16 * j + k] > mean:
+                    v |= 1 << k
+            out.append(v)
+        return tuple(out)
+
+    assets = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)]
+        + [(99, bytearray(b""))],
+        "asset_id long, content binary",
+    )
+    got = {
+        r.asset_id: (r.b0, r.b1, r.b2, r.b3)
+        for r in multimodal.audio_energy_bands(assets).collect()
+    }
+    assert 99 not in got  # empty payload emits nothing
+    for i, p in enumerate(payloads):
+        assert got[i] == ref_bands(p), f"payload {i} (len {len(p)})"

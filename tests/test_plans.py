@@ -81,6 +81,7 @@ def test_pairwise_operators_never_cartesian(spark):
         "dedup_incremental_minhash",
         "multimodal_phash_neardup",
         "dedup_simhash_neardup",
+        "dedup_audio_neardup",
         "join_asof",
         "join_range",
     ):
