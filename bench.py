@@ -235,6 +235,13 @@ def main() -> int:
         fam: {"n": fam_n[fam], "min_calibrated_sec": round(fam_sec[fam], 4)}
         for fam in fam_n
     }
+    # Write-bench tag (r17, SCALE.md "Write-bench family floor"): these
+    # queries time REAL writes (CTAS / partition overwrite / read-back)
+    # inside the body — storage noise, not plan cost, dominates their
+    # variance, so drift triage should gate them separately.
+    detail["write_bench_queries"] = [
+        q for q in ("incremental_delete_insert",) if q in timings_min
+    ]
     # Per-query map goes to a file (and stderr): the driver captures a
     # bounded tail of stdout, and a single multi-KB line gets truncated
     # mid-JSON (BENCH_r01 "parsed": null). stdout carries exactly ONE

@@ -78,6 +78,10 @@ _PRIORITY = [
     #      streaming_phash_gate (its oracle replays BOTH changed seams —
     #      phash_bands band packing and the stream gate body), covering
     #      the operators/multimodal.py + streaming/ops.py rewrites.
+    #      table_profile_numeric (VERDICT r16 #2) was triaged WITHOUT a
+    #      code change — plan read + interleaved A/B showed the scan is
+    #      already pruned below the round-robin exchange and the drift
+    #      is an anchor artifact; see SCALE.md "r17 triage".
     #   3. ONE new query: dedup_audio_neardup (audio fingerprint bands
     #      through the Hamming-banded join — completes the audio family).
     #   4. FORTY-FIVE r11-cohort names hitting the 6-round freshness

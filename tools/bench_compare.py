@@ -41,6 +41,31 @@ def main() -> int:
         f" | normalized {sa / ca:.1f} -> {sb / cb:.1f}"
         f" ({(sb / cb) / (sa / ca):.2f}x)"
     )
+    # r17 calibration protocol (SCALE.md "Calibration protocol"): print
+    # BOTH per-query ratio medians side by side, each with its run's
+    # ambient flag. When either side's probe was ambient-suspect, the
+    # calibrated median is a probe artifact — judge round-over-round on
+    # the RAW median (the r15->r16 1.17x calibrated median was pure probe
+    # artifact over a flat 1.03x raw).
+    def _median(xs: list[float]) -> float:
+        xs = sorted(xs)
+        return (xs[len(xs) // 2] + xs[(len(xs) - 1) // 2]) / 2
+
+    raw_med = _median([qb[q] / qa[q] for q in common if qa[q]])
+    cal_med = _median([(qb[q] / cb) / (qa[q] / ca) for q in common if qa[q]])
+    fa = "AMBIENT-SUSPECT" if a.get("ambient_suspect") else "clean"
+    fb = "AMBIENT-SUSPECT" if b.get("ambient_suspect") else "clean"
+    print(
+        f"per-query median ratio | raw {raw_med:.2f}x | calibrated "
+        f"{cal_med:.2f}x | probes: old={fa} "
+        f"(iqr/med {a.get('probe_iqr_over_median', '?')}), new={fb} "
+        f"(iqr/med {b.get('probe_iqr_over_median', '?')})"
+    )
+    if a.get("ambient_suspect") or b.get("ambient_suspect"):
+        print(
+            "  NOTE: an ambient-suspect probe deflates/inflates calibrated"
+            " figures — trust the RAW median this comparison"
+        )
     regs = []
     for q in common:
         na, nb = qa[q] / ca, qb[q] / cb
