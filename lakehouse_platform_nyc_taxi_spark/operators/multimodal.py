@@ -92,7 +92,7 @@ def fake_feature_extractor(df: DataFrame) -> DataFrame:
     return df.select("asset_id", "content").mapInPandas(extract, FEATURE_SCHEMA)
 
 
-def _decode_pnm(data: bytes) -> tuple[int, int, list[int]]:
+def _decode_pnm(data: bytes) -> tuple[int, int, "np.ndarray"]:
     """Minimal pure-Python binary PNM decoder: P5 (PGM grayscale) and
     P6 (PPM RGB), maxval <= 255 -> (width, height, grayscale pixels).
 
@@ -127,36 +127,49 @@ def _decode_pnm(data: bytes) -> tuple[int, int, list[int]]:
     if maxval > 255:
         raise ValueError(f"PNM maxval {maxval} > 255 unsupported")
     n = width * height
+    # numpy-vectorized raster decode (r17): bit-identical to the per-byte
+    # Python fold it replaced (non-negative integer arithmetic, same
+    # floor division), ~100x less interpreter time — the cost a 100 TB
+    # image pass lives in.
+    import numpy as np
+
     if magic == b"P5":
         raster = data[pos : pos + n]
         if len(raster) < n:
             raise ValueError("truncated PGM raster")
-        pixels = list(raster)
+        pixels = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
     else:
         raster = data[pos : pos + 3 * n]
         if len(raster) < 3 * n:
             raise ValueError("truncated PPM raster")
-        pixels = [
-            (raster[3 * i] * 299 + raster[3 * i + 1] * 587 + raster[3 * i + 2] * 114)
-            // 1000
-            for i in range(n)
-        ]
+        rgb = (
+            np.frombuffer(raster, dtype=np.uint8)
+            .astype(np.int64)
+            .reshape(n, 3)
+        )
+        pixels = (rgb[:, 0] * 299 + rgb[:, 1] * 587 + rgb[:, 2] * 114) // 1000
     return width, height, pixels
 
 
 def _nearest_resize(
-    pixels: list[int], width: int, height: int, out_w: int = 8, out_h: int = 8
-) -> list[int]:
+    pixels, width: int, height: int, out_w: int = 8, out_h: int = 8
+):
     """Nearest-neighbor resample to (out_w, out_h) — pixel-center
-    sampling, the classic NEAREST kernel."""
-    return [
-        pixels[
-            min(int((j + 0.5) * height / out_h), height - 1) * width
-            + min(int((i + 0.5) * width / out_w), width - 1)
-        ]
-        for j in range(out_h)
-        for i in range(out_w)
-    ]
+    sampling, the classic NEAREST kernel. Vectorized (r17): int() and
+    int64-astype both truncate the same non-negative floats, so the
+    sampled positions are bit-identical to the scalar loop's."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.int64)
+    rows = np.minimum(
+        ((np.arange(out_h) + 0.5) * height / out_h).astype(np.int64),
+        height - 1,
+    )
+    cols = np.minimum(
+        ((np.arange(out_w) + 0.5) * width / out_w).astype(np.int64),
+        width - 1,
+    )
+    return px[(rows[:, None] * width + cols[None, :]).ravel()]
 
 
 def decode_image_features(df: DataFrame, prefer_pil: bool = False) -> DataFrame:
