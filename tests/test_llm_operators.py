@@ -2994,3 +2994,40 @@ def test_audio_energy_bands_match_pure_python_reference(spark):
     assert 99 not in got  # empty payload emits nothing
     for i, p in enumerate(payloads):
         assert got[i] == ref_bands(p), f"payload {i} (len {len(p)})"
+
+
+def test_hamming_banded_pairs_pigeonhole_recall_randomized(spark):
+    """Recall contract at scale shape: for ANY pair within Hamming
+    distance bands-1 (= 3), at least one 16-bit band matches exactly, so
+    the banded candidate join finds it — randomized over 40 base hashes
+    each with a <=3-bit-perturbed twin (seeded; one Spark job)."""
+    import random
+
+    rng = random.Random(42)
+    rows, expected = [], set()
+    for i in range(40):
+        base = rng.getrandbits(64)
+        flips = rng.sample(range(64), rng.randint(0, 3))
+        twin = base
+        for f in flips:
+            twin ^= 1 << f
+        a_id, b_id = 2 * i, 2 * i + 1
+        for rid, h in ((a_id, base), (b_id, twin)):
+            rows.append(
+                (rid, *(int((h >> (16 * j)) & 0xFFFF) for j in range(4)))
+            )
+        expected.add((a_id, b_id, len(flips)))
+    hashes = spark.createDataFrame(
+        rows, "id long, b0 int, b1 int, b2 int, b3 int"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.hamming_banded_pairs(
+            hashes, "id", ["b0", "b1", "b2", "b3"],
+            bits_per_band=16, max_hamming=3,
+        ).collect()
+    }
+    missing = expected - got
+    assert not missing, f"pigeonhole recall violated: {sorted(missing)[:5]}"
+    # every reported pair must actually be within the threshold
+    assert all(h <= 3 for (_, _, h) in got)
