@@ -280,14 +280,17 @@ def test_pnm_codec_header_variants():
 
     # comments + arbitrary whitespace in the header
     data = b"P5\n# comment line\n  3\t2\n# another\n255\n" + bytes(range(6))
-    assert _decode_pnm(data) == (3, 2, list(range(6)))
+    w, h, px = _decode_pnm(data)
+    # pixels are an int64 ndarray since the r17 vectorization; the
+    # VALUES are the pinned contract
+    assert (w, h, list(px)) == (3, 2, list(range(6)))
     # truncated raster raises
     with pytest.raises(ValueError, match="truncated"):
         _decode_pnm(b"P5 3 2 255\n\x00\x01")
     with pytest.raises(ValueError, match="maxval"):
         _decode_pnm(b"P5 1 1 65535\n\x00\x00")
     # identity resize
-    assert _nearest_resize(list(range(64)), 8, 8) == list(range(64))
+    assert list(_nearest_resize(list(range(64)), 8, 8)) == list(range(64))
 
 
 def test_fake_resize_bounds_output(spark, docs):
