@@ -77,6 +77,10 @@ def main() -> int:
             "load_avg_1m": round(os.getloadavg()[0], 2),
         }
 
+    # warm the probe's own codegen untimed: probe[0] otherwise bills the
+    # xxhash expression's compile (observed 1.7-7.4 s vs a 1.4 s steady
+    # state across every r17 run), skewing the up-front probes high
+    _probe()
     probes = [_probe() for _ in range(2)]
 
     timings: dict[str, float] = {}
