@@ -62,98 +62,21 @@ def register(
 #      Their green rows live in CORRECTNESS_r01.json (kept in-repo), so
 #      rounds jointly cover every query.
 _PRIORITY = [
-    # --- Round-17 window (driver checks the FIRST 50 registered) ---
+    # --- Round-18 window (driver checks the FIRST 50 registered) ---
     # INVARIANT (pinned by tests/test_harness_oracle.py): len(_PRIORITY)
     # is EXACTLY 50 and equals the first 50 names registry() yields. A
     # query added mid-round must be inserted at the head of this list
     # and the tail name moved to the head of _KEEP (1-in-1-out).
     #
-    # Composition (VERDICT r16 #1/#4/#5):
-    #   1. TWO changed-body re-attestations flagged by
-    #      tools/rotation_audit.py: timeseries_ljung_box (short-series n
-    #      recovery fix) and incremental_delete_insert (per-app staging
-    #      dir).
-    #   2. TWO helper-changed re-attestations: multimodal_audio_features
-    #      (numpy vectorization of the frame fold) and
-    #      streaming_phash_gate (its oracle replays BOTH changed seams —
-    #      phash_bands band packing and the stream gate body), covering
-    #      the operators/multimodal.py + streaming/ops.py rewrites.
-    #      table_profile_numeric (VERDICT r16 #2) was triaged WITHOUT a
-    #      code change — plan read + interleaved A/B showed the scan is
-    #      already pruned below the round-robin exchange and the drift
-    #      is an anchor artifact; see SCALE.md "r17 triage".
-    #   3. ONE new query: dedup_audio_neardup (audio fingerprint bands
-    #      through the Hamming-banded join — completes the audio family).
-    #   4. FORTY-FIVE r11-cohort names hitting the 6-round freshness
-    #      horizon this round (VERDICT r16 #1: the entire remaining r11
-    #      attestation tail, incl. the 12-query TPC-H block, DSIR pair,
-    #      funnel/attribution family, agg_daily_rollup, and
-    #      surrogate_keys_md5), in _KEEP staleness order.
-    # Window arithmetic is SATURATED this round: 45 forced rotations + 4
-    # re-attestations + 1 new = 50, so TPC-DS growth (VERDICT r16 #6)
-    # defers to r19/r20 where the r13 (49) and r14 (48) cohorts leave
-    # 1-2 spare slots; see SCALE.md "Attestation-window saturation".
-    "timeseries_ljung_box",
-    "incremental_delete_insert",
-    "multimodal_audio_features",
-    "streaming_phash_gate",
-    "dedup_audio_neardup",
-    "quality_rule_ablation",
-    "events_dau_wau_stickiness",
-    "text_tokenizer_fertility",
-    "orders_interarrival_stats",
-    "privacy_t_closeness",
-    "events_funnel_latency",
-    "sql_having_above_average",
-    "text_log_odds_terms",
-    "embedding_standardize",
-    "corpus_kl_to_global",
-    "dedup_cluster_purge",
-    "events_attribution_last_touch",
-    "timeseries_cusum_changepoint",
-    "events_markov_transitions",
-    "stats_chi_squared",
-    "stats_ab_lift",
-    "streaming_cms_heavy_hitters",
-    "agg_count_min_sketch",
-    "sampling_dsir_weights",
-    "sampling_dsir_select",
-    "corpus_mixture_plan",
-    "tpch_q4_order_priority",
-    "tpch_q21_suppliers_who_kept_waiting",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_global_sales_opportunity",
-    "set_except_all",
-    "graph_triangle_count",
-    "graph_degree_stats",
-    "timeseries_twap",
-    "surrogate_keys_md5",
-    "similarity_topk_ivf_batch",
-    "similarity_topk_batch",
-    "agg_mode_median",
-    "join_skew_salted",
-    "events_funnel",
-    "table_profile_categorical",
-    "agg_daily_rollup",
-]
-# Any NEW registration not listed anywhere auto-slots directly after
-# _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
-# window, so a query added mid-round must be listed in _PRIORITY
-# explicitly (and a name bumped to _KEEP to make room).
-_KEEP = [
-    # Staleness-ordered (oldest driver row first): the r12 cohort, then
-    # r13, r14, r15, and the displaced r16-window names at the tail —
-    # future rotations pull from the HEAD of this list. NOTE r18: the
-    # r12 cohort is exactly 50 names, so the r18 window has ZERO slack —
-    # any changed-body fix in r18 displaces an r12 name by one round.
+    # Composition (VERDICT r17 #1): the ENTIRE r12 cohort — exactly the
+    # 50 names whose latest driver attestation is r12, which hit the
+    # 6-round freshness horizon this round. The window is SATURATED with
+    # ZERO slack (50 forced rotations = 50 slots), so r18 is an
+    # attestation-only round: no r13+-attested query body changes, no
+    # new registrations (TPC-DS growth and the streaming audio gate
+    # stay deferred to r19/r20 per SCALE.md "Attestation-window
+    # saturation", where the r13 (49) and r14 (48) cohorts leave 1-2
+    # spare slots). List order = prior _KEEP staleness order.
     "events_longest_streak",
     "events_attribution_time_decay",
     "stats_cuped_adjustment",
@@ -204,6 +127,22 @@ _KEEP = [
     "star_extend_projection",
     "union_all_typed_nulls",
     "union_distinct",
+]
+# Any NEW registration not listed anywhere auto-slots directly after
+# _PRIORITY — but with _PRIORITY at exactly 50 that lands OUTSIDE the
+# window, so a query added mid-round must be listed in _PRIORITY
+# explicitly (and a name bumped to _KEEP to make room).
+_KEEP = [
+    # Staleness-ordered (oldest driver row first): the r13 cohort (49),
+    # then r14 (48), r15 (50), r16 (46), and the r17-attested former
+    # window (50) at the tail — future rotations pull from the HEAD of
+    # this list. NOTE r19: the r13 cohort is 49 names -> exactly ONE
+    # spare slot; it is spoken for (VERDICT r17 #2: decode-seam
+    # consumers — multimodal_decode_image r13 rotates in-cohort;
+    # multimodal_frame_sample r15 takes the spare). r20: r14 cohort is
+    # 48 -> two spare slots (multimodal_resize_thumbnail,
+    # multimodal_phash_neardup or dedup_phash_clusters, r16-attested,
+    # else they rotate naturally in r22).
     "timeseries_holt_forecast",
     "similarity_mmr_rerank",
     "streaming_decontamination_gate",
@@ -397,6 +336,56 @@ _KEEP = [
     "window_rank_trio",
     "window_nth_value_session",
     "text_langid_confusion",
+    "timeseries_ljung_box",
+    "incremental_delete_insert",
+    "multimodal_audio_features",
+    "streaming_phash_gate",
+    "dedup_audio_neardup",
+    "quality_rule_ablation",
+    "events_dau_wau_stickiness",
+    "text_tokenizer_fertility",
+    "orders_interarrival_stats",
+    "privacy_t_closeness",
+    "events_funnel_latency",
+    "sql_having_above_average",
+    "text_log_odds_terms",
+    "embedding_standardize",
+    "corpus_kl_to_global",
+    "dedup_cluster_purge",
+    "events_attribution_last_touch",
+    "timeseries_cusum_changepoint",
+    "events_markov_transitions",
+    "stats_chi_squared",
+    "stats_ab_lift",
+    "streaming_cms_heavy_hitters",
+    "agg_count_min_sketch",
+    "sampling_dsir_weights",
+    "sampling_dsir_select",
+    "corpus_mixture_plan",
+    "tpch_q4_order_priority",
+    "tpch_q21_suppliers_who_kept_waiting",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "set_except_all",
+    "graph_triangle_count",
+    "graph_degree_stats",
+    "timeseries_twap",
+    "surrogate_keys_md5",
+    "similarity_topk_ivf_batch",
+    "similarity_topk_batch",
+    "agg_mode_median",
+    "join_skew_salted",
+    "events_funnel",
+    "table_profile_categorical",
+    "agg_daily_rollup",
 ]
 _ROTATE_OUT: list[str] = []
 
