@@ -356,6 +356,17 @@ def phash_bands(df: DataFrame, passthrough: list[str] | None = None) -> DataFram
     the decode so a watermark can bound dedup state.
     """
     passthrough = list(passthrough or [])
+    # A passthrough name colliding with the output columns would surface
+    # as a duplicate-column schema failure deep inside mapInPandas
+    # execution; fail descriptively at call time instead (ADVICE r17).
+    reserved = {"asset_id", "b0", "b1", "b2", "b3"}
+    collisions = sorted(reserved.intersection(passthrough))
+    if collisions:
+        raise ValueError(
+            f"phash_bands passthrough columns {collisions} collide with "
+            f"the output schema ({PHASH_SCHEMA}); rename them before the "
+            "decode (e.g. df.withColumnRenamed)"
+        )
     pass_schema = "".join(
         f", {f.name} {f.dataType.simpleString()}"
         for f in df.select(*passthrough).schema.fields

@@ -58,12 +58,47 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: Staging roots whose per-application subdirectories accumulate across
+#: runs (each run writes /tmp/spark_graft_s9/<app_id>/... exactly once
+#: and relies on uniqueness, not eager cleanup, for race isolation).
+_STAGING_ROOTS = ("/tmp/spark_graft_s9",)
+_STAGING_MAX_AGE_SEC = 24 * 3600
+
+
+def _prune_stale_staging() -> None:
+    """Best-effort removal of OTHER applications' stale staging dirs.
+
+    Per-app uniqueness stays the race-isolation mechanism (ADVICE r16);
+    this only stops long-lived bench boxes from accumulating one parquet
+    table copy per run forever (ADVICE r17). A day-old mtime means the
+    owning app is long gone — live runs here last minutes. Runs at
+    session creation, so it never races this application's own writes
+    (our app dir does not exist yet) and costs one readdir when idle.
+    """
+    import shutil
+    import time
+
+    cutoff = time.time() - _STAGING_MAX_AGE_SEC
+    for root in _STAGING_ROOTS:
+        try:
+            entries = [os.path.join(root, d) for d in os.listdir(root)]
+        except OSError:
+            continue
+        for path in entries:
+            try:
+                if os.path.getmtime(path) < cutoff:
+                    shutil.rmtree(path, ignore_errors=True)
+            except OSError:
+                continue
+
+
 def get_spark(
     app_name: str = "lakehouse_platform_nyc_taxi_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    _prune_stale_staging()
     cpus = default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)

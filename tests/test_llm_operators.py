@@ -194,6 +194,15 @@ def test_phash_bands_match_reference(spark):
     assert [row.b0, row.b1, row.b2, row.b3] == expected
 
 
+def test_phash_bands_passthrough_collision_raises_at_call_time(spark):
+    assets = spark.createDataFrame(
+        [(1, bytearray(b"P5\n1 1\n255\nx"), 7)],
+        "asset_id long, content binary, b2 int",
+    )
+    with pytest.raises(ValueError, match="collide with the output schema"):
+        multimodal.phash_bands(assets, passthrough=["b2"])
+
+
 def test_hamming_banded_pairs_guarantee_and_valve(spark):
     # A/B differ in 2 bits (<= bands-1=3: candidate generation GUARANTEED
     # by pigeonhole), C differs from both in every band.

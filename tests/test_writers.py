@@ -265,3 +265,29 @@ def test_format_round_trips_orc_json_csv_and_codecs(spark, tmp_path):
         assert files and all(f.endswith(ext) for f in files), (codec, files)
         got = [tuple(r) for r in spark.read.parquet(p).orderBy("n_nationkey").collect()]
         assert got == want
+
+
+def test_prune_stale_staging_removes_only_old_sibling_dirs(tmp_path, monkeypatch):
+    """Session-start housekeeping (ADVICE r17): day-old sibling app dirs
+    under the S9 staging root are pruned; fresh ones (a possibly-live
+    concurrent run) and unreadable roots are left alone."""
+    import os
+    import time
+
+    from lakehouse_platform_nyc_taxi_spark import session as sess
+
+    root = tmp_path / "spark_graft_s9"
+    old = root / "app-old" / "sf0.1" / "orders"
+    fresh = root / "app-fresh" / "sf0.1" / "orders"
+    old.mkdir(parents=True)
+    fresh.mkdir(parents=True)
+    stale_t = time.time() - sess._STAGING_MAX_AGE_SEC - 60
+    os.utime(root / "app-old", (stale_t, stale_t))
+
+    monkeypatch.setattr(
+        sess, "_STAGING_ROOTS", (str(root), str(tmp_path / "does-not-exist"))
+    )
+    sess._prune_stale_staging()
+
+    assert not (root / "app-old").exists()
+    assert fresh.exists()
