@@ -842,3 +842,96 @@ def streaming_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=3,
     )
     return S.run_available_now(out, "append", state_partitions=8)
+
+
+# --------------------------------------------------------------------------
+# Streaming AUDIO near-dup gate (VERDICT r17 #7) — built and tested in
+# r18, REGISTRATION DEFERRED TO r20: the attestation window has zero
+# spare slots before then (SCALE.md "Round-18" saturation arithmetic:
+# r19's single spare is committed to the multimodal_phash_neardup
+# deferral; r20 = the 48-name r14 cohort + dedup_phash_clusters + THIS).
+# To activate in r20: wrap `streaming_audio_gate` with
+# `register("streaming_audio_gate", _audio_gate_oracle(),
+# doc=STREAMING_AUDIO_GATE_DOC, prepare=_audio_gate_index)` and append
+# the name to harness/__init__._PRIORITY's tail (1-in-1-out).
+# --------------------------------------------------------------------------
+
+_AUDIO_GATE_CACHE: dict = {}
+
+
+def _audio_gate_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached energy-band index of the even-id (stored) audio
+    corpus — 4 ints + an id per clip, the persisted artifact batch
+    audio dedup (dedup_audio_neardup) already derives."""
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import audio_energy_bands
+    from ..sources.testdata import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _AUDIO_GATE_CACHE:
+        stored = load_table(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") % 2 == 0) & (F.length("text") > 0)
+        )
+        _AUDIO_GATE_CACHE[key] = audio_energy_bands(
+            stored.select(
+                F.col("doc_id").alias("asset_id"),
+                F.encode(F.col("text"), "UTF-8").alias("content"),
+            )
+        ).localCheckpoint()
+    return _AUDIO_GATE_CACHE[key]
+
+
+def _audio_gate_oracle(max_hamming: int = 3) -> str:
+    from .llm import _audio_bands_cte
+
+    return (
+        _audio_bands_cte()
+        + f""",
+    p AS (
+        SELECT n.doc_id AS asset_id, s.doc_id AS matched_id,
+               CAST(bit_count(xor(n.b0, s.b0)) + bit_count(xor(n.b1, s.b1))
+                  + bit_count(xor(n.b2, s.b2)) + bit_count(xor(n.b3, s.b3))
+                    AS INTEGER) AS hamming
+        FROM b n JOIN b s
+          ON (n.b0 = s.b0 OR n.b1 = s.b1 OR n.b2 = s.b2 OR n.b3 = s.b3)
+         AND n.doc_id % 2 = 1 AND s.doc_id % 2 = 0
+    )
+    SELECT DISTINCT CAST(asset_id AS BIGINT) AS asset_id,
+           CAST(matched_id AS BIGINT) AS matched_id, hamming
+    FROM p WHERE hamming <= {max_hamming}
+    """
+    )
+
+
+STREAMING_AUDIO_GATE_DOC = (
+    "Streaming AUDIO near-dup ingest gate — the acoustic twin of "
+    "streaming_phash_gate (VERDICT r17 #7): odd-id documents arrive as "
+    "a file stream, their payloads are energy-fingerprinted IN the "
+    "stream (stateless Arrow mapInPandas: 64 integer-exact sub-segment "
+    "energies mean-thresholded into a 4x16-bit Haitsma-Kalker envelope, "
+    "operators/multimodal.py::audio_energy_bands), then stream-static "
+    "joined against the stored even-id corpus's energy-band index — one "
+    "emitted row per (new clip, stored near-dup) within Hamming "
+    "distance 3, where recall is EXACT by pigeonhole (<= bands-1). Only "
+    "the cross-band pair dedup keeps state (streaming/ops.py::"
+    "stream_audio_gate). The oracle replays the sub-segment energy "
+    "arithmetic, band packing, and positional band match in SQL."
+)
+
+
+def streaming_audio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    new_docs = S.read_documents_stream(spark, sf_dir).filter(
+        (F.col("doc_id") % 2 == 1) & (F.length("text") > 0)
+    )
+    out = S.stream_audio_gate(
+        new_docs.select(
+            F.col("doc_id").alias("asset_id"),
+            F.encode(F.col("text"), "UTF-8").alias("content"),
+        ),
+        _audio_gate_index(spark, sf_dir),
+        max_hamming=3,
+    )
+    return S.run_available_now(out, "append", state_partitions=8)

@@ -475,7 +475,9 @@ def audio_frame_features(df: DataFrame, n_frames: int = 4) -> DataFrame:
     return df.select("asset_id", "content").mapInPandas(extract, AUDIO_SCHEMA)
 
 
-def audio_energy_bands(df: DataFrame) -> DataFrame:
+def audio_energy_bands(
+    df: DataFrame, passthrough: list[str] | None = None
+) -> DataFrame:
     """Acoustic fingerprint over binary audio payloads, emitted as 4
     16-bit band integers — the audio analogue of :func:`phash_bands`
     (chromaprint-style energy-envelope hashing, public: Haitsma &
@@ -496,15 +498,36 @@ def audio_energy_bands(df: DataFrame) -> DataFrame:
     sub-segments carry zero energy), mirroring the image path's
     fixed-64-position thumbnail. Scale: Arrow-batched ``mapInPandas``
     decode, zero shuffle; the index is 4 ints + an id per clip.
+
+    ``passthrough`` names extra input columns carried verbatim onto the
+    output (appended after the bands, original types preserved) — the
+    :func:`phash_bands` contract; the streaming audio gate uses it to
+    keep its event-time column alive across the decode so a watermark
+    can bound dedup state.
     """
     n_seg = 64
+    passthrough = list(passthrough or [])
+    reserved = {"asset_id", "b0", "b1", "b2", "b3"}
+    collisions = sorted(reserved.intersection(passthrough))
+    if collisions:
+        raise ValueError(
+            f"audio_energy_bands passthrough columns {collisions} collide "
+            f"with the output schema ({PHASH_SCHEMA}); rename them before "
+            "the decode (e.g. df.withColumnRenamed)"
+        )
+    pass_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in df.select(*passthrough).schema.fields
+    )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
             rows = []
-            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+            for i, (asset_id, content) in enumerate(
+                zip(pdf["asset_id"], pdf["content"])
+            ):
                 if not len(content):
                     continue
                 seg = max(len(content) // n_seg, 1)
@@ -533,9 +556,13 @@ def audio_energy_bands(df: DataFrame) -> DataFrame:
                         if e[16 * j + k] > mean:
                             v |= 1 << k
                     bands.append(v)
-                rows.append((asset_id, *bands))
+                extra = tuple(pdf[c].iloc[i] for c in passthrough)
+                rows.append((asset_id, *bands, *extra))
             yield pd.DataFrame(
-                rows, columns=["asset_id", "b0", "b1", "b2", "b3"]
+                rows,
+                columns=["asset_id", "b0", "b1", "b2", "b3", *passthrough],
             )
 
-    return df.select("asset_id", "content").mapInPandas(extract, PHASH_SCHEMA)
+    return df.select("asset_id", "content", *passthrough).mapInPandas(
+        extract, PHASH_SCHEMA + pass_schema
+    )

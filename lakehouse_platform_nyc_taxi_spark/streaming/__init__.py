@@ -29,6 +29,7 @@ from .ops import (
     stream_decontamination_gate,
     stream_dedup_gate,
     stream_phash_gate,
+    stream_audio_gate,
     stream_attributed_rollup,
     stream_static_enrich,
     stream_stream_attribution,
@@ -46,6 +47,7 @@ __all__ = [
     "stream_decontamination_gate",
     "stream_dedup_gate",
     "stream_phash_gate",
+    "stream_audio_gate",
     "run_available_now",
     "chained_window_rollup",
     "grouping_sets_rollup",

@@ -3118,3 +3118,24 @@ def test_pnm_decode_paths_match_across_crossover():
         (small[3 * i] * 299 + small[3 * i + 1] * 587 + small[3 * i + 2] * 114) // 1000
         for i in range(4)
     ]
+
+
+def test_audio_energy_bands_passthrough_and_collision_guard(spark):
+    import datetime as dtm
+
+    t0 = dtm.datetime(2024, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(range(200))), t0)],
+        "asset_id long, content binary, ingest_ts timestamp",
+    )
+    out = multimodal.audio_energy_bands(df, passthrough=["ingest_ts"])
+    assert out.columns == ["asset_id", "b0", "b1", "b2", "b3", "ingest_ts"]
+    row = out.first()
+    assert row.ingest_ts == t0
+    # passthrough must not change the bands
+    base = multimodal.audio_energy_bands(df.select("asset_id", "content")).first()
+    assert (row.b0, row.b1, row.b2, row.b3) == (base.b0, base.b1, base.b2, base.b3)
+    with pytest.raises(ValueError, match="collide with the output schema"):
+        multimodal.audio_energy_bands(
+            df.withColumn("b0", F.lit(1)), passthrough=["b0"]
+        )

@@ -719,3 +719,100 @@ def test_stream_phash_gate_watermark_bounds_state(spark, tmp_path):
     assert pairs.get((1, 0)) == 0
     assert len(rows) == len(pairs), "multi-band collisions must dedup"
     assert all(r.ingest_ts == t0 for r in rows)
+
+
+def _audio_payload(seed: int, n: int = 512) -> bytes:
+    # deterministic pseudo-PCM, distinct energy envelopes per seed
+    return bytes(((i * (seed * 2 + 3) + seed * 7) % 256) for i in range(n))
+
+
+def test_stream_audio_gate_matches_batch_band_join(spark, tmp_path):
+    """availableNow drain of the audio gate equals the batch band-index
+    join computed from the same operator — and multi-band collisions
+    collapse to one row per pair."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_platform_nyc_taxi_spark.operators.multimodal import (
+        audio_energy_bands,
+    )
+    from lakehouse_platform_nyc_taxi_spark.streaming import (
+        run_available_now,
+        stream_audio_gate,
+    )
+
+    stored_rows = [(0, bytearray(_audio_payload(1))), (2, bytearray(_audio_payload(5)))]
+    new_rows = [(1, bytearray(_audio_payload(1))), (3, bytearray(_audio_payload(9)))]
+    schema = "asset_id long, content binary"
+    stored = spark.createDataFrame(stored_rows, schema)
+    index = audio_energy_bands(stored)
+
+    src = tmp_path / "audio_assets"
+    spark.createDataFrame(new_rows, schema).coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    got = run_available_now(
+        stream_audio_gate(stream, index, max_hamming=3),
+        "append",
+        state_partitions=4,
+    )
+    rows = got.collect()
+    pairs = {(r.asset_id, r.matched_id): r.hamming for r in rows}
+    assert len(rows) == len(pairs), "multi-band collisions must dedup"
+
+    # batch expectation from the same operator: full hamming over all
+    # (new, stored) band rows, thresholded
+    nb = {r.asset_id: (r.b0, r.b1, r.b2, r.b3)
+          for r in audio_energy_bands(spark.createDataFrame(new_rows, schema)).collect()}
+    sb = {r.asset_id: (r.b0, r.b1, r.b2, r.b3) for r in index.collect()}
+    expected = {
+        (n, s): sum(bin(a ^ b).count("1") for a, b in zip(nb[n], sb[s]))
+        for n in nb
+        for s in sb
+        if sum(bin(a ^ b).count("1") for a, b in zip(nb[n], sb[s])) <= 3
+    }
+    assert pairs == expected
+    assert pairs.get((1, 0)) == 0, "identical payload must match at distance 0"
+
+
+def test_stream_audio_gate_watermark_bounds_state(spark, tmp_path):
+    """Continuous-stream mode: watermark=(col, delay) carries the
+    event-time column through the energy decode (audio_energy_bands
+    passthrough), declares the watermark, and switches pair dedup to
+    dropDuplicatesWithinWatermark — availableNow drain still yields the
+    exact pair set, now with the event-time column attached."""
+    import datetime as dtm
+
+    from lakehouse_platform_nyc_taxi_spark.operators.multimodal import (
+        audio_energy_bands,
+    )
+    from lakehouse_platform_nyc_taxi_spark.streaming import (
+        run_available_now,
+        stream_audio_gate,
+    )
+
+    stored = spark.createDataFrame(
+        [(0, bytearray(_audio_payload(1)))], "asset_id long, content binary"
+    )
+    index = audio_energy_bands(stored)
+    t0 = dtm.datetime(2024, 1, 1, 12, 0, 0)
+    src = tmp_path / "audio_assets_wm"
+    spark.createDataFrame(
+        [(1, bytearray(_audio_payload(1)), t0), (3, bytearray(_audio_payload(9)), t0)],
+        "asset_id long, content binary, ingest_ts timestamp",
+    ).coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "asset_id long, content binary, ingest_ts timestamp"
+    ).parquet(str(src))
+
+    got = run_available_now(
+        stream_audio_gate(
+            stream, index, max_hamming=3, watermark=("ingest_ts", "10 minutes")
+        ),
+        "append",
+        state_partitions=4,
+    )
+    assert "ingest_ts" in got.columns
+    rows = got.collect()
+    pairs = {(r.asset_id, r.matched_id): r.hamming for r in rows}
+    assert pairs.get((1, 0)) == 0
+    assert len(rows) == len(pairs)
+    assert all(r.ingest_ts == t0 for r in rows)
