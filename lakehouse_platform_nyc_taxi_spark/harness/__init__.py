@@ -136,13 +136,15 @@ _KEEP = [
     # Staleness-ordered (oldest driver row first): the r13 cohort (49),
     # then r14 (48), r15 (50), r16 (46), and the r17-attested former
     # window (50) at the tail — future rotations pull from the HEAD of
-    # this list. NOTE r19: the r13 cohort is 49 names -> exactly ONE
-    # spare slot; it is spoken for (VERDICT r17 #2: decode-seam
-    # consumers — multimodal_decode_image r13 rotates in-cohort;
-    # multimodal_frame_sample r15 takes the spare). r20: r14 cohort is
-    # 48 -> two spare slots (multimodal_resize_thumbnail,
-    # multimodal_phash_neardup or dedup_phash_clusters, r16-attested,
-    # else they rotate naturally in r22).
+    # this list. Slot plan (r18 revision — the helper-closure audit
+    # proved fake_resize/fake_frame_sample byte-identical since r13, so
+    # frame_sample/resize_thumbnail need no early slot; see
+    # tools/rotation_deferrals.json + SCALE.md "Round-18"): r19 = the
+    # 49-name r13 cohort + multimodal_phash_neardup (deferred, takes the
+    # single spare). r20 = the 48-name r14 cohort + dedup_phash_clusters
+    # (deferred) + the NEW streaming_audio_gate (activation note in
+    # harness/streaming.py). Derive each round's window with
+    # tools/rotate_window.py.
     "timeseries_holt_forecast",
     "similarity_mmr_rerank",
     "streaming_decontamination_gate",
