@@ -359,7 +359,9 @@ def phash_bands(df: DataFrame, passthrough: list[str] | None = None) -> DataFram
     # A passthrough name colliding with the output columns would surface
     # as a duplicate-column schema failure deep inside mapInPandas
     # execution; fail descriptively at call time instead (ADVICE r17).
-    reserved = {"asset_id", "b0", "b1", "b2", "b3"}
+    # "content" too: a duplicate content selection makes pdf["content"]
+    # a DataFrame, breaking the per-row iteration inside mapInPandas
+    reserved = {"asset_id", "content", "b0", "b1", "b2", "b3"}
     collisions = sorted(reserved.intersection(passthrough))
     if collisions:
         raise ValueError(
@@ -507,7 +509,7 @@ def audio_energy_bands(
     """
     n_seg = 64
     passthrough = list(passthrough or [])
-    reserved = {"asset_id", "b0", "b1", "b2", "b3"}
+    reserved = {"asset_id", "content", "b0", "b1", "b2", "b3"}
     collisions = sorted(reserved.intersection(passthrough))
     if collisions:
         raise ValueError(

@@ -62,7 +62,7 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
 #: runs (each run writes /tmp/spark_graft_s9/<app_id>/... exactly once
 #: and relies on uniqueness, not eager cleanup, for race isolation).
 _STAGING_ROOTS = ("/tmp/spark_graft_s9",)
-_STAGING_MAX_AGE_SEC = 24 * 3600
+_STAGING_MAX_AGE_SEC = 7 * 24 * 3600
 
 
 def _prune_stale_staging() -> None:
@@ -70,15 +70,30 @@ def _prune_stale_staging() -> None:
 
     Per-app uniqueness stays the race-isolation mechanism (ADVICE r16);
     this only stops long-lived bench boxes from accumulating one parquet
-    table copy per run forever (ADVICE r17). A day-old mtime means the
-    owning app is long gone — live runs here last minutes. Runs at
-    session creation, so it never races this application's own writes
-    (our app dir does not exist yet) and costs one readdir when idle.
+    table copy per run forever (ADVICE r17). Liveness is judged by the
+    NEWEST mtime anywhere in the app dir's subtree, not the app dir
+    itself (a directory's mtime is fixed at creation, so a soak session
+    that wrote recently would otherwise look dead), and the week-long
+    threshold leaves paused multi-day sessions alone. The subtree walk
+    only runs for candidates whose root mtime is already past the
+    cutoff. Runs at session creation, so it never races this
+    application's own writes (our app dir does not exist yet).
     """
     import shutil
     import time
 
     cutoff = time.time() - _STAGING_MAX_AGE_SEC
+
+    def newest_mtime(path: str) -> float:
+        newest = os.path.getmtime(path)
+        for dirpath, _dirs, files in os.walk(path):
+            for entry in (dirpath, *(os.path.join(dirpath, f) for f in files)):
+                try:
+                    newest = max(newest, os.path.getmtime(entry))
+                except OSError:
+                    continue
+        return newest
+
     for root in _STAGING_ROOTS:
         try:
             entries = [os.path.join(root, d) for d in os.listdir(root)]
@@ -86,7 +101,10 @@ def _prune_stale_staging() -> None:
             continue
         for path in entries:
             try:
-                if os.path.getmtime(path) < cutoff:
+                if (
+                    os.path.getmtime(path) < cutoff
+                    and newest_mtime(path) < cutoff
+                ):
                     shutil.rmtree(path, ignore_errors=True)
             except OSError:
                 continue

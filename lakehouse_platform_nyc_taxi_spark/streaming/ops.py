@@ -824,6 +824,17 @@ def stream_phash_gate(
 
     band_cols = ["b0", "b1", "b2", "b3"]
     wm_cols: list[str] = []
+    if watermark is not None and watermark[0] in {
+        "band", "band_val", "matched_id", "hamming", *band_cols, "asset_id"
+    }:
+        # the operator's passthrough guard covers its own output columns;
+        # the gate adds the join/explode aliases it builds on top, which
+        # would otherwise fail as an ambiguous reference mid-plan
+        raise ValueError(
+            f"watermark column {watermark[0]!r} collides with the gate's "
+            "internal columns (band/band_val/matched_id/hamming/bands); "
+            "rename it before the gate (df.withColumnRenamed)"
+        )
     new_b = phash_bands(
         stream_assets, passthrough=[watermark[0]] if watermark else None
     )
@@ -898,6 +909,17 @@ def stream_audio_gate(
 
     band_cols = ["b0", "b1", "b2", "b3"]
     wm_cols: list[str] = []
+    if watermark is not None and watermark[0] in {
+        "band", "band_val", "matched_id", "hamming", *band_cols, "asset_id"
+    }:
+        # the operator's passthrough guard covers its own output columns;
+        # the gate adds the join/explode aliases it builds on top, which
+        # would otherwise fail as an ambiguous reference mid-plan
+        raise ValueError(
+            f"watermark column {watermark[0]!r} collides with the gate's "
+            "internal columns (band/band_val/matched_id/hamming/bands); "
+            "rename it before the gate (df.withColumnRenamed)"
+        )
     new_b = audio_energy_bands(
         stream_assets, passthrough=[watermark[0]] if watermark else None
     )

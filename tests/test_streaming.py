@@ -816,3 +816,39 @@ def test_stream_audio_gate_watermark_bounds_state(spark, tmp_path):
     assert pairs.get((1, 0)) == 0
     assert len(rows) == len(pairs)
     assert all(r.ingest_ts == t0 for r in rows)
+
+
+def test_stream_gate_watermark_column_collision_raises(spark, tmp_path):
+    """Gate-level guard: a watermark column named after the gates'
+    internal join/explode aliases must fail descriptively at call time,
+    not as an ambiguous-reference AnalysisException mid-plan."""
+    import pytest
+
+    from lakehouse_platform_nyc_taxi_spark.operators.multimodal import (
+        audio_energy_bands,
+        phash_bands,
+    )
+    from lakehouse_platform_nyc_taxi_spark.streaming import (
+        stream_audio_gate,
+        stream_phash_gate,
+    )
+
+    stored = spark.createDataFrame(
+        [(0, bytearray(_audio_payload(1)))], "asset_id long, content binary"
+    )
+    src = tmp_path / "gate_collide"
+    spark.createDataFrame(
+        [(1, bytearray(_audio_payload(1)), 5)],
+        "asset_id long, content binary, band int",
+    ).coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "asset_id long, content binary, band int"
+    ).parquet(str(src))
+    with pytest.raises(ValueError, match="internal columns"):
+        stream_audio_gate(
+            stream, audio_energy_bands(stored), watermark=("band", "1 minute")
+        )
+    with pytest.raises(ValueError, match="internal columns"):
+        stream_phash_gate(
+            stream, phash_bands(stored), watermark=("band", "1 minute")
+        )

@@ -268,9 +268,10 @@ def test_format_round_trips_orc_json_csv_and_codecs(spark, tmp_path):
 
 
 def test_prune_stale_staging_removes_only_old_sibling_dirs(tmp_path, monkeypatch):
-    """Session-start housekeeping (ADVICE r17): day-old sibling app dirs
-    under the S9 staging root are pruned; fresh ones (a possibly-live
-    concurrent run) and unreadable roots are left alone."""
+    """Session-start housekeeping (ADVICE r17): sibling app dirs whose
+    ENTIRE subtree is past the age cutoff are pruned; fresh ones, dirs
+    with any recent write (a live soak session), and unreadable roots
+    are left alone."""
     import os
     import time
 
@@ -279,10 +280,17 @@ def test_prune_stale_staging_removes_only_old_sibling_dirs(tmp_path, monkeypatch
     root = tmp_path / "spark_graft_s9"
     old = root / "app-old" / "sf0.1" / "orders"
     fresh = root / "app-fresh" / "sf0.1" / "orders"
-    old.mkdir(parents=True)
-    fresh.mkdir(parents=True)
+    soak = root / "app-soak" / "sf0.1" / "orders"
+    for d in (old, fresh, soak):
+        d.mkdir(parents=True)
+        (d / "part-0.parquet").write_bytes(b"x")
     stale_t = time.time() - sess._STAGING_MAX_AGE_SEC - 60
-    os.utime(root / "app-old", (stale_t, stale_t))
+    for app in ("app-old", "app-soak"):
+        for dirpath, _dirs, files in os.walk(root / app):
+            for p in (dirpath, *(os.path.join(dirpath, f) for f in files)):
+                os.utime(p, (stale_t, stale_t))
+    # the soak app wrote recently somewhere in its subtree -> must survive
+    os.utime(soak / "part-0.parquet", None)
 
     monkeypatch.setattr(
         sess, "_STAGING_ROOTS", (str(root), str(tmp_path / "does-not-exist"))
@@ -291,3 +299,4 @@ def test_prune_stale_staging_removes_only_old_sibling_dirs(tmp_path, monkeypatch
 
     assert not (root / "app-old").exists()
     assert fresh.exists()
+    assert soak.exists()

@@ -60,6 +60,11 @@ def _regs(qa, qb, ca, cb, common, threshold, floor=0.3):
     threshold and the absolute-seconds floor."""
     out = []
     for q in common:
+        if not qa[q]:
+            # caller's `common` filters its own old side; when called
+            # with swapped args the denominator side must be re-checked
+            # (a 0.0 entry would raise ZeroDivisionError below)
+            continue
         na, nb = qa[q] / ca, qb[q] / cb
         if nb > na * threshold and qb[q] > floor:
             out.append((nb / na, q, qa[q], qb[q]))
@@ -137,7 +142,7 @@ def main() -> int:
         f"{len(rev)} slower in OLD -> "
         + (
             "two-sided scatter (ambient-shaped)"
-            if fwd and rev and len(fwd) <= 2 * len(rev)
+            if fwd and rev and len(fwd) <= 2 * len(rev) and len(rev) <= 2 * len(fwd)
             else ("quiet" if not fwd and not rev else "one-sided (investigate)")
         )
     )

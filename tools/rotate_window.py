@@ -68,11 +68,15 @@ def plan(window_size: int = 50):
     deferrals = audit.load_deferrals()
 
     never = [n for n in order if n not in latest]
+    # <= not ==: an expired deferral (its round was missed) must still be
+    # forced into the next window, or rotation_audit fails every round
+    # while this planner keeps emitting windows without the fix
     mandated = [
         n
         for n in order
         if n not in never
-        and deferrals.get(n, {}).get("must_attest_by") == next_round
+        and n in deferrals
+        and deferrals[n].get("must_attest_by", 0) <= next_round
     ]
     due = [
         n

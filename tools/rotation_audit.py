@@ -45,7 +45,9 @@ that commit instead of the working tree (attestation data still comes
 from the checked-out CORRECTNESS_r*.json files, and the window is the
 current registry's). ``--no-deferrals`` ignores the deferral file —
 use both together to reproduce a historical gap, e.g. the r17 boundary
-run that flags exactly the five decode-seam consumers.
+run, which flags the THREE decode-seam consumers whose helpers truly
+changed (not the five the r17 VERDICT's module-level view suspected)
+plus four older helper drifts; see SCALE.md "Round-18".
 
 Usage:
     python tools/rotation_audit.py [--window N] [--tree SHA] [--no-deferrals]
@@ -452,14 +454,58 @@ def main() -> int:
             changed.append((name, rnd, f"body differs from r{rnd} boundary ({path})"))
             continue  # body flag subsumes helper flags
         # Helper closure: every symbol the (unchanged) body transitively
-        # reaches must match its attestation-boundary fingerprint.
+        # reaches must match what the consumer resolved to AT THE
+        # BOUNDARY. Comparing against the boundary-side closure (not a
+        # name lookup in the now-side module) closes two holes: an
+        # import rebound to a DIFFERENT same-named helper (both
+        # individually unchanged) flags as a resolution move, and a
+        # same-named symbol in an unrelated module cannot satisfy the
+        # lookup by accident. Fingerprint equality still wins — a pure
+        # move, or a rebind to a bit-identical implementation, is not a
+        # semantic change.
         closure = helper_closure(now_resolver, path, spec.fn.__name__)
+        bres = boundary_fps.resolver(sha)
+        bpath = path if bres.index(path) is not None else None
+        if bpath is None or spec.fn.__name__ not in bres.index(bpath).symbols:
+            bpath = next(
+                (
+                    p
+                    for p in bres.provider.ls()
+                    if bres.index(p) is not None
+                    and spec.fn.__name__ in bres.index(p).symbols
+                ),
+                None,
+            )
+        bclosure = helper_closure(bres, bpath, spec.fn.__name__) if bpath else {}
         diffs = []
         for (hpath, hname), now_hfp in sorted(closure.items()):
-            old_hfp = boundary_fps.lookup(sha, hpath, hname)
-            if old_hfp != now_hfp:
-                why = "new since boundary" if old_hfp is None else "changed"
-                diffs.append(f"{hpath}::{hname} ({why})")
+            old_hfp = bclosure.get((hpath, hname))
+            if old_hfp == now_hfp:
+                continue
+            if old_hfp is not None:
+                diffs.append(f"{hpath}::{hname} (changed)")
+                continue
+            # not at the same (path, name) in the boundary closure:
+            # same-name elsewhere in the boundary closure (move/rebind)?
+            moved = [
+                (p, fp) for (p, n), fp in bclosure.items() if n == hname
+            ]
+            if any(fp == now_hfp for _, fp in moved):
+                continue  # pure move or rebind-to-identical
+            if moved:
+                diffs.append(
+                    f"{hpath}::{hname} (changed; resolution moved from "
+                    + "/".join(p for p, _ in moved)
+                    + ")"
+                )
+                continue
+            # outside the boundary closure entirely: existed-unchanged
+            # elsewhere at the boundary (lookup) or genuinely new code
+            old_any = boundary_fps.lookup(sha, hpath, hname)
+            if old_any == now_hfp:
+                continue
+            why = "new since boundary" if old_any is None else "changed"
+            diffs.append(f"{hpath}::{hname} ({why})")
         if diffs:
             helper_hits.append((name, rnd, diffs))
 
