@@ -3139,3 +3139,63 @@ def test_audio_energy_bands_passthrough_and_collision_guard(spark):
         multimodal.audio_energy_bands(
             df.withColumn("b0", F.lit(1)), passthrough=["b0"]
         )
+
+
+def test_decode_pnm_fuzz_never_fails_with_non_valueerror():
+    """Robustness of the raster decode seam: arbitrary byte garbage —
+    including truncated headers, absurd dimension fields, and payloads
+    straddling the numpy crossover — must either decode or raise
+    ValueError; any other exception (IndexError from header scanning,
+    OverflowError from huge dims, numpy shape errors) would kill a whole
+    Arrow batch with an opaque executor traceback at 100 TB."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lakehouse_platform_nyc_taxi_spark.operators import multimodal as mm
+
+    header = st.sampled_from([b"", b"P5", b"P6", b"P5\n", b"P6\n", b"P7\n", b"#\n"])
+    fields = st.text("0123456789 \n#x-", max_size=16).map(str.encode)
+    body = st.binary(max_size=256)
+
+    @settings(max_examples=300, deadline=None)
+    @given(header, fields, body)
+    def run(h, f, b):
+        try:
+            w, hh, px = mm._decode_pnm(h + f + b)
+            assert w >= 1 and hh >= 1 and len(px) == w * hh
+        except ValueError:
+            pass
+
+    run()
+
+
+def test_decode_pnm_fuzz_valid_payloads_round_trip_both_paths():
+    """Well-formed P5/P6 payloads of arbitrary dimensions decode
+    identically on the scalar and numpy paths (the crossover pin,
+    generalized beyond the fixed-size cases)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lakehouse_platform_nyc_taxi_spark.operators import multimodal as mm
+
+    dims = st.tuples(st.integers(1, 80), st.integers(1, 80))
+
+    @settings(max_examples=60, deadline=None)
+    @given(dims, st.integers(0, 2**31), st.booleans())
+    def run(wh, seed, rgb):
+        w, h = wh
+        n = w * h * (3 if rgb else 1)
+        raster = bytes((seed + 37 * i) % 256 for i in range(n))
+        data = (b"P6" if rgb else b"P5") + b"\n%d %d\n255\n" % (w, h) + raster
+        saved = mm._NUMPY_MIN_BYTES
+        try:
+            mm._NUMPY_MIN_BYTES = 1
+            vec = mm._decode_pnm(data)
+            mm._NUMPY_MIN_BYTES = 1 << 60
+            sca = mm._decode_pnm(data)
+        finally:
+            mm._NUMPY_MIN_BYTES = saved
+        assert vec[0] == sca[0] and vec[1] == sca[1]
+        assert list(vec[2]) == list(sca[2])
+
+    run()
