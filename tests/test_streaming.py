@@ -852,3 +852,45 @@ def test_stream_gate_watermark_column_collision_raises(spark, tmp_path):
         stream_phash_gate(
             stream, phash_bands(stored), watermark=("band", "1 minute")
         )
+
+
+def test_stream_gates_plan_banded_equi_joins_never_cartesian(spark, tmp_path):
+    """Both multimodal ingest gates must plan the stream-static match as
+    an equi-join on (band, band_val) — the banded-LSH shape whose cost
+    is bounded by band-bucket sizes. A condition-less or non-equi join
+    here would be an all-pairs comparison against the whole stored
+    corpus for every arriving asset."""
+    from lakehouse_platform_nyc_taxi_spark.operators.multimodal import (
+        audio_energy_bands,
+        phash_bands,
+    )
+    from lakehouse_platform_nyc_taxi_spark.streaming import (
+        stream_audio_gate,
+        stream_phash_gate,
+    )
+
+    stored = spark.createDataFrame(
+        [(0, bytearray(b"P5 4 4 255\n" + bytes(range(16))))],
+        "asset_id long, content binary",
+    )
+    src = tmp_path / "plan_src"
+    spark.createDataFrame(
+        [(1, bytearray(b"P5 4 4 255\n" + bytes(range(16))))],
+        "asset_id long, content binary",
+    ).coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema("asset_id long, content binary").parquet(
+        str(src)
+    )
+    for gate, index in (
+        (stream_audio_gate, audio_energy_bands(stored)),
+        (stream_phash_gate, phash_bands(stored)),
+    ):
+        plan = gate(stream, index)._jdf.queryExecution().analyzed().toString()
+        join_lines = [l for l in plan.splitlines() if "Join" in l]
+        assert join_lines, f"{gate.__name__}: no join in plan"
+        for line in join_lines:
+            stripped = line.strip()
+            assert stripped.startswith(("+- ~Join Inner, ((band", "~Join Inner, ((band")) and (
+                "band_val" in stripped
+            ), f"{gate.__name__}: unexpected join shape: {stripped[:200]}"
+            assert "Cross" not in stripped, f"{gate.__name__}: cartesian join"
