@@ -793,11 +793,12 @@ def _phash_gate_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PHASH_GATE_CACHE[key]
 
 
-def _phash_gate_oracle(max_hamming: int = 3) -> str:
-    from .llm import _phash_bands_cte
-
+def _banded_gate_oracle(bands_cte: str, max_hamming: int = 3) -> str:
+    """Shared SQL tail of the image/audio gate oracles: odd-id (new) vs
+    even-id (stored) positional band match over the ``b`` CTE the given
+    bands replay produces, full Hamming distance, threshold, distinct."""
     return (
-        _phash_bands_cte()
+        bands_cte
         + f""",
     p AS (
         SELECT n.doc_id AS asset_id, s.doc_id AS matched_id,
@@ -813,6 +814,12 @@ def _phash_gate_oracle(max_hamming: int = 3) -> str:
     FROM p WHERE hamming <= {max_hamming}
     """
     )
+
+
+def _phash_gate_oracle(max_hamming: int = 3) -> str:
+    from .llm import _phash_bands_cte
+
+    return _banded_gate_oracle(_phash_bands_cte(), max_hamming)
 
 
 @register(
@@ -885,23 +892,7 @@ def _audio_gate_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _audio_gate_oracle(max_hamming: int = 3) -> str:
     from .llm import _audio_bands_cte
 
-    return (
-        _audio_bands_cte()
-        + f""",
-    p AS (
-        SELECT n.doc_id AS asset_id, s.doc_id AS matched_id,
-               CAST(bit_count(xor(n.b0, s.b0)) + bit_count(xor(n.b1, s.b1))
-                  + bit_count(xor(n.b2, s.b2)) + bit_count(xor(n.b3, s.b3))
-                    AS INTEGER) AS hamming
-        FROM b n JOIN b s
-          ON (n.b0 = s.b0 OR n.b1 = s.b1 OR n.b2 = s.b2 OR n.b3 = s.b3)
-         AND n.doc_id % 2 = 1 AND s.doc_id % 2 = 0
-    )
-    SELECT DISTINCT CAST(asset_id AS BIGINT) AS asset_id,
-           CAST(matched_id AS BIGINT) AS matched_id, hamming
-    FROM p WHERE hamming <= {max_hamming}
-    """
-    )
+    return _banded_gate_oracle(_audio_bands_cte(), max_hamming)
 
 
 STREAMING_AUDIO_GATE_DOC = (

@@ -790,52 +790,43 @@ def stream_attributed_rollup(
     )
 
 
-def stream_phash_gate(
+def _banded_stream_gate(
+    bands_fn,
     stream_assets: DataFrame,
     stored_bands: DataFrame,
-    max_hamming: int = 3,
-    watermark: tuple[str, str] | None = None,
+    max_hamming: int,
+    watermark: tuple[str, str] | None,
 ) -> DataFrame:
-    """Streaming IMAGE near-dup gate — the multimodal twin of
-    :func:`stream_dedup_gate`: every arriving binary image payload is
-    decoded and aHashed IN the stream (stateless Arrow ``mapInPandas``
-    through the real PNM seam — supported on streaming frames because it
-    carries no state), band-bucketed, and stream-static joined against
-    the stored corpus's perceptual-hash band index
-    (``operators.multimodal.phash_bands`` output); a row ``(asset_id,
-    matched_id, hamming)`` is emitted for each stored image within
-    ``max_hamming`` bits. At ``max_hamming <= bands - 1`` (default 3 of
-    4 bands) the gate's recall is EXACT by pigeonhole — a near-dup
-    image cannot slip past the ingest gate.
-
-    The only stateful step is the pair de-duplication (one pair can
-    collide in several bands); with availableNow draining its state is
-    bounded by the run. For a CONTINUOUS stream pass ``watermark=
-    ("<event_time_col>", "<delay>")`` (e.g. ``("ingest_ts", "10
-    minutes")``): the event-time column is carried through the decode,
-    a watermark is declared on it, and the pair dedup switches to
-    ``dropDuplicatesWithinWatermark`` so state past the watermark is
-    evicted instead of growing without bound (ADVICE r16); the output
-    then also carries the event-time column. The stored index is 4
-    ints + an id per corpus image — the persisted artifact batch
-    image-dedup already writes.
-    """
-    from ..operators.multimodal import phash_bands
-
+    """Shared machinery of the image/audio streaming near-dup gates:
+    fingerprint arriving payloads with ``bands_fn`` (a stateless
+    Arrow-mapInPandas band operator with the phash_bands passthrough
+    contract), posexplode into (band, band_val) buckets, stream-static
+    equi-join the stored band index, compute the full Hamming distance
+    over the 4x16-bit bands, threshold, and de-duplicate pairs —
+    ``dropDuplicatesWithinWatermark`` when a watermark bounds state,
+    plain ``dropDuplicates`` under availableNow draining."""
     band_cols = ["b0", "b1", "b2", "b3"]
     wm_cols: list[str] = []
     if watermark is not None and watermark[0] in {
-        "band", "band_val", "matched_id", "hamming", *band_cols, "asset_id"
+        "band",
+        "band_val",
+        "matched_id",
+        "hamming",
+        "asset_id",
+        *band_cols,
+        *(f"n_{c}" for c in band_cols),
+        *(f"s_{c}" for c in band_cols),
     }:
         # the operator's passthrough guard covers its own output columns;
-        # the gate adds the join/explode aliases it builds on top, which
-        # would otherwise fail as an ambiguous reference mid-plan
+        # the gate adds the join/explode/side aliases it builds on top,
+        # which would otherwise fail as an ambiguous reference mid-plan
         raise ValueError(
             f"watermark column {watermark[0]!r} collides with the gate's "
-            "internal columns (band/band_val/matched_id/hamming/bands); "
-            "rename it before the gate (df.withColumnRenamed)"
+            "internal columns (band/band_val/matched_id/hamming and the "
+            "n_*/s_* band aliases); rename it before the gate "
+            "(df.withColumnRenamed)"
         )
-    new_b = phash_bands(
+    new_b = bands_fn(
         stream_assets, passthrough=[watermark[0]] if watermark else None
     )
     if watermark is not None:
@@ -874,6 +865,43 @@ def stream_phash_gate(
     if watermark is not None:
         return pairs.dropDuplicatesWithinWatermark(["asset_id", "matched_id"])
     return pairs.dropDuplicates(["asset_id", "matched_id"])
+
+
+def stream_phash_gate(
+    stream_assets: DataFrame,
+    stored_bands: DataFrame,
+    max_hamming: int = 3,
+    watermark: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Streaming IMAGE near-dup gate — the multimodal twin of
+    :func:`stream_dedup_gate`: every arriving binary image payload is
+    decoded and aHashed IN the stream (stateless Arrow ``mapInPandas``
+    through the real PNM seam — supported on streaming frames because it
+    carries no state), band-bucketed, and stream-static joined against
+    the stored corpus's perceptual-hash band index
+    (``operators.multimodal.phash_bands`` output); a row ``(asset_id,
+    matched_id, hamming)`` is emitted for each stored image within
+    ``max_hamming`` bits. At ``max_hamming <= bands - 1`` (default 3 of
+    4 bands) the gate's recall is EXACT by pigeonhole — a near-dup
+    image cannot slip past the ingest gate.
+
+    The only stateful step is the pair de-duplication (one pair can
+    collide in several bands); with availableNow draining its state is
+    bounded by the run. For a CONTINUOUS stream pass ``watermark=
+    ("<event_time_col>", "<delay>")`` (e.g. ``("ingest_ts", "10
+    minutes")``): the event-time column is carried through the decode,
+    a watermark is declared on it, and the pair dedup switches to
+    ``dropDuplicatesWithinWatermark`` so state past the watermark is
+    evicted instead of growing without bound (ADVICE r16); the output
+    then also carries the event-time column. The stored index is 4
+    ints + an id per corpus image — the persisted artifact batch
+    image-dedup already writes.
+    """
+    from ..operators.multimodal import phash_bands
+
+    return _banded_stream_gate(
+        phash_bands, stream_assets, stored_bands, max_hamming, watermark
+    )
 
 
 def stream_audio_gate(
@@ -907,55 +935,6 @@ def stream_audio_gate(
     """
     from ..operators.multimodal import audio_energy_bands
 
-    band_cols = ["b0", "b1", "b2", "b3"]
-    wm_cols: list[str] = []
-    if watermark is not None and watermark[0] in {
-        "band", "band_val", "matched_id", "hamming", *band_cols, "asset_id"
-    }:
-        # the operator's passthrough guard covers its own output columns;
-        # the gate adds the join/explode aliases it builds on top, which
-        # would otherwise fail as an ambiguous reference mid-plan
-        raise ValueError(
-            f"watermark column {watermark[0]!r} collides with the gate's "
-            "internal columns (band/band_val/matched_id/hamming/bands); "
-            "rename it before the gate (df.withColumnRenamed)"
-        )
-    new_b = audio_energy_bands(
-        stream_assets, passthrough=[watermark[0]] if watermark else None
+    return _banded_stream_gate(
+        audio_energy_bands, stream_assets, stored_bands, max_hamming, watermark
     )
-    if watermark is not None:
-        col, delay = watermark
-        new_b = new_b.withWatermark(col, delay)
-        wm_cols = [col]
-    new_e = new_b.select(
-        "asset_id",
-        *wm_cols,
-        *[F.col(c).alias(f"n_{c}") for c in band_cols],
-        F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
-            "band", "band_val"
-        ),
-    )
-    idx_e = stored_bands.select(
-        F.col("asset_id").alias("matched_id"),
-        *[F.col(c).alias(f"s_{c}") for c in band_cols],
-        F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
-            "band", "band_val"
-        ),
-    )
-    hamming = sum(
-        F.bit_count(F.col(f"n_{c}").bitwiseXOR(F.col(f"s_{c}")))
-        for c in band_cols
-    )
-    pairs = (
-        new_e.join(idx_e, ["band", "band_val"])
-        .select(
-            "asset_id",
-            "matched_id",
-            hamming.cast("int").alias("hamming"),
-            *wm_cols,
-        )
-        .filter(F.col("hamming") <= max_hamming)
-    )
-    if watermark is not None:
-        return pairs.dropDuplicatesWithinWatermark(["asset_id", "matched_id"])
-    return pairs.dropDuplicates(["asset_id", "matched_id"])

@@ -300,3 +300,22 @@ def test_prune_stale_staging_removes_only_old_sibling_dirs(tmp_path, monkeypatch
     assert not (root / "app-old").exists()
     assert fresh.exists()
     assert soak.exists()
+
+
+def test_staging_root_literal_matches_the_s9_writer():
+    """session._STAGING_ROOTS must cover the staging root the S9
+    incremental query actually writes (the literal is duplicated because
+    the r17-attested query body cannot be edited to share a constant);
+    this pins the two copies together so a future rename cannot silently
+    turn the session-start pruner into a no-op."""
+    import inspect
+
+    from lakehouse_platform_nyc_taxi_spark import session as sess
+    from lakehouse_platform_nyc_taxi_spark.harness import core
+
+    src = inspect.getsource(core.incremental_delete_insert)
+    root = sess._STAGING_ROOTS[0]
+    assert f'"{root}/' in src or f"'{root}/" in src, (
+        f"S9 writer no longer stages under {root}; update "
+        "session._STAGING_ROOTS to match"
+    )

@@ -145,10 +145,26 @@ def main() -> int:
         src = _rewrite_list(src, "_KEEP", keep)
         with open(INIT_PATH, "w") as fh:
             fh.write(src)
-        print(
-            f"\napplied to {os.path.relpath(INIT_PATH, REPO)} — now run "
-            "tools/rotation_audit.py and the harness pin tests"
+        print(f"\napplied to {os.path.relpath(INIT_PATH, REPO)}")
+        # The slot assignment above knows nothing about BODY-changed
+        # queries (detecting them needs the audit's boundary
+        # fingerprinting); running the audit immediately surfaces any
+        # such query left outside the window, so --apply cannot
+        # silently produce a failing ritual. Pin tests still apply.
+        import subprocess
+
+        res = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "rotation_audit.py")],
+            cwd=REPO,
         )
+        if res.returncode != 0:
+            print(
+                "rotation_audit FAILED on the applied window — a "
+                "body-changed (or undeferred helper-changed) query needs "
+                "a hand-assigned slot; see the flags above"
+            )
+            return res.returncode
+        print("rotation_audit passed on the applied window")
     return 0
 
 

@@ -132,6 +132,18 @@ def _node_fingerprint(node: ast.AST) -> str:
     return ast.dump(clean)
 
 
+def fn_fp_from_index(resolver: "_Resolver", path: str, fn_name: str) -> str | None:
+    """Fingerprint of a top-level function via the resolver's cached
+    module index (no re-parse; the index already holds the AST node)."""
+    idx = resolver.index(path)
+    if idx is None:
+        return None
+    node = idx.symbols.get(fn_name)
+    if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+        return _node_fingerprint(node)
+    return None
+
+
 def fn_fingerprint(module_src: str, fn_name: str) -> str | None:
     """Docstring-free AST dump of a top-level function (decorators
     included), or None if the module has no such function."""
@@ -238,8 +250,16 @@ class _ModuleIndex:
             elif isinstance(node, ast.Import):
                 for a in node.names:
                     if a.name == PKG or a.name.startswith(PKG + "."):
-                        local = a.asname or a.name.split(".")[0]
-                        self.module_imports[local] = a.name
+                        if a.asname:
+                            # `import a.b.c as m` binds m -> a.b.c
+                            self.module_imports[a.asname] = a.name
+                        else:
+                            # `import a.b.c` binds only the ROOT name a;
+                            # mapping it to the full dotted path would
+                            # resolve `a.X` against a/b/c.py instead of
+                            # a/__init__.py
+                            root = a.name.split(".")[0]
+                            self.module_imports[root] = root
 
     def _resolve_from(self, node: ast.ImportFrom) -> str | None:
         if node.level == 0:
@@ -444,8 +464,17 @@ def main() -> int:
             continue
         sha = boundaries[rnd]
         path = os.path.relpath(inspect.getsourcefile(spec.fn), REPO)
-        now_src = now_provider.src(path)
-        now_fp = fn_fingerprint(now_src, spec.fn.__name__) if now_src else None
+        now_fp = fn_fp_from_index(now_resolver, path, spec.fn.__name__)
+        if now_fp is None:
+            # --tree mode: the function may live in a different module at
+            # that commit (a pure move is not a semantic change) — search
+            # the package, mirroring the boundary side's relocation
+            # fallback
+            for p in now_resolver.provider.ls():
+                fp = fn_fp_from_index(now_resolver, p, spec.fn.__name__)
+                if fp is not None:
+                    now_fp, path = fp, p
+                    break
         old_fp = boundary_fps.lookup(sha, path, spec.fn.__name__)
         if old_fp is None:
             changed.append((name, rnd, f"function absent at r{rnd} boundary"))
@@ -506,6 +535,17 @@ def main() -> int:
                 continue
             why = "new since boundary" if old_any is None else "changed"
             diffs.append(f"{hpath}::{hname} ({why})")
+        # Reverse direction: a symbol the consumer reached at the
+        # boundary that no longer resolves package-internal means an
+        # import was rebound to an external/vendored implementation (the
+        # import statement itself lives in no fingerprinted symbol) —
+        # flag it rather than letting the closure silently collapse.
+        now_names = {n for (_, n) in closure}
+        for (bp, bn) in sorted(bclosure):
+            if bn not in now_names:
+                diffs.append(
+                    f"{bp}::{bn} (no longer resolved package-internal)"
+                )
         if diffs:
             helper_hits.append((name, rnd, diffs))
 
@@ -543,9 +583,11 @@ def main() -> int:
                 print(f"      {why}")
     else:
         print("\nno helper closure changed since its consumer's last attestation")
-    stale_deferrals = [
-        q for q in deferrals if q not in {n for n, _, _ in helper_hits}
-    ]
+    # A body-changed query's helper flags are suppressed (the body flag
+    # subsumes them), so its deferral may still be live — only call a
+    # deferral stale when the query is clean on BOTH checks.
+    flagged_names = {n for n, _, _ in helper_hits} | {n for n, _, _ in changed}
+    stale_deferrals = [q for q in deferrals if q not in flagged_names]
     if stale_deferrals:
         print(f"\ndeferrals no longer needed (clean or re-attested): {stale_deferrals}")
     missing_win = [n for n in never if n not in window]
