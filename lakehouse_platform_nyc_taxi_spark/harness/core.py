@@ -41,6 +41,27 @@ def DAVG(x: str) -> str:
     return f"(CAST(sum(CAST({x} AS DECIMAL(28,8))) AS DOUBLE) / count({x}))"
 
 
+def DSUM_WIDE(x: str) -> str:
+    """DSUM whose decimal->double conversion stays correctly rounded
+    past |sum| = 2^53 / 1e8 ~ 9.0e7. DuckDB's direct DECIMAL(28,8)->
+    DOUBLE cast double-rounds (scaled int -> double, then / 1e8) and
+    lands 1 ulp off the correctly-rounded value Spark/Java emit once
+    the scaled integer no longer fits 53 bits (found by the r18 sf0.1
+    window sweep: sum_disc_price 2706323975.3560996 vs ...61); routing
+    the conversion through VARCHAR is correctly rounded at any
+    magnitude. Only needed where a raw decimal sum can exceed ~9e7 at
+    the compared scale — below that the direct cast is exact."""
+    return f"CAST(CAST(sum(CAST({x} AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)"
+
+
+def DAVG_WIDE(x: str) -> str:
+    """DAVG with the DSUM_WIDE conversion fence on its sum."""
+    return (
+        f"(CAST(CAST(sum(CAST({x} AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)"
+        f" / count({x}))"
+    )
+
+
 # --------------------------------------------------------------------------
 # Scans / projections / filters (S3, P1-P3, P6-P9)
 # --------------------------------------------------------------------------
@@ -401,12 +422,12 @@ def join_cross_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(count(*) AS BIGINT) AS count_order,
            CAST(count(DISTINCT l_partkey) AS BIGINT) AS unique_parts,
-           {DSUM('l_quantity')} AS sum_qty,
-           {DSUM('l_extendedprice')} AS sum_base_price,
-           {DSUM('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-           {DAVG('l_quantity')} AS avg_qty,
-           {DAVG('l_extendedprice')} AS avg_price,
-           {DAVG('l_discount')} AS avg_disc,
+           {DSUM_WIDE('l_quantity')} AS sum_qty,
+           {DSUM_WIDE('l_extendedprice')} AS sum_base_price,
+           {DSUM_WIDE('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {DAVG_WIDE('l_quantity')} AS avg_qty,
+           {DAVG_WIDE('l_extendedprice')} AS avg_price,
+           {DAVG_WIDE('l_discount')} AS avg_disc,
            round(min(l_quantity), 2) AS min_qty,
            round(max(l_quantity), 2) AS max_qty,
            CAST(sum(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS BIGINT) AS bulk_lines
@@ -766,8 +787,8 @@ def orderby_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT entity_kind, flag,
            CAST(count(*) AS BIGINT) AS n_rows,
-           {DSUM('amount')} AS total_amount,
-           {DSUM('quantity')} AS total_quantity
+           {DSUM_WIDE('amount')} AS total_amount,
+           {DSUM_WIDE('quantity')} AS total_quantity
     FROM unified
     GROUP BY entity_kind, flag
     """,
