@@ -45,7 +45,7 @@ TOKS = "string_split_regex(trim(text), '\\s+')"
     "shuffle carries 32-byte digests, never the text.",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_dedup(load_table_parallel(spark, sf_dir, "documents"))
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
 def _minhash_sig_sql(num_hashes: int = 8) -> str:
@@ -1358,7 +1358,7 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a full hash-match oracle even though the operator runs in Python.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assets = multimodal.attach_binary_payload(load_table_parallel(spark, sf_dir, "documents"))
+    assets = multimodal.attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return multimodal.fake_feature_extractor(assets)
 
 

@@ -512,7 +512,7 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_kl_to_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import tokens
 
-    docs = load_table_parallel(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     t = docs.select("source", F.explode(tokens("text")).alias("token"))
     sc = t.groupBy("source", "token").agg(
         F.count(F.lit(1)).cast("bigint").alias("_c")
@@ -592,7 +592,7 @@ def text_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.text import tokens
 
-    docs = load_table_parallel(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     t = docs.select("source", F.explode(tokens("text")).alias("token"))
     sc = t.groupBy("source", "token").agg(
         F.count(F.lit(1)).cast("bigint").alias("_y")
@@ -766,7 +766,7 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.privacy import t_closeness
 
-    docs = load_table_parallel(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     return t_closeness(docs, ["lang"], "source", t=0.3)
 
 
@@ -977,7 +977,7 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.timeseries import two_phase_running_sum
 
-    li = load_table_parallel(spark, sf_dir, "lineitem").select(
+    li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").alias("v"),
         "l_orderkey",

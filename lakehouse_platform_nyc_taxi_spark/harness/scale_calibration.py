@@ -1236,7 +1236,7 @@ def stats_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.stats import spearman_corr
 
-    li = load_table_parallel(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem")
     return spearman_corr(li, "l_quantity", "l_extendedprice")
 
 
@@ -1863,7 +1863,7 @@ def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collapse.",
 )
 def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table_parallel(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem")
     ret = li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
     o = load_table(spark, sf_dir, "orders").select(
         F.substring("o_orderpriority", 1, 1).cast("bigint").alias("dose"),

@@ -65,7 +65,7 @@ from .llm import MD5L, _IVF_DOT, _VEC_CTE
 def embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import centroid_drift
 
-    return centroid_drift(load_table_parallel(spark, sf_dir, "embeddings"))
+    return centroid_drift(load_table(spark, sf_dir, "embeddings"))
 
 
 @register(
@@ -299,7 +299,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate").cast("date") < F.lit("1998-03-15").cast("date")
     )
-    li = load_table_parallel(spark, sf_dir, "lineitem").filter(
+    li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").cast("date") > F.lit("1998-03-15").cast("date")
     )
     rev = F.sum(
@@ -361,7 +361,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("o_orderdate").cast("date") >= F.lit("1997-01-01").cast("date"))
         & (F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date"))
     )
-    li = load_table_parallel(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -419,7 +419,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate").cast("date") >= F.lit("1997-01-01").cast("date"))
         & (F.col("o_orderdate").cast("date") < F.lit("1997-04-01").cast("date"))
     )
-    li = load_table_parallel(spark, sf_dir, "lineitem").filter(
+    li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag") == "R"
     )
     n = load_table(spark, sf_dir, "nation")
@@ -714,7 +714,7 @@ _BENFORD_VALUES = ", ".join(f"({d}, {_bexp(d)!r})" for d in range(1, 10))
 def profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import benford_audit
 
-    li = load_table_parallel(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem")
     return benford_audit(li, "l_extendedprice", scale=100)
 
 

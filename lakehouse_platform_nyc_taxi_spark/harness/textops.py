@@ -121,7 +121,7 @@ def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "score for cross-engine determinism.",
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.tfidf_topk(load_table_parallel(spark, sf_dir, "documents"), k=3)
+    return text.tfidf_topk(load_table(spark, sf_dir, "documents"), k=3)
 
 
 @register(
@@ -159,7 +159,7 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bit-exact across engines, no float-summation drift.",
 )
 def text_rarity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.rarity_stats(load_table_parallel(spark, sf_dir, "documents"))
+    return text.rarity_stats(load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -730,7 +730,7 @@ def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "end.",
 )
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.zipf_fit(load_table_parallel(spark, sf_dir, "documents"))
+    return text.zipf_fit(load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -1734,7 +1734,7 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import tokens
     from ..operators.timeseries import two_phase_running_sum
 
-    docs = load_table_parallel(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")

@@ -498,7 +498,7 @@ def tpcds_q69_exists_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o98 = o.filter(F.year("o_orderdate") == 1998).select("o_custkey")
     li_r = (
-        load_table_parallel(spark, sf_dir, "lineitem")
+        load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_returnflag") == "R")
         .select("l_orderkey")
     )
@@ -819,7 +819,7 @@ LIMIT 20
     "TakeOrdered cut.",
 )
 def tpcds_q93_returns_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table_parallel(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem")
     net_line = F.when(F.col("l_returnflag") == "R", F.lit(0.0)).otherwise(
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
     )

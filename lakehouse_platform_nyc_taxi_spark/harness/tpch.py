@@ -63,7 +63,7 @@ WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
     "plan's only job is to never touch the 7 columns it doesn't need.",
 )
 def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table_parallel(spark, sf_dir, "lineitem").filter(
+    li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
         & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01").cast("date"))
         & F.col("l_discount").between(0.05, 0.07)
@@ -132,7 +132,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2, F.col("c_nationkey") == F.col("_n2key")
     )
     o = load_table(spark, sf_dir, "orders")
-    li = load_table_parallel(spark, sf_dir, "lineitem").filter(
+    li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate")
         .cast("date")
         .between(F.lit("1996-01-01").cast("date"), F.lit("1997-12-31").cast("date"))
@@ -208,7 +208,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("_n2key"), F.col("n_regionkey").alias("_n2reg")
     )
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    li = load_table_parallel(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem")
     vol = _volume().cast("decimal(38,12)")
     return (
         li.join(p, li["l_partkey"] == p["p_partkey"])
@@ -411,7 +411,7 @@ ORDER BY s.s_suppkey
     "both engines.",
 )
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table_parallel(spark, sf_dir, "lineitem").filter(
+    li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
         & (F.col("l_shipdate").cast("date") < F.lit("1997-04-01").cast("date"))
     )
@@ -462,7 +462,7 @@ WHERE p.p_brand = 'Brand#1'
     "engine-identical.",
 )
 def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table_parallel(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
     )
@@ -517,7 +517,7 @@ LIMIT 100
     "is the identity and lineitem scans exactly once.",
 )
 def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table_parallel(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(_fenced_sum(F.col("l_quantity")).alias("total_qty"))
@@ -565,7 +565,7 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
     "(broadcast) join. One row out, decimal-fenced.",
 )
 def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table_parallel(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     cond = (
         (
@@ -682,7 +682,7 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate").cast("date") >= F.lit("1997-01-01").cast("date"))
         & (F.col("o_orderdate").cast("date") < F.lit("1997-04-01").cast("date"))
     )
-    li = load_table_parallel(spark, sf_dir, "lineitem").select(
+    li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_shipdate"
     )
     late = F.datediff(
@@ -744,7 +744,7 @@ LIMIT 100
 def tpch_q21_suppliers_who_kept_waiting(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    li = load_table_parallel(spark, sf_dir, "lineitem").select(
+    li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
@@ -847,7 +847,7 @@ LIMIT 100
     "a tie-free (acctbal DESC, nation, supplier, partkey) key.",
 )
 def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table_parallel(spark, sf_dir, "lineitem").select(
+    li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
     ps = li.groupBy(
@@ -922,7 +922,7 @@ ORDER BY 1, 2 DESC
     "partition order can't move the hash.",
 )
 def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table_parallel(spark, sf_dir, "lineitem").select(
+    li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount",
         "l_quantity",
     )
@@ -987,7 +987,7 @@ ORDER BY part_value DESC, partkey
     "so the fact table is read and shuffled exactly once.",
 )
 def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table_parallel(spark, sf_dir, "lineitem").select(
+    li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     n = load_table(spark, sf_dir, "nation")
@@ -1062,7 +1062,7 @@ ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
 )
 def tpch_q16_supplier_part_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
-        load_table_parallel(spark, sf_dir, "lineitem")
+        load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
         .distinct()
     )
@@ -1142,7 +1142,7 @@ ORDER BY s.s_name
 def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     def year_qty(lo: str, hi: str, alias: str) -> DataFrame:
         return (
-            load_table_parallel(spark, sf_dir, "lineitem")
+            load_table(spark, sf_dir, "lineitem")
             .filter(
                 (F.col("l_shipdate").cast("date") >= F.lit(lo).cast("date"))
                 & (F.col("l_shipdate").cast("date") < F.lit(hi).cast("date"))

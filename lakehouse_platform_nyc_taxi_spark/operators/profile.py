@@ -189,6 +189,14 @@ def benford_audit(
     (round6) plus the audit-level ``mad`` (mean absolute deviation —
     Nigrini's conformity statistic, same value on every row), ordered
     by digit.
+
+    The total count and the MAD are window sums over the ≤9-row joined
+    digit table (single-partition window over a digit-domain-bounded
+    stream), not 1-row aggregate crossJoins: each broadcast combiner
+    replans its build subtree, so the crossJoin form scanned the base
+    table four times (digit counts for ``per`` and ``tot``, then all of
+    ``per`` again for ``mad``). Values are unchanged — the window sums
+    the same bigint/decimal addends, both order-independent.
     """
     import math
 
@@ -216,11 +224,13 @@ def benford_audit(
         [(d, _r8(math.log10(1.0 + 1.0 / d))) for d in range(1, 10)],
         "digit int, expected double",
     )
-    tot = digits.agg(F.sum("n").alias("_tot"))
+    from pyspark.sql import Window
+
+    w9 = Window.partitionBy()  # digit-domain table: ≤9 rows, one task
     per = (
         F.broadcast(expected)
         .join(digits, "digit", "left")
-        .crossJoin(F.broadcast(tot))
+        .withColumn("_tot", F.sum("n").over(w9))
         .select(
             "digit",
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
@@ -240,14 +250,12 @@ def benford_audit(
             ).alias("abs_dev"),
         )
     )
-    mad = per.agg(
-        trino_round(
-            F.sum(F.col("abs_dev").cast("decimal(28,8)")).cast("double")
-            / F.lit(9.0),
-            6,
-        ).alias("mad")
+    mad = trino_round(
+        F.sum(F.col("abs_dev").cast("decimal(28,8)")).over(w9).cast("double")
+        / F.lit(9.0),
+        6,
     )
-    return per.crossJoin(F.broadcast(mad)).orderBy("digit")
+    return per.withColumn("mad", mad).orderBy("digit")
 
 
 def fd_audit(

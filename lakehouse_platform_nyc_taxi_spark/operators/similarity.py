@@ -1474,7 +1474,14 @@ def mmr_rerank(
             trino_round(lam_c * F.col("rel"), 6).alias("mmr_score"),
         )
     )
-    sel = first
+    # Each unrolled stage references the running selection THREE times
+    # (penalty join, anti-join, union), so a lazy `sel` re-embeds its own
+    # plan ~3x per step — k=5 planned ~320 exchanges of recomputed
+    # subtrees and planning time dominated the query. Fencing the ≤k-row
+    # selection with localCheckpoint after every pick keeps each stage's
+    # plan constant-size: one tiny job per pick over the already-fenced
+    # pool tables, identical joins, identical values.
+    sel = first.localCheckpoint()
     for step in range(2, k + 1):
         pen = (
             sims.join(
@@ -1502,7 +1509,7 @@ def mmr_rerank(
                 trino_round(F.col("_mmr"), 6).alias("mmr_score"),
             )
         )
-        sel = sel.unionAll(pick)
+        sel = sel.unionAll(pick).localCheckpoint()
     return sel
 
 
