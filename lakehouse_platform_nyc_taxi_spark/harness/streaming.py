@@ -51,7 +51,7 @@ def streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
-    return S.run_available_now(out, "append", state_partitions=8)
+    return S.run_available_now(out, "append", state_partitions=2)
 
 
 @register(
@@ -98,7 +98,7 @@ def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_fine_windows",
         "total_value",
     )
-    return S.run_available_now(out, "append", state_partitions=8)
+    return S.run_available_now(out, "append", state_partitions=2)
 
 
 @register(
@@ -140,7 +140,7 @@ def streaming_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
-    return S.run_available_now(out, "append", state_partitions=8)
+    return S.run_available_now(out, "append", state_partitions=2)
 
 
 @register(
@@ -159,7 +159,7 @@ def streaming_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = S.read_events_stream(spark, sf_dir)
-    return S.run_available_now(S.dedup_counts(ev, watermark="1 hour"), "complete", state_partitions=8)
+    return S.run_available_now(S.dedup_counts(ev, watermark="1 hour"), "complete", state_partitions=4)
 
 
 @register(
@@ -208,7 +208,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "session_value",
     )
-    return S.run_available_now(out, "append", state_partitions=8)
+    return S.run_available_now(out, "append", state_partitions=4)
 
 
 @register(
@@ -251,7 +251,7 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
-    return S.run_available_now(out, "append", state_partitions=8)
+    return S.run_available_now(out, "append", state_partitions=2)
 
 
 @register(
@@ -307,7 +307,7 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = S.read_events_stream(spark, sf_dir)
     out = S.stream_stream_attribution(ev)
-    return S.run_available_now(out, "append", state_partitions=8)
+    return S.run_available_now(out, "append", state_partitions=4)
 
 
 @register(
@@ -356,7 +356,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = S.read_events_stream(spark, sf_dir)
     out = S.stream_stream_attribution(ev, how="left_outer")
-    return S.run_available_now(out, "append", state_partitions=8)
+    return S.run_available_now(out, "append", state_partitions=4)
 
 
 def _gate_agree_sql() -> str:
@@ -486,7 +486,7 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cms = S.run_available_now(
         S.stream_cms(ev, "user_id", depth=4, width=1024),
         "complete",
-        state_partitions=8,
+        state_partitions=2,
     )
     exact = (
         load_table(spark, sf_dir, "events")
@@ -598,7 +598,7 @@ def streaming_decontamination_gate(spark: SparkSession, sf_dir: str) -> DataFram
     out = S.stream_decontamination_gate(
         new_docs, _eval_gram_index(spark, sf_dir)
     )
-    return S.run_available_now(out, "append", state_partitions=8)
+    return S.run_available_now(out, "append", state_partitions=2)
 
 
 _CONF_THR_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -745,7 +745,7 @@ def streaming_attributed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_attributed",
         "attributed_value",
     )
-    return S.run_available_now(out, "append", state_partitions=8)
+    return S.run_available_now(out, "append", state_partitions=2)
 
 
 # ---------------------------------------------------------------------------

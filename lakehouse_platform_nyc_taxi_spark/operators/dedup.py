@@ -1280,12 +1280,21 @@ def lsh_precision(
     g = gram_sets(df, text_col, id_col, ngram, hashed=True)
     a = g.select(F.col(id_col).alias("doc_a"), F.col("grams").alias("_ga"))
     b = g.select(F.col(id_col).alias("doc_b"), F.col("grams").alias("_gb"))
+    # Two-step projection so the O(|ga|+|gb|) intersect runs ONCE per
+    # pair: written inline, |A∩B| appears three times (guard, numerator,
+    # denominator) and codegen's conditional-aware subexpression
+    # elimination does not hoist it out of the CASE — measured 3x the
+    # intersect work on the candidate stream. CollapseProject keeps the
+    # split (it never inlines a non-cheap expression into multiple uses),
+    # and the arithmetic is unchanged: same ints, same double division.
     inter = F.size(F.array_intersect("_ga", "_gb"))
-    uni = F.size("_ga") + F.size("_gb") - inter
-    tj = F.when(uni > 0, inter / uni).otherwise(F.lit(0.0))
+    sz = F.size("_ga") + F.size("_gb")
+    uni = F.col("_sz") - F.col("_i")
+    tj = F.when(uni > 0, F.col("_i") / uni).otherwise(F.lit(0.0))
     j = (
         cands.join(a, "doc_a")
         .join(b, "doc_b")
+        .select("jaccard_est", inter.alias("_i"), sz.alias("_sz"))
         .select("jaccard_est", tj.alias("_tj"))
     )
     hit = F.when(F.col("_tj") >= true_jaccard, 1).otherwise(0)
