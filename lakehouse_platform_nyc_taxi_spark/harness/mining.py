@@ -600,27 +600,30 @@ def table_profile_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "total rides a 1-row cross join, top-100 is TakeOrdered.",
 )
 def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.basket import co_occurrence_pairs
+    from ..operators.basket import basket_arrays, co_occurrence_pairs
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    items = (
-        li.select(F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("i"))
-        .distinct()
-    )
-    # identical deterministic cap to co_occurrence_pairs' sorted-slice:
-    # the 32 smallest item ids per basket
-    capped = (
-        items.withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("b").orderBy("i")),
-        )
-        .filter(F.col("rn") <= 32)
-        .drop("rn")
-    )
-    nb = capped.agg(F.countDistinct("b").cast("bigint").alias("n"))
-    supp = capped.groupBy("i").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
-    pairs = co_occurrence_pairs(
+    # ONE capped basket-array build (distinct + per-basket sorted slice,
+    # fenced at one row per basket) feeds all three statistics. The
+    # former formulation re-derived the capped stream three times — a
+    # row_number window for support, a countDistinct for the basket
+    # total, and co_occurrence_pairs' own array build — three full
+    # distinct shuffles of the raw rows for identical values: the
+    # exploded sliced array IS the 32-smallest-items-per-basket
+    # multiset, and the basket count is the array table's row count.
+    baskets = basket_arrays(
         li, basket="l_orderkey", item="l_partkey", max_basket_size=32
+    ).localCheckpoint()
+    nb = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    supp = baskets.select(F.explode("items").alias("i")).groupBy("i").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s")
+    )
+    pairs = co_occurrence_pairs(
+        li,
+        basket="l_orderkey",
+        item="l_partkey",
+        max_basket_size=32,
+        baskets=baskets,
     ).filter(F.col("n_baskets") >= 2)
     sa = supp.select(F.col("i").alias("_ia"), F.col("s").alias("_sa"))
     sc = supp.select(F.col("i").alias("_ic"), F.col("s").alias("_sc"))

@@ -837,14 +837,16 @@ LIMIT 100
     "ordered by account balance. partsupp is derived from lineitem "
     "(min l_extendedprice/l_quantity per traded pair) since the "
     "testdata ships none — the spec's correlated scalar subquery "
-    "(cost = regional min for that part) survives intact and "
-    "decorrelates into a per-part min aggregate joined back on "
-    "(partkey, cost) equality. nation/region broadcast and semi-"
-    "reduce the supplier side BEFORE the derived-catalog join; the "
-    "per-part min is a second keyed aggregate on the already-"
-    "partkey-clustered catalog, so at 100 TB the only big exchanges "
-    "are the two partkey-keyed shuffles. Top-100 via TakeOrdered on "
-    "a tie-free (acctbal DESC, nation, supplier, partkey) key.",
+    "(cost = regional min for that part) survives intact as a "
+    "per-part MIN WINDOW over the regional stream filtered on cost "
+    "equality (r18: the decorrelated aggregate-join-back form "
+    "embedded the whole regional subtree twice; the window keeps "
+    "identical rows — ties survive both forms — over one pass). "
+    "nation/region broadcast and semi-reduce the supplier side "
+    "BEFORE the derived-catalog join, so at 100 TB the only big "
+    "exchanges are the two partkey-keyed shuffles. Top-100 via "
+    "TakeOrdered on a tie-free (acctbal DESC, nation, supplier, "
+    "partkey) key.",
 )
 def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -864,18 +866,20 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     regional = ps.join(s, ps["suppkey"] == s["s_suppkey"]).select(
         "partkey", "suppkey", "supplycost", "s_acctbal", "s_name", "n_name"
     )
-    best = regional.groupBy(F.col("partkey").alias("_bpk")).agg(
-        F.min("supplycost").alias("_best")
-    )
+    # min-cost-per-part as a window over the single regional stream: the
+    # former groupBy + self-join formulation embedded the whole regional
+    # subtree (lineitem aggregate + supplier joins) twice — one partkey
+    # window on the stream we already have keeps the identical rows
+    # (ties on the min survive both forms; same doubles compared).
+    from pyspark.sql import Window as _W
+
+    best = F.min("supplycost").over(_W.partitionBy("partkey"))
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 25).select(
         "p_partkey", "p_type"
     )
     return (
-        regional.join(
-            best,
-            (regional["partkey"] == best["_bpk"])
-            & (regional["supplycost"] == best["_best"]),
-        )
+        regional.withColumn("_best", best)
+        .filter(F.col("supplycost") == F.col("_best"))
         .join(p, F.col("partkey") == p["p_partkey"])
         .select(
             "s_acctbal",

@@ -24,18 +24,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def co_occurrence_pairs(
+def basket_arrays(
     df: DataFrame,
     basket: str,
     item: str,
     max_basket_size: int | None = None,
 ) -> DataFrame:
-    """Unordered item-pair counts across baskets.
-
-    Returns (item_a, item_b, n_baskets) with item_a < item_b; a pair
-    appearing twice in one basket (duplicate items) counts once per
-    basket.
-    """
+    """One row per basket: ``(b, items)`` with ``items`` the sorted,
+    de-duplicated item array, capped to the ``max_basket_size`` smallest
+    item ids (the same deterministic cap everywhere). Exposed so callers
+    composing several basket statistics (pairs + per-item support +
+    basket totals) can build — and fence — the capped stream ONCE
+    instead of re-aggregating the raw rows per statistic."""
     items = (
         df.select(F.col(basket).alias("b"), F.col(item).alias("i"))
         .distinct()
@@ -46,6 +46,29 @@ def co_occurrence_pairs(
         items = items.withColumn(
             "items", F.slice("items", 1, max_basket_size)
         )
+    return items
+
+
+def co_occurrence_pairs(
+    df: DataFrame,
+    basket: str,
+    item: str,
+    max_basket_size: int | None = None,
+    baskets: DataFrame | None = None,
+) -> DataFrame:
+    """Unordered item-pair counts across baskets.
+
+    Returns (item_a, item_b, n_baskets) with item_a < item_b; a pair
+    appearing twice in one basket (duplicate items) counts once per
+    basket. Pass ``baskets`` (a :func:`basket_arrays` table, typically
+    fenced by the caller) to reuse an already-built capped stream
+    instead of rebuilding it from ``df``.
+    """
+    items = (
+        baskets
+        if baskets is not None
+        else basket_arrays(df, basket, item, max_basket_size)
+    )
     pairs = items.select(
         F.explode(
             F.expr(

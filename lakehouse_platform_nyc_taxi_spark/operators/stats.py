@@ -1499,21 +1499,35 @@ def spearman_corr(
         x.alias("_x"), y.alias("_y")
     )
 
-    def doubled_ranks(col: str, out: str) -> DataFrame:
-        # localCheckpoint: two_phase_running_sum's bounds probe is eager,
-        # so without the fence the groupBy would execute twice
-        by_v = (
-            base.groupBy(col)
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .localCheckpoint()
+    # ONE up-front probe replaces the former per-rank eager machinery
+    # (a localCheckpoint per column to fence two_phase_running_sum's
+    # eager bounds probe = four driver-serialized jobs before the real
+    # query). The distinct-value min/max of each column equals the base
+    # column's min/max, and the base row count is a sound stand-in for
+    # the distinct count in the small-input guard: both running-sum
+    # paths are bit-identical by contract, so an over-count can only
+    # flip WHICH identical-valued plan runs (row-scale input at 100 TB
+    # correctly lands on the bucketed path either way). The rank tables
+    # then stay lazy and execute exactly once, inside the final plan.
+    lox, hix, loy, hiy, n_rows = base.agg(
+        F.min("_x"), F.max("_x"), F.min("_y"), F.max("_y"), F.count(F.lit(1))
+    ).first()
+
+    def doubled_ranks(col: str, out: str, lo, hi) -> DataFrame:
+        by_v = base.groupBy(col).agg(F.count(F.lit(1)).alias("_n"))
+        cum = two_phase_running_sum(
+            by_v,
+            F.col("_n"),
+            order=[col],
+            out="_c",
+            bounds=(float(lo or 0.0), float(hi or 0.0), int(n_rows)),
         )
-        cum = two_phase_running_sum(by_v, F.col("_n"), order=[col], out="_c")
         return cum.select(
             col, (2 * F.col("_c") - F.col("_n") + 1).alias(out)
         )
 
-    rx = doubled_ranks("_x", "_dx")
-    ry = doubled_ranks("_y", "_dy")
+    rx = doubled_ranks("_x", "_dx", lox, hix)
+    ry = doubled_ranks("_y", "_dy", loy, hiy)
     d19 = "decimal(19,0)"
     joined = base.join(rx, "_x").join(ry, "_y")
     m = joined.agg(

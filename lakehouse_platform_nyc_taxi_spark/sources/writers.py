@@ -123,7 +123,17 @@ def incremental_delete_insert(
     if delete_scope not in ("partition", "table"):
         raise ValueError(f"delete_scope must be 'partition' or 'table', got {delete_scope!r}")
     if not _path_exists(spark, path):
-        overwrite_table(batch, path, partition_by)
+        # Same co-location discipline as the incremental branch below: key
+        # the first-run CTAS on the partition columns so each output
+        # partition is written by one task in parallel. Without it a
+        # narrow source (one scan task at bench scale; any skewed upstream
+        # in production) writes every partition directory serially from
+        # one task — measured ~2x the whole first write here.
+        overwrite_table(
+            batch.repartition(*[F.col(c) for c in partition_by]),
+            path,
+            partition_by,
+        )
         return
     existing = spark.read.parquet(path)
 
