@@ -930,7 +930,10 @@ def dedup_cluster_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = docs.join(cc, docs["doc_id"] == cc["id"], "left").select(
         "source", F.coalesce(cc["cluster"], docs["doc_id"]).alias("cluster")
     )
-    cs = lab.select("cluster", "source").distinct()
+    # Fence the (cluster, source) units: three consumers (the per-source
+    # margin and both sides of the cluster self-join) otherwise each
+    # replan the connected-components join subtree.
+    cs = lab.select("cluster", "source").distinct().localCheckpoint()
     per = cs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     sh = (
         cs.alias("x")
@@ -947,7 +950,11 @@ def dedup_cluster_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = per.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
     b = per.select(F.col("source").alias("source_b"))
     return (
-        a.join(b, F.col("source_a") != F.col("source_b"))
+        # explicit broadcast: per is one row per SOURCE (bounded by the
+        # crawl count); the fenced RDD lineage carries no size stats, so
+        # without the hint the non-equi source-pair join degenerates to a
+        # CartesianProduct plan over the unknown-size side
+        a.join(F.broadcast(b), F.col("source_a") != F.col("source_b"))
         .join(
             sh,
             (F.col("sa") == F.col("source_a")) & (F.col("sb") == F.col("source_b")),

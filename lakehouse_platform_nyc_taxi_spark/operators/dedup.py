@@ -1532,6 +1532,14 @@ def hamming_banded_pairs(
             f"max_hamming ({max_hamming}) must lie in [0, {total_bits}) — at or "
             "past the hash width every pair passes and the banding prunes nothing"
         )
+    if not hashes.isStreaming:
+        # Fence the band table (one id + a few ints per asset): the
+        # candidate join is a self-join, so without the fence the
+        # upstream fingerprint pipeline (SimHash over tokens, the image
+        # PNM decode + aHash, the audio energy pass) executes once per
+        # join side — the fingerprint is exactly the small artifact this
+        # operator exists to compare, so materialize it once.
+        hashes = hashes.localCheckpoint()
     exploded = hashes.select(
         F.col(id_col),
         *[F.col(c) for c in band_cols],

@@ -102,9 +102,13 @@ def t_closeness(
 
     from ..functions.trino import trino_round
 
+    # Fence the count cube: four consumers (group margin, global margin,
+    # total, and the cell join) otherwise each replan the scan+aggregate
+    # subtree — "margins as aggregates OF that table" only holds
+    # physically once the |QI x sensitive| table is materialized.
     cells = df.groupBy(*qid_cols, sensitive).agg(
         F.count(F.lit(1)).cast("bigint").alias("_c")
-    )
+    ).localCheckpoint()
     grp = cells.groupBy(*qid_cols).agg(
         F.sum("_c").cast("bigint").alias("group_size")
     )
@@ -162,9 +166,10 @@ def entropy_l_diversity(
 
     from ..functions.trino import trino_round
 
+    # Fenced for the same reason as t_closeness (two consumers).
     cells = df.groupBy(*qid_cols, sensitive).agg(
         F.count(F.lit(1)).cast("bigint").alias("_c")
-    )
+    ).localCheckpoint()
     grp = cells.groupBy(*qid_cols).agg(
         F.sum("_c").cast("bigint").alias("group_size")
     )

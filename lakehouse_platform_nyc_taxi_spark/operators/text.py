@@ -433,10 +433,18 @@ def corpus_overlap(
     (C(S,2) rows) is built from a tiny distinct-source list and
     broadcast-joined, so every pair appears even with zero overlap.
     """
+    # Fence the distinct (source, hash) table: four consumers read it
+    # (both sides of the hash self-join and the per-source counts that
+    # feed both sides of the pair frame), and Spark replans a self-join's
+    # build side rather than reusing it — without the fence the
+    # tokenize + shingle + md5 + distinct pipeline executes ~4x. The
+    # fenced table is |distinct (source, shingle)| rows of (string,
+    # long), the already-deduplicated index this audit is ABOUT.
     sh = (
         df.select(F.col(group_col).alias("g"), F.explode(shingles(text_col, n)).alias("_g"))
         .select("g", md5_long(F.col("_g")).alias("h"))
         .distinct()
+        .localCheckpoint()
     )
     per_source = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_shingles"))
     shared = (
