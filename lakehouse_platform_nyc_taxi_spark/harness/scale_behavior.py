@@ -514,9 +514,12 @@ def corpus_kl_to_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("source", F.explode(tokens("text")).alias("token"))
+    # fence the (source, token) counts: four consumers (source margin,
+    # token margin, grand total, contribution join) otherwise each
+    # replan the tokenize+explode+aggregate subtree
     sc = t.groupBy("source", "token").agg(
         F.count(F.lit(1)).cast("bigint").alias("_c")
-    )
+    ).localCheckpoint()
     st = sc.groupBy("source").agg(F.sum("_c").alias("_ns"))
     gc = sc.groupBy("token").agg(F.sum("_c").alias("_g"))
     gt = sc.agg(F.sum("_c").alias("_ng"))
@@ -594,9 +597,10 @@ def text_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("source", F.explode(tokens("text")).alias("token"))
+    # fenced for the same 4-consumer reason as corpus_kl_to_global
     sc = t.groupBy("source", "token").agg(
         F.count(F.lit(1)).cast("bigint").alias("_y")
-    )
+    ).localCheckpoint()
     st = sc.groupBy("source").agg(F.sum("_y").alias("_ns"))
     gc = sc.groupBy("token").agg(F.sum("_y").alias("_g"))
     gt = gc.agg(F.sum("_g").alias("_n"), F.count(F.lit(1)).alias("_vocab"))

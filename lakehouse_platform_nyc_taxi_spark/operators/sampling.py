@@ -336,10 +336,13 @@ def dsir_importance(
     ).select(
         id_col, "_is_target", (md5_long(F.col("_tok")) % n_buckets).alias("_b")
     )
+    # fence the <= n_buckets-row count table: its two consumers (the
+    # 1-row totals build and the ratio projection) and the per-doc join's
+    # replanning otherwise re-run the tokenize+explode pass three times
     counts = toks.groupBy("_b").agg(
         F.count(F.lit(1)).alias("_cr"),
         F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("_ct"),
-    )
+    ).localCheckpoint()
     totals = counts.agg(
         F.sum("_cr").alias("_tr"), F.sum("_ct").alias("_tt")
     )
