@@ -930,10 +930,12 @@ def dedup_cluster_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = docs.join(cc, docs["doc_id"] == cc["id"], "left").select(
         "source", F.coalesce(cc["cluster"], docs["doc_id"]).alias("cluster")
     )
-    # Fence the (cluster, source) units: three consumers (the per-source
-    # margin and both sides of the cluster self-join) otherwise each
-    # replan the connected-components join subtree.
-    cs = lab.select("cluster", "source").distinct().localCheckpoint()
+    # NOT fenced (r18 A/B: fence 1.76 s vs no fence 1.48 s min-of-3
+    # interleaved): connected_components' output is already
+    # lineage-fenced internally, so the three consumers replan only
+    # cheap joins — a localCheckpoint here adds an eager job and erases
+    # size stats for nothing.
+    cs = lab.select("cluster", "source").distinct()
     per = cs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     sh = (
         cs.alias("x")
