@@ -248,11 +248,35 @@ def main() -> int:
     ]
     # Per-query map goes to a file (and stderr): the driver captures a
     # bounded tail of stdout, and a single multi-KB line gets truncated
-    # mid-JSON (BENCH_r01 "parsed": null). stdout carries exactly ONE
-    # short JSON line so any head- or tail-window capture parses it.
+    # mid-JSON (BENCH_r01 "parsed": null — that line was only ~2.1 KB,
+    # so the parse window is the 2000-char tail itself). The LAST
+    # stdout line is therefore kept short so any tail-window capture
+    # parses it. r19 (VERDICT r18 #2, PERF per_query empty): a SECOND,
+    # compact stdout line carrying the full per-query maps (2-decimal,
+    # no whitespace, ~12 KB) is printed BEFORE the short line — a
+    # driver that reads full stdout gets per-query data; a driver that
+    # only sees the tail still parses the final short line exactly as
+    # before (the big line is not last and, truncated, does not parse,
+    # so it cannot shadow the short one).
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     print(json.dumps(detail), file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "total_runtime_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: round(v, 2) for k, v in timings.items()},
+                "queries_min": {k: round(v, 2) for k, v in timings_min.items()},
+                "sf": _sf_from_dir(sf_dir),
+                "n_queries": len(timings),
+                "cpus": cpus,
+                "calibration_sec": calibration_sec,
+            },
+            separators=(",", ":"),
+        )
+    )
     print(
         json.dumps(
             {

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.trino import trino_round
-from ..sources.testdata import load_table, load_table_parallel
+from ..sources.testdata import load_table
 from . import register
 from .core import DSUM
 

@@ -1515,12 +1515,23 @@ def spearman_corr(
 
     def doubled_ranks(col: str, out: str, lo, hi) -> DataFrame:
         by_v = base.groupBy(col).agg(F.count(F.lit(1)).alias("_n"))
+        # _x/_y are cast("double") at base construction, so lo/hi are
+        # already in two_phase_running_sum's post-cast double domain
+        # (identity bsrc for double columns — the timestamp/date micros
+        # conversion never applies here). lo/hi are None only when base
+        # is EMPTY (all-null input): (0.0, 0.0, 0) then routes an empty
+        # table through the single-window plan — same one output row
+        # (n=0, rho NULL) either way.
         cum = two_phase_running_sum(
             by_v,
             F.col("_n"),
             order=[col],
             out="_c",
-            bounds=(float(lo or 0.0), float(hi or 0.0), int(n_rows)),
+            bounds=(
+                float(lo) if lo is not None else 0.0,
+                float(hi) if hi is not None else 0.0,
+                int(n_rows),
+            ),
         )
         return cum.select(
             col, (2 * F.col("_c") - F.col("_n") + 1).alias(out)

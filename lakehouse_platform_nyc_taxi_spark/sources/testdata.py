@@ -69,6 +69,12 @@ def load_table_parallel(
     family. Scan-bound or pushdown-sensitive queries should keep plain
     ``load_table`` (the extra exchange would only add cost)."""
     df = load_table(spark, sf_dir, name)
+    # Measurement hook (r18/r19 optimization rounds): interleaved A/B
+    # scripts toggle the repartition between reps in ONE session — the
+    # only timing protocol the bursty-neighbor host supports. Not a
+    # tuning knob; unset in production and in the bench.
+    if os.environ.get("SPARK_GRAFT_RR_OFF") == "1":
+        return df
     return df.repartition(partitions or spark.sparkContext.defaultParallelism)
 
 
