@@ -1171,7 +1171,8 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "materialized).",
 )
 def text_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table_parallel(spark, sf_dir, "documents")
+    # plain load (r19 A/B: 0.66 vs 0.78 s)
+    docs = load_table(spark, sf_dir, "documents")
     stats = text.text_stats(docs).join(docs.select("doc_id", "source"), "doc_id")
     hq = F.when(F.col("is_high_quality"), 1).otherwise(0)
     return stats.groupBy("source").agg(
@@ -1800,7 +1801,10 @@ def similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .core import davg
 
-    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    # plain load (r19 interleaved A/B: 0.36 s vs 0.63 s with the
+    # round-robin — the partial agg after the explode is map-side
+    # cheap; the exchange only added cost)
+    emb = load_table(spark, sf_dir, "embeddings")
     vd = F.transform("embedding", lambda x: x.cast("double"))
     # materialize the cast array in its own projection before exploding
     # (expression-duplication fence), posexplode_outer so the generate
@@ -1925,7 +1929,9 @@ _QEXPR = f"""(CASE WHEN len(toks) >= 10 AND len(toks) <= 100000 THEN 0.4 ELSE 0.
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import curate_corpus, curation_summary
 
-    return curation_summary(curate_corpus(load_table_parallel(spark, sf_dir, "documents")))
+    # plain load (r19 A/B: 1.16 vs 1.34 s min — the pipeline's own
+    # digest/cap shuffles redistribute anyway)
+    return curation_summary(curate_corpus(load_table(spark, sf_dir, "documents")))
 
 
 # ---------------------------------------------------------------------------
@@ -2531,7 +2537,8 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "parity on the binary payload itself, not just derived stats.",
 )
 def multimodal_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table_parallel(spark, sf_dir, "documents")
+    # plain load (r19 A/B: 0.40 vs 0.54 s)
+    docs = load_table(spark, sf_dir, "documents")
     assets = docs.filter(F.length("text") > 0).select(
         F.col("doc_id").alias("asset_id"),
         F.encode(F.col("text"), "UTF-8").alias("content"),

@@ -611,9 +611,17 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct shuffles of the raw rows for identical values: the
     # exploded sliced array IS the 32-smallest-items-per-basket
     # multiset, and the basket count is the array table's row count.
-    baskets = basket_arrays(
-        li, basket="l_orderkey", item="l_partkey", max_basket_size=32
-    ).localCheckpoint()
+    from ..operators.fencing import fence_if_small
+
+    # Size-guarded fence (one row PER BASKET — corpus-scale at 100 TB,
+    # where the guard keeps it lazy and the three consumers replan the
+    # map-side basket build instead of materializing billions of rows
+    # to executor storage).
+    baskets = fence_if_small(
+        basket_arrays(
+            li, basket="l_orderkey", item="l_partkey", max_basket_size=32
+        )
+    )
     nb = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     supp = baskets.select(F.explode("items").alias("i")).groupBy("i").agg(
         F.count(F.lit(1)).cast("bigint").alias("s")

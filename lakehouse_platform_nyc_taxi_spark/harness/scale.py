@@ -656,7 +656,9 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal
 
-    docs = load_table_parallel(spark, sf_dir, "documents")
+    # plain load (r19 A/B: 0.30 vs 0.50 s — the frame segmentation is
+    # offset arithmetic, not decode work; scan-bound)
+    docs = load_table(spark, sf_dir, "documents")
     assets = docs.select(
         F.col("doc_id").alias("asset_id"),
         F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("content"),

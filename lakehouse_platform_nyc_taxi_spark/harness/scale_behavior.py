@@ -355,7 +355,9 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare=_cluster_pairs,
 )
 def dedup_cluster_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table_parallel(spark, sf_dir, "documents").select(
+    # plain load (r19 A/B: 0.64 vs 0.76 s — 2-column projection feeding
+    # broadcast joins; nothing CPU-bound on the scan side)
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source"
     )
     cc = dedup.connected_components(
@@ -517,9 +519,13 @@ def corpus_kl_to_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fence the (source, token) counts: four consumers (source margin,
     # token margin, grand total, contribution join) otherwise each
     # replan the tokenize+explode+aggregate subtree
-    sc = t.groupBy("source", "token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_c")
-    ).localCheckpoint()
+    from ..operators.fencing import fence_if_small
+
+    sc = fence_if_small(
+        t.groupBy("source", "token").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_c")
+        )
+    )
     st = sc.groupBy("source").agg(F.sum("_c").alias("_ns"))
     gc = sc.groupBy("token").agg(F.sum("_c").alias("_g"))
     gt = sc.agg(F.sum("_c").alias("_ng"))
@@ -598,9 +604,13 @@ def text_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("source", F.explode(tokens("text")).alias("token"))
     # fenced for the same 4-consumer reason as corpus_kl_to_global
-    sc = t.groupBy("source", "token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_y")
-    ).localCheckpoint()
+    from ..operators.fencing import fence_if_small
+
+    sc = fence_if_small(
+        t.groupBy("source", "token").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_y")
+        )
+    )
     st = sc.groupBy("source").agg(F.sum("_y").alias("_ns"))
     gc = sc.groupBy("token").agg(F.sum("_y").alias("_g"))
     gt = gc.agg(F.sum("_g").alias("_n"), F.count(F.lit(1)).alias("_vocab"))

@@ -820,7 +820,8 @@ def profile_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import mahalanobis_diag_outliers
 
-    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    # plain load (r19 A/B: 0.83 vs 0.93 s)
+    emb = load_table(spark, sf_dir, "embeddings")
     return mahalanobis_diag_outliers(emb, "embedding", "vec_id", k=10)
 
 

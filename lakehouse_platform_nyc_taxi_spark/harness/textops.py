@@ -136,7 +136,8 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "+ TakeOrderedAndProject top-20 with deterministic tiebreak.",
 )
 def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.heavy_hitters(load_table_parallel(spark, sf_dir, "documents"), top=20)
+    # plain load (r19 A/B: 0.24 vs 0.46 s)
+    return text.heavy_hitters(load_table(spark, sf_dir, "documents"), top=20)
 
 
 @register(
@@ -685,7 +686,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(associative => partition-order-proof).",
 )
 def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.lm_surprisal_stats(load_table_parallel(spark, sf_dir, "documents"))
+    # plain load (r19 A/B: 0.72 vs 0.98 s — the vocab fence already
+    # collapses the corpus once; the up-front exchange only added cost)
+    return text.lm_surprisal_stats(load_table(spark, sf_dir, "documents"))
 
 
 @register(

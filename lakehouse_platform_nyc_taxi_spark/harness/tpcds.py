@@ -86,7 +86,9 @@ def tpcds_q5_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast(dec).alias("sales"),
         F.lit(0).cast(dec).alias("returns"),
     )
-    li = load_table_parallel(spark, sf_dir, "lineitem").filter(
+    # plain load (r19 A/B: 0.73 vs 0.81 s — same shape as the r18
+    # TPC-H fact-scan switches: the rollup's own exchange redistributes)
+    li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
         & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01").cast("date"))
     )

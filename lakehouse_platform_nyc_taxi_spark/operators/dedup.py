@@ -1539,7 +1539,20 @@ def hamming_banded_pairs(
         # PNM decode + aHash, the audio energy pass) executes once per
         # join side — the fingerprint is exactly the small artifact this
         # operator exists to compare, so materialize it once.
-        hashes = hashes.localCheckpoint()
+        #
+        # SIDE EFFECT (ADVICE r18): the fence is EAGER — constructing
+        # this operator runs the fingerprint pipeline even if the result
+        # is never consumed — and it erases Catalyst size stats on the
+        # fenced side (downstream equi-joins lose auto-broadcast
+        # eligibility; the banded candidate join itself is equi-keyed,
+        # pinned cartesian-free by tests/test_plans.py). The band table
+        # is one row per ASSET — corpus-scale — so the fence is
+        # size-guarded: past the estimate budget it stays lazy and the
+        # two join sides replan the pipeline instead of materializing
+        # a corpus to executor storage.
+        from .fencing import fence_if_small
+
+        hashes = fence_if_small(hashes)
     exploded = hashes.select(
         F.col(id_col),
         *[F.col(c) for c in band_cols],

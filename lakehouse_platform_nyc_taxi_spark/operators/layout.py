@@ -250,7 +250,9 @@ def bloom_skipping_audit(
 
     fcol = F.col(file_col).alias("_f")
     key = F.col(key_col).cast("long")
-    fk = df.select(fcol, key.alias("_k")).distinct().localCheckpoint()
+    from .fencing import fence_if_small
+
+    fk = fence_if_small(df.select(fcol, key.alias("_k")).distinct())
     bit_arr = F.array(
         *[
             (seeded_md5_long(F.col("_k").cast("string"), i) % m_bits).cast(

@@ -823,7 +823,9 @@ def kmeans_semdedup(
     """
     import math
 
-    base = vec_norms(df, vec_col, [id_col]).localCheckpoint()
+    from .fencing import fence_if_small
+
+    base = fence_if_small(vec_norms(df, vec_col, [id_col]))
     if k is None:
         # Within-cluster pairwise cost is O(n^2/k): k must grow with the
         # corpus or the quadratic term re-emerges at scale. sqrt(n) keeps
@@ -975,7 +977,10 @@ def pq_train_encode(
     if dims % m != 0:
         raise ValueError(f"dims={dims} not divisible by m={m}")
     dsub = dims // m
-    base = vec_norms(df, vec_col, [id_col]).localCheckpoint()
+
+    from .fencing import fence_if_small
+
+    base = fence_if_small(vec_norms(df, vec_col, [id_col]))
     pairs = F.array(
         *[
             F.struct(

@@ -440,11 +440,12 @@ def corpus_overlap(
     # tokenize + shingle + md5 + distinct pipeline executes ~4x. The
     # fenced table is |distinct (source, shingle)| rows of (string,
     # long), the already-deduplicated index this audit is ABOUT.
-    sh = (
+    from .fencing import fence_if_small
+
+    sh = fence_if_small(
         df.select(F.col(group_col).alias("g"), F.explode(shingles(text_col, n)).alias("_g"))
         .select("g", md5_long(F.col("_g")).alias("h"))
         .distinct()
-        .localCheckpoint()
     )
     per_source = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_shingles"))
     shared = (
@@ -515,10 +516,10 @@ def tfidf_topk(
     toks_tbl = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("token")
     )
-    tf = (
-        toks_tbl.groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
+    from .fencing import fence_if_small
+
+    tf = fence_if_small(
+        toks_tbl.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     )
     doc_len = tf.groupBy(id_col).agg(F.sum("tf").alias("doc_len"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
@@ -922,8 +923,10 @@ def lm_surprisal_stats(
     the end and rounds to 6.
     """
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
-    vocab = (
-        tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
+    from .fencing import fence_if_small
+
+    vocab = fence_if_small(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     )
     total = vocab.agg(F.sum("cnt").alias("total_tokens"))
     nll = trino_round(
@@ -983,12 +986,13 @@ def zipf_fit(
     # offset tables and the rank join — without the fence the corpus is
     # tokenized twice (measured 1.32 s vs 0.86 s at sf0.1); the
     # checkpoint is vocabulary-sized, not corpus-sized
-    vocab = (
+    from .fencing import fence_if_small
+
+    vocab = fence_if_small(
         df.select(F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("_bkt", F.pmod(F.xxhash64("token"), F.lit(n_buckets)))
-        .localCheckpoint()
     )
     btab = vocab.groupBy("cnt", "_bkt").agg(F.count(F.lit(1)).alias("_n"))
     cnt_tab = btab.groupBy("cnt").agg(F.sum("_n").alias("_n_at"))
@@ -1095,10 +1099,10 @@ def bigram_lm_scores(
             )
         ).alias("_b"),
     ).select(id_col, "_b.w1", "_b.w2")
-    big_counts = (
-        pairs.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c_big"))
-        .localCheckpoint()
+    from .fencing import fence_if_small
+
+    big_counts = fence_if_small(
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
     )
     ctx_counts = big_counts.groupBy("w1").agg(F.sum("c_big").alias("c_ctx"))
     nll = trino_round(

@@ -1052,3 +1052,54 @@ def test_round16_operators_plan_shapes(spark):
     for name in ("stats_anova_oneway", "stats_brown_forsythe", "orders_herfindahl"):
         plan = plan_of(spark, name)
         assert "BroadcastExchange" in plan, f"{name}: k-row stats table not broadcast"
+
+
+def test_fence_sites_never_cartesian_below(spark):
+    """r19 fence audit (VERDICT r18 #3): a localCheckpoint fence erases
+    Catalyst size stats, which once flipped a downstream non-equi join
+    to CartesianProduct (the r18 containment incident). Pin every
+    fence-consuming query's plan cartesian-free; BNLJ only where the
+    r13 pin already whitelists a bounded combiner side."""
+    bounded_bnlj_ok = {
+        # 1-row / ≤k-row combiner crossJoins over bounded sides
+        "similarity_mmr_rerank",
+        "basket_association_rules",   # 1-row basket-total cross join
+        "text_lm_surprisal",          # 1-row total-tokens broadcast
+        "text_rarity_stats",          # 1-row corpus totals
+        "text_tfidf_topk",            # 1-row n_docs corpus constant
+        "orders_gini",                # 1-row total combiner
+        "corpus_kl_to_global",        # 1-row grand-total margin
+        "text_log_odds_terms",        # 1-row margin combiners
+        "sampling_dsir_weights",      # 1-row normalizer
+        "sampling_dsir_select",
+        "privacy_t_closeness",        # 1-row global distribution join
+        "privacy_l_diversity",
+    }
+    for name in (
+        "basket_association_rules",
+        "corpus_overlap_matrix",
+        "corpus_kl_to_global",
+        "text_log_odds_terms",
+        "privacy_t_closeness",
+        "privacy_l_diversity",
+        "sampling_dsir_weights",
+        "sampling_dsir_select",
+        "text_tfidf_topk",
+        "text_lm_surprisal",
+        "text_rarity_stats",
+        "text_bigram_lm",
+        "layout_bloom_skipping",
+        "embedding_kmeans_semdedup",
+        "orders_gini",
+        "dedup_simhash_neardup",
+        "multimodal_phash_neardup",
+        "dedup_audio_neardup",
+        "dedup_phash_clusters",
+        "similarity_mmr_rerank",
+    ):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} planned a cartesian"
+        if name not in bounded_bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name} planned a nested-loop join below a fence"
+            )
