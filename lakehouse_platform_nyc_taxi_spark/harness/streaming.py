@@ -423,9 +423,13 @@ def _streaming_dedup_gate_oracle() -> str:
 def streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    new_docs = S.read_documents_stream(spark, sf_dir).filter(
-        F.col("doc_id") % 2 == 1
-    )
+    # parallelize_stream: the MinHash signing of the arriving docs is
+    # the batch minhash family's CPU-bound work running inside ONE
+    # file-stream scan task without it (r19 A/B: 2.58 -> 0.97 s min;
+    # state stays at 8 — 8-with-repartition also beat 2-with, 1.48 s)
+    new_docs = S.parallelize_stream(
+        S.read_documents_stream(spark, sf_dir)
+    ).filter(F.col("doc_id") % 2 == 1)
     out = S.stream_dedup_gate(
         new_docs, min_est=0.5, stored_index=_gate_index(spark, sf_dir)
     )
@@ -482,7 +486,10 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import sketch
     from ..sources.testdata import load_table
 
-    ev = S.read_events_stream(spark, sf_dir)
+    # parallelize_stream: 4 md5 bit-positions per event row is CPU-bound
+    # map work in the single scan task otherwise (r19 A/B: 1.86 -> 1.57 s;
+    # the sketch groupBy state stays 2 — bounded by sketch cells)
+    ev = S.parallelize_stream(S.read_events_stream(spark, sf_dir))
     cms = S.run_available_now(
         S.stream_cms(ev, "user_id", depth=4, width=1024),
         "complete",
@@ -592,9 +599,11 @@ def _grams8_sql_stream() -> str:
 def streaming_decontamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    new_docs = S.read_documents_stream(spark, sf_dir).filter(
-        F.col("doc_id") % 20 != 7
-    )
+    # parallelize_stream: the in-stream 8-gram explode is tokenize-heavy
+    # per-row work in ONE scan task otherwise (r19 A/B: 1.53 -> 0.95 s)
+    new_docs = S.parallelize_stream(
+        S.read_documents_stream(spark, sf_dir)
+    ).filter(F.col("doc_id") % 20 != 7)
     out = S.stream_decontamination_gate(
         new_docs, _eval_gram_index(spark, sf_dir)
     )

@@ -274,54 +274,83 @@ def bloom_skipping_audit(
         return sorted(out)
 
     spark = df.sparkSession
+    # r19 stage-count rework (guide §2.4 / §7.3 — the old form cost
+    # ~8 serialized AQE stages of ~0.4 s scheduling floor each on 4-row
+    # frames, measured piecewise at sf0.1):
+    # - `need` (bits required per probe) is a PYTHON set size — attach
+    #   it to the probe frame as a literal column instead of computing
+    #   a count_distinct aggregate + an extra broadcast join in-plan;
+    # - both sides of the `hit` join are distinct by construction
+    #   (probe bits come from a set, the band table is .distinct()), so
+    #   the per-(probe, file) bit count is a plain count(*) — drops the
+    #   two-phase distinct-aggregate exchange;
+    # - zone-map and ground-truth counts fold into ONE pass over the
+    #   fenced fk table: the probes are driver literals, so a single
+    #   groupBy(_f) computes each file's key span plus one
+    #   contains-probe flag per probe (|files| rows), and the per-probe
+    #   counts come from exploding a |probes|-entry struct array of
+    #   that 1-row-per-file table — replaces two fk-consuming subplans
+    #   (range BNLJ + equi-join) and their broadcast stages.
     probe_bits = spark.createDataFrame(
-        [(int(p), b) for p in probes for b in _pbits(int(p))],
-        "probe long, bit int",
-    )
-    need = probe_bits.groupBy("probe").agg(
-        F.count_distinct("bit").alias("_nreq")
+        [
+            (int(p), b, len(_pbits(int(p))))
+            for p in probes
+            for b in _pbits(int(p))
+        ],
+        "probe long, bit int, _nreq int",
     )
     hit = (
         F.broadcast(probe_bits)
         .join(bits, "bit")
-        .groupBy("probe", "_f")
-        .agg(F.count_distinct("bit").alias("_nhit"))
+        .groupBy("probe", "_nreq", "_f")
+        .agg(F.count(F.lit(1)).alias("_nhit"))
     )
     bloom_scan = (
-        hit.join(F.broadcast(need), "probe")
-        .filter(F.col("_nhit") == F.col("_nreq"))
+        hit.filter(F.col("_nhit") == F.col("_nreq"))
         .groupBy("probe")
         .agg(F.count(F.lit(1)).cast("bigint").alias("files_bloom"))
     )
-    zm = fk.groupBy("_f").agg(
-        F.min("_k").alias("_kmin"), F.max("_k").alias("_kmax")
+    per_file = fk.groupBy("_f").agg(
+        F.min("_k").alias("_kmin"),
+        F.max("_k").alias("_kmax"),
+        *[
+            F.max((F.col("_k") == F.lit(int(p))).cast("int")).alias(f"_has{j}")
+            for j, p in enumerate(probes)
+        ],
+    )
+    probe_entries = F.array(
+        *[
+            F.struct(
+                F.lit(int(p)).alias("probe"),
+                F.col(f"_has{j}").alias("_has"),
+                (
+                    (F.lit(int(p)) >= F.col("_kmin"))
+                    & (F.lit(int(p)) <= F.col("_kmax"))
+                )
+                .cast("int")
+                .alias("_in_span"),
+            )
+            for j, p in enumerate(probes)
+        ]
+    )
+    zone_truth = (
+        per_file.select(F.explode(probe_entries).alias("_e"))
+        .groupBy(F.col("_e.probe").alias("probe"))
+        .agg(
+            F.sum("_e._in_span").cast("bigint").alias("files_zonemap"),
+            F.sum("_e._has").cast("bigint").alias("files_true"),
+        )
     )
     probe_df = spark.createDataFrame(
         [(int(p),) for p in probes], "probe long"
     )
-    z_scan = (
-        F.broadcast(probe_df)
-        .join(
-            zm,
-            (F.col("probe") >= F.col("_kmin"))
-            & (F.col("probe") <= F.col("_kmax")),
-        )
-        .groupBy("probe")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("files_zonemap"))
-    )
-    truth = (
-        fk.join(F.broadcast(probe_df), fk._k == F.col("probe"))
-        .groupBy("probe")
-        .agg(F.count_distinct("_f").cast("bigint").alias("files_true"))
-    )
     n_files = fk.select("_f").distinct().count()
     # broadcast the probe-sized summaries: the local probe frame has
     # no stats pre-AQE, so the 4-row assembly joins would otherwise
-    # plan as SortMergeJoins with three needless exchanges
+    # plan as SortMergeJoins with needless exchanges
     return (
         probe_df.join(F.broadcast(bloom_scan), "probe", "left")
-        .join(F.broadcast(z_scan), "probe", "left")
-        .join(F.broadcast(truth), "probe", "left")
+        .join(F.broadcast(zone_truth), "probe", "left")
         .select(
             "probe",
             F.lit(n_files).cast("bigint").alias("n_files"),

@@ -19,6 +19,7 @@ harness grades finalized-append semantics against a SQL oracle.
 
 from .ops import (
     dedup_counts,
+    parallelize_stream,
     read_documents_stream,
     read_events_stream,
     run_available_now,
@@ -40,6 +41,7 @@ from .ops import (
 from .sinks import stream_append_parquet, stream_upsert_parquet
 
 __all__ = [
+    "parallelize_stream",
     "read_documents_stream",
     "read_events_stream",
     "stream_cms",

@@ -59,6 +59,23 @@ def read_events_stream(
     return df.select([F.col(f.name) for f in batch.schema.fields])
 
 
+def parallelize_stream(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition of a file-stream source to core count —
+    the streaming twin of ``sources.testdata.load_table_parallel``.
+
+    The single-row-group testdata file arrives as ONE scan task, so
+    CPU-bound stateless gate projections (MinHash signing, image
+    decode) otherwise run serially inside that task; production
+    streams arrive as many files and parallelize at the source, so
+    this is bench-scale scaffolding with the same contract as the
+    batch loader: use ONLY in front of CPU-bound per-row work (r19
+    interleaved A/B: dedup gate 2.58 -> 0.97 s at sf0.1; scan-bound
+    streams lose by the cost of the added exchange)."""
+    return df.repartition(
+        partitions or df.sparkSession.sparkContext.defaultParallelism
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, output_mode: str, state_partitions: int | None = None
 ) -> DataFrame:

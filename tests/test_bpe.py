@@ -54,6 +54,7 @@ TEXTS = [
 ]
 
 
+@pytest.mark.slow
 def test_train_bpe_matches_reference(spark):
     docs = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string")
     got = train_bpe(docs, n_merges=8)

@@ -31,6 +31,7 @@ def test_layer_routing_mirrors_dbt_project():
     assert layer_for_model("dim_zones") == "marts"
 
 
+@pytest.mark.slow
 def test_register_pipeline_outputs_same_session(spark, tmp_path):
     """In-session registration: databases exist, tables queryable by FQN,
     re-registration is idempotent (EXTERNAL: metadata only)."""

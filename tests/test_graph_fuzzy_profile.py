@@ -205,6 +205,7 @@ except ImportError:  # pragma: no cover
 
 if _HYP:
 
+    @pytest.mark.slow
     @given(
         st.lists(
             st.text(alphabet="ab", min_size=0, max_size=9),
@@ -238,6 +239,7 @@ if _HYP:
 
 if _HYP:
 
+    @pytest.mark.slow
     @given(
         st.lists(
             st.tuples(st.integers(0, 50), st.integers(0, 30)),

@@ -2881,6 +2881,7 @@ def test_isotonic_calibration_property_matches_python_pav(spark):
     run()
 
 
+@pytest.mark.slow
 def test_spearman_property_matches_python_midranks(spark):
     """Property check: spearman_corr equals Pearson over Python-computed
     midranks for arbitrary tied data (round6)."""

@@ -3,6 +3,8 @@ refresh equals recompute, reads only churned files, idempotent no-op."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from lakehouse_platform_nyc_taxi_spark.sources import matview as mv
@@ -84,6 +86,7 @@ def test_mv_refresh_drops_emptied_groups_and_prunes_files(spark, tmp_path):
     assert len(files_before & files_after) >= 3
 
 
+@pytest.mark.slow
 def test_streaming_cdc_into_mv_pipeline(spark, tmp_path):
     """The full continuous pipeline: stream -> CDC merge into a snapshot
     table -> incremental MV refresh from its change feed. The view ends

@@ -1061,19 +1061,19 @@ def test_fence_sites_never_cartesian_below(spark):
     fence-consuming query's plan cartesian-free; BNLJ only where the
     r13 pin already whitelists a bounded combiner side."""
     bounded_bnlj_ok = {
-        # 1-row / ≤k-row combiner crossJoins over bounded sides
-        "similarity_mmr_rerank",
+        # 1-row / bounded-side combiner crossJoins (exactly the sites
+        # where the sf0.01 plans show a BNLJ today — tight whitelist)
         "basket_association_rules",   # 1-row basket-total cross join
         "text_lm_surprisal",          # 1-row total-tokens broadcast
-        "text_rarity_stats",          # 1-row corpus totals
         "text_tfidf_topk",            # 1-row n_docs corpus constant
-        "orders_gini",                # 1-row total combiner
         "corpus_kl_to_global",        # 1-row grand-total margin
         "text_log_odds_terms",        # 1-row margin combiners
         "sampling_dsir_weights",      # 1-row normalizer
         "sampling_dsir_select",
         "privacy_t_closeness",        # 1-row global distribution join
-        "privacy_l_diversity",
+        "corpus_overlap_matrix",      # |sources|^2 pair frame (tiny side
+                                      # broadcast; bounded by definition)
+        "layout_bloom_skipping",      # 4-row probe frame range join
     }
     for name in (
         "basket_association_rules",

@@ -39,6 +39,7 @@ def _model_rows(model):
     return {(i, g, v) for i, (g, v) in model.items()}
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [7, 23, 91])
 def test_random_dml_sequences_match_model(spark, tmp_path, seed):
     rng = random.Random(seed)

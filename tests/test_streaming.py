@@ -332,6 +332,7 @@ def test_streaming_drain_with_expectations(spark):
     assert totals["value_huge"] == 0
 
 
+@pytest.mark.slow
 def test_checkpoint_restart_resumes_from_offsets(spark, tmp_path):
     """A NEW streaming query on the same checkpoint must resume from the
     recorded source offsets: files already processed before the restart
@@ -361,6 +362,7 @@ def test_checkpoint_restart_resumes_from_offsets(spark, tmp_path):
     assert got == [1, 2, 3, 4, 5]  # exactly once across the restart
 
 
+@pytest.mark.slow
 def test_stream_merge_snapshot_mor_mode(spark, tmp_path):
     """mode='mor': batches after bootstrap apply as merge-on-read —
     no data-file rewrites, exactly-once on replay, and the commits
@@ -423,6 +425,7 @@ def test_stream_merge_snapshot_mor_mode(spark, tmp_path):
     assert r.filter("_change_type = 'insert'").count() == 4  # 2 bootstrap + 2 merged
 
 
+@pytest.mark.slow
 def test_stateful_user_stats_event_time_ttl_evicts_idle_keys(spark, tmp_path):
     """Event-time TTL: a key idle longer than the TTL (by watermark) is
     evicted, so its next event starts a fresh lifetime — deterministic

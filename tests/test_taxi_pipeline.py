@@ -157,6 +157,7 @@ def test_full_pipeline_runner(spark, raw_paths, tmp_path):
     assert flagship.count() == 4
 
 
+@pytest.mark.slow
 def test_snapshot_staging_model_constraint_and_schema_drift(spark, raw_paths, tmp_path):
     """One staging model materialized through snapshot tables: the CHECK
     constraint mirrors the validity filter, an idempotent re-run is a
