@@ -246,6 +246,43 @@ def main() -> int:
     detail["write_bench_queries"] = [
         q for q in ("incremental_delete_insert",) if q in timings_min
     ]
+    # Session-cache tag (r19, VERDICT r18 #4): these queries consume a
+    # session-cached artifact (band index, IVF/PQ index, trade edges,
+    # cluster pairs, gate/threshold indexes — keyed on (applicationId,
+    # sf_dir)). A COLD bench rebuilds the artifact inside the first
+    # consumer's timer, so the headline `value` is honest; but
+    # `queries_min` for these undercounts steady-state recompute, so
+    # drift triage should gate them separately (the write-bench
+    # precedent).
+    detail["session_cached_queries"] = sorted(
+        q
+        for q in (
+            "sampling_fold_leakage",
+            "entity_resolution_golden",
+            "graph_link_prediction",
+            "dedup_clusters",
+            "dedup_cluster_survivors",
+            "dedup_cluster_purge",
+            "dedup_cluster_containment",
+            "dedup_lsh_precision",
+            "similarity_topk_ivf",
+            "similarity_topk_ivf_batch",
+            "similarity_ivf_recall",
+            "similarity_pq_adc_topk",
+            "similarity_pq_recall",
+            "graph_hits",
+            "graph_pagerank",
+            "graph_label_propagation",
+            "graph_adamic_adar",
+            "graph_triangle_count",
+            "graph_degree_stats",
+            "streaming_dedup_gate",
+            "streaming_phash_gate",
+            "streaming_conformal_gate",
+            "streaming_decontamination_gate",
+        )
+        if q in timings_min
+    )
     # Per-query map goes to a file (and stderr): the driver captures a
     # bounded tail of stdout, and a single multi-KB line gets truncated
     # mid-JSON (BENCH_r01 "parsed": null — that line was only ~2.1 KB,
