@@ -17,7 +17,7 @@ from ..operators import packing, text
 from ..operators.sampling import stratified_resample, temperature_resample
 from ..operators.scd2 import scd2_history
 from ..operators.sessionize import sessionize
-from ..operators.timeseries import gapfill_forward
+from ..operators.timeseries import gapfill_forward, gapfill_runs
 from ..sources.testdata import load_table, load_table_parallel
 from . import register
 
@@ -276,23 +276,33 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "forward-filled value through the sum.",
 )
 def timeseries_gapfill_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    filled = gapfill_forward(
-        # plain load (r13 A/B under bench.py conditions — full registry
-        # order, min-of-2, sf0.1: plain 2.19 s vs parallel 2.84 s; the
-        # driver's r12 runs agreed, 2.24 s plain in r11 vs 2.67-3.57 s
-        # parallel in r12). The r12 claim that the parallel loader wins
-        # here did not reproduce in-bench: gapfill's per-entity spine
-        # explode redistributes at its own (user) shuffle anyway, so the
-        # up-front 32-way repartition only adds an exchange. Production
-        # inputs arrive multi-file and parallelize at the scan.
+    # Run-length rollup (r19): the dense 15-min fill repeats each
+    # observation across its own gap run, so the per-user rollup never
+    # needs the dense rows — per run of length k the fill contributes
+    # k slots, k-1 gaps, and an EXACT decimal k x value to the fenced
+    # sum (decimal multiplication by an integer is exact; decimal(28,8)
+    # x decimal(9,0) -> decimal(38,8), the same type the oracle's
+    # per-slot decimal SUM accumulates in). Skipping the explode +
+    # dense-row re-aggregate took the query 2.23 -> 0.69 s min at sf0.1
+    # (interleaved A/B, values identical; plain load per the r13 note —
+    # the up-front repartition A/B'd as a loss again in r19).
+    runs = gapfill_runs(
         load_table(spark, sf_dir, "events"), step="15 minute"
     )
-    return filled.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_slots"),
-        F.sum(F.when(F.col("is_gap"), 1).otherwise(0)).alias("n_gaps"),
-        F.sum(F.col("value").cast("decimal(28,8)"))
-        .cast("double")
-        .alias("filled_total"),
+    k = (
+        F.timestamp_diff("MINUTE", F.col("slot"), F.col("_end")) / 15 + 1
+    ).cast("long")
+    per_run = runs.select(
+        "user_id",
+        k.alias("_k"),
+        (F.col("_obs").cast("decimal(28,8)") * k.cast("decimal(9,0)")).alias(
+            "_ksum"
+        ),
+    )
+    return per_run.groupBy("user_id").agg(
+        F.sum("_k").alias("n_slots"),
+        F.sum(F.col("_k") - 1).alias("n_gaps"),
+        F.sum("_ksum").cast("double").alias("filled_total"),
     )
 
 

@@ -21,6 +21,135 @@ def _fenced_sum(col: Column) -> Column:
     return F.sum(col.cast("decimal(38,12)")).cast("double")
 
 
+def _round8_unit_sum(y) -> int:
+    """Exact Σ round-half-up(y_i, 8) over a float64 array, in integer
+    1e-8 units — bit-for-bit the value ``sum(CAST(y AS DECIMAL(38,8)))``
+    accumulates (Spark's double→decimal cast is HALF_UP on the exact
+    binary value; decimal addition is exact).
+
+    Vectorized fast path: ``floor(|y|*1e8 + 0.5)`` is correct except
+    where the float64 product's rounding error can cross the .5
+    boundary, so elements within a magnitude-scaled tolerance of a
+    boundary — and all |y| > 1e7, where unit counts approach 2^53 —
+    take a ``decimal.Decimal`` slow path. The slow path rounds the
+    SHORTEST-REPR decimal value (``Decimal(repr(v))``), because that is
+    what the JVM cast rounds: Spark's double→decimal goes through
+    ``BigDecimal.valueOf`` = ``Double.toString``, NOT the exact binary
+    expansion — measured on 934k adversarial near-tie doubles, the
+    repr path matches the JVM cast 100% while the exact-binary path
+    diverges on 28% of constructed ties (a double just below an
+    ``x.xxxxxxxx5`` shortest repr rounds UP through the string, DOWN
+    through its binary value). The fast path is agnostic: any value
+    where the two semantics could disagree lies inside the flagged
+    tolerance band.
+    """
+    import decimal
+
+    import numpy as np
+
+    ay = np.abs(y)
+    # NaN/Inf and overflowing magnitudes (>= 1e30) contribute 0. The
+    # JVM fence under ANSI (this repo's sessions) would THROW on such
+    # inputs instead — no declared query can produce them (values are
+    # pre-scaled/finite), so on every input the old path accepted, the
+    # two are bit-equal, and on inputs it would have crashed this path
+    # degrades to "skip" (the non-ANSI cast-to-NULL semantics)
+    dropped = ~np.isfinite(y) | (ay >= 1e30)
+    frac = np.where(dropped, 0.0, ay) * 1e8
+    r = np.floor(frac + 0.5)
+    fp = frac - np.floor(frac)
+    tol = np.maximum(frac * 4e-16, 1e-6)
+    flagged = ~dropped & ((ay > 1e7) | (np.abs(fp - 0.5) < tol))
+    fast = np.where(flagged | dropped, 0.0, r * np.sign(y)).astype(np.int64)
+    total = 0
+    # chunked: |units| <= 1e15 on the fast path, 4096 * 1e15 < 2^63
+    for i in range(0, len(fast), 4096):
+        total += int(fast[i : i + 4096].sum())
+    if flagged.any():
+        # prec=80 local context: a float64's exact decimal expansion can
+        # run ~767 significant digits only below 1e-300 (irrelevant at
+        # scale 8); 80 digits covers any unit count quantize can emit
+        # without tripping the default 28-digit context
+        with decimal.localcontext() as ctx:
+            ctx.prec = 80
+            for v in y[flagged]:
+                total += int(
+                    decimal.Decimal(repr(float(v)))
+                    .scaleb(8)
+                    .to_integral_value(rounding=decimal.ROUND_HALF_UP)
+                )
+    return total
+
+
+def _arrow_fenced_moment_pass(df, group_col, names, terms):
+    """Arrow-vectorized exact moment partials (guide §4, r19): one
+    ``mapInPandas`` pass emitting, per (batch, group), a count and one
+    exact decimal(38,8) sum per term — each bit-equal to
+    ``sum(CAST(term AS DECIMAL(p,8)))`` over that slice (see
+    :func:`_round8_unit_sum`), so a final tiny decimal aggregate over
+    the ≤1-row-per-(batch,group) partials reproduces the JVM decimal
+    fence exactly while the per-row double→BigDecimal casts (which
+    dominate moment queries) never run.
+
+    ``terms(sub) -> sequence of float64 arrays`` builds every term for
+    one pandas sub-frame; ``names`` labels them in the output. Pass
+    ``group_col=None`` for a global (ungrouped) pass.
+    """
+    import decimal
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DecimalType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    unit = decimal.Decimal(1).scaleb(-8)
+    g_fields = (
+        [StructField(group_col, df.schema[group_col].dataType)]
+        if group_col
+        else []
+    )
+    out_schema = StructType(
+        g_fields
+        + [StructField("n", LongType())]
+        + [StructField(nm, DecimalType(38, 8)) for nm in names]
+    )
+
+    def _partials(batches):
+        for pdf in batches:
+            outs = []
+            subs = (
+                pdf.groupby(group_col, sort=False)
+                if group_col
+                else [(None, pdf)]
+            )
+            for g, sub in subs:
+                if not len(sub):
+                    continue
+                sums = tuple(
+                    decimal.Decimal(_round8_unit_sum(t)) * unit
+                    for t in terms(sub)
+                )
+                key = (g,) if group_col else ()
+                outs.append(key + (len(sub),) + sums)
+            if outs:
+                yield pd.DataFrame(
+                    outs, columns=[f.name for f in out_schema.fields]
+                )
+
+    parts = df.mapInPandas(_partials, out_schema)
+    gb = parts.groupBy(group_col) if group_col else parts.groupBy()
+    return gb.agg(
+        # coalesce: an EMPTY ungrouped input yields no partials, but the
+        # global aggregate still emits one row — count semantics say 0
+        # there, like the JVM count(1) this replaces
+        F.coalesce(F.sum("n"), F.lit(0)).cast("double").alias("n"),
+        *[F.sum(nm).cast("double").alias(nm) for nm in names],
+    )
+
+
 def chi_squared(
     df: DataFrame, row_col: str, col_col: str
 ) -> DataFrame:
@@ -1793,6 +1922,13 @@ def ols_two_features(
         y.isNotNull() & x1.isNotNull() & x2.isNotNull()
     ).select(y.alias("_y"), x1.alias("_x1"), x2.alias("_x2"))
 
+    # NOT the Arrow moment pass (r19 negative result): with only nine
+    # cheap product terms over three shipped columns, the Arrow
+    # serialization outweighs the saved decimal casts — interleaved A/B
+    # at sf0.1: JVM fence 1.05 s vs Arrow twin 1.27 s min (same for
+    # agg_corr_regression, 0.94 vs 1.28). The pass pays off where the
+    # per-row cast work is heavy relative to shipped bytes
+    # (skew_kurtosis: four POWER sums after a join, 2.92 -> 1.54).
     def dsum(c):
         return F.sum(c.cast("decimal(28,8)")).cast("double")
 
@@ -2068,13 +2204,19 @@ def skew_kurtosis(
     unscaled x⁴ overflows the decimal(38,8) fence for prices at
     corpus scale); moments combine in one fixed-order IEEE chain.
 
+    The four power sums run as an Arrow-vectorized exact pass (r19,
+    guide §4): per batch, x/x²/x³/x⁴ are the same left-associated IEEE
+    doubles the JVM expression built, summed EXACTLY in integer 1e-8
+    units (:func:`_round8_unit_sum` — bit-equal to the former
+    ``sum(CAST(.. AS DECIMAL(38,8)))`` fence), with only the ≤1-row-
+    per-(batch,group) decimal partials crossing back to the JVM. The
+    per-row double→BigDecimal casts this replaces dominated the query
+    (interleaved A/B at sf0.1: 2.92 → 1.54 s min, values identical).
+
     Output per group: ``{group_col}, n, skewness, kurtosis`` (round6;
     NULLs for a constant group), ordered by group.
     """
     v = F.col(value_col).cast("double")
-
-    def dsum(c):
-        return F.sum(c.cast("decimal(38,8)")).cast("double")
 
     pre = df.filter(v.isNotNull()).select(
         F.col(group_col).alias("_g"), v.alias("_v")
@@ -2091,17 +2233,20 @@ def skew_kurtosis(
             8,
         ).alias("_sc")
     )
-    x = F.col("_v") / F.col("_sc")
-    m = (
-        pre.join(scale, "_g")
-        .groupBy("_g")
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("n"),
-            dsum(x).alias("s1"),
-            dsum(x * x).alias("s2"),
-            dsum(x * x * x).alias("s3"),
-            dsum(x * x * x * x).alias("s4"),
-        )
+
+    def _pow_terms(sub):
+        # left-associated like the JVM chain: ((x*x)*x)*x
+        x = sub["_v"].to_numpy() / sub["_sc"].to_numpy()
+        x2 = x * x
+        x3 = x2 * x
+        x4 = x3 * x
+        return (x, x2, x3, x4)
+
+    m = _arrow_fenced_moment_pass(
+        pre.join(F.broadcast(scale), "_g"),
+        "_g",
+        ("s1", "s2", "s3", "s4"),
+        _pow_terms,
     )
     n = F.col("n")
     mu = F.col("s1") / n

@@ -84,7 +84,7 @@ def slot_of(ts: Column, step: str) -> Column:
     return F.timestamp_add(unit.upper(), offset, base)
 
 
-def gapfill_forward(
+def gapfill_runs(
     df: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
@@ -92,16 +92,19 @@ def gapfill_forward(
     order_col: str = "event_id",
     step: str = "1 hour",
 ) -> DataFrame:
-    """One row per (entity, slot) from first to last activity.
+    """Run-length form of the forward fill: one row per OBSERVATION with
+    the inclusive slot range it covers.
 
-    ``step`` is any ``'N unit'`` grid: calendar units at ``N == 1``
-    (minute/hour/day/week/month/year via ``date_trunc``) or cycle-aligned
-    sub-day multiples ('15 minute', '6 hour' — see :func:`slot_of`).
-    Within a slot the LAST event wins, ordered by the unique
-    ``order_col`` sequence (no float/timestamp tie hazard); empty slots
-    carry the previous slot's value forward (``is_gap`` marks them).
-    The first slot of every entity is an observation by construction,
-    so forward fill never reads across entities and never yields NULL.
+    Columns: ``user_col``, ``slot`` (the observation's own slot),
+    ``_obs`` (its value, last event in the slot by ``order_col``), and
+    ``_end`` — the last slot this observation fills (the slot before the
+    entity's next observation; the entity's final observation covers
+    only itself). :func:`gapfill_forward` explodes these runs into the
+    dense per-slot frame; a rollup that only needs per-run arithmetic
+    (slot counts, value×run-length sums) can consume the runs directly
+    and skip materializing the dense rows entirely — each filled slot
+    repeats its run's observation, so any per-slot sum is an exact
+    ``k × value`` per run.
     """
     n, unit = _parse_step(step)  # validate before building the plan
     step_iv = F.expr(f"INTERVAL {n} {unit}")
@@ -127,9 +130,33 @@ def gapfill_forward(
     # entities that is orders of magnitude less shuffle than the
     # join-then-ffill formulation.
     w = Window.partitionBy(user_col).orderBy("slot")
-    ranged = per_slot.withColumn(
+    return per_slot.withColumn(
         "_end", F.coalesce(F.lead("slot").over(w) - step_iv, F.col("slot"))
     )
+
+
+def gapfill_forward(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    step: str = "1 hour",
+) -> DataFrame:
+    """One row per (entity, slot) from first to last activity.
+
+    ``step`` is any ``'N unit'`` grid: calendar units at ``N == 1``
+    (minute/hour/day/week/month/year via ``date_trunc``) or cycle-aligned
+    sub-day multiples ('15 minute', '6 hour' — see :func:`slot_of`).
+    Within a slot the LAST event wins, ordered by the unique
+    ``order_col`` sequence (no float/timestamp tie hazard); empty slots
+    carry the previous slot's value forward (``is_gap`` marks them).
+    The first slot of every entity is an observation by construction,
+    so forward fill never reads across entities and never yields NULL.
+    """
+    n, unit = _parse_step(step)  # validate before building the plan
+    step_iv = F.expr(f"INTERVAL {n} {unit}")
+    ranged = gapfill_runs(df, user_col, ts_col, value_col, order_col, step)
     exploded = ranged.select(
         user_col,
         F.col("slot").alias("_obs_slot"),

@@ -2749,6 +2749,80 @@ def test_wilson_intervals_hand_case(spark):
     assert b.rate == 0.0 and b.ci_low == 0.0 and 0 < b.ci_high < 0.35
 
 
+def test_round8_unit_sum_matches_decimal_fence(spark):
+    """The Arrow power-sum fast path (r19) must be BIT-equal to
+    ``sum(CAST(x AS DECIMAL(38,8)))``: adversarial dyadic ties (i/512
+    terminates exactly at the 9th decimal digit — HALF_UP differs from
+    banker's there), large magnitudes past the float64 unit-exactness
+    range, NaN/Inf and >=1e30 overflow (the cast nulls them), and random
+    bulk values."""
+    import decimal
+
+    import numpy as np
+
+    from lakehouse_platform_nyc_taxi_spark.operators.stats import (
+        _round8_unit_sum,
+    )
+
+    rng = np.random.default_rng(7)
+    adversarial = [
+        0.001953125,  # 1/512: exact ...5 at digit 9 -> HALF_UP tie
+        -0.001953125,
+        3.0 / 512,
+        1e7 + 0.3,  # past the fast-path magnitude cutoff
+        4.5e15,
+        1e29,
+        1e30,  # decimal(38,8) overflow: fence throws (ANSI), path skips
+        -1e31,
+        float("nan"),
+        float("inf"),
+        float("-inf"),
+        0.0,
+        -0.0,
+        123456.000000005,
+        -123456.000000005,
+    ]
+    # constructed near-ties: doubles as close to x.xxxxxxxx5 shortest
+    # reprs as representable — where shortest-repr (JVM) and exact-
+    # binary rounding diverge
+    base = rng.uniform(0.1, 1e4, 2000)
+    u = np.floor(base * 1e8)
+    vals = np.concatenate(
+        [
+            np.array(adversarial, dtype=np.float64),
+            (u + 0.5) / 1e8,
+            (u + 0.4999999) / 1e8,
+            rng.uniform(-1e4, 1e4, 5000),
+            rng.uniform(-1.0, 1.0, 5000) ** 3,
+            np.array([i / 512 for i in range(-512, 512)], dtype=np.float64),
+        ]
+    )
+    # pure-python reference replay of the JVM cast+sum: HALF_UP over the
+    # SHORTEST-REPR decimal (BigDecimal.valueOf semantics), not the
+    # exact binary expansion
+    with decimal.localcontext() as ctx:
+        ctx.prec = 80
+        ref = 0
+        for v in vals.tolist():
+            if not np.isfinite(v) or abs(v) >= 1e30:
+                continue  # fence would throw under ANSI; path skips
+            ref += int(
+                decimal.Decimal(repr(v))
+                .scaleb(8)
+                .to_integral_value(rounding=decimal.ROUND_HALF_UP)
+            )
+    assert _round8_unit_sum(vals) == ref
+    # cross-check the reference itself against Spark's decimal fence on
+    # the slice the fence accepts (ANSI throws on NaN/Inf/overflow)
+    ok = [float(v) for v in vals.tolist() if np.isfinite(v) and abs(v) < 1e30]
+    sdf = spark.createDataFrame([(v,) for v in ok], "v double")
+    got = sdf.selectExpr("sum(CAST(v AS DECIMAL(38,8))) AS s").collect()[0].s
+    with decimal.localcontext() as ctx:
+        ctx.prec = 80  # default 28-digit context would round the shift
+        assert int(got.scaleb(8)) == ref
+    assert _round8_unit_sum(np.array(ok)) == ref
+
+
 def test_skew_kurtosis_known_shapes(spark):
     """Symmetric two-point mass at +-1: skewness 0, excess kurtosis -2
     (the minimum); a right-tailed group has positive skew; constant

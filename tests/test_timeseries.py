@@ -60,6 +60,63 @@ def test_gapfill_15min_step(spark):
     }
 
 
+def test_gapfill_runs_rollup_matches_dense_fill(spark):
+    """The run-length form (r19: one row per observation with its
+    inclusive fill range) must agree with explode-then-aggregate: per
+    user, k slots / k-1 gaps per run, and the decimal-fenced sum of the
+    dense fill equals the sum of exact k x value decimal products."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_platform_nyc_taxi_spark.operators.timeseries import (
+        gapfill_runs,
+    )
+
+    rows = [
+        (1, 1, T(2024, 1, 1, 0, 7), 10.25),
+        (2, 1, T(2024, 1, 1, 1, 52), 40.125),
+        (3, 1, T(2024, 1, 1, 1, 58), 41.0625),  # same slot, later id wins
+        (4, 2, T(2024, 1, 2, 7, 0), 7.5),
+        (5, 3, T(2024, 1, 3, 5, 1), -2.125),
+        (6, 3, T(2024, 1, 3, 9, 44), 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    dense = (
+        gapfill_forward(df, step="15 minute")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_slots"),
+            F.sum(F.when(F.col("is_gap"), 1).otherwise(0)).alias("n_gaps"),
+            F.sum(F.col("value").cast("decimal(28,8)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+    k = (
+        F.timestamp_diff("MINUTE", F.col("slot"), F.col("_end")) / 15 + 1
+    ).cast("long")
+    runs = (
+        gapfill_runs(df, step="15 minute")
+        .select(
+            "user_id",
+            k.alias("_k"),
+            (F.col("_obs").cast("decimal(28,8)") * k.cast("decimal(9,0)"))
+            .alias("_ksum"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("_k").alias("n_slots"),
+            F.sum(F.col("_k") - 1).alias("n_gaps"),
+            F.sum("_ksum").cast("double").alias("total"),
+        )
+    )
+    as_map = lambda frame: {r.user_id: (r.n_slots, r.n_gaps, r.total) for r in frame.collect()}
+    dm, rm = as_map(dense), as_map(runs)
+    assert dm == rm
+    assert dm[1][0] >= 8 and dm[1][1] == dm[1][0] - 2  # 2 runs for user 1
+
+
 def test_gapfill_day_step(spark):
     rows = [
         (1, 1, T(2024, 1, 1, 5), 1.0),
