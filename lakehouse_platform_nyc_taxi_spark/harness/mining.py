@@ -900,7 +900,9 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import hits
 
     edges = _trade_edges(spark, sf_dir)
-    scores = hits(edges, iterations=3, weight="w")
+    # bounded_nodes: the trade graph is nation-level — ≤25 nodes / ≤625
+    # edges at ANY scale factor (r19 A/B: 2.44 -> 2.05 s min)
+    scores = hits(edges, iterations=3, weight="w", bounded_nodes=True)
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return scores.join(
         F.broadcast(nation), scores.node == nation.n_nationkey

@@ -500,6 +500,7 @@ def hits(
     dst: str = "dst",
     weight: str | None = None,
     checkpoint_every: int = 1,
+    bounded_nodes: bool = False,
 ) -> DataFrame:
     """Weighted HITS hubs-and-authorities (Kleinberg 1999, public) with
     L1 normalization per half-step — PageRank's bipartite companion:
@@ -521,6 +522,19 @@ def hits(
 
     Output: ``node, hub, authority`` (raw doubles; each column sums to
     1 up to the decimal fence).
+
+    ``bounded_nodes=True`` is the caller's assertion that the NODE table
+    is bounded metadata (category/region-level graphs, ≤ broadcast
+    size): each half-step then broadcasts the ≤|nodes|-row score side
+    into the edge join (the checkpointed frames carry no size stats, so
+    Catalyst cannot pick this itself) and L1-normalizes via one global
+    decimal window sum instead of a separate 1-row aggregate — which
+    removes the SECOND evaluation of every half-step subtree (Spark
+    replans the raw-score subtree under both the join and the
+    normalizer; r19 interleaved A/B on the 25-node trade graph:
+    2.44 → 2.05 s min, values identical). At web-graph node counts
+    leave it False: the broadcast and the single-partition window are
+    exactly the wrong trade there.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -549,47 +563,65 @@ def hits(
         "node", F.lit(1.0).alias("h"), F.lit(1.0).alias("a")
     )
 
+    _hint = F.broadcast if bounded_nodes else (lambda d: d)
+    _wg = Window.partitionBy()
+
+    def _l1_normalize(raw, out_col):
+        """nodes LEFT JOIN raw, missing -> 0, divide by the L1 total."""
+        if bounded_nodes:
+            # one subtree: the global decimal window sum normalizes in
+            # place. Same decimal(28,8) fence as _dsum, so the total is
+            # the OLD total by construction (coalesced zeros quantize to
+            # exact decimal 0s and cannot move the sum).
+            return (
+                nodes.join(_hint(raw), "node", "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("_x"), F.lit(0.0)).alias("_x"),
+                )
+                .select(
+                    "node",
+                    (
+                        F.col("_x")
+                        / F.sum(F.col("_x").cast("decimal(28,8)"))
+                        .over(_wg)
+                        .cast("double")
+                    ).alias(out_col),
+                )
+            )
+        tot = raw.agg(_dsum("_x").alias("_t"))
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(tot)
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("_x"), F.lit(0.0)) / F.col("_t")
+                ).alias(out_col),
+            )
+        )
+
     for i in range(iterations):
         a_raw = (
             e.join(
-                scores.select(F.col("node").alias("_u"), "h"),
+                _hint(scores.select(F.col("node").alias("_u"), "h")),
                 e.src == F.col("_u"),
             )
             .select(F.col("dst").alias("node"), (F.col("w") * F.col("h")).alias("_t"))
             .groupBy("node")
             .agg(_dsum("_t").alias("_x"))
         )
-        a_tot = a_raw.agg(_dsum("_x").alias("_ta"))
-        a_s = (
-            nodes.join(a_raw, "node", "left")
-            .crossJoin(a_tot)
-            .select(
-                "node",
-                (
-                    F.coalesce(F.col("_x"), F.lit(0.0)) / F.col("_ta")
-                ).alias("a"),
-            )
-        )
+        a_s = _l1_normalize(a_raw, "a")
         h_raw = (
             e.join(
-                a_s.select(F.col("node").alias("_v"), "a"),
+                _hint(a_s.select(F.col("node").alias("_v"), "a")),
                 e.dst == F.col("_v"),
             )
             .select(F.col("src").alias("node"), (F.col("w") * F.col("a")).alias("_t"))
             .groupBy("node")
             .agg(_dsum("_t").alias("_x"))
         )
-        h_tot = h_raw.agg(_dsum("_x").alias("_th"))
-        h_s = (
-            nodes.join(h_raw, "node", "left")
-            .crossJoin(h_tot)
-            .select(
-                "node",
-                (
-                    F.coalesce(F.col("_x"), F.lit(0.0)) / F.col("_th")
-                ).alias("h"),
-            )
-        )
+        h_s = _l1_normalize(h_raw, "h")
         scores = h_s.join(a_s, "node")
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             scores = scores.localCheckpoint(eager=True)
