@@ -891,7 +891,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared session-cached edge table (mining._trade_edges): the same
     # materialize-once artifact pagerank/triangles/degrees/LPA all read
     edges = _trade_edges(spark, sf_dir)
-    ranks = pagerank(edges, iterations=3, damping=0.85, weight="w")
+    # bounded_nodes: nation-level graph, <=25 nodes at ANY scale factor
+    # (r19 A/B: 1.23 -> 1.18 s min — locally near-neutral, but each
+    # iteration drops all 8 SortMergeJoins for broadcast joins and the
+    # anti-join dangling subtree folds into the per-node frame;
+    # bit-identical at sf0.01/sf0.1)
+    ranks = pagerank(
+        edges, iterations=3, damping=0.85, weight="w", bounded_nodes=True
+    )
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"
     )

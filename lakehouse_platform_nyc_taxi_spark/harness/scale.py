@@ -531,7 +531,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= _LPA_KNN)
         .select("src", "dst", "w")
     )
-    labels = label_propagation(knn, iterations=_LPA_ITERS, weight="w")
+    # bounded_nodes: nation-level kNN graph, <=25 nodes at ANY scale
+    # factor (r19 A/B: 0.70 -> 0.69 s min — neutral locally, but each
+    # iteration's SortMergeJoin goes broadcast; values identical)
+    labels = label_propagation(
+        knn, iterations=_LPA_ITERS, weight="w", bounded_nodes=True
+    )
     return labels.select(
         F.col("id").cast("bigint").alias("id"),
         F.col("label").cast("bigint").alias("label"),

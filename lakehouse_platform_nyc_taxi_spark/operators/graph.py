@@ -44,8 +44,21 @@ def pagerank(
     dst: str = "dst",
     weight: str | None = None,
     checkpoint_every: int = 1,
+    bounded_nodes: bool = False,
 ) -> DataFrame:
     """Weighted PageRank with dangling-mass redistribution.
+
+    ``bounded_nodes=True`` is the caller's assertion that the NODE
+    table is bounded metadata (category/region-level graphs, ≤
+    broadcast size): each iteration then broadcasts the rank/out-weight
+    sides into the edge join (the checkpointed frames carry no size
+    stats, so Catalyst cannot pick this itself) and computes the
+    dangling mass as a global decimal window sum inside the SAME
+    per-node frame instead of a separate anti-join subtree crossJoined
+    back in — same decimal(28,8) fence, value-identical by
+    construction. At web-graph node counts leave it False: the
+    broadcast and the single-partition window are exactly the wrong
+    trade there.
 
     ``edges`` is (src, dst[, weight]); multi-edges are merged by summing
     weights. Returns (node, rank) with sum(rank) == 1 up to the decimal
@@ -93,13 +106,14 @@ def pagerank(
         nodes = nodes.localCheckpoint(eager=True)
         out_w = out_w.localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    _hint = F.broadcast if bounded_nodes else (lambda d: d)
 
     for i in range(iterations):
         # rank * w / ow per edge (IEEE double, engine-identical), fenced
         # sum per destination (order-independent).
         contribs = (
-            e.join(ranks, e.src == ranks.node)
-            .join(out_w, "src")
+            e.join(_hint(ranks), e.src == ranks.node)
+            .join(_hint(out_w), "src")
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") * F.col("w") / F.col("ow")).alias("c"),
@@ -107,25 +121,63 @@ def pagerank(
             .groupBy("node")
             .agg(_dsum("c").alias("contrib"))
         )
-        dangling = (
-            ranks.join(out_w.select(F.col("src").alias("node")), "node", "left_anti")
-            .agg(F.coalesce(_dsum("rank"), F.lit(0.0)).alias("dm"))
-        )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(dangling)
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("dm") / F.lit(float(n))
-                    )
-                ).alias("rank"),
+        if bounded_nodes:
+            # Dangling mass inside the per-node frame: rank and an
+            # out-edge marker join back onto nodes (broadcast scans of
+            # the checkpointed vectors), and dm is the global decimal
+            # window sum of dangling ranks — the same decimal(28,8)
+            # fence and the same summands as the anti-join aggregate
+            # (non-dangling rows contribute NULL, which decimal SUM
+            # skips), so dm is value-identical by construction.
+            has_out = out_w.select(
+                F.col("src").alias("node"), F.lit(1).alias("_ho")
             )
-        )
+            dm = F.coalesce(
+                F.sum(
+                    F.when(F.col("_ho").isNull(), F.col("_pr")).cast(
+                        "decimal(28,8)"
+                    )
+                ).over(Window.partitionBy()),
+                F.lit(0).cast("decimal(38,8)"),
+            ).cast("double")
+            ranks = (
+                nodes.join(_hint(contribs), "node", "left")
+                .join(_hint(ranks.withColumnRenamed("rank", "_pr")), "node")
+                .join(_hint(has_out), "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("contrib"), F.lit(0.0))
+                            + dm / F.lit(float(n))
+                        )
+                    ).alias("rank"),
+                )
+            )
+        else:
+            dangling = (
+                ranks.join(
+                    out_w.select(F.col("src").alias("node")), "node", "left_anti"
+                )
+                .agg(F.coalesce(_dsum("rank"), F.lit(0.0)).alias("dm"))
+            )
+            ranks = (
+                nodes.join(contribs, "node", "left")
+                .crossJoin(dangling)
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("contrib"), F.lit(0.0))
+                            + F.col("dm") / F.lit(float(n))
+                        )
+                    ).alias("rank"),
+                )
+            )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
@@ -252,6 +304,7 @@ def label_propagation(
     dst: str = "dst",
     weight: str | None = None,
     checkpoint_every: int = 1,
+    bounded_nodes: bool = False,
 ) -> DataFrame:
     """Synchronous weighted label propagation (community detection):
     every node starts labelled with its own id; each iteration every
@@ -271,6 +324,10 @@ def label_propagation(
     Scale: two shuffles per iteration (the (node, label) aggregate and
     the per-node winner window); label-vector lineage is truncated
     every ``checkpoint_every`` iterations like :func:`pagerank`.
+    ``bounded_nodes=True`` (caller-asserted bounded node table — see
+    :func:`pagerank`) broadcasts the label vector into each iteration's
+    edge join; the checkpointed frames carry no size stats, so Catalyst
+    cannot pick this itself. Join strategy only — values unchanged.
     Returns (id, label).
     """
     from pyspark.sql import Window
@@ -283,6 +340,7 @@ def label_propagation(
         .agg(_dsum("w").alias("w"))
         .localCheckpoint(eager=True)
     )
+    _hint = F.broadcast if bounded_nodes else (lambda d: d)
     labels = und.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
@@ -291,7 +349,7 @@ def label_propagation(
     )
     for i in range(iterations):
         neigh = und.join(
-            labels.select(F.col("id").alias("_sid"), "label"),
+            _hint(labels.select(F.col("id").alias("_sid"), "label")),
             F.col("src") == F.col("_sid"),
         )
         scores = neigh.groupBy(F.col("dst").alias("id"), "label").agg(
