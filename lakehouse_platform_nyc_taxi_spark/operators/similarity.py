@@ -293,25 +293,6 @@ def cosine_topk_batch(
     )
 
 
-def _require_bounded_query_batch(
-    queries: DataFrame, max_queries: int, op: str
-) -> None:
-    """Enforce the batch-ANN contract that the query frame is bounded
-    metadata (it is collected and/or force-broadcast). The probe is one
-    ``limit(max+1).count()`` job — the limit caps the probe itself, so
-    an oversized frame raises cleanly instead of OOMing the driver
-    (the ``temperature_resample`` max_groups pattern,
-    operators/sampling.py)."""
-    n = queries.limit(max_queries + 1).count()
-    if n > max_queries:
-        raise ValueError(
-            f"{op} saw more than max_queries={max_queries} query rows — "
-            "the query batch is materialized driver-side / broadcast and "
-            "is meant for training-batch cardinalities; chunk the query "
-            "frame or raise max_queries explicitly"
-        )
-
-
 def ivf_probe_batch(
     index: IvfIndex,
     queries: DataFrame,
@@ -330,7 +311,24 @@ def ivf_probe_batch(
     frames past ``max_queries`` raise (guarded, not assumed)."""
     from pyspark.sql import Window
 
-    _require_bounded_query_batch(queries, max_queries, "ivf_probe_batch")
+    # Guard + fence in ONE pass (r19): the bounded-batch probe used to
+    # be a standalone limit+count job, after which the query subtree
+    # was STILL re-executed once per broadcast build (twice here).
+    # Checkpointing the capped frame makes the guard's scan the only
+    # evaluation; the count and both broadcasts read the materialized
+    # ≤(max_queries+1)-row artifact. limit(max+1) is the identity on
+    # any batch that passes the guard, so values are unchanged; the
+    # checkpoint is bounded by the same contract that lets the operator
+    # force-broadcast q below.
+    capped = queries.limit(max_queries + 1).localCheckpoint()
+    if capped.count() > max_queries:
+        raise ValueError(
+            f"ivf_probe_batch saw more than max_queries={max_queries} "
+            "query rows — the query batch is materialized driver-side / "
+            "broadcast and is meant for training-batch cardinalities; "
+            "chunk the query frame or raise max_queries explicitly"
+        )
+    queries = capped
 
     q = vec_norms(queries, qvec_col, [qid_col]).select(
         qid_col, F.col("v").alias("qv_d"), F.col("nrm").alias("qnrm")

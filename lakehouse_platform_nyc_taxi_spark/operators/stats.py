@@ -853,6 +853,12 @@ def conformal_threshold_artifact(
             F.count(F.lit(1)).cast("bigint").alias("n_cal"),
         )
     )
+    # groups-sized by the same contract that broadcasts it below;
+    # consumed TWICE (cal's broadcast build + the final join), and each
+    # evaluation re-runs the md5 hash-split scan (r19 interleaved A/B
+    # on stats_conformal_coverage: 1.67 -> 1.39 s min, values equal)
+    from .fencing import fence_if_small
+    pred = fence_if_small(pred)
     cal = (
         base.filter(~F.col("_is_test"))
         .join(F.broadcast(pred), "_g")
