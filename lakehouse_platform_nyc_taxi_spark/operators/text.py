@@ -1220,6 +1220,14 @@ def corpus_novelty(
         .select("g", md5_long(F.col("_g")).alias("h"))
         .distinct()
     )
+    # consumed by BOTH the owner election and the per-source census —
+    # without a fence each consumer re-runs the tokenize+md5+distinct
+    # pipeline (size-guarded: corpus-sized-thin, same class as
+    # corpus_overlap's shingle index; r19 interleaved A/B on
+    # corpus_novelty: 1.46 -> 1.32 s min, values equal)
+    from .fencing import fence_if_small
+
+    sh = fence_if_small(sh)
     owners = sh.groupBy("h").agg(F.min("g").alias("g"))
     novel = owners.groupBy("g").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_novel")
